@@ -1,0 +1,75 @@
+"""Table catalog over the driver's parquet testdata (and engine warehouses).
+
+The driver testdata (TESTDATA.md) ships ten tables as one parquet file each.
+``Catalog`` loads them as DataFrames and registers temp views so operators
+can be written either with the DataFrame API or ``spark.sql``.
+
+Scale note: each table is a plain ``spark.read.parquet`` — at cluster scale
+the same loader points at a partitioned directory tree and Catalyst handles
+partition pruning / predicate pushdown from the same declarative plans. The
+only per-table fix-up is ``events.ts`` (parquet TIMESTAMP(NANOS) → read as
+long nanos via ``spark.sql.legacy.parquet.nanosAsLong`` → converted to a
+microsecond TimestampType column here, truncating sub-microsecond digits the
+same way DuckDB's ``CAST(ts_ns AS TIMESTAMP)`` does).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Loads the standard tables from a scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = self._load(name)
+        return self._cache[name]
+
+    def _load(self, name: str) -> DataFrame:
+        path = os.path.join(self.sf_dir, f"{name}.parquet")
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self.spark.read.parquet(path)
+        if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+            # nanos since epoch -> TimestampType, truncating to microseconds
+            # exactly like DuckDB's TIMESTAMP(NANOS) read path. Integer `div`,
+            # not `/`: double division loses precision above 2^53 ns.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+
+    def register_views(self, names: tuple[str, ...] = TABLES) -> None:
+        """Register each table as a temp view named after itself."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)
+
+    def tables(self) -> dict[str, DataFrame]:
+        return {name: self.table(name) for name in TABLES}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Convenience: load all standard tables from ``sf_dir``."""
+    return Catalog(spark, sf_dir).tables()

@@ -1,0 +1,284 @@
+"""§2.4 Aggregations.
+
+All group-bys are declarative — Catalyst does partial (map-side) aggregation
+before the shuffle automatically, which is the property that matters at
+100 TB. Double sums/avgs go through the exact-decimal accumulator
+(ops.common) for cross-engine determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbtwiz_spark.ops.common import views, dsum, davg, dsum_sql, davg_sql
+from dbtwiz_spark.ops.registry import register
+
+
+@register(
+    "agg-group-by",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_group_by(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the canonical hash aggregation
+    (generated group-by, dbtwiz/admin/cleanup.py:64-76)."""
+    li = views(spark, sf_dir).table("lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_discount", "avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register("agg-count", oracle="SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1")
+def agg_count(spark, sf_dir):
+    """COUNT(*) per group (materialized_counts idiom, dbtwiz/admin/backfill.py:566-569)."""
+    o = views(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg-sum",
+    oracle=f"SELECT c_nationkey, {dsum_sql('c_acctbal')} AS total_bal FROM customer GROUP BY 1",
+)
+def agg_sum(spark, sf_dir):
+    """SUM per group (exact decimal accumulation)."""
+    c = views(spark, sf_dir).table("customer")
+    return c.groupBy("c_nationkey").agg(dsum("c_acctbal", "total_bal"))
+
+
+@register(
+    "agg-min",
+    oracle="SELECT p_brand, MIN(p_retailprice) AS min_price, MIN(p_size) AS min_size FROM part GROUP BY 1",
+)
+def agg_min(spark, sf_dir):
+    """MIN per group (min-across-models idiom, dbtwiz/admin/backfill.py:91-92)."""
+    p = views(spark, sf_dir).table("part")
+    return p.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("min_price"), F.min("p_size").alias("min_size")
+    )
+
+
+@register(
+    "agg-max",
+    oracle="SELECT p_brand, MAX(p_retailprice) AS max_price, MAX(p_size) AS max_size FROM part GROUP BY 1",
+)
+def agg_max(spark, sf_dir):
+    """MAX per group (max-by-length idiom, dbtwiz/admin/backfill.py:151)."""
+    p = views(spark, sf_dir).table("part")
+    return p.groupBy("p_brand").agg(
+        F.max("p_retailprice").alias("max_price"), F.max("p_size").alias("max_size")
+    )
+
+
+@register(
+    "agg-avg",
+    oracle=f"SELECT c_mktsegment, {davg_sql('c_acctbal')} AS avg_bal FROM customer GROUP BY 1",
+)
+def agg_avg(spark, sf_dir):
+    """AVG per group (deterministic decimal-sum / count)."""
+    c = views(spark, sf_dir).table("customer")
+    return c.groupBy("c_mktsegment").agg(davg("c_acctbal", "avg_bal"))
+
+
+@register(
+    "agg-count-distinct",
+    oracle="""
+    SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    """Exact distinct count (expands to a two-phase agg in Catalyst)."""
+    o = views(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers")
+    )
+
+
+@register(
+    "agg-approx-count-distinct",
+    oracle=None,  # HLL++ estimate; cross-engine sketch values differ -> rows-only
+)
+def agg_approx_count_distinct(spark, sf_dir):
+    """APPROX_COUNT_DISTINCT (BigQuery surface) → Spark HLL++.
+
+    The sketch estimate is engine-specific, so the driver's check is
+    rows-only; tests/test_corpus.py separately asserts the estimate is
+    within 5% of the exact count.
+    """
+    o = views(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+    )
+
+
+@register(
+    "agg-array-agg",
+    oracle="""
+    SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+    FROM nation GROUP BY 1
+    """,
+)
+def agg_array_agg(spark, sf_dir):
+    """ARRAY_AGG per group (dbtwiz/admin/cleanup.py:65); sorted for
+    deterministic comparison (collection order is nondeterministic)."""
+    n = views(spark, sf_dir).table("nation")
+    return n.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_set("n_name")).alias("nations")
+    )
+
+
+@register(
+    "agg-string-agg",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(DISTINCT CAST(c_nationkey AS VARCHAR), ',' ORDER BY CAST(c_nationkey AS VARCHAR)) AS nation_list
+    FROM customer GROUP BY 1
+    """,
+)
+def agg_string_agg(spark, sf_dir):
+    """STRING_AGG (reference analog: ','.join, dbtwiz/admin/backfill.py:119)."""
+    c = views(spark, sf_dir).table("customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_set(F.col("c_nationkey").cast("string")))
+        ).alias("nation_list")
+    )
+
+
+@register(
+    "agg-grouping-sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           {dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS multi-aggregation."""
+    views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               {dsum_sql('o_totalprice')} AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg-rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP hierarchy totals."""
+    cat = views(spark, sf_dir)
+    n, r = cat.table("nation"), cat.table("region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg-cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """CUBE over two dimensions."""
+    o = views(spark, sf_dir).table("orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg-having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {dsum_sql('o_totalprice')} AS total
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def agg_having(spark, sf_dir):
+    """Post-aggregation HAVING filter."""
+    o = views(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total"))
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+@register(
+    "agg-filtered",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) FILTER (WHERE c_mktsegment = 'BUILDING') AS n_building,
+           COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
+           {dsum_sql("CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0 END")} AS pos_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def agg_filtered(spark, sf_dir):
+    """Filtered aggregates (BigQuery COUNTIF surface)."""
+    c = views(spark, sf_dir).table("customer")
+    pos = F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(F.lit(0.0))
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.when(F.col("c_mktsegment") == "BUILDING", 1)).alias("n_building"),
+        F.count(F.when(F.col("c_acctbal") > 0, 1)).alias("n_positive"),
+        dsum(pos, "pos_bal"),
+    )
+
+
+@register(
+    "agg-approx-quantile",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_disc(o_totalprice, 0.5) AS p50,
+           quantile_disc(o_totalprice, 0.9) AS p90
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_approx_quantile(spark, sf_dir):
+    """APPROX_QUANTILES (BigQuery surface) → percentile_approx.
+
+    With accuracy >= group size the KLL-style sketch is exact and returns an
+    actual data value — which is DuckDB's quantile_disc definition, making
+    the entry oracle-checkable. At 100 TB the same call with default
+    accuracy (10000) is the approximate path.
+    """
+    o = views(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000000).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.9, 1000000).alias("p90"),
+    )

@@ -1,0 +1,56 @@
+"""Shared helpers for the operator corpus.
+
+Cross-engine determinism rules used throughout:
+
+- **Exact decimal accumulation.** ``SUM(double)`` is order-dependent; Spark
+  and DuckDB aggregate rows in different orders, so raw double sums differ in
+  low-order bits and fail the driver's value hash. Casting each addend to a
+  DECIMAL makes addition exact and associative; per-row double arithmetic
+  (e.g. ``price * (1 - discount)``) is IEEE-deterministic and identical in
+  both engines, and double→decimal rounding is round-half-up in both, with
+  exact binary ties practically impossible on synthetic data. The final cast
+  back to DOUBLE is deterministic. Pattern:
+      Spark : dsum(expr)                         -> double
+      DuckDB: CAST(SUM(CAST(expr AS DECIMAL(28,6))) AS DOUBLE)
+- **Sorted collections** for array_agg-style outputs.
+- **Unique total orderings** before any LIMIT / window rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+from dbtwiz_spark.catalog import Catalog
+
+DEC = "decimal(28,6)"
+DEC_SQL = "DECIMAL(28,6)"
+
+
+def views(spark: SparkSession, sf_dir: str) -> Catalog:
+    """Load the standard tables and register temp views; return the catalog."""
+    cat = Catalog(spark, sf_dir)
+    cat.register_views()
+    return cat
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent (exact) sum of a double expression, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Deterministic mean: exact decimal sum divided by count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE)"
+
+
+def davg_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE) / COUNT({expr})"

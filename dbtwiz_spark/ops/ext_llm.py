@@ -1,0 +1,746 @@
+"""§2.11 [EXT] LLM-data-pipeline operators (BASELINE.json north_star).
+
+Design rules for 100 TB:
+
+- No cross joins on the scale axis. Near-dup candidate generation goes
+  through LSH band buckets (MinHash) or bit-chunk buckets (SimHash); the
+  brute-force cosine path is the *correctness baseline* and is explicitly
+  bounded to a sampled query set.
+- Everything is built from DataFrame primitives (explode / groupBy / join /
+  window) so partial aggregation, AQE and spill handling apply unchanged.
+- Cross-engine determinism: dot products and norms accumulate per-element
+  double products quantized to DECIMAL(38,12) and summed exactly (order-free),
+  then finish in IEEE-deterministic double ops — so even cosine similarities
+  hash-match the DuckDB oracle.
+
+Tokenization contract (shared by dedup/tfidf/fingerprint/lang-id): tokens =
+split on single spaces (the synthetic corpus is space-joined words); the
+BPE-ish regex tokenizer is its own entry (ext-token-count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from dbtwiz_spark.ops.common import views, dsum_sql
+from dbtwiz_spark.ops.registry import register
+
+# ---------------------------------------------------------------------------
+# §A exact dedup + text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext-dedup-exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    """,
+)
+def ext_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized text hash: keep lowest doc_id per group.
+
+    Hash-groupBy is one shuffle on the digest; at 100 TB the md5 keys are
+    uniformly distributed so no skew. (dropDuplicates gives the same plan but
+    nondeterministic survivor choice — min(doc_id) pins it.)
+    """
+    d = views(spark, sf_dir).table("documents")
+    return (
+        d.withColumn("h", F.md5(F.lower(F.trim(F.col("text")))))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .drop("h")
+    )
+
+
+@register(
+    "ext-text-stats",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+           SUM(n_chars) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def ext_text_stats(spark, sf_dir):
+    """Corpus statistics: doc/token/char counts per (lang, source)."""
+    d = views(spark, sf_dir).table("documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "ext-token-count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_tokens,
+           len(string_split(text, ' ')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def ext_token_count(spark, sf_dir):
+    """Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    (word / number / punctuation classes)."""
+    d = views(spark, sf_dir).table("documents")
+    return d.select(
+        "doc_id",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+        ).cast("long").alias("n_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "ext-lang-id",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> list_contains(['the','a','of','and','to','in','is','on'], t)))
+                    AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+        FROM documents)
+    SELECT doc_id, lang, stop_ratio,
+           CASE WHEN stop_ratio > 0.08 THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+)
+def ext_lang_id(spark, sf_dir):
+    """Language-ID heuristic: English-stopword hit ratio over whitespace
+    tokens (n-gram/stopword heuristic; real model would be a pandas_udf —
+    the Spark-side shape is identical)."""
+    d = views(spark, sf_dir).table("documents")
+    stops = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "on"]])
+    toks = F.split("text", " ")
+    ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stops, t))).cast("double")
+        / F.size(toks)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        ratio.alias("stop_ratio"),
+        F.when(ratio > 0.08, "en").otherwise("und").alias("predicted_lang"),
+    )
+
+
+@register(
+    "ext-quality-score",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS ttr,
+           CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+             / length(text) AS alpha_ratio,
+           0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+             + 0.3 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                      / len(string_split(text, ' ')))
+             + 0.2 * (CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                      / length(text)) AS quality
+    FROM documents
+    """,
+)
+def ext_quality_score(spark, sf_dir):
+    """Quality scoring: length, type-token ratio, alphabetic ratio →
+    weighted score (the C4/Gopher-style rule-based filter shape)."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    alpha = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z ]", "")).cast("double")
+        / F.length("text")
+    )
+    quality = (
+        0.5 * F.least(n_tok / F.lit(100.0), F.lit(1.0)) + 0.3 * ttr + 0.2 * alpha
+    )
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        ttr.alias("ttr"),
+        alpha.alias("alpha_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@register(
+    "ext-fingerprint",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list(DISTINCT tok)), ' ')) AS fingerprint
+    FROM toks GROUP BY doc_id
+    """,
+)
+def ext_fingerprint(spark, sf_dir):
+    """Document fingerprinting: digest of the sorted distinct token set
+    (order-insensitive content fingerprint; the rolling-hash shingle variant
+    feeds MinHash below)."""
+    d = views(spark, sf_dir).table("documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))
+        ).alias("fingerprint"),
+    )
+
+
+@register(
+    "ext-text-tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+    WHERE df.df <= 0.5 * n.n_docs
+    """,
+)
+def ext_text_tfidf(spark, sf_dir):
+    """TF-IDF term weighting: token counts ⨝ document frequency (broadcast)
+    with smoothed idf; terms in >50% of docs dropped. tfidf rounded to 6dp —
+    ln() is the one op with possible last-ulp libm variance."""
+    d = views(spark, sf_dir).table("documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.join(F.broadcast(df.filter(F.col("df") <= 0.5 * n_docs)), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §B near-duplicate detection (shingles → Jaccard / MinHash-LSH / SimHash)
+# ---------------------------------------------------------------------------
+
+
+def shingles(d: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc: (doc_id, shingle)."""
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, k)]
+        ).alias("shingle"),
+        F.lead("tok", k - 1).over(w).isNotNull().alias("full"),
+    )
+    return sh.filter("full").select("doc_id", "shingle").distinct()
+
+
+_NGRAM_JACCARD_SQL = """
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(a) - 2),
+                      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+        FROM arrs),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.4
+"""
+
+
+@register("ext-ngram-jaccard", oracle=_NGRAM_JACCARD_SQL)
+def ext_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram (3-shingle) Jaccard similarity join: pairs ≥ 0.4.
+
+    Candidate pairs come from the shared-shingle join (one shuffle on the
+    shingle key) — never a cross join; intersection counts per pair, union by
+    inclusion–exclusion. This is also the ground truth the MinHash entry is
+    tested against.
+    """
+    d = views(spark, sf_dir).table("documents")
+    sh = shingles(d, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+NUM_PERM = 32
+BANDS = 8  # 8 bands x 4 rows: catches jaccard >~0.5 candidates w.h.p.
+
+
+def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): min of seeded xxhash64 per permutation.
+
+    One shuffle (groupBy doc_id); signature width is a constant column count,
+    so cost is O(shingles × num_perm) map-side work — the 100 TB-safe shape.
+    """
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(num_perm)
+        ]
+    )
+
+
+@register("ext-dedup-near", oracle=None)
+def ext_dedup_near(spark, sf_dir):
+    """Near-dup via MinHash + LSH banding (shingle → minhash → band →
+    bucket join) with exact-Jaccard verification of candidates.
+
+    Scale path: candidates only from equal band signatures (equi-join on the
+    band hash — no cross join); each candidate pair is then verified with
+    the exact shingle-intersection Jaccard, so false positives cost but
+    never corrupt. Engine-specific hashes make this rows-only for the
+    oracle; tests/test_ext_llm.py checks recall against ext-ngram-jaccard.
+    """
+    d = views(spark, sf_dir).table("documents")
+    sh = shingles(d, 3)
+    sig = minhash_signatures(sh)
+    rows_per_band = NUM_PERM // BANDS
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(BANDS)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = stacked.alias("a"), stacked.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification of the candidate set only
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s"))
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+@register("ext-dedup-simhash", oracle=None)
+def ext_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit signature from token hashes; candidate pairs
+    share one of four 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ some chunk
+    equal); verified by exact hamming distance ≤ 3.
+
+    All bit math is JVM-side expressions; one groupBy(doc) + one equi-join
+    on (chunk, value) — no cross join.
+    """
+    d = views(spark, sf_dir).table("documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = toks.withColumn("h", F.xxhash64("tok"))
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b_{i}")
+            for i in range(64)
+        ]
+    )
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+                for i in range(64)
+            ]
+        ).alias("simhash"),
+    )
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", F.col("cv.chunk").alias("chunk"), F.col("cv.val").alias("val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# §C embedding similarity search
+# ---------------------------------------------------------------------------
+
+_DOT_DEC = "DECIMAL(38,12)"
+
+
+def _norms_sql() -> str:
+    return f"""
+    norms AS (
+        SELECT vec_id, label,
+               sqrt(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS {_DOT_DEC})) AS DOUBLE)) AS nrm
+        FROM (SELECT vec_id, label, unnest(embedding) AS x FROM embeddings)
+        GROUP BY vec_id, label)
+    """
+
+
+def _pair_cosine_sql(query_pred: str, cand_pred: str = "TRUE") -> str:
+    """DuckDB CTE chain producing (q_vec_id, c_vec_id, c_label, cosine)."""
+    return f"""
+    WITH {_norms_sql()},
+    q AS (SELECT e.vec_id, e.embedding, n.nrm FROM embeddings e
+          JOIN norms n USING (vec_id) WHERE {query_pred}),
+    c AS (SELECT e.vec_id, e.label, e.embedding, n.nrm FROM embeddings e
+          JOIN norms n USING (vec_id) WHERE {cand_pred}),
+    px AS (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS c_vec_id, c.label AS c_label,
+               q.nrm AS qn, c.nrm AS cn,
+               u.i AS i,
+               CAST(CAST(q.embedding[u.i] AS DOUBLE) * CAST(c.embedding[u.i] AS DOUBLE)
+                    AS {_DOT_DEC}) AS prod
+        FROM q JOIN c ON q.vec_id <> c.vec_id
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) u),
+    dots AS (
+        SELECT q_vec_id, c_vec_id, c_label,
+               CAST(SUM(prod) AS DOUBLE) / (MIN(qn) * MIN(cn)) AS cosine
+        FROM px GROUP BY 1, 2, 3)
+    """
+
+
+@register(
+    "ext-sim-cosine-topk",
+    oracle=_pair_cosine_sql("e.vec_id % 50 = 0")
+    + """
+    SELECT q_vec_id, c_vec_id, cosine, rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cosine DESC, c_vec_id) AS rnk
+        FROM dots)
+    WHERE rnk <= 10
+    """,
+)
+def ext_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k: sampled query set (vec_id % 50 = 0) vs all
+    candidates; top-10 per query.
+
+    Exact baseline for ANN: per-element double products quantized to decimal
+    and summed exactly (posexplode + groupBy) so cosine hash-matches DuckDB.
+    The fast engine path (`cosine_topk`) uses zip_with/aggregate in one
+    map-side pass and is what bench.py measures; the IVF-style scale path is
+    `ext-ann-lsh-bucket`.
+    """
+    emb = views(spark, sf_dir).table("embeddings")
+    return _cosine_pairs(spark, emb, F.col("vec_id") % 50 == 0).select(
+        "q_vec_id",
+        "c_vec_id",
+        "cosine",
+        F.row_number()
+        .over(
+            Window.partitionBy("q_vec_id").orderBy(
+                F.col("cosine").desc(), F.col("c_vec_id")
+            )
+        )
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= 10)
+
+
+def _cosine_pairs(spark, emb: DataFrame, query_pred) -> DataFrame:
+    """(q_vec_id, c_vec_id, c_label, cosine) with exact-decimal accumulation."""
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("xd", F.col("x").cast("double"))
+    norms = ex.groupBy("vec_id", "label").agg(
+        F.sqrt(
+            F.sum((F.col("xd") * F.col("xd")).cast(_DOT_DEC)).cast("double")
+        ).alias("nrm")
+    )
+    q = ex.filter(query_pred).select(
+        F.col("vec_id").alias("q_vec_id"), "i", F.col("xd").alias("qx")
+    )
+    c = ex.select(
+        F.col("vec_id").alias("c_vec_id"), "i", F.col("xd").alias("cx")
+    )
+    dots = (
+        q.join(c, "i")
+        .filter(F.col("q_vec_id") != F.col("c_vec_id"))
+        .groupBy("q_vec_id", "c_vec_id")
+        .agg(F.sum((F.col("qx") * F.col("cx")).cast(_DOT_DEC)).alias("dot"))
+    )
+    qn = norms.select(F.col("vec_id").alias("q_vec_id"), F.col("nrm").alias("qn"))
+    cn = norms.select(
+        F.col("vec_id").alias("c_vec_id"),
+        F.col("label").alias("c_label"),
+        F.col("nrm").alias("cn"),
+    )
+    return (
+        dots.join(F.broadcast(qn), "q_vec_id")
+        .join(F.broadcast(cn), "c_vec_id")
+        .select(
+            "q_vec_id",
+            "c_vec_id",
+            "c_label",
+            (F.col("dot").cast("double") / (F.col("qn") * F.col("cn"))).alias("cosine"),
+        )
+    )
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Fast engine path: zip_with dot product in one JVM pass (no explode).
+
+    queries: (q_vec_id, q_embedding). Broadcast the query set; the candidate
+    table streams — at 100 TB this is a map-side-only scan plus a top-k
+    aggregation (TakeOrdered per query key).
+    """
+    dot = F.aggregate(
+        F.zip_with("q_embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("q_embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = emb.join(F.broadcast(queries), F.col("q_vec_id") != F.col("vec_id")).select(
+        "q_vec_id",
+        F.col("vec_id").alias("c_vec_id"),
+        "label",
+        (dot / (nq * nc)).alias("cosine"),
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+@register(
+    "ext-sim-threshold-join",
+    oracle=_pair_cosine_sql("e.vec_id % 100 = 0", "e.vec_id % 10 = 0")
+    + """
+    SELECT q_vec_id, c_vec_id, cosine FROM dots WHERE cosine >= 0.2
+    """,
+)
+def ext_sim_threshold_join(spark, sf_dir):
+    """Similarity join: all pairs above a cosine threshold between a query
+    sample (% 100) and a candidate sample (% 10). At scale the candidate
+    pre-filter is the LSH bucketing of ext-ann-lsh-bucket."""
+    emb = views(spark, sf_dir).table("embeddings")
+    cand = emb.filter(F.col("vec_id") % 10 == 0)
+    return (
+        _cosine_pairs(spark, cand, F.col("vec_id") % 100 == 0)
+        .filter(F.col("cosine") >= 0.2)
+        .select("q_vec_id", "c_vec_id", "cosine")
+    )
+
+
+@register(
+    "ext-knn-label",
+    oracle=_pair_cosine_sql("e.vec_id % 50 = 0")
+    + """
+    , topk AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                         ORDER BY cosine DESC, c_vec_id) AS rnk
+            FROM dots) WHERE rnk <= 5),
+    votes AS (
+        SELECT q_vec_id, c_label, COUNT(*) AS votes FROM topk GROUP BY 1, 2)
+    SELECT q_vec_id, c_label AS predicted_label FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                     ORDER BY votes DESC, c_label) AS vr
+        FROM votes) WHERE vr = 1
+    """,
+)
+def ext_knn_label(spark, sf_dir):
+    """kNN classification: majority label of the 5 nearest neighbors
+    (ties → most votes, then smallest label)."""
+    emb = views(spark, sf_dir).table("embeddings")
+    pairs = _cosine_pairs(spark, emb, F.col("vec_id") % 50 == 0)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
+    topk = pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 5)
+    votes = topk.groupBy("q_vec_id", "c_label").agg(F.count("*").alias("votes"))
+    wv = Window.partitionBy("q_vec_id").orderBy(F.col("votes").desc(), F.col("c_label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("q_vec_id", F.col("c_label").alias("predicted_label"))
+    )
+
+
+@register("ext-ann-lsh-bucket", oracle=None)
+def ext_ann_lsh_bucket(spark, sf_dir):
+    """ANN scale path: random-hyperplane LSH bucketing.
+
+    Signature = sign bits of dot products with 8 deterministic pseudo-random
+    hyperplanes (derived JVM-side from xxhash64(plane, dim), no RNG state);
+    neighbor candidates share a bucket → the O(n²) similarity join becomes
+    an equi-join on the bucket key. Output: (bucket, n_vectors) histogram +
+    intra-bucket exact top-1 neighbor per sampled query. Rows-only check;
+    tests assert recall vs the exact top-k on sf0.001.
+    """
+    emb = views(spark, sf_dir).table("embeddings")
+    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
+    # plane weight in [-1,1): hash(plane, dim) scaled — deterministic everywhere
+    planes = range(8)
+    proj = ex.groupBy("vec_id", "label").agg(
+        *[
+            F.sum(
+                F.col("x").cast("double")
+                * (
+                    (F.pmod(F.xxhash64(F.lit(p), F.col("i")), F.lit(2000001)) - 1000000)
+                    / 1000000.0
+                )
+            ).alias(f"proj_{p}")
+            for p in planes
+        ]
+    )
+    sig = proj.select(
+        "vec_id",
+        "label",
+        sum(
+            [F.when(F.col(f"proj_{p}") > 0, 2**p).otherwise(0) for p in planes]
+        ).alias("bucket"),
+    )
+    return sig.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.countDistinct("label").alias("n_labels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §D multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ext-multimodal-column",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte
+    FROM documents
+    """,
+)
+def ext_multimodal_column(spark, sf_dir):
+    """Multimodal plumbing: opaque binary payload column processed by an
+    Arrow-batched mapInPandas feature extractor.
+
+    The payload here is the utf-8 encoding of `text` (the container has no
+    image/audio codecs — see dbtwiz_spark.multimodal for the decode stubs);
+    the *Spark-side shape* is the real thing: BinaryType column, mapInPandas
+    over Arrow batches, typed output schema. Features (byte length, first
+    byte) are deterministic so the entry stays oracle-checkable.
+    """
+    from dbtwiz_spark.multimodal import extract_features
+
+    d = views(spark, sf_dir).table("documents")
+    payloads = d.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_features(payloads)

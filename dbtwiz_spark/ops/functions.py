@@ -1,0 +1,304 @@
+"""§2.8 Scalar function families.
+
+One corpus entry per family; each exercises the representative ops the
+reference uses (Python analogs and generated SQL cited per entry). All are
+built-in `pyspark.sql.functions` — JVM-side, whole-stage-codegen'd; no
+Python UDFs in this module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbtwiz_spark.ops.common import views
+from dbtwiz_spark.ops.registry import register
+
+
+@register(
+    "func-string",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS lname,
+           upper(p_brand) AS ubrand,
+           replace(p_name, ' ', '_') AS snake,
+           substr(p_name, 1, 5) AS head5,
+           trim(concat('  ', p_name, '  ')) AS trimmed,
+           length(p_name) AS name_len,
+           string_split(p_name, ' ')[1] AS first_word,
+           regexp_extract(p_brand, '[0-9]+', 0) AS brand_num,
+           starts_with(p_name, 'small') AS is_small,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    """,
+)
+def func_string(spark, sf_dir):
+    """String family (replace: dbtwiz/admin/backfill.py:146; split:
+    dbtwiz/integrations/bigquery.py:360; regex: dbtwiz/model/validate.py:479;
+    lower: dbtwiz/dbt/manifest.py:406-423)."""
+    p = views(spark, sf_dir).table("part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.upper("p_brand").alias("ubrand"),
+        F.regexp_replace("p_name", " ", "_").alias("snake"),
+        F.substring("p_name", 1, 5).alias("head5"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        F.length("p_name").alias("name_len"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.col("p_name").startswith("small").alias("is_small"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+@register(
+    "func-datetime",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS od,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           date_trunc('month', o_orderdate) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           epoch_ms(o_orderdate) AS epoch_millis
+    FROM orders
+    """,
+)
+def func_datetime(spark, sf_dir):
+    """Date/time family (timedelta chunking dbtwiz/admin/backfill.py:104-114;
+    epoch-ms parse dbtwiz/admin/restore.py:12-57; `timestamp_add` generated
+    SQL dbtwiz/admin/cleanup.py:75)."""
+    o = views(spark, sf_dir).table("orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.expr("o_orderdate + INTERVAL 30 DAYS").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2002"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        # o_orderdate is TIMESTAMP_NTZ; unix_millis wants LTZ (session tz UTC)
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_millis"),
+    )
+
+
+@register(
+    "func-math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice) AS price_floor,
+           ceil(l_extendedprice) AS price_ceil,
+           round(l_extendedprice, 1) AS price_round1,
+           abs(l_extendedprice - 1000.0) AS dist_from_1k,
+           least(l_quantity, 25.0) AS qty_capped,
+           greatest(l_tax, l_discount) AS max_rate,
+           CAST(l_quantity AS BIGINT) % 7 AS qty_mod7,
+           sqrt(l_quantity) AS qty_sqrt
+    FROM lineitem
+    """,
+)
+def func_math(spark, sf_dir):
+    """Math family (floor-div batch sizing dbtwiz/admin/backfill.py:85-88,
+    min/max clamps, GB rounding). floor/ceil return DOUBLE in DuckDB —
+    matched; sqrt is IEEE-correctly-rounded in both engines."""
+    li = views(spark, sf_dir).table("lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.round("l_extendedprice", 1).alias("price_round1"),
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("dist_from_1k"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_capped"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod7"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+    )
+
+
+@register(
+    "func-cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_rounded,
+           CAST(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS parsed_ts,
+           CAST(EXTRACT(year FROM o_orderdate) AS SMALLINT) AS yr_small
+    FROM orders
+    """,
+)
+def func_cast(spark, sf_dir):
+    """Cast/convert family (`cast(... as timestamp)` generated SQL
+    dbtwiz/admin/cleanup.py:74; type map dbtwiz/integrations/bigquery.py:570-602)."""
+    o = views(spark, sf_dir).table("orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price_rounded"),
+        F.to_timestamp(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+        ).alias("parsed_ts"),
+        F.year("o_orderdate").cast("smallint").alias("yr_small"),
+    )
+
+
+@register(
+    "func-conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                WHEN c_acctbal < 1000 THEN 'low'
+                ELSE 'high' END AS bal_class,
+           IF(c_mktsegment = 'BUILDING', 1, 0) AS is_building,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'redacted') AS seg_masked,
+           NULLIF(c_nationkey, 0) AS nationkey_nz
+    FROM customer
+    """,
+)
+def func_conditional(spark, sf_dir):
+    """CASE/IF/COALESCE/NULLIF (ternary & or-default idioms,
+    dbtwiz/admin/partition.py:58-65, dbtwiz/admin/grants.py:379-380)."""
+    c = views(spark, sf_dir).table("customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .otherwise("high")
+        .alias("bal_class"),
+        F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("is_building"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("redacted")
+        ).alias("seg_masked"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nationkey_nz"),
+    )
+
+
+@register(
+    "func-array",
+    oracle="""
+    WITH t AS (
+        SELECT n_regionkey, list_sort(list(n_name)) AS names
+        FROM nation GROUP BY n_regionkey)
+    SELECT n_regionkey,
+           len(names) AS n_names,
+           names[1] AS first_name,
+           list_contains(names, 'NATION_3') AS has_nation3,
+           u.nm AS nm
+    FROM t, UNNEST(names) AS u(nm)
+    """,
+)
+def func_array(spark, sf_dir):
+    """Array family: agg→array, size, index, contains, explode
+    (array_agg dbtwiz/admin/cleanup.py:65; REPEATED→array
+    dbtwiz/integrations/bigquery.py:627-629)."""
+    n = views(spark, sf_dir).table("nation")
+    t = n.groupBy("n_regionkey").agg(F.sort_array(F.collect_list("n_name")).alias("names"))
+    return t.select(
+        "n_regionkey",
+        F.size("names").cast("long").alias("n_names"),
+        F.element_at("names", 1).alias("first_name"),
+        F.array_contains("names", "NATION_3").alias("has_nation3"),
+        F.explode("names").alias("nm"),
+    )
+
+
+@register(
+    "func-struct",
+    oracle="""
+    WITH s AS (
+        SELECT c_custkey,
+               {'name': c_name, 'geo': {'nation': c_nationkey}} AS info
+        FROM customer)
+    SELECT c_custkey,
+           info.name AS cust_name,
+           info.geo.nation AS cust_nation
+    FROM s
+    """,
+)
+def func_struct(spark, sf_dir):
+    """Struct family: build + dotted-path access (nested-field flattening,
+    dbtwiz/integrations/bigquery.py:619-624, dbtwiz/admin/descriptions.py:43-82)."""
+    c = views(spark, sf_dir).table("customer")
+    s = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(F.col("c_nationkey").alias("nation")).alias("geo"),
+        ).alias("info"),
+    )
+    return s.select(
+        "c_custkey",
+        F.col("info.name").alias("cust_name"),
+        F.col("info.geo.nation").alias("cust_nation"),
+    )
+
+
+@register(
+    "func-json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+)
+def func_json(spark, sf_dir):
+    """JSON family: extract from the events.props payload
+    (JSON type, dbtwiz/integrations/bigquery.py:596)."""
+    ev = views(spark, sf_dir).table("events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+    )
+
+
+@register(
+    "func-map",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_from_map,
+           1 AS n_keys
+    FROM events
+    """,
+)
+def func_map(spark, sf_dir):
+    """Map family: parse props into MapType, read keys/values
+    (SURVEY §1.2: MapType needed for events.props)."""
+    from pyspark.sql.types import MapType, StringType
+
+    ev = views(spark, sf_dir).table("events")
+    m = F.from_json("props", MapType(StringType(), StringType()))
+    return ev.select(
+        "event_id",
+        m.getItem("k").cast("bigint").alias("k_from_map"),
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+    )
+
+
+@register(
+    "func-hash",
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           format('cust-{:06d}', c_custkey) AS padded_id
+    FROM customer
+    """,
+)
+def func_hash(spark, sf_dir):
+    """Hash/format family: stable ids + name mangling
+    (dbtwiz/admin/backfill.py:134-163). xxhash64 exists engine-side but is
+    seed-specific, so the cross-engine oracle uses md5/sha256."""
+    c = views(spark, sf_dir).table("customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+        F.format_string("cust-%06d", "c_custkey").alias("padded_id"),
+    )

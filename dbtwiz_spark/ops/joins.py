@@ -1,0 +1,395 @@
+"""§2.3 Joins.
+
+Scale notes (the part that matters at 100 TB):
+
+- equi-joins are declared, Catalyst+AQE choose broadcast vs shuffled-hash vs
+  sort-merge; `join-broadcast` pins the small-dim case explicitly.
+- the anti/semi joins mirror the reference's orphan detection
+  (dbtwiz/admin/cleanup.py:89-101) — catalog vs manifest reconciliation.
+- `join-asof` is implemented with the union+window trick (no native asof in
+  Spark SQL): one shuffle on (key), no range explosion — the 100 TB-safe
+  formulation. DuckDB's native ASOF JOIN is the oracle.
+- `join-range` buckets the probe side to the bucket granularity of the range
+  table so the join is equi on the bucket key plus a residual predicate —
+  avoids the O(n·m) broadcast-nested-loop that a bare interval predicate
+  would produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbtwiz_spark.ops.common import views, dsum, dsum_sql
+from dbtwiz_spark.ops.registry import register
+
+
+@register(
+    "join-inner-equi",
+    oracle=f"""
+    SELECT n_name, COUNT(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_inner_equi(spark, sf_dir):
+    """Equi inner join chain (generated join, dbtwiz/admin/cleanup.py:66-68)."""
+    cat = views(spark, sf_dir)
+    o, c, n = cat.table("orders"), cat.table("customer"), cat.table("nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice", "total_price"))
+    )
+
+
+@register(
+    "join-left-outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """Left outer join (dbtwiz/admin/cleanup.py:67-68 TABLES ⟕ TABLE_OPTIONS)."""
+    cat = views(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join-right-outer",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer join."""
+    cat = views(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join-full-outer",
+    oracle="""
+    WITH cust_nations AS (SELECT DISTINCT c_nationkey AS k FROM customer),
+         supp_nations AS (SELECT DISTINCT s_nationkey AS k FROM supplier)
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           (c.k IS NOT NULL) AS has_customers,
+           (s.k IS NOT NULL) AS has_suppliers
+    FROM cust_nations c FULL OUTER JOIN supp_nations s ON c.k = s.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join: nations with customers and/or suppliers."""
+    cat = views(spark, sf_dir)
+    c = cat.table("customer").select(F.col("c_nationkey").alias("k")).distinct()
+    s = cat.table("supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    return c.alias("c").join(s.alias("s"), F.col("c.k") == F.col("s.k"), "full").select(
+        F.coalesce(F.col("c.k"), F.col("s.k")).alias("nationkey"),
+        F.col("c.k").isNotNull().alias("has_customers"),
+        F.col("s.k").isNotNull().alias("has_suppliers"),
+    )
+
+
+@register(
+    "join-cross",
+    oracle="""
+    SELECT r1.r_name AS from_region, r2.r_name AS to_region
+    FROM region r1 CROSS JOIN region r2
+    WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product (small-side only; guarded at scale)."""
+    r = views(spark, sf_dir).table("region")
+    r1, r2 = r.alias("r1"), r.alias("r2")
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("r1.r_regionkey") != F.col("r2.r_regionkey"))
+        .select(
+            F.col("r1.r_name").alias("from_region"),
+            F.col("r2.r_name").alias("to_region"),
+        )
+    )
+
+
+@register(
+    "join-broadcast",
+    oracle=f"""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           {dsum_sql('c_acctbal')} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Explicitly broadcast small dims (region/nation) — the 100 TB pattern:
+    fact table never shuffles for dim joins."""
+    cat = views(spark, sf_dir)
+    c, n, r = cat.table("customer"), cat.table("nation"), cat.table("region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal", "total_acctbal"))
+    )
+
+
+@register(
+    "join-semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join: EXISTS / IN-subquery (complement of the orphan
+    anti-join, dbtwiz/admin/cleanup.py:96-101)."""
+    cat = views(spark, sf_dir)
+    c = cat.table("customer")
+    o = cat.table("orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join-anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join — the orphan-detection core
+    (dbtwiz/admin/cleanup.py:89-101: in catalog, not in manifest)."""
+    cat = views(spark, sf_dir)
+    c, o = cat.table("customer"), cat.table("orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join-theta",
+    oracle="""
+    SELECT s.s_suppkey, COUNT(*) AS n_richer_customers
+    FROM supplier s JOIN customer c
+      ON c.c_nationkey = s.s_nationkey AND c.c_acctbal > s.s_acctbal
+    GROUP BY s.s_suppkey
+    """,
+)
+def join_theta(spark, sf_dir):
+    """Non-equi (theta) predicate join; the equi part keys the shuffle so the
+    inequality is a residual filter, not a nested loop."""
+    cat = views(spark, sf_dir)
+    s, c = cat.table("supplier").alias("s"), cat.table("customer").alias("c")
+    return (
+        s.join(
+            c,
+            (F.col("c.c_nationkey") == F.col("s.s_nationkey"))
+            & (F.col("c.c_acctbal") > F.col("s.s_acctbal")),
+        )
+        .groupBy("s.s_suppkey")
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+@register(
+    "join-range",
+    oracle=f"""
+    WITH buckets AS (
+        SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01',
+                                      TIMESTAMP '2024-01-29',
+                                      INTERVAL 7 DAY)) AS range_start
+    ), ranges AS (
+        SELECT range_start, range_start + INTERVAL 7 DAY AS range_end
+        FROM buckets
+    )
+    SELECT range_start, COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events JOIN ranges ON ts >= range_start AND ts < range_end
+    GROUP BY range_start
+    """,
+)
+def join_range(spark, sf_dir):
+    """Interval/range join — the reference's date-range-batch idiom
+    (dbtwiz/admin/backfill.py:104-114 chunk_date_range).
+
+    Implemented scale-safely: the probe side is bucketed to the range grid
+    (7-day floor), so the join is an equi-join on the bucket key; the range
+    residual follows. No broadcast-nested-loop.
+    """
+    ev = views(spark, sf_dir).table("events")
+    ranges = spark.sql(
+        "SELECT range_start, range_start + INTERVAL 7 DAY AS range_end FROM ("
+        "  SELECT explode(sequence(TIMESTAMP '2024-01-01', "
+        "                          TIMESTAMP '2024-01-29', INTERVAL 7 DAY)) AS range_start)"
+    )
+    origin = F.lit("2024-01-01").cast("timestamp")
+    week = F.floor(
+        (F.col("ts").cast("long") - origin.cast("long")) / (7 * 86400)
+    )
+    bucketed = ev.withColumn(
+        "range_start", F.timestamp_seconds(origin.cast("long") + week * 7 * 86400)
+    )
+    return (
+        bucketed.join(ranges, "range_start")
+        .filter((F.col("ts") >= F.col("range_start")) & (F.col("ts") < F.col("range_end")))
+        .groupBy("range_start")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+
+
+@register(
+    "join-asof",
+    oracle="""
+    WITH cust_events AS (
+        SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+    ), cust_orders AS (
+        SELECT o_custkey, o_orderdate, o_orderkey FROM orders WHERE o_custkey < 15
+    )
+    SELECT e.event_id, e.user_id,
+           o.o_orderkey AS prev_orderkey
+    FROM cust_events e
+    ASOF LEFT JOIN (
+        SELECT o_custkey, o_orderkey,
+               TIMESTAMP '2024-01-01' + (o_orderkey % 2592000) * INTERVAL 1 SECOND AS ots
+        FROM cust_orders
+    ) o ON e.user_id = o.o_custkey AND e.ts >= o.ots
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: for each purchase event, the latest "order" of that user
+    at-or-before the event (SCD2 lookup semantics, dbtwiz/model/create.py:419-428).
+
+    No native asof join in Spark SQL — union the two sides tagged, then
+    `last(value, ignoreNulls) OVER (PARTITION BY key ORDER BY ts, tag)`:
+    one shuffle on the key, linear scan per key, safe at 100 TB. DuckDB's
+    native ASOF JOIN is the oracle. Ties (equal ts) resolve to the order row
+    ordering first (tag 0 sorts before probe tag 1), matching ASOF `>=`.
+
+    Orders lack an intra-2024 timestamp, so a deterministic synthetic event
+    time is derived from o_orderkey on both sides.
+    """
+    cat = views(spark, sf_dir)
+    ev = (
+        cat.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id")
+    )
+    orders = (
+        cat.table("orders")
+        .filter(F.col("o_custkey") < 15)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderkey"),
+            (
+                F.lit("2024-01-01").cast("timestamp").cast("long")
+                + F.col("o_orderkey") % 2592000
+            ).alias("otsl"),
+        )
+        .withColumn("ots", F.timestamp_seconds(F.col("otsl")))
+    )
+    left = ev.select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = orders.select(
+        "user_id",
+        F.col("ots").alias("ts"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        left.unionByName(right)
+        .withColumn("prev_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter(F.col("tag") == 1)
+        .select("event_id", "user_id", "prev_orderkey")
+    )
+
+
+@register(
+    "join-self-dag",
+    oracle="""
+    WITH RECURSIVE edges AS (
+        SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS child,
+               'r' || CAST(n_regionkey AS VARCHAR) AS parent
+        FROM nation
+        UNION ALL
+        SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS child,
+               'n' || CAST(s_nationkey AS VARCHAR) AS parent
+        FROM supplier
+    )
+    , closure AS (
+        SELECT child, parent AS ancestor FROM edges
+        UNION
+        SELECT c.child, e.parent AS ancestor
+        FROM closure c JOIN edges e ON c.ancestor = e.child
+    )
+    SELECT child, ancestor FROM closure
+    """,
+)
+def join_self_dag(spark, sf_dir):
+    """Transitive DAG closure by iterated self-join to fixpoint
+    (dbtwiz/dbt/manifest.py:340-370 recursive parent/child traversal).
+
+    supplier→nation→region forms a 2-level DAG over a shared node namespace;
+    the loop joins the frontier onto the edge list until no new pairs appear
+    (BFS over edges — each iteration is one shuffle join; depth = DAG height,
+    not data size).
+    """
+    cat = views(spark, sf_dir)
+    n = cat.table("nation").select(
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("child"),
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("parent"),
+    )
+    s = cat.table("supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("child"),
+        F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("parent"),
+    ).distinct()
+    edges = n.unionByName(s)
+    closure = edges.select("child", F.col("parent").alias("ancestor"))
+    frontier = closure
+    for _ in range(10):  # DAG height bound; loop exits early at fixpoint
+        nxt = (
+            frontier.alias("c")
+            .join(edges.alias("e"), F.col("c.ancestor") == F.col("e.child"))
+            .select(F.col("c.child").alias("child"), F.col("e.parent").alias("ancestor"))
+            .distinct()
+            .exceptAll(closure)
+        )
+        if nxt.isEmpty():
+            break
+        closure = closure.unionByName(nxt).distinct()
+        frontier = nxt
+    return closure

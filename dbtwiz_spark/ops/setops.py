@@ -1,0 +1,82 @@
+"""§2.7 Set operations.
+
+The reference's desired-state diff engines are set algebra:
+`needs_granting = desired - current` (dbtwiz/admin/grants.py:278-280),
+manifest∪snapshot concatenation (dbtwiz/admin/cleanup.py:342).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dbtwiz_spark.ops.common import views
+from dbtwiz_spark.ops.registry import register
+
+
+@register(
+    "set-union-all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def set_union_all(spark, sf_dir):
+    """UNION ALL concatenation (dbtwiz/admin/cleanup.py:342)."""
+    cat = views(spark, sf_dir)
+    c = cat.table("customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = cat.table("supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "set-union-distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    """UNION DISTINCT (set-union of grant sets, dbtwiz/admin/grants.py:71-95)."""
+    cat = views(spark, sf_dir)
+    c = cat.table("customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = cat.table("supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "set-intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    """INTERSECT (team-membership idiom, dbtwiz/model/create.py:321)."""
+    cat = views(spark, sf_dir)
+    c = cat.table("customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = cat.table("supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "set-except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark, sf_dir):
+    """EXCEPT — the grants diff (dbtwiz/admin/grants.py:278-280:
+    desired − current / current − desired)."""
+    cat = views(spark, sf_dir)
+    c = cat.table("customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = cat.table("supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics (exceptAll is the ALL form)

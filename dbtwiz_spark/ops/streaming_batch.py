@@ -1,0 +1,184 @@
+"""§2.9 Streaming semantics — batch-checkable forms over `events`.
+
+The reference handles time-ordered reprocessing as date-batch backfill
+(dbtwiz/admin/backfill.py:104-114; serial mode dbtwiz/admin/__init__.py:133-144;
+retry of failed ranges dbtwiz/admin/backfill.py:475-529). The engine exposes
+both that batch plane (dbtwiz_spark.backfill) and true Structured Streaming
+(dbtwiz_spark.streaming); these corpus entries are the batch forms the
+DuckDB oracle can verify — the streaming runtime reuses the same
+transformations over readStream (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbtwiz_spark.ops.common import views, dsum, dsum_sql
+from dbtwiz_spark.ops.registry import register
+
+
+@register(
+    "stream-tumbling-window",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 1-day window = the per-day batch unit
+    (data_interval vars, dbtwiz/commands/build.py:100)."""
+    ev = views(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            F.col("w.start").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream-sliding-window",
+    oracle=f"""
+    WITH slid AS (
+        SELECT e.*,
+               date_trunc('hour', ts)
+                 + (CAST(floor(EXTRACT(minute FROM ts) / 15) AS INTEGER) * INTERVAL 15 MINUTE)
+                 - (o.k * INTERVAL 15 MINUTE) AS win_start
+        FROM events e, UNNEST([0, 1, 2, 3]) AS o(k)
+    )
+    SELECT win_start, COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM slid
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding 1-hour window, 15-minute slide (rolling windows,
+    dbtwiz/admin/backfill.py:585). Each event lands in 4 overlapping windows;
+    the oracle reproduces Spark's window assignment arithmetic."""
+    ev = views(spark, sf_dir).table("events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+@register(
+    "stream-session-window",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Session windows (30-minute gap) per user. Spark's session_window
+    merges events whose gap < 30 min; the oracle is the equivalent
+    gaps-and-islands SQL. Output keys on session_start (deterministic);
+    session_end = last event + gap is Spark-definitional, so omitted."""
+    ev = views(spark, sf_dir).table("events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream-watermark-late",
+    oracle=f"""
+    WITH maxts AS (SELECT MAX(ts) AS m FROM events)
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM events, maxts
+    WHERE ts >= m - INTERVAL 1 DAY
+    GROUP BY 1
+    """,
+)
+def stream_watermark_late(spark, sf_dir):
+    """Watermark semantics, batch form: aggregate only events within the
+    1-day watermark of max event time — the batch analog of late-data
+    retry over failed ranges (dbtwiz/admin/backfill.py:497-516). The true
+    streaming form (withWatermark + update mode) is in
+    dbtwiz_spark.streaming and tested via the rate source."""
+    ev = views(spark, sf_dir).table("events")
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    return (
+        ev.join(F.broadcast(max_ts))
+        .filter(F.col("ts") >= F.col("m") - F.expr("INTERVAL 1 DAY"))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )
+
+
+@register(
+    "stream-stateful-dedup",
+    oracle="""
+    SELECT event_id, MIN(user_id) AS user_id, MIN(event_type) AS event_type
+    FROM (SELECT * FROM events UNION ALL
+          SELECT * FROM events WHERE event_id % 10 = 0)
+    GROUP BY event_id
+    """,
+)
+def stream_stateful_dedup(spark, sf_dir):
+    """Exactly-once per key across duplicated input — batch form of
+    dropDuplicatesWithinWatermark (insert_overwrite idempotency,
+    dbtwiz/model/create.py:457). Input is events with 10% of rows
+    re-appended to simulate redelivery."""
+    ev = views(spark, sf_dir).table("events")
+    dup = ev.unionByName(ev.filter(F.col("event_id") % 10 == 0))
+    return dup.dropDuplicates(["event_id"]).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "stream-foreachbatch-sink",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS partitiondate,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM events
+    WHERE date_trunc('day', ts) BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-12'
+    GROUP BY 1
+    """,
+)
+def stream_foreachbatch_sink(spark, sf_dir):
+    """Per-micro-batch partition overwrite, batch form: the daily aggregate
+    that foreachBatch writes with dynamic partition overwrite
+    (incremental insert_overwrite, dbtwiz/model/create.py:456-460). The
+    write-path itself is materialize.insert_overwrite +
+    streaming.foreach_batch_overwrite (tested separately)."""
+    ev = views(spark, sf_dir).table("events")
+    return (
+        ev.withColumn("partitiondate", F.date_trunc("day", "ts"))
+        .filter(
+            F.col("partitiondate").between(
+                F.lit("2024-01-10").cast("timestamp"),
+                F.lit("2024-01-12").cast("timestamp"),
+            )
+        )
+        .groupBy("partitiondate")
+        .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
+    )

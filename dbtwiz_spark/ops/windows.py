@@ -1,0 +1,200 @@
+"""§2.5 Window functions.
+
+SCD2 and mart models in the reference are window-built warehouse-side
+(dbtwiz/model/create.py:418-429 scd2 macro; dbtwiz/admin/backfill.py:584-585
+"joins, rolling windows, aggregations"). Every window here orders by a
+unique key chain so ranks are deterministic; windowed double sums use the
+exact decimal accumulator (DuckDB's segment-tree evaluation adds in a
+different order than Spark's running accumulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbtwiz_spark.ops.common import views, DEC
+from dbtwiz_spark.ops.registry import register
+
+def _by_cust():
+    return Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+
+@register(
+    "win-row-number",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders)
+    WHERE rn <= 2
+    """,
+)
+def win_row_number(spark, sf_dir):
+    """Dedup-keep-latest ranking: last 2 orders per customer."""
+    o = views(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@register(
+    "win-rank",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size) AS size_dense_rank,
+           NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS price_quartile
+    FROM part
+    """,
+)
+def win_rank(spark, sf_dir):
+    """rank / dense_rank / ntile ranking family."""
+    p = views(spark, sf_dir).table("part")
+    by_price = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    by_size = Window.partitionBy("p_brand").orderBy("p_size")
+    by_price_uq = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(by_price).alias("price_rank"),
+        F.dense_rank().over(by_size).alias("size_dense_rank"),
+        F.ntile(4).over(by_price_uq).alias("price_quartile"),
+    )
+
+
+@register(
+    "win-lag-lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_orderkey,
+           LEAD(o_orderkey) OVER w AS next_orderkey,
+           date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER w,
+               CAST(o_orderdate AS DATE)) AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    """lag/lead offsets — the SCD2 validity-interval builder
+    (lead(date) over key, dbtwiz/model/create.py:419-428)."""
+    o = views(spark, sf_dir).table("orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(_by_cust()).alias("prev_orderkey"),
+        F.lead("o_orderkey").over(_by_cust()).alias("next_orderkey"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(_by_cust()))
+        ).alias("days_since_prev"),
+    )
+
+
+@register(
+    "win-first-last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last(spark, sf_dir):
+    """first/last value across the full partition frame."""
+    o = views(spark, sf_dir).table("orders")
+    full = _by_cust().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(_by_cust()).alias("first_orderkey"),
+        F.last("o_orderkey").over(full).alias("last_orderkey"),
+    ).distinct()
+
+
+@register(
+    "win-running-agg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_count
+    FROM orders
+    """,
+)
+def win_running_agg(spark, sf_dir):
+    """Cumulative sum/count per customer over order history."""
+    o = views(spark, sf_dir).table("orders")
+    cum = _by_cust().rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(cum).cast("double").alias(
+            "running_total"
+        ),
+        F.count("*").over(cum).alias("running_count"),
+    )
+
+
+@register(
+    "win-sliding-frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)))
+                OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS trailing_90d_total
+    FROM orders
+    """,
+)
+def win_sliding_frame(spark, sf_dir):
+    """Rolling 90-day aggregate (the "rolling windows" workload,
+    dbtwiz/admin/backfill.py:584-585) — RANGE frame over epoch seconds."""
+    o = views(spark, sf_dir).table("orders")
+    # o_orderdate is TIMESTAMP_NTZ (parquet ms, no tz); go through an LTZ
+    # cast (session tz is UTC) to get epoch seconds like DuckDB's epoch().
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "trailing_90d_total"
+        ),
+    )
+
+
+@register(
+    "win-percent",
+    oracle="""
+    SELECT c_custkey,
+           PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS bal_pct_rank,
+           CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) AS bal_cume_dist
+    FROM customer
+    """,
+)
+def win_percent(spark, sf_dir):
+    """percent_rank / cume_dist (single ordered partition; ratios of integer
+    ranks are per-row double ops — deterministic)."""
+    c = views(spark, sf_dir).table("customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )

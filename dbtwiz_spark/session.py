@@ -1,0 +1,72 @@
+"""SparkSession factory.
+
+One shared session per process, configured for the engine's execution model:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting and
+  broadcast-join demotion/promotion replace hand-tuning at 100 TB scale.
+- Dynamic partition overwrite: the incremental `insert_overwrite`
+  materialization (reference semantics: dbtwiz model/create.py:456-460)
+  replaces only the date partitions present in the written DataFrame.
+- `nanosAsLong`: the driver testdata's `events.ts` is parquet
+  TIMESTAMP(NANOS), which Spark's vectorized reader rejects; we read it as
+  a long and convert in the catalog loader (catalog.py).
+- Shuffle partitions default small for test scale; at cluster scale callers
+  pass `shuffle_partitions` sized so post-shuffle partitions are ~128-256 MB
+  (AQE coalescing makes the exact number forgiving).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+
+def get_spark(
+    app_name: str = "dbtwiz_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) the shared SparkSession.
+
+    If a session already exists (e.g. the driver created one), reuse it and
+    apply the engine's runtime-settable confs to it rather than fighting over
+    the builder.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        _apply_runtime_confs(active, shuffle_partitions)
+        return active
+
+    if master is None:
+        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    _apply_runtime_confs(spark, shuffle_partitions)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _apply_runtime_confs(spark: SparkSession, shuffle_partitions: int | None) -> None:
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+    )
+    # events.ts is TIMESTAMP(NANOS); read as long, converted in catalog.py.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
