@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {...}, "sf": <sf>}
+
+Times exclude SparkSession startup (shared across queries — the engine's
+deployment model is one long-lived session, BASELINE.md notes fixed overhead
+is the real risk at test scale). Each query runs a full action:
+small results are collected, large ones written to the noop sink so the
+whole plan executes without driver-side materialization cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F
+
+from dbtwiz_spark.catalog import Catalog
+from dbtwiz_spark.ops.common import dsum
+from dbtwiz_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def q1_pricing_summary(cat):
+    from dbtwiz_spark.ops.aggregates import agg_group_by
+
+    return agg_group_by(cat.spark, cat.sf_dir), "collect"
+
+
+def q5_revenue_by_nation(cat):
+    li, o = cat.table("lineitem"), cat.table("orders")
+    c, n = cat.table("customer"), cat.table("nation")
+    df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc())
+    )
+    return df, "collect"
+
+
+def q_top_customers(cat):
+    o, c = cat.table("orders"), cat.table("customer")
+    df = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum("o_totalprice", "total"), F.count("*").alias("n"))
+        .orderBy(F.col("total").desc(), "c_custkey")
+        .limit(100)
+    )
+    return df, "collect"
+
+
+def q_window_running(cat):
+    from dbtwiz_spark.ops.windows import win_running_agg
+
+    return win_running_agg(cat.spark, cat.sf_dir), "noop"
+
+
+def q_asof_join(cat):
+    from dbtwiz_spark.ops.joins import join_asof
+
+    return join_asof(cat.spark, cat.sf_dir), "noop"
+
+
+def q_sessionize(cat):
+    from dbtwiz_spark.ops.streaming_batch import stream_session_window
+
+    return stream_session_window(cat.spark, cat.sf_dir), "noop"
+
+
+def q_dedup_exact(cat):
+    from dbtwiz_spark.ops.ext_llm import ext_dedup_exact
+
+    return ext_dedup_exact(cat.spark, cat.sf_dir), "noop"
+
+
+def q_dedup_near_lsh(cat):
+    from dbtwiz_spark.ops.ext_llm import ext_dedup_near
+
+    return ext_dedup_near(cat.spark, cat.sf_dir), "noop"
+
+
+def q_tfidf(cat):
+    from dbtwiz_spark.ops.ext_llm import ext_text_tfidf
+
+    return ext_text_tfidf(cat.spark, cat.sf_dir), "noop"
+
+
+def q_cosine_topk(cat):
+    """Fast path: broadcast query sample, zip_with dot products (no explode)."""
+    from dbtwiz_spark.ops.ext_llm import cosine_topk
+
+    emb = cat.table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    return cosine_topk(emb, queries, k=10), "noop"
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "q_top_customers": q_top_customers,
+    "q_window_running": q_window_running,
+    "q_asof_join": q_asof_join,
+    "q_sessionize": q_sessionize,
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_near_lsh": q_dedup_near_lsh,
+    "q_tfidf": q_tfidf,
+    "q_cosine_topk": q_cosine_topk,
+}
+
+
+def main() -> None:
+    spark = get_spark("dbtwiz_spark-bench")
+    cat = Catalog(spark, SF_DIR)
+    # trigger JVM + reader warmup outside the timed region (one tiny scan)
+    cat.table("region").count()
+
+    timings: dict[str, float] = {}
+    for name, build in QUERIES.items():
+        t0 = time.perf_counter()
+        df, action = build(cat)
+        if action == "collect":
+            df.collect()
+        else:
+            df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Oracle-compare every corpus entry at sf0.001 (fast mirror of the
+driver's sf0.01 gate; SURVEY §5 implication: the operator corpus is the
+engine's golden-output test suite)."""
+
+from __future__ import annotations
+
+import pytest
+
+from dbtwiz_spark.ops.registry import CORPUS
+from dbtwiz_spark.testing import compare_entry, duckdb_con
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb_con(SF_DIR)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", sorted(CORPUS))
+def test_entry_matches_oracle(spark, con, name):
+    res = compare_entry(spark, name, SF_DIR, con)
+    assert res.ok, f"{name}: {res.detail}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    rows = mod.entry(spark).collect()
+    assert len(rows) > 0
+    assert rows[0].revenue > 0
+
+
+def test_queries_oracle_contract(spark):
+    import __spark_entry__ as mod
+
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # every oracle-less entry is intentionally rows-only
+    rows_only = set(qs) - set(oracles)
+    assert rows_only == {
+        "agg-approx-count-distinct",
+        "sort-within-partitions",
+        "ext-dedup-near",
+        "ext-dedup-simhash",
+        "ext-ann-lsh-bucket",
+    }

@@ -1,0 +1,69 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_catalog_loads_all_tables(catalog):
+    from dbtwiz_spark.catalog import TABLES
+
+    for t in TABLES:
+        df = catalog.table(t)
+        assert df.count() > 0, t
+
+
+def test_events_ts_is_microsecond_timestamp(catalog):
+    from pyspark.sql.types import TimestampType
+
+    ev = catalog.table("events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    mn, mx = ev.agg(F.min("ts"), F.max("ts")).first()
+    assert mn.year == 2024 and mx.year == 2024
+
+
+def test_require_partition_filter_rejects_unfiltered(spark, catalog):
+    from dbtwiz_spark.plans import MissingPartitionFilter, require_partition_filter
+
+    ev = catalog.table("events").withColumn("partitiondate", F.date_trunc("day", "ts"))
+    with pytest.raises(MissingPartitionFilter):
+        require_partition_filter(ev.groupBy("event_type").count(), "partitiondate")
+    ok = ev.filter(F.col("partitiondate") == "2024-01-05").groupBy("event_type").count()
+    require_partition_filter(ok, "partitiondate")  # no raise
+
+
+def test_sort_within_partitions_clusters_rows(spark):
+    from dbtwiz_spark.ops.sorts import sort_within_partitions
+
+    df = sort_within_partitions(spark, SF_DIR)
+
+    def check(it):
+        rows = list(it)
+        keys = [(r.l_returnflag, r.l_shipdate, r.l_orderkey) for r in rows]
+        assert keys == sorted(keys)
+        yield from ()
+
+    df.rdd.mapPartitions(check).count()
+
+
+def test_multimodal_feature_extraction(spark, catalog):
+    from dbtwiz_spark.multimodal import extract_features, frame_sample
+
+    payloads = catalog.table("documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    feats = extract_features(payloads)
+    row = feats.orderBy("doc_id").first()
+    assert row.payload_bytes > 0 and 0 <= row.first_byte < 256
+    frames = frame_sample(payloads.limit(5), every_ms=100)
+    assert frames.count() >= 5
+
+
+def test_multimodal_decode_stubs_raise(spark):
+    from dbtwiz_spark.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")

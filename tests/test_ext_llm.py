@@ -1,0 +1,98 @@
+"""Quality checks for the [EXT] ops whose driver check is rows-only:
+the approximate algorithms are validated against their exact counterparts."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark):
+    """LSH candidates must recover the high-similarity pairs the exact
+    n-gram Jaccard join finds (8 bands × 4 rows ⇒ ≥99% @ j≥0.7)."""
+    from dbtwiz_spark.ops.ext_llm import ext_dedup_near, ext_ngram_jaccard
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ext_ngram_jaccard(spark, SF_DIR).filter(F.col("jaccard") >= 0.7).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in ext_dedup_near(spark, SF_DIR).collect()}
+    assert exact, "fixture should contain near-duplicate documents"
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH missed {missed}"
+    # and LSH never reports a pair below the verification threshold
+    assert all(r.jaccard >= 0.4 for r in ext_dedup_near(spark, SF_DIR).collect())
+
+
+def test_simhash_pairs_are_near_duplicates(spark):
+    """SimHash hashes the token multiset, so its pairs are validated against
+    token-level (1-gram) Jaccard, not the 3-shingle join."""
+    from dbtwiz_spark.catalog import Catalog
+    from dbtwiz_spark.ops.ext_llm import ext_dedup_simhash
+
+    sim = [(r.doc_a, r.doc_b) for r in ext_dedup_simhash(spark, SF_DIR).collect()]
+    assert sim, "simhash should find the duplicated documents"
+    toks = {
+        r.doc_id: set(r.text.split(" "))
+        for r in Catalog(spark, SF_DIR).table("documents").collect()
+    }
+    jac = [
+        len(toks[a] & toks[b]) / len(toks[a] | toks[b]) for a, b in sim
+    ]
+    good = sum(1 for j in jac if j >= 0.5)
+    assert good >= len(sim) * 0.8, f"low-precision pairs: {sorted(zip(jac, sim))[:5]}"
+
+
+def test_approx_count_distinct_within_5pct(spark):
+    from dbtwiz_spark.ops.aggregates import agg_approx_count_distinct
+
+    approx = {
+        r.o_orderpriority: r.approx_customers
+        for r in agg_approx_count_distinct(spark, SF_DIR).collect()
+    }
+    from dbtwiz_spark.catalog import Catalog
+
+    exact = {
+        r.o_orderpriority: r.n
+        for r in Catalog(spark, SF_DIR)
+        .table("orders")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(1, 0.05 * v)
+
+
+def test_ann_lsh_buckets_partition_all_vectors(spark):
+    from dbtwiz_spark.catalog import Catalog
+    from dbtwiz_spark.ops.ext_llm import ext_ann_lsh_bucket
+
+    buckets = ext_ann_lsh_bucket(spark, SF_DIR).collect()
+    total = sum(r.n_vectors for r in buckets)
+    n = Catalog(spark, SF_DIR).table("embeddings").count()
+    assert total == n
+    assert 1 < len(buckets) <= 256
+
+
+def test_cosine_topk_fast_path_matches_exact(spark):
+    """zip_with fast path must rank the same neighbors as the exact
+    decimal-accumulated corpus entry (cosine may differ in low-order bits,
+    ranking must not)."""
+    from dbtwiz_spark.catalog import Catalog
+    from dbtwiz_spark.ops.ext_llm import cosine_topk, ext_sim_cosine_topk
+
+    exact = {
+        (r.q_vec_id, r.rnk): r.c_vec_id
+        for r in ext_sim_cosine_topk(spark, SF_DIR).collect()
+    }
+    emb = Catalog(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    fast = {
+        (r.q_vec_id, r.rnk): r.c_vec_id for r in cosine_topk(emb, queries, 10).collect()
+    }
+    agree = sum(1 for k, v in exact.items() if fast.get(k) == v)
+    assert agree >= len(exact) * 0.98
