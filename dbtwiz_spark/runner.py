@@ -1,0 +1,114 @@
+"""Model execution: manifest → macros → Catalyst → materializer (§3.1).
+
+The reference's build path is: selector → manifest DAG → dbt compile
+(Jinja→SQL) → warehouse jobs (dbtwiz/commands/build.py:46-124,
+dbtwiz/dbt/run.py:8-44). Here the warehouse is Spark: each selected model's
+SQL is rendered (ref() → physical table/view name), run through
+``spark.sql`` — Catalyst owns optimization — and handed to the
+materializer according to the model config, in topological order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dbtwiz_spark.macros import render
+from dbtwiz_spark.manifest import Manifest, Model
+from dbtwiz_spark.materialize import Warehouse
+from dbtwiz_spark.plans import require_partition_filter
+
+
+@dataclass
+class RunResult:
+    model: str
+    status: str  # success | error | skipped
+    rows: int | None = None
+    error: str | None = None
+
+
+@dataclass
+class Runner:
+    spark: SparkSession
+    manifest: Manifest
+    warehouse: Warehouse
+    variables: dict = field(default_factory=dict)
+
+    def _resolve_map(self) -> dict[str, str]:
+        """ref()/source() name → readable relation (temp view or path scan)."""
+        out: dict[str, str] = {}
+        for name, src in self.manifest.sources.items():
+            self.spark.read.parquet(src.path).createOrReplaceTempView(name)
+            out[name] = name
+        for name, model in self.manifest.models.items():
+            if model.materialized == "ephemeral":
+                # ephemeral models inline as a subquery
+                out[name] = f"({self._render(model)})"
+            else:
+                out[name] = name
+        return out
+
+    def _render(self, model: Model) -> str:
+        return render(
+            model.sql,
+            resolve=self._resolve_cache,
+            variables=self.variables,
+            interval_start=self.variables.get("data_interval_start"),
+            interval_end=self.variables.get("data_interval_end"),
+        )
+
+    def run(self, selector: str = "*", state: dict[str, str] | None = None) -> list[RunResult]:
+        order = self.manifest.select(selector, state=state)
+        self._resolve_cache = self._resolve_map()
+        results = []
+        for name in order:
+            model = self.manifest.models[name]
+            try:
+                results.append(self._run_model(model))
+            except Exception as e:  # noqa: BLE001 — per-model isolation, like dbt
+                results.append(RunResult(name, "error", error=f"{type(e).__name__}: {e}"))
+        return results
+
+    def _run_model(self, model: Model) -> RunResult:
+        if model.materialized == "ephemeral":
+            return RunResult(model.name, "skipped")  # inlined at use sites
+        sql = self._render(model)
+        df = self.spark.sql(sql)
+        if model.materialized == "view":
+            self.warehouse.create_view(model.name, sql)
+            df.createOrReplaceTempView(model.name)
+            return RunResult(model.name, "success")
+        if model.require_partition_filter and model.partition_by:
+            require_partition_filter(df, model.partition_by)
+        if model.materialized == "table":
+            self.warehouse.write_table(
+                model.name, df, model.partition_by, model.cluster_by
+            )
+        elif model.materialized == "incremental":
+            if model.incremental_strategy == "merge":
+                if not model.unique_key:
+                    raise ValueError(f"{model.name}: merge requires unique_key")
+                self.warehouse.merge(model.name, df, model.unique_key)
+            else:  # insert_overwrite (default, dbtwiz/model/create.py:456)
+                if not model.partition_by:
+                    raise ValueError(f"{model.name}: insert_overwrite requires partition_by")
+                self.warehouse.insert_overwrite(
+                    model.name, df, model.partition_by, model.cluster_by
+                )
+        elif model.materialized == "scd2":
+            if not (model.unique_key and model.partition_by):
+                raise ValueError(f"{model.name}: scd2 requires unique_key and partition_by")
+            self.warehouse.scd2_apply(
+                model.name, df, model.unique_key, model.partition_by
+            )
+        else:
+            raise ValueError(f"unknown materialization: {model.materialized}")
+        # register the physical table as a view for downstream models
+        out = self.warehouse.read(model.name)
+        out.createOrReplaceTempView(model.name)
+        return RunResult(model.name, "success", rows=out.count())
+
+
+def read_model(spark: SparkSession, warehouse: Warehouse, name: str) -> DataFrame:
+    return warehouse.read(name)

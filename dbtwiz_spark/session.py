@@ -70,3 +70,7 @@ def _apply_runtime_confs(spark: SparkSession, shuffle_partitions: int | None) ->
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Partition columns keep their written type on read-back: a model that
+    # writes partitiondate as STRING must not see it come back as DATE after
+    # an incremental append (schema drift breaks unionByName at scale).
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")

@@ -1,0 +1,17 @@
+"""Structured Streaming adapters (SURVEY §2.9).
+
+The same DataFrame transformations the batch corpus verifies, over
+``readStream``: tumbling/sliding/session windows with watermarks, stateful
+dedup, and a foreachBatch sink that reuses the incremental materialization
+(dynamic partition overwrite per micro-batch) — so batch backfill and the
+live stream write through one code path, the engine's version of the
+reference's "same model, daily batches" semantics.
+"""
+
+from dbtwiz_spark.streaming.jobs import (  # noqa: F401
+    events_stream,
+    foreach_batch_overwrite,
+    sessionized_stream,
+    stateful_dedup_stream,
+    windowed_counts_stream,
+)

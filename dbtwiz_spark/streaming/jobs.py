@@ -1,0 +1,82 @@
+"""Streaming jobs over the events schema.
+
+Batch-verified logic (ops/streaming_batch.py) lifted onto readStream.
+Tests drive these with a file source feeding the driver testdata events
+parquet, one file per micro-batch, and assert the streamed results equal
+the batch results — the engine's streaming/batch parity contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dbtwiz_spark.materialize import Warehouse
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of events (one parquet file = one micro-batch)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Tumbling 1-day window with watermark — late rows beyond the watermark
+    are dropped, the streaming form of stream-watermark-late."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("day"), "event_type", "n_events", "total_value")
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (stream-session-window, streaming form)."""
+    return (
+        events.withWatermark("ts", "1 day")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "total_value")
+    )
+
+
+def stateful_dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Exactly-once per event_id across micro-batches
+    (stream-stateful-dedup; insert_overwrite idempotency analog)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def foreach_batch_overwrite(
+    warehouse: Warehouse, table: str, partition_by: str = "partitiondate"
+):
+    """foreachBatch sink: overwrite only the partitions present in each
+    micro-batch — the streaming face of the incremental insert_overwrite
+    materialization (stream-foreachbatch-sink).
+
+    Compose with an update-mode windowed aggregation: each micro-batch
+    delivers the *updated* per-day rows, and dynamic partition overwrite
+    replaces exactly those days, so replays/late updates are idempotent.
+    The batch expects ``partition_by`` to already be a column (derive it
+    with date_format(ts, 'yyyy-MM-dd') upstream)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if partition_by not in batch_df.columns:
+            batch_df = batch_df.withColumn(
+                partition_by, F.date_format("ts", "yyyy-MM-dd")
+            )
+        if batch_df.isEmpty():
+            return
+        warehouse.insert_overwrite(table, batch_df, partition_by)
+
+    return sink

@@ -1,0 +1,188 @@
+"""Backfill chunking/cost-model + admin reconciliation tests
+(FIXTURES.md §B fixtures; reference semantics cited per test)."""
+
+from __future__ import annotations
+
+from datetime import date
+
+import pytest
+
+from dbtwiz_spark.backfill import (
+    BackfillJournal,
+    batch_size_from_bytes,
+    chunk_date_range,
+    run_backfill,
+)
+from dbtwiz_spark.admin import (
+    GrantStore,
+    TableProperties,
+    cleandev,
+    find_orphaned,
+    list_catalog_tables,
+    reconcile_grants,
+    sync_descriptions,
+)
+from dbtwiz_spark.manifest import Manifest, Model, Source
+from dbtwiz_spark.materialize import Warehouse
+from dbtwiz_spark.runner import Runner
+
+
+def test_chunk_date_range_reference_fixture():
+    """FIXTURES.md: 2024-01-01..01-31 @5 → 7 chunks with 1-day tail; @30 → 2."""
+    chunks = chunk_date_range(date(2024, 1, 1), date(2024, 1, 31), 5)
+    assert len(chunks) == 7
+    assert chunks[0] == (date(2024, 1, 1), date(2024, 1, 5))
+    assert chunks[-1] == (date(2024, 1, 31), date(2024, 1, 31))
+    chunks30 = chunk_date_range(date(2024, 1, 1), date(2024, 1, 31), 30)
+    assert chunks30 == [
+        (date(2024, 1, 1), date(2024, 1, 30)),
+        (date(2024, 1, 31), date(2024, 1, 31)),
+    ]
+    assert chunk_date_range(date(2024, 1, 2), date(2024, 1, 1), 5) == []
+
+
+def test_batch_size_formula():
+    """dbtwiz/admin/backfill.py:85 against the FIXTURES.md byte table
+    (target 48 GB at default timeout)."""
+    gb = 1e9
+    assert batch_size_from_bytes(1 * gb) == 30  # capped at default
+    assert batch_size_from_bytes(5 * gb) == 9
+    assert batch_size_from_bytes(50 * gb) == 1  # max(1, ...)
+    assert batch_size_from_bytes(0) == 30  # fallback
+    assert batch_size_from_bytes(2 * gb, timeout_s=100) == 4
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.catalog import Catalog
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    man = Manifest()
+    src_path = str(tmp_path / "events_src")
+    Catalog(spark, "/root/testdata/sf0.001").table("events").withColumn(
+        "partitiondate", F.date_format("ts", "yyyy-MM-dd")
+    ).write.mode("overwrite").parquet(src_path)
+    man.add_source(Source("events_src", src_path))
+    man.add_model(
+        Model(
+            "daily_values",
+            """
+            SELECT partitiondate, event_type, COUNT(*) AS n, SUM(value) AS total
+            FROM {{ ref('events_src') }}
+            WHERE partitiondate >= '{{ var("data_interval_start") }}'
+              AND partitiondate <  '{{ var("data_interval_end") }}'
+            GROUP BY partitiondate, event_type
+            """,
+            materialized="incremental",
+            incremental_strategy="insert_overwrite",
+            partition_by="partitiondate",
+        )
+    )
+    return Runner(spark, man, wh)
+
+
+def test_runner_and_backfill_chunks(engine, tmp_path):
+    journal = BackfillJournal(tmp_path / "journal.json")
+    results = run_backfill(
+        engine,
+        "daily_values",
+        date(2024, 1, 1),
+        date(2024, 1, 10),
+        batch_size=4,
+        journal=journal,
+    )
+    assert [status for _c, status in results] == ["success"] * 3
+    out = engine.warehouse.read("daily_values")
+    days = {r.partitiondate for r in out.select("partitiondate").distinct().collect()}
+    assert days == {f"2024-01-{d:02d}" for d in range(1, 11)}
+    assert journal.failed_chunks() == []
+    # chunked writes must equal one direct batch aggregation over the window
+    src = engine.spark.read.parquet(str(tmp_path / "events_src"))
+    expected = (
+        src.filter("partitiondate >= '2024-01-01' AND partitiondate < '2024-01-11'")
+        .count()
+    )
+    assert out.agg({"n": "sum"}).first()[0] == expected
+
+
+def test_orphan_detection(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1,)], "k INT")
+    wh.write_table("a", df)
+    wh.write_table("b", df)
+    wh.write_table("c", df)
+    wh.write_table("x__tmp_123", df)  # scratch: excluded
+    man = Manifest()
+    man.add_model(Model("a", "SELECT 1"))
+    man.add_model(Model("b", "SELECT 1"))
+    assert find_orphaned(wh, man) == ["c"]
+    # empty-manifest guard (dbtwiz/admin/cleanup.py:96-98)
+    assert find_orphaned(wh, Manifest()) == []
+
+
+def test_cleandev(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    wh.write_table("t", spark.createDataFrame([(1,)], "k INT"))
+    assert cleandev(wh, dry_run=True) == ["t"]
+    assert wh.exists("t")
+    cleandev(wh, dry_run=False)
+    assert list_catalog_tables(wh) == []
+
+
+def test_partition_expiry(spark, tmp_path):
+    from datetime import timedelta
+    from dbtwiz_spark.admin import expire_partitions
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    old = (date.today() - timedelta(days=400)).isoformat()
+    new = date.today().isoformat()
+    df = spark.createDataFrame([(1, old), (2, new)], "k INT, partitiondate STRING")
+    wh.write_table("t", df, partition_by="partitiondate")
+    doomed = expire_partitions(wh, "t", "partitiondate", 180, dry_run=True)
+    assert doomed == [f"partitiondate={old}"]
+    expire_partitions(wh, "t", "partitiondate", 180, dry_run=False)
+    assert {r.partitiondate for r in wh.read("t").collect()} == {new}
+
+
+def test_grants_reconciliation(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    store = GrantStore(TableProperties(wh))
+    store.apply("t", {"reader": ["alice", "bob"], "writer": ["carol"]})
+    granting, revoking = reconcile_grants(
+        store, "t", {"reader": {"alice", "dan"}, "writer": {"carol"}}
+    )
+    assert granting == {"reader": {"dan"}}
+    assert revoking == {"reader": {"bob"}}
+    assert store.current("t")["reader"] == ["alice", "dan"]
+
+
+def test_sync_descriptions(spark, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    man = Manifest()
+    man.add_model(
+        Model(
+            "m",
+            "SELECT 1",
+            description="daily rollup",
+            meta={"column_descriptions": {"n": "row count"}},
+        )
+    )
+    applied = sync_descriptions(wh, man)
+    assert applied == {"m": {"description": "daily rollup", "column.n": "row count"}}
+    # idempotent: second sync applies nothing
+    assert sync_descriptions(wh, man) == {}
+
+
+def test_freshness_check(spark, tmp_path):
+    from dbtwiz_spark.admin import check_freshness
+    from datetime import datetime
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, datetime.now())], "k INT, loaded_at TIMESTAMP")
+    wh.write_table("t", df)
+    ok, age = check_freshness(wh, "t", "loaded_at", max_age_hours=1)
+    assert ok and age < 1
+    ok2, _ = check_freshness(wh, "t", "loaded_at", max_age_hours=0)
+    assert not ok2

@@ -1,0 +1,94 @@
+"""Materializer + snapshot/time-travel tests (SURVEY §2.1 write side)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbtwiz_spark.materialize import Warehouse
+
+
+@pytest.fixture()
+def wh(spark, tmp_path):
+    return Warehouse(spark, str(tmp_path / "wh"))
+
+
+def _df(spark, rows, schema="k INT, v STRING, partitiondate STRING"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_write_and_read_table(spark, wh):
+    df = _df(spark, [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")])
+    wh.write_table("t1", df)
+    assert wh.read("t1").count() == 2
+
+
+def test_partitioned_write_with_clustering(spark, wh):
+    df = _df(spark, [(i, f"v{i}", f"2024-01-{(i % 3) + 1:02d}") for i in range(30)])
+    wh.write_table("t2", df, partition_by="partitiondate", cluster_by=["k"])
+    assert wh.read("t2").count() == 30
+    # hive partition dirs exist -> partition pruning applies
+    assert (wh.path("t2") / "partitiondate=2024-01-01").exists()
+
+
+def test_insert_overwrite_replaces_only_touched_partitions(spark, wh):
+    base = _df(spark, [(1, "old", "2024-01-01"), (2, "old", "2024-01-02")])
+    wh.write_table("t3", base, partition_by="partitiondate")
+    update = _df(spark, [(3, "new", "2024-01-02")])
+    wh.insert_overwrite("t3", update, "partitiondate")
+    out = {(r.k, r.v, r.partitiondate) for r in wh.read("t3").collect()}
+    assert out == {(1, "old", "2024-01-01"), (3, "new", "2024-01-02")}
+    # idempotent: rerun the same interval
+    wh.insert_overwrite("t3", update, "partitiondate")
+    assert wh.read("t3").count() == 2
+
+
+def test_merge_upsert(spark, wh):
+    wh.write_table("t4", _df(spark, [(1, "a", "d1"), (2, "b", "d1")]))
+    wh.merge("t4", _df(spark, [(2, "B", "d2"), (3, "c", "d2")]), unique_key="k")
+    out = {(r.k, r.v) for r in wh.read("t4").collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_scd2_validity_intervals(spark, wh):
+    day1 = _df(spark, [(1, "alice", "2024-01-01"), (2, "bob", "2024-01-01")])
+    wh.scd2_apply("dim", day1, unique_key="k", date_column="partitiondate")
+    day2 = _df(spark, [(1, "ALICE", "2024-01-02")])
+    wh.scd2_apply("dim", day2, unique_key="k", date_column="partitiondate")
+    rows = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in wh.read("dim").collect()
+    }
+    assert (1, "alice", "2024-01-01", "2024-01-02", False) in rows
+    assert (1, "ALICE", "2024-01-02", None, True) in rows
+    assert (2, "bob", "2024-01-01", None, True) in rows
+
+
+def test_snapshot_and_restore(spark, wh):
+    v1 = _df(spark, [(1, "v1", "d")])
+    wh.write_table("t5", v1)
+    wh.write_table("t5", _df(spark, [(9, "v2", "d")]))  # snapshots v1 first
+    assert wh.read("t5").first().v == "v2"
+    snaps = wh.snapshots("t5")
+    assert len(snaps) == 1
+    assert wh.read_snapshot("t5", int(time.time() * 1000)).first().v == "v1"
+    wh.restore("t5", int(time.time() * 1000))
+    assert wh.read("t5").first().v == "v1"
+
+
+def test_time_travel_window_enforced(spark, wh):
+    wh.write_table("t6", _df(spark, [(1, "x", "d")]))
+    wh.write_table("t6", _df(spark, [(2, "y", "d")]))
+    ancient = int(time.time() * 1000) - 8 * 86_400_000
+    with pytest.raises(ValueError, match="7-day window"):
+        wh.read_snapshot("t6", ancient)
+
+
+def test_copy_and_delete(spark, wh):
+    wh.write_table("src", _df(spark, [(1, "a", "d")]))
+    wh.copy_table("src", "dst")
+    assert wh.read("dst").count() == 1
+    wh.delete_table("dst")
+    assert not wh.exists("dst")

@@ -1,0 +1,120 @@
+"""Structured Streaming parity tests: streamed results must equal batch
+results over the same events (the engine's streaming/batch contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbtwiz_spark.catalog import Catalog
+from dbtwiz_spark.materialize import Warehouse
+from dbtwiz_spark.streaming import (
+    events_stream,
+    foreach_batch_overwrite,
+    stateful_dedup_stream,
+    windowed_counts_stream,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, tmp_path_factory):
+    """Events split into 3 time-ordered files → 3 micro-batches arriving in
+    event-time order, so append-mode windows close only after their rows
+    arrived (within-file disorder is covered by the 1-day watermark)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    d = tmp_path_factory.mktemp("events_stream")
+    in_dir = d / "in"
+    in_dir.mkdir()
+    ev = Catalog(spark, SF_DIR).table("events")
+    bounds = (
+        ev.withColumn("_t", F.col("ts").cast("long"))
+        .approxQuantile("_t", [0.34, 0.67], 0.001)
+    )
+    cuts = [None, *[F.lit(int(b)).cast("timestamp") for b in bounds], None]
+    for i in range(3):
+        part = ev
+        if cuts[i] is not None:
+            part = part.filter(F.col("ts") >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(F.col("ts") < cuts[i + 1])
+        tmp = str(d / f"slice_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        shutil.copy(src, in_dir / f"{i:02d}.parquet")
+        time.sleep(1.1)  # distinct mtimes -> file source keeps arrival order
+    return str(in_dir)
+
+
+def _run(spark, stream_df, mode="append"):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName("out")
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("out")
+
+
+def test_windowed_counts_match_batch(spark, source_dir):
+    ev = events_stream(spark, source_dir)
+    out = _run(spark, windowed_counts_stream(ev), mode="append").collect()
+    batch = (
+        spark.read.parquet(source_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    )
+    # append mode only emits watermark-closed windows under availableNow;
+    # compare the emitted subset against batch values
+    batch_map = {(r.w.start, r.event_type): r.n_events for r in batch}
+    assert out, "stream emitted no finalized windows"
+    for r in out:
+        assert batch_map[(r.day, r.event_type)] == r.n_events
+
+
+def test_stateful_dedup_stream(spark, source_dir, tmp_path):
+    # duplicate the input files -> redelivery; dedup must restore uniqueness
+    import shutil, os
+
+    dup_dir = tmp_path / "dup"
+    shutil.copytree(source_dir, dup_dir)
+    for f in os.listdir(source_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(source_dir, f), dup_dir / f"re_{f}")
+    ev = events_stream(spark, str(dup_dir))
+    out = _run(spark, stateful_dedup_stream(ev)).select("event_id")
+    n_unique = spark.read.parquet(source_dir).select("event_id").distinct().count()
+    assert out.distinct().count() == out.count() == n_unique
+
+
+def test_foreach_batch_overwrite_sink(spark, source_dir, tmp_path):
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    ev = events_stream(spark, source_dir)
+    daily = (
+        ev.withColumn("partitiondate", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("partitiondate")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        daily.writeStream.outputMode("update")
+        .foreachBatch(foreach_batch_overwrite(wh, "daily_events"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = wh.read("daily_events")
+    batch = (
+        spark.read.parquet(source_dir)
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("partitiondate"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    got = {(r.partitiondate, r.n_events) for r in out.collect()}
+    want = {(r.partitiondate, r.n_events) for r in batch.collect()}
+    assert got == want
