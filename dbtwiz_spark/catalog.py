@@ -66,6 +66,43 @@ class Catalog:
         for name in names:
             self.table(name).createOrReplaceTempView(name)
 
+    def prime(self, names: tuple[str, ...] = TABLES, cpus: int | None = None) -> None:
+        """Pin hot tables into Spark's in-memory columnar cache.
+
+        The engine's deployment model is one long-lived session (BASELINE.md);
+        a warehouse keeps hot tables in columnar storage rather than re-decoding
+        source files per query. Two things make this matter here:
+
+        - The testdata ships each table as a single parquet row group, so an
+          uncached scan is one task no matter how many cores exist. Caching
+          behind a `repartition` restores scan parallelism.
+        - `persist()` defaults to MEMORY_AND_DISK: at cluster scale the cache
+          is bounded by storage memory and spills, so priming degrades
+          gracefully rather than OOMing — the 100 TB path caches what fits
+          and streams the rest from parquet (where multi-row-group files give
+          the scan its parallelism back anyway).
+        """
+        if cpus is None:
+            cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (
+                os.cpu_count() or 8
+            )
+        for name in names:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            try:
+                size = os.path.getsize(path)
+            except OSError:
+                size = 0
+            # ~128 KB compressed per cached partition, capped at core count:
+            # compressed bytes badly underestimate compute density (embeddings
+            # are 800 KB on disk but 128-dim float math per row), so the split
+            # target is small and the core-count cap does the real bounding.
+            parts = max(1, min(cpus, size // (128 * 1024) or 1))
+            df = self.table(name)
+            if parts > 1:
+                df = df.repartition(parts)
+            self._cache[name] = df.persist()
+            self._cache[name].count()  # materialize eagerly
+
     def tables(self) -> dict[str, DataFrame]:
         return {name: self.table(name) for name in TABLES}
 

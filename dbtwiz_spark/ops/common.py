@@ -27,10 +27,29 @@ DEC = "decimal(28,6)"
 DEC_SQL = "DECIMAL(28,6)"
 
 
+_CATALOGS: dict[tuple[int, str], Catalog] = {}
+_LAST_REGISTERED: tuple[int, str] | None = None
+
+
 def views(spark: SparkSession, sf_dir: str) -> Catalog:
-    """Load the standard tables and register temp views; return the catalog."""
-    cat = Catalog(spark, sf_dir)
-    cat.register_views()
+    """Load the standard tables and register temp views; return the catalog.
+
+    One shared ``Catalog`` per (session, sf_dir): every operator then builds
+    on the same DataFrame objects, so a `Catalog.prime()` done once (bench
+    warm-up, long-lived service) benefits the whole corpus, and Spark's
+    plan-fragment cache lookup sees identical subtrees across queries.
+    Temp views are (re-)registered only when the active sf_dir changes —
+    10 catalog RPCs per query otherwise dominate sub-second queries.
+    """
+    global _LAST_REGISTERED
+    key = (id(spark), sf_dir)
+    cat = _CATALOGS.get(key)
+    if cat is None:
+        cat = Catalog(spark, sf_dir)
+        _CATALOGS[key] = cat
+    if _LAST_REGISTERED != key:
+        cat.register_views()
+        _LAST_REGISTERED = key
     return cat
 
 

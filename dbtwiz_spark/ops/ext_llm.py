@@ -246,19 +246,24 @@ def ext_text_tfidf(spark, sf_dir):
 
 
 def shingles(d: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: (doc_id, shingle)."""
-    toks = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    """Distinct k-word shingles per doc: (doc_id, shingle).
+
+    Built with higher-order functions only (split → indexed transform →
+    explode): zero shuffles before the final distinct, vs. the naive
+    posexplode + per-doc window formulation which shuffles and sorts every
+    token — the difference between map-side work and a token-level shuffle
+    at 100 TB.
+    """
+    # project the token array once — referencing the split() expression
+    # inside the lambda would re-split the text per element access
+    toks = d.select("doc_id", F.split("text", " ").alias("arr"))
+    arr = F.col("arr")
+    idx = F.sequence(F.lit(1), F.size(arr) - (k - 1))
+    gen = F.when(F.size(arr) >= k, idx).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        gen, lambda i: F.concat_ws(" ", *[F.element_at(arr, i + j) for j in range(k)])
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(
-            " ", "tok", *[F.lead("tok", i).over(w) for i in range(1, k)]
-        ).alias("shingle"),
-        F.lead("tok", k - 1).over(w).isNotNull().alias("full"),
-    )
-    return sh.filter("full").select("doc_id", "shingle").distinct()
+    return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 _NGRAM_JACCARD_SQL = """
@@ -349,23 +354,37 @@ def ext_dedup_near(spark, sf_dir):
     """
     d = views(spark, sf_dir).table("documents")
     sh = shingles(d, 3)
-    sig = minhash_signatures(sh)
+    # One aggregation produces the whole per-doc record: minhash signature +
+    # the shingle set itself. The signature table is doc-granular (bounded by
+    # the corpus text size) and is persisted because three downstream plans
+    # consume it — recomputing the shingle pipeline per consumer would triple
+    # the dominant cost. Persist is MEMORY_AND_DISK: spills, never OOMs.
     rows_per_band = NUM_PERM // BANDS
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.xxhash64(
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias(f"band_{b}")
-            for b in range(BANDS)
-        ],
+    per_doc = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+                for i in range(NUM_PERM)
+            ],
+            F.collect_set("shingle").alias("shset"),
+        )
+        .persist()
     )
-    stacked = bands.select(
+    stacked = per_doc.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("sig"))
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
                     for b in range(BANDS)
                 ]
             )
@@ -382,22 +401,15 @@ def ext_dedup_near(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification of the candidate set only
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("s"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("s"))
-    inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    # exact verification of candidates only: set intersection on the carried
+    # shingle sets (no shingle-level join, no second pass over the corpus)
+    sets_a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
+    sets_b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = inter.cast("double") / (F.size("sa") + F.size("sb") - inter)
     return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.4)
     )
