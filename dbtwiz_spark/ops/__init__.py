@@ -18,4 +18,6 @@ from dbtwiz_spark.ops import sorts  # noqa: F401  §2.6
 from dbtwiz_spark.ops import setops  # noqa: F401  §2.7
 from dbtwiz_spark.ops import functions  # noqa: F401  §2.8
 from dbtwiz_spark.ops import streaming_batch  # noqa: F401  §2.9 batch forms
+from dbtwiz_spark.ops import sinks  # noqa: F401  §2.1 write path
+from dbtwiz_spark.ops import udfs  # noqa: F401  §2.10
 from dbtwiz_spark.ops import ext_llm  # noqa: F401  §2.11

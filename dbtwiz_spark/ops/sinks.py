@@ -1,0 +1,213 @@
+"""§2.1 write path as oracle-checked corpus entries.
+
+Each entry exercises a Warehouse materialization end-to-end in a throwaway
+directory and returns the resulting table state, which the DuckDB oracle
+reproduces declaratively. The write path itself is the unit under test:
+CTAS, view, incremental insert_overwrite, merge upsert, copy, delete, and
+time travel (reference semantics: dbtwiz/model/create.py:455-470,
+dbtwiz/integrations/bigquery.py:389-462,644-735).
+
+Scale notes: every materialization here writes through
+``Warehouse.write_table`` / ``insert_overwrite``, which are plain
+distributed parquet writes (dynamic partition overwrite for incremental) —
+the sf0.01 temp-dir run and a 100 TB cluster run execute the identical
+plan shape; only file counts change.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+from dbtwiz_spark.materialize import Warehouse
+from dbtwiz_spark.ops.common import views
+from dbtwiz_spark.ops.registry import register
+
+
+def _wh(spark) -> Warehouse:
+    return Warehouse(spark, tempfile.mkdtemp(prefix="dbtwiz_spark_sink_"))
+
+
+@register(
+    "sink-table-create",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def sink_table_create(spark, sf_dir):
+    """CTAS / full-table materialization (dbt `table`,
+    dbtwiz/core/project.py:278, executed via dbtwiz/commands/build.py:97-124):
+    write the aggregate, then read the published table back."""
+    o = views(spark, sf_dir).table("orders")
+    wh = _wh(spark)
+    wh.write_table(
+        "order_counts",
+        o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n")),
+        snapshot=False,
+    )
+    return wh.read("order_counts")
+
+
+@register(
+    "sink-view-create",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer WHERE c_acctbal > 0 GROUP BY 1
+    """,
+)
+def sink_view_create(spark, sf_dir):
+    """View materialization (dbtwiz/integrations/bigquery.py:700-711):
+    store SQL, read through the registered view."""
+    views(spark, sf_dir)
+    wh = _wh(spark)
+    wh.create_view(
+        "active_by_segment",
+        "SELECT c_mktsegment, COUNT(*) AS n_customers "
+        "FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment",
+    )
+    return wh.read("active_by_segment")
+
+
+@register(
+    "sink-insert-overwrite",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+           o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1995-05-01'
+    GROUP BY 1, 2
+    """,
+)
+def sink_insert_overwrite(spark, sf_dir):
+    """Incremental insert_overwrite (dbtwiz/model/create.py:456-460): build
+    Jan-Mar, then one incremental run that rewrites Feb-Mar (idempotent
+    replay) and adds Apr. Final state == one-shot recompute of Jan-Apr —
+    the idempotency contract the oracle checks."""
+    o = views(spark, sf_dir).table("orders")
+
+    def month_counts(lo: str, hi: str):
+        return (
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .groupBy(
+                F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+                "o_orderstatus",
+            )
+            .agg(F.count("*").alias("n"))
+        )
+
+    wh = _wh(spark)
+    wh.insert_overwrite("daily", month_counts("1995-01-01", "1995-04-01"), "o_month")
+    wh.insert_overwrite("daily", month_counts("1995-02-01", "1995-05-01"), "o_month")
+    return wh.read("daily").select("o_month", "o_orderstatus", "n")
+
+
+@register(
+    "sink-merge",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_nationkey = 1 THEN c_acctbal + 100.0 ELSE c_acctbal END AS bal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey, c_acctbal AS bal
+    FROM customer WHERE c_nationkey = 2
+    """,
+)
+def sink_merge(spark, sf_dir):
+    """MERGE upsert by unique key (dbtwiz/model/create.py:467-470): matched
+    keys replaced (nation-1 balance bump), unmatched inserted (synthetic
+    keys from nation 2), everyone else survives."""
+    c = views(spark, sf_dir).table("customer")
+    wh = _wh(spark)
+    wh.write_table("accounts", c.select("c_custkey", F.col("c_acctbal").alias("bal")), snapshot=False)
+    updates = (
+        c.filter(F.col("c_nationkey") == 1)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("bal"))
+        .unionByName(
+            c.filter(F.col("c_nationkey") == 2).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.col("c_acctbal").alias("bal"),
+            )
+        )
+    )
+    wh.merge("accounts", updates, unique_key="c_custkey")
+    return wh.read("accounts")
+
+
+@register(
+    "sink-copy-table",
+    oracle="SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+)
+def sink_copy_table(spark, sf_dir):
+    """Table copy (dbtwiz/integrations/bigquery.py:644-735): write, copy to a
+    new id, read the copy."""
+    s = views(spark, sf_dir).table("supplier")
+    wh = _wh(spark)
+    wh.write_table("suppliers", s.select("s_suppkey", "s_name", "s_acctbal"), snapshot=False)
+    wh.copy_table("suppliers", "suppliers_backup")
+    return wh.read("suppliers_backup")
+
+
+@register(
+    "sink-delete-table",
+    oracle="SELECT 'kept' AS table_name, COUNT(*) AS n FROM region",
+)
+def sink_delete_table(spark, sf_dir):
+    """DROP TABLE (dbtwiz/integrations/bigquery.py:389-395; bulk dev wipe
+    dbtwiz/admin/cleanup.py:15-43): after deleting one of two tables, only
+    the survivor is readable."""
+    r = views(spark, sf_dir).table("region")
+    wh = _wh(spark)
+    wh.write_table("kept", r, snapshot=False)
+    wh.write_table("doomed", r, snapshot=False)
+    wh.delete_table("doomed")
+    assert not wh.exists("doomed") and wh.exists("kept")
+    return (
+        wh.read("kept")
+        .groupBy(F.lit("kept").alias("table_name"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "scan-time-travel",
+    oracle="""
+    SELECT n_nationkey, n_name, 1 AS version FROM nation
+    """,
+)
+def scan_time_travel(spark, sf_dir):
+    """Time-travel read (BigQuery `table@ms` decorator,
+    dbtwiz/integrations/bigquery.py:412-462): v1 is snapshotted by the v2
+    overwrite; reading at a pre-overwrite timestamp returns v1."""
+    n = views(spark, sf_dir).table("nation")
+    wh = _wh(spark)
+    v1 = n.select("n_nationkey", "n_name", F.lit(1).alias("version"))
+    v2 = n.select("n_nationkey", F.upper("n_name").alias("n_name"), F.lit(2).alias("version"))
+    wh.write_table("dim_nation", v1, snapshot=False)
+    wh.write_table("dim_nation", v2, snapshot=True)  # snapshots v1 first
+    return wh.read_snapshot("dim_nation", at_ms=int(time.time() * 1000)).select(
+        "n_nationkey", "n_name", "version"
+    )
+
+
+@register(
+    "source-declare",
+    oracle="""
+    SELECT column_name, column_type AS data_type
+    FROM (DESCRIBE SELECT * FROM customer)
+    """,
+)
+def source_declare(spark, sf_dir):
+    """Source registration with schema introspection
+    (dbtwiz/source/create.py:326-404 + dbtwiz/integrations/bigquery.py:163-186):
+    declare the external parquet as a source and emit its introspected
+    schema through the engine's type vocabulary (types.py §1.2 map)."""
+    from dbtwiz_spark.types import spark_type_to_sql
+
+    cat = views(spark, sf_dir)
+    schema = cat.table("customer").schema
+    rows = [(f.name, spark_type_to_sql(f.dataType)) for f in schema.fields]
+    return spark.createDataFrame(rows, "column_name string, data_type string")

@@ -85,6 +85,41 @@ def spark_to_bq(dt: T.DataType) -> str:
     return name
 
 
+_SPARK_TO_SQL: dict[type, str] = {
+    T.LongType: "BIGINT",
+    T.IntegerType: "INTEGER",
+    T.ShortType: "SMALLINT",
+    T.ByteType: "TINYINT",
+    T.DoubleType: "DOUBLE",
+    T.FloatType: "FLOAT",
+    T.StringType: "VARCHAR",
+    T.BinaryType: "BLOB",
+    T.BooleanType: "BOOLEAN",
+    T.DateType: "DATE",
+    T.TimestampNTZType: "TIMESTAMP",
+    T.TimestampType: "TIMESTAMP",
+}
+
+
+def spark_type_to_sql(dt: T.DataType) -> str:
+    """Render a Spark type in ANSI/DuckDB spelling (DESCRIBE vocabulary) —
+    the cross-engine face of the §1.2 type map, used when the engine prints
+    an introspected source schema."""
+    if isinstance(dt, T.ArrayType):
+        return f"{spark_type_to_sql(dt.elementType)}[]"
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    if isinstance(dt, T.StructType):
+        inner = ", ".join(
+            f"{f.name} {spark_type_to_sql(f.dataType)}" for f in dt.fields
+        )
+        return f"STRUCT({inner})"
+    name = _SPARK_TO_SQL.get(type(dt))
+    if name is None:
+        raise ValueError(f"unmapped Spark type: {dt}")
+    return name
+
+
 def flatten_fields(schema: T.StructType, prefix: str = "") -> list[tuple[str, T.DataType]]:
     """Dotted-path flattening of nested structs — the reference's
     description-sync walk (dbtwiz/admin/descriptions.py:43-53)."""
