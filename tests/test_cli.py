@@ -1,0 +1,108 @@
+"""CLI smoke tests (the reference's CLI-level test layer,
+dbtwiz tests/test_cli.py): drive `python -m dbtwiz_spark` commands
+end-to-end against a tiny on-disk project over the sf0.001 testdata."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from dbtwiz_spark.cli import main
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def project(tmp_path_factory):
+    root = tmp_path_factory.mktemp("proj")
+    (root / "models").mkdir()
+    (root / "project.yml").write_text("name: demo\nvars:\n  min_bal: 0\n")
+    (root / "sources.yml").write_text(
+        "sources:\n"
+        f"  - name: customer\n    path: {SF_DIR}/customer.parquet\n"
+        f"  - name: orders\n    path: {SF_DIR}/orders.parquet\n"
+    )
+    (root / "models" / "stg_customer.sql").write_text(
+        "SELECT c_custkey, c_nationkey, c_acctbal FROM {{ source('raw', 'customer') }} "
+        "WHERE c_acctbal > {{ var('min_bal', 0) }}"
+    )
+    (root / "models" / "stg_customer.yml").write_text("materialized: view\n")
+    (root / "models" / "mrt_nation_balance.sql").write_text(
+        "SELECT c_nationkey, SUM(c_acctbal) AS total_bal, COUNT(*) AS n "
+        "FROM {{ ref('stg_customer') }} GROUP BY c_nationkey"
+    )
+    (root / "models" / "mrt_nation_balance.yml").write_text(
+        "materialized: table\nunique_key: c_nationkey\n"
+    )
+    (root / "models" / "daily_orders.sql").write_text(
+        "SELECT CAST(o_orderdate AS DATE) AS partitiondate, COUNT(*) AS n "
+        "FROM {{ source('raw', 'orders') }} "
+        "WHERE o_orderdate >= {{ interval_start() }} "
+        "AND o_orderdate < {{ interval_end() }} GROUP BY 1"
+    )
+    (root / "models" / "daily_orders.yml").write_text(
+        "materialized: incremental\nincremental_strategy: insert_overwrite\n"
+        "partition_by: partitiondate\n"
+    )
+    return root
+
+
+@pytest.fixture(scope="module")
+def wh_dir(tmp_path_factory):
+    return str(tmp_path_factory.mktemp("wh"))
+
+
+def test_manifest_command(project, capsys):
+    assert main(["manifest", "--project", str(project)]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["mrt_nation_balance"]["parents"] == ["stg_customer"]
+    assert list(out).index("stg_customer") < list(out).index("mrt_nation_balance")
+
+
+def test_build_and_test(spark, project, wh_dir, capsys):
+    rc = main(
+        ["build", "--project", str(project), "--warehouse", wh_dir,
+         "--select", "+mrt_nation_balance"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "mrt_nation_balance" in out
+    # pk uniqueness check passes on the built table
+    assert main(["test", "--project", str(project), "--warehouse", wh_dir,
+                 "--select", "mrt_nation_balance"]) == 0
+    assert "pass" in capsys.readouterr().out
+
+
+def test_backfill_and_incremental(spark, project, wh_dir, capsys):
+    rc = main(
+        ["backfill", "--project", str(project), "--warehouse", wh_dir,
+         "--select", "daily_orders", "--first", "1995-01-01",
+         "--last", "1995-01-31", "--batch-days", "10"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert out.count("success") == 4  # 31 days / 10-day chunks
+    from dbtwiz_spark.materialize import Warehouse
+
+    built = Warehouse(spark, wh_dir).read("daily_orders")
+    days = [str(r.partitiondate) for r in built.select("partitiondate").collect()]
+    assert days and all(d.startswith("1995-01") for d in days)
+
+
+def test_orphaned_detection(spark, project, wh_dir, capsys):
+    from dbtwiz_spark.materialize import Warehouse
+
+    wh = Warehouse(spark, wh_dir)
+    wh.write_table("zombie_table", wh.read("mrt_nation_balance"), snapshot=False)
+    assert main(["admin", "orphaned", "--project", str(project),
+                 "--warehouse", wh_dir]) == 0
+    assert "zombie_table" in capsys.readouterr().out
+    assert main(["admin", "orphaned", "--project", str(project),
+                 "--warehouse", wh_dir, "--delete"]) == 0
+    assert not wh.exists("zombie_table")
+
+
+def test_cleandev_dry_run(project, wh_dir, capsys):
+    assert main(["admin", "cleandev", "--warehouse", wh_dir]) == 0
+    out = capsys.readouterr().out
+    assert "would delete" in out and "daily_orders" in out
