@@ -57,6 +57,38 @@ def stateful_dedup_stream(events: DataFrame, watermark: str = "1 day") -> DataFr
     )
 
 
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    cumulative event count + value total maintained across micro-batches
+    (the engine's extension point for stateful logic Spark's built-in
+    streaming aggregations can't express — arbitrary per-key state with
+    Arrow-batched pandas compute).
+
+    Emits one updated row per user per micro-batch ("update" semantics);
+    the latest row per user is the current running total, equal to the
+    batch groupBy over everything ingested so far.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def foreach_batch_overwrite(
     warehouse: Warehouse, table: str, partition_by: str = "partitiondate"
 ):

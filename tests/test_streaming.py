@@ -94,6 +94,29 @@ def test_stateful_dedup_stream(spark, source_dir, tmp_path):
     assert out.distinct().count() == out.count() == n_unique
 
 
+def test_running_user_totals_stateful(spark, source_dir):
+    from dbtwiz_spark.streaming import running_user_totals_stream
+
+    ev = events_stream(spark, source_dir)
+    out = _run(spark, running_user_totals_stream(ev), mode="update")
+    # latest emitted row per user == running total over all micro-batches
+    latest = {}
+    for r in out.collect():
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+    batch = {
+        r.user_id: r
+        for r in spark.read.parquet(source_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, r in latest.items():
+        assert r.n_events == batch[uid].n
+        assert abs(r.total_value - batch[uid].total) < 1e-6
+
+
 def test_foreach_batch_overwrite_sink(spark, source_dir, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "wh"))
     ev = events_stream(spark, source_dir)
