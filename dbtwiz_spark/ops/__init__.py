@@ -21,3 +21,4 @@ from dbtwiz_spark.ops import streaming_batch  # noqa: F401  §2.9 batch forms
 from dbtwiz_spark.ops import sinks  # noqa: F401  §2.1 write path
 from dbtwiz_spark.ops import udfs  # noqa: F401  §2.10
 from dbtwiz_spark.ops import ext_llm  # noqa: F401  §2.11
+from dbtwiz_spark.ops import skew  # noqa: F401  §4 skew mitigation
