@@ -654,6 +654,40 @@ def ext_sim_threshold_join(spark, sf_dir):
 
 
 @register(
+    "ext-dedup-embedding",
+    oracle=_pair_cosine_sql("e.vec_id % 10 = 0", "e.vec_id % 10 = 0")
+    + """
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id % 10 = 0 AND vec_id NOT IN (
+        SELECT q_vec_id FROM dots
+        WHERE c_vec_id < q_vec_id AND cosine >= 0.25)
+    """,
+)
+def ext_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup removal (the semantic-dedup member of the
+    dedup family: exact / MinHash-LSH / SimHash / n-gram-Jaccard / this):
+    a vector is a duplicate if an earlier vector (smaller vec_id) is within
+    cosine >= 0.25; keep only cluster heads.
+
+    Scale path: the all-pairs step here runs on a bounded candidate set —
+    at 100 TB candidates come from LSH buckets (ext-ann-lsh-bucket) or IVF
+    cells, never a global cross join; the keep-earliest rule is the same
+    anti-join regardless of candidate source.
+    """
+    emb = views(spark, sf_dir).table("embeddings")
+    sub = emb.filter(F.col("vec_id") % 10 == 0)
+    pairs = _cosine_pairs(spark, sub, F.lit(True))
+    dups = (
+        pairs.filter(
+            (F.col("c_vec_id") < F.col("q_vec_id")) & (F.col("cosine") >= 0.25)
+        )
+        .select(F.col("q_vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return sub.select("vec_id", "label").join(dups, "vec_id", "left_anti")
+
+
+@register(
     "ext-knn-label",
     oracle=_pair_cosine_sql("e.vec_id % 50 = 0")
     + """
