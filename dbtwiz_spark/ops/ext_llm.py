@@ -760,6 +760,117 @@ def ext_ann_lsh_bucket(spark, sf_dir):
     )
 
 
+def _arr_dot(a, b):
+    """Map-side double dot product of two array columns (zip_with+aggregate:
+    one JVM pass, no explode)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (vector norm is
+    constant per vec so dot/centroid-norm decides the argmax). Centroids are
+    broadcast (K rows): the assignment is a map-side pass over the corpus."""
+    score = _arr_dot(F.col("embedding"), F.col("centroid")) / F.sqrt(
+        _arr_dot(F.col("centroid"), F.col("centroid"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cell"))
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("score", score)
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("cell", "vec_id", "label", "embedding")
+    )
+
+
+def ivf_index(emb: DataFrame, n_cells: int = 16, lloyd_iters: int = 1):
+    """IVF coarse quantizer: deterministic seeds (the K smallest vec_ids)
+    refined by Lloyd iterations, all as DataFrame ops.
+
+    Returns (assignments, centroids). The Lloyd recompute is a
+    groupBy(cell, dim) mean — one shuffle per iteration bounded by
+    K × dims rows out."""
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select(
+            F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    for _ in range(lloyd_iters):
+        assigned = ivf_assign(emb, centroids)
+        ex = assigned.select("cell", F.posexplode("embedding").alias("i", "x"))
+        centroids = (
+            ex.groupBy("cell", "i")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+        )
+    return ivf_assign(emb, centroids), centroids
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest cells per query, exact cosine
+    only against those cells' members. At 100 TB the index is built once and
+    persisted partitioned by cell; a query touches nprobe/n_cells of the
+    corpus instead of all of it."""
+    index, centroids = ivf_index(emb, n_cells)
+    qscore = _arr_dot(F.col("q_embedding"), F.col("centroid")) / F.sqrt(
+        _arr_dot(F.col("centroid"), F.col("centroid"))
+    )
+    wq = Window.partitionBy("q_vec_id").orderBy(F.col("score").desc(), F.col("cell"))
+    probed = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("score", qscore)
+        .withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("q_vec_id", "q_embedding", "cell")
+    )
+    dot = _arr_dot(F.col("q_embedding"), F.col("embedding"))
+    nq = F.sqrt(_arr_dot(F.col("q_embedding"), F.col("q_embedding")))
+    nc = F.sqrt(_arr_dot(F.col("embedding"), F.col("embedding")))
+    pairs = (
+        probed.join(index, "cell")
+        .filter(F.col("q_vec_id") != F.col("vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("c_vec_id"),
+            (dot / (nq * nc)).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
+    return pairs.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= k)
+
+
+@register("ext-ann-ivf", oracle=None)
+def ext_ann_ivf(spark, sf_dir):
+    """ANN scale path #2: IVF (inverted-file) index — k-means coarse
+    quantizer (deterministic seeds + Lloyd refinement), nprobe-cell search.
+    Complements ext-ann-lsh-bucket; tests assert recall against the exact
+    brute-force top-k. Rows-only: centroids are engine-specific."""
+    emb = views(spark, sf_dir).table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    return ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # §D multimodal columns
 # ---------------------------------------------------------------------------

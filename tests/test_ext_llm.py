@@ -96,3 +96,25 @@ def test_cosine_topk_fast_path_matches_exact(spark):
     }
     agree = sum(1 for k, v in exact.items() if fast.get(k) == v)
     assert agree >= len(exact) * 0.98
+
+
+def test_ivf_recall_vs_exact_topk(spark):
+    """IVF (16 cells, nprobe=4) must recover most of the exact top-10
+    neighbors; measured deterministically (fixed seeds, no RNG)."""
+    from dbtwiz_spark.ops.ext_llm import cosine_topk, ivf_topk
+    from dbtwiz_spark.ops.common import views
+
+    emb = views(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {
+        (r.q_vec_id, r.c_vec_id) for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    ivf = {
+        (r.q_vec_id, r.c_vec_id)
+        for r in ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4).collect()
+    }
+    assert exact
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
