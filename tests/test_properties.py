@@ -1,0 +1,98 @@
+"""Property-based tests (hypothesis) for the pure engine logic: the
+reference's best-covered logic is exactly this layer (batch-size math,
+dbtwiz tests/test_backfill.py:71-110), so the engine holds it to the
+stronger property-based standard."""
+
+from __future__ import annotations
+
+from datetime import date, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dbtwiz_spark.backfill import batch_size_from_bytes, chunk_date_range, target_bytes
+from dbtwiz_spark.macros import extract_refs, render
+from dbtwiz_spark.manifest import Manifest, Model
+
+dates = st.dates(min_value=date(2000, 1, 1), max_value=date(2030, 12, 31))
+
+
+@given(d1=dates, d2=dates, batch=st.integers(min_value=1, max_value=400))
+def test_chunks_tile_the_range_exactly(d1, d2, batch):
+    first, last = min(d1, d2), max(d1, d2)
+    chunks = chunk_date_range(first, last, batch)
+    # contiguous, inclusive, ordered, no overlap, bounded length
+    assert chunks[0][0] == first and chunks[-1][1] == last
+    for lo, hi in chunks:
+        assert lo <= hi and (hi - lo).days + 1 <= batch
+    for (_, prev_hi), (lo, _) in zip(chunks, chunks[1:]):
+        assert lo == prev_hi + timedelta(days=1)
+    covered = sum((hi - lo).days + 1 for lo, hi in chunks)
+    assert covered == (last - first).days + 1
+
+
+@given(first=dates, days_before=st.integers(min_value=1, max_value=1000),
+       batch=st.integers(min_value=1, max_value=400))
+def test_empty_range_when_inverted(first, days_before, batch):
+    assert chunk_date_range(first, first - timedelta(days=days_before), batch) == []
+
+
+@given(bpd=st.floats(min_value=1.0, max_value=1e15, allow_nan=False),
+       default=st.integers(min_value=1, max_value=365))
+def test_batch_size_bounds_and_monotonicity(bpd, default):
+    b = batch_size_from_bytes(bpd, default=default)
+    assert 1 <= b <= default
+    # more bytes/day can never increase the batch size
+    assert batch_size_from_bytes(bpd * 2, default=default) <= b
+    # degenerate estimate falls back to the default (reference fallback)
+    assert batch_size_from_bytes(0, default=default) == default
+    # exact reference formula: min(default, max(1, target/bytes))
+    assert b == int(min(default, max(1, target_bytes() / bpd)))
+
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,15}", fullmatch=True)
+
+
+@given(names=st.lists(_ident, min_size=1, max_size=5, unique=True))
+def test_extract_refs_finds_every_ref(names):
+    sql = " UNION ALL ".join(
+        f"SELECT * FROM {{{{ ref('{n}') }}}}" for n in names
+    )
+    assert sorted(extract_refs(sql)) == sorted(names)
+
+
+@given(name=_ident, value=st.integers(min_value=0, max_value=10**9))
+def test_render_binds_vars_and_refs(name, value):
+    sql = "SELECT {{ var('" + name + "', -1) }} AS v FROM {{ ref('t') }}"
+    out = render(sql, resolve={"t": "physical_t"}, variables={name: value})
+    assert f"SELECT {value} AS v" in out and "physical_t" in out
+    # unbound var falls back to its default
+    out2 = render(sql, resolve={"t": "t"}, variables={})
+    assert "SELECT -1 AS v" in out2
+
+
+@settings(max_examples=25)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(lambda e: e[0] < e[1]),
+        max_size=12,
+        unique=True,
+    )
+)
+def test_topo_order_respects_every_edge(edges):
+    m = Manifest()
+    names = [f"m{i}" for i in range(8)]
+    parents: dict[str, list[str]] = {n: [] for n in names}
+    for a, b in edges:
+        parents[names[b]].append(names[a])  # a -> b (a is parent)
+    for n in names:
+        refs = " ".join(f"{{{{ ref('{p}') }}}}" for p in parents[n])
+        m.add_model(Model(name=n, sql=f"SELECT 1 {refs}"))
+    order = m.topo_order()
+    pos = {n: i for i, n in enumerate(order)}
+    for a, b in edges:
+        assert pos[names[a]] < pos[names[b]]
+    # and the DAG closures agree with the edge relation
+    for a, b in edges:
+        assert names[a] in m.upstream(names[b])
+        assert names[b] in m.downstream(names[a])
