@@ -110,6 +110,36 @@ def q_cosine_topk(cat):
     return cosine_topk(emb, queries, k=10), "noop"
 
 
+def q_rollup(cat):
+    from dbtwiz_spark.ops.aggregates import agg_rollup
+
+    return agg_rollup(cat.spark, cat.sf_dir), "noop"
+
+
+def q_set_except(cat):
+    from dbtwiz_spark.ops.setops import set_except
+
+    return set_except(cat.spark, cat.sf_dir), "noop"
+
+
+def q_salted_skew(cat):
+    from dbtwiz_spark.ops.skew import agg_salted_skew
+
+    return agg_salted_skew(cat.spark, cat.sf_dir), "collect"
+
+
+def q_ann_ivf(cat):
+    from dbtwiz_spark.ops.ext_llm import ext_ann_ivf
+
+    return ext_ann_ivf(cat.spark, cat.sf_dir), "noop"
+
+
+def q_stream_tumbling(cat):
+    from dbtwiz_spark.ops.streaming_batch import stream_tumbling_window
+
+    return stream_tumbling_window(cat.spark, cat.sf_dir), "noop"
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -117,10 +147,15 @@ QUERIES = {
     "q_window_running": q_window_running,
     "q_asof_join": q_asof_join,
     "q_sessionize": q_sessionize,
+    "q_rollup": q_rollup,
+    "q_set_except": q_set_except,
+    "q_salted_skew": q_salted_skew,
+    "q_stream_tumbling": q_stream_tumbling,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near_lsh": q_dedup_near_lsh,
     "q_tfidf": q_tfidf,
     "q_cosine_topk": q_cosine_topk,
+    "q_ann_ivf": q_ann_ivf,
 }
 
 
