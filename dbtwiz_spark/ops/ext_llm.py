@@ -816,7 +816,11 @@ def ivf_index(emb: DataFrame, n_cells: int = 16, lloyd_iters: int = 1):
                 ).alias("centroid")
             )
         )
-    return ivf_assign(emb, centroids), centroids
+    # The index is a built artifact shared by every query against it (at
+    # scale: materialized partitioned-by-cell parquet). Persist both sides;
+    # identical rebuild plans hit the same cache entry.
+    centroids = centroids.persist()
+    return ivf_assign(emb, centroids).persist(), centroids
 
 
 def ivf_topk(
