@@ -75,7 +75,9 @@ def join_left_outer(spark, sf_dir):
     """,
 )
 def join_right_outer(spark, sf_dir):
-    """Right outer join."""
+    """Right outer join — all customers kept, orders optional ([SURF]
+    BigQuery SQL surface via dbtwiz/dbt/run.py:38; mirror of
+    join-left-outer, dbtwiz/admin/cleanup.py:67-68)."""
     cat = views(spark, sf_dir)
     c, o = cat.table("customer"), cat.table("orders")
     return (
