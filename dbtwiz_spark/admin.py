@@ -192,6 +192,42 @@ def reconcile_grants(
     return needs_granting, needs_revoking
 
 
+def update_grants(
+    warehouse: Warehouse, manifest: Manifest, props: TableProperties | None = None
+) -> dict[str, tuple[dict, dict]]:
+    """Resolve desired grants from model meta (``meta.grants: {role:
+    [principals]}`` — the reference resolves desired state from config,
+    dbtwiz/admin/grants.py:109-179) and reconcile each table."""
+    props = props or TableProperties(warehouse)
+    store = GrantStore(props)
+    out = {}
+    for name, m in manifest.models.items():
+        desired = {r: set(p) for r, p in (m.meta.get("grants") or {}).items()}
+        if not desired and not store.current(name):
+            continue
+        granting, revoking = reconcile_grants(store, name, desired)
+        if granting or revoking:
+            out[name] = (granting, revoking)
+    return out
+
+
+# -- clustering (dbtwiz/admin/clustering.py:29-57) ---------------------------
+
+
+def recluster(
+    warehouse: Warehouse,
+    table: str,
+    partition_by: str | None,
+    cluster_by: list[str],
+) -> None:
+    """Re-cluster an existing table: read → repartition(partition) →
+    sortWithinPartitions(cluster cols) → overwrite. The engine analog of the
+    reference's clustering-spec update + `UPDATE t SET c=c WHERE true`
+    rewrite trigger; parquet min/max page stats then give block skipping."""
+    df = warehouse.read(table)
+    warehouse.write_table(table, df, partition_by, cluster_by, snapshot=False)
+
+
 # -- freshness (docs/freshness.md capability) --------------------------------
 
 

@@ -173,6 +173,113 @@ def cmd_freshness(args) -> int:
     return 0 if ok else 1
 
 
+def cmd_sync_descriptions(args) -> int:
+    from dbtwiz_spark.admin import sync_descriptions
+
+    _, manifest, wh = _load(args)
+    applied = sync_descriptions(wh, manifest)
+    for name, delta in applied.items():
+        print(f"{name}: updated {sorted(delta)}")
+    if not applied:
+        print("descriptions in sync")
+    return 0
+
+
+def cmd_update_grants(args) -> int:
+    from dbtwiz_spark.admin import update_grants
+
+    _, manifest, wh = _load(args)
+    changed = update_grants(wh, manifest)
+    for name, (granting, revoking) in changed.items():
+        for role, principals in granting.items():
+            print(f"{name}: +{role} {sorted(principals)}")
+        for role, principals in revoking.items():
+            print(f"{name}: -{role} {sorted(principals)}")
+    if not changed:
+        print("grants in sync")
+    return 0
+
+
+def cmd_update_clustering(args) -> int:
+    from dbtwiz_spark.admin import recluster
+
+    _, manifest, wh = _load(args)
+    for name in manifest.select(args.select):
+        m = manifest.models[name]
+        if m.cluster_by and wh.exists(name):
+            recluster(wh, name, m.partition_by, m.cluster_by)
+            print(f"reclustered {name} by {m.cluster_by}")
+    return 0
+
+
+_MODEL_SQL_TEMPLATE = """\
+SELECT
+    *
+FROM {{{{ ref('{parent}') }}}}
+"""
+
+
+def cmd_model_create(args) -> int:
+    """Scaffold a model (.sql + .yml config sidecar) — the non-interactive
+    core of the reference's `model create` wizard
+    (dbtwiz/model/create.py:430-474 writes the same pair)."""
+    import yaml as _yaml
+    from pathlib import Path
+
+    models = Path(args.project) / "models"
+    models.mkdir(parents=True, exist_ok=True)
+    sql_path = models / f"{args.name}.sql"
+    if sql_path.exists() and not args.force:
+        print(f"refusing to overwrite {sql_path} (use --force)")
+        return 1
+    sql_path.write_text(_MODEL_SQL_TEMPLATE.format(parent=args.parent or "upstream"))
+    cfg: dict = {"materialized": args.materialized, "description": args.description or ""}
+    if args.materialized == "incremental":
+        cfg.update(
+            incremental_strategy="insert_overwrite",
+            partition_by=args.partition_by or "partitiondate",
+            require_partition_filter=True,
+        )
+    if args.unique_key:
+        cfg["unique_key"] = args.unique_key
+    if args.cluster_by:
+        cfg["cluster_by"] = args.cluster_by.split(",")
+    sql_path.with_suffix(".yml").write_text(_yaml.safe_dump(cfg, sort_keys=False))
+    print(f"created {sql_path} + {sql_path.with_suffix('.yml').name}")
+    return 0
+
+
+def cmd_source_create(args) -> int:
+    """Register an external parquet as a source with introspected columns
+    (dbtwiz/source/create.py:326-404: fetch schema, write source YAML)."""
+    import yaml as _yaml
+    from pathlib import Path
+
+    from dbtwiz_spark.types import spark_type_to_sql
+
+    schema = _spark().read.parquet(args.path).schema
+    src_file = Path(args.project) / "sources.yml"
+    spec = _yaml.safe_load(src_file.read_text()) if src_file.exists() else None
+    spec = spec or {"sources": []}
+    if any(s["name"] == args.name for s in spec["sources"]):
+        print(f"source {args.name} already declared")
+        return 1
+    spec["sources"].append(
+        {
+            "name": args.name,
+            "path": args.path,
+            "description": args.description or "",
+            "columns": [
+                {"name": f.name, "data_type": spark_type_to_sql(f.dataType)}
+                for f in schema.fields
+            ],
+        }
+    )
+    src_file.write_text(_yaml.safe_dump(spec, sort_keys=False))
+    print(f"declared source {args.name} ({len(schema.fields)} columns)")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbtwiz_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -236,6 +343,42 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--table", required=True)
     r.add_argument("--at-ms", type=int, required=True)
     r.set_defaults(fn=cmd_restore)
+
+    sd = asub.add_parser("sync-descriptions", help="declared vs stored descriptions")
+    common(sd)
+    sd.set_defaults(fn=cmd_sync_descriptions)
+
+    ug = asub.add_parser("update-grants", help="reconcile declarative ACLs")
+    common(ug)
+    ug.set_defaults(fn=cmd_update_grants)
+
+    uc = asub.add_parser("update-clustering", help="re-cluster tables to spec")
+    common(uc)
+    uc.set_defaults(fn=cmd_update_clustering)
+
+    model = sub.add_parser("model", help="model scaffolding")
+    msub = model.add_subparsers(dest="model_command", required=True)
+    mc = msub.add_parser("create", help="scaffold model .sql + .yml")
+    mc.add_argument("--project", required=True)
+    mc.add_argument("--name", required=True)
+    mc.add_argument("--materialized", default="view",
+                    choices=["view", "table", "incremental", "scd2", "ephemeral"])
+    mc.add_argument("--parent", help="upstream model/source for the template ref()")
+    mc.add_argument("--partition-by")
+    mc.add_argument("--unique-key")
+    mc.add_argument("--cluster-by", help="comma-separated columns")
+    mc.add_argument("--description")
+    mc.add_argument("--force", action="store_true")
+    mc.set_defaults(fn=cmd_model_create)
+
+    source = sub.add_parser("source", help="source declarations")
+    ssub = source.add_subparsers(dest="source_command", required=True)
+    sc = ssub.add_parser("create", help="declare parquet source w/ introspected schema")
+    sc.add_argument("--project", required=True)
+    sc.add_argument("--name", required=True)
+    sc.add_argument("--path", required=True)
+    sc.add_argument("--description")
+    sc.set_defaults(fn=cmd_source_create)
 
     f = asub.add_parser("freshness", help="max(loaded_at) vs watermark")
     f.add_argument("--warehouse", required=True)

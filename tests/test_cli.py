@@ -106,3 +106,64 @@ def test_cleandev_dry_run(project, wh_dir, capsys):
     assert main(["admin", "cleandev", "--warehouse", wh_dir]) == 0
     out = capsys.readouterr().out
     assert "would delete" in out and "daily_orders" in out
+
+
+def test_model_and_source_create(spark, tmp_path, capsys):
+    proj = tmp_path / "p2"
+    proj.mkdir()
+    assert main(["source", "create", "--project", str(proj), "--name", "nation",
+                 "--path", f"{SF_DIR}/nation.parquet"]) == 0
+    assert "declared source nation" in capsys.readouterr().out
+    # duplicate declaration refused
+    assert main(["source", "create", "--project", str(proj), "--name", "nation",
+                 "--path", f"{SF_DIR}/nation.parquet"]) == 1
+    capsys.readouterr()
+    assert main(["model", "create", "--project", str(proj), "--name", "stg_nation",
+                 "--parent", "nation", "--materialized", "incremental",
+                 "--cluster-by", "n_name"]) == 0
+    capsys.readouterr()
+    import yaml
+    cfg = yaml.safe_load((proj / "models" / "stg_nation.yml").read_text())
+    assert cfg["incremental_strategy"] == "insert_overwrite"
+    assert cfg["require_partition_filter"] is True and cfg["cluster_by"] == ["n_name"]
+    # the scaffolded project loads and the dependency is wired
+    from dbtwiz_spark.project import load_project
+    manifest, _ = load_project(proj)
+    assert manifest.parent_map["stg_nation"] == {"nation"}
+
+
+def test_admin_sync_and_grants_and_clustering(spark, tmp_path, capsys):
+    import yaml
+    proj = tmp_path / "p3"
+    (proj / "models").mkdir(parents=True)
+    (proj / "sources.yml").write_text(
+        f"sources:\n  - name: nation\n    path: {SF_DIR}/nation.parquet\n"
+    )
+    (proj / "models" / "dim_nation.sql").write_text(
+        "SELECT n_nationkey, n_name, n_regionkey FROM {{ source('raw','nation') }}"
+    )
+    (proj / "models" / "dim_nation.yml").write_text(yaml.safe_dump({
+        "materialized": "table",
+        "description": "nation dimension",
+        "cluster_by": ["n_name"],
+        "meta": {"grants": {"reader": ["alice", "bob"]},
+                 "column_descriptions": {"n_name": "nation name"}},
+    }))
+    wh = str(tmp_path / "wh3")
+    assert main(["build", "--project", str(proj), "--warehouse", wh]) == 0
+    capsys.readouterr()
+    assert main(["admin", "sync-descriptions", "--project", str(proj),
+                 "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "dim_nation: updated" in out and "column.n_name" in out
+    assert main(["admin", "update-grants", "--project", str(proj),
+                 "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "+reader ['alice', 'bob']" in out
+    # idempotent second run: nothing to do
+    assert main(["admin", "update-grants", "--project", str(proj),
+                 "--warehouse", wh]) == 0
+    assert "grants in sync" in capsys.readouterr().out
+    assert main(["admin", "update-clustering", "--project", str(proj),
+                 "--warehouse", wh]) == 0
+    assert "reclustered dim_nation" in capsys.readouterr().out
