@@ -183,21 +183,45 @@ def ext_quality_score(spark, sf_dir):
     oracle="""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list(DISTINCT tok)), ' ')) AS fingerprint
-    FROM toks GROUP BY doc_id
+    SELECT t.doc_id, t.fingerprint, r.rolling_hash
+    FROM (SELECT doc_id,
+                 md5(array_to_string(list_sort(list(DISTINCT tok)), ' ')) AS fingerprint
+          FROM toks GROUP BY doc_id) t
+    JOIN (SELECT doc_id,
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(text, ' '),
+                                    tk -> CAST(ascii(tk) * 1000 + len(tk) AS BIGINT))),
+                     (acc, v) -> (acc * 131 + v) % 2147483647) AS rolling_hash
+          FROM documents) r USING (doc_id)
     """,
 )
 def ext_fingerprint(spark, sf_dir):
-    """Document fingerprinting: digest of the sorted distinct token set
-    (order-insensitive content fingerprint; the rolling-hash shingle variant
-    feeds MinHash below)."""
+    """Document fingerprinting, two flavors in one entry:
+
+    - `fingerprint`: digest of the sorted distinct token set
+      (order-insensitive content identity);
+    - `rolling_hash`: Rabin–Karp polynomial rolling hash over the token
+      stream (order-SENSITIVE; base 131 mod 2^31-1, token value from
+      first-char code + length so both engines compute identical int64
+      arithmetic with no overflow). Map-side only — higher-order fold, no
+      shuffle, 100 TB-safe.
+    """
     d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    tok_vals = F.transform(
+        toks, lambda t: (F.ascii(t) * 1000 + F.length(t)).cast("long")
+    )
+    rolling = F.aggregate(
+        tok_vals,
+        F.lit(0).cast("long"),
+        lambda acc, v: F.pmod(acc * 131 + v, F.lit(2147483647)),
+    )
     return d.select(
         "doc_id",
         F.md5(
-            F.concat_ws(" ", F.sort_array(F.array_distinct(F.split("text", " "))))
+            F.concat_ws(" ", F.sort_array(F.array_distinct(toks)))
         ).alias("fingerprint"),
+        rolling.alias("rolling_hash"),
     )
 
 
