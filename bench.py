@@ -140,6 +140,26 @@ def q_stream_tumbling(cat):
     return stream_tumbling_window(cat.spark, cat.sf_dir), "noop"
 
 
+def q_insert_overwrite(cat):
+    """Write path: dynamic-partition-overwrite of the monthly order rollup
+    (the reference's incremental materialization) into a scratch warehouse."""
+    import tempfile
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    wh = Warehouse(cat.spark, tempfile.mkdtemp(prefix="bench_wh_"))
+    o = cat.table("orders")
+    monthly = (
+        o.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+            "o_orderstatus",
+        )
+        .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
+    )
+    wh.insert_overwrite("monthly_orders", monthly, "o_month")
+    return wh.read("monthly_orders"), "noop"
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -151,6 +171,7 @@ QUERIES = {
     "q_set_except": q_set_except,
     "q_salted_skew": q_salted_skew,
     "q_stream_tumbling": q_stream_tumbling,
+    "q_insert_overwrite": q_insert_overwrite,
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_near_lsh": q_dedup_near_lsh,
     "q_tfidf": q_tfidf,
