@@ -87,13 +87,20 @@ class Warehouse:
             out = df.repartition(*(keys or [F.spark_partition_id()])).sortWithinPartitions(
                 *(keys + cluster_by)
             )
+        # expected row count is observed DURING the write (single pass) —
+        # recomputing df for the audit would double the job at 100 TB
+        from pyspark.sql import Observation
+
+        obs = Observation(f"audit_{name}")
+        out = out.observe(obs, F.count(F.lit(1)).alias("n"))
         writer = out.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(partition_by)
         writer.parquet(str(tmp))
+        expected = obs.get["n"]
         # audit: the write must be readable and row counts must match
+        # (count over parquet uses footer metadata — no data scan)
         written = self.spark.read.parquet(str(tmp)).count()
-        expected = df.count()
         if written != expected:
             shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(f"audit failed for {name}: {written} != {expected}")
