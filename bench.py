@@ -24,7 +24,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import functions as F
 
-from dbtwiz_spark.catalog import Catalog
 from dbtwiz_spark.ops.common import dsum
 from dbtwiz_spark.session import get_spark
 

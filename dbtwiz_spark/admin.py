@@ -20,8 +20,8 @@ from __future__ import annotations
 
 import json
 import shutil
-from dataclasses import dataclass, field
-from datetime import date, datetime, timedelta
+from dataclasses import dataclass
+from datetime import date, datetime
 from pathlib import Path
 
 from dbtwiz_spark.manifest import Manifest

@@ -55,8 +55,6 @@ def cmd_build(args) -> int:
 def cmd_test(args) -> int:
     """Model checks: declared unique_key must actually be unique
     (the validate-pk check, SURVEY §1.3 / dbtwiz/model/validate.py:271-292)."""
-    from pyspark.sql import functions as F
-
     runner, manifest, wh = _load(args)
     failures = 0
     for name in manifest.select(args.select):

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from dbtwiz_spark.ops.common import views, dsum_sql
+from dbtwiz_spark.ops.common import views
 from dbtwiz_spark.ops.registry import register
 
 # ---------------------------------------------------------------------------

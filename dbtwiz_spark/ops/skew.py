@@ -19,7 +19,7 @@ The salted plans return results identical to their unsalted forms — the
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dbtwiz_spark.ops.common import views

@@ -12,8 +12,6 @@ transformations over readStream (tested in tests/test_streaming.py).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from dbtwiz_spark.ops.common import views, dsum, dsum_sql
 from dbtwiz_spark.ops.registry import register
 
