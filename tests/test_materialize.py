@@ -92,3 +92,23 @@ def test_copy_and_delete(spark, wh):
     assert wh.read("dst").count() == 1
     wh.delete_table("dst")
     assert not wh.exists("dst")
+
+
+def test_expire_snapshots_gc(spark, wh):
+    """Snapshot GC honors the 7-day retention (dbtwiz/admin/restore.py:63-70
+    window; expiry analog of partition expiration)."""
+    import os
+
+    from dbtwiz_spark.materialize import SNAPSHOT_DIRNAME
+
+    df = _df(spark, [(1, "a", "2024-01-01")])
+    wh.write_table("tg", df, snapshot=False)
+    wh.write_table("tg", df, snapshot=True)  # creates one snapshot
+    snaps = wh.snapshots("tg")
+    assert len(snaps) == 1
+    # backdate the snapshot beyond the window by renaming its dir
+    old_ms = int(time.time() * 1000) - 8 * 86_400_000
+    snap_dir = wh.path("tg") / SNAPSHOT_DIRNAME
+    os.rename(snap_dir / str(snaps[0]), snap_dir / str(old_ms))
+    assert wh.expire_snapshots("tg") == 1
+    assert wh.snapshots("tg") == []
