@@ -87,6 +87,12 @@ class Warehouse:
             out = df.repartition(*(keys or [F.spark_partition_id()])).sortWithinPartitions(
                 *(keys + cluster_by)
             )
+        elif partition_by:
+            # REBALANCE (AQE-aware): co-locates rows by partition value so a
+            # partition dir gets one right-sized file instead of one file per
+            # (task × partition), while oversized partitions still split —
+            # the small-files and write-skew fix in one hint.
+            out = df.hint("rebalance", F.col(partition_by))
         # expected row count is observed DURING the write (single pass) —
         # recomputing df for the audit would double the job at 100 TB
         from pyspark.sql import Observation
@@ -135,6 +141,8 @@ class Warehouse:
             out = df.repartition(partition_by).sortWithinPartitions(
                 partition_by, *cluster_by
             )
+        else:
+            out = df.hint("rebalance", F.col(partition_by))
         out.write.mode("overwrite").partitionBy(partition_by).parquet(str(target))
 
     # -- merge upsert ----------------------------------------------------
