@@ -302,3 +302,31 @@ def func_hash(spark, sf_dir):
         F.sha2(F.col("c_name"), 256).alias("name_sha256"),
         F.format_string("cust-%06d", "c_custkey").alias("padded_id"),
     )
+
+
+@register(
+    "func-bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 21845) AS xored,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r
+    FROM orders
+    """,
+)
+def func_bitwise(spark, sf_dir):
+    """Bitwise family ([SURF] BigQuery SQL surface via dbtwiz/dbt/run.py:38:
+    &, |, ^, <<, >> — the SimHash/LSH entries use these in anger; this entry
+    pins the scalar semantics cross-engine)."""
+    o = views(spark, sf_dir).table("orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(k, 2).alias("shifted_l"),
+        F.shiftright(k, 3).alias("shifted_r"),
+    )
