@@ -115,3 +115,35 @@ def test_agg_is_partial_then_final_with_codegen(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "Found 2 WholeStageCodegen subtrees" in codegen
     assert "hashAgg" in codegen  # generated hash-aggregate code is present
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Pre-bucketing both join sides on the key makes the join shuffle-free —
+    the co-located join strategy for repeated large-fact joins at 100 TB
+    (SURVEY §4; Spark bucketBy + sortBy)."""
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    # spark.sql.warehouse.dir is static — bucketed tables land in the
+    # session's default spark-warehouse dir (gitignored), dropped in finally
+    spark.sql("CREATE DATABASE IF NOT EXISTS bkt")
+    for name, df, key in (("orders_b", o, "o_custkey"), ("customer_b", c, "c_custkey")):
+        (df.write.mode("overwrite").format("parquet")
+         .bucketBy(8, key).sortBy(key).saveAsTable(f"bkt.{name}"))
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ path
+        ob, cb = spark.table("bkt.orders_b"), spark.table("bkt.customer_b")
+        q = ob.join(cb, ob.o_custkey == cb.c_custkey).groupBy("c_mktsegment").count()
+        plan = _formatted(q)
+        assert "SortMergeJoin" in plan
+        # both scans read pre-bucketed data...
+        assert plan.count("Bucketed: true") == 2
+        assert plan.count("SelectedBucketsCount: 8 out of 8") == 2
+        # ...and the ONLY exchange is the post-join aggregation's — the join
+        # itself is shuffle-free
+        assert plan.count("Exchange (") == 1
+        # sanity: results match the unbucketed join
+        want = (o.join(c, o.o_custkey == c.c_custkey).groupBy("c_mktsegment").count())
+        assert sorted(map(tuple, q.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
