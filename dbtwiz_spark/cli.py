@@ -247,6 +247,55 @@ def cmd_model_create(args) -> int:
     return 0
 
 
+def cmd_model_validate(args) -> int:
+    """Reconcile declared YAML columns against the built table's live schema
+    (dbtwiz/model/validate.py:97-108 fetch, :188-214 reconcile: removed
+    columns dropped, new columns added from the warehouse). --fix rewrites
+    the sidecar, preserving descriptions of surviving columns."""
+    import yaml as _yaml
+    from pathlib import Path
+
+    from dbtwiz_spark.types import spark_type_to_sql
+
+    _, manifest, wh = _load(args)
+    rc = 0
+    for name in manifest.select(args.select):
+        m = manifest.models[name]
+        if not wh.exists(name):
+            continue
+        actual = {
+            f.name: spark_type_to_sql(f.dataType) for f in wh.read(name).schema.fields
+        }
+        declared = {c["name"]: c.get("data_type") for c in m.columns}
+        missing = sorted(set(actual) - set(declared))
+        removed = sorted(set(declared) - set(actual))
+        retyped = sorted(
+            c for c in set(actual) & set(declared)
+            if declared[c] and declared[c] != actual[c]
+        )
+        if not (missing or removed or retyped):
+            print(f"pass {name}: {len(actual)} columns in sync")
+            continue
+        rc = 1
+        print(f"DRIFT {name}: +{missing} -{removed} ~{retyped}")
+        if args.fix:
+            keep_desc = {
+                c["name"]: c.get("description", "") for c in m.columns
+            }
+            sidecar = Path(args.project) / "models" / f"{name}.yml"
+            raw = _yaml.safe_load(sidecar.read_text()) if sidecar.exists() else {}
+            raw = raw or {}
+            raw["columns"] = [
+                {"name": col, "data_type": dt,
+                 "description": keep_desc.get(col, "")}
+                for col, dt in actual.items()
+            ]
+            sidecar.write_text(_yaml.safe_dump(raw, sort_keys=False))
+            print(f"  fixed {sidecar.name}")
+            rc = 0
+    return rc
+
+
 def cmd_source_create(args) -> int:
     """Register an external parquet as a source with introspected columns
     (dbtwiz/source/create.py:326-404: fetch schema, write source YAML)."""
@@ -368,6 +417,12 @@ def build_parser() -> argparse.ArgumentParser:
     mc.add_argument("--description")
     mc.add_argument("--force", action="store_true")
     mc.set_defaults(fn=cmd_model_create)
+
+    mv = msub.add_parser("validate", help="declared columns vs live schema")
+    common(mv)
+    mv.add_argument("--fix", action="store_true",
+                    help="rewrite sidecar columns from the live schema")
+    mv.set_defaults(fn=cmd_model_validate)
 
     source = sub.add_parser("source", help="source declarations")
     ssub = source.add_subparsers(dest="source_command", required=True)

@@ -42,6 +42,7 @@ class Model:
     tags: list[str] = field(default_factory=list)
     description: str = ""
     meta: dict = field(default_factory=dict)
+    columns: list = field(default_factory=list)  # [{name, data_type, description}]
 
     def fingerprint(self) -> str:
         """Stable hash of SQL + config — the state:modified basis

@@ -36,6 +36,7 @@ MODEL_CONFIG_KEYS = (
     "tags",
     "description",
     "meta",
+    "columns",
 )
 
 

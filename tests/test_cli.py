@@ -167,3 +167,44 @@ def test_admin_sync_and_grants_and_clustering(spark, tmp_path, capsys):
     assert main(["admin", "update-clustering", "--project", str(proj),
                  "--warehouse", wh]) == 0
     assert "reclustered dim_nation" in capsys.readouterr().out
+
+
+def test_model_validate_and_fix(spark, tmp_path, capsys):
+    import yaml
+    proj = tmp_path / "p4"
+    (proj / "models").mkdir(parents=True)
+    (proj / "sources.yml").write_text(
+        f"sources:\n  - name: region\n    path: {SF_DIR}/region.parquet\n"
+    )
+    (proj / "models" / "dim_region.sql").write_text(
+        "SELECT r_regionkey, r_name FROM {{ source('raw','region') }}"
+    )
+    (proj / "models" / "dim_region.yml").write_text(yaml.safe_dump({
+        "materialized": "table",
+        "columns": [
+            {"name": "r_regionkey", "data_type": "BIGINT", "description": "pk"},
+            {"name": "r_name", "data_type": "INTEGER"},      # wrong type
+            {"name": "r_ghost", "data_type": "VARCHAR"},     # removed column
+        ],
+    }))
+    wh = str(tmp_path / "wh4")
+    assert main(["build", "--project", str(proj), "--warehouse", wh]) == 0
+    capsys.readouterr()
+    # drift detected -> nonzero
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", wh]) == 1
+    out = capsys.readouterr().out
+    assert "DRIFT dim_region" in out and "r_ghost" in out and "r_name" in out
+    # --fix rewrites the sidecar from the live schema, keeping descriptions
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", wh, "--fix"]) == 0
+    capsys.readouterr()
+    cfg = yaml.safe_load((proj / "models" / "dim_region.yml").read_text())
+    cols = {c["name"]: c for c in cfg["columns"]}
+    assert set(cols) == {"r_regionkey", "r_name"}
+    assert cols["r_regionkey"]["description"] == "pk"
+    assert cols["r_name"]["data_type"] == "VARCHAR"
+    # clean second run passes
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", wh]) == 0
+    assert "pass dim_region" in capsys.readouterr().out
