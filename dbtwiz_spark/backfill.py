@@ -120,6 +120,7 @@ def run_backfill(
     journal: BackfillJournal | None = None,
     retry_failed_only: bool = False,
     serial: bool = True,
+    exclude: str | None = "tag:no_backfill",
 ) -> list[tuple[tuple[date, date], str]]:
     """Run the selected models over date chunks, binding the reference's
     interval vars per chunk (data_interval_start/end, is_backfill —
@@ -145,7 +146,7 @@ def run_backfill(
             }
         )
         try:
-            run_results = runner.run(selector)
+            run_results = runner.run(selector, exclude=exclude)
             bad = [r for r in run_results if r.status == "error"]
             status = "success" if not bad else f"error: {bad[0].error}"
         except Exception as e:  # noqa: BLE001 — journal records, caller retries

@@ -36,7 +36,17 @@ def _load(args):
 
 
 def cmd_build(args) -> int:
+    import json as _json
+    from pathlib import Path as _Path
+
+    last_file = _Path(args.project) / ".dbtwiz_spark" / "last_select.json"
+    if getattr(args, "last", False) and last_file.exists():
+        saved = _json.loads(last_file.read_text())
+        args.select, args.exclude = saved["select"], saved.get("exclude")
     runner, manifest, _ = _load(args)
+    last_file.parent.mkdir(exist_ok=True)
+    last_file.write_text(_json.dumps({"select": args.select,
+                                      "exclude": getattr(args, "exclude", None)}))
     if args.start:
         runner.variables["data_interval_start"] = args.start
         runner.variables["data_interval_end"] = args.end or args.start
@@ -45,7 +55,8 @@ def cmd_build(args) -> int:
         from dbtwiz_spark.manifest import Manifest
 
         state = Manifest.load_state(args.state)
-    results = runner.run(args.select, state=state)
+    results = runner.run(args.select, state=state,
+                         exclude=getattr(args, "exclude", None))
     for r in results:
         line = f"{r.status:8s} {r.model}" + (f"  rows={r.rows}" if r.rows is not None else "")
         print(line + (f"  {r.error}" if r.error else ""))
@@ -84,6 +95,8 @@ def cmd_manifest(args) -> int:
         for name in order
     }
     print(json.dumps(out, indent=2))
+    if getattr(args, "save_state", None):
+        manifest.save_state(args.save_state)
     return 0
 
 
@@ -107,6 +120,7 @@ def cmd_backfill(args) -> int:
         journal=journal,
         retry_failed_only=args.retry,
         serial=not args.parallel_safe,
+        exclude=args.exclude or "tag:no_backfill",
     )
     for (lo, hi), status in results:
         print(f"{lo}..{hi}  {status}")
@@ -336,6 +350,7 @@ def build_parser() -> argparse.ArgumentParser:
         if warehouse:
             sp.add_argument("--warehouse", required=True)
         sp.add_argument("--select", default="*")
+        sp.add_argument("--exclude", help="selector subtracted from --select")
         sp.add_argument("--vars", help="JSON dict of variable overrides")
 
     b = sub.add_parser("build", help="render + materialize selected models")
@@ -343,6 +358,8 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--start", help="data_interval_start (ISO date)")
     b.add_argument("--end", help="data_interval_end (ISO date)")
     b.add_argument("--state", help="fingerprint state file for state:modified")
+    b.add_argument("--last", action="store_true",
+                   help="replay the previous --select/--exclude")
     b.set_defaults(fn=cmd_build)
 
     t = sub.add_parser("test", help="model checks (pk uniqueness)")
@@ -352,6 +369,7 @@ def build_parser() -> argparse.ArgumentParser:
     m = sub.add_parser("manifest", help="print the model DAG")
     m.add_argument("--project", required=True)
     m.add_argument("--select", default="*")
+    m.add_argument("--save-state", help="write fingerprints for state:modified")
     m.set_defaults(fn=cmd_manifest)
 
     bf = sub.add_parser("backfill", help="date-chunked re-run of a model range")

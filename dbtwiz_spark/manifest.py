@@ -130,13 +130,25 @@ class Manifest:
         return out
 
     # -- selectors (dbtwiz/dbt/manifest.py:201-210 grammar) -------------
-    def select(self, selector: str, state: dict[str, str] | None = None) -> list[str]:
+    def select(
+        self,
+        selector: str,
+        state: dict[str, str] | None = None,
+        exclude: str | None = None,
+    ) -> list[str]:
         """Resolve a dbt-style selector to a topo-ordered model list.
 
         Grammar: ``name``, ``+name`` (upstream too), ``name+`` (downstream
         too), ``+name+``, ``tag:x``, ``state:modified`` (vs a fingerprint
-        dict from a previous run), comma/space-separated unions.
+        dict from a previous run), comma/space-separated unions. ``exclude``
+        is a second selector subtracted from the result (the reference's
+        ``exclude: tag:no_backfill``, dbtwiz/commands/build.py:101).
         """
+        if exclude:
+            excluded = set(self.select(exclude, state=state))
+            return [
+                n for n in self.select(selector, state=state) if n not in excluded
+            ]
         picked: set[str] = set()
         for token in selector.replace(",", " ").split():
             up = token.startswith("+")

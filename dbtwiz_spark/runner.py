@@ -58,8 +58,13 @@ class Runner:
             interval_end=self.variables.get("data_interval_end"),
         )
 
-    def run(self, selector: str = "*", state: dict[str, str] | None = None) -> list[RunResult]:
-        order = self.manifest.select(selector, state=state)
+    def run(
+        self,
+        selector: str = "*",
+        state: dict[str, str] | None = None,
+        exclude: str | None = None,
+    ) -> list[RunResult]:
+        order = self.manifest.select(selector, state=state, exclude=exclude)
         self._resolve_cache = self._resolve_map()
         results = []
         for name in order:

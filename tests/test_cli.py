@@ -208,3 +208,39 @@ def test_model_validate_and_fix(spark, tmp_path, capsys):
     assert main(["model", "validate", "--project", str(proj),
                  "--warehouse", wh]) == 0
     assert "pass dim_region" in capsys.readouterr().out
+
+
+def test_exclude_last_and_save_state(spark, tmp_path, capsys):
+    import yaml
+    proj = tmp_path / "p5"
+    (proj / "models").mkdir(parents=True)
+    (proj / "sources.yml").write_text(
+        f"sources:\n  - name: region\n    path: {SF_DIR}/region.parquet\n"
+    )
+    for name, tags in (("m_keep", []), ("m_skip", ["no_backfill"])):
+        (proj / "models" / f"{name}.sql").write_text(
+            "SELECT * FROM {{ source('raw','region') }}"
+        )
+        (proj / "models" / f"{name}.yml").write_text(
+            yaml.safe_dump({"materialized": "table", "tags": tags})
+        )
+    wh = str(tmp_path / "wh5")
+    # --exclude subtracts the tagged model (reference: exclude tag:no_backfill)
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--exclude", "tag:no_backfill"]) == 0
+    out = capsys.readouterr().out
+    assert "m_keep" in out and "m_skip" not in out
+    # --last replays the saved selection
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--last"]) == 0
+    out = capsys.readouterr().out
+    assert "m_keep" in out and "m_skip" not in out
+    # manifest --save-state -> state:modified selects nothing when unchanged
+    state_file = str(tmp_path / "state.json")
+    assert main(["manifest", "--project", str(proj),
+                 "--save-state", state_file]) == 0
+    capsys.readouterr()
+    from dbtwiz_spark.manifest import Manifest
+    from dbtwiz_spark.project import load_project
+    manifest, _ = load_project(proj)
+    assert manifest.select("state:modified", state=Manifest.load_state(state_file)) == []
