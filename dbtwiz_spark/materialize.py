@@ -58,7 +58,13 @@ class Warehouse:
     def read(self, table: str) -> DataFrame:
         if table in self.views:
             return self.spark.sql(self.views[table])
-        return self.spark.read.parquet(str(self.path(table)))
+        # mergeSchema: partitions written before a schema evolution lack the
+        # newer columns (null-filled on read) — the engine's
+        # on_schema_change: append_new_columns semantics
+        # (dbtwiz/model/create.py:466)
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            str(self.path(table))
+        )
 
     # -- view / ephemeral ------------------------------------------------
     def create_view(self, name: str, sql: str) -> None:
@@ -136,13 +142,21 @@ class Warehouse:
             self.write_table(name, df, partition_by, cluster_by, snapshot=False)
             return
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # on_schema_change: append_new_columns (dbtwiz/model/create.py:466):
+        # columns the live table has but df lacks are appended as nulls so
+        # every partition stays readable; genuinely new df columns evolve the
+        # table schema (older partitions null-fill via mergeSchema on read)
+        existing = self.read(name).schema
+        missing = [f for f in existing.fields if f.name not in df.columns]
         out = df
+        for f in missing:
+            out = out.withColumn(f.name, F.lit(None).cast(f.dataType))
         if cluster_by:
-            out = df.repartition(partition_by).sortWithinPartitions(
+            out = out.repartition(partition_by).sortWithinPartitions(
                 partition_by, *cluster_by
             )
         else:
-            out = df.hint("rebalance", F.col(partition_by))
+            out = out.hint("rebalance", F.col(partition_by))
         out.write.mode("overwrite").partitionBy(partition_by).parquet(str(target))
 
     # -- merge upsert ----------------------------------------------------

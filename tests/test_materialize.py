@@ -112,3 +112,27 @@ def test_expire_snapshots_gc(spark, wh):
     os.rename(snap_dir / str(snaps[0]), snap_dir / str(old_ms))
     assert wh.expire_snapshots("tg") == 1
     assert wh.snapshots("tg") == []
+
+
+def test_incremental_schema_evolution(spark, wh):
+    """on_schema_change: append_new_columns (dbtwiz/model/create.py:466):
+    a new column appears in a later interval -> older partitions null-fill;
+    a dropped column is re-added as null so partitions stay consistent."""
+    v1 = _df(spark, [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")])
+    wh.insert_overwrite("evo", v1, "partitiondate")
+    # later interval adds a column
+    v2 = spark.createDataFrame(
+        [(3, "c", "2024-01-03", 9.5)],
+        "k INT, v STRING, partitiondate STRING, score DOUBLE",
+    )
+    wh.insert_overwrite("evo", v2, "partitiondate")
+    got = {r.partitiondate: (r.k, r.score) for r in wh.read("evo").collect()}
+    assert got["2024-01-03"] == (3, 9.5)
+    assert got["2024-01-01"][1] is None  # old partition null-fills new column
+    # an interval MISSING the evolved column still writes consistently
+    v3 = _df(spark, [(4, "d", "2024-01-04")])
+    wh.insert_overwrite("evo", v3, "partitiondate")
+    got = {r.partitiondate: (r.k, r.score) for r in wh.read("evo").collect()}
+    assert got["2024-01-04"] == (4, None)
+    assert got["2024-01-03"] == (3, 9.5)
+    assert len(got) == 4
