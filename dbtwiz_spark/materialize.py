@@ -160,20 +160,47 @@ class Warehouse:
         out.write.mode("overwrite").partitionBy(partition_by).parquet(str(target))
 
     # -- merge upsert ----------------------------------------------------
-    def merge(self, name: str, updates: DataFrame, unique_key: str) -> None:
-        """MERGE by unique key on plain parquet: full-outer anti+union
-        rewrite — existing rows not in ``updates`` survive, matched keys are
-        replaced, new keys are inserted (dbtwiz/model/create.py:467-470).
-        Collision rule: ``updates`` wins; duplicate keys within ``updates``
-        keep the last by key ordering (deterministic row_number)."""
+    def merge(
+        self,
+        name: str,
+        updates: DataFrame,
+        unique_key: str,
+        partition_by: str | None = None,
+    ) -> None:
+        """MERGE by unique key on plain parquet: anti-join + union rewrite —
+        existing rows not in ``updates`` survive, matched keys are replaced,
+        new keys are inserted (dbtwiz/model/create.py:467-470). Collision
+        rule: ``updates`` wins; duplicate keys within ``updates`` collapse
+        deterministically.
+
+        With ``partition_by`` the rewrite is partition-scoped: only
+        partitions that contain an affected key (plus partitions the updates
+        introduce) are rewritten via dynamic partition overwrite — at 100 TB
+        a merge touching one day must not rewrite ten years of history. The
+        affected-partition set is computed with a semi-join on the key, and
+        survivors come only from those partitions.
+        """
         if not self.exists(name):
-            self.write_table(name, updates, snapshot=False)
+            self.write_table(name, updates, partition_by, snapshot=False)
             return
         current = self.read(name)
         deduped = updates.dropDuplicates([unique_key])
-        survivors = current.join(deduped, on=unique_key, how="left_anti")
-        merged = survivors.unionByName(deduped)
-        self.write_table(name, merged)
+        if partition_by is None:
+            survivors = current.join(deduped, on=unique_key, how="left_anti")
+            self.write_table(name, survivors.unionByName(deduped))
+            return
+        # partitions holding a matched key -> must be rewritten
+        affected = (
+            current.join(deduped.select(unique_key), on=unique_key, how="left_semi")
+            .select(partition_by)
+            .distinct()
+        )
+        survivors = (
+            current.join(F.broadcast(affected), on=partition_by, how="left_semi")
+            .join(deduped, on=unique_key, how="left_anti")
+        )
+        merged = survivors.unionByName(deduped.select(*survivors.columns))
+        self.insert_overwrite(name, merged, partition_by)
 
     def scd2_apply(
         self, name: str, updates: DataFrame, unique_key: str, date_column: str

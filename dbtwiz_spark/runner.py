@@ -94,7 +94,9 @@ class Runner:
             if model.incremental_strategy == "merge":
                 if not model.unique_key:
                     raise ValueError(f"{model.name}: merge requires unique_key")
-                self.warehouse.merge(model.name, df, model.unique_key)
+                self.warehouse.merge(
+                    model.name, df, model.unique_key, model.partition_by
+                )
             else:  # insert_overwrite (default, dbtwiz/model/create.py:456)
                 if not model.partition_by:
                     raise ValueError(f"{model.name}: insert_overwrite requires partition_by")

@@ -136,3 +136,36 @@ def test_incremental_schema_evolution(spark, wh):
     assert got["2024-01-04"] == (4, None)
     assert got["2024-01-03"] == (3, 9.5)
     assert len(got) == 4
+
+
+def test_partition_scoped_merge(spark, wh):
+    """With partition_by, merge rewrites ONLY partitions containing affected
+    keys — untouched partition files must remain byte-identical (the 100 TB
+    contract: a one-day merge must not rewrite all history)."""
+    import glob
+    import os
+
+    base = _df(
+        spark,
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-01"),
+         (3, "c", "2024-01-02"), (4, "d", "2024-01-03")],
+    )
+    wh.merge("pm", base, unique_key="k", partition_by="partitiondate")
+
+    def files(day):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(str(wh.path("pm") / f"partitiondate={day}" / "*.parquet"))
+        }
+
+    before_untouched = files("2024-01-03")
+    updates = _df(spark, [(2, "B2", "2024-01-01"), (5, "e", "2024-01-04")])
+    wh.merge("pm", updates, unique_key="k", partition_by="partitiondate")
+
+    got = {r.k: (r.v, r.partitiondate) for r in wh.read("pm").collect()}
+    assert got == {
+        1: ("a", "2024-01-01"), 2: ("B2", "2024-01-01"),
+        3: ("c", "2024-01-02"), 4: ("d", "2024-01-03"), 5: ("e", "2024-01-04"),
+    }
+    # the 2024-01-03 partition had no affected keys: files untouched
+    assert files("2024-01-03") == before_untouched
