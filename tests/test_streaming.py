@@ -141,3 +141,23 @@ def test_foreach_batch_overwrite_sink(spark, source_dir, tmp_path):
     got = {(r.partitiondate, r.n_events) for r in out.collect()}
     want = {(r.partitiondate, r.n_events) for r in batch.collect()}
     assert got == want
+
+
+def test_sessionized_stream_matches_batch(spark, source_dir):
+    from dbtwiz_spark.streaming import sessionized_stream
+
+    out = _run(spark, sessionized_stream(events_stream(spark, source_dir)),
+               mode="append").collect()
+    batch = (
+        spark.read.parquet(source_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "total_value")
+        .collect()
+    )
+    bmap = {(r.user_id, r.session_start): (r.n_events, r.total_value) for r in batch}
+    assert out, "stream emitted no closed sessions"
+    for r in out:  # every watermark-closed session equals its batch form
+        n, tv = bmap[(r.user_id, r.session_start)]
+        assert r.n_events == n and abs(r.total_value - tv) < 1e-9
