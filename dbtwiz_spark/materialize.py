@@ -82,10 +82,11 @@ class Warehouse:
         cluster_by: list[str] | None = None,
         snapshot: bool = True,
     ) -> None:
-        """Full-table materialization with write-audit-publish."""
+        """Full-table materialization with write-audit-publish. When
+        overwriting, the previous table state becomes a snapshot by MOVING
+        its files at publish time — zero-copy, unlike a pre-write copy which
+        would double-handle the whole table on every overwrite."""
         target = self.path(name)
-        if snapshot and target.exists():
-            self.snapshot(name)
         tmp = target.with_name(f"{name}__tmp_{int(time.time() * 1000)}")
         out = df
         if cluster_by:
@@ -118,10 +119,17 @@ class Warehouse:
             raise RuntimeError(f"audit failed for {name}: {written} != {expected}")
         # publish: atomic-ish swap (keep snapshots dir across overwrites)
         snaps = target / SNAPSHOT_DIRNAME
-        saved_snaps = None
+        saved_snaps = tmp / SNAPSHOT_DIRNAME
         if snaps.exists():
-            saved_snaps = tmp / SNAPSHOT_DIRNAME
             shutil.move(str(snaps), str(saved_snaps))
+        if snapshot and target.exists():
+            # zero-copy snapshot: the outgoing table state moves (not copies)
+            # into the snapshot dir that ships with the new table
+            dst = saved_snaps / str(int(time.time() * 1000))
+            dst.parent.mkdir(exist_ok=True)
+            dst.mkdir()
+            for p in target.iterdir():
+                shutil.move(str(p), str(dst / p.name))
         if target.exists():
             shutil.rmtree(target)
         shutil.move(str(tmp), str(target))
