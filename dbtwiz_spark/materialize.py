@@ -214,25 +214,49 @@ class Warehouse:
         self, name: str, updates: DataFrame, unique_key: str, date_column: str
     ) -> None:
         """SCD2: append new daily grain then rebuild validity intervals with
-        lead() over the partition date (dbtwiz/model/create.py:418-429)."""
+        lead() over the partition date (dbtwiz/model/create.py:418-429).
+
+        Scale shape: only the keys present in ``updates`` are re-windowed —
+        their full (small) per-key history is pulled via a semi-join, rebuilt,
+        and written back through the partition-scoped overwrite (the table is
+        partitioned by ``date_column``). Unaffected keys' rows are never read
+        past the semi-join nor rewritten; a daily SCD2 run costs
+        O(touched keys × their history), not O(table)."""
         from pyspark.sql.window import Window
 
         base_cols = [c for c in updates.columns if c not in ("valid_from", "valid_to", "is_current")]
-        hist = updates.select(base_cols)
-        if self.exists(name):
-            hist = (
-                self.read(name)
-                .select(base_cols)
-                .unionByName(hist)
-                .dropDuplicates([unique_key, date_column])
-            )
         w = Window.partitionBy(unique_key).orderBy(date_column)
-        out = (
-            hist.withColumn("valid_from", F.col(date_column))
-            .withColumn("valid_to", F.lead(date_column).over(w))
-            .withColumn("is_current", F.col("valid_to").isNull())
+
+        def rebuild(hist: DataFrame) -> DataFrame:
+            return (
+                hist.withColumn("valid_from", F.col(date_column))
+                .withColumn("valid_to", F.lead(date_column).over(w))
+                .withColumn("is_current", F.col("valid_to").isNull())
+            )
+
+        hist = updates.select(base_cols)
+        if not self.exists(name):
+            self.write_table(name, rebuild(hist), partition_by=date_column,
+                             snapshot=False)
+            return
+        current = self.read(name)
+        affected_keys = updates.select(unique_key).distinct()
+        key_hist = (
+            current.join(affected_keys, on=unique_key, how="left_semi")
+            .select(base_cols)
+            .unionByName(hist)
+            .dropDuplicates([unique_key, date_column])
         )
-        self.write_table(name, out)
+        rebuilt = rebuild(key_hist)
+        # partitions holding any affected-key row must be rewritten (their
+        # valid_to/is_current may change); survivors are the other keys' rows
+        affected_parts = rebuilt.select(date_column).distinct()
+        survivors = (
+            current.join(F.broadcast(affected_parts), on=date_column, how="left_semi")
+            .join(affected_keys, on=unique_key, how="left_anti")
+        )
+        merged = survivors.unionByName(rebuilt.select(*survivors.columns))
+        self.insert_overwrite(name, merged, partition_by=date_column)
 
     # -- copy / delete (dbtwiz/integrations/bigquery.py:644-735,389-395) --
     def copy_table(self, src: str, dst: str) -> None:

@@ -169,3 +169,34 @@ def test_partition_scoped_merge(spark, wh):
     }
     # the 2024-01-03 partition had no affected keys: files untouched
     assert files("2024-01-03") == before_untouched
+
+
+def test_scd2_rewrite_is_key_scoped(spark, wh):
+    """An SCD2 run touching one key must not rewrite partitions that hold
+    only other keys' rows."""
+    import glob
+    import os
+
+    day1 = _df(spark, [(1, "alice", "2024-01-01"), (2, "bob", "2024-02-01")])
+    wh.scd2_apply("dim2", day1, unique_key="k", date_column="partitiondate")
+
+    def files(day):
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(
+                str(wh.path("dim2") / f"partitiondate={day}" / "*.parquet")
+            )
+        }
+
+    bob_files = files("2024-02-01")
+    day2 = _df(spark, [(1, "ALICE", "2024-03-01")])
+    wh.scd2_apply("dim2", day2, unique_key="k", date_column="partitiondate")
+    rows = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in wh.read("dim2").collect()
+    }
+    assert (1, "alice", "2024-01-01", "2024-03-01", False) in rows
+    assert (1, "ALICE", "2024-03-01", None, True) in rows
+    assert (2, "bob", "2024-02-01", None, True) in rows
+    # bob's partition had no affected keys -> untouched
+    assert files("2024-02-01") == bob_files
