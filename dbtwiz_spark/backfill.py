@@ -137,23 +137,31 @@ def run_backfill(
         else chunk_date_range(first, last, batch_size)
     )
     results = []
-    for chunk in chunks:
-        runner.variables.update(
-            {
-                "data_interval_start": chunk[0].isoformat(),
-                "data_interval_end": (chunk[1] + timedelta(days=1)).isoformat(),
-                "is_backfill": True,
-            }
-        )
-        try:
-            run_results = runner.run(selector, exclude=exclude)
-            bad = [r for r in run_results if r.status == "error"]
-            status = "success" if not bad else f"error: {bad[0].error}"
-        except Exception as e:  # noqa: BLE001 — journal records, caller retries
-            status = f"error: {type(e).__name__}: {e}"
-        if journal:
-            journal.record(chunk, "success" if status == "success" else status)
-        results.append((chunk, status))
-        if status != "success" and serial:
-            break  # self-dependent models must not skip a failed interval
+    # interval vars are scoped to the backfill: restore the runner's own
+    # variables afterwards so is_backfill/data_interval_* never leak into
+    # later non-backfill runs in the same process
+    saved_variables = dict(runner.variables)
+    try:
+        for chunk in chunks:
+            runner.variables.update(
+                {
+                    "data_interval_start": chunk[0].isoformat(),
+                    "data_interval_end": (chunk[1] + timedelta(days=1)).isoformat(),
+                    "is_backfill": True,
+                }
+            )
+            try:
+                run_results = runner.run(selector, exclude=exclude)
+                bad = [r for r in run_results if r.status == "error"]
+                status = "success" if not bad else f"error: {bad[0].error}"
+            except Exception as e:  # noqa: BLE001 — journal records, caller retries
+                status = f"error: {type(e).__name__}: {e}"
+            if journal:
+                journal.record(chunk, "success" if status == "success" else status)
+            results.append((chunk, status))
+            if status != "success" and serial:
+                break  # self-dependent models must not skip a failed interval
+    finally:
+        runner.variables.clear()
+        runner.variables.update(saved_variables)
     return results

@@ -39,6 +39,31 @@ SNAPSHOT_DIRNAME = "_snapshots"
 TIME_TRAVEL_WINDOW_DAYS = 7  # dbtwiz/admin/restore.py:63-70
 
 
+def _pin_survivor(
+    df: DataFrame, keys: list[str], precedence: list[str] | None = None
+) -> DataFrame:
+    """Collapse duplicate keys DETERMINISTICALLY: the survivor ranks first by
+    (precedence columns asc, then every remaining column asc, nulls last).
+
+    ``dropDuplicates`` keeps an arbitrary row — under task retries or
+    speculative execution two runs of the same merge could publish different
+    tables. A total order pins the survivor; callers encode "updates beat
+    current rows" as a 0/1 precedence column."""
+    from pyspark.sql.window import Window
+
+    pcols = list(precedence or [])
+    others = [c for c in df.columns if c not in keys and c not in pcols]
+    order = [F.col(c).asc_nulls_last() for c in pcols + others]
+    if not order:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("_rn_pin", F.row_number().over(w))
+        .filter(F.col("_rn_pin") == 1)
+        .drop("_rn_pin")
+    )
+
+
 @dataclass
 class Warehouse:
     """A directory of parquet tables managed by the engine."""
@@ -117,22 +142,31 @@ class Warehouse:
         if written != expected:
             shutil.rmtree(tmp, ignore_errors=True)
             raise RuntimeError(f"audit failed for {name}: {written} != {expected}")
-        # publish: atomic-ish swap (keep snapshots dir across overwrites)
-        snaps = target / SNAPSHOT_DIRNAME
-        saved_snaps = tmp / SNAPSHOT_DIRNAME
-        if snaps.exists():
-            shutil.move(str(snaps), str(saved_snaps))
-        if snapshot and target.exists():
-            # zero-copy snapshot: the outgoing table state moves (not copies)
-            # into the snapshot dir that ships with the new table
-            dst = saved_snaps / str(int(time.time() * 1000))
-            dst.parent.mkdir(exist_ok=True)
-            dst.mkdir()
-            for p in target.iterdir():
-                shutil.move(str(p), str(dst / p.name))
+        # publish: crash-safe swap. The outgoing table is RENAMED aside (one
+        # atomic dir rename), the new data renamed into place, and only then
+        # is the old state folded into the snapshot dir (zero-copy move) or
+        # deleted. A crash at any point leaves every row on disk under either
+        # the live path or the __old path — never the delete-then-move hole
+        # where no live table exists.
+        ts = int(time.time() * 1000)
+        old = target.with_name(f"{name}__old_{ts}")
         if target.exists():
-            shutil.rmtree(target)
+            target.rename(old)
         shutil.move(str(tmp), str(target))
+        if old.exists():
+            old_snaps = old / SNAPSHOT_DIRNAME
+            if old_snaps.exists():
+                # snapshot history survives overwrites: move it (not copy)
+                # under the new table state
+                shutil.move(str(old_snaps), str(target / SNAPSHOT_DIRNAME))
+            if snapshot:
+                # zero-copy snapshot: the outgoing table state moves (not
+                # copies) into the snapshot dir that ships with the new table
+                dst = target / SNAPSHOT_DIRNAME / str(ts)
+                dst.parent.mkdir(exist_ok=True)
+                shutil.move(str(old), str(dst))
+            else:
+                shutil.rmtree(old)
 
     # -- incremental insert_overwrite ------------------------------------
     def insert_overwrite(
@@ -186,16 +220,27 @@ class Warehouse:
         introduce) are rewritten via dynamic partition overwrite — at 100 TB
         a merge touching one day must not rewrite ten years of history. The
         affected-partition set is computed with a semi-join on the key, and
-        survivors come only from those partitions.
+        survivors come only from those partitions. One guarded exception:
+        if an update MOVES a key to a different partition and its old
+        partition keeps no surviving rows, dynamic overwrite would never
+        rewrite (= never empty) that partition and the old row would go
+        stale — that case is detected with an anti-join and falls back to a
+        whole-table rewrite (rare: most merges update in place).
+
+        Schema evolution matches insert_overwrite's append_new_columns:
+        new columns in ``updates`` evolve the table (old rows null-fill),
+        columns missing from ``updates`` are preserved as nulls.
         """
         if not self.exists(name):
             self.write_table(name, updates, partition_by, snapshot=False)
             return
         current = self.read(name)
-        deduped = updates.dropDuplicates([unique_key])
+        deduped = _pin_survivor(updates, [unique_key])
         if partition_by is None:
             survivors = current.join(deduped, on=unique_key, how="left_anti")
-            self.write_table(name, survivors.unionByName(deduped))
+            self.write_table(
+                name, survivors.unionByName(deduped, allowMissingColumns=True)
+            )
             return
         # partitions holding a matched key -> must be rewritten
         affected = (
@@ -207,7 +252,19 @@ class Warehouse:
             current.join(F.broadcast(affected), on=partition_by, how="left_semi")
             .join(deduped, on=unique_key, how="left_anti")
         )
-        merged = survivors.unionByName(deduped.select(*survivors.columns))
+        merged = survivors.unionByName(deduped, allowMissingColumns=True)
+        # a partition is EMPTIED when it is affected but contributes no rows
+        # to the merged output (every key moved elsewhere). limit(1).count()
+        # is a metadata-scale probe: it scans at most until the first hit.
+        emptied = affected.join(
+            merged.select(partition_by).distinct(), on=partition_by, how="left_anti"
+        )
+        if emptied.limit(1).count() > 0:
+            full = current.join(deduped, on=unique_key, how="left_anti").unionByName(
+                deduped, allowMissingColumns=True
+            )
+            self.write_table(name, full, partition_by, snapshot=False)
+            return
         self.insert_overwrite(name, merged, partition_by)
 
     def scd2_apply(
@@ -241,12 +298,21 @@ class Warehouse:
             return
         current = self.read(name)
         affected_keys = updates.select(unique_key).distinct()
-        key_hist = (
+        # an update re-stating an existing (key, date) must WIN over the
+        # table row — deterministically (dropDuplicates would keep an
+        # arbitrary one): precedence 0 = update, 1 = current
+        cur_hist = (
             current.join(affected_keys, on=unique_key, how="left_semi")
-            .select(base_cols)
-            .unionByName(hist)
-            .dropDuplicates([unique_key, date_column])
+            .select([c for c in base_cols if c in current.columns])
+            .withColumn("_prio", F.lit(1))
         )
+        key_hist = _pin_survivor(
+            cur_hist.unionByName(
+                hist.withColumn("_prio", F.lit(0)), allowMissingColumns=True
+            ),
+            [unique_key, date_column],
+            precedence=["_prio"],
+        ).drop("_prio")
         rebuilt = rebuild(key_hist)
         # partitions holding any affected-key row must be rewritten (their
         # valid_to/is_current may change); survivors are the other keys' rows
@@ -255,7 +321,7 @@ class Warehouse:
             current.join(F.broadcast(affected_parts), on=date_column, how="left_semi")
             .join(affected_keys, on=unique_key, how="left_anti")
         )
-        merged = survivors.unionByName(rebuilt.select(*survivors.columns))
+        merged = survivors.unionByName(rebuilt, allowMissingColumns=True)
         self.insert_overwrite(name, merged, partition_by=date_column)
 
     # -- copy / delete (dbtwiz/integrations/bigquery.py:644-735,389-395) --

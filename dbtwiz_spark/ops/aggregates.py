@@ -136,16 +136,23 @@ def agg_approx_count_distinct(spark, sf_dir):
 @register(
     "agg-array-agg",
     oracle="""
-    SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+    SELECT n_regionkey,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations
     FROM nation GROUP BY 1
     """,
 )
 def agg_array_agg(spark, sf_dir):
     """ARRAY_AGG per group (dbtwiz/admin/cleanup.py:65); sorted for
-    deterministic comparison (collection order is nondeterministic)."""
+    deterministic comparison (collection order is nondeterministic).
+
+    The aggregation itself is collect_set + sort_array; the output is
+    serialized to a comma-joined string because the driver's canonicalizer
+    (pandas sort_values) cannot hash/sort raw list cells — same operator
+    coverage, hashable result on both engines.
+    """
     n = views(spark, sf_dir).table("nation")
     return n.groupBy("n_regionkey").agg(
-        F.sort_array(F.collect_set("n_name")).alias("nations")
+        F.concat_ws(",", F.sort_array(F.collect_set("n_name"))).alias("nations")
     )
 
 

@@ -350,6 +350,11 @@ def ext_ngram_jaccard(spark, sf_dir):
 NUM_PERM = 32
 BANDS = 8  # 8 bands x 4 rows: catches jaccard >~0.5 candidates w.h.p.
 
+# Built artifacts (persisted signature tables / ANN indexes), memoized per
+# (session id, sf_dir[, kind]) — the long-lived-session analog of a
+# materialized index table: build once, serve every query.
+_ARTIFACTS: dict[tuple, object] = {}
+
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}): min of seeded xxhash64 per permutation.
@@ -377,24 +382,31 @@ def ext_dedup_near(spark, sf_dir):
     oracle; tests/test_ext_llm.py checks recall against ext-ngram-jaccard.
     """
     d = views(spark, sf_dir).table("documents")
-    sh = shingles(d, 3)
     # One aggregation produces the whole per-doc record: minhash signature +
     # the shingle set itself. The signature table is doc-granular (bounded by
     # the corpus text size) and is persisted because three downstream plans
     # consume it — recomputing the shingle pipeline per consumer would triple
     # the dominant cost. Persist is MEMORY_AND_DISK: spills, never OOMs.
+    # Memoized per (session, sf_dir): it is a built artifact (at scale, a
+    # materialized table), so repeat calls in a long-lived session reuse the
+    # SAME persisted DataFrame instead of re-persisting an identical plan.
     rows_per_band = NUM_PERM // BANDS
-    per_doc = (
-        sh.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-                for i in range(NUM_PERM)
-            ],
-            F.collect_set("shingle").alias("shset"),
+    key = (id(spark), sf_dir, "lsh_per_doc")
+    per_doc = _ARTIFACTS.get(key)
+    if per_doc is None:
+        sh = shingles(d, 3)
+        per_doc = (
+            sh.groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+                    for i in range(NUM_PERM)
+                ],
+                F.collect_set("shingle").alias("shset"),
+            )
+            .persist()
         )
-        .persist()
-    )
+        _ARTIFACTS[key] = per_doc
     stacked = per_doc.select(
         "doc_id",
         F.explode(
@@ -581,43 +593,50 @@ def ext_sim_cosine_topk(spark, sf_dir):
     ).filter(F.col("rnk") <= 10)
 
 
+def _dec_dot(a, b):
+    """Exact-decimal dot product of two array columns, map-side.
+
+    Each element product is computed in double (IEEE-deterministic, same in
+    DuckDB) then quantized to DECIMAL(38,12); accumulation is decimal and
+    therefore exact and order-independent, so the value hash-matches the
+    oracle's ``SUM(CAST(prod AS DECIMAL(38,12)))`` regardless of evaluation
+    order. The fold quantizes to DECIMAL(28,12) — same 12-digit rounding as
+    the oracle's (38,12) — and re-casts after each add to pin the accumulator
+    type; at precision 28 the add result (29,12) stays under Spark's 38-digit
+    cap, so no mid-fold scale loss (at (38,12) each add would round scale
+    12→11 and drift ~1e-12 from the oracle)."""
+    dec = "decimal(28,12)"
+    zero = F.lit(0).cast(dec)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(dec)),
+        zero,
+        lambda acc, x: (acc + x).cast(dec),
+    )
+
+
 def _cosine_pairs(spark, emb: DataFrame, query_pred) -> DataFrame:
-    """(q_vec_id, c_vec_id, c_label, cosine) with exact-decimal accumulation."""
-    ex = emb.select(
-        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
-    ).withColumn("xd", F.col("x").cast("double"))
-    norms = ex.groupBy("vec_id", "label").agg(
-        F.sqrt(
-            F.sum((F.col("xd") * F.col("xd")).cast(_DOT_DEC)).cast("double")
-        ).alias("nrm")
+    """(q_vec_id, c_vec_id, c_label, cosine) with exact-decimal accumulation.
+
+    Scale shape: the (sampled, small) query side is broadcast as whole
+    vectors; the dot product and both norms are computed map-side with
+    zip_with+aggregate — a single streaming pass over the candidate table
+    with no explode and no shuffle before the consumer's own aggregation.
+    (The previous formulation exploded both sides and joined on the 64-value
+    dimension index — an all-pairs blowup funneled through 64 shuffle keys.)
+    """
+    nrm = F.sqrt(_dec_dot(F.col("embedding"), F.col("embedding")).cast("double"))
+    base = emb.select("vec_id", "label", "embedding", nrm.alias("nrm"))
+    q = base.filter(query_pred).select(
+        F.col("vec_id").alias("q_vec_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("nrm").alias("qn"),
     )
-    q = ex.filter(query_pred).select(
-        F.col("vec_id").alias("q_vec_id"), "i", F.col("xd").alias("qx")
-    )
-    c = ex.select(
-        F.col("vec_id").alias("c_vec_id"), "i", F.col("xd").alias("cx")
-    )
-    dots = (
-        q.join(c, "i")
-        .filter(F.col("q_vec_id") != F.col("c_vec_id"))
-        .groupBy("q_vec_id", "c_vec_id")
-        .agg(F.sum((F.col("qx") * F.col("cx")).cast(_DOT_DEC)).alias("dot"))
-    )
-    qn = norms.select(F.col("vec_id").alias("q_vec_id"), F.col("nrm").alias("qn"))
-    cn = norms.select(
+    dot = _dec_dot(F.col("q_embedding"), F.col("embedding"))
+    return base.join(F.broadcast(q), F.col("q_vec_id") != F.col("vec_id")).select(
+        "q_vec_id",
         F.col("vec_id").alias("c_vec_id"),
         F.col("label").alias("c_label"),
-        F.col("nrm").alias("cn"),
-    )
-    return (
-        dots.join(F.broadcast(qn), "q_vec_id")
-        .join(F.broadcast(cn), "c_vec_id")
-        .select(
-            "q_vec_id",
-            "c_vec_id",
-            "c_label",
-            (F.col("dot").cast("double") / (F.col("qn") * F.col("cn"))).alias("cosine"),
-        )
+        (dot.cast("double") / (F.col("qn") * F.col("nrm"))).alias("cosine"),
     )
 
 
@@ -794,37 +813,88 @@ def _arr_dot(a, b):
     )
 
 
+def _centroid_scores(vec_col, cents_col):
+    """Per-row array of (score, neg_cell) structs vs every centroid —
+    entirely map-side (nested higher-order functions, no explode). Centroids
+    arrive unit-normalized (`_centroids_as_array`), so score is a plain dot.
+
+    neg_cell makes struct ordering encode the tie-break: max/descending on
+    the struct means highest score first, then smallest cell."""
+    return F.transform(
+        cents_col,
+        lambda c: F.struct(
+            _arr_dot(vec_col, c["centroid"]).alias("score"),
+            (-c["cell"]).alias("neg_cell"),
+        ),
+    )
+
+
+def _centroids_as_array(centroids: DataFrame) -> DataFrame:
+    """Collapse the K-row centroid table into ONE row holding an array of
+    (cell, unit_centroid) structs, sorted by cell — broadcast-crossJoined
+    onto the corpus so argmax/argtop-nprobe run as per-row array expressions
+    with zero shuffle (the previous formulation exploded K× the corpus
+    through a row_number window). Centroids are normalized here, once for K
+    rows, instead of per corpus row in the scorer."""
+    with_norm = centroids.select(
+        "cell",
+        "centroid",
+        F.sqrt(_arr_dot(F.col("centroid"), F.col("centroid"))).alias("nrm"),
+    )
+    unit = with_norm.select(
+        "cell",
+        F.transform("centroid", lambda v: v.cast("double") / F.col("nrm")).alias(
+            "centroid"
+        ),
+    )
+    return unit.agg(
+        F.array_sort(F.collect_list(F.struct("cell", "centroid"))).alias("cents")
+    )
+
+
 def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign each vector to its nearest centroid by cosine (vector norm is
-    constant per vec so dot/centroid-norm decides the argmax). Centroids are
-    broadcast (K rows): the assignment is a map-side pass over the corpus."""
-    score = _arr_dot(F.col("embedding"), F.col("centroid")) / F.sqrt(
-        _arr_dot(F.col("centroid"), F.col("centroid"))
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("cell"))
+    constant per vec so dot/centroid-norm decides the argmax). The K
+    centroids ride along as one broadcast array row: the assignment is a
+    map-side argmax (array_max over (score, neg_cell) structs) — no window,
+    no shuffle, no K× row blowup."""
+    best = F.array_max(_centroid_scores(F.col("embedding"), F.col("cents")))
     return (
-        emb.crossJoin(F.broadcast(centroids))
-        .withColumn("score", score)
-        .withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select("cell", "vec_id", "label", "embedding")
+        emb.crossJoin(F.broadcast(_centroids_as_array(centroids)))
+        .withColumn("best", best)
+        .select(
+            (-F.col("best.neg_cell")).alias("cell"),
+            "vec_id",
+            "label",
+            "embedding",
+            # candidate norm computed once here, carried in the index so the
+            # search never recomputes it per (query, candidate) pair
+            F.sqrt(_arr_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
     )
 
 
-def ivf_index(emb: DataFrame, n_cells: int = 16, lloyd_iters: int = 1):
+def ivf_index(
+    emb: DataFrame, n_cells: int = 16, lloyd_iters: int = 1, cache_key: tuple | None = None
+):
     """IVF coarse quantizer: deterministic seeds (the K smallest vec_ids)
     refined by Lloyd iterations, all as DataFrame ops.
 
     Returns (assignments, centroids). The Lloyd recompute is a
     groupBy(cell, dim) mean — one shuffle per iteration bounded by
-    K × dims rows out."""
-    centroids = (
-        emb.orderBy("vec_id")
-        .limit(n_cells)
-        .select(
-            F.row_number().over(Window.orderBy("vec_id")).alias("cell"),
-            F.col("embedding").alias("centroid"),
-        )
+    K × dims rows out. With ``cache_key`` the built index is memoized
+    (build once per session, like a materialized index table)."""
+    if cache_key is not None and cache_key in _ARTIFACTS:
+        return _ARTIFACTS[cache_key]
+    # seed numbering is window-free: collect the K seed ids into one sorted
+    # array and number each seed by its array position (a global-order window
+    # here would run single-partition and trip the WindowExec warning; K rows
+    # make the array trivially small)
+    seeds = emb.orderBy("vec_id").limit(n_cells).select("vec_id", "embedding")
+    seed_ids = seeds.agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+    centroids = seeds.crossJoin(F.broadcast(seed_ids)).select(
+        F.array_position(F.col("ids"), F.col("vec_id")).cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
     )
     for _ in range(lloyd_iters):
         assigned = ivf_assign(emb, centroids)
@@ -844,7 +914,10 @@ def ivf_index(emb: DataFrame, n_cells: int = 16, lloyd_iters: int = 1):
     # scale: materialized partitioned-by-cell parquet). Persist both sides;
     # identical rebuild plans hit the same cache entry.
     centroids = centroids.persist()
-    return ivf_assign(emb, centroids).persist(), centroids
+    out = (ivf_assign(emb, centroids).persist(), centroids)
+    if cache_key is not None:
+        _ARTIFACTS[cache_key] = out
+    return out
 
 
 def ivf_topk(
@@ -853,33 +926,43 @@ def ivf_topk(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
+    cache_key: tuple | None = None,
 ) -> DataFrame:
     """IVF search: probe the ``nprobe`` nearest cells per query, exact cosine
     only against those cells' members. At 100 TB the index is built once and
     persisted partitioned by cell; a query touches nprobe/n_cells of the
     corpus instead of all of it."""
-    index, centroids = ivf_index(emb, n_cells)
-    qscore = _arr_dot(F.col("q_embedding"), F.col("centroid")) / F.sqrt(
-        _arr_dot(F.col("centroid"), F.col("centroid"))
+    index, centroids = ivf_index(emb, n_cells, cache_key=cache_key)
+    # probe selection is map-side too: sort the per-query (score, neg_cell)
+    # array descending (ascending sort + reverse ⇒ score desc, cell asc on
+    # ties) and slice the first nprobe cells — no window, no shuffle
+    probe_cells = F.transform(
+        F.slice(
+            F.reverse(
+                F.array_sort(_centroid_scores(F.col("q_embedding"), F.col("cents")))
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: -s["neg_cell"],
     )
-    wq = Window.partitionBy("q_vec_id").orderBy(F.col("score").desc(), F.col("cell"))
     probed = (
-        queries.crossJoin(F.broadcast(centroids))
-        .withColumn("score", qscore)
-        .withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= nprobe)
-        .select("q_vec_id", "q_embedding", "cell")
+        queries.crossJoin(F.broadcast(_centroids_as_array(centroids)))
+        .select("q_vec_id", "q_embedding", F.explode(probe_cells).alias("cell"))
     )
     dot = _arr_dot(F.col("q_embedding"), F.col("embedding"))
     nq = F.sqrt(_arr_dot(F.col("q_embedding"), F.col("q_embedding")))
-    nc = F.sqrt(_arr_dot(F.col("embedding"), F.col("embedding")))
+    # broadcast the (sampled, small) probed query set: the cell join is a
+    # broadcast hash join against the persisted index — the 16-value cell key
+    # never becomes a shuffle key. Candidate norms come precomputed from the
+    # index (`nrm`), not per-pair.
     pairs = (
-        probed.join(index, "cell")
+        F.broadcast(probed).join(index, "cell")
         .filter(F.col("q_vec_id") != F.col("vec_id"))
         .select(
             "q_vec_id",
             F.col("vec_id").alias("c_vec_id"),
-            (dot / (nq * nc)).alias("cosine"),
+            (dot / (nq * F.col("nrm"))).alias("cosine"),
         )
     )
     wk = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
@@ -896,7 +979,14 @@ def ext_ann_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
     )
-    return ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4)
+    return ivf_topk(
+        emb,
+        queries,
+        k=10,
+        n_cells=16,
+        nprobe=4,
+        cache_key=(id(spark), sf_dir, "ivf16"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -189,12 +189,57 @@ def win_sliding_frame(spark, sf_dir):
     """,
 )
 def win_percent(spark, sf_dir):
-    """percent_rank / cume_dist (single ordered partition; ratios of integer
-    ranks are per-row double ops — deterministic)."""
+    """percent_rank / cume_dist over a global order — computed scale-safe.
+
+    A bare ``Window.orderBy`` funnels the whole table through ONE task; this
+    formulation gets identical values from a range-partitioned parallel rank:
+
+    1. range-partition + local sort on the (unique) order key,
+    2. local row_number per physical partition,
+    3. tiny per-partition row counts → cumulative offsets (broadcast),
+    4. global rank = offset + local row_number.
+
+    The order key (c_acctbal, c_custkey) is a unique total order, so
+    rank == row_number, percent_rank == (rank-1)/(N-1) and
+    cume_dist == rank/N — exactly DuckDB's values, with every step parallel
+    (the only single-task work is the cumsum over #partitions rows).
+    """
     c = views(spark, sf_dir).table("customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    keys = [F.col("c_acctbal"), F.col("c_custkey")]
+    parts = c.select("c_custkey", "c_acctbal").repartitionByRange(8, *keys)
+    local = parts.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    # cumulative offsets computed window-free (a windowed cumsum here would
+    # be a single-partition WindowExec): fold the #partitions-sized count
+    # array — O(P²) on a handful of elements, all in one tiny task
+    carr = counts.agg(
+        F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+    prefix = F.transform(
+        F.col("arr"),
+        lambda s, i: F.struct(
+            s["_pid"].alias("_pid"),
+            F.aggregate(
+                F.slice(F.col("arr"), 1, i), zero, lambda a, x: a + x["_cnt"]
+            ).alias("_off"),
+        ),
+    )
+    total = F.aggregate(F.col("arr"), zero, lambda a, x: a + x["_cnt"])
+    offsets = carr.select(
+        F.explode(prefix).alias("o"), total.alias("_n")
+    ).select(F.col("o._pid").alias("_pid"), F.col("o._off").alias("_off"), "_n")
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
         "c_custkey",
-        F.percent_rank().over(w).alias("bal_pct_rank"),
-        F.cume_dist().over(w).alias("bal_cume_dist"),
+        (F.col("_off") + F.col("_rn")).alias("_rank"),
+        "_n",
+    )
+    return ranked.select(
+        "c_custkey",
+        F.when(F.col("_n") > 1, (F.col("_rank") - 1) / (F.col("_n") - 1))
+        .otherwise(F.lit(0.0))
+        .alias("bal_pct_rank"),
+        (F.col("_rank") / F.col("_n")).alias("bal_cume_dist"),
     )

@@ -171,6 +171,139 @@ def test_partition_scoped_merge(spark, wh):
     assert files("2024-01-03") == before_untouched
 
 
+def test_merge_partition_move_leaves_no_stale_row(spark, wh):
+    """A key whose update MOVES it to a different partition must disappear
+    from its old partition — even when the old partition keeps no surviving
+    rows (dynamic overwrite alone would never rewrite/empty it)."""
+    base = _df(spark, [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")])
+    wh.merge("mv", base, unique_key="k", partition_by="partitiondate")
+    # key 1 moves 01-01 -> 01-05; 01-01 then holds NO rows at all
+    wh.merge(
+        "mv",
+        _df(spark, [(1, "a2", "2024-01-05")]),
+        unique_key="k",
+        partition_by="partitiondate",
+    )
+    got = {r.k: (r.v, r.partitiondate) for r in wh.read("mv").collect()}
+    assert got == {1: ("a2", "2024-01-05"), 2: ("b", "2024-01-02")}
+    # key moves but old partition still has another surviving row ->
+    # stays partition-scoped and still correct
+    wh.merge(
+        "mv",
+        _df(
+            spark,
+            [(2, "b2", "2024-01-06"), (9, "z", "2024-01-02")],
+        ),
+        unique_key="k",
+        partition_by="partitiondate",
+    )
+    got = {r.k: (r.v, r.partitiondate) for r in wh.read("mv").collect()}
+    assert got == {
+        1: ("a2", "2024-01-05"),
+        2: ("b2", "2024-01-06"),
+        9: ("z", "2024-01-02"),
+    }
+
+
+def test_merge_duplicate_keys_collapse_deterministically(spark, wh):
+    """Duplicate keys in updates pin ONE survivor by total order, not
+    dropDuplicates' arbitrary pick: smallest (v, partitiondate) wins."""
+    wh.write_table("dk", _df(spark, [(1, "old", "d0")]))
+    dup = _df(spark, [(1, "zzz", "d2"), (1, "aaa", "d1"), (2, "mmm", "d1")])
+    wh.merge("dk", dup, unique_key="k")
+    got = {r.k: r.v for r in wh.read("dk").collect()}
+    assert got == {1: "aaa", 2: "mmm"}
+    # repeat from scratch: same survivor every run
+    wh.delete_table("dk")
+    wh.write_table("dk", _df(spark, [(1, "old", "d0")]))
+    wh.merge("dk", dup.repartition(7), unique_key="k")
+    assert {r.k: r.v for r in wh.read("dk").collect()} == {1: "aaa", 2: "mmm"}
+
+
+def test_merge_schema_evolution_append_new_columns(spark, wh):
+    """merge() evolves schema like insert_overwrite: a new column in updates
+    appears in the table (old rows null-fill) on both the partitioned and
+    non-partitioned paths."""
+    wh.write_table("me", _df(spark, [(1, "a", "d1")]))
+    up = spark.createDataFrame(
+        [(2, "b", "d1", 4.5)], "k INT, v STRING, partitiondate STRING, score DOUBLE"
+    )
+    wh.merge("me", up, unique_key="k")
+    got = {r.k: r.score for r in wh.read("me").collect()}
+    assert got == {1: None, 2: 4.5}
+    # partitioned path
+    wh.merge(
+        "mep",
+        _df(spark, [(1, "a", "2024-01-01")]),
+        unique_key="k",
+        partition_by="partitiondate",
+    )
+    up2 = spark.createDataFrame(
+        [(1, "a2", "2024-01-01", 7.0)],
+        "k INT, v STRING, partitiondate STRING, score DOUBLE",
+    )
+    wh.merge("mep", up2, unique_key="k", partition_by="partitiondate")
+    got = {r.k: (r.v, r.score) for r in wh.read("mep").collect()}
+    assert got == {1: ("a2", 7.0)}
+
+
+def test_scd2_update_restating_existing_date_wins(spark, wh):
+    """An update re-stating an existing (key, date) must beat the stored row
+    deterministically (precedence rule, not dropDuplicates roulette)."""
+    day1 = _df(spark, [(1, "alice", "2024-01-01")])
+    wh.scd2_apply("dimw", day1, unique_key="k", date_column="partitiondate")
+    restate = _df(spark, [(1, "ALICE-FIXED", "2024-01-01")])
+    wh.scd2_apply("dimw", restate, unique_key="k", date_column="partitiondate")
+    rows = [
+        (r.k, r.v, r.valid_from, r.is_current) for r in wh.read("dimw").collect()
+    ]
+    assert rows == [(1, "ALICE-FIXED", "2024-01-01", True)]
+
+
+def test_publish_swap_preserves_data_on_disk(spark, wh):
+    """Crash-safe publish: at no point between writes is the table's data
+    deleted-without-replacement; after an overwrite the old state lives in
+    the snapshot dir (moved, not copied)."""
+    from dbtwiz_spark.materialize import SNAPSHOT_DIRNAME
+
+    wh.write_table("cs", _df(spark, [(1, "v1", "d")]))
+    wh.write_table("cs", _df(spark, [(2, "v2", "d")]))  # snapshot=True default
+    assert wh.read("cs").first().v == "v2"
+    snaps = wh.snapshots("cs")
+    assert len(snaps) == 1
+    snap_df = spark.read.parquet(str(wh.path("cs") / SNAPSHOT_DIRNAME / str(snaps[0])))
+    assert snap_df.first().v == "v1"
+    # no orphaned __tmp / __old dirs left behind
+    leftovers = [
+        p.name
+        for p in wh.path("cs").parent.iterdir()
+        if "__tmp_" in p.name or "__old_" in p.name
+    ]
+    assert leftovers == []
+
+
+def test_backfill_restores_runner_variables():
+    """Interval vars must not leak into later non-backfill runs."""
+    from datetime import date
+
+    from dbtwiz_spark.backfill import run_backfill
+
+    class FakeRunner:
+        def __init__(self):
+            self.variables = {"pre": "kept"}
+            self.seen = []
+
+        def run(self, selector, exclude=None):
+            self.seen.append(dict(self.variables))
+            return []
+
+    r = FakeRunner()
+    run_backfill(r, "m", date(2024, 1, 1), date(2024, 1, 4), batch_size=2)
+    assert len(r.seen) == 2
+    assert all(v["is_backfill"] for v in r.seen)
+    assert r.variables == {"pre": "kept"}
+
+
 def test_scd2_rewrite_is_key_scoped(spark, wh):
     """An SCD2 run touching one key must not rewrite partitions that hold
     only other keys' rows."""
