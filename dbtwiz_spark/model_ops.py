@@ -1,0 +1,219 @@
+"""Model file operations: move/rename with ref rewriting, lint, fix.
+
+Reference surface:
+- ``model move`` (dbtwiz/model/__init__.py:273, dbtwiz/model/move.py):
+  copy the model to its new name/location; in safe mode the old model
+  becomes a view selecting from the new one; optionally rewrite every
+  dependent's ``ref()`` to the new name.
+- ``model lint`` / ``model fix`` (dbtwiz/model/__init__.py:165,237): the
+  reference shells out to sqlfmt/sqlfluff; the engine ships a deterministic
+  built-in normalizer instead (keyword case, whitespace hygiene,
+  missing-alias detection) so the command works with zero external tools.
+
+All operations are pure text/filesystem work on the project tree — no Spark
+session involved.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from pathlib import Path
+
+from dbtwiz_spark.macros import extract_refs
+
+# ---------------------------------------------------------------------------
+# model move
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MoveResult:
+    old_sql: Path
+    new_sql: Path
+    rewritten: list[str]  # model names whose refs were updated
+    old_kept_as_view: bool
+
+
+def _ref_call_re(name: str) -> re.Pattern:
+    return re.compile(r"(\{\{\s*ref\(\s*['\"])" + re.escape(name) + r"(['\"]\s*\)\s*\}\})")
+
+
+def move_model(
+    project_root: str | Path,
+    old_name: str,
+    new_name: str,
+    new_subdir: str | None = None,
+    safe: bool = True,
+    update_references: bool = True,
+) -> MoveResult:
+    """Move/rename a model inside ``project_root/models``.
+
+    1. copy the SQL (and YAML sidecar) to the new name/location;
+    2. safe mode: the old file becomes a pass-through view
+       ``SELECT * FROM {{ ref('<new>') }}`` (sidecar forced to
+       ``materialized: view``) so downstream readers keep working during the
+       transition; otherwise the old files are deleted;
+    3. ``update_references``: rewrite ``ref('<old>')`` → ``ref('<new>')`` in
+       every other model (static rewrite of the same call sites
+       ``macros.extract_refs`` parses — DAG membership is unchanged except
+       for the renamed node).
+    """
+    root = Path(project_root)
+    models_dir = root / "models"
+    old_sql = next(models_dir.rglob(f"{old_name}.sql"), None)
+    if old_sql is None:
+        raise FileNotFoundError(f"model {old_name!r} not found under {models_dir}")
+    target_dir = models_dir / new_subdir if new_subdir else old_sql.parent
+    target_dir.mkdir(parents=True, exist_ok=True)
+    new_sql = target_dir / f"{new_name}.sql"
+    if new_sql.exists():
+        raise FileExistsError(f"model {new_name!r} already exists at {new_sql}")
+
+    new_sql.write_text(old_sql.read_text())
+    old_yml = old_sql.with_suffix(".yml")
+    if old_yml.exists():
+        new_sql.with_suffix(".yml").write_text(old_yml.read_text())
+
+    rewritten: list[str] = []
+    if update_references:
+        pat = _ref_call_re(old_name)
+        for sql_path in sorted(models_dir.rglob("*.sql")):
+            if sql_path in (old_sql, new_sql):
+                continue
+            text = sql_path.read_text()
+            if old_name in extract_refs(text):
+                sql_path.write_text(pat.sub(r"\g<1>" + new_name + r"\g<2>", text))
+                rewritten.append(sql_path.stem)
+
+    if safe:
+        old_sql.write_text(
+            "-- moved to " + new_name + " (kept as a pass-through view)\n"
+            "SELECT * FROM {{ ref('" + new_name + "') }}\n"
+        )
+        old_yml.write_text("materialized: view\n")
+    else:
+        old_sql.unlink()
+        if old_yml.exists():
+            old_yml.unlink()
+
+    return MoveResult(old_sql, new_sql, rewritten, old_kept_as_view=safe)
+
+
+# ---------------------------------------------------------------------------
+# model lint / fix
+# ---------------------------------------------------------------------------
+
+_KEYWORDS = (
+    "select distinct from where group by having order limit join inner left "
+    "right full outer cross on as and or not in is null like between case "
+    "when then else end union all with insert into values create view table "
+    "over partition rows range preceding following current row cast exists "
+    "asc desc"
+).split()
+_KW_RE = re.compile(
+    r"\b(" + "|".join(sorted(_KEYWORDS, key=len, reverse=True)) + r")\b",
+    re.IGNORECASE,
+)
+# text regions the normalizer must never touch
+_PROTECTED_RE = re.compile(
+    r"""('(?:[^'\\]|\\.)*'        # single-quoted string literals
+      | "(?:[^"\\]|\\.)*"         # double-quoted identifiers
+      | \{\{.*?\}\}               # jinja expressions
+      | \{%.*?%\}                 # jinja statements
+      | --[^\n]*                  # line comments
+      | /\*.*?\*/                 # block comments
+      )""",
+    re.VERBOSE | re.DOTALL,
+)
+@dataclass
+class LintFinding:
+    line: int
+    code: str
+    message: str
+
+
+def lint_sql(sql: str) -> list[LintFinding]:
+    """Deterministic lint pass; every finding is either auto-fixable by
+    ``fix_sql`` (case/whitespace) or a structural warning (missing alias)."""
+    findings: list[LintFinding] = []
+    protected = [m.span() for m in _PROTECTED_RE.finditer(sql)]
+
+    def in_protected(pos: int) -> bool:
+        return any(a <= pos < b for a, b in protected)
+
+    offset = 0
+    for i, line in enumerate(sql.splitlines(), start=1):
+        if line != line.rstrip():
+            findings.append(LintFinding(i, "W001", "trailing whitespace"))
+        if "\t" in line:
+            findings.append(LintFinding(i, "W002", "tab character (use spaces)"))
+        for m in _KW_RE.finditer(line):
+            if not in_protected(offset + m.start()) and m.group(0) != m.group(0).upper():
+                findings.append(
+                    LintFinding(i, "W003", f"keyword not uppercase: {m.group(0)!r}")
+                )
+                break  # one per line keeps output readable
+        offset += len(line) + 1
+    # missing alias on computed select items: inspect the select list only
+    for i, line in enumerate(sql.splitlines(), start=1):
+        bare = _PROTECTED_RE.sub("", line).strip().rstrip(",")
+        if not bare or bare.upper().startswith(("FROM", "WHERE", "GROUP", "ORDER", "--")):
+            continue
+        if (
+            "(" in bare
+            and bare.endswith(")")
+            and " AS " not in bare.upper()
+            and not bare.upper().startswith(("SELECT", "OVER", "WHEN", "AND", "OR"))
+        ):
+            findings.append(
+                LintFinding(i, "W101", "computed expression without AS alias")
+            )
+    if sql and not sql.endswith("\n"):
+        findings.append(LintFinding(sql.count("\n") + 1, "W004", "missing final newline"))
+    return findings
+
+
+def fix_sql(sql: str) -> str:
+    """Apply the auto-fixable subset of the lint rules, never touching
+    string literals, quoted identifiers, comments, or Jinja blocks.
+    Idempotent: fix_sql(fix_sql(s)) == fix_sql(s)."""
+    out: list[str] = []
+    last = 0
+    for m in _PROTECTED_RE.finditer(sql):
+        out.append(_KW_RE.sub(lambda k: k.group(0).upper(), sql[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(_KW_RE.sub(lambda k: k.group(0).upper(), sql[last:]))
+    text = "".join(out)
+    lines = [ln.rstrip().replace("\t", "    ") for ln in text.splitlines()]
+    # collapse runs of blank lines to one
+    cleaned: list[str] = []
+    for ln in lines:
+        if ln == "" and cleaned and cleaned[-1] == "":
+            continue
+        cleaned.append(ln)
+    return "\n".join(cleaned).rstrip("\n") + "\n"
+
+
+def lint_project(project_root: str | Path) -> dict[str, list[LintFinding]]:
+    """Lint every model; returns {model_name: findings} for offenders only."""
+    out: dict[str, list[LintFinding]] = {}
+    for sql_path in sorted(Path(project_root).joinpath("models").rglob("*.sql")):
+        findings = lint_sql(sql_path.read_text())
+        if findings:
+            out[sql_path.stem] = findings
+    return out
+
+
+def fix_project(project_root: str | Path) -> list[str]:
+    """Rewrite every model whose normalized form differs; returns the list
+    of changed model names."""
+    changed: list[str] = []
+    for sql_path in sorted(Path(project_root).joinpath("models").rglob("*.sql")):
+        original = sql_path.read_text()
+        fixed = fix_sql(original)
+        if fixed != original:
+            sql_path.write_text(fixed)
+            changed.append(sql_path.stem)
+    return changed

@@ -290,14 +290,43 @@ def shingles(d: DataFrame, k: int = 3) -> DataFrame:
     return toks.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
+SHINGLE_DF_CAP = 0.25  # drop shingles present in > this fraction of docs
+
+
+def cap_shingle_df(sh: DataFrame, docs: DataFrame, cap: float = SHINGLE_DF_CAP) -> DataFrame:
+    """Drop "hot" shingles (document frequency > cap × corpus size) before
+    any shingle-keyed self-join.
+
+    At 100 TB a stopword-ish shingle appearing in half the corpus turns the
+    shared-shingle equi-join into a quadratic hot key; hot shingles also
+    carry no discriminative signal for near-dup detection (every pair shares
+    them). The hot set is tiny by construction (≤ 1/cap distinct values can
+    exceed the threshold in aggregate terms), so the filter is a broadcast
+    anti-join — no extra shuffle on the shingle stream."""
+    total = docs.agg(F.count("*").alias("nd"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("df") > cap * F.col("nd"))
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 _NGRAM_JACCARD_SQL = """
     WITH arrs AS (
         SELECT doc_id, string_split(text, ' ') AS a FROM documents),
-    sh AS (
+    sh_all AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(generate_series(1, len(a) - 2),
                       i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
         FROM arrs),
+    hot AS (
+        SELECT shingle FROM sh_all GROUP BY shingle
+        HAVING COUNT(*) > 0.25 * (SELECT COUNT(*) FROM documents)),
+    sh AS (
+        SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
     pairs AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -314,7 +343,9 @@ _NGRAM_JACCARD_SQL = """
 
 @register("ext-ngram-jaccard", oracle=_NGRAM_JACCARD_SQL)
 def ext_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram (3-shingle) Jaccard similarity join: pairs ≥ 0.4.
+    """Exact n-gram (3-shingle) Jaccard similarity join: pairs ≥ 0.4, over
+    the document-frequency-capped shingle set (see ``cap_shingle_df`` — the
+    oracle applies the identical cap, so the entry stays hash-matched).
 
     Candidate pairs come from the shared-shingle join (one shuffle on the
     shingle key) — never a cross join; intersection counts per pair, union by
@@ -322,7 +353,7 @@ def ext_ngram_jaccard(spark, sf_dir):
     tested against.
     """
     d = views(spark, sf_dir).table("documents")
-    sh = shingles(d, 3)
+    sh = cap_shingle_df(shingles(d, 3), d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

@@ -379,13 +379,16 @@ def join_self_dag(spark, sf_dir):
         F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("child"),
         F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("parent"),
     ).distinct()
+    # the edge list is the DAG's metadata (manifest-scale, not data-scale):
+    # broadcast it so every BFS iteration is a map-side hash join instead of
+    # re-shuffling the growing frontier
     edges = n.unionByName(s)
     closure = edges.select("child", F.col("parent").alias("ancestor"))
     frontier = closure
     for _ in range(10):  # DAG height bound; loop exits early at fixpoint
         nxt = (
             frontier.alias("c")
-            .join(edges.alias("e"), F.col("c.ancestor") == F.col("e.child"))
+            .join(F.broadcast(edges.alias("e")), F.col("c.ancestor") == F.col("e.child"))
             .select(F.col("c.child").alias("child"), F.col("e.parent").alias("ancestor"))
             .distinct()
             .exceptAll(closure)

@@ -244,3 +244,87 @@ def test_exclude_last_and_save_state(spark, tmp_path, capsys):
     from dbtwiz_spark.project import load_project
     manifest, _ = load_project(proj)
     assert manifest.select("state:modified", state=Manifest.load_state(state_file)) == []
+
+
+def test_model_move_rewrites_refs_and_builds(spark, tmp_path, capsys):
+    """model move: new copy + pass-through view at the old name + ref()
+    rewrite in BOTH dependents; the DAG stays acyclic and builds
+    (reference dbtwiz/model/__init__.py:273, model/move.py move_model)."""
+    import yaml
+
+    proj = tmp_path / "projmv"
+    (proj / "models").mkdir(parents=True)
+    (proj / "sources.yml").write_text(
+        f"sources:\n  - name: region\n    path: {SF_DIR}/region.parquet\n"
+    )
+    (proj / "models" / "stg_region.sql").write_text(
+        "SELECT r_regionkey, r_name FROM {{ source('raw','region') }}"
+    )
+    (proj / "models" / "stg_region.yml").write_text("materialized: view\n")
+    for dep in ("dep_a", "dep_b"):
+        (proj / "models" / f"{dep}.sql").write_text(
+            "SELECT COUNT(*) AS n FROM {{ ref('stg_region') }}"
+        )
+        (proj / "models" / f"{dep}.yml").write_text("materialized: table\n")
+
+    assert main([
+        "model", "move", "stg_region", "stg_region_v2",
+        "--project", str(proj), "--folder", "staging",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "rewrote ref() in dep_a" in out and "rewrote ref() in dep_b" in out
+    # old file is now a pass-through view over the new name
+    assert "ref('stg_region_v2')" in (proj / "models" / "stg_region.sql").read_text()
+    assert yaml.safe_load((proj / "models" / "stg_region.yml").read_text()) == {
+        "materialized": "view"
+    }
+    new_sql = proj / "models" / "staging" / "stg_region_v2.sql"
+    assert "source('raw','region')" in new_sql.read_text()
+    # DAG is acyclic with the rewritten refs and the whole project builds
+    from dbtwiz_spark.project import load_project
+
+    manifest, _ = load_project(proj)
+    order = manifest.topo_order()
+    assert set(order) >= {"stg_region", "stg_region_v2", "dep_a", "dep_b"}
+    assert order.index("stg_region_v2") < order.index("dep_a")
+    wh = str(tmp_path / "whmv")
+    assert main(["build", "--project", str(proj), "--warehouse", wh]) == 0
+    assert "error" not in capsys.readouterr().out.lower()
+
+
+def test_model_lint_and_fix(tmp_path, capsys):
+    """model lint flags a deliberately-messy model; model fix normalizes it
+    (keyword case, trailing whitespace, tabs) without touching literals or
+    Jinja; lint is then clean except structural warnings."""
+    proj = tmp_path / "projlint"
+    (proj / "models").mkdir(parents=True)
+    messy = (
+        "select r_regionkey,\t\n"
+        "   upper(r_name)   \n"
+        "from {{ ref('stg_region') }}\n"
+        "where r_name like 'a%select%'\n"
+    )
+    (proj / "models" / "messy.sql").write_text(messy)
+    assert main(["model", "lint", "--project", str(proj)]) == 1
+    out = capsys.readouterr().out
+    assert "W001" in out  # trailing whitespace
+    assert "W002" in out  # tab
+    assert "W003" in out  # lowercase keyword
+    assert "W101" in out  # computed expression without alias
+
+    assert main(["model", "fix", "--project", str(proj)]) == 0
+    capsys.readouterr()
+    fixed = (proj / "models" / "messy.sql").read_text()
+    assert fixed.startswith("SELECT r_regionkey,")
+    assert "FROM {{ ref('stg_region') }}" in fixed  # Jinja untouched
+    assert "'a%select%'" in fixed  # string literal untouched
+    assert "\t" not in fixed and " \n" not in fixed
+    # fix is idempotent
+    from dbtwiz_spark.model_ops import fix_sql
+
+    assert fix_sql(fixed) == fixed
+    # lint after fix: only the structural (non-autofixable) alias warning
+    assert main(["model", "lint", "--project", str(proj)]) == 1
+    out = capsys.readouterr().out
+    assert "W003" not in out and "W001" not in out and "W002" not in out
+    assert "W101" in out

@@ -333,3 +333,38 @@ def test_scd2_rewrite_is_key_scoped(spark, wh):
     assert (2, "bob", "2024-02-01", None, True) in rows
     # bob's partition had no affected keys -> untouched
     assert files("2024-02-01") == bob_files
+
+
+def test_migrate_table_with_replacement_view(spark, wh):
+    """migrate_table: copy to the new name, leave a view at the old name so
+    existing readers keep working (dbtwiz/integrations/bigquery.py:737-801
+    backup-then-replace with replacement view)."""
+    wh.write_table("legacy", _df(spark, [(1, "a", "d1"), (2, "b", "d2")]))
+    wh.migrate_table("legacy", "modern")
+    # new physical table
+    assert wh.exists("modern")
+    assert wh.read("modern").count() == 2
+    # old name still readable — as a view over the new table
+    assert "legacy" in wh.views
+    assert {r.k for r in wh.read("legacy").collect()} == {1, 2}
+    # physical dir at the old name is gone
+    assert not (wh.path("legacy") / "_SUCCESS").exists()
+
+
+def test_migrate_table_rolls_back_on_failure(spark, wh, monkeypatch):
+    """A failed verify removes the partial copy and leaves the source table
+    and name resolution untouched."""
+    wh.write_table("keepme", _df(spark, [(1, "a", "d1")]))
+
+    def boom(src, dst):
+        wh.write_table(dst, _df(spark, [(9, "x", "d9")]), snapshot=False)
+        raise RuntimeError("copy interrupted")
+
+    monkeypatch.setattr(wh, "copy_table", boom)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="copy interrupted"):
+        wh.migrate_table("keepme", "broken")
+    assert not wh.exists("broken")
+    assert "keepme" not in wh.views  # still a physical table, not a view
+    assert wh.read("keepme").count() == 1

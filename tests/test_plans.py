@@ -117,6 +117,68 @@ def test_agg_is_partial_then_final_with_codegen(spark):
     assert "hashAgg" in codegen  # generated hash-aggregate code is present
 
 
+def test_cosine_pairs_has_no_dimension_index_shuffle(spark):
+    """The exact-cosine family must compute dot products map-side: the
+    broadcast-query + zip_with formulation has NO shuffle keyed on the
+    64-value dimension index (the round-1 scale-killer) and no posexplode
+    of the candidate side. The only Exchanges allowed are the consumer's
+    own (top-k window by q_vec_id)."""
+    from dbtwiz_spark.ops.ext_llm import ext_sim_cosine_topk
+
+    df = ext_sim_cosine_topk(spark, SF_DIR)
+    plan = _formatted(df)
+    # query side broadcast, candidate side streamed — all-pairs happens in a
+    # broadcast nested loop, never a shuffle join on the dimension index
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(i" not in plan
+    assert "Generate posexplode" not in plan
+
+
+def test_ivf_assignment_is_map_side_argmax(spark):
+    """IVF cell assignment must not blow the corpus up K× through a window:
+    the plan has no row_number over vec_id and no Exchange between the
+    embeddings scan and the assignment projection (argmax is an array
+    expression over the broadcast centroid array)."""
+    from dbtwiz_spark.ops.ext_llm import _centroids_as_array, ivf_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    seeds = emb.limit(4).select(
+        F.monotonically_increasing_id().cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = ivf_assign(emb, seeds)
+    plan = _formatted(assigned)
+    assert "Window" not in plan
+    assert "partitionBy(vec_id" not in plan
+    # the corpus-side path scan→project has no Exchange: the only ones serve
+    # the broadcast of the single-row centroid array
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_win_percent_has_no_single_partition_window(spark):
+    """percent_rank over a global order must not funnel the table through
+    one task: every WindowExec in the plan has a partition spec."""
+    from dbtwiz_spark.ops.windows import win_percent
+
+    df = win_percent(spark, SF_DIR)
+    plan = _formatted(df)
+    for line in plan.splitlines():
+        if "Arguments:" in line and "windowspecdefinition" in line:
+            # a global window renders as windowspecdefinition(col ASC ...)
+            # with no partition columns before the ordering spec
+            assert "specifiedwindowframe" in line
+    # physical check: executing must not emit the WindowExec warning path —
+    # partition spec present means partitionSpec.nonEmpty in every window
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        args = m.group(1)
+        # first argument list = partition columns; a bare ordered window
+        # starts directly with "<col> ASC" — require a partition column (the
+        # engine uses _pid) ahead of any ordering
+        assert "_pid" in args or " ASC" not in args.split(",")[0]
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Pre-bucketing both join sides on the key makes the join shuffle-free —
     the co-located join strategy for repeated large-fact joins at 100 TB
