@@ -332,6 +332,37 @@ def cmd_model_move(args) -> int:
     return 0
 
 
+def cmd_model_inspect(args) -> int:
+    """Per-model DAG inspection: config, direct parents, full ancestor and
+    descendant closures (dbtwiz/model/__init__.py:210 `inspect`,
+    model/inspect.py: prints ancestors/descendants lists)."""
+    from dbtwiz_spark.project import load_project
+
+    manifest, _ = load_project(args.project)
+    name = args.name
+    if name not in manifest.models:
+        print(f"unknown model: {name}")
+        return 1
+    m = manifest.models[name]
+    print(f"Model: {name}")
+    print(f"  materialized: {m.materialized}")
+    if m.partition_by:
+        print(f"  partition_by: {m.partition_by}")
+    if m.unique_key:
+        print(f"  unique_key: {m.unique_key}")
+    if m.tags:
+        print(f"  tags: {', '.join(m.tags)}")
+    if m.description:
+        print(f"  description: {m.description}")
+    print("Ancestors:")
+    for a in manifest.topo_order(manifest.upstream(name)):
+        print(f"- {a}")
+    print("Descendants:")
+    for d in manifest.topo_order(manifest.downstream(name)):
+        print(f"- {d}")
+    return 0
+
+
 def cmd_model_lint(args) -> int:
     """Deterministic SQL lint (dbtwiz/model/__init__.py:165 `lint`):
     keyword case, whitespace hygiene, missing-alias check."""
@@ -496,6 +527,11 @@ def build_parser() -> argparse.ArgumentParser:
                     help="delete the old model instead of leaving a view")
     mm.add_argument("--no-update-refs", action="store_true")
     mm.set_defaults(fn=cmd_model_move)
+
+    mi = msub.add_parser("inspect", help="per-model config + ancestors/descendants")
+    mi.add_argument("name")
+    mi.add_argument("--project", default=".")
+    mi.set_defaults(fn=cmd_model_inspect)
 
     ml = msub.add_parser("lint", help="deterministic SQL lint")
     ml.add_argument("--project", default=".")

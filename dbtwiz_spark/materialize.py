@@ -39,6 +39,26 @@ SNAPSHOT_DIRNAME = "_snapshots"
 TIME_TRAVEL_WINDOW_DAYS = 7  # dbtwiz/admin/restore.py:63-70
 
 
+def _align_types(updates: DataFrame, current: DataFrame) -> DataFrame:
+    """Cast columns of ``updates`` that also exist in ``current`` to the
+    current table's type when they differ.
+
+    Partition-column type inference is disabled engine-wide (session.py): a
+    DATE-typed partition column written through hive-style dirs reads back
+    as STRING, so an incremental update carrying the original DATE type
+    would otherwise fail/diverge in unionByName. Casting to the table's
+    read-back type keeps every write path (merge/scd2/insert_overwrite)
+    schema-stable. Date→string casts use ISO format in Spark — the same
+    text the partition dir encodes."""
+    cur_types = {f.name: f.dataType for f in current.schema.fields}
+    out = updates
+    for f in updates.schema.fields:
+        want = cur_types.get(f.name)
+        if want is not None and want != f.dataType:
+            out = out.withColumn(f.name, F.col(f.name).cast(want))
+    return out
+
+
 def _pin_survivor(
     df: DataFrame, keys: list[str], precedence: list[str] | None = None
 ) -> DataFrame:
@@ -188,7 +208,9 @@ class Warehouse:
         # columns the live table has but df lacks are appended as nulls so
         # every partition stays readable; genuinely new df columns evolve the
         # table schema (older partitions null-fill via mergeSchema on read)
-        existing = self.read(name).schema
+        live = self.read(name)
+        existing = live.schema
+        df = _align_types(df, live)
         missing = [f for f in existing.fields if f.name not in df.columns]
         out = df
         for f in missing:
@@ -235,7 +257,7 @@ class Warehouse:
             self.write_table(name, updates, partition_by, snapshot=False)
             return
         current = self.read(name)
-        deduped = _pin_survivor(updates, [unique_key])
+        deduped = _pin_survivor(_align_types(updates, current), [unique_key])
         if partition_by is None:
             survivors = current.join(deduped, on=unique_key, how="left_anti")
             self.write_table(
@@ -297,6 +319,8 @@ class Warehouse:
                              snapshot=False)
             return
         current = self.read(name)
+        updates = _align_types(updates, current)
+        hist = updates.select(base_cols)
         affected_keys = updates.select(unique_key).distinct()
         # an update re-stating an existing (key, date) must WIN over the
         # table row — deterministically (dropDuplicates would keep an

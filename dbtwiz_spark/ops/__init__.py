@@ -21,4 +21,5 @@ from dbtwiz_spark.ops import streaming_batch  # noqa: F401  §2.9 batch forms
 from dbtwiz_spark.ops import sinks  # noqa: F401  §2.1 write path
 from dbtwiz_spark.ops import udfs  # noqa: F401  §2.10
 from dbtwiz_spark.ops import ext_llm  # noqa: F401  §2.11
+from dbtwiz_spark.ops import ext_pipeline  # noqa: F401  §2.11 family §E
 from dbtwiz_spark.ops import skew  # noqa: F401  §4 skew mitigation

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
 
-from dbtwiz_spark.catalog import TABLES, Catalog
+from dbtwiz_spark.catalog import Catalog
 
 DEC = "decimal(28,6)"
 DEC_SQL = "DECIMAL(28,6)"
@@ -47,35 +47,18 @@ def views(spark: SparkSession, sf_dir: str) -> Catalog:
     if cat is None:
         cat = Catalog(spark, sf_dir)
         _CATALOGS[key] = cat
-        _maybe_prime(cat)
     if _LAST_REGISTERED != key:
         cat.register_views()
         _LAST_REGISTERED = key
     return cat
 
 
-# Auto-prime cutoff: below this total compressed size the whole directory
-# fits trivially in storage memory and the one-time persist pays for itself
-# within a few corpus entries (the testdata ships single-row-group files, so
-# uncached scans also lose all parallelism). At real scale the directory
-# exceeds the cutoff and priming stays an explicit operator decision.
-_PRIME_MAX_BYTES = 64 * 1024 * 1024
-
-
-def _maybe_prime(cat: Catalog) -> None:
-    import os
-
-    if os.environ.get("SPARK_GRAFT_NO_AUTOPRIME"):
-        return
-    try:
-        total = sum(
-            os.path.getsize(os.path.join(cat.sf_dir, f"{t}.parquet"))
-            for t in TABLES
-        )
-    except OSError:
-        return
-    if total <= _PRIME_MAX_BYTES:
-        cat.prime()
+# NOTE on priming: `Catalog.prime()` is an EXPLICIT decision (bench warm-up,
+# long-lived service), never automatic. Auto-priming here was tried and
+# reverted: Spark's CacheManager substitutes cached relations into ANY plan
+# whose scan subtree matches, which silently rewrites unrelated queries'
+# physical plans (hiding PushedFilters/ReadSchema evidence) for a perf gain
+# that measured as noise at test scale.
 
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:

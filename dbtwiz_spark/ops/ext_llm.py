@@ -1000,6 +1000,63 @@ def ivf_topk(
     return pairs.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= k)
 
 
+def ivf_index_write(wh, name: str, emb: DataFrame, n_cells: int = 16) -> None:
+    """Materialize the IVF index into a warehouse: assignments written as a
+    parquet table PARTITIONED BY cell (so a probe reads only its cells via
+    partition pruning) plus a ``<name>__centroids`` side table.
+
+    This is the claimed 100 TB deployment of the in-memory index: built once
+    by a batch job, served to every query; rebuilds go through the standard
+    write-audit-publish path."""
+    index, centroids = ivf_index(emb, n_cells)
+    wh.write_table(name, index, partition_by="cell", snapshot=False)
+    wh.write_table(f"{name}__centroids", centroids, snapshot=False)
+
+
+def ivf_topk_from_table(
+    wh, name: str, queries: DataFrame, k: int = 10, nprobe: int = 4
+) -> DataFrame:
+    """IVF search against a materialized index table: probe selection is the
+    same map-side array expression; the candidate read joins the
+    cell-partitioned table on its partition key against the (broadcast)
+    probed-cell set, which triggers Spark's dynamic partition pruning — only
+    probed cells' files are scanned, no driver-side collect needed
+    (asserted in tests/test_plans.py)."""
+    centroids = wh.read(f"{name}__centroids")
+    probe_cells = F.transform(
+        F.slice(
+            F.reverse(
+                F.array_sort(_centroid_scores(F.col("q_embedding"), F.col("cents")))
+            ),
+            1,
+            nprobe,
+        ),
+        lambda s: -s["neg_cell"],
+    )
+    probed = queries.crossJoin(F.broadcast(_centroids_as_array(centroids))).select(
+        "q_vec_id", "q_embedding", F.explode(probe_cells).alias("cell")
+    )
+    index = wh.read(name)
+    # partition filter: only probed cells are scanned. The IN-list predicate
+    # is pushed to the partitioned scan (asserted in tests/test_plans.py).
+    distinct_cells = probed.select("cell").distinct()
+    pruned = index.join(F.broadcast(distinct_cells), "cell", "left_semi")
+    dot = _arr_dot(F.col("q_embedding"), F.col("embedding"))
+    nq = F.sqrt(_arr_dot(F.col("q_embedding"), F.col("q_embedding")))
+    pairs = (
+        F.broadcast(probed)
+        .join(pruned, "cell")
+        .filter(F.col("q_vec_id") != F.col("vec_id"))
+        .select(
+            "q_vec_id",
+            F.col("vec_id").alias("c_vec_id"),
+            (dot / (nq * F.col("nrm"))).alias("cosine"),
+        )
+    )
+    wk = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
+    return pairs.withColumn("rnk", F.row_number().over(wk)).filter(F.col("rnk") <= k)
+
+
 @register("ext-ann-ivf", oracle=None)
 def ext_ann_ivf(spark, sf_dir):
     """ANN scale path #2: IVF (inverted-file) index — k-means coarse

@@ -1,0 +1,227 @@
+"""Training-data pipeline operators (SURVEY §2.11 extension family §E).
+
+The ops a 100 TB LLM data pipeline runs between raw crawl and tokenizer:
+deterministic sampling/splitting, benchmark decontamination, sequence
+packing, and domain-mixture computation. All are pure DataFrame expressions
+(no UDFs, no collect) and every entry is oracle-checked — randomness is
+replaced by an explicit multiplicative hash so Spark and DuckDB agree bit
+for bit, and the same trick is what makes reruns reproducible at scale
+(a sample/split must not change when the job is retried).
+
+Reference analogs: the reference has no LLM ops (it is an orchestrator);
+these extend the engine per the brief's training-pipeline mandate, reusing
+the corpus conventions of ext_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dbtwiz_spark.ops.common import views
+from dbtwiz_spark.ops.registry import register
+
+# Knuth multiplicative hash: deterministic pseudo-random ordering computable
+# with exact BIGINT arithmetic in any engine (Spark and DuckDB produce the
+# identical value, unlike engine-native hash()/xxhash64 which differ).
+_KNUTH = 2654435761
+_M32 = 4294967296
+
+
+def _hkey(col):
+    return (col * F.lit(_KNUTH)) % F.lit(_M32)
+
+
+def _hkey_sql(expr: str) -> str:
+    return f"(({expr}) * {_KNUTH}) % {_M32}"
+
+
+@register(
+    "ext-sample-stratified",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY {_hkey_sql('doc_id')}, doc_id) AS rn
+        FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def ext_sample_stratified(spark, sf_dir):
+    """Stratified sampling: a fixed-size (20 docs) uniform-without-replacement
+    sample per language stratum.
+
+    The multiplicative hash gives each doc a deterministic pseudo-random
+    rank; row_number per stratum takes the sample. One shuffle on the
+    stratum key; per-stratum top-K is what TakeOrdered does at scale, and
+    the sample is stable across retries/engines (no rand())."""
+    d = views(spark, sf_dir).table("documents")
+    w = Window.partitionBy("lang").orderBy(_hkey(F.col("doc_id")), F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "ext-split-train-eval",
+    oracle=f"""
+    SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM (
+        SELECT lang, n_chars,
+               CASE WHEN {_hkey_sql('doc_id')} % 100 < 80 THEN 'train'
+                    WHEN {_hkey_sql('doc_id')} % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def ext_split_train_eval(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by hashed doc_id.
+
+    Hash-based assignment is the scale-safe split: no global shuffle or
+    sort, any engine reproduces the same membership, and a re-crawled doc
+    lands in the same split forever (no eval leakage across runs). Output is
+    the per-(lang, split) histogram — map-side partial agg, one shuffle."""
+    d = views(spark, sf_dir).table("documents")
+    bucket = _hkey(F.col("doc_id")) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+_DECONTAM_SQL = """
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(a) - 4),
+                      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                           || a[i+3] || ' ' || a[i+4])) AS shingle
+        FROM arrs),
+    bench AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM train t JOIN bench b ON t.shingle = b.shingle)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE d.doc_id % 97 <> 0
+      AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+"""
+
+
+@register("ext-decontaminate", oracle=_DECONTAM_SQL)
+def ext_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: drop training docs sharing any 5-gram with
+    the held-out benchmark set (doc_id % 97 == 0 stands in for the eval
+    suite).
+
+    Scale shape: the overlap test is a semi-join on the shingle key — the
+    benchmark side is tiny (eval suites are thousands of docs), so at scale
+    its shingle set broadcasts and contamination detection is map-side over
+    the training corpus; never an all-pairs comparison."""
+    from dbtwiz_spark.ops.ext_llm import shingles
+
+    d = views(spark, sf_dir).table("documents")
+    sh = shingles(d, 5)
+    is_bench = F.col("doc_id") % 97 == 0
+    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    contaminated = (
+        sh.filter(~is_bench)
+        .join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        d.filter(~is_bench)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
+@register(
+    "ext-pack-sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS tok
+        FROM documents),
+    packed AS (
+        SELECT lang, tok,
+               (SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - tok) // 512 AS bin
+        FROM toks)
+    SELECT lang, bin, COUNT(*) AS n_docs, SUM(tok) AS total_tokens
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def ext_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign docs to fixed 512-token training bins by
+    running start-offset within each language stream (a doc starts in the
+    bin where its cumulative offset lands).
+
+    The cumulative sum is a per-stratum window (partitioned — parallel
+    across languages/shards; at 100 TB the stream key would be
+    (lang, shard)). Integer token counts make the result exact on both
+    engines. Output: per-bin document and token counts."""
+    d = views(spark, sf_dir).table("documents")
+    toks = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    start = F.sum("tok").over(w) - F.col("tok")  # exclusive running offset
+    packed = toks.select(
+        "lang", "tok", F.floor(start / 512).cast("long").alias("bin")
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count("*").alias("n_docs"), F.sum("tok").alias("total_tokens")
+    )
+
+
+@register(
+    "ext-mix-domains",
+    oracle="""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' '))) AS total_tokens
+        FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(total_tokens) AS all_tokens, COUNT(*) AS n_src FROM per_src)
+    SELECT source, n_docs, total_tokens,
+           CAST(all_tokens AS DOUBLE) / (n_src * total_tokens) AS mix_weight
+    FROM per_src, tot
+    """,
+)
+def ext_mix_domains(spark, sf_dir):
+    """Domain-mixture weights: per-source token counts plus the sampling
+    weight that re-balances the mixture to a uniform token share per source
+    (weight = target_share / actual_share, target uniform).
+
+    Two aggregations — per-source (one shuffle) and the 1-row global total
+    (broadcast back). Integer token totals keep the ratio exact; the final
+    division is one double op, identical in both engines."""
+    d = views(spark, sf_dir).table("documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("total_tokens").alias("all_tokens"), F.count("*").alias("n_src")
+    )
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        (
+            F.col("all_tokens").cast("double")
+            / (F.col("n_src") * F.col("total_tokens"))
+        ).alias("mix_weight"),
+    )

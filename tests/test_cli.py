@@ -328,3 +328,19 @@ def test_model_lint_and_fix(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "W003" not in out and "W001" not in out and "W002" not in out
     assert "W101" in out
+
+
+def test_model_inspect(project, capsys):
+    """model inspect: per-model config + ancestor/descendant closures
+    (dbtwiz/model/__init__.py:210, model/inspect.py)."""
+    assert main(["model", "inspect", "mrt_nation_balance",
+                 "--project", str(project)]) == 0
+    out = capsys.readouterr().out
+    assert "Model: mrt_nation_balance" in out
+    assert "unique_key: c_nationkey" in out
+    assert "Ancestors:\n- stg_customer" in out
+    assert main(["model", "inspect", "stg_customer",
+                 "--project", str(project)]) == 0
+    out = capsys.readouterr().out
+    assert "Descendants:\n- mrt_nation_balance" in out
+    assert main(["model", "inspect", "nope", "--project", str(project)]) == 1

@@ -118,3 +118,40 @@ def test_ivf_recall_vs_exact_topk(spark):
     assert exact
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_materialized_index_matches_in_memory(spark, tmp_path):
+    """The warehouse-materialized IVF index (parquet partitioned by cell)
+    returns the same top-k as the in-memory index, and the search scan is
+    dynamically partition-pruned to the probed cells."""
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.materialize import Warehouse
+    from dbtwiz_spark.ops.ext_llm import (
+        ivf_index_write,
+        ivf_topk,
+        ivf_topk_from_table,
+    )
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    wh = Warehouse(spark, str(tmp_path / "annwh"))
+    ivf_index_write(wh, "ivf_idx", emb, n_cells=8)
+    # cell-partition dirs exist on disk
+    assert (wh.path("ivf_idx") / "cell=1").exists()
+
+    got = ivf_topk_from_table(wh, "ivf_idx", queries, k=5, nprobe=3)
+    # the index scan is dynamically partition-pruned to the probed cells
+    plan = got._jdf.queryExecution().explainString(
+        got.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruningexpression(cast(cell" in plan
+    want = ivf_topk(emb, queries, k=5, nprobe=3, n_cells=8)
+    g = sorted((r.q_vec_id, r.rnk, r.c_vec_id) for r in got.collect())
+    w = sorted((r.q_vec_id, r.rnk, r.c_vec_id) for r in want.collect())
+    assert g == w and len(g) > 0

@@ -368,3 +368,37 @@ def test_migrate_table_rolls_back_on_failure(spark, wh, monkeypatch):
     assert not wh.exists("broken")
     assert "keepme" not in wh.views  # still a physical table, not a view
     assert wh.read("keepme").count() == 1
+
+
+def test_merge_and_scd2_with_date_typed_partition_column(spark, wh):
+    """Partition-column type inference is disabled, so a DATE-typed partition
+    column reads back as STRING; merge/scd2 must align the update's types to
+    the live table instead of failing the union (round-2 hardening)."""
+    dt = "k INT, v STRING, partitiondate DATE"
+    base = spark.createDataFrame([(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+                                 "k INT, v STRING, partitiondate STRING")
+    base = base.withColumn("partitiondate", F.col("partitiondate").cast("date"))
+    wh.merge("dtp", base, unique_key="k", partition_by="partitiondate")
+    upd = spark.createDataFrame([(2, "B", "2024-01-02")],
+                                "k INT, v STRING, partitiondate STRING")
+    upd = upd.withColumn("partitiondate", F.col("partitiondate").cast("date"))
+    wh.merge("dtp", upd, unique_key="k", partition_by="partitiondate")
+    got = {r.k: (r.v, r.partitiondate) for r in wh.read("dtp").collect()}
+    assert got == {1: ("a", "2024-01-01"), 2: ("B", "2024-01-02")}
+
+    day1 = spark.createDataFrame([(1, "alice", "2024-01-01")],
+                                 "k INT, v STRING, partitiondate STRING")
+    day1 = day1.withColumn("partitiondate", F.col("partitiondate").cast("date"))
+    wh.scd2_apply("dtd", day1, unique_key="k", date_column="partitiondate")
+    day2 = spark.createDataFrame([(1, "ALICE", "2024-01-02")],
+                                 "k INT, v STRING, partitiondate STRING")
+    day2 = day2.withColumn("partitiondate", F.col("partitiondate").cast("date"))
+    wh.scd2_apply("dtd", day2, unique_key="k", date_column="partitiondate")
+    # valid_from/valid_to are data columns -> they keep DATE type (only the
+    # hive partition dir column reads back as string)
+    from datetime import date
+
+    rows = {(r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in wh.read("dtd").collect()}
+    assert (1, "alice", date(2024, 1, 1), date(2024, 1, 2), False) in rows
+    assert (1, "ALICE", date(2024, 1, 2), None, True) in rows

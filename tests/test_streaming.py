@@ -161,3 +161,48 @@ def test_sessionized_stream_matches_batch(spark, source_dir):
     for r in out:  # every watermark-closed session equals its batch form
         n, tv = bmap[(r.user_id, r.session_start)]
         assert r.n_events == n and abs(r.total_value - tv) < 1e-9
+
+
+def test_session_merges_across_micro_batches(spark, tmp_path):
+    """A session whose events straddle a micro-batch boundary must come out
+    as ONE merged session, not two — the stateful session-merge contract.
+    A far-future event in the last batch advances the watermark so the
+    merged session closes and is emitted in append mode."""
+    import time as _time
+
+    from dbtwiz_spark.streaming import events_stream, sessionized_stream
+
+    in_dir = tmp_path / "sess_in"
+    in_dir.mkdir()
+    t0 = 1_700_000_000  # fixed epoch seconds
+    batches = [
+        [(1, t0), (2, t0 + 600)],                # user 1 session begins
+        [(3, t0 + 1200), (4, t0 + 1800)],        # same session continues (<30m gaps)
+        [(5, t0 + 200_000)],                      # watermark pusher (2+ days later)
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(eid, _ts, 1, "click", 1.0, "{}") for eid, _ts in rows],
+            "event_id BIGINT, ts_s BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).select(
+            "event_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"b{i}"))
+        import glob as _glob
+        import shutil as _shutil
+
+        src = _glob.glob(str(tmp_path / f"b{i}" / "*.parquet"))[0]
+        _shutil.copy(src, in_dir / f"{i:02d}.parquet")
+        _time.sleep(1.1)
+
+    out = _run(spark, sessionized_stream(events_stream(spark, str(in_dir))),
+               mode="append").collect()
+    sessions = [(r.user_id, r.session_start, r.n_events)
+                for r in out if r.n_events > 1]
+    # ONE merged 4-event session for user 1, starting at t0
+    assert len(sessions) == 1
+    u, start, n = sessions[0]
+    assert u == 1 and n == 4 and int(start.timestamp()) == t0
