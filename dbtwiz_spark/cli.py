@@ -63,6 +63,28 @@ def cmd_build(args) -> int:
     return 0 if all(r.status != "error" for r in results) else 1
 
 
+def cmd_explain(args) -> int:
+    """Compile a model (refs inlined, nothing built) and print the physical
+    plan + scale audit — dbt `compile` + BigQuery dry-run analog."""
+    runner, manifest, _ = _load(args)
+    if args.name not in manifest.models:
+        print(f"unknown model: {args.name}")
+        return 1
+    if args.start:
+        runner.variables["data_interval_start"] = args.start
+        runner.variables["data_interval_end"] = args.end or args.start
+    sql, plan, notes = runner.explain(args.name)
+    if args.sql:
+        print("-- compiled SQL")
+        print(sql.strip())
+        print()
+    print(plan)
+    print("-- plan audit")
+    for n in notes:
+        print(f"  {n}")
+    return 0
+
+
 def cmd_test(args) -> int:
     """Model checks: declared unique_key must actually be unique
     (the validate-pk check, SURVEY §1.3 / dbtwiz/model/validate.py:271-292)."""
@@ -443,6 +465,16 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--last", action="store_true",
                    help="replay the previous --select/--exclude")
     b.set_defaults(fn=cmd_build)
+
+    ex = sub.add_parser("explain", help="compile a model and audit its plan")
+    ex.add_argument("name")
+    ex.add_argument("--project", default=".")
+    ex.add_argument("--warehouse", default="spark-warehouse")
+    ex.add_argument("--vars", default=None)
+    ex.add_argument("--start", default=None)
+    ex.add_argument("--end", default=None)
+    ex.add_argument("--sql", action="store_true", help="also print compiled SQL")
+    ex.set_defaults(fn=cmd_explain)
 
     t = sub.add_parser("test", help="model checks (pk uniqueness)")
     common(t)

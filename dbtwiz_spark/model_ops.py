@@ -126,6 +126,8 @@ _PROTECTED_RE = re.compile(
       )""",
     re.VERBOSE | re.DOTALL,
 )
+
+
 @dataclass
 class LintFinding:
     line: int
@@ -143,7 +145,7 @@ def lint_sql(sql: str) -> list[LintFinding]:
         return any(a <= pos < b for a, b in protected)
 
     offset = 0
-    for i, line in enumerate(sql.splitlines(), start=1):
+    for i, line in enumerate(sql.split("\n"), start=1):
         if line != line.rstrip():
             findings.append(LintFinding(i, "W001", "trailing whitespace"))
         if "\t" in line:
@@ -156,7 +158,7 @@ def lint_sql(sql: str) -> list[LintFinding]:
                 break  # one per line keeps output readable
         offset += len(line) + 1
     # missing alias on computed select items: inspect the select list only
-    for i, line in enumerate(sql.splitlines(), start=1):
+    for i, line in enumerate(sql.split("\n"), start=1):
         bare = _PROTECTED_RE.sub("", line).strip().rstrip(",")
         if not bare or bare.upper().startswith(("FROM", "WHERE", "GROUP", "ORDER", "--")):
             continue
@@ -186,7 +188,10 @@ def fix_sql(sql: str) -> str:
         last = m.end()
     out.append(_KW_RE.sub(lambda k: k.group(0).upper(), sql[last:]))
     text = "".join(out)
-    lines = [ln.rstrip().replace("\t", "    ") for ln in text.splitlines()]
+    # split on \n ONLY: splitlines() also breaks on \r / unicode separators,
+    # which would corrupt string literals containing them (CRLF endings
+    # still normalize, since the trailing \r is stripped as whitespace)
+    lines = [ln.rstrip().replace("\t", "    ") for ln in text.split("\n")]
     # collapse runs of blank lines to one
     cleaned: list[str] = []
     for ln in lines:

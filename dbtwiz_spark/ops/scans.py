@@ -88,3 +88,75 @@ def file_format_parquet(spark, sf_dir):
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _roundtrip(df, fmt: str, schema: str, options: dict | None = None):
+    """Write ``df`` in ``fmt`` to a throwaway dir and read it back with an
+    explicit schema — the source/sink contract for non-parquet formats.
+    The oracle reads the original table, so the entry passes only when the
+    round trip is lossless."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"dbtwiz_spark_{fmt}_")
+    opts = options or {}
+    df.write.mode("overwrite").options(**opts).format(fmt).save(path)
+    reader = df.sparkSession.read.options(**opts)
+    if fmt != "orc":  # orc embeds its schema
+        reader = reader.schema(schema)
+    return reader.format(fmt).load(path)
+
+
+@register(
+    "file-format-csv",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def file_format_csv(spark, sf_dir):
+    """CSV source/sink round trip (header + explicit schema on read — the
+    external-table CSV contract; BigQuery analog: CSV external tables)."""
+    n = views(spark, sf_dir).table("nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    return _roundtrip(
+        n, "csv", "n_nationkey INT, n_name STRING, n_regionkey INT",
+        {"header": "true"},
+    )
+
+
+@register(
+    "file-format-json",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def file_format_json(spark, sf_dir):
+    """JSON-lines source/sink round trip (doubles survive via shortest
+    round-trip representation; schema explicit on read — no inference at
+    100 TB)."""
+    o = views(spark, sf_dir).table("orders")
+    sub = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return _roundtrip(
+        sub, "json", "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE"
+    )
+
+
+@register(
+    "file-format-orc",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(28,6))) AS DOUBLE) AS total_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def file_format_orc(spark, sf_dir):
+    """ORC source/sink round trip (columnar alternative; schema embedded),
+    aggregated after re-read so the whole read path is exercised."""
+    from dbtwiz_spark.ops.common import dsum
+
+    c = views(spark, sf_dir).table("customer").select("c_mktsegment", "c_acctbal")
+    back = _roundtrip(c, "orc", "")
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), dsum("c_acctbal", "total_bal")
+    )

@@ -117,5 +117,73 @@ class Runner:
         return RunResult(model.name, "success", rows=out.count())
 
 
+    # -- compile / explain (dry run) ------------------------------------
+    def compiled_sql(self, name: str, _memo: dict[str, str] | None = None) -> str:
+        """Fully-inlined SQL for one model: every upstream ref() becomes a
+        subquery, sources resolve to registered path views — so a model can
+        be compiled and explained WITHOUT building any parent (the dbt
+        `compile` + BigQuery dry-run analog; reference estimates bytes via
+        dry run in dbtwiz/admin/backfill.py)."""
+        from dbtwiz_spark.macros import extract_refs
+
+        memo = _memo if _memo is not None else {}
+        if name in memo:
+            return memo[name]
+        for src_name, src in self.manifest.sources.items():
+            self.spark.read.parquet(src.path).createOrReplaceTempView(src_name)
+        model = self.manifest.models[name]
+        resolve: dict[str, str] = {}
+        for dep in extract_refs(model.sql):
+            if dep in self.manifest.models:
+                resolve[dep] = f"({self.compiled_sql(dep, memo)})"
+            else:
+                resolve[dep] = dep  # source view
+        sql = render(
+            model.sql,
+            resolve=resolve,
+            variables=self.variables,
+            interval_start=self.variables.get("data_interval_start"),
+            interval_end=self.variables.get("data_interval_end"),
+        )
+        memo[name] = sql
+        return sql
+
+    def explain(self, name: str) -> tuple[str, str, list[str]]:
+        """(compiled SQL, formatted physical plan, audit notes) for a model.
+
+        The audit surfaces the scale properties the engine cares about:
+        filter pushdown reaching the scan, join strategies, shuffle count,
+        and the red flags (cartesian product, single-partition window)."""
+        sql = self.compiled_sql(name)
+        df = self.spark.sql(sql)
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        notes: list[str] = []
+        n_ex = plan.count("Exchange")
+        notes.append(f"{n_ex} exchange(s) (shuffles/broadcasts)")
+        if "PushedFilters: [" in plan and "PushedFilters: []" not in plan:
+            notes.append("filter pushdown reaches the scan")
+        for join in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                     "BroadcastNestedLoopJoin"):
+            c = plan.count(f"{join} (")
+            if c:
+                notes.append(f"{c}x {join}")
+        if "CartesianProduct" in plan:
+            notes.append("WARNING: cartesian product — O(n*m) at scale")
+        import re as _re
+
+        for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0]
+            if " ASC" in first or " DESC" in first:
+                notes.append(
+                    "WARNING: window without partitioning — single task sorts everything"
+                )
+                break
+        return sql, plan, notes
+
+
 def read_model(spark: SparkSession, warehouse: Warehouse, name: str) -> DataFrame:
     return warehouse.read(name)

@@ -112,3 +112,22 @@ def foreach_batch_overwrite(
         warehouse.insert_overwrite(table, batch_df, partition_by)
 
     return sink
+
+
+def foreach_batch_merge(warehouse: Warehouse, table: str, unique_key: str):
+    """foreachBatch sink: MERGE each micro-batch by unique key — the
+    streaming face of the `incremental_strategy: merge` materialization
+    (CDC-style upsert: latest event per key wins).
+
+    Each micro-batch upserts through the same deterministic Warehouse.merge
+    the batch path uses (collision pinning, schema evolution, partition
+    scoping all inherited), so a table fed by the stream is
+    indistinguishable from one built by batch merges of the same data —
+    and replaying a micro-batch is idempotent."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warehouse.merge(table, batch_df, unique_key)
+
+    return sink

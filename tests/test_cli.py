@@ -344,3 +344,20 @@ def test_model_inspect(project, capsys):
     out = capsys.readouterr().out
     assert "Descendants:\n- mrt_nation_balance" in out
     assert main(["model", "inspect", "nope", "--project", str(project)]) == 1
+
+
+def test_explain_dry_run(spark, project, tmp_path, capsys):
+    """explain: compile (refs inlined, nothing built) + physical plan +
+    scale audit — works even though no parent model was ever built."""
+    assert main(["explain", "mrt_nation_balance", "--project", str(project),
+                 "--warehouse", str(tmp_path / "whx"), "--sql"]) == 0
+    out = capsys.readouterr().out
+    assert "-- compiled SQL" in out
+    assert "{{ ref(" not in out          # all refs inlined
+    assert "== Physical Plan ==" in out
+    assert "-- plan audit" in out
+    assert "exchange(s)" in out
+    # nothing was materialized by a dry run
+    assert not (tmp_path / "whx").exists()
+    assert main(["explain", "nope", "--project", str(project),
+                 "--warehouse", str(tmp_path / "whx")]) == 1

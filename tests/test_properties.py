@@ -96,3 +96,58 @@ def test_topo_order_respects_every_edge(edges):
     for a, b in edges:
         assert names[a] in m.upstream(names[b])
         assert names[b] in m.downstream(names[a])
+
+
+_sql_kw_free = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="_ "),
+    min_size=0, max_size=40,
+)
+
+
+@given(body=_sql_kw_free, lit=st.text(
+    alphabet=st.characters(blacklist_characters="'\\\n", blacklist_categories=("Cs",)),
+    max_size=20,
+))
+@settings(max_examples=60)
+def test_fix_sql_is_idempotent_and_literal_safe(body, lit):
+    from dbtwiz_spark.model_ops import fix_sql
+
+    sql = f"select {body} from t where x = '{lit}'  \n\n\nand y like '{lit}'\t\n"
+    fixed = fix_sql(sql)
+    # idempotent
+    assert fix_sql(fixed) == fixed
+    # string literals byte-identical after normalization
+    assert f"'{lit}'" in fixed
+    # hygiene invariants
+    assert "\t" not in fixed
+    assert not any(line != line.rstrip() for line in fixed.splitlines())
+    assert fixed.endswith("\n") and "\n\n\n" not in fixed
+    # keywords outside literals are uppercased
+    assert fixed.startswith("SELECT")
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 3), st.text(max_size=5)),
+                min_size=1, max_size=30))
+@settings(max_examples=30, deadline=None)
+def test_pin_survivor_is_deterministic_and_minimal(rows):
+    """_pin_survivor keeps exactly one row per key — the minimum by the
+    (precedence, other columns) total order — independent of input order."""
+    from dbtwiz_spark.materialize import _pin_survivor
+    from dbtwiz_spark.session import get_spark
+
+    spark = get_spark("dbtwiz_spark-tests", shuffle_partitions=4)
+    df = spark.createDataFrame(rows, "k INT, p INT, v STRING")
+    out = {(r.k, r.p, r.v) for r in _pin_survivor(df, ["k"]).collect()}
+    # exactly one per key, and it is the lexicographic minimum
+    want = {}
+    for k, p, v in rows:
+        cand = (k, p, v)
+        if k not in want or (cand[1], cand[2]) < (want[k][1], want[k][2]):
+            want[k] = cand
+    assert out == set(want.values())
+    # order-independence: reversed input yields the identical survivors
+    out2 = {(r.k, r.p, r.v)
+            for r in _pin_survivor(
+                spark.createDataFrame(list(reversed(rows)), "k INT, p INT, v STRING"),
+                ["k"]).collect()}
+    assert out2 == out

@@ -206,3 +206,53 @@ def test_session_merges_across_micro_batches(spark, tmp_path):
     assert len(sessions) == 1
     u, start, n = sessions[0]
     assert u == 1 and n == 4 and int(start.timestamp()) == t0
+
+
+def test_foreach_batch_merge_upserts_stream(spark, tmp_path):
+    """CDC-style streaming upsert: per-user running totals streamed through
+    foreachBatch MERGE — the final table holds exactly one row per user,
+    equal to the batch aggregate over everything ingested (streaming and
+    batch write through the same Warehouse.merge)."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from dbtwiz_spark.materialize import Warehouse
+    from dbtwiz_spark.streaming import (
+        events_stream,
+        foreach_batch_merge,
+        running_user_totals_stream,
+    )
+
+    in_dir = tmp_path / "cdc_in"
+    in_dir.mkdir()
+    t0 = 1_700_000_000
+    batches = [
+        [(1, t0, 1, 2.0), (2, t0 + 60, 2, 3.0)],
+        [(3, t0 + 120, 1, 5.0)],                   # user 1 updated
+        [(4, t0 + 180, 2, 7.0), (5, t0 + 240, 3, 1.0)],
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [(eid, ts, uid, "click", v, "{}") for eid, ts, uid, v in rows],
+            "event_id BIGINT, ts_s BIGINT, user_id BIGINT, event_type STRING, "
+            "value DOUBLE, props STRING",
+        ).select("event_id", F.timestamp_seconds("ts_s").alias("ts"),
+                 "user_id", "event_type", "value", "props")
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"c{i}"))
+        src = _glob.glob(str(tmp_path / f"c{i}" / "*.parquet"))[0]
+        _shutil.copy(src, in_dir / f"{i:02d}.parquet")
+        _time.sleep(1.1)
+
+    wh = Warehouse(spark, str(tmp_path / "cdc_wh"))
+    totals = running_user_totals_stream(events_stream(spark, str(in_dir)))
+    q = (
+        totals.writeStream.outputMode("update")
+        .foreachBatch(foreach_batch_merge(wh, "user_totals", "user_id"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, r.total_value)
+           for r in wh.read("user_totals").collect()}
+    assert got == {1: (2, 7.0), 2: (2, 10.0), 3: (1, 1.0)}
