@@ -146,9 +146,10 @@ def lint_sql(sql: str) -> list[LintFinding]:
 
     offset = 0
     for i, line in enumerate(sql.split("\n"), start=1):
-        if line != line.rstrip():
+        if line != line.rstrip() and not in_protected(offset + len(line) - 1):
             findings.append(LintFinding(i, "W001", "trailing whitespace"))
-        if "\t" in line:
+        tab_at = line.find("\t")
+        if tab_at >= 0 and not in_protected(offset + tab_at):
             findings.append(LintFinding(i, "W002", "tab character (use spaces)"))
         for m in _KW_RE.finditer(line):
             if not in_protected(offset + m.start()) and m.group(0) != m.group(0).upper():
@@ -180,18 +181,23 @@ def fix_sql(sql: str) -> str:
     """Apply the auto-fixable subset of the lint rules, never touching
     string literals, quoted identifiers, comments, or Jinja blocks.
     Idempotent: fix_sql(fix_sql(s)) == fix_sql(s)."""
+    def _norm(segment: str) -> str:
+        # keyword case + tab expansion, applied ONLY outside protected
+        # regions (a tab inside a string literal is data, not indentation)
+        return _KW_RE.sub(lambda k: k.group(0).upper(), segment).replace("\t", "    ")
+
     out: list[str] = []
     last = 0
     for m in _PROTECTED_RE.finditer(sql):
-        out.append(_KW_RE.sub(lambda k: k.group(0).upper(), sql[last : m.start()]))
+        out.append(_norm(sql[last : m.start()]))
         out.append(m.group(0))
         last = m.end()
-    out.append(_KW_RE.sub(lambda k: k.group(0).upper(), sql[last:]))
+    out.append(_norm(sql[last:]))
     text = "".join(out)
     # split on \n ONLY: splitlines() also breaks on \r / unicode separators,
     # which would corrupt string literals containing them (CRLF endings
     # still normalize, since the trailing \r is stripped as whitespace)
-    lines = [ln.rstrip().replace("\t", "    ") for ln in text.split("\n")]
+    lines = [ln.rstrip() for ln in text.split("\n")]
     # collapse runs of blank lines to one
     cleaned: list[str] = []
     for ln in lines:

@@ -289,3 +289,53 @@ def agg_approx_quantile(spark, sf_dir):
         F.percentile_approx("o_totalprice", 0.5, 1000000).alias("p50"),
         F.percentile_approx("o_totalprice", 0.9, 1000000).alias("p90"),
     )
+
+
+@register(
+    "agg-pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """PIVOT (BigQuery PIVOT surface): one column per pivoted status value.
+
+    The value list is EXPLICIT — at 100 TB an implicit pivot would need a
+    pre-pass to discover values; Catalyst compiles the explicit form into a
+    single partial-aggregated groupBy (one shuffle, no extra scan)."""
+    o = views(spark, sf_dir).table("orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "agg-unpivot",
+    oracle="""
+    SELECT o_orderpriority, metric, val FROM (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+        FROM orders GROUP BY 1)
+    UNPIVOT (val FOR metric IN (n_orders, total_price))
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    """UNPIVOT (BigQuery UNPIVOT surface): wide metric columns → long
+    (metric, value) rows via the melt/stack expression — map-side only,
+    no shuffle beyond the source aggregation."""
+    o = views(spark, sf_dir).table("orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+    return wide.unpivot(
+        "o_orderpriority", ["n_orders", "total_price"], "metric", "val"
+    )

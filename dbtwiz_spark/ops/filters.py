@@ -196,3 +196,22 @@ def distinct(spark, sf_dir):
     """Duplicate elimination (also the base of the [EXT] dedup family)."""
     c = views(spark, sf_dir).table("customer")
     return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "project-except-replace",
+    oracle="""
+    SELECT * EXCLUDE (o_orderdate, o_orderpriority)
+           REPLACE (round(o_totalprice, 0) AS o_totalprice)
+    FROM orders
+    """,
+)
+def project_except_replace(spark, sf_dir):
+    """SELECT * EXCEPT(...) REPLACE(...) (BigQuery surface; DuckDB spells it
+    EXCLUDE): column pruning + in-place expression swap without enumerating
+    the schema — on the DataFrame side, drop() + withColumn preserve column
+    order exactly like the SQL form."""
+    o = views(spark, sf_dir).table("orders")
+    return o.drop("o_orderdate", "o_orderpriority").withColumn(
+        "o_totalprice", F.round("o_totalprice", 0)
+    )

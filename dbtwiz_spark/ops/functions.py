@@ -330,3 +330,52 @@ def func_bitwise(spark, sf_dir):
         F.shiftleft(k, 2).alias("shifted_l"),
         F.shiftright(k, 3).alias("shifted_r"),
     )
+
+
+@register(
+    "func-generate-series",
+    oracle="""
+    SELECT o_orderkey,
+           unnest(generate_series(1, (o_orderkey % 5) + 1)) AS n
+    FROM orders WHERE o_orderkey % 500 = 0
+    """,
+)
+def func_generate_series(spark, sf_dir):
+    """GENERATE_ARRAY / generate_series as a lateral table function
+    (BigQuery GENERATE_ARRAY + UNNEST): sequence() + explode — map-side row
+    expansion, no shuffle."""
+    o = views(spark, sf_dir).table("orders")
+    return (
+        o.filter(F.col("o_orderkey") % 500 == 0)
+        .select(
+            "o_orderkey",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"), (F.col("o_orderkey") % 5) + 1
+                )
+            ).alias("n"),
+        )
+    )
+
+
+@register(
+    "func-generate-date-array",
+    oracle="""
+    SELECT CAST(d AS TIMESTAMP) AS day FROM (
+        SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-01-31',
+                                      INTERVAL 7 DAY)) AS d)
+    """,
+)
+def func_generate_date_array(spark, sf_dir):
+    """GENERATE_DATE_ARRAY (BigQuery surface): weekly date spine for
+    calendar/backfill scaffolding — the date-chunking primitive behind the
+    backfill plane, as an engine expression. Output cast to timestamp (raw
+    DateType diverges in the pandas canonicalizer)."""
+    views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT CAST(d AS TIMESTAMP) AS day FROM (
+            SELECT explode(sequence(DATE '2024-01-01', DATE '2024-01-31',
+                                    INTERVAL 7 DAY)) AS d)
+        """
+    )

@@ -243,3 +243,28 @@ def win_percent(spark, sf_dir):
         .alias("bal_pct_rank"),
         (F.col("_rank") / F.col("_n")).alias("bal_cume_dist"),
     )
+
+
+@register(
+    "win-qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    """,
+)
+def win_qualify(spark, sf_dir):
+    """QUALIFY (BigQuery surface): filter on a window function — top-2
+    orders per customer. Spark lacks the clause; the same plan is the
+    window + post-filter (identical physical shape: one shuffle on the
+    partition key, rank, filter)."""
+    o = views(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= 2)
+        .drop("_rn")
+    )

@@ -118,9 +118,14 @@ def test_fix_sql_is_idempotent_and_literal_safe(body, lit):
     assert fix_sql(fixed) == fixed
     # string literals byte-identical after normalization
     assert f"'{lit}'" in fixed
-    # hygiene invariants
-    assert "\t" not in fixed
-    assert not any(line != line.rstrip() for line in fixed.splitlines())
+    # hygiene invariants hold OUTSIDE protected regions (a tab inside a
+    # literal is data and must survive)
+    from dbtwiz_spark.model_ops import _PROTECTED_RE
+
+    assert "\t" not in _PROTECTED_RE.sub("", fixed)
+    # no trailing whitespace on any line (generated literals are single-line,
+    # so every physical line end is outside a literal and gets rstripped)
+    assert not any(line != line.rstrip() for line in fixed.split("\n"))
     assert fixed.endswith("\n") and "\n\n\n" not in fixed
     # keywords outside literals are uppercased
     assert fixed.startswith("SELECT")
