@@ -87,6 +87,44 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize image payloads via Arrow-batched mapInPandas.
+
+    Input: (doc_id: long, payload: binary, meta: MEDIA_META_SCHEMA struct).
+    Output: same shape with meta.width/height rewritten. The pixel work is a
+    deterministic fake (payload passthrough — a real cluster calls
+    PIL `Image.resize` in the same batch loop; codecs are absent here); the
+    Spark-side plumbing — struct column through Arrow, schema-stable output,
+    partition-preserving map — is the real contract."""
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("payload", BinaryType()),
+            StructField("meta", MEDIA_META_SCHEMA),
+        ]
+    )
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            meta = [
+                {
+                    "media_type": (m or {}).get("media_type"),
+                    "width": width,
+                    "height": height,
+                    "duration_ms": (m or {}).get("duration_ms"),
+                }
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": pdf["payload"], "meta": meta}
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Sample frames from video payloads. STUB plumbing: emits one row per
     sampled offset with the payload sliced deterministically (real impl

@@ -1107,3 +1107,30 @@ def ext_multimodal_column(spark, sf_dir):
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
     return extract_features(payloads)
+
+
+@register(
+    "ext-multimodal-framesample",
+    oracle="""
+    SELECT doc_id, (k - 1) * 100 AS offset_ms,
+           octet_length(encode(text)) AS payload_bytes
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1,
+                   least(8, greatest(1, octet_length(encode(text)) // 100)))) AS k
+        FROM documents)
+    """,
+)
+def ext_multimodal_framesample(spark, sf_dir):
+    """Frame sampling over binary media payloads: one row per sampled offset
+    via Arrow-batched mapInPandas (dbtwiz_spark.multimodal.frame_sample).
+
+    The demux is a deterministic fake (offsets from payload size — the
+    container has no video codecs) but the pipeline shape is the production
+    one: binary column in, exploded typed rows out, partition-preserving,
+    vectorized batches. Oracle reproduces the offset arithmetic in SQL."""
+    from dbtwiz_spark.multimodal import frame_sample
+
+    d = views(spark, sf_dir).table("documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return frame_sample(payloads, every_ms=100)

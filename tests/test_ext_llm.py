@@ -155,3 +155,23 @@ def test_ivf_materialized_index_matches_in_memory(spark, tmp_path):
     g = sorted((r.q_vec_id, r.rnk, r.c_vec_id) for r in got.collect())
     w = sorted((r.q_vec_id, r.rnk, r.c_vec_id) for r in want.collect())
     assert g == w and len(g) > 0
+
+
+def test_resize_images_plumbing(spark):
+    """resize_images: struct metadata rides through Arrow mapInPandas; the
+    meta.width/height are rewritten, payload and other fields preserved."""
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"imgbytes", ("image/png", 640, 480, None)),
+         (2, b"x", ("image/jpeg", 32, 32, None))],
+        "doc_id LONG, payload BINARY, "
+        "meta STRUCT<media_type STRING, width INT, height INT, duration_ms LONG>",
+    )
+    out = {r.doc_id: r for r in resize_images(df, 224, 224).collect()}
+    assert out[1].meta.width == 224 and out[1].meta.height == 224
+    assert out[1].meta.media_type == "image/png"
+    assert bytes(out[1].payload) == b"imgbytes"
+    assert out[2].meta.media_type == "image/jpeg"
