@@ -494,19 +494,26 @@ def ext_dedup_simhash(spark, sf_dir):
     d = views(spark, sf_dir).table("documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     h = toks.withColumn("h", F.xxhash64("tok"))
+    # per-bit SET counts (c_i), not ±1 sums: sum((h>>i)&1) generates half the
+    # whole-stage code of sum(CASE ...) — the 64-wide aggregate's codegen
+    # compile is this query's dominant one-shot cost. The ±1 sum b_i equals
+    # 2*c_i - n, so the sign test b_i > 0 becomes 2*c_i > n (ties → 0 bit,
+    # identical to before).
     sums = h.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b_{i}")
+            F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"c_{i}")
             for i in range(64)
-        ]
+        ],
     )
     sim = sums.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"b_{i}") > 0, F.lit(1).cast("long") * (2**i if i < 63 else -(2**63))).otherwise(0)
+                F.when(
+                    2 * F.col(f"c_{i}") > F.col("n"),
+                    F.lit(1).cast("long") * (2**i if i < 63 else -(2**63)),
+                ).otherwise(0)
                 for i in range(64)
             ]
         ).alias("simhash"),
