@@ -68,11 +68,28 @@ def _pin_survivor(
     ``dropDuplicates`` keeps an arbitrary row — under task retries or
     speculative execution two runs of the same merge could publish different
     tables. A total order pins the survivor; callers encode "updates beat
-    current rows" as a 0/1 precedence column."""
+    current rows" as a 0/1 precedence column. Non-orderable columns
+    (MapType) are excluded from the ordering — rows identical on every
+    orderable column fall back to dropDuplicates semantics rather than
+    failing the whole merge."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
     from pyspark.sql.window import Window
 
+    def _orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        return True
+
     pcols = list(precedence or [])
-    others = [c for c in df.columns if c not in keys and c not in pcols]
+    others = [
+        c
+        for c in df.columns
+        if c not in keys and c not in pcols and _orderable(df.schema[c].dataType)
+    ]
     order = [F.col(c).asc_nulls_last() for c in pcols + others]
     if not order:
         return df.dropDuplicates(keys)
@@ -274,20 +291,27 @@ class Warehouse:
             current.join(F.broadcast(affected), on=partition_by, how="left_semi")
             .join(deduped, on=unique_key, how="left_anti")
         )
-        merged = survivors.unionByName(deduped, allowMissingColumns=True)
-        # a partition is EMPTIED when it is affected but contributes no rows
-        # to the merged output (every key moved elsewhere). limit(1).count()
-        # is a metadata-scale probe: it scans at most until the first hit.
-        emptied = affected.join(
-            merged.select(partition_by).distinct(), on=partition_by, how="left_anti"
-        )
-        if emptied.limit(1).count() > 0:
-            full = current.join(deduped, on=unique_key, how="left_anti").unionByName(
-                deduped, allowMissingColumns=True
+        merged = survivors.unionByName(deduped, allowMissingColumns=True).persist()
+        try:
+            # a partition is EMPTIED when it is affected but contributes no
+            # rows to the merged output (every key moved elsewhere). merged
+            # is persisted so this probe materializes the (partition-scoped,
+            # small-vs-table) output ONCE and the subsequent write reuses it
+            # from cache instead of re-scanning current + updates.
+            emptied = affected.join(
+                merged.select(partition_by).distinct(),
+                on=partition_by,
+                how="left_anti",
             )
-            self.write_table(name, full, partition_by, snapshot=False)
-            return
-        self.insert_overwrite(name, merged, partition_by)
+            if emptied.limit(1).count() > 0:
+                full = current.join(
+                    deduped, on=unique_key, how="left_anti"
+                ).unionByName(deduped, allowMissingColumns=True)
+                self.write_table(name, full, partition_by, snapshot=False)
+                return
+            self.insert_overwrite(name, merged, partition_by)
+        finally:
+            merged.unpersist()
 
     def scd2_apply(
         self, name: str, updates: DataFrame, unique_key: str, date_column: str
@@ -324,10 +348,19 @@ class Warehouse:
         affected_keys = updates.select(unique_key).distinct()
         # an update re-stating an existing (key, date) must WIN over the
         # table row — deterministically (dropDuplicates would keep an
-        # arbitrary one): precedence 0 = update, 1 = current
+        # arbitrary one): precedence 0 = update, 1 = current.
+        # cur_hist keeps ALL of the table's data columns (not just the
+        # update's): a column absent from this run's updates must survive on
+        # the affected keys' historical rows, null-filling only the newly
+        # appended rows — selecting base_cols here would silently null the
+        # whole history.
+        cur_cols = [
+            c for c in current.columns
+            if c not in ("valid_from", "valid_to", "is_current")
+        ]
         cur_hist = (
             current.join(affected_keys, on=unique_key, how="left_semi")
-            .select([c for c in base_cols if c in current.columns])
+            .select(cur_cols)
             .withColumn("_prio", F.lit(1))
         )
         key_hist = _pin_survivor(
@@ -377,10 +410,12 @@ class Warehouse:
             # rollback: remove the partial/incorrect copy; src is untouched
             self.delete_table(dst)
             raise
-        # swap: drop the old data, leave a view at the old name
-        self.read(dst).createOrReplaceTempView(dst)
+        # swap: drop the old data, leave a view at the old name. The view
+        # SQL reads the TARGET PATH directly, so each read re-resolves the
+        # file listing — a temp view over read(dst) would pin today's file
+        # index and break the old name on the first subsequent write to dst.
         shutil.rmtree(self.path(src), ignore_errors=True)
-        self.create_view(src, f"SELECT * FROM {dst}")
+        self.create_view(src, f"SELECT * FROM parquet.`{self.path(dst)}`")
 
     def delete_table(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)

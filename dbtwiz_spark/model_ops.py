@@ -67,11 +67,23 @@ def move_model(
     target_dir = models_dir / new_subdir if new_subdir else old_sql.parent
     target_dir.mkdir(parents=True, exist_ok=True)
     new_sql = target_dir / f"{new_name}.sql"
+    old_yml = old_sql.with_suffix(".yml")
+
+    if old_name == new_name:
+        # pure folder move: model names are keyed by file stem, so a
+        # same-name "safe" copy would create a duplicate stem AND a
+        # self-referential view — just relocate the files instead
+        if new_sql.resolve() == old_sql.resolve():
+            raise ValueError(f"model {old_name!r} is already at {new_sql}")
+        old_sql.rename(new_sql)
+        if old_yml.exists():
+            old_yml.rename(new_sql.with_suffix(".yml"))
+        return MoveResult(old_sql, new_sql, [], old_kept_as_view=False)
+
     if new_sql.exists():
         raise FileExistsError(f"model {new_name!r} already exists at {new_sql}")
 
     new_sql.write_text(old_sql.read_text())
-    old_yml = old_sql.with_suffix(".yml")
     if old_yml.exists():
         new_sql.with_suffix(".yml").write_text(old_yml.read_text())
 
@@ -194,16 +206,32 @@ def fix_sql(sql: str) -> str:
         last = m.end()
     out.append(_norm(sql[last:]))
     text = "".join(out)
+    # line hygiene must not reach inside a protected region either: a
+    # multi-line string literal may legitimately contain trailing spaces or
+    # blank lines. A line is eligible for rstrip / blank-collapse only when
+    # its terminating newline is OUTSIDE every protected span (a literal
+    # ending at line end closes with a quote, so trailing whitespace after
+    # a span is always unprotected).
+    spans = [m.span() for m in _PROTECTED_RE.finditer(text)]
+
+    def _protected(pos: int) -> bool:
+        return any(a <= pos < b for a, b in spans)
+
     # split on \n ONLY: splitlines() also breaks on \r / unicode separators,
     # which would corrupt string literals containing them (CRLF endings
     # still normalize, since the trailing \r is stripped as whitespace)
-    lines = [ln.rstrip() for ln in text.split("\n")]
-    # collapse runs of blank lines to one
     cleaned: list[str] = []
-    for ln in lines:
-        if ln == "" and cleaned and cleaned[-1] == "":
-            continue
+    pos = 0
+    for ln in text.split("\n"):
+        nl = pos + len(ln)  # index of this line's newline (or EOF)
+        editable = nl >= len(text) or not _protected(nl)
+        if editable:
+            ln = ln.rstrip()
+            if ln == "" and cleaned and cleaned[-1] == "":
+                pos = nl + 1
+                continue  # collapse runs of blank lines to one
         cleaned.append(ln)
+        pos = nl + 1
     return "\n".join(cleaned).rstrip("\n") + "\n"
 
 

@@ -422,7 +422,7 @@ def ext_dedup_near(spark, sf_dir):
     # materialized table), so repeat calls in a long-lived session reuse the
     # SAME persisted DataFrame instead of re-persisting an identical plan.
     rows_per_band = NUM_PERM // BANDS
-    key = (id(spark), sf_dir, "lsh_per_doc")
+    key = (spark, sf_dir, "lsh_per_doc")
     per_doc = _ARTIFACTS.get(key)
     if per_doc is None:
         sh = shingles(d, 3)
@@ -1080,7 +1080,7 @@ def ext_ann_ivf(spark, sf_dir):
         k=10,
         n_cells=16,
         nprobe=4,
-        cache_key=(id(spark), sf_dir, "ivf16"),
+        cache_key=(spark, sf_dir, "ivf16"),
     )
 
 

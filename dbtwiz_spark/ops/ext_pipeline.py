@@ -24,16 +24,20 @@ from dbtwiz_spark.ops.registry import register
 # Knuth multiplicative hash: deterministic pseudo-random ordering computable
 # with exact BIGINT arithmetic in any engine (Spark and DuckDB produce the
 # identical value, unlike engine-native hash()/xxhash64 which differ).
+# The id is reduced mod 2^31 BEFORE the multiply: (2^31-1) × 2654435761
+# ≈ 5.7e18 stays inside BIGINT, whereas a raw multiply overflows for ids
+# ≳ 3.5e9 (silent wrap in Spark, error in DuckDB — both fatal to parity).
 _KNUTH = 2654435761
+_M31 = 2147483648
 _M32 = 4294967296
 
 
 def _hkey(col):
-    return (col * F.lit(_KNUTH)) % F.lit(_M32)
+    return ((col % F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(_M32)
 
 
 def _hkey_sql(expr: str) -> str:
-    return f"(({expr}) * {_KNUTH}) % {_M32}"
+    return f"((({expr}) % {_M31}) * {_KNUTH}) % {_M32}"
 
 
 @register(

@@ -126,11 +126,15 @@ class Runner:
         dry run in dbtwiz/admin/backfill.py)."""
         from dbtwiz_spark.macros import extract_refs
 
-        memo = _memo if _memo is not None else {}
+        memo = _memo
+        if memo is None:
+            memo = {}
+            # register source views ONCE per compile, not per recursive call
+            # (each registration is a parquet schema read + catalog RPC)
+            for src_name, src in self.manifest.sources.items():
+                self.spark.read.parquet(src.path).createOrReplaceTempView(src_name)
         if name in memo:
             return memo[name]
-        for src_name, src in self.manifest.sources.items():
-            self.spark.read.parquet(src.path).createOrReplaceTempView(src_name)
         model = self.manifest.models[name]
         resolve: dict[str, str] = {}
         for dep in extract_refs(model.sql):

@@ -114,20 +114,41 @@ def foreach_batch_overwrite(
     return sink
 
 
-def foreach_batch_merge(warehouse: Warehouse, table: str, unique_key: str):
+def foreach_batch_merge(
+    warehouse: Warehouse,
+    table: str,
+    unique_key: str,
+    order_by: str | None = None,
+):
     """foreachBatch sink: MERGE each micro-batch by unique key — the
     streaming face of the `incremental_strategy: merge` materialization
-    (CDC-style upsert: latest event per key wins).
+    (CDC-style upsert).
+
+    Collision rule inside one micro-batch: with ``order_by`` (an event-time
+    or sequence column) the HIGHEST value wins — the CDC "latest state"
+    contract. Without it, the batch is expected to carry at most one row per
+    key (update-mode aggregates do), and ties fall to Warehouse.merge's
+    deterministic total-order pinning — which is stable but NOT time-aware,
+    so raw multi-event CDC streams must pass ``order_by``.
 
     Each micro-batch upserts through the same deterministic Warehouse.merge
-    the batch path uses (collision pinning, schema evolution, partition
-    scoping all inherited), so a table fed by the stream is
-    indistinguishable from one built by batch merges of the same data —
-    and replaying a micro-batch is idempotent."""
+    the batch path uses (schema evolution, partition scoping inherited), so
+    a table fed by the stream is indistinguishable from one built by batch
+    merges of the same data — and replaying a micro-batch is idempotent."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        warehouse.merge(table, batch_df, unique_key)
+        out = batch_df
+        if order_by is not None:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(unique_key).orderBy(F.col(order_by).desc())
+            out = (
+                out.withColumn("_rn_cdc", F.row_number().over(w))
+                .filter(F.col("_rn_cdc") == 1)
+                .drop("_rn_cdc")
+            )
+        warehouse.merge(table, out, unique_key)
 
     return sink

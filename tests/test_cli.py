@@ -361,3 +361,18 @@ def test_explain_dry_run(spark, project, tmp_path, capsys):
     assert not (tmp_path / "whx").exists()
     assert main(["explain", "nope", "--project", str(project),
                  "--warehouse", str(tmp_path / "whx")]) == 1
+
+
+def test_model_move_same_name_folder_only(tmp_path, capsys):
+    """A pure folder move (same model name) relocates the files — no
+    self-referential view, no duplicate stem."""
+    proj = tmp_path / "projmv2"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "m1.sql").write_text("SELECT 1 AS x")
+    (proj / "models" / "m1.yml").write_text("materialized: view\n")
+    assert main(["model", "move", "m1", "m1",
+                 "--project", str(proj), "--folder", "core"]) == 0
+    capsys.readouterr()
+    assert not (proj / "models" / "m1.sql").exists()
+    assert (proj / "models" / "core" / "m1.sql").read_text() == "SELECT 1 AS x"
+    assert (proj / "models" / "core" / "m1.yml").exists()

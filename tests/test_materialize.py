@@ -402,3 +402,48 @@ def test_merge_and_scd2_with_date_typed_partition_column(spark, wh):
             for r in wh.read("dtd").collect()}
     assert (1, "alice", date(2024, 1, 1), date(2024, 1, 2), False) in rows
     assert (1, "ALICE", date(2024, 1, 2), None, True) in rows
+
+
+def test_scd2_preserves_columns_missing_from_updates(spark, wh):
+    """An update lacking a column the table has must NOT null that column on
+    the affected key's existing history — only the newly appended rows
+    null-fill (review fix: base_cols was derived from updates only)."""
+    day1 = spark.createDataFrame(
+        [(1, "alice", "a@x.io", "2024-01-01")],
+        "k INT, v STRING, email STRING, partitiondate STRING",
+    )
+    wh.scd2_apply("dimcol", day1, unique_key="k", date_column="partitiondate")
+    day2 = _df(spark, [(1, "ALICE", "2024-01-02")])  # no email column
+    wh.scd2_apply("dimcol", day2, unique_key="k", date_column="partitiondate")
+    rows = {r.partitiondate: (r.v, r.email, r.is_current)
+            for r in wh.read("dimcol").collect()}
+    assert rows["2024-01-01"] == ("alice", "a@x.io", False)  # history intact
+    assert rows["2024-01-02"] == ("ALICE", None, True)       # new row null-fills
+
+
+def test_merge_with_map_column(spark, wh):
+    """Rows carrying non-orderable (map) columns must still merge — the
+    survivor total order skips them (review fix: Window.orderBy on MapType
+    raises)."""
+    base = spark.createDataFrame(
+        [(1, {"a": "1"}, "d1")], "k INT, props MAP<STRING,STRING>, partitiondate STRING"
+    )
+    wh.write_table("mm", base)
+    upd = spark.createDataFrame(
+        [(1, {"b": "2"}, "d2"), (2, {"c": "3"}, "d2")],
+        "k INT, props MAP<STRING,STRING>, partitiondate STRING",
+    )
+    wh.merge("mm", upd, unique_key="k")
+    got = {r.k: dict(r.props) for r in wh.read("mm").collect()}
+    assert got == {1: {"b": "2"}, 2: {"c": "3"}}
+
+
+def test_migrated_view_survives_target_rewrite(spark, wh):
+    """The replacement view must keep working after the migration target is
+    rewritten (review fix: the view SQL reads the target PATH so the file
+    listing re-resolves per read, instead of pinning a stale index)."""
+    wh.write_table("legacy2", _df(spark, [(1, "v1", "d")]))
+    wh.migrate_table("legacy2", "modern2")
+    assert wh.read("legacy2").first().v == "v1"
+    wh.write_table("modern2", _df(spark, [(2, "v2", "d")]))  # rewrite target
+    assert wh.read("legacy2").first().v == "v2"

@@ -156,3 +156,18 @@ def test_pin_survivor_is_deterministic_and_minimal(rows):
                 spark.createDataFrame(list(reversed(rows)), "k INT, p INT, v STRING"),
                 ["k"]).collect()}
     assert out2 == out
+
+
+def test_fix_sql_preserves_multiline_literals():
+    """rstrip/blank-collapse must not reach inside a multi-line string
+    literal (trailing spaces and blank lines there are data)."""
+    from dbtwiz_spark.model_ops import fix_sql
+
+    lit = "a   \n\n\nb"
+    sql = f"select '{lit}' as x from t   \n\n\nwhere y = 1\n"
+    fixed = fix_sql(sql)
+    assert f"'{lit}'" in fixed          # literal byte-identical
+    assert fixed.endswith("WHERE y = 1\n")
+    # the UNPROTECTED trailing whitespace and blank run were cleaned
+    assert "t   \n" not in fixed and "x FROM t\n\nWHERE" in fixed
+    assert fix_sql(fixed) == fixed      # idempotent

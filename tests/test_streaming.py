@@ -256,3 +256,22 @@ def test_foreach_batch_merge_upserts_stream(spark, tmp_path):
     got = {r.user_id: (r.n_events, r.total_value)
            for r in wh.read("user_totals").collect()}
     assert got == {1: (2, 7.0), 2: (2, 10.0), 3: (1, 1.0)}
+
+
+def test_foreach_batch_merge_order_by_latest_wins(spark, tmp_path):
+    """With order_by, the highest event-time row per key wins inside a
+    micro-batch (CDC latest-state contract), regardless of value ordering."""
+    from dbtwiz_spark.materialize import Warehouse
+    from dbtwiz_spark.streaming import foreach_batch_merge
+
+    wh = Warehouse(spark, str(tmp_path / "cdc2_wh"))
+    batch = spark.createDataFrame(
+        # 'applied' sorts before 'cancelled' lexicographically, but
+        # 'cancelled' is newer and must win
+        [(1, "cancelled", 1005), (1, "applied", 1000), (2, "ok", 1001)],
+        "k INT, state STRING, ts LONG",
+    )
+    sink = foreach_batch_merge(wh, "cdc_state", "k", order_by="ts")
+    sink(batch, 0)
+    got = {r.k: r.state for r in wh.read("cdc_state").collect()}
+    assert got == {1: "cancelled", 2: "ok"}
