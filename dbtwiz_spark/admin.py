@@ -243,5 +243,14 @@ def check_freshness(
         return False, float("inf")
     if isinstance(latest, str):
         latest = datetime.fromisoformat(latest)
-    age_h = (datetime.now() - latest.replace(tzinfo=None)).total_seconds() / 3600
+    # compare in UTC on both sides: a tz-aware loaded_at converts to UTC
+    # (stripping tzinfo without converting would skew the age by the host's
+    # UTC offset); naive values are engine-written under the session's UTC
+    # timezone already, and now() must then be UTC too, not host-local
+    from datetime import timezone
+
+    if latest.tzinfo is not None:
+        latest = latest.astimezone(timezone.utc).replace(tzinfo=None)
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    age_h = (now - latest).total_seconds() / 3600
     return age_h <= max_age_hours, age_h

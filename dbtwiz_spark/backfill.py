@@ -37,6 +37,8 @@ def chunk_date_range(
 ) -> list[tuple[date, date]]:
     """Inclusive contiguous chunks of at most ``batch_size`` days
     (dbtwiz/admin/backfill.py:104-114 semantics: the tail chunk is short)."""
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     if first > last:
         return []
     chunks = []
@@ -77,9 +79,15 @@ def estimate_bytes_per_day(
         for f in files:
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
+                # the DAY key is the OUTERMOST hive component (date is the
+                # first partition level in this engine's layout) — the last
+                # component of a nested layout like
+                # partitiondate=.../event_type=... would count sub-partition
+                # values instead of days and skew the cost model ~N× for N
+                # sub-partitions
                 part = [p for p in root.split(os.sep) if "=" in p]
                 if part:
-                    days.add(part[-1])
+                    days.add(part[0])
     n_days = sample_days or max(1, len(days))
     return total / n_days
 
@@ -89,6 +97,10 @@ class BackfillJournal:
     """Chunk-level run journal enabling retry-only-failures."""
 
     path: Path
+
+    def __post_init__(self) -> None:
+        # the CLI hands in a plain string; everything below needs Path
+        self.path = Path(self.path)
 
     def load(self) -> dict[str, str]:
         if self.path.exists():
@@ -137,6 +149,14 @@ def run_backfill(
         else chunk_date_range(first, last, batch_size)
     )
     results = []
+    # journal EVERY planned chunk as pending up front: after a serial-mode
+    # break, never-attempted chunks would otherwise carry no journal entry,
+    # and a --retry run would silently skip the tail of the backfill
+    if journal and not retry_failed_only:
+        already = journal.load()
+        for chunk in chunks:
+            if already.get(f"{chunk[0]}..{chunk[1]}") != "success":
+                journal.record(chunk, "pending")
     # interval vars are scoped to the backfill: restore the runner's own
     # variables afterwards so is_backfill/data_interval_* never leak into
     # later non-backfill runs in the same process

@@ -61,6 +61,25 @@ def views(spark: SparkSession, sf_dir: str) -> Catalog:
 # that measured as noise at test scale.
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Throwaway directory for corpus write-path entries, parented under ONE
+    process-scoped root that is removed at interpreter exit — repeated corpus
+    runs (bench best-of-2, test suites) must not leak a /tmp directory full
+    of table copies per invocation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="dbtwiz_spark_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def dsum(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent (exact) sum of a double expression, as double."""
     c = F.col(col) if isinstance(col, str) else col

@@ -1014,10 +1014,17 @@ def ivf_index_write(wh, name: str, emb: DataFrame, n_cells: int = 16) -> None:
 
     This is the claimed 100 TB deployment of the in-memory index: built once
     by a batch job, served to every query; rebuilds go through the standard
-    write-audit-publish path."""
+    write-audit-publish path. The build-time persisted DataFrames are
+    unpersisted once written — the parquet table IS the artifact, so a
+    service rebuilding the index must not leak one cached RDD pair per
+    publish."""
     index, centroids = ivf_index(emb, n_cells)
-    wh.write_table(name, index, partition_by="cell", snapshot=False)
-    wh.write_table(f"{name}__centroids", centroids, snapshot=False)
+    try:
+        wh.write_table(name, index, partition_by="cell", snapshot=False)
+        wh.write_table(f"{name}__centroids", centroids, snapshot=False)
+    finally:
+        index.unpersist()
+        centroids.unpersist()
 
 
 def ivf_topk_from_table(

@@ -95,9 +95,9 @@ def _roundtrip(df, fmt: str, schema: str, options: dict | None = None):
     explicit schema — the source/sink contract for non-parquet formats.
     The oracle reads the original table, so the entry passes only when the
     round trip is lossless."""
-    import tempfile
+    from dbtwiz_spark.ops.common import scratch_dir
 
-    path = tempfile.mkdtemp(prefix=f"dbtwiz_spark_{fmt}_")
+    path = scratch_dir(f"{fmt}_")
     opts = options or {}
     df.write.mode("overwrite").options(**opts).format(fmt).save(path)
     reader = df.sparkSession.read.options(**opts)

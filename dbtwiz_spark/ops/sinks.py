@@ -16,18 +16,17 @@ plan shape; only file counts change.
 
 from __future__ import annotations
 
-import tempfile
 import time
 
 from pyspark.sql import functions as F
 
 from dbtwiz_spark.materialize import Warehouse
-from dbtwiz_spark.ops.common import views
+from dbtwiz_spark.ops.common import scratch_dir, views
 from dbtwiz_spark.ops.registry import register
 
 
 def _wh(spark) -> Warehouse:
-    return Warehouse(spark, tempfile.mkdtemp(prefix="dbtwiz_spark_sink_"))
+    return Warehouse(spark, scratch_dir("sink_"))
 
 
 @register(

@@ -64,7 +64,18 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the big side salted and the small side replicated
     ``salt_buckets``× — the static-planning skew fix when the small side is
-    too big to broadcast and one join key dominates."""
+    too big to broadcast and one join key dominates.
+
+    Only inner and left joins are supported: under right/full outer, an
+    unmatched small-side key would surface once PER SALT REPLICA
+    (salt_buckets duplicate null-padded rows) — those joins need a
+    different construction (AQE skew-join handles them)."""
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "replicated unmatched small-side rows would duplicate under "
+            f"{how}"
+        )
     salted_big = big.withColumn(
         "_salt",
         F.pmod(

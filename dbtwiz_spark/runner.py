@@ -42,11 +42,18 @@ class Runner:
             self.spark.read.parquet(src.path).createOrReplaceTempView(name)
             out[name] = name
         for name, model in self.manifest.models.items():
-            if model.materialized == "ephemeral":
-                # ephemeral models inline as a subquery
-                out[name] = f"({self._render(model)})"
-            else:
+            if model.materialized != "ephemeral":
                 out[name] = name
+        # ephemeral models inline as subqueries. Rendering one reads
+        # self._resolve_cache, so publish the partial map FIRST (rendering
+        # inside the dict-building loop crashed on the not-yet-assigned
+        # attribute); topological order lets ephemerals reference other
+        # ephemerals — parents are already inlined when a child renders.
+        self._resolve_cache = out
+        for name in self.manifest.topo_order():
+            model = self.manifest.models[name]
+            if model.materialized == "ephemeral":
+                out[name] = f"({self._render(model)})"
         return out
 
     def _render(self, model: Model) -> str:

@@ -186,3 +186,98 @@ def test_freshness_check(spark, tmp_path):
     assert ok and age < 1
     ok2, _ = check_freshness(wh, "t", "loaded_at", max_age_hours=0)
     assert not ok2
+
+
+def test_journal_accepts_str_path(tmp_path):
+    """The CLI hands --journal in as a plain string — it must work
+    (review fix: BackfillJournal assumed Path)."""
+    j = BackfillJournal(str(tmp_path / "j.json"))
+    j.record((date(2024, 1, 1), date(2024, 1, 2)), "error: x")
+    assert j.failed_chunks() == [(date(2024, 1, 1), date(2024, 1, 2))]
+
+
+def test_chunk_date_range_rejects_nonpositive_batch():
+    with pytest.raises(ValueError, match="batch_size"):
+        chunk_date_range(date(2024, 1, 1), date(2024, 1, 5), 0)
+
+
+def test_retry_covers_never_attempted_chunks(tmp_path):
+    """A serial-mode break must journal unreached chunks as pending so
+    --retry picks up the TAIL of the backfill, not just the failed chunk."""
+
+    class FlakyRunner:
+        def __init__(self):
+            self.variables = {}
+            self.calls = 0
+            self.fail_on = 2
+
+        def run(self, selector, exclude=None):
+            self.calls += 1
+            if self.calls == self.fail_on:
+                raise RuntimeError("boom")
+            return []
+
+    r = FlakyRunner()
+    journal = BackfillJournal(tmp_path / "j2.json")
+    run_backfill(r, "m", date(2024, 1, 1), date(2024, 1, 6), batch_size=2,
+                 journal=journal)
+    # chunk1 success, chunk2 error, chunk3 never attempted -> ALL non-success
+    # chunks (incl. the unreached tail) are visible for retry
+    failed = set(journal.failed_chunks())
+    assert failed == {(date(2024, 1, 3), date(2024, 1, 4)),
+                      (date(2024, 1, 5), date(2024, 1, 6))}
+    r.fail_on = -1  # no more failures
+    results = run_backfill(r, "m", date(2024, 1, 1), date(2024, 1, 6),
+                           batch_size=2, journal=journal, retry_failed_only=True)
+    assert [s for _c, s in results] == ["success", "success"]
+    assert journal.failed_chunks() == []
+
+
+def test_estimate_bytes_per_day_nested_partitions(tmp_path):
+    """Nested hive layouts count DAYS (outermost component), not
+    sub-partition values (review fix)."""
+    from dbtwiz_spark.backfill import estimate_bytes_per_day
+
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"):
+        for et in ("click", "view"):
+            p = tmp_path / f"partitiondate={d}" / f"event_type={et}"
+            p.mkdir(parents=True)
+            (p / "part-0.parquet").write_bytes(b"x" * 100)
+    bpd = estimate_bytes_per_day(None, str(tmp_path))
+    assert bpd == 800 / 4  # 8 files x 100 B over 4 days, not 2 event types
+
+
+def test_salted_join_rejects_outer(spark):
+    from dbtwiz_spark.ops.skew import salted_join
+
+    df = spark.range(2).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, on="k", how="full")
+
+
+def test_runner_builds_ephemeral_chain(spark, tmp_path):
+    """An ephemeral model inlines as a subquery — including ephemeral →
+    ephemeral chains (review fix: rendering crashed on the unassigned
+    resolve cache)."""
+    from dbtwiz_spark.catalog import Catalog
+
+    wh = Warehouse(spark, str(tmp_path / "whe"))
+    man = Manifest()
+    src_path = str(tmp_path / "nation_src")
+    Catalog(spark, "/root/testdata/sf0.001").table("nation").write.mode(
+        "overwrite"
+    ).parquet(src_path)
+    man.add_source(Source("nation_src", src_path))
+    man.add_model(Model("eph_base", "SELECT n_regionkey FROM {{ ref('nation_src') }}",
+                        materialized="ephemeral"))
+    man.add_model(Model("eph_mid",
+                        "SELECT n_regionkey, COUNT(*) AS n FROM {{ ref('eph_base') }} GROUP BY 1",
+                        materialized="ephemeral"))
+    man.add_model(Model("mat_top",
+                        "SELECT COUNT(*) AS n_regions FROM {{ ref('eph_mid') }}",
+                        materialized="table"))
+    results = Runner(spark, man, wh).run("*")
+    by_name = {r.model: r.status for r in results}
+    assert by_name["mat_top"] == "success"
+    assert by_name["eph_base"] == "skipped" and by_name["eph_mid"] == "skipped"
+    assert wh.read("mat_top").first().n_regions == 5
