@@ -77,6 +77,11 @@ class Manifest:
     def add_model(self, model: Model) -> None:
         from dbtwiz_spark.macros import extract_refs
 
+        # re-adding (model edit, `model move` rewrite) must drop the OLD
+        # edges first — stale child_map entries would corrupt downstream()
+        # closures and let topo_order schedule a child before its real parent
+        for old_parent in self.parent_map.get(model.name, ()):
+            self.child_map.get(old_parent, set()).discard(model.name)
         self.models[model.name] = model
         parents = set(extract_refs(model.sql))  # ref()/source() targets
         self.parent_map[model.name] = parents

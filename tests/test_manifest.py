@@ -89,3 +89,21 @@ def test_extract_refs_and_render():
 def test_scd2_macro_shape():
     sql = scd2_sql("staging_customers", "customer_id", "partitiondate")
     assert "LEAD(partitiondate)" in sql and "PARTITION BY customer_id" in sql
+
+
+def test_readd_model_drops_stale_edges():
+    """Re-registering a model (edit / move rewrite) must replace its edges:
+    stale child_map entries would corrupt closures and topo order."""
+    from dbtwiz_spark.manifest import Manifest, Model
+
+    m = Manifest()
+    m.add_model(Model("a", "SELECT 1"))
+    m.add_model(Model("c", "SELECT 1"))
+    m.add_model(Model("b", "SELECT * FROM {{ ref('a') }}"))
+    assert "b" in m.downstream("a")
+    # b now depends on c instead of a
+    m.add_model(Model("b", "SELECT * FROM {{ ref('c') }}"))
+    assert "b" not in m.downstream("a")
+    assert "b" in m.downstream("c")
+    order = m.topo_order()
+    assert order.index("c") < order.index("b")
