@@ -40,7 +40,13 @@ def cmd_build(args) -> int:
     from pathlib import Path as _Path
 
     last_file = _Path(args.project) / ".dbtwiz_spark" / "last_select.json"
-    if getattr(args, "last", False) and last_file.exists():
+    if getattr(args, "last", False):
+        if not last_file.exists():
+            # silently falling back to '*' would build the whole project
+            # when the user asked to replay a previous narrow selection
+            print("no previous selection recorded (missing "
+                  f"{last_file}); run a build with --select first")
+            return 1
         saved = _json.loads(last_file.read_text())
         args.select, args.exclude = saved["select"], saved.get("exclude")
     runner, manifest, _ = _load(args)
@@ -318,7 +324,17 @@ def cmd_model_validate(args) -> int:
             keep_desc = {
                 c["name"]: c.get("description", "") for c in m.columns
             }
-            sidecar = Path(args.project) / "models" / f"{name}.yml"
+            # the sidecar lives NEXT TO the model's .sql, which may be in a
+            # subdirectory — writing models/<name>.yml for a nested model
+            # would leave a stray file and the real sidecar untouched
+            sql_path = next(
+                (Path(args.project) / "models").rglob(f"{name}.sql"), None
+            )
+            sidecar = (
+                sql_path.with_suffix(".yml")
+                if sql_path is not None
+                else Path(args.project) / "models" / f"{name}.yml"
+            )
             raw = _yaml.safe_load(sidecar.read_text()) if sidecar.exists() else {}
             raw = raw or {}
             raw["columns"] = [

@@ -56,19 +56,37 @@ def render(
         return variables.get(name, default)
 
     def _interval_start() -> str:
+        if interval_start is None:
+            raise ValueError(
+                "interval_start() used but data_interval_start is not set — "
+                "pass --start (build) or run via backfill"
+            )
         return f"TIMESTAMP '{interval_start}'"
 
     def _interval_end() -> str:
+        if interval_end is None:
+            raise ValueError(
+                "interval_end() used but data_interval_end is not set — "
+                "pass --start/--end (build) or run via backfill"
+            )
         return f"TIMESTAMP '{interval_end}'"
 
     env = jinja2.Environment(undefined=jinja2.StrictUndefined)
+    reserved = {"ref", "source", "var", "interval_start", "interval_end"}
     return env.from_string(sql).render(
         ref=_ref,
         source=_ref,
         var=_var,
         interval_start=_interval_start,
         interval_end=_interval_end,
-        **{k: v for k, v in variables.items() if k.isidentifier()},
+        # macro names are reserved: a project var named e.g. interval_start
+        # would otherwise raise "multiple values for keyword argument";
+        # such vars stay reachable through var('interval_start')
+        **{
+            k: v
+            for k, v in variables.items()
+            if k.isidentifier() and k not in reserved
+        },
     )
 
 

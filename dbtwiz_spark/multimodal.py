@@ -76,11 +76,16 @@ def extract_features(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in it:
+            # NULL payloads are legal (BinaryType is nullable): treat as empty
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload_bytes": pdf["payload"].map(len).astype("int64"),
-                    "first_byte": pdf["payload"].map(lambda b: b[0] if len(b) else -1).astype("int32"),
+                    "payload_bytes": pdf["payload"]
+                    .map(lambda b: len(b) if b is not None else 0)
+                    .astype("int64"),
+                    "first_byte": pdf["payload"]
+                    .map(lambda b: b[0] if b is not None and len(b) else -1)
+                    .astype("int32"),
                 }
             )
 
@@ -136,6 +141,8 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    payload = b""
                 n = max(1, len(payload) // max(every_ms, 1))
                 for k in range(min(n, 8)):
                     rows.append((int(doc_id), int(k * every_ms), len(payload)))

@@ -31,14 +31,29 @@ def plan_filters(df: DataFrame) -> list[str]:
 
 
 def has_partition_filter(df: DataFrame, partition_col: str) -> bool:
-    """True if any Filter in the analyzed plan references ``partition_col``."""
-    pat = re.compile(rf"\b{re.escape(partition_col)}#\d+")
+    """True if the analyzed plan filters ``partition_col`` on EVERY base
+    relation that carries it.
+
+    The check matches attribute IDs, not just the column name: in a join
+    where two relations both have the conventional ``partitiondate`` column,
+    a filter on only the dimension's copy must not satisfy the guard for the
+    fact table — that is precisely the full-scan this check exists to
+    refuse."""
+    pat = re.compile(rf"\b{re.escape(partition_col)}#(\d+)")
     plan = df._jdf.queryExecution().analyzed().toString()
+    rel_ids: set[str] = set()
+    filt_ids: set[str] = set()
     for line in plan.splitlines():
         stripped = line.strip().lstrip("+-: ")
-        if stripped.startswith("Filter") and pat.search(stripped):
-            return True
-    return False
+        if stripped.startswith("Filter"):
+            filt_ids.update(pat.findall(stripped))
+        elif stripped.startswith(("Relation", "FileScan")):
+            rel_ids.update(pat.findall(stripped))
+    if not rel_ids:
+        # column never read from a base relation (renamed/computed upstream)
+        # — fall back to "some filter references it"
+        return bool(filt_ids)
+    return rel_ids <= filt_ids
 
 
 def require_partition_filter(df: DataFrame, partition_col: str) -> DataFrame:

@@ -65,8 +65,17 @@ def load_project(root: str | Path) -> tuple[Manifest, dict[str, Any]]:
 
     models_dir = root / "models"
     if models_dir.exists():
+        seen: dict[str, Path] = {}
         for sql_path in sorted(models_dir.rglob("*.sql")):
             name = sql_path.stem
+            # model names are file stems: two daily.sql in different subdirs
+            # would silently collapse into one manifest entry (dbt treats
+            # duplicate model names as a hard parse error for this reason)
+            if name in seen:
+                raise ValueError(
+                    f"duplicate model name {name!r}: {seen[name]} and {sql_path}"
+                )
+            seen[name] = sql_path
             cfg: dict[str, Any] = {}
             sidecar = sql_path.with_suffix(".yml")
             if sidecar.exists():

@@ -41,7 +41,10 @@ def get_spark(
         return active
 
     if master is None:
-        master = f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+        # '0' / '' mean "auto" (the catalog.py convention) — interpolating
+        # them raw would produce the invalid masters local[0] / local[]
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+        master = f"local[{cpus if cpus and cpus != '0' else '*'}]"
 
     builder = (
         SparkSession.builder.appName(app_name)

@@ -143,7 +143,17 @@ def foreach_batch_merge(
         if order_by is not None:
             from pyspark.sql.window import Window
 
-            w = Window.partitionBy(unique_key).orderBy(F.col(order_by).desc())
+            # ties on order_by break on the remaining columns' total order —
+            # row_number over order_by alone would pick an arbitrary row and
+            # a batch replay could publish a DIFFERENT survivor
+            rest = [
+                F.col(c).asc_nulls_last()
+                for c in out.columns
+                if c not in (unique_key, order_by)
+            ]
+            w = Window.partitionBy(unique_key).orderBy(
+                F.col(order_by).desc(), *rest
+            )
             out = (
                 out.withColumn("_rn_cdc", F.row_number().over(w))
                 .filter(F.col("_rn_cdc") == 1)

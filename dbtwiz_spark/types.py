@@ -107,6 +107,11 @@ def spark_type_to_sql(dt: T.DataType) -> str:
     an introspected source schema."""
     if isinstance(dt, T.ArrayType):
         return f"{spark_type_to_sql(dt.elementType)}[]"
+    if isinstance(dt, T.MapType):
+        return (
+            f"MAP({spark_type_to_sql(dt.keyType)}, "
+            f"{spark_type_to_sql(dt.valueType)})"
+        )
     if isinstance(dt, T.DecimalType):
         return f"DECIMAL({dt.precision},{dt.scale})"
     if isinstance(dt, T.StructType):

@@ -67,3 +67,26 @@ def test_multimodal_decode_stubs_raise(spark):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
         decode_audio(b"RIFF")
+
+
+def test_partition_filter_guard_binds_to_relation(spark, tmp_path):
+    """A filter on a JOINED table's same-named column must not satisfy the
+    partition-filter guard for the fact table (attribute-id binding)."""
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.plans import has_partition_filter
+
+    fact = spark.range(10).withColumn("partitiondate", F.lit("2024-01-01"))
+    dim = spark.range(3).withColumnRenamed("id", "did").withColumn(
+        "partitiondate", F.lit("2024-01-01")
+    )
+    fact.write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    dim.write.mode("overwrite").parquet(str(tmp_path / "dim"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    d = spark.read.parquet(str(tmp_path / "dim")).filter(
+        F.col("partitiondate") == "2024-01-01"
+    )
+    joined = f.join(d, f.id == d.did)
+    assert not has_partition_filter(joined, "partitiondate")
+    both = f.filter(F.col("partitiondate") == "2024-01-01").join(d, f.id == d.did)
+    assert has_partition_filter(both, "partitiondate")
