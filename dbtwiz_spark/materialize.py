@@ -212,14 +212,24 @@ class Warehouse:
         df: DataFrame,
         partition_by: str,
         cluster_by: list[str] | None = None,
+        snapshot: bool = False,
     ) -> None:
         """Replace only the date partitions present in ``df``
         (dbtwiz/model/create.py:456-460 incremental_strategy). Idempotent:
-        re-running the same interval rewrites the same partitions."""
+        re-running the same interval rewrites the same partitions.
+
+        ``snapshot=True`` gives incremental tables the same time-travel
+        window full overwrites get — as a HARDLINK tree of the current
+        state (parquet files are immutable and dynamic overwrite deletes
+        rather than mutates, so links stay valid after the write; cost is
+        O(files) metadata, zero data copy). On storage without hardlinks
+        the manifest-based table formats own this job."""
         target = self.path(name)
         if not self.exists(name):
             self.write_table(name, df, partition_by, cluster_by, snapshot=False)
             return
+        if snapshot:
+            self._snapshot_via_links(name)
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         # on_schema_change: append_new_columns (dbtwiz/model/create.py:466):
         # columns the live table has but df lacks are appended as nulls so
@@ -422,6 +432,26 @@ class Warehouse:
         self.views.pop(name, None)
 
     # -- snapshots / time travel ----------------------------------------
+    def _snapshot_via_links(self, name: str) -> int:
+        """Zero-copy snapshot of the current table state via hardlinks
+        (see insert_overwrite). Returns the snapshot epoch-ms id."""
+        import os
+
+        ts = int(time.time() * 1000)
+        src = self.path(name)
+        dst = src / SNAPSHOT_DIRNAME / str(ts)
+        dst.mkdir(parents=True)
+        for root, dirs, files in os.walk(src):
+            rel = Path(root).relative_to(src)
+            if SNAPSHOT_DIRNAME in rel.parts:
+                continue
+            dirs[:] = [d for d in dirs if d != SNAPSHOT_DIRNAME]
+            for f in files:
+                out = dst / rel / f
+                out.parent.mkdir(parents=True, exist_ok=True)
+                os.link(Path(root) / f, out)
+        return ts
+
     def snapshot(self, name: str) -> int:
         """Write a timestamped snapshot of the current table state; returns
         the snapshot epoch-ms id (the ``@ms`` decorator analog)."""

@@ -447,3 +447,24 @@ def test_migrated_view_survives_target_rewrite(spark, wh):
     assert wh.read("legacy2").first().v == "v1"
     wh.write_table("modern2", _df(spark, [(2, "v2", "d")]))  # rewrite target
     assert wh.read("legacy2").first().v == "v2"
+
+
+def test_incremental_time_travel_via_hardlink_snapshot(spark, wh):
+    """insert_overwrite(snapshot=True) captures the pre-overwrite state as a
+    hardlink tree — incremental tables get the same 7-day time travel as
+    full overwrites, with zero data copy."""
+    base = _df(spark, [(1, "old", "2024-01-01"), (2, "old", "2024-01-02")])
+    wh.insert_overwrite("inc_tt", base, "partitiondate")
+    update = _df(spark, [(3, "new", "2024-01-02")])
+    wh.insert_overwrite("inc_tt", update, "partitiondate", snapshot=True)
+    # live state reflects the overwrite
+    live = {(r.k, r.v) for r in wh.read("inc_tt").collect()}
+    assert live == {(1, "old"), (3, "new")}
+    # the snapshot preserves the FULL pre-overwrite state
+    snaps = wh.snapshots("inc_tt")
+    assert len(snaps) == 1
+    old = {(r.k, r.v) for r in wh.read_snapshot("inc_tt", int(time.time() * 1000)).collect()}
+    assert old == {(1, "old"), (2, "old")}
+    # restore round-trips
+    wh.restore("inc_tt", int(time.time() * 1000))
+    assert {(r.k, r.v) for r in wh.read("inc_tt").collect()} == {(1, "old"), (2, "old")}
