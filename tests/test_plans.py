@@ -209,3 +209,36 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def test_pipeline_ops_plan_properties(spark):
+    """Scale properties of the training-pipeline ops: hash-based split is a
+    single-shuffle aggregation; stratified sampling shuffles once on the
+    stratum key; decontamination broadcasts the benchmark shingle side;
+    pivot compiles to one partial-aggregated shuffle (no value-discovery
+    pre-pass)."""
+    from dbtwiz_spark.ops.aggregates import agg_pivot
+    from dbtwiz_spark.ops.ext_pipeline import (
+        ext_decontaminate,
+        ext_sample_stratified,
+        ext_split_train_eval,
+    )
+
+    split_plan = _formatted(ext_split_train_eval(spark, SF_DIR))
+    assert split_plan.count("Exchange (") == 1  # only the final agg shuffles
+    assert "partial_count" in split_plan or "partial_sum" in split_plan
+
+    sample_plan = _formatted(ext_sample_stratified(spark, SF_DIR))
+    assert "hashpartitioning(lang" in sample_plan
+    assert "SinglePartition" not in sample_plan  # never a global window
+
+    decon_plan = _formatted(ext_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in decon_plan  # benchmark shingles broadcast
+    assert "CartesianProduct" not in decon_plan
+
+    pivot_plan = _formatted(agg_pivot(spark, SF_DIR))
+    # explicit value list ⇒ ONE scan (no value-discovery pre-pass; formatted
+    # mode prints each node twice — tree + detail) with map-side combine
+    # before the shuffle
+    assert pivot_plan.count("Scan parquet") == 2
+    assert "partial_" in pivot_plan
