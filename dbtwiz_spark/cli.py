@@ -79,7 +79,11 @@ def cmd_explain(args) -> int:
     if args.start:
         runner.variables["data_interval_start"] = args.start
         runner.variables["data_interval_end"] = args.end or args.start
-    sql, plan, notes = runner.explain(args.name)
+    try:
+        sql, plan, notes = runner.explain(args.name)
+    except ValueError as e:  # e.g. interval_start() without --start
+        print(f"cannot compile {args.name}: {e}")
+        return 1
     if args.sql:
         print("-- compiled SQL")
         print(sql.strip())
@@ -92,21 +96,62 @@ def cmd_explain(args) -> int:
 
 
 def cmd_test(args) -> int:
-    """Model checks: declared unique_key must actually be unique
-    (the validate-pk check, SURVEY §1.3 / dbtwiz/model/validate.py:271-292)."""
+    """Model checks (the dbt-test surface the reference's `test` command
+    drives): the declared unique_key plus per-column data tests from the
+    YAML sidecar — not_null / unique / accepted_values / relationships
+    (dbt's four built-in generic tests). One aggregated violation count per
+    check; every check is a single Spark job over the built table."""
+    from pyspark.sql import functions as F
+
     runner, manifest, wh = _load(args)
     failures = 0
+
+    def report(ok: bool, name: str, what: str, detail: str) -> None:
+        nonlocal failures
+        failures += 0 if ok else 1
+        print(f"{'pass' if ok else 'FAIL':4s} {name}: {what} ({detail})")
+
     for name in manifest.select(args.select):
         m = manifest.models[name]
-        if not m.unique_key or not wh.exists(name):
+        if not wh.exists(name):
             continue
         df = wh.read(name)
-        total = df.count()
-        distinct = df.select(m.unique_key).distinct().count()
-        ok = total == distinct
-        failures += 0 if ok else 1
-        print(f"{'pass' if ok else 'FAIL':4s} {name}: pk {m.unique_key} "
-              f"({distinct} distinct / {total} rows)")
+        if m.unique_key:
+            total = df.count()
+            distinct = df.select(m.unique_key).distinct().count()
+            report(total == distinct, name, f"pk {m.unique_key}",
+                   f"{distinct} distinct / {total} rows")
+        for col_spec in m.columns:
+            col = col_spec.get("name")
+            for t in col_spec.get("tests", []) or []:
+                if t == "not_null":
+                    bad = df.filter(F.col(col).isNull()).count()
+                    report(bad == 0, name, f"not_null {col}", f"{bad} nulls")
+                elif t == "unique":
+                    tot = df.filter(F.col(col).isNotNull()).count()
+                    dst = df.select(col).filter(F.col(col).isNotNull()).distinct().count()
+                    report(tot == dst, name, f"unique {col}",
+                           f"{dst} distinct / {tot} non-null")
+                elif isinstance(t, dict) and "accepted_values" in t:
+                    vals = t["accepted_values"]
+                    bad = df.filter(
+                        F.col(col).isNotNull() & ~F.col(col).isin(vals)
+                    ).count()
+                    report(bad == 0, name, f"accepted_values {col}",
+                           f"{bad} outside {vals}")
+                elif isinstance(t, dict) and "relationships" in t:
+                    rel = t["relationships"]  # {to: model, field: col}
+                    parent = wh.read(rel["to"]).select(
+                        F.col(rel["field"]).alias(col)
+                    )
+                    bad = (
+                        df.select(col).filter(F.col(col).isNotNull())
+                        .join(parent, col, "left_anti").count()
+                    )
+                    report(bad == 0, name, f"relationships {col}->"
+                           f"{rel['to']}.{rel['field']}", f"{bad} orphans")
+                else:
+                    report(False, name, f"unknown test {t!r} on {col}", "skipped")
     return 0 if failures == 0 else 1
 
 

@@ -376,3 +376,63 @@ def test_model_move_same_name_folder_only(tmp_path, capsys):
     assert not (proj / "models" / "m1.sql").exists()
     assert (proj / "models" / "core" / "m1.sql").read_text() == "SELECT 1 AS x"
     assert (proj / "models" / "core" / "m1.yml").exists()
+
+
+def test_column_data_tests(spark, tmp_path, capsys):
+    """dbt's four generic tests from the YAML sidecar: not_null, unique,
+    accepted_values, relationships — run by the `test` command."""
+    import yaml
+
+    proj = tmp_path / "projtests"
+    (proj / "models").mkdir(parents=True)
+    (proj / "sources.yml").write_text(
+        f"sources:\n  - name: nation\n    path: {SF_DIR}/nation.parquet\n"
+    )
+    (proj / "models" / "regions.sql").write_text(
+        "SELECT DISTINCT n_regionkey FROM {{ source('raw','nation') }}"
+    )
+    (proj / "models" / "regions.yml").write_text(
+        yaml.safe_dump({"materialized": "table"})
+    )
+    (proj / "models" / "nations.sql").write_text(
+        "SELECT n_nationkey, n_name, n_regionkey "
+        "FROM {{ source('raw','nation') }}"
+    )
+    (proj / "models" / "nations.yml").write_text(yaml.safe_dump({
+        "materialized": "table",
+        "unique_key": "n_nationkey",
+        "columns": [
+            {"name": "n_name", "tests": ["not_null", "unique"]},
+            {"name": "n_regionkey",
+             "tests": [{"accepted_values": [0, 1, 2, 3, 4]},
+                       {"relationships": {"to": "regions",
+                                          "field": "n_regionkey"}}]},
+        ],
+    }))
+    wh = str(tmp_path / "whtests")
+    assert main(["build", "--project", str(proj), "--warehouse", wh]) == 0
+    capsys.readouterr()
+    assert main(["test", "--project", str(proj), "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "pass nations: pk n_nationkey" in out
+    assert "pass nations: not_null n_name" in out
+    assert "pass nations: unique n_name" in out
+    assert "pass nations: accepted_values n_regionkey" in out
+    assert "pass nations: relationships n_regionkey->regions.n_regionkey" in out
+    # a failing accepted_values set flips the exit code
+    (proj / "models" / "nations.yml").write_text(yaml.safe_dump({
+        "materialized": "table",
+        "columns": [{"name": "n_regionkey",
+                     "tests": [{"accepted_values": [0, 1]}]}],
+    }))
+    assert main(["test", "--project", str(proj), "--warehouse", wh]) == 1
+    assert "FAIL nations: accepted_values" in capsys.readouterr().out
+
+
+def test_explain_clear_error_without_interval(spark, project, tmp_path, capsys):
+    """explain on an interval-bound model without --start fails with a clear
+    message, not a TIMESTAMP 'None' parse error."""
+    assert main(["explain", "daily_orders", "--project", str(project),
+                 "--warehouse", str(tmp_path / "whx2")]) == 1
+    out = capsys.readouterr().out
+    assert "data_interval_start" in out
