@@ -239,6 +239,10 @@ def check_freshness(
     from pyspark.sql import functions as F
 
     latest = warehouse.read(table).agg(F.max(loaded_at_column).alias("m")).first().m
+    return _age_ok(latest, max_age_hours)
+
+
+def _age_ok(latest, max_age_hours: float) -> tuple[bool, float]:
     if latest is None:
         return False, float("inf")
     if isinstance(latest, str):
@@ -254,3 +258,29 @@ def check_freshness(
     now = datetime.now(timezone.utc).replace(tzinfo=None)
     age_h = (now - latest).total_seconds() / 3600
     return age_h <= max_age_hours, age_h
+
+
+def check_source_freshness(spark, manifest) -> list[tuple[str, str, float]]:
+    """dbt-style source freshness sweep (docs/freshness.md surface): for
+    every source declaring a ``freshness`` block, compare max(loaded_at)
+    against the warn/error watermarks. Returns (source, status, age_hours)
+    with status in {pass, warn, error}; sources without a block are skipped
+    (dbt semantics)."""
+    from pyspark.sql import functions as F
+
+    out: list[tuple[str, str, float]] = []
+    for name, src in manifest.sources.items():
+        cfg = src.freshness or {}
+        field = cfg.get("loaded_at_field")
+        if not field:
+            continue
+        latest = (
+            spark.read.parquet(src.path).agg(F.max(field).alias("m")).first().m
+        )
+        warn_h = float(cfg.get("warn_after_hours", float("inf")))
+        err_h = float(cfg.get("error_after_hours", float("inf")))
+        ok_err, age_h = _age_ok(latest, err_h)
+        ok_warn, _ = _age_ok(latest, warn_h)
+        status = "pass" if ok_warn else ("warn" if ok_err else "error")
+        out.append((name, status, age_h))
+    return out

@@ -249,9 +249,20 @@ def cmd_restore(args) -> int:
 
 
 def cmd_freshness(args) -> int:
-    from dbtwiz_spark.admin import check_freshness
+    from dbtwiz_spark.admin import check_freshness, check_source_freshness
     from dbtwiz_spark.materialize import Warehouse
 
+    if getattr(args, "sources", False):
+        # dbt-style sweep of every source with a freshness: block
+        from dbtwiz_spark.project import load_project
+
+        manifest, _ = load_project(args.project)
+        results = check_source_freshness(_spark(), manifest)
+        for name, status, age_h in results:
+            print(f"{status:5s} {name}: age {age_h:.1f}h")
+        if not results:
+            print("no sources declare a freshness block")
+        return 0 if all(s != "error" for _n, s, _a in results) else 1
     wh = Warehouse(_spark(), args.warehouse)
     ok, age_h = check_freshness(wh, args.table, args.column, args.max_age_hours)
     print(f"{'fresh' if ok else 'STALE'}: {args.table}.{args.column} age {age_h:.1f}h")
@@ -650,10 +661,13 @@ def build_parser() -> argparse.ArgumentParser:
     sc.set_defaults(fn=cmd_source_create)
 
     f = asub.add_parser("freshness", help="max(loaded_at) vs watermark")
-    f.add_argument("--warehouse", required=True)
-    f.add_argument("--table", required=True)
-    f.add_argument("--column", required=True)
-    f.add_argument("--max-age-hours", type=float, required=True)
+    f.add_argument("--warehouse", default="spark-warehouse")
+    f.add_argument("--table", default=None)
+    f.add_argument("--column", default=None)
+    f.add_argument("--max-age-hours", type=float, default=None)
+    f.add_argument("--sources", action="store_true",
+                   help="sweep every source with a freshness: block")
+    f.add_argument("--project", default=".")
     f.set_defaults(fn=cmd_freshness)
 
     return p

@@ -19,11 +19,16 @@ from pathlib import Path
 
 @dataclass
 class Source:
-    """External table declaration (dbtwiz/source/create.py:326-404)."""
+    """External table declaration (dbtwiz/source/create.py:326-404).
+
+    ``freshness`` mirrors dbt's source-level freshness block (the surface
+    `dbtwiz freshness` runs, docs/freshness.md): loaded_at_field plus
+    warn/error watermarks in hours."""
 
     name: str
     path: str  # parquet location
     description: str = ""
+    freshness: dict | None = None  # {loaded_at_field, warn_after_hours, error_after_hours}
 
 
 @dataclass

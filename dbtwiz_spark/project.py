@@ -60,6 +60,7 @@ def load_project(root: str | Path) -> tuple[Manifest, dict[str, Any]]:
                     name=s["name"],
                     path=s["path"],
                     description=s.get("description", ""),
+                    freshness=s.get("freshness"),
                 )
             )
 

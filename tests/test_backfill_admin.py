@@ -281,3 +281,45 @@ def test_runner_builds_ephemeral_chain(spark, tmp_path):
     assert by_name["mat_top"] == "success"
     assert by_name["eph_base"] == "skipped" and by_name["eph_mid"] == "skipped"
     assert wh.read("mat_top").first().n_regions == 5
+
+
+def test_source_freshness_sweep(spark, tmp_path):
+    """dbt-style source freshness: warn/error watermarks from the source's
+    freshness block; sources without a block are skipped."""
+    from datetime import datetime, timedelta, timezone
+
+    from dbtwiz_spark.admin import check_source_freshness
+
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    fresh = spark.createDataFrame(
+        [(1, now - timedelta(hours=1))], "id INT, loaded_at TIMESTAMP"
+    )
+    stale = spark.createDataFrame(
+        [(1, now - timedelta(hours=50))], "id INT, loaded_at TIMESTAMP"
+    )
+    fresh.write.mode("overwrite").parquet(str(tmp_path / "fresh_src"))
+    stale.write.mode("overwrite").parquet(str(tmp_path / "stale_src"))
+
+    man = Manifest()
+    man.add_source(Source("s_fresh", str(tmp_path / "fresh_src"),
+                          freshness={"loaded_at_field": "loaded_at",
+                                     "warn_after_hours": 24,
+                                     "error_after_hours": 48}))
+    man.add_source(Source("s_stale", str(tmp_path / "stale_src"),
+                          freshness={"loaded_at_field": "loaded_at",
+                                     "warn_after_hours": 24,
+                                     "error_after_hours": 48}))
+    man.add_source(Source("s_nocfg", str(tmp_path / "fresh_src")))
+    got = {n: s for n, s, _a in check_source_freshness(spark, man)}
+    assert got == {"s_fresh": "pass", "s_stale": "error"}
+    # warn band: older than warn, younger than error
+    warn = spark.createDataFrame(
+        [(1, now - timedelta(hours=30))], "id INT, loaded_at TIMESTAMP"
+    )
+    warn.write.mode("overwrite").parquet(str(tmp_path / "warn_src"))
+    man2 = Manifest()
+    man2.add_source(Source("s_warn", str(tmp_path / "warn_src"),
+                           freshness={"loaded_at_field": "loaded_at",
+                                      "warn_after_hours": 24,
+                                      "error_after_hours": 48}))
+    assert check_source_freshness(spark, man2)[0][1] == "warn"
