@@ -62,7 +62,8 @@ def cmd_build(args) -> int:
 
         state = Manifest.load_state(args.state)
     results = runner.run(args.select, state=state,
-                         exclude=getattr(args, "exclude", None))
+                         exclude=getattr(args, "exclude", None),
+                         threads=getattr(args, "threads", 1))
     for r in results:
         line = f"{r.status:8s} {r.model}" + (f"  rows={r.rows}" if r.rows is not None else "")
         print(line + (f"  {r.error}" if r.error else ""))
@@ -536,6 +537,8 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--state", help="fingerprint state file for state:modified")
     b.add_argument("--last", action="store_true",
                    help="replay the previous --select/--exclude")
+    b.add_argument("--threads", type=int, default=1,
+                   help="run independent models concurrently (dbt --threads)")
     b.set_defaults(fn=cmd_build)
 
     ex = sub.add_parser("explain", help="compile a model and audit its plan")

@@ -190,6 +190,11 @@ class Warehouse:
         if target.exists():
             target.rename(old)
         shutil.move(str(tmp), str(target))
+        # drop any cached file listing for the published path: Spark's shared
+        # FileStatusCache can hold a stale leaf-file list (observed under
+        # concurrent --threads builds), failing later reads with
+        # FAILED_READ_FILE.FILE_NOT_EXIST
+        self.spark.catalog.refreshByPath(str(target))
         if old.exists():
             old_snaps = old / SNAPSHOT_DIRNAME
             if old_snaps.exists():

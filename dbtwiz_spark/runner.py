@@ -70,9 +70,12 @@ class Runner:
         selector: str = "*",
         state: dict[str, str] | None = None,
         exclude: str | None = None,
+        threads: int = 1,
     ) -> list[RunResult]:
         order = self.manifest.select(selector, state=state, exclude=exclude)
         self._resolve_cache = self._resolve_map()
+        if threads > 1:
+            return self._run_parallel(order, threads)
         results = []
         for name in order:
             model = self.manifest.models[name]
@@ -81,6 +84,81 @@ class Runner:
             except Exception as e:  # noqa: BLE001 — per-model isolation, like dbt
                 results.append(RunResult(name, "error", error=f"{type(e).__name__}: {e}"))
         return results
+
+    def _run_parallel(self, order: list[str], threads: int) -> list[RunResult]:
+        """Dependency-aware thread-pooled execution (dbt's --threads):
+        independent models run concurrently — on a cluster that is the
+        difference between one job at a time and a saturated scheduler.
+        Spark sessions are thread-safe for concurrent job submission; the
+        FAIR-vs-FIFO choice stays a Spark conf. A failed model SKIPS its
+        downstream models (dbt semantics) rather than building on top of a
+        missing table."""
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor, wait
+
+        selected = set(order)
+        pending = {
+            n: {p for p in self.manifest.parent_map.get(n, ()) if p in selected}
+            for n in order
+        }
+        results: dict[str, RunResult] = {}
+        failed_or_skipped: set[str] = set()
+
+        submitted: set[str] = set()
+
+        def runnable() -> list[str]:
+            return [
+                n for n, deps in pending.items()
+                if not deps and n not in results and n not in submitted
+            ]
+
+        def finish(name: str, res: RunResult) -> None:
+            results[name] = res
+            if res.status == "error":
+                failed_or_skipped.add(name)
+            for n, deps in pending.items():
+                deps.discard(name)
+
+        running: dict = {}
+        with ThreadPoolExecutor(max_workers=threads) as pool:
+            while len(results) < len(order):
+                # cascade skips: a model whose parent failed/was skipped
+                for n in list(pending):
+                    if n in results or n in submitted:
+                        continue
+                    parents = {
+                        p
+                        for p in self.manifest.parent_map.get(n, ())
+                        if p in selected
+                    }
+                    if parents & failed_or_skipped:
+                        failed_or_skipped.add(n)
+                        finish(n, RunResult(n, "skipped",
+                                            error="upstream failed"))
+                for n in runnable():
+                    submitted.add(n)
+                    model = self.manifest.models[n]
+
+                    def job(m=model):
+                        try:
+                            return self._run_model(m)
+                        except Exception as e:  # noqa: BLE001
+                            return RunResult(
+                                m.name, "error", error=f"{type(e).__name__}: {e}"
+                            )
+
+                    running[pool.submit(job)] = n
+                if not running:
+                    if len(results) < len(order) and not runnable():
+                        # acyclic selections always progress; guard anyway
+                        for n in order:
+                            if n not in results:
+                                finish(n, RunResult(n, "error",
+                                                    error="unschedulable"))
+                    continue
+                done, _ = wait(running, return_when=FIRST_COMPLETED)
+                for fut in done:
+                    finish(running.pop(fut), fut.result())
+        return [results[n] for n in order]
 
     def _run_model(self, model: Model) -> RunResult:
         if model.materialized == "ephemeral":

@@ -323,3 +323,56 @@ def test_source_freshness_sweep(spark, tmp_path):
                                       "warn_after_hours": 24,
                                       "error_after_hours": 48}))
     assert check_source_freshness(spark, man2)[0][1] == "warn"
+
+
+def test_parallel_build_matches_serial_and_skips_downstream(spark, tmp_path):
+    """--threads: independent models run concurrently with identical
+    results; a failed model's downstream is SKIPPED (dbt semantics), not
+    built on a missing table."""
+    from dbtwiz_spark.catalog import Catalog
+
+    src_path = str(tmp_path / "nation_src2")
+    Catalog(spark, "/root/testdata/sf0.001").table("nation").write.mode(
+        "overwrite"
+    ).parquet(src_path)
+
+    def make_manifest(with_bad: bool) -> Manifest:
+        man = Manifest()
+        man.add_source(Source("nation_src2", src_path))
+        for i in range(4):  # independent fan-out
+            man.add_model(Model(
+                f"ind_{i}",
+                f"SELECT n_regionkey, COUNT(*) AS n FROM "
+                f"{{{{ ref('nation_src2') }}}} WHERE n_nationkey % 4 = {i} "
+                f"GROUP BY 1",
+                materialized="table",
+            ))
+        man.add_model(Model(
+            "top",
+            "SELECT SUM(n) AS total FROM (SELECT n FROM {{ ref('ind_0') }} "
+            "UNION ALL SELECT n FROM {{ ref('ind_1') }})",
+            materialized="table",
+        ))
+        if with_bad:
+            man.add_model(Model("bad", "SELECT broken syntax here FROM nope",
+                                materialized="table"))
+            man.add_model(Model("child_of_bad",
+                                "SELECT * FROM {{ ref('bad') }}",
+                                materialized="table"))
+        return man
+
+    wh_p = Warehouse(spark, str(tmp_path / "wh_par"))
+    par = Runner(spark, make_manifest(False), wh_p).run("*", threads=4)
+    assert all(r.status == "success" for r in par)
+    wh_s = Warehouse(spark, str(tmp_path / "wh_ser"))
+    ser = Runner(spark, make_manifest(False), wh_s).run("*", threads=1)
+    assert {(r.model, r.status) for r in par} == {(r.model, r.status) for r in ser}
+    assert (wh_p.read("top").first().total == wh_s.read("top").first().total)
+
+    # failure path: bad errors, child_of_bad skipped, others unaffected
+    wh_f = Warehouse(spark, str(tmp_path / "wh_fail"))
+    res = {r.model: r for r in Runner(spark, make_manifest(True), wh_f).run("*", threads=4)}
+    assert res["bad"].status == "error"
+    assert res["child_of_bad"].status == "skipped"
+    assert res["child_of_bad"].error == "upstream failed"
+    assert res["top"].status == "success"
