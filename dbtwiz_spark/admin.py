@@ -281,6 +281,8 @@ def check_source_freshness(spark, manifest) -> list[tuple[str, str, float]]:
         err_h = float(cfg.get("error_after_hours", float("inf")))
         ok_err, age_h = _age_ok(latest, err_h)
         ok_warn, _ = _age_ok(latest, warn_h)
-        status = "pass" if ok_warn else ("warn" if ok_err else "error")
+        # error watermark first: an error-only block (no warn_after) must
+        # still fail — deriving from ok_warn alone would report 'pass'
+        status = "error" if not ok_err else ("warn" if not ok_warn else "pass")
         out.append((name, status, age_h))
     return out

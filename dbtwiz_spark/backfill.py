@@ -79,13 +79,15 @@ def estimate_bytes_per_day(
         for f in files:
             if f.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, f))
-                # the DAY key is the OUTERMOST hive component (date is the
-                # first partition level in this engine's layout) — the last
-                # component of a nested layout like
-                # partitiondate=.../event_type=... would count sub-partition
-                # values instead of days and skew the cost model ~N× for N
-                # sub-partitions
-                part = [p for p in root.split(os.sep) if "=" in p]
+                # the DAY key is the OUTERMOST hive component BELOW the
+                # table root (date is the first partition level in this
+                # engine's layout). Components must come from the RELATIVE
+                # path: an '=' in an ancestor dir (e.g. /data/job=nightly/…)
+                # would otherwise collapse every day into one key, and the
+                # last component of a nested layout would count
+                # sub-partition values instead of days.
+                rel = os.path.relpath(root, path)
+                part = [p for p in rel.split(os.sep) if "=" in p]
                 if part:
                     days.add(part[0])
     n_days = sample_days or max(1, len(days))

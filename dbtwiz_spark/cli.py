@@ -142,6 +142,10 @@ def cmd_test(args) -> int:
                            f"{bad} outside {vals}")
                 elif isinstance(t, dict) and "relationships" in t:
                     rel = t["relationships"]  # {to: model, field: col}
+                    if not wh.exists(rel["to"]) and rel["to"] not in wh.views:
+                        report(False, name, f"relationships {col}->{rel['to']}",
+                               "parent table not built")
+                        continue
                     parent = wh.read(rel["to"]).select(
                         F.col(rel["field"]).alias(col)
                     )
@@ -264,6 +268,10 @@ def cmd_freshness(args) -> int:
         if not results:
             print("no sources declare a freshness block")
         return 0 if all(s != "error" for _n, s, _a in results) else 1
+    if not (args.table and args.column and args.max_age_hours is not None):
+        print("admin freshness needs --table, --column and --max-age-hours "
+              "(or --sources for the config-driven sweep)")
+        return 2
     wh = Warehouse(_spark(), args.warehouse)
     ok, age_h = check_freshness(wh, args.table, args.column, args.max_age_hours)
     print(f"{'fresh' if ok else 'STALE'}: {args.table}.{args.column} age {age_h:.1f}h")

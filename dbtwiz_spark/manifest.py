@@ -44,6 +44,7 @@ class Model:
     partition_expiration_days: int | None = None
     cluster_by: list[str] = field(default_factory=list)
     unique_key: str | None = None  # merge/scd2 key
+    snapshot: bool = False  # incremental: hardlink-snapshot before overwrite
     tags: list[str] = field(default_factory=list)
     description: str = ""
     meta: dict = field(default_factory=dict)

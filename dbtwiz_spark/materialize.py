@@ -39,6 +39,20 @@ SNAPSHOT_DIRNAME = "_snapshots"
 TIME_TRAVEL_WINDOW_DAYS = 7  # dbtwiz/admin/restore.py:63-70
 
 
+def _orderable(dt) -> bool:
+    """Whether a Spark type participates in ORDER BY (maps, and containers
+    holding them, do not)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
 def _align_types(updates: DataFrame, current: DataFrame) -> DataFrame:
     """Cast columns of ``updates`` that also exist in ``current`` to the
     current table's type when they differ.
@@ -72,17 +86,7 @@ def _pin_survivor(
     (MapType) are excluded from the ordering — rows identical on every
     orderable column fall back to dropDuplicates semantics rather than
     failing the whole merge."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
     from pyspark.sql.window import Window
-
-    def _orderable(dt) -> bool:
-        if isinstance(dt, MapType):
-            return False
-        if isinstance(dt, StructType):
-            return all(_orderable(f.dataType) for f in dt.fields)
-        if isinstance(dt, ArrayType):
-            return _orderable(dt.elementType)
-        return True
 
     pcols = list(precedence or [])
     others = [
@@ -254,6 +258,9 @@ class Warehouse:
         else:
             out = out.hint("rebalance", F.col(partition_by))
         out.write.mode("overwrite").partitionBy(partition_by).parquet(str(target))
+        # rewritten partitions replaced leaf files in place — drop any stale
+        # cached listing (same hazard the write_table publish refresh covers)
+        self.spark.catalog.refreshByPath(str(target))
 
     # -- merge upsert ----------------------------------------------------
     def merge(
@@ -494,9 +501,20 @@ class Warehouse:
 
     def restore(self, name: str, at_ms: int) -> None:
         """Restore = copy snapshot back over the live table
-        (dbtwiz/integrations/bigquery.py:412-462)."""
+        (dbtwiz/integrations/bigquery.py:412-462). The snapshot's hive
+        partition layout is detected and re-applied — restoring an
+        incremental table unpartitioned would leave a mixed root-files +
+        partition-dirs layout after the next dynamic overwrite."""
+        eligible = [s for s in self.snapshots(name) if s <= at_ms]
         snap = self.read_snapshot(name, at_ms)
-        self.write_table(name, snap)
+        partition_by = None
+        if eligible:
+            snap_dir = self.path(name) / SNAPSHOT_DIRNAME / str(eligible[-1])
+            for p in snap_dir.iterdir():
+                if p.is_dir() and "=" in p.name:
+                    partition_by = p.name.split("=", 1)[0]
+                    break
+        self.write_table(name, snap, partition_by=partition_by)
 
     def expire_snapshots(self, name: str, older_than_days: int = TIME_TRAVEL_WINDOW_DAYS) -> int:
         cutoff = int(time.time() * 1000) - older_than_days * 86_400_000

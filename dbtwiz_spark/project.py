@@ -33,6 +33,7 @@ MODEL_CONFIG_KEYS = (
     "partition_expiration_days",
     "cluster_by",
     "unique_key",
+    "snapshot",
     "tags",
     "description",
     "meta",

@@ -186,7 +186,11 @@ class Runner:
                 if not model.partition_by:
                     raise ValueError(f"{model.name}: insert_overwrite requires partition_by")
                 self.warehouse.insert_overwrite(
-                    model.name, df, model.partition_by, model.cluster_by
+                    model.name,
+                    df,
+                    model.partition_by,
+                    model.cluster_by,
+                    snapshot=model.snapshot,
                 )
         elif model.materialized == "scd2":
             if not (model.unique_key and model.partition_by):

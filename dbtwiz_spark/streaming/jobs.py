@@ -145,11 +145,15 @@ def foreach_batch_merge(
 
             # ties on order_by break on the remaining columns' total order —
             # row_number over order_by alone would pick an arbitrary row and
-            # a batch replay could publish a DIFFERENT survivor
+            # a batch replay could publish a DIFFERENT survivor. Non-orderable
+            # columns (maps) are excluded, same rule as _pin_survivor.
+            from dbtwiz_spark.materialize import _orderable
+
             rest = [
                 F.col(c).asc_nulls_last()
                 for c in out.columns
                 if c not in (unique_key, order_by)
+                and _orderable(out.schema[c].dataType)
             ]
             w = Window.partitionBy(unique_key).orderBy(
                 F.col(order_by).desc(), *rest

@@ -376,3 +376,77 @@ def test_parallel_build_matches_serial_and_skips_downstream(spark, tmp_path):
     assert res["child_of_bad"].status == "skipped"
     assert res["child_of_bad"].error == "upstream failed"
     assert res["top"].status == "success"
+
+
+def test_estimate_ignores_equals_in_base_path(tmp_path):
+    """An '=' in an ANCESTOR directory of the table root must not collapse
+    the day count (components come from the relative path)."""
+    from dbtwiz_spark.backfill import estimate_bytes_per_day
+
+    base = tmp_path / "job=nightly" / "events"
+    for d in ("2024-01-01", "2024-01-02"):
+        p = base / f"partitiondate={d}"
+        p.mkdir(parents=True)
+        (p / "part-0.parquet").write_bytes(b"x" * 100)
+    assert estimate_bytes_per_day(None, str(base)) == 100  # 200 B / 2 days
+
+
+def test_error_only_freshness_block_fails(spark, tmp_path):
+    """A freshness block with ONLY error_after_hours must still error on
+    stale data (status derives from the error watermark first)."""
+    from datetime import datetime, timedelta, timezone
+
+    from dbtwiz_spark.admin import check_source_freshness
+
+    now = datetime.now(timezone.utc).replace(tzinfo=None)
+    stale = spark.createDataFrame(
+        [(1, now - timedelta(hours=100))], "id INT, loaded_at TIMESTAMP"
+    )
+    stale.write.mode("overwrite").parquet(str(tmp_path / "eo_src"))
+    man = Manifest()
+    man.add_source(Source("s_eo", str(tmp_path / "eo_src"),
+                          freshness={"loaded_at_field": "loaded_at",
+                                     "error_after_hours": 24}))
+    assert check_source_freshness(spark, man)[0][1] == "error"
+
+
+def test_incremental_snapshot_config_reaches_build(spark, tmp_path):
+    """models declaring `snapshot: true` get a hardlink snapshot per
+    incremental overwrite — restorable via the standard time travel, with
+    the partition layout re-applied on restore."""
+    import time as _time
+
+    from dbtwiz_spark.catalog import Catalog
+
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "wh_snap"))
+    man = Manifest()
+    src_path = str(tmp_path / "ev_src")
+    Catalog(spark, "/root/testdata/sf0.001").table("events").withColumn(
+        "partitiondate", F.date_format("ts", "yyyy-MM-dd")
+    ).write.mode("overwrite").parquet(src_path)
+    man.add_source(Source("ev_src", src_path))
+    man.add_model(Model(
+        "daily_snap",
+        "SELECT partitiondate, COUNT(*) AS n FROM {{ ref('ev_src') }} "
+        "WHERE partitiondate >= '{{ var(\"data_interval_start\") }}' "
+        "AND partitiondate < '{{ var(\"data_interval_end\") }}' GROUP BY 1",
+        materialized="incremental",
+        incremental_strategy="insert_overwrite",
+        partition_by="partitiondate",
+        snapshot=True,
+    ))
+    r = Runner(spark, man, wh, variables={
+        "data_interval_start": "2024-01-01", "data_interval_end": "2024-01-03"})
+    assert all(x.status == "success" for x in r.run("daily_snap"))
+    r.variables.update({"data_interval_start": "2024-01-03",
+                        "data_interval_end": "2024-01-05"})
+    assert all(x.status == "success" for x in r.run("daily_snap"))
+    assert len(wh.snapshots("daily_snap")) == 1  # first run creates the table
+    before = {r2.partitiondate for r2 in
+              wh.read_snapshot("daily_snap", int(_time.time() * 1000)).collect()}
+    assert before == {"2024-01-01", "2024-01-02"}
+    wh.restore("daily_snap", int(_time.time() * 1000))
+    # partition layout re-applied by restore
+    assert (wh.path("daily_snap") / "partitiondate=2024-01-01").exists()
