@@ -204,10 +204,12 @@ def main() -> None:
     cat.prime()
     _bench_warehouse(spark)  # write-path setup, outside the timed region
 
-    # Two runs per query, report the best: run 1 pays one-time plan
-    # analysis + whole-stage codegen compile; run 2 is the steady state a
-    # long-lived session serves. Both runs execute the full plan end-to-end.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Best-of-N per query: run 1 pays one-time plan analysis + whole-stage
+    # codegen compile; later runs are the steady state a long-lived session
+    # serves. N=3 because host timing noise on this VM is ±30% — the minimum
+    # of three is a much tighter estimator of the true cost than of two.
+    # Every run executes the full plan end-to-end.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name, build in QUERIES.items():
         best = float("inf")
