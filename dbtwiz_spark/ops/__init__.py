@@ -23,3 +23,10 @@ from dbtwiz_spark.ops import udfs  # noqa: F401  §2.10
 from dbtwiz_spark.ops import ext_llm  # noqa: F401  §2.11
 from dbtwiz_spark.ops import ext_pipeline  # noqa: F401  §2.11 family §E
 from dbtwiz_spark.ops import skew  # noqa: F401  §4 skew mitigation
+
+# Driver correctness-window rotation: the driver checks the FIRST 50
+# queries() keys per round, so corpus_order.DRIVER_WINDOW deliberately
+# front-loads the entries that still need a driver row (see that module).
+from dbtwiz_spark.ops import corpus_order as _corpus_order  # noqa: E402
+
+_corpus_order.reorder(CORPUS)

@@ -118,18 +118,37 @@ def agg_count_distinct(spark, sf_dir):
 
 @register(
     "agg-approx-count-distinct",
-    oracle=None,  # HLL++ estimate; cross-engine sketch values differ -> rows-only
+    oracle="""
+    SELECT o_orderpriority, true AS within_bound
+    FROM orders GROUP BY 1
+    """,
 )
 def agg_approx_count_distinct(spark, sf_dir):
     """APPROX_COUNT_DISTINCT (BigQuery surface) → Spark HLL++.
 
-    The sketch estimate is engine-specific, so the driver's check is
-    rows-only; tests/test_corpus.py separately asserts the estimate is
-    within 5% of the exact count.
+    The sketch estimate is engine-specific (HLL++ vs DuckDB's sketch), so
+    the raw values can never hash-match. Instead the entry emits the
+    *error-bound contract* per group: ``|approx - exact| <= 5% * exact``
+    as a boolean, computed entirely Spark-side in one aggregate pass; the
+    oracle asserts the same groups each with literal ``true``. A hash
+    match therefore proves both the grouping AND that the sketch honours
+    its advertised rsd=0.02 bound (with 2.5x slack) on every group.
+
+    rsd=0.02, not 0.01: combining a distinct aggregate with HLL++ forces an
+    Expand + hash-aggregate whose per-group buffer embeds the full register
+    array; rsd=0.01 means 2^14 registers copied on every buffer update
+    (measured 5x slower at sf0.01 than rsd=0.02's 2^12 — and at 100 TB the
+    buffer width multiplies shuffle bytes for the partial-agg exchange too).
     """
     o = views(spark, sf_dir).table("orders")
     return o.groupBy("o_orderpriority").agg(
-        F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers")
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", 0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.05 * F.countDistinct("o_custkey")
+        ).alias("within_bound")
     )
 
 

@@ -1,0 +1,59 @@
+"""Regenerate scripts/green_manifest.json after a driver round.
+
+The manifest maps every corpus entry that has EVER been driver-green
+(hash_match, or rows_match for rows-only entries, in any CORRECTNESS_r*.json)
+to a sha256 of its current implementation source + oracle SQL.
+tests/test_corpus_order.py then enforces: if a green entry's source changes,
+it must re-enter corpus_order.DRIVER_WINDOW so the driver re-certifies it —
+no entry may coast on a CORRECTNESS row earned by code that no longer exists
+(the round-2 ``win-percent`` failure mode).
+
+Run after each round's CORRECTNESS_r{N}.json lands:
+    python scripts/gen_green_manifest.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import inspect
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from dbtwiz_spark.ops import CORPUS  # noqa: E402
+
+
+def entry_hash(name: str) -> str:
+    spec = CORPUS[name]
+    src = inspect.getsource(spec.fn) + "\n---oracle---\n" + (spec.oracle or "")
+    return hashlib.sha256(src.encode()).hexdigest()
+
+
+def green_entries() -> set[str]:
+    green: set[str] = set()
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        data = json.loads(path.read_text())
+        for name, row in data.items():
+            if row.get("err"):
+                continue
+            if row.get("hash_match") or row.get("rows_match"):
+                green.add(name)
+    return green
+
+
+def main() -> None:
+    manifest = {
+        name: entry_hash(name)
+        for name in sorted(green_entries())
+        if name in CORPUS
+    }
+    out = REPO / "scripts" / "green_manifest.json"
+    out.write_text(json.dumps(manifest, indent=1) + "\n")
+    print(f"{len(manifest)} green entries pinned -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -40,7 +40,6 @@ def test_queries_oracle_contract(spark):
     # every oracle-less entry is intentionally rows-only
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
-        "agg-approx-count-distinct",
         "sort-within-partitions",
         "ext-dedup-near",
         "ext-dedup-simhash",

@@ -1,0 +1,56 @@
+"""Guards on the driver correctness-window rotation (VERDICT r2 item 1).
+
+1. The window is exactly 50 valid, distinct corpus names and CORPUS
+   iteration starts with it (queries() order == CORPUS order).
+2. Green-manifest: any entry that already earned a driver-green row must
+   either keep its implementation byte-identical or sit inside the current
+   window so the driver re-certifies the new code. This is the regression
+   pin for the round-2 ``win-percent`` failure mode (rewritten after its
+   pass, leaving the green row certifying dead code).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from dbtwiz_spark.ops import CORPUS
+from dbtwiz_spark.ops.corpus_order import DRIVER_WINDOW
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_window_is_50_distinct_registered_names():
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    unknown = [n for n in DRIVER_WINDOW if n not in CORPUS]
+    assert not unknown, f"window names unregistered entries: {unknown}"
+
+
+def test_corpus_iteration_starts_with_window():
+    assert tuple(list(CORPUS)[:50]) == DRIVER_WINDOW
+
+
+def test_every_entry_still_registered_exactly_once():
+    # reorder() must not drop or duplicate entries
+    assert len(CORPUS) == len(set(CORPUS))
+    assert len(CORPUS) >= 120
+
+
+def test_green_entries_unchanged_or_in_window():
+    from scripts.gen_green_manifest import entry_hash
+
+    manifest = json.loads((REPO / "scripts" / "green_manifest.json").read_text())
+    assert manifest, "green manifest missing/empty — run scripts/gen_green_manifest.py"
+    stale = [
+        name
+        for name, pinned in manifest.items()
+        if name in CORPUS
+        and name not in DRIVER_WINDOW
+        and entry_hash(name) != pinned
+    ]
+    assert not stale, (
+        "implementation changed for driver-green entries outside the window "
+        f"(driver would keep certifying the old code): {stale} — either put "
+        "them in corpus_order.DRIVER_WINDOW or revert"
+    )
