@@ -116,7 +116,37 @@ class Warehouse:
     def path(self, table: str) -> Path:
         return Path(self.root) / table
 
+    def _recover(self, table: str) -> None:
+        """Crash recovery for the publish swap: a crash between 'rename the
+        live dir aside' and 'move tmp into place' (write_table publish)
+        leaves NO live dir while the complete previous state — including its
+        _snapshots history — sits in ``<table>__old_<ts>``. Without this,
+        the next run's exists() sees a first write and permanently strands
+        that data. Restore the newest ``__old`` to the live path; other
+        leftover ``__old``/``__tmp`` dirs are surfaced, never silently
+        deleted (they may hold the only copy of something)."""
+        parent = self.path(table).parent
+        if not parent.exists():
+            return
+        target = self.path(table)
+        olds = sorted(parent.glob(f"{table}__old_*"))
+        if olds and not target.exists():
+            newest = olds.pop()
+            newest.rename(target)
+            self.spark.catalog.refreshByPath(str(target))
+            print(
+                f"[warehouse] recovered {table!r} from interrupted publish: "
+                f"restored {newest.name} to the live path"
+            )
+        leftovers = [p.name for p in olds + sorted(parent.glob(f"{table}__tmp_*"))]
+        if leftovers:
+            print(
+                f"[warehouse] stale publish artifacts for {table!r}: "
+                f"{leftovers} — inspect and remove manually"
+            )
+
     def exists(self, table: str) -> bool:
+        self._recover(table)
         return self.path(table).joinpath("_SUCCESS").exists() or any(
             self.path(table).glob("*.parquet")
         ) or any(self.path(table).glob("*=*"))
@@ -124,6 +154,7 @@ class Warehouse:
     def read(self, table: str) -> DataFrame:
         if table in self.views:
             return self.spark.sql(self.views[table])
+        self._recover(table)
         # mergeSchema: partitions written before a schema evolution lack the
         # newer columns (null-filled on read) — the engine's
         # on_schema_change: append_new_columns semantics
@@ -152,6 +183,7 @@ class Warehouse:
         overwriting, the previous table state becomes a snapshot by MOVING
         its files at publish time — zero-copy, unlike a pre-write copy which
         would double-handle the whole table on every overwrite."""
+        self._recover(name)
         target = self.path(name)
         tmp = target.with_name(f"{name}__tmp_{int(time.time() * 1000)}")
         out = df
@@ -317,9 +349,12 @@ class Warehouse:
         try:
             # a partition is EMPTIED when it is affected but contributes no
             # rows to the merged output (every key moved elsewhere). merged
-            # is persisted so this probe materializes the (partition-scoped,
-            # small-vs-table) output ONCE and the subsequent write reuses it
-            # from cache instead of re-scanning current + updates.
+            # is persisted AND force-materialized here so both the probe and
+            # the subsequent write read the (partition-scoped, small-vs-table)
+            # output from cache instead of re-scanning current + updates —
+            # the probe alone would populate it only partially (its limit(1)
+            # can stop after a block or two).
+            merged.count()
             emptied = affected.join(
                 merged.select(partition_by).distinct(),
                 on=partition_by,

@@ -103,7 +103,28 @@ def move_model(
             "-- moved to " + new_name + " (kept as a pass-through view)\n"
             "SELECT * FROM {{ ref('" + new_name + "') }}\n"
         )
-        old_yml.write_text("materialized: view\n")
+        # The stub must materialize as a view, but the rest of the sidecar
+        # (column descriptions, data tests, ...) still applies to the
+        # pass-through and must not be silently discarded. Keys that only
+        # drive table/incremental materialization are dropped — with a
+        # notice, since that IS a config change.
+        import yaml
+
+        cfg = {}
+        if old_yml.exists():
+            cfg = yaml.safe_load(old_yml.read_text()) or {}
+        dropped = sorted(
+            k
+            for k in ("unique_key", "partition_by", "cluster_by", "incremental_strategy")
+            if cfg.pop(k, None) is not None
+        )
+        cfg["materialized"] = "view"
+        old_yml.write_text(yaml.safe_dump(cfg, sort_keys=False))
+        if dropped:
+            print(
+                f"[move] {old_name}: dropped table-materialization config "
+                f"{dropped} from the pass-through view's sidecar"
+            )
     else:
         old_sql.unlink()
         if old_yml.exists():

@@ -119,6 +119,7 @@ def foreach_batch_merge(
     table: str,
     unique_key: str,
     order_by: str | None = None,
+    partition_by: str | None = None,
 ):
     """foreachBatch sink: MERGE each micro-batch by unique key — the
     streaming face of the `incremental_strategy: merge` materialization
@@ -134,7 +135,14 @@ def foreach_batch_merge(
     Each micro-batch upserts through the same deterministic Warehouse.merge
     the batch path uses (schema evolution, partition scoping inherited), so
     a table fed by the stream is indistinguishable from one built by batch
-    merges of the same data — and replaying a micro-batch is idempotent."""
+    merges of the same data — and replaying a micro-batch is idempotent.
+
+    ``partition_by`` MUST be passed for date-partitioned targets (mirroring
+    foreach_batch_overwrite): without it Warehouse.merge takes the
+    unpartitioned path — an O(table) full rewrite per micro-batch that also
+    flattens the hive layout, after which a later partitioned
+    insert_overwrite would leave the flattened root files in place and
+    duplicate rows."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -163,6 +171,6 @@ def foreach_batch_merge(
                 .filter(F.col("_rn_cdc") == 1)
                 .drop("_rn_cdc")
             )
-        warehouse.merge(table, out, unique_key)
+        warehouse.merge(table, out, unique_key, partition_by)
 
     return sink

@@ -436,3 +436,36 @@ def test_explain_clear_error_without_interval(spark, project, tmp_path, capsys):
                  "--warehouse", str(tmp_path / "whx2")]) == 1
     out = capsys.readouterr().out
     assert "data_interval_start" in out
+
+
+def test_model_move_safe_preserves_sidecar_config(tmp_path, capsys):
+    """Safe move: the pass-through view's sidecar keeps column descriptions
+    and data tests; only table-materialization keys are dropped, with a
+    printed notice (previously the whole sidecar was silently replaced)."""
+    import yaml
+
+    from dbtwiz_spark.model_ops import move_model
+
+    proj = tmp_path / "projsv"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "m1.sql").write_text("SELECT 1 AS k")
+    (proj / "models" / "m1.yml").write_text(
+        yaml.safe_dump(
+            {
+                "materialized": "incremental",
+                "unique_key": "k",
+                "description": "keep me",
+                "columns": [{"name": "k", "tests": ["not_null", "unique"]}],
+            }
+        )
+    )
+    move_model(proj, "m1", "m2", safe=True)
+    cfg = yaml.safe_load((proj / "models" / "m1.yml").read_text())
+    assert cfg["materialized"] == "view"
+    assert cfg["description"] == "keep me"
+    assert cfg["columns"] == [{"name": "k", "tests": ["not_null", "unique"]}]
+    assert "unique_key" not in cfg
+    assert "dropped table-materialization config" in capsys.readouterr().out
+    # the moved model keeps the ORIGINAL config untouched
+    new_cfg = yaml.safe_load((proj / "models" / "m2.yml").read_text())
+    assert new_cfg["materialized"] == "incremental" and new_cfg["unique_key"] == "k"

@@ -90,3 +90,26 @@ def test_partition_filter_guard_binds_to_relation(spark, tmp_path):
     assert not has_partition_filter(joined, "partitiondate")
     both = f.filter(F.col("partitiondate") == "2024-01-01").join(d, f.id == d.did)
     assert has_partition_filter(both, "partitiondate")
+
+
+def test_partition_filter_guard_follows_alias_chain(spark, tmp_path):
+    """SELECT partitiondate AS pd ... WHERE pd = ... filters a NEW exprId;
+    the guard must chase the alias back to the base relation's attribute
+    instead of rejecting a plan Catalyst would actually prune."""
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.plans import has_partition_filter
+
+    spark.range(10).withColumn("partitiondate", F.lit("2024-01-01")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "aft"))
+    f = spark.read.parquet(str(tmp_path / "aft"))
+    aliased = f.select("id", F.col("partitiondate").alias("pd")).filter(
+        F.col("pd") == "2024-01-01"
+    )
+    assert has_partition_filter(aliased, "partitiondate")
+    # a filter on a DIFFERENT aliased column must still be rejected
+    other = f.select(F.col("id").alias("i2"), "partitiondate").filter(
+        F.col("i2") == 3
+    )
+    assert not has_partition_filter(other, "partitiondate")

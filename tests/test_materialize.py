@@ -468,3 +468,21 @@ def test_incremental_time_travel_via_hardlink_snapshot(spark, wh):
     # restore round-trips
     wh.restore("inc_tt", int(time.time() * 1000))
     assert {(r.k, r.v) for r in wh.read("inc_tt").collect()} == {(1, "old"), (2, "old")}
+
+
+def test_publish_crash_recovery_restores_orphaned_old(spark, wh, capsys):
+    """A crash between 'rename live aside' and 'move tmp into place' leaves
+    only <name>__old_<ts> on disk; the next touch must restore it as the
+    live table instead of treating the table as never-written (which would
+    permanently strand the data and its snapshot history)."""
+    wh.write_table("cr", _df(spark, [(1, "a", "2024-01-01")]))
+    target = wh.path("cr")
+    target.rename(target.with_name("cr__old_1700000000000"))  # simulated crash
+    assert wh.exists("cr")  # recovery happens on first touch
+    assert "recovered" in capsys.readouterr().out
+    assert wh.read("cr").count() == 1
+    leftovers = [p.name for p in target.parent.iterdir() if "__old_" in p.name]
+    assert leftovers == []
+    # a later write on the recovered table publishes normally
+    wh.write_table("cr", _df(spark, [(2, "b", "2024-01-01")]))
+    assert wh.read("cr").first().v == "b"

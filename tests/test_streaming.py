@@ -275,3 +275,30 @@ def test_foreach_batch_merge_order_by_latest_wins(spark, tmp_path):
     sink(batch, 0)
     got = {r.k: r.state for r in wh.read("cdc_state").collect()}
     assert got == {1: "cancelled", 2: "ok"}
+
+
+def test_foreach_batch_merge_partitioned_keeps_hive_layout(spark, tmp_path):
+    """partition_by must reach Warehouse.merge: the partition-scoped path
+    keeps the hive layout (and at scale avoids the O(table) unpartitioned
+    rewrite per micro-batch that also flattens the directory tree)."""
+    from dbtwiz_spark.materialize import Warehouse
+    from dbtwiz_spark.streaming import foreach_batch_merge
+
+    wh = Warehouse(spark, str(tmp_path / "pmerge_wh"))
+    seed = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")],
+        "k INT, v STRING, partitiondate STRING",
+    )
+    wh.write_table("pt", seed, partition_by="partitiondate")
+    sink = foreach_batch_merge(wh, "pt", "k", partition_by="partitiondate")
+    batch = spark.createDataFrame(
+        [(2, "b2", "2024-01-02"), (3, "c", "2024-01-03")],
+        "k INT, v STRING, partitiondate STRING",
+    )
+    sink(batch, 0)
+    got = {r.k: r.v for r in wh.read("pt").collect()}
+    assert got == {1: "a", 2: "b2", 3: "c"}
+    # hive layout survives the micro-batch (the unpartitioned path would
+    # flatten it to root-level files)
+    for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        assert (wh.path("pt") / f"partitiondate={day}").exists()
