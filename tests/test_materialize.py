@@ -486,3 +486,39 @@ def test_publish_crash_recovery_restores_orphaned_old(spark, wh, capsys):
     # a later write on the recovered table publishes normally
     wh.write_table("cr", _df(spark, [(2, "b", "2024-01-01")]))
     assert wh.read("cr").first().v == "b"
+
+
+def test_schema_sidecar_written_and_used(spark, wh):
+    """Write paths store the table's unified schema in _schema.json so reads
+    skip mergeSchema's O(files) footer sweep; the sidecar encodes the
+    engine's partition-col-reads-as-string contract and follows evolution."""
+    from dbtwiz_spark.materialize import SCHEMA_FILENAME
+
+    df = _df(spark, [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")])
+    wh.write_table("sc", df, partition_by="partitiondate")
+    sidecar = wh.path("sc") / SCHEMA_FILENAME
+    assert sidecar.exists()
+    schema = wh.read("sc").schema
+    assert schema["partitiondate"].dataType.simpleString() == "string"
+    # evolution: a new column updates the sidecar; old partitions null-fill
+    df2 = spark.createDataFrame(
+        [(3, "c", "x", "2024-01-03")],
+        "k INT, v STRING, extra STRING, partitiondate STRING",
+    )
+    wh.insert_overwrite("sc", df2, "partitiondate")
+    got = wh.read("sc")
+    assert "extra" in got.columns
+    assert got.filter(F.col("k") == 1).first().extra is None
+
+
+def test_small_partitioned_write_distributes_across_tasks(spark):
+    """_distribute_for_write: a small output must be hash-distributed by the
+    partition value (parallel writers), not REBALANCEd — AQE coalesces a
+    tiny rebalance into ONE task that opens every hive partition's writer
+    serially. Large outputs keep the REBALANCE shape."""
+    from dbtwiz_spark.materialize import _distribute_for_write
+
+    small = spark.range(100).withColumn("pd", (F.col("id") % 10).cast("string"))
+    plan = _distribute_for_write(small, "pd")._jdf.queryExecution().toString()
+    assert "RebalancePartitions" not in plan
+    assert "RepartitionByExpression" in plan
