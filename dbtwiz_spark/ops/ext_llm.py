@@ -801,39 +801,124 @@ def ext_knn_label(spark, sf_dir):
     )
 
 
+def _lsh_bucket_expr(vec_col, table: int, n_planes: int):
+    """Bucket id for one LSH table: ``n_planes`` sign bits of dot products
+    with deterministic pseudo-random hyperplanes. Plane weight for (table t,
+    plane p, dim i) = scaled xxhash64(t*101+p, i) in [-1, 1) — derived
+    JVM-side, no RNG state, identical on every executor and across runs.
+
+    Entirely map-side: transform-with-index + aggregate fold per plane, so
+    the signature never explodes the vector — the posexplode + groupBy
+    formulation pushes dim× the corpus through a shuffle, which at 100 TB
+    turns a billion 64-dim vectors into a 64-billion-row exchange."""
+    def plane_term(seed):
+        # closure factory, not a default arg: PySpark counts lambda params
+        # to pick the higher-order-function arity, so `lambda x, i, s=seed`
+        # would be (mis)read as a 3-arg lambda
+        return lambda x, i: x.cast("double") * (
+            (F.pmod(F.xxhash64(F.lit(seed), i), F.lit(2000001)) - 1000000) / 1000000.0
+        )
+
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.transform(F.col(vec_col), plane_term(table * 101 + p)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, 2**p).otherwise(0)
+    return bucket
+
+
+def lsh_signatures(
+    df: DataFrame, vec_col: str, n_planes: int = 8, n_tables: int = 1
+) -> DataFrame:
+    """Explode each row into ``n_tables`` (t, bucket) signature rows — the
+    join key for bucketed candidate generation. The n_tables× map-side
+    expansion is the standard LSH recall lever (a pair is a candidate if it
+    collides in ANY table); no shuffle happens here."""
+    tb = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), _lsh_bucket_expr(vec_col, t, n_planes).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    return df.withColumn("_tb", F.explode(tb)).select(
+        *df.columns, F.col("_tb.t").alias("t"), F.col("_tb.bucket").alias("bucket")
+    )
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 3,
+    n_tables: int = 8,
+) -> DataFrame:
+    """ANN top-k via multi-table sign-LSH: candidates = corpus rows sharing
+    any (table, bucket) with a query, scored exactly, top-k per query.
+
+    queries: (q_vec_id, q_embedding), assumed small → its signatures are
+    broadcast; the corpus streams map-side through signature computation
+    into the bucket equi-join — never an all-pairs product. Candidate pairs
+    found in several tables are deduped on the (q, c) key (rows are
+    identical, so the dedup is deterministic).
+
+    Tuning is corpus-dependent: recall per table for a pair at angle θ is
+    (1-θ/π)^n_planes, so weakly-similar neighbors (this synthetic corpus:
+    top-10 cosine ≈ 0.3) need few planes / many tables for high recall at
+    the cost of candidate-set selectivity, while true near-duplicate
+    corpora (cosine ≥ 0.9) support 8-16 planes with tiny candidate sets.
+    """
+    cs = lsh_signatures(emb, "embedding", n_planes, n_tables)
+    qs = lsh_signatures(queries, "q_embedding", n_planes, n_tables)
+    cand = (
+        cs.join(F.broadcast(qs), on=["t", "bucket"])
+        .filter(F.col("q_vec_id") != F.col("vec_id"))
+        .dropDuplicates(["q_vec_id", "vec_id"])
+    )
+    dot = F.aggregate(
+        F.zip_with("q_embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nq = F.sqrt(
+        F.aggregate(
+            F.transform("q_embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nc = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    pairs = cand.select(
+        "q_vec_id", F.col("vec_id").alias("c_vec_id"), (dot / (nq * nc)).alias("cosine")
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 @register("ext-ann-lsh-bucket", oracle=None)
 def ext_ann_lsh_bucket(spark, sf_dir):
     """ANN scale path: random-hyperplane LSH bucketing.
 
     Signature = sign bits of dot products with 8 deterministic pseudo-random
-    hyperplanes (derived JVM-side from xxhash64(plane, dim), no RNG state);
-    neighbor candidates share a bucket → the O(n²) similarity join becomes
-    an equi-join on the bucket key. Output: (bucket, n_vectors) histogram +
-    intra-bucket exact top-1 neighbor per sampled query. Rows-only check;
-    tests assert recall vs the exact top-k on sf0.001.
+    hyperplanes (see _lsh_bucket_expr) — computed map-side per row, no
+    explode, no shuffle before the histogram's own tiny aggregation.
+    Neighbor candidates share a bucket → the O(n²) similarity join becomes
+    an equi-join on the bucket key (the full ANN path is `lsh_topk`).
+    Output: (bucket, n_vectors, n_labels) histogram. Rows-only check; tests
+    assert bucket-partition completeness AND `lsh_topk` recall vs the exact
+    top-k on sf0.001.
     """
     emb = views(spark, sf_dir).table("embeddings")
-    ex = emb.select("vec_id", "label", F.posexplode("embedding").alias("i", "x"))
-    # plane weight in [-1,1): hash(plane, dim) scaled — deterministic everywhere
-    planes = range(8)
-    proj = ex.groupBy("vec_id", "label").agg(
-        *[
-            F.sum(
-                F.col("x").cast("double")
-                * (
-                    (F.pmod(F.xxhash64(F.lit(p), F.col("i")), F.lit(2000001)) - 1000000)
-                    / 1000000.0
-                )
-            ).alias(f"proj_{p}")
-            for p in planes
-        ]
-    )
-    sig = proj.select(
-        "vec_id",
-        "label",
-        sum(
-            [F.when(F.col(f"proj_{p}") > 0, 2**p).otherwise(0) for p in planes]
-        ).alias("bucket"),
+    sig = emb.select(
+        "vec_id", "label", _lsh_bucket_expr("embedding", 0, 8).alias("bucket")
     )
     return sig.groupBy("bucket").agg(
         F.count("*").alias("n_vectors"),

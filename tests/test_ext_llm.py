@@ -167,3 +167,48 @@ def test_resize_images_plumbing(spark):
     assert out[1].meta.media_type == "image/png"
     assert bytes(out[1].payload) == b"imgbytes"
     assert out[2].meta.media_type == "image/jpeg"
+
+
+def test_ann_lsh_topk_recall_vs_exact(spark):
+    """Multi-table LSH top-k must recover >=0.9 of the exact top-10 while
+    actually pruning the candidate space (mirrors the IVF recall floor).
+    Deterministic: hyperplanes derive from xxhash64, no RNG."""
+    from dbtwiz_spark.ops.common import views
+    from dbtwiz_spark.ops.ext_llm import cosine_topk, lsh_topk
+
+    emb = views(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    exact = {
+        (r.q_vec_id, r.c_vec_id) for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    assert exact
+    got = {
+        (r.q_vec_id, r.c_vec_id)
+        for r in lsh_topk(emb, queries, k=10, n_planes=3, n_tables=8).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} too low"
+
+
+def test_ann_lsh_topk_prunes_candidates(spark):
+    """The bucket join must be selective: candidate pairs well below the
+    all-pairs count (otherwise LSH degenerated into brute force)."""
+    from dbtwiz_spark.ops.common import views
+    from dbtwiz_spark.ops.ext_llm import lsh_signatures
+
+    emb = views(spark, SF_DIR).table("embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    cs = lsh_signatures(emb, "embedding", 3, 8)
+    qs = lsh_signatures(queries, "q_embedding", 3, 8)
+    n_cand = (
+        cs.join(F.broadcast(qs), on=["t", "bucket"])
+        .filter(F.col("q_vec_id") != F.col("vec_id"))
+        .dropDuplicates(["q_vec_id", "vec_id"])
+        .count()
+    )
+    n_all = emb.count() * queries.count()
+    assert 0 < n_cand < 0.8 * n_all, f"candidates {n_cand} vs all-pairs {n_all}"
