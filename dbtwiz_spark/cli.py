@@ -61,6 +61,18 @@ def cmd_build(args) -> int:
         from dbtwiz_spark.manifest import Manifest
 
         state = Manifest.load_state(args.state)
+    from dbtwiz_spark import picker
+
+    if not picker.can_select_directly(args.select, manifest.models):
+        # unknown bare name: offer the interactive fuzzy picker on a TTY
+        # (reference choose_models); headless runs fall through to the
+        # selector's own unknown-model error
+        picked = picker.pick_interactively(args.select, manifest.models)
+        if picked:
+            args.select = " ".join(picked)
+        elif picked is not None:  # interactive session, user aborted
+            print("no models selected")
+            return 1
     results = runner.run(args.select, state=state,
                          exclude=getattr(args, "exclude", None),
                          threads=getattr(args, "threads", 1))

@@ -469,3 +469,61 @@ def test_model_move_safe_preserves_sidecar_config(tmp_path, capsys):
     # the moved model keeps the ORIGINAL config untouched
     new_cfg = yaml.safe_load((proj / "models" / "m2.yml").read_text())
     assert new_cfg["materialized"] == "incremental" and new_cfg["unique_key"] == "k"
+
+
+def test_fuzzy_picker_ranking_and_selection():
+    """Dependency-free fzf analog: subsequence filter, contiguity-first
+    ranking, numeric multi-select, query refinement, abort."""
+    from dbtwiz_spark.picker import can_select_directly, choose_models, fuzzy_rank
+
+    names = ["stg_orders", "stg_customers", "fct_order_items", "dim_customer"]
+    # selector strings skip the picker; unknown bare names do not
+    assert can_select_directly("stg_orders", names)
+    assert can_select_directly("tag:nightly", names)
+    assert can_select_directly("+stg_orders+", names)
+    assert not can_select_directly("ord", names)
+    # contiguous match ("ord" inside stg_orders/fct_order_items) beats
+    # scattered subsequence matches; non-matches are filtered out
+    ranked = fuzzy_rank("ord", names)
+    # both match "ord" contiguously at the same offset -> shorter name wins;
+    # dim_customer has no 'd' after its 'r' so it is filtered out entirely
+    assert ranked == ["stg_orders", "fct_order_items"]
+
+    # scripted IO: refine the query, then pick two by number
+    script = iter(["cust", "1 2"])
+    shown: list[str] = []
+    picked = choose_models(
+        names,
+        query="zzz-nomatch",
+        input_fn=lambda _p: next(script),
+        print_fn=shown.append,
+    )
+    assert set(picked) == {"stg_customers", "dim_customer"}
+    # abort returns None
+    assert choose_models(names, input_fn=lambda _p: "q", print_fn=shown.append) is None
+    # enter with a single candidate picks it
+    one = iter([""])
+    assert choose_models(
+        ["only_model"], input_fn=lambda _p: next(one), print_fn=shown.append
+    ) == ["only_model"]
+
+
+def test_build_unknown_selector_headless_still_errors(spark, tmp_path):
+    """On a non-TTY an unknown bare selector must fail fast with the
+    selector's own error, never hang on the picker."""
+    import pytest as _pytest
+
+    proj = tmp_path / "projpick"
+    (proj / "models").mkdir(parents=True)
+    (proj / "sources.yml").write_text(
+        f"sources:\n  - name: region\n    path: {SF_DIR}/region.parquet\n"
+    )
+    (proj / "models" / "m_ok.sql").write_text(
+        "SELECT r_regionkey FROM {{ source('raw','region') }}"
+    )
+    with _pytest.raises(KeyError, match="unknown model"):
+        main([
+            "build", "--project", str(proj),
+            "--warehouse", str(tmp_path / "whpick"),
+            "--select", "m_o",
+        ])
