@@ -229,3 +229,222 @@ def ext_mix_domains(spark, sf_dir):
             / (F.col("n_src") * F.col("total_tokens"))
         ).alias("mix_weight"),
     )
+
+
+@register(
+    "ext-mix-temperature",
+    oracle="""
+    WITH per_src AS (
+        SELECT source,
+               SUM(len(string_split(text, ' '))) AS total_tokens
+        FROM documents GROUP BY 1),
+    scaled AS (
+        SELECT source, total_tokens,
+               CAST(SQRT(CAST(total_tokens AS DOUBLE)) AS DECIMAL(38, 12)) AS s
+        FROM per_src),
+    tot AS (SELECT SUM(CAST(total_tokens AS HUGEINT)) AS all_tokens,
+                   SUM(s) AS all_s
+            FROM scaled)
+    SELECT source, total_tokens,
+           CAST(total_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE) AS p_raw,
+           CAST(s AS DOUBLE) / CAST(all_s AS DOUBLE) AS p_temp
+    FROM scaled, tot
+    """,
+)
+def ext_mix_temperature(spark, sf_dir):
+    """Temperature-scaled domain sampling (multinomial alpha-sampling,
+    alpha = 0.5): p_temp(s) = tokens_s^alpha / sum_t tokens_t^alpha —
+    the standard rebalancing that up-samples small domains without
+    flattening the mixture entirely (p_raw is the natural token share).
+
+    alpha is fixed at 0.5 so the power is ``sqrt``, which IEEE requires to
+    be correctly rounded — bit-identical in Spark and DuckDB, unlike
+    ``pow(x, 0.7)``'s 1-ulp libm drift. The sqrt values are quantized to
+    DECIMAL(38,12) before the sum so accumulation is exact and
+    order-independent (same trick as ops.common.dsum). Shapes: one
+    per-source aggregation (shuffle with partial agg), one 1-row total
+    broadcast back — no second scan of documents."""
+    d = views(spark, sf_dir).table("documents")
+    dec = "decimal(38,12)"
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " ")).cast("long")).alias("total_tokens"),
+    )
+    scaled = per_src.select(
+        "source",
+        "total_tokens",
+        F.sqrt(F.col("total_tokens").cast("double")).cast(dec).alias("s"),
+    )
+    tot = scaled.agg(
+        F.sum("total_tokens").alias("all_tokens"), F.sum("s").alias("all_s")
+    )
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / F.col("all_tokens").cast("double")).alias(
+            "p_raw"
+        ),
+        (F.col("s").cast("double") / F.col("all_s").cast("double")).alias("p_temp"),
+    )
+
+
+@register(
+    "ext-quality-repetition",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    counts AS (
+        SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
+    per_doc AS (
+        SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct,
+               MAX(cnt) AS top_cnt
+        FROM counts GROUP BY 1)
+    SELECT doc_id, n_words, n_distinct,
+           CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+           CAST(top_cnt AS DOUBLE) / n_words AS top_word_share
+    FROM per_doc
+    """,
+)
+def ext_quality_repetition(spark, sf_dir):
+    """Repetition quality signals (the Gopher-rules family): per document,
+    the duplicate-word fraction and the most-frequent-word share — high
+    values flag boilerplate/spam for the quality filter that
+    ext-quality-score's length/punctuation ratios alone miss.
+
+    Shape: explode words -> count per (doc, word) -> reduce per doc. Both
+    aggregations carry map-side partial aggregation, and the (doc_id, word)
+    key is near-unique so the first shuffle is skew-free; at 100 TB this is
+    the plain wordcount pattern sharded by document. Integer counts make
+    every ratio a single exact-operand double division."""
+    d = views(spark, sf_dir).table("documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        (
+            (F.col("n_words") - F.col("n_distinct")).cast("double")
+            / F.col("n_words")
+        ).alias("dup_word_frac"),
+        (F.col("top_cnt").cast("double") / F.col("n_words")).alias(
+            "top_word_share"
+        ),
+    )
+
+
+_CLUSTER_PAIRS_SQL = """
+        SELECT doc_a, doc_b FROM (
+            WITH arrs AS (
+                SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+            sh_all AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(generate_series(1, len(a) - 2),
+                              i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+                FROM arrs),
+            hot AS (
+                SELECT shingle FROM sh_all GROUP BY shingle
+                HAVING COUNT(*) > 0.25 * (SELECT COUNT(*) FROM documents)),
+            sh AS (
+                SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+                FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b) j
+        WHERE jaccard >= 0.5
+"""
+
+
+@register(
+    "ext-dedup-cluster",
+    oracle=f"""
+    WITH RECURSIVE
+    prs AS ({_CLUSTER_PAIRS_SQL}),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+              UNION SELECT doc_b, doc_a FROM prs),
+    reach(doc_id, r) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, rc.r FROM edges e JOIN reach rc ON rc.doc_id = e.b)
+    SELECT doc_id, MIN(r) AS cluster_id,
+           doc_id = MIN(r) AS keep
+    FROM reach GROUP BY doc_id
+    """,
+)
+def ext_dedup_cluster(spark, sf_dir):
+    """Near-duplicate CLUSTERING: connected components over the >=0.5
+    n-gram-Jaccard pair graph, canonical representative = the minimum
+    doc_id reachable from each node. Pairwise dedup alone under-deletes
+    (A~B, B~C but A!~C leaves two of the three); the component view keeps
+    exactly one doc per transitive cluster — the ``keep`` flag.
+
+    Algorithm: iterative min-label propagation to a fixpoint — per round,
+    every node takes the min of its own label and its neighbours' labels
+    (one equi-join + one aggregation per round, both key-partitioned, no
+    driver data). Rounds needed = graph diameter, logarithmic for the
+    short near-dup chains dedup produces; capped at 20 with a convergence
+    check (the per-round ``count`` is an aggregate action, not a
+    driver-side collect). The oracle computes the same fixpoint as a
+    recursive min-reachability CTE — both sides converge to the unique
+    transitive answer, so the hash match is exact.
+
+    At 100 TB the pair graph (post-LSH) is orders of magnitude smaller
+    than the corpus; each round shuffles only (node, label) pairs, and the
+    converged labels persist for the keep-join back to documents.
+    """
+    from dbtwiz_spark.ops.ext_llm import ext_ngram_jaccard
+
+    pairs = (
+        ext_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("lbl", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(20):
+        neigh = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .groupBy("a")
+            .agg(F.min("lbl").alias("nl"))
+        )
+        nxt = (
+            labels.join(neigh, labels.doc_id == neigh.a, "left")
+            .select(
+                labels.doc_id,
+                F.least(labels.lbl, F.coalesce(neigh.nl, labels.lbl)).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            nxt.alias("n")
+            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        (F.col("doc_id") == F.col("lbl")).alias("keep"),
+    )
