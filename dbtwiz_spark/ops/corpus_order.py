@@ -16,10 +16,12 @@ Entries already driver-green in r1/r2 go last; their r1/r2 rows plus the
 green-manifest guard (tests/test_corpus_order.py) keep them honest: any
 source change to a green entry without re-entering the window fails CI.
 
-Deferred to the round-4 window (16 never-tested + 5 r1-only): the
-heavier ext-llm entries and ``agg-salted-skew``, plus the five r1-green
+Deferred to the round-4 window (16 never-tested + 5 r1-only + 3 new):
+the heavier ext-llm entries and ``agg-salted-skew``, the five r1-green
 entries rotated out in r2 (win-lag-lead, win-first-last, win-running-agg,
-win-sliding-frame, sort-global — code unchanged since their pass).
+win-sliding-frame, sort-global — code unchanged since their pass), and
+the round-3 additions (ext-mix-temperature, ext-quality-repetition,
+ext-dedup-cluster).
 """
 
 from __future__ import annotations
