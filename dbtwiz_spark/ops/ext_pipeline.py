@@ -409,9 +409,17 @@ def ext_dedup_cluster(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    edges = (
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        # persisted AND force-materialized: every propagation round joins
+        # edges, and without the cache each round would recompute the whole
+        # upstream shingle similarity join — the dominant cost at scale
+        .persist()
+    )
+    edges.count()
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
