@@ -54,9 +54,9 @@ def _orderable(dt) -> bool:
     return True
 
 
-def _align_types(updates: DataFrame, current: DataFrame) -> DataFrame:
-    """Cast columns of ``updates`` that also exist in ``current`` to the
-    current table's type when they differ.
+def _align_types(updates: DataFrame, current) -> DataFrame:
+    """Cast columns of ``updates`` that also exist in ``current`` (a
+    DataFrame or a StructType) to the current table's type when they differ.
 
     Partition-column type inference is disabled engine-wide (session.py): a
     DATE-typed partition column written through hive-style dirs reads back
@@ -65,7 +65,8 @@ def _align_types(updates: DataFrame, current: DataFrame) -> DataFrame:
     read-back type keeps every write path (merge/scd2/insert_overwrite)
     schema-stable. Date→string casts use ISO format in Spark — the same
     text the partition dir encodes."""
-    cur_types = {f.name: f.dataType for f in current.schema.fields}
+    schema = current if hasattr(current, "fields") else current.schema
+    cur_types = {f.name: f.dataType for f in schema.fields}
     out = updates
     for f in updates.schema.fields:
         want = cur_types.get(f.name)
@@ -345,10 +346,12 @@ class Warehouse:
         # on_schema_change: append_new_columns (dbtwiz/model/create.py:466):
         # columns the live table has but df lacks are appended as nulls so
         # every partition stays readable; genuinely new df columns evolve the
-        # table schema (older partitions null-fill via mergeSchema on read)
-        live = self.read(name)
-        existing = live.schema
-        df = _align_types(df, live)
+        # table schema (older partitions null-fill on read). The live schema
+        # comes from the sidecar when present — constructing a read
+        # DataFrame here would pay a full file listing just to learn types
+        stored = self._stored_schema(name)
+        existing = stored if stored is not None else self.read(name).schema
+        df = _align_types(df, existing)
         missing = [f for f in existing.fields if f.name not in df.columns]
         out = df
         for f in missing:
