@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbtwiz_spark.ops.common import views
+from dbtwiz_spark.ops.common import davg, davg_sql, views
 from dbtwiz_spark.ops.registry import register
 
 # Knuth multiplicative hash: deterministic pseudo-random ordering computable
@@ -335,6 +335,292 @@ def ext_quality_repetition(spark, sf_dir):
             "top_word_share"
         ),
     )
+
+
+@register(
+    "ext-quality-gopher",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS mean_word_len,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> regexp_full_match(w, '[A-Za-z]+'))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS frac_alpha_words,
+               len(list_filter(string_split(text, ' '),
+                   w -> list_contains(['the','a','of','and','to','in','is','on'], w)))
+                 AS n_stopwords
+        FROM documents)
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+           (n_words BETWEEN 30 AND 100000)
+             AND (mean_word_len BETWEEN 3 AND 10)
+             AND frac_alpha_words >= 0.8
+             AND n_stopwords >= 2 AS gopher_pass
+    FROM t
+    """,
+)
+def ext_quality_gopher(spark, sf_dir):
+    """Gopher-style rule filter (Rae et al. 2021 §A1.1): per document the
+    word count, mean word length, all-alphabetic word fraction, and
+    stopword count, plus the conjunctive pass flag (30 <= words <= 100k,
+    3 <= mean word length <= 10, >= 80% alphabetic words, >= 2 stopwords).
+    Complements ext-quality-score (length/TTR) and ext-quality-repetition
+    (dup-word signals) — together the three cover the classic rule family.
+
+    Every signal is a map-side expression over the token array — no
+    shuffle, no UDF; at 100 TB this is a pure scan-side filter that
+    co-schedules with ingestion. Integer counts divide once into doubles,
+    so both engines round identically."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    mean_wl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    stops = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "on"]])
+    frac_alpha = (
+        F.size(F.filter(toks, lambda w: w.rlike("^[A-Za-z]+$"))).cast("double")
+        / n_words
+    )
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, w)))
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha_words"),
+        n_stop.cast("long").alias("n_stopwords"),
+        (
+            n_words.between(30, 100000)
+            & mean_wl.between(3, 10)
+            & (frac_alpha >= 0.8)
+            & (n_stop >= 2)
+        ).alias("gopher_pass"),
+    )
+
+
+_EMAIL_RE = "[A-Za-z0-9._]+@[A-Za-z0-9.]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+@register(
+    "ext-pii-scrub",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id,
+               'user' || CAST(doc_id AS VARCHAR) || '@' || source
+                 || '.example.com call 555-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS contact
+        FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(contact, '{_PHONE_RE}')) AS n_phones,
+           regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+    FROM c
+    """,
+)
+def ext_pii_scrub(spark, sf_dir):
+    """PII scrubbing: count and redact email / phone patterns via regex
+    (the pre-training privacy pass). The corpus text carries no PII, so a
+    synthetic contact string is derived deterministically from (doc_id,
+    source) — the scrub path itself (count, replace-all, both patterns) is
+    the real thing.
+
+    Pure map-side regexp expressions — whole-stage-codegen'd JVM regex, no
+    UDF; at 100 TB this fuses into the ingest scan like any other
+    projection. The patterns stick to plain character classes so Java
+    regex (Spark) and RE2 (DuckDB) agree; DuckDB needs the explicit 'g'
+    flag to match Spark's replace-all default."""
+    d = views(spark, sf_dir).table("documents")
+    contact = F.concat(
+        F.lit("user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(contact, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(contact, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(contact, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+@register(
+    "ext-token-histogram",
+    oracle="""
+    WITH t AS (
+        SELECT lang, len(string_split(text, ' ')) AS tok FROM documents)
+    SELECT lang, CAST(floor(log2(tok)) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs, SUM(tok) AS total_tokens,
+           MIN(tok) AS min_tokens, MAX(tok) AS max_tokens
+    FROM t GROUP BY 1, 2
+    """,
+)
+def ext_token_histogram(spark, sf_dir):
+    """Token-length histogram: per (lang, log2 bucket) document and token
+    counts — the length-distribution profile that sizes packing bins and
+    flags truncation outliers before training.
+
+    floor(log2(int)) is engine-agreeable: exact at powers of two, and
+    anywhere else the true value sits far further than 1 ulp from an
+    integer. One shuffle on (lang, bucket) with map-side partial
+    aggregation; cardinality is ~langs x 20 buckets, so the reduce side is
+    trivially small at any scale."""
+    d = views(spark, sf_dir).table("documents")
+    tok = F.size(F.split("text", " ")).cast("long")
+    return (
+        d.select("lang", tok.alias("tok"))
+        .groupBy("lang", F.floor(F.log2("tok")).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tok").alias("total_tokens"),
+            F.min("tok").alias("min_tokens"),
+            F.max("tok").alias("max_tokens"),
+        )
+    )
+
+
+@register(
+    "ext-embed-stats",
+    oracle=f"""
+    WITH ex AS (
+        SELECT dim - 1 AS dim, CAST(embedding[dim] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(dim)),
+    agg AS (
+        SELECT dim, COUNT(v) AS n,
+               {davg_sql('v')} AS mean_v,
+               {davg_sql('v * v')} AS mean_sq
+        FROM ex GROUP BY 1)
+    SELECT dim, n, mean_v, mean_sq - mean_v * mean_v AS var_v
+    FROM agg
+    """,
+)
+def ext_embed_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (mean, variance): the drift /
+    collapse monitor a training pipeline runs over its embedding store —
+    a dimension whose variance goes to zero is a dead feature; a shifted
+    mean flags an encoder version mix.
+
+    posexplode expands rows x 64, but map-side partial aggregation
+    collapses each task to <= 64 partial rows before the shuffle, so the
+    exchange is O(partitions x dims) regardless of table size — the same
+    wordcount shape that survives 100 TB. Float values cast to double
+    (exact) then accumulate through the DECIMAL path (ops.common.davg) so
+    both engines sum in any order and agree bit-for-bit; the variance is
+    one deterministic double expression over the two exact means."""
+    e = views(spark, sf_dir).table("embeddings")
+    ex = e.select(F.posexplode("embedding").alias("dim", "vf")).select(
+        "dim", F.col("vf").cast("double").alias("v")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count("v").alias("n"),
+        davg("v", "mean_v"),
+        davg(F.col("v") * F.col("v"), "mean_sq"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        "mean_v",
+        (F.col("mean_sq") - F.col("mean_v") * F.col("mean_v")).alias("var_v"),
+    )
+
+
+@register(
+    "ext-filter-length-outliers",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents),
+    r AS (
+        SELECT doc_id, lang, n_tokens,
+               PERCENT_RANK() OVER (PARTITION BY lang
+                                    ORDER BY n_tokens, doc_id) AS pr
+        FROM t)
+    SELECT doc_id, lang, n_tokens, pr
+    FROM r WHERE pr >= 0.05 AND pr <= 0.95
+    """,
+)
+def ext_filter_length_outliers(spark, sf_dir):
+    """Length-outlier trimming: drop each language's shortest and longest
+    5% of documents by exact percentile rank — the distribution-aware
+    variant of a fixed min/max length cutoff (a fixed cutoff tuned on
+    English over-trims CJK, where tokens pack more content).
+
+    percent_rank over (lang) partitions is embarrassingly parallel across
+    languages; within a language Spark range-partitions the sort, so no
+    single-partition window at scale (same shape win-percent uses, pinned
+    by tests/test_plans.py). The (n_tokens, doc_id) order key is unique,
+    making the rank — and therefore the kept set — fully deterministic."""
+    d = views(spark, sf_dir).table("documents")
+    t = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    r = t.select("doc_id", "lang", "n_tokens", F.percent_rank().over(w).alias("pr"))
+    return r.filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+
+
+@register(
+    "ext-filter-composite",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_distinct,
+               CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS alpha_ratio
+        FROM documents),
+    f AS (
+        SELECT doc_id,
+               CASE WHEN n_tok < 25 THEN 'short;' ELSE '' END
+               || CASE WHEN CAST(n_tok - n_distinct AS DOUBLE) / n_tok > 0.35
+                       THEN 'repetitive;' ELSE '' END
+               || CASE WHEN alpha_ratio < 0.6 THEN 'non_alpha;' ELSE '' END
+                 AS reasons
+        FROM t)
+    SELECT doc_id, reasons = '' AS keep, reasons FROM f
+    """,
+)
+def ext_filter_composite(spark, sf_dir):
+    """Composite keep/drop decision: the final verdict a pipeline stamps on
+    each document, combining the individual quality signals (min length,
+    duplicate-word fraction, alphabetic ratio) into one boolean plus a
+    semicolon-joined reason trail for filter-rate debugging (which rule
+    fires how often is the first question when a crawl's yield drops).
+
+    All three signals are map-side array/regex expressions — the whole
+    filter is a single scan-fused projection, no shuffle, no UDF. Reasons
+    concatenate in a fixed rule order so the string is deterministic."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    t = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (
+            F.length(F.regexp_replace("text", "[^a-zA-Z ]", "")).cast("double")
+            / F.length("text")
+        ).alias("alpha_ratio"),
+    )
+    dup_frac = (F.col("n_tok") - F.col("n_distinct")).cast("double") / F.col("n_tok")
+    reasons = F.concat(
+        F.when(F.col("n_tok") < 25, "short;").otherwise(""),
+        F.when(dup_frac > 0.35, "repetitive;").otherwise(""),
+        F.when(F.col("alpha_ratio") < 0.6, "non_alpha;").otherwise(""),
+    )
+    return t.select(
+        "doc_id",
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    ).select("doc_id", "keep", "reasons")
 
 
 _CLUSTER_PAIRS_SQL = """

@@ -242,3 +242,33 @@ def test_pipeline_ops_plan_properties(spark):
     # before the shuffle
     assert pivot_plan.count("Scan parquet") == 2
     assert "partial_" in pivot_plan
+
+
+def test_quality_filter_ops_are_scan_fused(spark):
+    """The round-3 quality/filter ops must stay map-side: gopher rules,
+    PII scrub, and the composite verdict are scan-fused projections with
+    ZERO exchanges; embed-stats shuffles once on the dim key with partial
+    aggregation; the length-outlier window is partitioned by lang (never a
+    single global partition)."""
+    from dbtwiz_spark.ops.ext_pipeline import (
+        ext_embed_stats,
+        ext_filter_composite,
+        ext_filter_length_outliers,
+        ext_pii_scrub,
+        ext_quality_gopher,
+    )
+
+    for fn in (ext_quality_gopher, ext_pii_scrub, ext_filter_composite):
+        plan = _formatted(fn(spark, SF_DIR))
+        assert plan.count("Exchange (") == 0, fn.__name__
+        # one scan (formatted mode prints tree + detail = 2 mentions); the
+        # lambda-bearing projections skip codegen but remain scan-fused
+        assert plan.count("Scan parquet") == 2, fn.__name__
+
+    stats_plan = _formatted(ext_embed_stats(spark, SF_DIR))
+    assert stats_plan.count("Exchange (") == 1
+    assert "partial_" in stats_plan  # map-side combine collapses the explode
+
+    out_plan = _formatted(ext_filter_length_outliers(spark, SF_DIR))
+    assert "hashpartitioning(lang" in out_plan
+    assert "SinglePartition" not in out_plan
