@@ -16,12 +16,15 @@ Entries already driver-green in r1/r2 go last; their r1/r2 rows plus the
 green-manifest guard (tests/test_corpus_order.py) keep them honest: any
 source change to a green entry without re-entering the window fails CI.
 
-Deferred to the round-4 window (16 never-tested + 5 r1-only + 3 new):
+Deferred to the round-4 window (16 never-tested + 5 r1-only + 11 new):
 the heavier ext-llm entries and ``agg-salted-skew``, the five r1-green
 entries rotated out in r2 (win-lag-lead, win-first-last, win-running-agg,
 win-sliding-frame, sort-global — code unchanged since their pass), and
 the round-3 additions (ext-mix-temperature, ext-quality-repetition,
-ext-dedup-cluster).
+ext-dedup-cluster, ext-quality-gopher, ext-pii-scrub, ext-token-histogram,
+ext-embed-stats, ext-filter-length-outliers, ext-filter-composite, plus
+the two ANN recall certificates ext-ann-lsh-recall / ext-ann-ivf-recall,
+which convert the rows-only ANN entries into hard oracle rows).
 """
 
 from __future__ import annotations

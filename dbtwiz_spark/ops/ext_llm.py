@@ -1176,6 +1176,90 @@ def ext_ann_ivf(spark, sf_dir):
     )
 
 
+def _exact_topk(spark, emb, query_pred, k: int = 10):
+    """Exact brute-force cosine top-k baseline for recall certification."""
+    w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("cosine").desc(), F.col("c_vec_id")
+    )
+    return (
+        _cosine_pairs(spark, emb, query_pred)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_vec_id", "c_vec_id")
+    )
+
+
+def _recall_entry(spark, sf_dir, approx_pairs, floor: float):
+    """One-row recall certificate: approx top-10 vs the exact baseline over
+    the vec_id % 50 == 0 query sample. Output (n_queries, recall_ok) — the
+    boolean encodes 'aggregate recall >= floor', which the DuckDB oracle
+    states as a literal, turning a rows-only ANN check into a hard
+    hash-compared driver row (same trick as agg-approx-count-distinct's
+    error-bound boolean)."""
+    emb = views(spark, sf_dir).table("embeddings")
+    exact = _exact_topk(spark, emb, F.col("vec_id") % 50 == 0)
+    hits = exact.join(approx_pairs, ["q_vec_id", "c_vec_id"])
+    return exact.agg(
+        F.countDistinct("q_vec_id").alias("n_queries"),
+    ).crossJoin(
+        hits.agg(F.count("*").alias("n_hits"))
+    ).crossJoin(
+        exact.agg(F.count("*").alias("n_exact"))
+    ).select(
+        "n_queries",
+        (F.col("n_hits").cast("double") / F.col("n_exact") >= floor).alias(
+            "recall_ok"
+        ),
+    )
+
+
+_RECALL_ORACLE = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, true AS recall_ok
+    FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+@register("ext-ann-lsh-recall", oracle=_RECALL_ORACLE)
+def ext_ann_lsh_recall(spark, sf_dir):
+    """Recall certificate for the LSH ANN path: multi-table sign-LSH top-10
+    (planes=3, tables=8) must recover >= 70% of the exact brute-force
+    top-10 over the deterministic query sample. Measured recall on the
+    synthetic corpus is 0.79-0.89 across sf0.001/0.01/0.1; the floor holds
+    0.09 of margin.
+
+    This is the driver-checkable companion to ext-ann-lsh-bucket (whose
+    bucket histogram is engine-specific, hence rows-only): the oracle
+    can't recompute hyperplane signatures, but it CAN demand the quality
+    bound hold — the same bound a production ANN service monitors. Both
+    approx and exact sides are broadcast-query map-side scans; the recall
+    join adds one tiny (queries x k) equi-join."""
+    emb = views(spark, sf_dir).table("embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    approx = lsh_topk(emb, q, k=10, n_planes=3, n_tables=8).select(
+        "q_vec_id", "c_vec_id"
+    )
+    return _recall_entry(spark, sf_dir, approx, floor=0.70)
+
+
+@register("ext-ann-ivf-recall", oracle=_RECALL_ORACLE)
+def ext_ann_ivf_recall(spark, sf_dir):
+    """Recall certificate for the IVF ANN path: nprobe=4 of 16 cells must
+    recover >= 40% of the exact top-10 (measured 0.52-0.65 across sfs —
+    probing a quarter of the cells finds half the true neighbors on this
+    weakly-clustered synthetic corpus; real embedding corpora cluster
+    far more sharply). Same certificate shape as ext-ann-lsh-recall."""
+    emb = views(spark, sf_dir).table("embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_vec_id"), F.col("embedding").alias("q_embedding")
+    )
+    approx = ivf_topk(
+        emb, q, k=10, n_cells=16, nprobe=4, cache_key=(spark, sf_dir, "ivf16")
+    ).select("q_vec_id", "c_vec_id")
+    return _recall_entry(spark, sf_dir, approx, floor=0.40)
+
+
 # ---------------------------------------------------------------------------
 # §D multimodal columns
 # ---------------------------------------------------------------------------
