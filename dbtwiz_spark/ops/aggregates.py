@@ -153,6 +153,60 @@ def agg_approx_count_distinct(spark, sf_dir):
 
 
 @register(
+    "agg-hll-sketch-merge",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_exact,
+           true AS est_ok
+    FROM orders GROUP BY 1
+    UNION ALL
+    SELECT 'ALL', COUNT(DISTINCT o_custkey), true FROM orders
+    """,
+)
+def agg_hll_sketch_merge(spark, sf_dir):
+    """Re-aggregatable distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5 ``hll_sketch_agg``/``hll_union_agg``): build one sketch per
+    order status, then MERGE the per-group sketches into a global estimate
+    without touching the base table again. Mergeability is the property
+    that matters at 100 TB — per-partition/per-day sketches persist as
+    binary columns and roll up to any coarser grain (the rollup never
+    re-scans raw data), which exact distinct counts fundamentally can't do.
+
+    Certificate encoding (same trick as agg-approx-count-distinct): each
+    group row emits ``|estimate - exact| <= 5% * exact`` as a boolean, and
+    the merged 'ALL' row certifies the UNIONED sketch against the global
+    exact count — a hash match proves the merge path, not just per-group
+    estimation. Sketches never leave the engine (binary is engine-specific,
+    so the oracle states the contract as literals)."""
+    o = views(spark, sf_dir).table("orders")
+    per = o.groupBy("o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+    per_rows = per.select(
+        "o_orderstatus",
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("est_ok"),
+    )
+    glob_exact = o.agg(F.countDistinct("o_custkey").alias("n_exact"))
+    merged = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(glob_exact))
+        .select(
+            F.lit("ALL").alias("o_orderstatus"),
+            "n_exact",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("est_ok"),
+        )
+    )
+    return per_rows.unionByName(merged)
+
+
+@register(
     "agg-array-agg",
     oracle="""
     SELECT n_regionkey,
