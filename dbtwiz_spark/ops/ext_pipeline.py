@@ -247,7 +247,8 @@ def ext_mix_domains(spark, sf_dir):
             FROM scaled)
     SELECT source, total_tokens,
            CAST(total_tokens AS DOUBLE) / CAST(all_tokens AS DOUBLE) AS p_raw,
-           CAST(s AS DOUBLE) / CAST(all_s AS DOUBLE) AS p_temp
+           CAST(CAST(CAST(s AS DOUBLE) / CAST(all_s AS DOUBLE)
+                     AS DECIMAL(18, 9)) AS DOUBLE) AS p_temp
     FROM scaled, tot
     """,
 )
@@ -263,7 +264,15 @@ def ext_mix_temperature(spark, sf_dir):
     DECIMAL(38,12) before the sum so accumulation is exact and
     order-independent (same trick as ops.common.dsum). Shapes: one
     per-source aggregation (shuffle with partial agg), one 1-row total
-    broadcast back — no second scan of documents."""
+    broadcast back — no second scan of documents.
+
+    p_temp is additionally quantized to 9 dp AFTER the division: once the
+    exact decimal sum ``all_s`` grows past ~15 significant digits (first
+    happens at sf0.1), its decimal→double conversion is no longer uniquely
+    rounded across engines (Java BigDecimal converts correctly-rounded;
+    DuckDB divides two separately-rounded doubles) and the raw ratios
+    drift by ~2 ulp. Rounding both sides to 9 dp erases that drift while
+    keeping 9 digits of real precision."""
     d = views(spark, sf_dir).table("documents")
     dec = "decimal(38,12)"
     per_src = d.groupBy("source").agg(
@@ -283,7 +292,10 @@ def ext_mix_temperature(spark, sf_dir):
         (F.col("total_tokens").cast("double") / F.col("all_tokens").cast("double")).alias(
             "p_raw"
         ),
-        (F.col("s").cast("double") / F.col("all_s").cast("double")).alias("p_temp"),
+        (F.col("s").cast("double") / F.col("all_s").cast("double"))
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("p_temp"),
     )
 
 

@@ -305,6 +305,57 @@ def func_hash(spark, sf_dir):
 
 
 @register(
+    "func-url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/'
+                 || CAST(doc_id AS VARCHAR) || '?lang=' || lang || '&q=a%20b'
+                 AS url
+        FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\\?(.*)$', 1) AS query,
+           regexp_extract(url, 'lang=([^&]*)', 1) AS lang_param,
+           replace(regexp_extract(url, 'q=([^&]*)', 1), '%20', ' ') AS q_decoded
+    FROM u
+    """,
+)
+def func_url(spark, sf_dir):
+    """URL parsing family ([SURF] BigQuery NET.HOST / web-data idiom; the
+    training-pipeline use is domain-level filtering and per-host mixture
+    caps on crawl data): parse_url HOST/PATH/QUERY, per-key query
+    extraction, and percent-decoding. URLs are synthesized deterministically
+    from (doc_id, source, lang) — the corpus has no URL column.
+
+    Spark's parse_url/url_decode are JVM intrinsics (codegen, map-side);
+    DuckDB has no URL family, so the oracle states the same extraction as
+    anchored regexes — disagreement on any component breaks the hash."""
+    d = views(spark, sf_dir).table("documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&q=a%20b"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.url_decode(F.parse_url("url", F.lit("QUERY"), F.lit("q"))).alias(
+            "q_decoded"
+        ),
+    )
+
+
+@register(
     "func-bitwise",
     oracle="""
     SELECT o_orderkey,
