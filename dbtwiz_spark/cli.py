@@ -265,6 +265,22 @@ def cmd_restore(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from dbtwiz_spark.materialize import Warehouse
+
+    wh = Warehouse(_spark(), args.warehouse)
+    stats = wh.compact(
+        args.table,
+        target_file_bytes=args.target_mb << 20,
+        min_files=args.min_files,
+    )
+    print(
+        f"compacted {stats['partitions']} partition(s): "
+        f"{stats['files_before']} -> {stats['files_after']} files"
+    )
+    return 0
+
+
 def cmd_freshness(args) -> int:
     from dbtwiz_spark.admin import check_freshness, check_source_freshness
     from dbtwiz_spark.materialize import Warehouse
@@ -617,6 +633,13 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--table", required=True)
     r.add_argument("--at-ms", type=int, required=True)
     r.set_defaults(fn=cmd_restore)
+
+    cp = asub.add_parser("compact", help="rewrite fragmented small-file partitions")
+    cp.add_argument("--warehouse", required=True)
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--target-mb", type=int, default=128)
+    cp.add_argument("--min-files", type=int, default=2)
+    cp.set_defaults(fn=cmd_compact)
 
     sd = asub.add_parser("sync-descriptions", help="declared vs stored descriptions")
     common(sd)

@@ -633,3 +633,74 @@ class Warehouse:
                 shutil.rmtree(self.path(name) / SNAPSHOT_DIRNAME / str(s))
                 n += 1
         return n
+
+    # -- maintenance -----------------------------------------------------
+    def compact(
+        self,
+        name: str,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+    ) -> dict:
+        """Small-file compaction — the standing operational chore at scale:
+        streaming foreachBatch sinks and repeated incremental overwrites
+        accrete one-file-per-batch partitions, and scans then pay per-file
+        open/footer/listing cost and lose row-group parallelism. (The
+        reference delegates this to BigQuery's automatic storage
+        optimizer; a file-based warehouse must do it itself.)
+
+        Partitioned tables compact SELECTIVELY: only partitions holding at
+        least ``min_files`` data files are rewritten, through the same
+        dynamic-partition-overwrite path incremental writes use — never a
+        full-table rewrite, so the cost is proportional to the fragmented
+        fraction, not table size. Unpartitioned tables rewrite once into
+        ``ceil(bytes / target_file_bytes)`` files via the audited
+        write-publish path. Hardlink snapshots are untouched either way
+        (parquet files are immutable; overwrite unlinks, never mutates).
+
+        Returns ``{"partitions": n, "files_before": a, "files_after": b}``.
+        """
+        import math
+        from urllib.parse import unquote
+
+        self._recover(name)
+        target = self.path(name)
+
+        def data_files(root: Path) -> list[Path]:
+            return [p for p in root.glob("*.parquet") if not p.name.startswith("_")]
+
+        part_dirs = [
+            p
+            for p in target.iterdir()
+            if p.is_dir() and "=" in p.name and not p.name.startswith("_")
+        ]
+        if not part_dirs:
+            files = data_files(target)
+            if len(files) < min_files:
+                return {"partitions": 0, "files_before": len(files), "files_after": len(files)}
+            total = sum(f.stat().st_size for f in files)
+            n_out = max(1, math.ceil(total / target_file_bytes))
+            df = self.read(name).repartition(n_out)
+            self.write_table(name, df, snapshot=False)
+            return {
+                "partitions": 1,
+                "files_before": len(files),
+                "files_after": len(data_files(target)),
+            }
+
+        key = part_dirs[0].name.split("=", 1)[0]
+        fragmented = [d for d in part_dirs if len(data_files(d)) >= min_files]
+        before = sum(len(data_files(d)) for d in part_dirs)
+        if not fragmented:
+            return {"partitions": 0, "files_before": before, "files_after": before}
+        vals = [unquote(d.name.split("=", 1)[1]) for d in fragmented]
+        # one job rewrites ALL fragmented partitions: the partition filter
+        # prunes the scan to exactly those dirs, and dynamic overwrite
+        # replaces exactly the partitions present in the subset
+        subset = self.read(name).filter(F.col(key).isin(vals))
+        self.insert_overwrite(name, subset, key)
+        after = sum(
+            len(data_files(d))
+            for d in target.iterdir()
+            if d.is_dir() and "=" in d.name and not d.name.startswith("_")
+        )
+        return {"partitions": len(fragmented), "files_before": before, "files_after": after}

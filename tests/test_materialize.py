@@ -522,3 +522,44 @@ def test_small_partitioned_write_distributes_across_tasks(spark):
     plan = _distribute_for_write(small, "pd")._jdf.queryExecution().toString()
     assert "RebalancePartitions" not in plan
     assert "RepartitionByExpression" in plan
+
+
+def test_compact_partitioned_merges_small_files(spark, wh):
+    """Repeated 1-row overwrites of the same partitions fragment them; a
+    selective compact rewrites ONLY fragmented partitions down to one file
+    each, preserves every row, and leaves snapshots and pruning intact."""
+    base = _df(spark, [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")])
+    wh.write_table("tc", base, partition_by="partitiondate")
+    # fragment 2024-01-01 the way it happens in production: per-micro-batch
+    # appends, one file each (the warehouse's own writes coalesce, so go
+    # through a raw append like a streaming sink would)
+    for k, v in [(10, "x"), (11, "y")]:
+        _df(spark, [(k, v, "2024-01-01")]).write.mode("append").partitionBy(
+            "partitiondate"
+        ).parquet(str(wh.path("tc")))
+    wh.snapshot("tc")
+    p1 = wh.path("tc") / "partitiondate=2024-01-01"
+    files_before = [f for f in p1.glob("*.parquet")]
+    assert len(files_before) >= 2
+    rows_before = sorted(tuple(r) for r in wh.read("tc").collect())
+
+    stats = wh.compact("tc", min_files=2)
+    assert stats["partitions"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    assert len(list(p1.glob("*.parquet"))) == 1
+    # untouched partition keeps its single file; data identical
+    assert sorted(tuple(r) for r in wh.read("tc").collect()) == rows_before
+    # snapshot history survives the rewrite
+    assert wh.snapshots("tc")
+
+
+def test_compact_unpartitioned_and_noop(spark, wh):
+    df = _df(spark, [(i, "v", "2024-01-01") for i in range(10)]).repartition(4)
+    wh.write_table("tu", df)
+    assert len(list(wh.path("tu").glob("*.parquet"))) >= 2
+    stats = wh.compact("tu")
+    assert stats["files_after"] < stats["files_before"]
+    assert wh.read("tu").count() == 10
+    # second compact is a no-op
+    again = wh.compact("tu")
+    assert again["partitions"] == 0
