@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLES = (
     "region",
@@ -60,6 +60,16 @@ class Catalog:
             # exactly like DuckDB's TIMESTAMP(NANOS) read path. Integer `div`,
             # not `/`: double division loses precision above 2^53 ns.
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif name == "events" and isinstance(
+            df.schema["ts"].dataType, TimestampNTZType
+        ):
+            # parquet timestamp[us] without tz reads as TIMESTAMP_NTZ under
+            # Spark 4's inferTimestampNTZ default. Normalize to the session
+            # (UTC) TimestampType so epoch arithmetic (cast to long,
+            # unix_timestamp, window()) stays legal downstream — wall-clock
+            # values are unchanged because the session zone is pinned UTC,
+            # and DuckDB reads the same file as a naive TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
 
     def register_views(self, names: tuple[str, ...] = TABLES) -> None:

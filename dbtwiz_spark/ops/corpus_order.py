@@ -7,90 +7,77 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-3 window (positions 0-49): the entries that have NEVER had a driver
-CORRECTNESS row (64 of them after rounds 1-2), plus the two non-green
-rows from round 2 — ``win-percent`` (rewritten scale-safe after its r1
-pass, so the r1 row certifies dead code) and ``agg-approx-count-distinct``
-(re-encoded as an error-bound boolean so it finally has an oracle).
-Entries already driver-green in r1/r2 go last; their r1/r2 rows plus the
-green-manifest guard (tests/test_corpus_order.py) keep them honest: any
-source change to a green entry without re-entering the window fails CI.
-
-Deferred to the round-4 window (16 never-tested + 5 r1-only + 11 new):
-the heavier ext-llm entries and ``agg-salted-skew``, the five r1-green
-entries rotated out in r2 (win-lag-lead, win-first-last, win-running-agg,
-win-sliding-frame, sort-global — code unchanged since their pass), and
-the round-3 additions (ext-mix-temperature, ext-quality-repetition,
-ext-dedup-cluster, ext-quality-gopher, ext-pii-scrub, ext-token-histogram,
-ext-embed-stats, ext-filter-length-outliers, ext-filter-composite, plus
-the two ANN recall certificates ext-ann-lsh-recall / ext-ann-ivf-recall,
-which convert the rows-only ANN entries into hard oracle rows).
+Round-4 window (positions 0-49): the 29 entries that have never had a
+driver CORRECTNESS row (round-3 additions plus the ext-llm family the r3
+window couldn't fit), the three round-3 hash-mismatch entries now fixed
+(ext-split-train-eval / ext-pack-sequences / ext-mix-domains — their
+oracles produced DuckDB HUGEINT sums that pandas renders as float64,
+hashing differently from Spark's int64 even at equal values; all integer
+aggregates are now CAST(... AS BIGINT)), ``join-range`` (reimplemented
+for the TIMESTAMP_NTZ testdata, so its r1/r2 green rows certify dead
+code), and the five r1-green entries rotated out in r2 (win-lag-lead,
+win-first-last, win-running-agg, win-sliding-frame, sort-global — code
+unchanged, closing the last stale r1 rows). Remaining slots fall through
+to registration order (cheap, already-green scan/filter entries — free
+re-certification). After this round every corpus entry has a driver row
+from code identical to what ships.
 """
 
 from __future__ import annotations
 
-# Exactly 50 names; order within the window is sweep order, cheapest
-# families first so an early driver timeout still lands most rows.
+# Order within the window is sweep order, cheapest families first so an
+# early driver timeout still lands most rows.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # previously non-green (stale rewrite / re-encoded oracle)
-    "win-percent",
-    "agg-approx-count-distinct",
-    # §2.5 windows (new in r2)
-    "win-qualify",
-    # §2.6 sorts
-    "sort-custom-key",
-    "limit",
-    "top-k",
-    "sort-within-partitions",
-    # §2.7 set ops
-    "set-union-all",
-    "set-union-distinct",
-    "set-intersect",
-    "set-except",
-    # §2.8 function families
-    "func-string",
-    "func-datetime",
-    "func-math",
-    "func-cast",
-    "func-conditional",
-    "func-array",
-    "func-struct",
-    "func-json",
-    "func-map",
-    "func-hash",
-    "func-bitwise",
-    "func-generate-series",
-    "func-generate-date-array",
-    # §2.9 streaming (batch-parity forms)
-    "stream-tumbling-window",
-    "stream-sliding-window",
-    "stream-session-window",
-    "stream-watermark-late",
-    "stream-stateful-dedup",
-    "stream-foreachbatch-sink",
-    # §2.1 write path / sinks
-    "source-declare",
-    "sink-table-create",
-    "sink-view-create",
-    "sink-insert-overwrite",
-    "sink-merge",
-    "sink-copy-table",
-    "sink-delete-table",
-    "scan-time-travel",
-    # §2.10 UDFs + macros
-    "udf-scalar",
-    "udaf",
-    "udtf",
-    "macro-template",
-    # §2.11 LLM-pipeline mandate ops (ext_pipeline.py five + 3 flagships)
-    "ext-sample-stratified",
+    # round-3 hash mismatches, fixed (HUGEINT->float64 oracle dtype skew)
     "ext-split-train-eval",
-    "ext-decontaminate",
     "ext-pack-sequences",
     "ext-mix-domains",
-    "ext-dedup-exact",
-    "ext-dedup-near",
-    "ext-sim-cosine-topk",
+    # reimplemented for TIMESTAMP_NTZ testdata — r1/r2 rows are stale
+    "join-range",
+    # r1-green entries rotated out of the r2/r3 windows, code unchanged
+    "win-lag-lead",
+    "win-first-last",
+    "win-running-agg",
+    "win-sliding-frame",
+    "sort-global",
+    # never driver-tested: cheap scalar/agg entries first
+    "func-url",
+    "agg-hll-sketch-merge",
+    "agg-salted-skew",
+    # never driver-tested: text/quality family (map-side expressions)
+    "ext-text-stats",
+    "ext-token-count",
+    "ext-lang-id",
+    "ext-quality-score",
+    "ext-fingerprint",
+    "ext-quality-repetition",
+    "ext-quality-gopher",
+    "ext-pii-scrub",
+    "ext-token-histogram",
+    "ext-filter-length-outliers",
+    "ext-filter-composite",
+    "ext-mix-temperature",
+    # never driver-tested: similarity / dedup / ANN family
+    "ext-text-tfidf",
+    "ext-ngram-jaccard",
+    "ext-dedup-simhash",
+    "ext-sim-threshold-join",
+    "ext-dedup-embedding",
+    "ext-knn-label",
+    "ext-embed-stats",
+    "ext-ann-lsh-bucket",
+    "ext-ann-ivf",
+    "ext-ann-lsh-recall",
+    "ext-ann-ivf-recall",
+    "ext-dedup-cluster",
+    # never driver-tested: multimodal plumbing
+    "ext-multimodal-column",
+    "ext-multimodal-framesample",
+    # new this round
+    "ext-text-normalize",
+    "ext-host-token-budget",
+    "ext-dup-span",
+    "ext-dedup-near-recall",
 )
 
 

@@ -64,9 +64,9 @@ def ext_dedup_exact(spark, sf_dir):
     "ext-text-stats",
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1, 2
     """,
 )
@@ -479,6 +479,48 @@ def ext_dedup_near(spark, sf_dir):
         .join(sets_b, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.4)
+    )
+
+
+@register(
+    "ext-dedup-near-recall",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, true AS recall_ok
+    FROM ({_NGRAM_JACCARD_SQL}) j WHERE jaccard >= 0.7
+    """,
+)
+def ext_dedup_near_recall(spark, sf_dir):
+    """Recall certificate for the MinHash+LSH near-dup path: the banded
+    candidate pipeline (ext-dedup-near) must recover all but
+    max(1, 10%) of the exact n-gram-Jaccard >= 0.7 pairs — the bound the
+    8-band x 4-row scheme guarantees w.h.p. (P[candidate] = 1-(1-j^4)^8 =
+    0.998 at j=0.7). The slack-1 absolute term keeps the certificate
+    meaningful when the true-pair set is small.
+
+    This is the driver-checkable companion to rows-only ext-dedup-near
+    (same device as ext-ann-lsh-recall: the oracle can't recompute seeded
+    xxhash64 signatures, but it CAN count the exact high-similarity pairs
+    and demand the quality bound hold). n_true_pairs is recomputed by
+    DuckDB from scratch, so the row also hash-pins the exact-Jaccard side.
+    Cost: both sides already exist (shared memoized signature artifact);
+    the certificate adds one tiny pair-level equi-join."""
+    exact = (
+        ext_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    lsh = ext_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    hits = exact.join(lsh, ["doc_a", "doc_b"])
+    return (
+        exact.agg(F.count("*").alias("n_true_pairs"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hits")))
+        .select(
+            "n_true_pairs",
+            (
+                F.col("n_true_pairs") - F.col("n_hits")
+                <= F.greatest(F.lit(1), F.floor(F.col("n_true_pairs") / 10))
+            ).alias("recall_ok"),
+        )
     )
 
 

@@ -71,7 +71,8 @@ def ext_sample_stratified(spark, sf_dir):
 @register(
     "ext-split-train-eval",
     oracle=f"""
-    SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
         SELECT lang, n_chars,
                CASE WHEN {_hkey_sql('doc_id')} % 100 < 80 THEN 'train'
@@ -157,10 +158,12 @@ def ext_decontaminate(spark, sf_dir):
         FROM documents),
     packed AS (
         SELECT lang, tok,
-               (SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
-                               ROWS UNBOUNDED PRECEDING) - tok) // 512 AS bin
+               CAST((SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - tok) // 512
+                    AS BIGINT) AS bin
         FROM toks)
-    SELECT lang, bin, COUNT(*) AS n_docs, SUM(tok) AS total_tokens
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens
     FROM packed GROUP BY 1, 2
     """,
 )
@@ -196,9 +199,10 @@ def ext_pack_sequences(spark, sf_dir):
     oracle="""
     WITH per_src AS (
         SELECT source, COUNT(*) AS n_docs,
-               SUM(len(string_split(text, ' '))) AS total_tokens
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY 1),
-    tot AS (SELECT SUM(total_tokens) AS all_tokens, COUNT(*) AS n_src FROM per_src)
+    tot AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS all_tokens,
+                   COUNT(*) AS n_src FROM per_src)
     SELECT source, n_docs, total_tokens,
            CAST(all_tokens AS DOUBLE) / (n_src * total_tokens) AS mix_weight
     FROM per_src, tot
@@ -236,7 +240,7 @@ def ext_mix_domains(spark, sf_dir):
     oracle="""
     WITH per_src AS (
         SELECT source,
-               SUM(len(string_split(text, ' '))) AS total_tokens
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         FROM documents GROUP BY 1),
     scaled AS (
         SELECT source, total_tokens,
@@ -307,8 +311,8 @@ def ext_mix_temperature(spark, sf_dir):
     counts AS (
         SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY 1, 2),
     per_doc AS (
-        SELECT doc_id, SUM(cnt) AS n_words, COUNT(*) AS n_distinct,
-               MAX(cnt) AS top_cnt
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,
+               COUNT(*) AS n_distinct, MAX(cnt) AS top_cnt
         FROM counts GROUP BY 1)
     SELECT doc_id, n_words, n_distinct,
            CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_frac,
@@ -471,7 +475,7 @@ def ext_pii_scrub(spark, sf_dir):
     WITH t AS (
         SELECT lang, len(string_split(text, ' ')) AS tok FROM documents)
     SELECT lang, CAST(floor(log2(tok)) AS BIGINT) AS bucket,
-           COUNT(*) AS n_docs, SUM(tok) AS total_tokens,
+           COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens,
            MIN(tok) AS min_tokens, MAX(tok) AS max_tokens
     FROM t GROUP BY 1, 2
     """,
@@ -633,6 +637,165 @@ def ext_filter_composite(spark, sf_dir):
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     ).select("doc_id", "keep", "reasons")
+
+
+@register(
+    "ext-text-normalize",
+    oracle="""
+    WITH noisy AS (
+        SELECT doc_id,
+               '  ' || upper(substr(text, 1, 8)) || substr(text, 9) || '   '
+                 AS raw,
+               text
+        FROM documents)
+    SELECT doc_id,
+           length(raw) AS n_chars_raw,
+           length(trim(regexp_replace(lower(raw), ' +', ' ', 'g')))
+             AS n_chars_norm,
+           trim(regexp_replace(lower(raw), ' +', ' ', 'g')) = text
+             AS roundtrip_ok
+    FROM noisy
+    """,
+)
+def ext_text_normalize(spark, sf_dir):
+    """Text normalization pass (the first stage of every training pipeline):
+    lowercase, collapse runs of whitespace, trim edges. The corpus text is
+    already clean, so deterministic noise (leading/trailing spaces + an
+    uppercased prefix) is injected first — same honesty device as
+    ext-pii-scrub's synthetic contact string — and ``roundtrip_ok`` proves
+    the normalizer restores the original byte-for-byte.
+
+    Pure map-side string expressions (lower/regexp_replace/trim are JVM
+    intrinsics inside whole-stage codegen) — the pass fuses into the ingest
+    scan at 100 TB; no shuffle, no UDF. ASCII-only corpus keeps lower()
+    locale-free across engines; DuckDB needs the explicit 'g' flag to match
+    Spark's replace-all default."""
+    d = views(spark, sf_dir).table("documents")
+    raw = F.concat(
+        F.lit("  "),
+        F.upper(F.substring("text", 1, 8)),
+        F.col("text").substr(F.lit(9), F.length("text")),
+        F.lit("   "),
+    )
+    norm = F.trim(F.regexp_replace(F.lower(raw), " +", " "))
+    return d.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+@register(
+    "ext-host-token-budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source || '.example.com' AS host,
+               len(string_split(text, ' ')) AS tok
+        FROM documents),
+    r AS (
+        SELECT host, tok,
+               SUM(tok) OVER (PARTITION BY host
+                              ORDER BY {_hkey_sql('doc_id')}, doc_id
+                              ROWS UNBOUNDED PRECEDING) - tok AS start_tok
+        FROM t)
+    SELECT host, COUNT(*) AS n_docs_total,
+           CAST(SUM(CASE WHEN start_tok < 20000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_kept,
+           CAST(SUM(CASE WHEN start_tok < 20000 THEN tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept
+    FROM r GROUP BY 1
+    """,
+)
+def ext_host_token_budget(spark, sf_dir):
+    """Per-host token-budget cap (the crawl-mixture guard): each host
+    contributes documents in deterministic pseudo-random order until its
+    cumulative token count reaches the budget (20k tokens), then the rest
+    are dropped — bounding any single domain's share of the training mix
+    by tokens, not doc count (one giant page can't evade a doc-count cap).
+
+    The running offset is a per-host window over the multiplicative-hash
+    order (same exact-BIGINT trick as ext-sample-stratified, so Spark and
+    DuckDB agree bit-for-bit and retries keep the same docs). Windows
+    partition by host — embarrassingly parallel across hosts, and at
+    100 TB the per-host stream is range-partitioned by the sort key, never
+    single-partition. Output: per-host total/kept doc and token counts."""
+    d = views(spark, sf_dir).table("documents")
+    t = d.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.size(F.split("text", " ")).cast("long").alias("tok"),
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy(_hkey(F.col("doc_id")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = t.select(
+        "host", "tok", (F.sum("tok").over(w) - F.col("tok")).alias("start_tok")
+    )
+    kept = F.col("start_tok") < 20000
+    return r.groupBy("host").agg(
+        F.count("*").alias("n_docs_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_docs_kept"),
+        F.sum(F.when(kept, F.col("tok")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+
+
+@register(
+    "ext-dup-span",
+    oracle="""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(a) - 7),
+                      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                           || a[i+3] || ' ' || a[i+4] || ' ' || a[i+5] || ' '
+                           || a[i+6] || ' ' || a[i+7])) AS shingle
+        FROM arrs),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1)
+    SELECT doc_id, COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_frac
+    FROM sh JOIN df USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def ext_dup_span(spark, sf_dir):
+    """Duplicated-span profile (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): per document, the fraction of its
+    distinct 8-grams that also occur in at least one other document — the
+    corpus-level duplication rate that motivates (and then validates)
+    dedup, and the signal behind exact-substring dedup's span selection.
+
+    Shape: distinct (doc, 8-gram) stream -> global document frequency per
+    gram (one shuffle, map-side combine) -> join the df back on the gram
+    key (second shuffle) -> per-doc reduce. No self-join and no pair
+    explosion — cost is linear in corpus grams, unlike the quadratic
+    pair-join ext-ngram-jaccard bounds with its similarity threshold; this
+    is the profile you can afford on the FULL corpus at 100 TB. Docs
+    shorter than 8 tokens carry no grams and drop out on both engines.
+    Integer counts divide once into the double fraction."""
+    from dbtwiz_spark.ops.ext_llm import shingles
+
+    d = views(spark, sf_dir).table("documents")
+    sh = shingles(d, 8)
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    shared = F.when(F.col("df") >= 2, 1).otherwise(0)
+    return (
+        sh.join(df_tab, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(shared).cast("long").alias("n_shared"),
+            (F.sum(shared).cast("double") / F.count("*")).alias("dup_frac"),
+        )
+    )
 
 
 _CLUSTER_PAIRS_SQL = """

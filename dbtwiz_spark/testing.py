@@ -126,6 +126,15 @@ def _cell_eq(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b  # exact: the driver hashes values
+    # int-vs-float is a driver hash mismatch even when numerically equal
+    # (e.g. DuckDB SUM(int) -> HUGEINT -> pandas float64 vs Spark int64:
+    # 8123456 hashes differently from 8123456.0) — reject the type skew so
+    # the local gate predicts the driver's verdict.
+    if isinstance(a, float) != isinstance(b, float) and not (
+        isinstance(a, bool) or isinstance(b, bool)
+    ):
+        if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+            return False
     return a == b
 
 
