@@ -207,6 +207,68 @@ def agg_hll_sketch_merge(spark, sf_dir):
 
 
 @register(
+    "agg-heavy-hitters",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT token, COUNT(*) AS freq
+    FROM toks, tot
+    GROUP BY token, n
+    HAVING COUNT(*) >= n / 30.0
+    """,
+)
+def agg_heavy_hitters(spark, sf_dir):
+    """Exact distributed heavy hitters (tokens with frequency >= n/30) via
+    the two-phase Misra-Gries pattern (Misra & Gries 1982; mergeable-
+    summaries form per Agarwal et al. 2013): each partition builds a
+    64-counter MG summary of its token stream (candidate generation), the
+    tiny candidate union broadcasts back for one exact counting pass over
+    just those tokens (verification), and the threshold filter runs on
+    exact counts.
+
+    Why this is the 100 TB shape: a naive global token groupBy shuffles
+    the full token stream; here the only full-stream operators are
+    map-side (the MG summary emits <= 64 rows per partition regardless of
+    input size, and the verify pass semi-joins against a broadcast
+    candidate set before its groupBy, so the exchange carries only
+    candidate tokens). MG's deficit bound (per-partition error
+    <= n_p/65, summing to < n/65 merged) guarantees every token with true
+    frequency >= n/30 > n/65 survives candidate generation — so the final
+    answer is EXACT and order-independent, which is what lets an
+    approximate-sketch pipeline carry a plain SQL oracle. The summary
+    stage is an Arrow-batched mapInPandas with vectorized value_counts
+    (the MG decrement is the summary-merge "subtract the (k+1)-th largest"
+    step, never a per-token Python loop)."""
+    import pandas as pd
+
+    d = views(spark, sf_dir).table("documents")
+    K, PHI = 64, 30.0
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    def mg_summary(batches):
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            acc = acc.add(pdf["token"].value_counts(), fill_value=0)
+            if len(acc) > K:
+                cut = acc.nlargest(K + 1).iloc[-1]
+                acc = acc - cut
+                acc = acc[acc > 0]
+        yield pd.DataFrame({"token": acc.index.astype(str)})
+
+    candidates = toks.mapInPandas(mg_summary, "token string").distinct()
+    total = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") >= F.col("n") / F.lit(PHI))
+        .select("token", "freq")
+    )
+
+
+@register(
     "agg-array-agg",
     oracle="""
     SELECT n_regionkey,

@@ -78,6 +78,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext-host-token-budget",
     "ext-dup-span",
     "ext-dedup-near-recall",
+    "agg-heavy-hitters",
 )
 
 
