@@ -244,23 +244,35 @@ def ext_fingerprint(spark, sf_dir):
 def ext_text_tfidf(spark, sf_dir):
     """TF-IDF term weighting: token counts ⨝ document frequency (broadcast)
     with smoothed idf; terms in >50% of docs dropped. tfidf rounded to 6dp —
-    ln() is the one op with possible last-ulp libm variance."""
+    ln() is the one op with possible last-ulp libm variance.
+
+    Shape notes: ``df`` derives from ``tf`` (distinct (doc, term) rows), not
+    from a second pass over the token stream — the term-level aggregate
+    shuffles the small tf table, never the exploded tokens twice, and the
+    shared tf exchange is reused across both consumers. The corpus size
+    rides in as a broadcast 1-row aggregate (no eager ``count()`` action),
+    so the whole operator is one lazy plan with a single full-stream
+    shuffle."""
     d = views(spark, sf_dir).table("documents")
-    n_docs = d.count()
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    return (
-        tf.join(F.broadcast(df.filter(F.col("df") <= 0.5 * n_docs)), "term")
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            F.round(
-                F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
-            ).alias("tfidf"),
-        )
+    ndf = d.agg(F.count("*").alias("n_docs"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(ndf))
+        .filter(F.col("df") <= 0.5 * F.col("n_docs"))
+    )
+    return tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+            6,
+        ).alias("tfidf"),
     )
 
 
