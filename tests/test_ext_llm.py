@@ -212,3 +212,47 @@ def test_ann_lsh_topk_prunes_candidates(spark):
     )
     n_all = emb.count() * queries.count()
     assert 0 < n_cand < 0.8 * n_all, f"candidates {n_cand} vs all-pairs {n_all}"
+
+
+def test_heavy_hitters_candidate_superset_any_partitioning(spark):
+    """The Misra-Gries candidate union must contain every n/30-frequent
+    token REGARDLESS of how the token stream is partitioned (the deficit
+    bound n/(K+1) < n/30 is partition-count-independent), and the final
+    entry output must equal the exact SQL answer."""
+    import pandas as pd
+
+    from dbtwiz_spark.catalog import Catalog
+    from dbtwiz_spark.ops.aggregates import agg_heavy_hitters
+
+    d = Catalog(spark, SF_DIR).table("documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+    exact = toks.groupBy("token").count().toPandas()
+    n = int(exact["count"].sum())
+    truth = set(exact[exact["count"] >= n / 30.0]["token"])
+    assert truth, "fixture should contain heavy tokens"
+
+    got = {r.token for r in agg_heavy_hitters(spark, SF_DIR).collect()}
+    assert got == truth
+
+    # candidate stage alone, under adversarial partitionings
+    from dbtwiz_spark.ops import aggregates as agg_mod
+
+    for parts in (1, 7, 32):
+        K = 64
+        repart = toks.repartition(parts)
+
+        def mg(batches):
+            acc = pd.Series(dtype="int64")
+            for pdf in batches:
+                acc = acc.add(pdf["token"].value_counts(), fill_value=0)
+                if len(acc) > K:
+                    cut = acc.nlargest(K + 1).iloc[-1]
+                    acc = acc - cut
+                    acc = acc[acc > 0]
+            yield pd.DataFrame({"token": acc.index.astype(str)})
+
+        cand = {
+            r.token
+            for r in repart.mapInPandas(mg, "token string").distinct().collect()
+        }
+        assert truth <= cand, f"parts={parts}: lost {truth - cand}"

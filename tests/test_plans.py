@@ -272,3 +272,42 @@ def test_quality_filter_ops_are_scan_fused(spark):
     out_plan = _formatted(ext_filter_length_outliers(spark, SF_DIR))
     assert "hashpartitioning(lang" in out_plan
     assert "SinglePartition" not in out_plan
+
+
+def test_round4_ops_plan_properties(spark):
+    """Scale properties of the round-4 ops: text normalization is a
+    zero-exchange scan-fused projection; the host token budget windows per
+    host (never a single global partition); dup-span has no pair join
+    (no cartesian/broadcast-nested-loop — its joins are gram-keyed
+    equi-joins); heavy hitters broadcasts the candidate set so the verify
+    groupBy's exchange carries only candidate tokens; TF-IDF shuffles the
+    full token stream exactly once (df derives from tf, and n_docs rides
+    in as a broadcast aggregate, not an eager count)."""
+    from dbtwiz_spark.ops.aggregates import agg_heavy_hitters
+    from dbtwiz_spark.ops.ext_llm import ext_text_tfidf
+    from dbtwiz_spark.ops.ext_pipeline import (
+        ext_dup_span,
+        ext_host_token_budget,
+        ext_text_normalize,
+    )
+
+    norm_plan = _formatted(ext_text_normalize(spark, SF_DIR))
+    assert norm_plan.count("Exchange (") == 0
+    assert norm_plan.count("Scan parquet") == 2  # tree + detail = one scan
+
+    budget_plan = _formatted(ext_host_token_budget(spark, SF_DIR))
+    assert "hashpartitioning(host" in budget_plan
+    assert "SinglePartition" not in budget_plan
+
+    span_plan = _formatted(ext_dup_span(spark, SF_DIR))
+    assert "CartesianProduct" not in span_plan
+    assert "BroadcastNestedLoopJoin" not in span_plan
+
+    hh_plan = _formatted(agg_heavy_hitters(spark, SF_DIR))
+    assert "BroadcastHashJoin" in hh_plan  # candidates broadcast to verify
+    assert "CartesianProduct" not in hh_plan
+
+    tfidf_plan = _formatted(ext_text_tfidf(spark, SF_DIR))
+    # the exploded token stream is shuffled once, for the (doc, term)
+    # aggregate; every other exchange moves tf-level or 1-row data
+    assert tfidf_plan.count("Generate ") <= 2  # one explode (tree + detail)
