@@ -79,6 +79,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext-dup-span",
     "ext-dedup-near-recall",
     "agg-heavy-hitters",
+    "sink-sharded-export",
+    "ext-vocab-build",
 )
 
 

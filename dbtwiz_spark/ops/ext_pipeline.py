@@ -917,3 +917,44 @@ def ext_dedup_cluster(spark, sf_dir):
         F.col("lbl").alias("cluster_id"),
         (F.col("doc_id") == F.col("lbl")).alias("keep"),
     )
+
+
+@register(
+    "ext-vocab-build",
+    oracle="""
+    WITH counts AS (
+        SELECT token, COUNT(*) AS n_occurrences
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY 1)
+    SELECT token, n_occurrences,
+           ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, token) - 1
+             AS token_id
+    FROM counts
+    """,
+)
+def ext_vocab_build(spark, sf_dir):
+    """Vocabulary construction (the tokenizer-training step): count every
+    token across the corpus and assign contiguous ids by descending
+    frequency (ties broken lexically so the id assignment is total and
+    engine-identical) — id 0 is the most frequent token, the layout BPE /
+    WordPiece vocabularies use.
+
+    The token count is the wordcount shape (map-side combine, one shuffle).
+    The ranking window runs over the AGGREGATED vocabulary table, whose
+    size is bounded by the language's vocabulary — it does not grow with
+    corpus rows — so the single sort it implies is over a small bounded
+    input at any corpus scale (100 TB of text still yields a ~1M-row
+    vocab). That boundedness is why this op may use a global window where
+    row-level ops (win-percent, ext-filter-length-outliers) must not."""
+    d = views(spark, sf_dir).table("documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "token")
+    return counts.select(
+        "token",
+        "n_occurrences",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+    )

@@ -210,3 +210,51 @@ def source_declare(spark, sf_dir):
     schema = cat.table("customer").schema
     rows = [(f.name, spark_type_to_sql(f.dataType)) for f in schema.fields]
     return spark.createDataFrame(rows, "column_name string, data_type string")
+
+
+@register(
+    "sink-sharded-export",
+    oracle=f"""
+    SELECT CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) % 8
+                AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def sink_sharded_export(spark, sf_dir):
+    """Sharded training-data export: write the corpus as a fixed number of
+    deterministic hash shards (the final step before a training job reads
+    the data — fixed shard count lets the trainer assign shards to data
+    loader workers, and the hash makes re-exports byte-stable so a resumed
+    training run sees identical shards).
+
+    The shard key is the same exact-BIGINT multiplicative hash the
+    split/sample ops use (engine-portable, retry-stable — never
+    ``rand()`` or Spark's partition-dependent ``monotonically_increasing_
+    id``). The write repartitions BY the shard column so each output file
+    holds exactly one shard (one writer task per shard; at scale shards
+    are sized ~1-4 GB and the repartition is the export's single shuffle).
+    Returns the per-shard manifest read back from the published files —
+    the oracle recomputes it declaratively from the hash definition."""
+    d = views(spark, sf_dir).table("documents")
+    shard = (
+        (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
+         % F.lit(4294967296)) % 8
+    ).cast("long")
+    wh = _wh(spark)
+    wh.write_table(
+        "export_shards",
+        d.withColumn("shard", shard).repartition(8, "shard"),
+        partition_by="shard",
+        snapshot=False,
+    )
+    return (
+        wh.read("export_shards")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"), "n_docs", "total_chars")
+    )
