@@ -9,6 +9,7 @@ before the shuffle automatically, which is the property that matters at
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from dbtwiz_spark.ops.common import views, dsum, davg, dsum_sql, davg_sql
 from dbtwiz_spark.ops.registry import register
@@ -473,4 +474,88 @@ def agg_unpivot(spark, sf_dir):
     )
     return wide.unpivot(
         "o_orderpriority", ["n_orders", "total_price"], "metric", "val"
+    )
+
+
+@register(
+    "agg-quantile-digest",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+           true AS median_ok, true AS p90_ok
+    FROM events
+    """,
+)
+def agg_quantile_digest(spark, sf_dir):
+    """Mergeable quantile digest (the third mergeable-summary family member
+    after HLL distinct counts and Misra-Gries heavy hitters): each sorted
+    partition emits a compressed weighted summary — every batch collapses
+    to <= 64 (slice-max, slice-count) points, so summary size is
+    O(batches), not O(rows) — and the merged summary answers any quantile
+    with rank error <= n/64 + #batches (each point's cumulative weight is
+    its value's exact within-batch rank; only cross-batch interleaving
+    blurs it).
+
+    Scale shape: the sort is ``sortWithinPartitions`` (spill-safe JVM sort,
+    no global exchange), the summary pass is one Arrow-batched mapInPandas
+    emitting a bounded stream, and only the tiny summary is ever brought
+    together (its global rank runs over a bounded table, like
+    ext-vocab-build's vocab). The certificate then verifies the
+    approximate median and p90 against EXACT ranks — one map-side count
+    per quantile — and emits the bound check as booleans the oracle states
+    as literals; n_values hash-pins the scan itself. At 100 TB the same
+    digest persists per-partition and rolls up to any grain, which is the
+    whole point of mergeable summaries."""
+    import pandas as pd
+
+    ev = views(spark, sf_dir).table("events").select("value")
+    B = 64
+
+    def summarize(batches):
+        for pdf in batches:
+            v = pdf["value"].sort_values().to_numpy()
+            n = len(v)
+            if n == 0:
+                continue
+            k = max(1, -(-n // B))  # ceil(n / B) slice width
+            ends = list(range(k - 1, n, k))
+            if ends[-1] != n - 1:
+                ends.append(n - 1)
+            prev = -1
+            out_v, out_w = [], []
+            for e in ends:
+                out_v.append(v[e])
+                out_w.append(e - prev)
+                prev = e
+            yield pd.DataFrame({"v": out_v, "w": out_w})
+
+    summary = ev.sortWithinPartitions("value").mapInPandas(
+        summarize, "v double, w long"
+    )
+    n_row = ev.agg(F.count("*").alias("n"))
+    # cumulative weight over the globally-sorted summary (bounded table —
+    # the single-partition window is over O(batches) rows at any scale)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = summary.select("v", F.sum("w").over(w).alias("cw")).crossJoin(
+        F.broadcast(n_row)
+    )
+    approx = cum.agg(
+        F.min(F.when(F.col("cw") >= 0.5 * F.col("n"), F.col("v"))).alias("q50"),
+        F.min(F.when(F.col("cw") >= 0.9 * F.col("n"), F.col("v"))).alias("q90"),
+    )
+    checked = ev.crossJoin(F.broadcast(approx)).agg(
+        F.count("*").alias("n_values"),
+        F.sum(F.when(F.col("value") <= F.col("q50"), 1).otherwise(0)).alias("r50"),
+        F.sum(F.when(F.col("value") <= F.col("q90"), 1).otherwise(0)).alias("r90"),
+    )
+    tol = 0.05
+    return checked.select(
+        "n_values",
+        (
+            F.abs(F.col("r50") - 0.5 * F.col("n_values"))
+            <= tol * F.col("n_values")
+        ).alias("median_ok"),
+        (
+            F.abs(F.col("r90") - 0.9 * F.col("n_values"))
+            <= tol * F.col("n_values")
+        ).alias("p90_ok"),
     )

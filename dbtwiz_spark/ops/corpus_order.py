@@ -81,6 +81,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg-heavy-hitters",
     "sink-sharded-export",
     "ext-vocab-build",
+    "agg-quantile-digest",
 )
 
 
