@@ -487,19 +487,18 @@ def agg_unpivot(spark, sf_dir):
 )
 def agg_quantile_digest(spark, sf_dir):
     """Mergeable quantile digest (the third mergeable-summary family member
-    after HLL distinct counts and Misra-Gries heavy hitters): each sorted
-    partition emits a compressed weighted summary — every batch collapses
-    to <= 64 (slice-max, slice-count) points, so summary size is
-    O(batches), not O(rows) — and the merged summary answers any quantile
-    with rank error <= n/64 + #batches (each point's cumulative weight is
-    its value's exact within-batch rank; only cross-batch interleaving
-    blurs it).
+    after HLL distinct counts and Misra-Gries heavy hitters): every Arrow
+    batch collapses to <= 64 (slice-max, slice-count) points with exact
+    within-batch ranks, so summary size is O(batches), not O(rows), and
+    the merged summary answers any quantile with rank error
+    <= n/64 + #batches (only cross-batch interleaving blurs the exact
+    per-batch ranks).
 
-    Scale shape: the sort is ``sortWithinPartitions`` (spill-safe JVM sort,
-    no global exchange), the summary pass is one Arrow-batched mapInPandas
-    emitting a bounded stream, and only the tiny summary is ever brought
-    together (its global rank runs over a bounded table, like
-    ext-vocab-build's vocab). The certificate then verifies the
+    Scale shape: no sort and no exchange ever touches the full stream —
+    each Arrow batch is sorted independently inside the summarizer (10^4
+    rows, in-memory), the summary pass emits a bounded stream, and only
+    the tiny summary is ever brought together (its global rank runs over
+    a bounded table, like ext-vocab-build's vocab). The certificate then verifies the
     approximate median and p90 against EXACT ranks — one map-side count
     per quantile — and emits the bound check as booleans the oracle states
     as literals; n_values hash-pins the scan itself. At 100 TB the same
@@ -528,9 +527,7 @@ def agg_quantile_digest(spark, sf_dir):
                 prev = e
             yield pd.DataFrame({"v": out_v, "w": out_w})
 
-    summary = ev.sortWithinPartitions("value").mapInPandas(
-        summarize, "v double, w long"
-    )
+    summary = ev.mapInPandas(summarize, "v double, w long")
     n_row = ev.agg(F.count("*").alias("n"))
     # cumulative weight over the globally-sorted summary (bounded table —
     # the single-partition window is over O(batches) rows at any scale)
