@@ -82,6 +82,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sink-sharded-export",
     "ext-vocab-build",
     "agg-quantile-digest",
+    "ext-sample-importance",
+    "ext-dedup-url",
 )
 
 

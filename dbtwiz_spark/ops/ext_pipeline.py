@@ -958,3 +958,94 @@ def ext_vocab_build(spark, sf_dir):
         "n_occurrences",
         (F.row_number().over(w) - 1).cast("long").alias("token_id"),
     )
+
+
+@register(
+    "ext-sample-importance",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS ttr
+        FROM documents)
+    SELECT doc_id, lang, ttr
+    FROM t
+    WHERE ({_hkey_sql('doc_id')}) / 4294967296.0 < ttr
+    """,
+)
+def ext_sample_importance(spark, sf_dir):
+    """Deterministic importance (rejection) sampling: keep each document
+    with probability equal to its quality weight — here the type-token
+    ratio, so repetitive documents are down-sampled in proportion to how
+    repetitive they are (the quality-weighted sampling step between
+    filtering and mixing in a training pipeline).
+
+    The accept test compares the document's multiplicative-hash fraction
+    (uniform on [0,1), exact BIGINT arithmetic in both engines) against
+    the weight — rejection sampling with no ``rand()``, so a retry keeps
+    the same sample, and the acceptance decision is a map-side expression
+    (no shuffle anywhere). The weight itself is integer-ratio arithmetic,
+    double-exact in both engines."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    t = d.select("doc_id", "lang", ttr.alias("ttr"))
+    return t.filter(_hkey(F.col("doc_id")) / F.lit(4294967296.0) < F.col("ttr"))
+
+
+@register(
+    "ext-dedup-url",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'HTTPS://' || upper(source) || '.Example.com/docs/'
+                 || CAST(doc_id % 200 AS VARCHAR)
+                 || '?utm_source=feed&id=' || CAST(doc_id % 200 AS VARCHAR)
+                 || '&utm_campaign=x' AS url
+        FROM documents),
+    c AS (
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(lower(url), '[?&]utm_[a-z]+=[^&]*', '', 'g'),
+                 '\\?&', '?', 'g') AS canonical
+        FROM u)
+    SELECT canonical, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
+    FROM c GROUP BY 1
+    """,
+)
+def ext_dedup_url(spark, sf_dir):
+    """URL-canonical dedup (the crawl-level dedup that runs BEFORE any
+    content hashing — the same page fetched via different tracking links
+    must collapse to one document): lowercase scheme/host, strip
+    utm_* tracking parameters, then keep the earliest doc per canonical
+    URL. URLs are synthesized deterministically with mixed case and utm
+    noise (doc_id % 200 forces real collisions) — the canonicalization
+    and keep-earliest machinery is the real thing.
+
+    Canonicalization is scan-fused regexp work (plain character classes so
+    Java regex and RE2 agree); the dedup is one hash-groupBy on the
+    canonical key with map-side partial MIN/COUNT — exactly the
+    ext-dedup-exact shape, linear at 100 TB."""
+    d = views(spark, sf_dir).table("documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.com/docs/"),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit("&utm_campaign=x"),
+    )
+    canonical = F.regexp_replace(
+        F.regexp_replace(F.lower(url), "[?&]utm_[a-z]+=[^&]*", ""),
+        r"\?&",
+        "?",
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
