@@ -207,6 +207,28 @@ def agg_hll_sketch_merge(spark, sf_dir):
     return per_rows.unionByName(merged)
 
 
+def mg_summarizer(k: int):
+    """Per-partition Misra-Gries summary as a mapInPandas function: emits
+    the <= ``k`` surviving counter keys of the partition's token stream.
+    The decrement is the summary-merge "subtract the (k+1)-th largest"
+    step applied per Arrow batch (Agarwal et al. 2013) — vectorized
+    value_counts, never a per-token Python loop. Module-level (not a
+    closure) so tests exercise the same code the operator ships."""
+    import pandas as pd
+
+    def mg_summary(batches):
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            acc = acc.add(pdf["token"].value_counts(), fill_value=0)
+            if len(acc) > k:
+                cut = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - cut
+                acc = acc[acc > 0]
+        yield pd.DataFrame({"token": acc.index.astype(str)})
+
+    return mg_summary
+
+
 @register(
     "agg-heavy-hitters",
     oracle="""
@@ -241,23 +263,10 @@ def agg_heavy_hitters(spark, sf_dir):
     stage is an Arrow-batched mapInPandas with vectorized value_counts
     (the MG decrement is the summary-merge "subtract the (k+1)-th largest"
     step, never a per-token Python loop)."""
-    import pandas as pd
-
     d = views(spark, sf_dir).table("documents")
     K, PHI = 64, 30.0
     toks = d.select(F.explode(F.split("text", " ")).alias("token"))
-
-    def mg_summary(batches):
-        acc = pd.Series(dtype="int64")
-        for pdf in batches:
-            acc = acc.add(pdf["token"].value_counts(), fill_value=0)
-            if len(acc) > K:
-                cut = acc.nlargest(K + 1).iloc[-1]
-                acc = acc - cut
-                acc = acc[acc > 0]
-        yield pd.DataFrame({"token": acc.index.astype(str)})
-
-    candidates = toks.mapInPandas(mg_summary, "token string").distinct()
+    candidates = toks.mapInPandas(mg_summarizer(K), "token string").distinct()
     total = toks.agg(F.count("*").alias("n"))
     return (
         toks.join(F.broadcast(candidates), "token", "left_semi")

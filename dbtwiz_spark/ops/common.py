@@ -100,3 +100,22 @@ def dsum_sql(expr: str) -> str:
 
 def davg_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE) / COUNT({expr})"
+
+
+# Knuth multiplicative hash: deterministic pseudo-random ordering computable
+# with exact BIGINT arithmetic in any engine (Spark and DuckDB produce the
+# identical value, unlike engine-native hash()/xxhash64 which differ).
+# The id is reduced mod 2^31 BEFORE the multiply: (2^31-1) × 2654435761
+# ≈ 5.7e18 stays inside BIGINT, whereas a raw multiply overflows for ids
+# ≳ 3.5e9 (silent wrap in Spark, error in DuckDB — both fatal to parity).
+KNUTH = 2654435761
+M31 = 2147483648
+M32 = 4294967296
+
+
+def hkey(col: Column) -> Column:
+    return ((col % F.lit(M31)) * F.lit(KNUTH)) % F.lit(M32)
+
+
+def hkey_sql(expr: str) -> str:
+    return f"((({expr}) % {M31}) * {KNUTH}) % {M32}"

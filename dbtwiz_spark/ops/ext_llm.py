@@ -434,10 +434,17 @@ def ext_dedup_near(spark, sf_dir):
     # materialized table), so repeat calls in a long-lived session reuse the
     # SAME persisted DataFrame instead of re-persisting an identical plan.
     rows_per_band = NUM_PERM // BANDS
-    key = (spark, sf_dir, "lsh_per_doc")
+    key = (spark, sf_dir, "lsh_per_doc_capped")
     per_doc = _ARTIFACTS.get(key)
     if per_doc is None:
-        sh = shingles(d, 3)
+        # the DF cap runs BEFORE MinHash so signatures, banding, and the
+        # verification Jaccard all live in the same shingle universe as the
+        # exact baseline (ext-ngram-jaccard) — without it a pair's capped
+        # and uncapped Jaccard can straddle the thresholds and the recall
+        # certificate (ext-dedup-near-recall) would count metric skew as a
+        # recall miss. Hot shingles also carry no discriminative signal and
+        # are exactly the band-bucket hot keys the LSH join must avoid.
+        sh = cap_shingle_df(shingles(d, 3), d)
         per_doc = (
             sh.groupBy("doc_id")
             .agg(

@@ -19,25 +19,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbtwiz_spark.ops.common import davg, davg_sql, views
+from dbtwiz_spark.ops.common import hkey as _hkey
+from dbtwiz_spark.ops.common import hkey_sql as _hkey_sql
 from dbtwiz_spark.ops.registry import register
-
-# Knuth multiplicative hash: deterministic pseudo-random ordering computable
-# with exact BIGINT arithmetic in any engine (Spark and DuckDB produce the
-# identical value, unlike engine-native hash()/xxhash64 which differ).
-# The id is reduced mod 2^31 BEFORE the multiply: (2^31-1) × 2654435761
-# ≈ 5.7e18 stays inside BIGINT, whereas a raw multiply overflows for ids
-# ≳ 3.5e9 (silent wrap in Spark, error in DuckDB — both fatal to parity).
-_KNUTH = 2654435761
-_M31 = 2147483648
-_M32 = 4294967296
-
-
-def _hkey(col):
-    return ((col % F.lit(_M31)) * F.lit(_KNUTH)) % F.lit(_M32)
-
-
-def _hkey_sql(expr: str) -> str:
-    return f"((({expr}) % {_M31}) * {_KNUTH}) % {_M32}"
 
 
 @register(
@@ -1007,7 +991,7 @@ def ext_sample_importance(spark, sf_dir):
         SELECT doc_id,
                regexp_replace(
                  regexp_replace(lower(url), '[?&]utm_[a-z]+=[^&]*', '', 'g'),
-                 '\\?&', '?', 'g') AS canonical
+                 '^([^?&]*)&', '\\1?') AS canonical
         FROM u)
     SELECT canonical, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_dups
     FROM c GROUP BY 1
@@ -1036,10 +1020,15 @@ def ext_dedup_url(spark, sf_dir):
         (F.col("doc_id") % 200).cast("string"),
         F.lit("&utm_campaign=x"),
     )
+    # stripping '?utm_x=...' consumes the '?' delimiter, leaving the first
+    # surviving param attached with '&'; promote that first '&' back to '?'
+    # (anchored pattern — [^?&]* cannot cross an existing '?', so a URL
+    # whose delimiter survived is left untouched). Replacement syntax
+    # differs per engine: Java wants $1, RE2 wants \1.
     canonical = F.regexp_replace(
         F.regexp_replace(F.lower(url), "[?&]utm_[a-z]+=[^&]*", ""),
-        r"\?&",
-        "?",
+        "^([^?&]*)&",
+        "$1?",
     )
     return (
         d.select("doc_id", canonical.alias("canonical"))

@@ -21,7 +21,7 @@ import time
 from pyspark.sql import functions as F
 
 from dbtwiz_spark.materialize import Warehouse
-from dbtwiz_spark.ops.common import scratch_dir, views
+from dbtwiz_spark.ops.common import hkey, hkey_sql, scratch_dir, views
 from dbtwiz_spark.ops.registry import register
 
 
@@ -215,8 +215,7 @@ def source_declare(spark, sf_dir):
 @register(
     "sink-sharded-export",
     oracle=f"""
-    SELECT CAST((((doc_id % 2147483648) * 2654435761) % 4294967296) % 8
-                AS BIGINT) AS shard,
+    SELECT CAST(({hkey_sql('doc_id')}) % 8 AS BIGINT) AS shard,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY 1
@@ -238,10 +237,7 @@ def sink_sharded_export(spark, sf_dir):
     Returns the per-shard manifest read back from the published files —
     the oracle recomputes it declaratively from the hash definition."""
     d = views(spark, sf_dir).table("documents")
-    shard = (
-        (((F.col("doc_id") % F.lit(2147483648)) * F.lit(2654435761))
-         % F.lit(4294967296)) % 8
-    ).cast("long")
+    shard = (hkey(F.col("doc_id")) % 8).cast("long")
     wh = _wh(spark)
     wh.write_table(
         "export_shards",

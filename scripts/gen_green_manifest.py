@@ -37,9 +37,16 @@ def green_entries() -> set[str]:
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         data = json.loads(path.read_text())
         for name, row in data.items():
-            if row.get("err"):
+            if row.get("err") and row["err"] != "no_oracle":
                 continue
-            if row.get("hash_match") or row.get("rows_match"):
+            # an oracle-carrying entry is green ONLY on a value-hash match;
+            # rows_match suffices solely for rows-only entries (no oracle) —
+            # counting rows_match for oracle entries would pin value-hash
+            # FAILURES (e.g. the r3 HUGEINT mismatches) as certified green
+            spec = CORPUS.get(name)
+            if row.get("hash_match"):
+                green.add(name)
+            elif row.get("spark_rows") is not None and spec is not None and spec.oracle is None:
                 green.add(name)
     return green
 

@@ -1,7 +1,9 @@
 """Guards on the driver correctness-window rotation (VERDICT r2 item 1).
 
-1. The window is exactly 50 valid, distinct corpus names and CORPUS
-   iteration starts with it (queries() order == CORPUS order).
+1. The window is at most 50 valid, distinct corpus names and CORPUS
+   iteration starts with it (queries() order == CORPUS order); remaining
+   driver slots fall through to registration order (already-green
+   entries, free re-certification).
 2. Green-manifest: any entry that already earned a driver-green row must
    either keep its implementation byte-identical or sit inside the current
    window so the driver re-certifies the new code. This is the regression

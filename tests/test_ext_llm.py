@@ -234,25 +234,16 @@ def test_heavy_hitters_candidate_superset_any_partitioning(spark):
     got = {r.token for r in agg_heavy_hitters(spark, SF_DIR).collect()}
     assert got == truth
 
-    # candidate stage alone, under adversarial partitionings
-    from dbtwiz_spark.ops import aggregates as agg_mod
+    # candidate stage alone (the SHIPPED summarizer, not a copy), under
+    # adversarial partitionings
+    from dbtwiz_spark.ops.aggregates import mg_summarizer
 
     for parts in (1, 7, 32):
-        K = 64
-        repart = toks.repartition(parts)
-
-        def mg(batches):
-            acc = pd.Series(dtype="int64")
-            for pdf in batches:
-                acc = acc.add(pdf["token"].value_counts(), fill_value=0)
-                if len(acc) > K:
-                    cut = acc.nlargest(K + 1).iloc[-1]
-                    acc = acc - cut
-                    acc = acc[acc > 0]
-            yield pd.DataFrame({"token": acc.index.astype(str)})
-
         cand = {
             r.token
-            for r in repart.mapInPandas(mg, "token string").distinct().collect()
+            for r in toks.repartition(parts)
+            .mapInPandas(mg_summarizer(64), "token string")
+            .distinct()
+            .collect()
         }
         assert truth <= cand, f"parts={parts}: lost {truth - cand}"
