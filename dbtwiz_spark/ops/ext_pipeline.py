@@ -1038,3 +1038,61 @@ def ext_dedup_url(spark, sf_dir):
             F.count("*").alias("n_dups"),
         )
     )
+
+
+@register(
+    "ext-curriculum-order",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS ttr
+        FROM documents),
+    b AS (
+        SELECT doc_id, lang,
+               CASE WHEN ttr >= 0.75 THEN 0
+                    WHEN ttr >= 0.6 THEN 1
+                    WHEN ttr >= 0.45 THEN 2
+                    ELSE 3 END AS bucket
+        FROM t)
+    SELECT doc_id, lang, bucket,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY bucket, {_hkey_sql('doc_id')}, doc_id)
+             - 1 AS position
+    FROM b
+    """,
+)
+def ext_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: the deterministic training order for each
+    language stream — cleanest documents first (quality bucket by
+    type-token ratio), pseudo-random within a bucket (multiplicative hash,
+    so the order is reproducible across retries and engines and no two
+    epochs of a resumed run disagree). This is the "deterministic global
+    shuffle" a training job needs: rand()-shuffled order changes on every
+    retry, which breaks mid-epoch resume.
+
+    Fixed thresholds make the bucket a map-side expression (quantile-based
+    buckets would add a digest pass — see agg-quantile-digest for that
+    machinery). The position is a per-stream window: parallel across
+    languages, range-partitioned within one — at 100 TB the stream key
+    becomes (lang, shard) exactly as in ext-pack-sequences, keeping every
+    window partition bounded."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    bucket = (
+        F.when(ttr >= 0.75, 0)
+        .when(ttr >= 0.6, 1)
+        .when(ttr >= 0.45, 2)
+        .otherwise(3)
+    )
+    b = d.select("doc_id", "lang", bucket.alias("bucket"))
+    w = Window.partitionBy("lang").orderBy(
+        "bucket", _hkey(F.col("doc_id")), F.col("doc_id")
+    )
+    return b.select(
+        "doc_id",
+        "lang",
+        "bucket",
+        (F.row_number().over(w) - 1).cast("long").alias("position"),
+    )
