@@ -171,3 +171,105 @@ def test_fix_sql_preserves_multiline_literals():
     # the UNPROTECTED trailing whitespace and blank run were cleaned
     assert "t   \n" not in fixed and "x FROM t\n\nWHERE" in fixed
     assert fix_sql(fixed) == fixed      # idempotent
+
+
+@given(ids=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
+def test_hkey_is_deterministic_bounded_and_overflow_safe(ids):
+    """The multiplicative hash must stay inside BIGINT for any plausible id
+    (the mod-2^31-before-multiply guard) and land in [0, 2^32) — the range
+    the importance-sampling accept test divides by."""
+    from dbtwiz_spark.ops.common import KNUTH, M31, M32
+
+    for i in ids:
+        h = ((i % M31) * KNUTH) % M32
+        assert 0 <= h < M32
+        # the pre-multiply operand bound is what keeps Spark's BIGINT from
+        # silently wrapping: (2^31 - 1) * KNUTH < 2^63 - 1
+        assert (i % M31) * KNUTH <= (M31 - 1) * KNUTH < 2**63 - 1
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=2000
+    ),
+    n_parts=st.integers(min_value=1, max_value=5),
+    batch_rows=st.integers(min_value=1, max_value=257),
+)
+def test_mg_summarizer_superset_property_pure(stream, n_parts, batch_rows):
+    """Misra-Gries candidate union ⊇ all n/30-frequent tokens for ANY
+    partitioning and ANY Arrow batch boundaries — the pure-pandas core of
+    the agg-heavy-hitters guarantee, fuzzed without a SparkSession."""
+    import pandas as pd
+
+    from collections import Counter
+
+    from dbtwiz_spark.ops.aggregates import mg_summarizer
+
+    tokens = [f"t{v}" for v in stream]
+    n = len(tokens)
+    truth = {t for t, c in Counter(tokens).items() if c >= n / 30.0}
+
+    candidates: set[str] = set()
+    mg = mg_summarizer(64)
+    for p in range(n_parts):
+        part = tokens[p::n_parts]
+        batches = (
+            pd.DataFrame({"token": part[i : i + batch_rows]})
+            for i in range(0, len(part), batch_rows)
+        )
+        for out in mg(batches):
+            candidates.update(out["token"])
+    assert truth <= candidates, f"lost {truth - candidates}"
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=3000,
+    ),
+    batch_rows=st.integers(min_value=1, max_value=301),
+)
+def test_quantile_digest_summary_rank_error_bound_pure(values, batch_rows):
+    """The per-batch slice-max summary answers the median within the
+    documented rank error (n/64 + #batches), for ANY value distribution
+    and ANY batch boundaries — the pure core of agg-quantile-digest."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(values)
+    batches = [values[i : i + batch_rows] for i in range(0, n, batch_rows)]
+    B = 64
+    pts = []
+    for b in batches:
+        v = pd.Series(b).sort_values().to_numpy()
+        m = len(v)
+        k = max(1, -(-m // B))
+        ends = list(range(k - 1, m, k))
+        if ends[-1] != m - 1:
+            ends.append(m - 1)
+        prev = -1
+        for e in ends:
+            pts.append((v[e], e - prev))
+            prev = e
+    pts.sort(key=lambda t: t[0])
+    cw = 0
+    q50 = None
+    for v, w in pts:
+        cw += w
+        if cw >= 0.5 * n:
+            q50 = v
+            break
+    # with tied values the <=-count jumps by the atom's multiplicity, so
+    # the guarantee is interval-form: some rank of q50's tie-range must hit
+    # the target within the bound (rank(x < q50) from below, rank(x <= q50)
+    # from above). The agg-quantile-digest entry's 5% certificate holds
+    # because events.value atoms are far smaller than the tolerance.
+    lo = sum(1 for x in values if x < q50)
+    hi = sum(1 for x in values if x <= q50)
+    bound = n / B + len(batches)
+    assert lo <= 0.5 * n + bound + 1e-9, f"lo rank {lo} beyond {0.5*n+bound}"
+    assert hi >= 0.5 * n - bound - 1e-9, f"hi rank {hi} below {0.5*n-bound}"
+
