@@ -486,10 +486,40 @@ def agg_unpivot(spark, sf_dir):
     )
 
 
+def qd_summarizer(b: int):
+    """Per-batch quantile summary as a mapInPandas function: each Arrow
+    batch collapses to <= ``b`` (slice-max value, slice-count weight)
+    points with exact within-batch ranks; nulls are dropped (pandas sorts
+    NaN last — an undropped null would become a top summary point while
+    the certificate's comparisons exclude it). Module-level so the
+    property test fuzzes the shipped code, not a copy."""
+    import pandas as pd
+
+    def summarize(batches):
+        for pdf in batches:
+            v = pdf["value"].dropna().sort_values().to_numpy()
+            n = len(v)
+            if n == 0:
+                continue
+            k = max(1, -(-n // b))  # ceil(n / b) slice width
+            ends = list(range(k - 1, n, k))
+            if ends[-1] != n - 1:
+                ends.append(n - 1)
+            prev = -1
+            out_v, out_w = [], []
+            for e in ends:
+                out_v.append(v[e])
+                out_w.append(e - prev)
+                prev = e
+            yield pd.DataFrame({"v": out_v, "w": out_w})
+
+    return summarize
+
+
 @register(
     "agg-quantile-digest",
     oracle="""
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_values,
+    SELECT CAST(COUNT(value) AS BIGINT) AS n_values,
            true AS median_ok, true AS p90_ok
     FROM events
     """,
@@ -513,31 +543,11 @@ def agg_quantile_digest(spark, sf_dir):
     as literals; n_values hash-pins the scan itself. At 100 TB the same
     digest persists per-partition and rolls up to any grain, which is the
     whole point of mergeable summaries."""
-    import pandas as pd
-
     ev = views(spark, sf_dir).table("events").select("value")
-    B = 64
-
-    def summarize(batches):
-        for pdf in batches:
-            v = pdf["value"].sort_values().to_numpy()
-            n = len(v)
-            if n == 0:
-                continue
-            k = max(1, -(-n // B))  # ceil(n / B) slice width
-            ends = list(range(k - 1, n, k))
-            if ends[-1] != n - 1:
-                ends.append(n - 1)
-            prev = -1
-            out_v, out_w = [], []
-            for e in ends:
-                out_v.append(v[e])
-                out_w.append(e - prev)
-                prev = e
-            yield pd.DataFrame({"v": out_v, "w": out_w})
-
-    summary = ev.mapInPandas(summarize, "v double, w long")
-    n_row = ev.agg(F.count("*").alias("n"))
+    summary = ev.mapInPandas(qd_summarizer(64), "v double, w long")
+    # non-null count: the summarizer drops nulls, so every weight, target
+    # threshold, and exact rank below must count the same population
+    n_row = ev.agg(F.count("value").alias("n"))
     # cumulative weight over the globally-sorted summary (bounded table —
     # the single-partition window is over O(batches) rows at any scale)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
@@ -555,7 +565,7 @@ def agg_quantile_digest(spark, sf_dir):
     # property-test form; robust if regenerated testdata ever carries
     # repeated values)
     checked = ev.crossJoin(F.broadcast(approx)).agg(
-        F.count("*").alias("n_values"),
+        F.count("value").alias("n_values"),
         F.sum(F.when(F.col("value") < F.col("q50"), 1).otherwise(0)).alias("lo50"),
         F.sum(F.when(F.col("value") <= F.col("q50"), 1).otherwise(0)).alias("hi50"),
         F.sum(F.when(F.col("value") < F.col("q90"), 1).otherwise(0)).alias("lo90"),

@@ -17,10 +17,11 @@ aggregates are now CAST(... AS BIGINT)), ``join-range`` (reimplemented
 for the TIMESTAMP_NTZ testdata, so its r1/r2 green rows certify dead
 code), and the five r1-green entries rotated out in r2 (win-lag-lead,
 win-first-last, win-running-agg, win-sliding-frame, sort-global — code
-unchanged, closing the last stale r1 rows). Remaining slots fall through
-to registration order (cheap, already-green scan/filter entries — free
-re-certification). After this round every corpus entry has a driver row
-from code identical to what ships.
+unchanged, closing the last stale r1 rows), every operator added during
+round 4 (text-normalize through curriculum-order), and ext-dedup-near,
+whose shingle universe changed this round. Exactly 50 entries. After this
+round every corpus entry has a driver row from code identical to what
+ships.
 """
 
 from __future__ import annotations
@@ -84,6 +85,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg-quantile-digest",
     "ext-sample-importance",
     "ext-dedup-url",
+    "ext-curriculum-order",
+    # re-enters: its shingle universe changed this round (DF cap before
+    # MinHash) — the r3 rows-only row certifies the uncapped code
+    "ext-dedup-near",
 )
 
 

@@ -231,9 +231,10 @@ def sink_sharded_export(spark, sf_dir):
     The shard key is the same exact-BIGINT multiplicative hash the
     split/sample ops use (engine-portable, retry-stable — never
     ``rand()`` or Spark's partition-dependent ``monotonically_increasing_
-    id``). The write repartitions BY the shard column so each output file
-    holds exactly one shard (one writer task per shard; at scale shards
-    are sized ~1-4 GB and the repartition is the export's single shuffle).
+    id``). The write path's own distribution policy
+    (materialize._distribute_for_write) keys the pre-write exchange on the
+    shard column — parallel writers into the 8 hive shard directories, one
+    shuffle, REBALANCE-sized files above the small-output threshold.
     Returns the per-shard manifest read back from the published files —
     the oracle recomputes it declaratively from the hash definition."""
     d = views(spark, sf_dir).table("documents")
@@ -241,7 +242,7 @@ def sink_sharded_export(spark, sf_dir):
     wh = _wh(spark)
     wh.write_table(
         "export_shards",
-        d.withColumn("shard", shard).repartition(8, "shard"),
+        d.withColumn("shard", shard),
         partition_by="shard",
         snapshot=False,
     )

@@ -46,7 +46,17 @@ def green_entries() -> set[str]:
             spec = CORPUS.get(name)
             if row.get("hash_match"):
                 green.add(name)
-            elif row.get("spark_rows") is not None and spec is not None and spec.oracle is None:
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+                and spec is not None
+                and spec.oracle is None
+            ):
+                # rows-only green requires the driver row to have been
+                # RECORDED as a rows-only check (err == "no_oracle"), not
+                # just the current spec to lack an oracle — otherwise
+                # removing a failing entry's oracle would retroactively
+                # certify its old hash-FAILED rows
                 green.add(name)
     return green
 

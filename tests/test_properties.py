@@ -173,6 +173,7 @@ def test_fix_sql_preserves_multiline_literals():
     assert fix_sql(fixed) == fixed      # idempotent
 
 
+@settings(deadline=None)
 @given(ids=st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
 def test_hkey_is_deterministic_bounded_and_overflow_safe(ids):
     """The multiplicative hash must stay inside BIGINT for any plausible id
@@ -235,25 +236,22 @@ def test_mg_summarizer_superset_property_pure(stream, n_parts, batch_rows):
 def test_quantile_digest_summary_rank_error_bound_pure(values, batch_rows):
     """The per-batch slice-max summary answers the median within the
     documented rank error (n/64 + #batches), for ANY value distribution
-    and ANY batch boundaries — the pure core of agg-quantile-digest."""
-    import numpy as np
+    and ANY batch boundaries — fuzzing the SHIPPED summarizer."""
     import pandas as pd
 
+    from dbtwiz_spark.ops.aggregates import qd_summarizer
+
     n = len(values)
-    batches = [values[i : i + batch_rows] for i in range(0, n, batch_rows)]
     B = 64
-    pts = []
-    for b in batches:
-        v = pd.Series(b).sort_values().to_numpy()
-        m = len(v)
-        k = max(1, -(-m // B))
-        ends = list(range(k - 1, m, k))
-        if ends[-1] != m - 1:
-            ends.append(m - 1)
-        prev = -1
-        for e in ends:
-            pts.append((v[e], e - prev))
-            prev = e
+    batches = (
+        pd.DataFrame({"value": values[i : i + batch_rows]})
+        for i in range(0, n, batch_rows)
+    )
+    pts = [
+        (v, w)
+        for out in qd_summarizer(B)(batches)
+        for v, w in zip(out["v"], out["w"])
+    ]
     pts.sort(key=lambda t: t[0])
     cw = 0
     q50 = None
@@ -269,7 +267,8 @@ def test_quantile_digest_summary_rank_error_bound_pure(values, batch_rows):
     # because events.value atoms are far smaller than the tolerance.
     lo = sum(1 for x in values if x < q50)
     hi = sum(1 for x in values if x <= q50)
-    bound = n / B + len(batches)
+    n_batches = -(-n // batch_rows)
+    bound = n / B + n_batches
     assert lo <= 0.5 * n + bound + 1e-9, f"lo rank {lo} beyond {0.5*n+bound}"
     assert hi >= 0.5 * n - bound - 1e-9, f"hi rank {hi} below {0.5*n-bound}"
 
