@@ -616,6 +616,44 @@ def ext_dedup_simhash(spark, sf_dir):
     )
 
 
+@register(
+    "ext-dedup-simhash-recall",
+    oracle="""
+    SELECT true AS found_pairs, true AS precision_ok
+    """,
+)
+def ext_dedup_simhash_recall(spark, sf_dir):
+    """Precision certificate for the SimHash path: every hamming<=3 pair it
+    reports must be a genuine near-duplicate at the token level (1-gram
+    Jaccard >= 0.5 — SimHash hashes the token multiset, so token Jaccard,
+    not the 3-shingle metric, is its ground truth), and the fixture's
+    planted duplicates must actually be found. Both claims are verified
+    Spark-side and emitted as booleans the oracle states as literals —
+    the signature bits themselves are engine-specific (seeded xxhash64),
+    which is why ext-dedup-simhash is rows-only (same certificate device
+    as ext-ann-lsh-recall / ext-dedup-near-recall).
+
+    Cost: the pair set is tiny (post-verification near-dups); the token
+    Jaccard check joins each pair to the two token sets — one collect_set
+    aggregation over the corpus plus a pair-level join."""
+    d = views(spark, sf_dir).table("documents")
+    pairs = ext_dedup_simhash(spark, sf_dir).select("doc_a", "doc_b")
+    tok = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ta"))
+    tb = tok.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    jac = inter.cast("double") / (F.size("ta") + F.size("tb") - inter)
+    judged = (
+        pairs.join(ta, "doc_a").join(tb, "doc_b").select(jac.alias("jaccard"))
+    )
+    return judged.agg(
+        (F.count("*") > 0).alias("found_pairs"),
+        (F.min("jaccard") >= 0.5).alias("precision_ok"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §C embedding similarity search
 # ---------------------------------------------------------------------------
