@@ -101,3 +101,48 @@ def sort_within_partitions(spark, sf_dir):
         .sortWithinPartitions("l_returnflag", "l_shipdate", "l_orderkey")
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_shipdate")
     )
+
+
+@register(
+    "sort-within-partitions-cert",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, true AS sorted_ok
+    FROM lineitem
+    """,
+)
+def sort_within_partitions_cert(spark, sf_dir):
+    """Certificate for the clustering order: after repartition +
+    sortWithinPartitions, every partition must actually BE sorted on the
+    cluster columns — verified by an Arrow-batched pass that checks each
+    batch is lexicographically ordered and that batch boundaries do not
+    regress. n_rows hash-pins that no row was lost or duplicated by the
+    re-layout. Same certificate device as the ANN/sketch entries: the
+    physical layout is engine-specific (hence sort-within-partitions is
+    rows-only), but the layout CONTRACT is checkable and is exactly what
+    parquet min/max block skipping depends on at 100 TB."""
+    import pandas as pd
+
+    li = views(spark, sf_dir).table("lineitem")
+    cols = ["l_returnflag", "l_shipdate", "l_orderkey"]
+    laid_out = li.repartition(8, "l_returnflag").sortWithinPartitions(*cols)
+
+    def check(batches):
+        rows, ok, last = 0, True, None
+        for pdf in batches:
+            rows += len(pdf)
+            if not len(pdf):
+                continue
+            k = pdf[cols].reset_index(drop=True)
+            if not k.equals(k.sort_values(cols, kind="stable").reset_index(drop=True)):
+                ok = False
+            first = tuple(k.iloc[0])
+            if last is not None and first < last:
+                ok = False
+            last = tuple(k.iloc[-1])
+        yield pd.DataFrame({"rows": [rows], "ok": [ok]})
+
+    per_part = laid_out.mapInPandas(check, "rows long, ok boolean")
+    return per_part.agg(
+        F.sum("rows").cast("long").alias("n_rows"),
+        F.min("ok").alias("sorted_ok"),
+    )
