@@ -554,6 +554,33 @@ def cmd_source_create(args) -> int:
     return 0
 
 
+def cmd_config(args) -> int:
+    """Update (or list) user configuration settings — the reference's
+    ``dbtwiz config <setting> <value>`` (docs/config.md;
+    dbtwiz/config/user.py:38-146 typed validation)."""
+    from dbtwiz_spark import userconfig
+
+    if args.setting is None:
+        for name, value, help_text in userconfig.describe():
+            print(f"{name} = {value!r}\n    {help_text}")
+        return 0
+    if args.value is None:
+        cfg = userconfig.load_user_config()
+        if args.setting not in userconfig.spec_names():
+            print(f"unknown setting {args.setting!r}; "
+                  f"valid: {userconfig.spec_names()}")
+            return 1
+        print(getattr(cfg, args.setting))
+        return 0
+    try:
+        _, path = userconfig.update_setting(args.setting, args.value)
+    except (KeyError, ValueError) as e:
+        print(f"error: {e}")
+        return 1
+    print(f"set {args.setting} = {args.value} -> {path}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dbtwiz_spark")
     sub = p.add_subparsers(dest="command", required=True)
@@ -705,6 +732,13 @@ def build_parser() -> argparse.ArgumentParser:
     sc.add_argument("--path", required=True)
     sc.add_argument("--description")
     sc.set_defaults(fn=cmd_source_create)
+
+    cfg = sub.add_parser(
+        "config", help="update a user configuration setting (config.toml)"
+    )
+    cfg.add_argument("setting", nargs="?", help="setting name; omit to list all")
+    cfg.add_argument("value", nargs="?", help="new value")
+    cfg.set_defaults(fn=cmd_config)
 
     f = asub.add_parser("freshness", help="max(loaded_at) vs watermark")
     f.add_argument("--warehouse", default="spark-warehouse")

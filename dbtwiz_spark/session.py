@@ -21,7 +21,21 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+def _default_shuffle_partitions() -> int:
+    """Env var wins (explicit beats persisted); else the user config's
+    ``shuffle_partitions`` (dbtwiz_spark/userconfig.py); else 32."""
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE", "").strip()
+    if env:
+        return int(env)
+    try:
+        from dbtwiz_spark.userconfig import load_user_config
+
+        return load_user_config().shuffle_partitions
+    except Exception:  # noqa: BLE001 — config must never block session startup
+        return 32
+
+
+DEFAULT_SHUFFLE_PARTITIONS = _default_shuffle_partitions()
 
 
 def get_spark(

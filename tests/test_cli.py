@@ -527,3 +527,41 @@ def test_build_unknown_selector_headless_still_errors(spark, tmp_path):
             "--warehouse", str(tmp_path / "whpick"),
             "--select", "m_o",
         ])
+
+
+def test_config_update_list_and_validation(tmp_path, monkeypatch, capsys):
+    """The reference's `dbtwiz config <setting> <value>` surface
+    (docs/config.md): typed updates persist to config.toml, unknown
+    settings and invalid values are hard errors, bare invocation lists."""
+    monkeypatch.setenv("DBTWIZ_SPARK_CONFIG_DIR", str(tmp_path))
+    from dbtwiz_spark import userconfig
+    from dbtwiz_spark.cli import main
+
+    # update + persistence round-trip
+    assert main(["config", "theme", "dark"]) == 0
+    assert userconfig.load_user_config().theme == "dark"
+    assert main(["config", "shuffle_partitions", "64"]) == 0
+    cfg = userconfig.load_user_config()
+    assert cfg.shuffle_partitions == 64 and cfg.theme == "dark"
+    assert (tmp_path / "config.toml").exists()
+
+    # read a single setting
+    assert main(["config", "theme"]) == 0
+    assert capsys.readouterr().out.strip().endswith("dark")
+
+    # validation: unknown setting, bad value, bad type
+    assert main(["config", "nope", "1"]) == 1
+    assert main(["config", "theme", "neon"]) == 1
+    assert main(["config", "log_debug", "maybe"]) == 1
+    assert main(["config", "log_debug", "true"]) == 0
+    assert userconfig.load_user_config().log_debug is True
+
+    # bare listing shows every setting
+    assert main(["config"]) == 0
+    out = capsys.readouterr().out
+    for name in userconfig.spec_names():
+        assert name in out
+
+    # corrupt file degrades to defaults (reference behavior), never crashes
+    (tmp_path / "config.toml").write_text("not toml ][")
+    assert userconfig.load_user_config().theme == "light"
