@@ -560,6 +560,13 @@ def cmd_config(args) -> int:
     dbtwiz/config/user.py:38-146 typed validation)."""
     from dbtwiz_spark import userconfig
 
+    if args.check:
+        problems = userconfig.check_strict()
+        for msg in problems:
+            print(f"error: {msg}")
+        if not problems:
+            print(f"config OK ({userconfig.config_path()})")
+        return 1 if problems else 0
     if args.setting is None:
         for name, value, help_text in userconfig.describe():
             print(f"{name} = {value!r}\n    {help_text}")
@@ -738,6 +745,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     cfg.add_argument("setting", nargs="?", help="setting name; omit to list all")
     cfg.add_argument("value", nargs="?", help="new value")
+    cfg.add_argument("--check", action="store_true",
+                     help="strictly validate config.toml and report problems")
     cfg.set_defaults(fn=cmd_config)
 
     f = asub.add_parser("freshness", help="max(loaded_at) vs watermark")

@@ -161,6 +161,30 @@ def update_setting(setting: str, raw: str) -> tuple[UserConfig, Path]:
     return cfg, save_user_config(cfg)
 
 
+def check_strict() -> list[str]:
+    """Strict validation (reference: dbtwiz/config/loader.py
+    validate_configs): report every problem in config.toml instead of
+    silently degrading to defaults — TOML syntax, unknown keys, and
+    invalid values. Returns a list of error strings (empty = valid)."""
+    p = config_path()
+    if not p.exists():
+        return []
+    errors: list[str] = []
+    try:
+        data = tomllib.loads(p.read_text())
+    except tomllib.TOMLDecodeError as e:
+        return [f"invalid TOML in {p}: {e}"]
+    known = {f.name for f in fields(UserConfig)}
+    for k in sorted(set(data) - known):
+        errors.append(f"unknown setting {k!r} in {p}")
+    try:
+        cfg = UserConfig(**{k: v for k, v in data.items() if k in known})
+        cfg.validate()
+    except (TypeError, ValueError) as e:
+        errors.append(f"invalid value in {p}: {e}")
+    return errors
+
+
 def describe() -> list[tuple[str, object, str]]:
     cfg = load_user_config()
     return [

@@ -565,3 +565,27 @@ def test_config_update_list_and_validation(tmp_path, monkeypatch, capsys):
     # corrupt file degrades to defaults (reference behavior), never crashes
     (tmp_path / "config.toml").write_text("not toml ][")
     assert userconfig.load_user_config().theme == "light"
+
+
+def test_config_check_reports_all_problems(tmp_path, monkeypatch, capsys):
+    """`config --check` is the strict loader (reference validate_configs):
+    unlike normal loading, it surfaces TOML errors, unknown keys, and
+    invalid values instead of degrading to defaults."""
+    monkeypatch.setenv("DBTWIZ_SPARK_CONFIG_DIR", str(tmp_path))
+    from dbtwiz_spark.cli import main
+
+    assert main(["config", "--check"]) == 0  # no file: valid
+
+    (tmp_path / "config.toml").write_text(
+        'theme = "neon"\nmystery = 1\nshuffle_partitions = 0\n'
+    )
+    assert main(["config", "--check"]) == 1
+    out = capsys.readouterr().out
+    assert "mystery" in out and ("theme" in out or "shuffle" in out)
+
+    (tmp_path / "config.toml").write_text("not toml ][")
+    assert main(["config", "--check"]) == 1
+    assert "invalid TOML" in capsys.readouterr().out
+
+    (tmp_path / "config.toml").write_text('theme = "dark"\n')
+    assert main(["config", "--check"]) == 0
