@@ -187,3 +187,27 @@ def run_backfill(
         runner.variables.clear()
         runner.variables.update(saved_variables)
     return results
+
+
+def project_default_batch_size(project_dir) -> int | None:
+    """Project-level backfill batch-size default (reference: pyproject
+    ``[tool.dbtwiz.project] backfill_default_batch_size``,
+    dbtwiz/config/project.py:40-42 — validated 1..365). The engine reads
+    the same key from ``project.yml``; an explicit ``--batch-days`` always
+    wins, and None defers to cost-based sizing / DEFAULT_BATCH_SIZE."""
+    from pathlib import Path
+
+    import yaml
+
+    proj_file = Path(project_dir) / "project.yml"
+    if not proj_file.exists():
+        return None
+    proj = yaml.safe_load(proj_file.read_text()) or {}
+    val = proj.get("backfill_default_batch_size")
+    if val is None:
+        return None
+    if isinstance(val, bool) or not isinstance(val, int) or not (1 <= val <= 365):
+        raise ValueError(
+            f"backfill_default_batch_size must be an int in [1, 365], got {val!r}"
+        )
+    return val

@@ -201,12 +201,21 @@ def cmd_backfill(args) -> int:
 
     runner, _, _ = _load(args)
     journal = BackfillJournal(args.journal) if args.journal else None
+    batch_days = args.batch_days
+    if batch_days is None:
+        from dbtwiz_spark.backfill import project_default_batch_size
+
+        try:
+            batch_days = project_default_batch_size(args.project)
+        except ValueError as e:
+            print(f"error: {e}")
+            return 1
     results = run_backfill(
         runner,
         args.select,
         date.fromisoformat(args.first),
         date.fromisoformat(args.last),
-        batch_size=args.batch_days,
+        batch_size=batch_days,
         journal=journal,
         retry_failed_only=args.retry,
         serial=not args.parallel_safe,

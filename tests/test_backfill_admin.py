@@ -450,3 +450,22 @@ def test_incremental_snapshot_config_reaches_build(spark, tmp_path):
     wh.restore("daily_snap", int(_time.time() * 1000))
     # partition layout re-applied by restore
     assert (wh.path("daily_snap") / "partitiondate=2024-01-01").exists()
+
+
+def test_project_default_batch_size(tmp_path):
+    """project.yml backfill_default_batch_size mirrors the reference's
+    pyproject [tool.dbtwiz.project] key: absent -> None (cost-based path),
+    valid -> used, out-of-range or mis-typed -> hard error."""
+    from dbtwiz_spark.backfill import project_default_batch_size
+
+    assert project_default_batch_size(tmp_path) is None
+    (tmp_path / "project.yml").write_text("name: p\n")
+    assert project_default_batch_size(tmp_path) is None
+    (tmp_path / "project.yml").write_text("backfill_default_batch_size: 14\n")
+    assert project_default_batch_size(tmp_path) == 14
+    for bad in ("0", "366", "'7'", "true"):
+        (tmp_path / "project.yml").write_text(
+            f"backfill_default_batch_size: {bad}\n"
+        )
+        with pytest.raises(ValueError):
+            project_default_batch_size(tmp_path)
