@@ -20,10 +20,10 @@ win-first-last, win-running-agg, win-sliding-frame, sort-global — code
 unchanged, closing the last stale r1 rows), every operator added during
 round 4 (text-normalize through curriculum-order), and ext-dedup-near,
 whose shingle universe changed this round. Exactly 50 entries. After this
-round every corpus entry except ext-dedup-simhash-recall and
-sort-within-partitions-cert (added after the window filled; local-oracle
-green, slated for the round-5 window) has a driver row from code
-identical to what ships.
+round every corpus entry has a driver row from code identical to what
+ships, EXCEPT the entries added after the window filled
+(ext-dedup-simhash-recall, sort-within-partitions-cert, func-zorder —
+local-oracle green, slated for the round-5 window).
 """
 
 from __future__ import annotations

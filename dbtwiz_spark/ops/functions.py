@@ -430,3 +430,49 @@ def func_generate_date_array(spark, sf_dir):
                                     INTERVAL 7 DAY)) AS d)
         """
     )
+
+
+def _zorder_terms_sql(xcol: str, ycol: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+@register(
+    "func-zorder",
+    oracle=f"""
+    SELECT o_orderkey,
+           CAST({_zorder_terms_sql('(o_custkey & 65535)', '(o_orderkey & 65535)')}
+                AS BIGINT) AS zval
+    FROM orders
+    """,
+)
+def func_zorder(spark, sf_dir):
+    """Z-order (Morton) interleave of two key columns — the
+    multi-dimensional clustering key behind Delta's OPTIMIZE ZORDER and
+    BigQuery multi-column clustering: sorting by the interleaved bits
+    places rows close in BOTH dimensions near each other, so parquet
+    min/max stats can skip blocks for predicates on either column (a
+    plain lexicographic sort only skips on the leading one).
+
+    Pure bit arithmetic (16 bits per dimension -> 32-bit z-value), built
+    as a balanced OR tree of shift/mask expressions — whole-stage codegen
+    compiles it to straight-line JVM bit ops, and DuckDB evaluates the
+    identical integer expression, so the entry is exactly
+    hash-checkable. At scale this feeds
+    ``sortWithinPartitions(zval)`` at write time (the clustering half of
+    materialize.write_table) — data-skipping on two dimensions for the
+    price of one sort."""
+    o = views(spark, sf_dir).table("orders")
+    x = F.col("o_custkey").bitwiseAND(F.lit(65535))
+    y = F.col("o_orderkey").bitwiseAND(F.lit(65535))
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(
+            F.shiftleft(x.bitwiseAND(F.lit(1 << i)).cast("long"), i)
+        ).bitwiseOR(
+            F.shiftleft(y.bitwiseAND(F.lit(1 << i)).cast("long"), i + 1)
+        )
+    return o.select("o_orderkey", z.alias("zval"))
