@@ -73,9 +73,17 @@ def cmd_build(args) -> int:
         elif picked is not None:  # interactive session, user aborted
             print("no models selected")
             return 1
-    results = runner.run(args.select, state=state,
+    select = args.select
+    if getattr(args, "upstream", False):
+        select = " ".join("+" + t if not t.startswith("+") else t
+                          for t in select.split())
+    if getattr(args, "downstream", False):
+        select = " ".join(t + "+" if not t.endswith("+") else t
+                          for t in select.split())
+    results = runner.run(select, state=state,
                          exclude=getattr(args, "exclude", None),
-                         threads=getattr(args, "threads", 1))
+                         threads=getattr(args, "threads", 1),
+                         full_refresh=getattr(args, "full_refresh", False))
     for r in results:
         line = f"{r.status:8s} {r.model}" + (f"  rows={r.rows}" if r.rows is not None else "")
         print(line + (f"  {r.error}" if r.error else ""))
@@ -129,6 +137,11 @@ def cmd_test(args) -> int:
         if not wh.exists(name):
             continue
         df = wh.read(name)
+        if getattr(args, "date", None) and m.partition_by:
+            # reference `test --date`: check only that date's partition —
+            # at scale the difference between testing today's increment and
+            # re-scanning the whole history on every run
+            df = df.filter(F.col(m.partition_by) == args.date)
         if m.unique_key:
             total = df.count()
             distinct = df.select(m.unique_key).distinct().count()
@@ -618,6 +631,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="replay the previous --select/--exclude")
     b.add_argument("--threads", type=int, default=1,
                    help="run independent models concurrently (dbt --threads)")
+    b.add_argument("--full-refresh", "-f", action="store_true",
+                   dest="full_refresh",
+                   help="drop and recreate incremental tables from this "
+                        "run's output (schema-change recovery)")
+    b.add_argument("--upstream", "-u", action="store_true",
+                   help="also build upstream dependencies (prepends '+')")
+    b.add_argument("--downstream", "-d", action="store_true",
+                   help="also build downstream dependents (appends '+')")
     b.set_defaults(fn=cmd_build)
 
     ex = sub.add_parser("explain", help="compile a model and audit its plan")
@@ -632,6 +653,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     t = sub.add_parser("test", help="model checks (pk uniqueness)")
     common(t)
+    t.add_argument("--date", default=None,
+                   help="check only this date's partition (YYYY-MM-DD)")
     t.set_defaults(fn=cmd_test)
 
     m = sub.add_parser("manifest", help="print the model DAG")

@@ -71,21 +71,24 @@ class Runner:
         state: dict[str, str] | None = None,
         exclude: str | None = None,
         threads: int = 1,
+        full_refresh: bool = False,
     ) -> list[RunResult]:
         order = self.manifest.select(selector, state=state, exclude=exclude)
         self._resolve_cache = self._resolve_map()
         if threads > 1:
-            return self._run_parallel(order, threads)
+            return self._run_parallel(order, threads, full_refresh=full_refresh)
         results = []
         for name in order:
             model = self.manifest.models[name]
             try:
-                results.append(self._run_model(model))
+                results.append(self._run_model(model, full_refresh=full_refresh))
             except Exception as e:  # noqa: BLE001 — per-model isolation, like dbt
                 results.append(RunResult(name, "error", error=f"{type(e).__name__}: {e}"))
         return results
 
-    def _run_parallel(self, order: list[str], threads: int) -> list[RunResult]:
+    def _run_parallel(
+        self, order: list[str], threads: int, full_refresh: bool = False
+    ) -> list[RunResult]:
         """Dependency-aware thread-pooled execution (dbt's --threads):
         independent models run concurrently — on a cluster that is the
         difference between one job at a time and a saturated scheduler.
@@ -140,7 +143,7 @@ class Runner:
 
                     def job(m=model):
                         try:
-                            return self._run_model(m)
+                            return self._run_model(m, full_refresh=full_refresh)
                         except Exception as e:  # noqa: BLE001
                             return RunResult(
                                 m.name, "error", error=f"{type(e).__name__}: {e}"
@@ -160,7 +163,7 @@ class Runner:
                     finish(running.pop(fut), fut.result())
         return [results[n] for n in order]
 
-    def _run_model(self, model: Model) -> RunResult:
+    def _run_model(self, model: Model, full_refresh: bool = False) -> RunResult:
         if model.materialized == "ephemeral":
             return RunResult(model.name, "skipped")  # inlined at use sites
         sql = self._render(model)
@@ -171,6 +174,18 @@ class Runner:
             return RunResult(model.name, "success")
         if model.require_partition_filter and model.partition_by:
             require_partition_filter(df, model.partition_by)
+        if model.materialized == "incremental" and full_refresh:
+            # dbt --full-refresh (reference: dbtwiz/commands/build.py:116 →
+            # dbt's full-refresh flag): drop-and-recreate the incremental
+            # table from this run's output alone — the recovery path when
+            # the schema changed shape between runs. write_table's publish
+            # swap keeps the old state readable until the new one lands.
+            self.warehouse.write_table(
+                model.name, df, model.partition_by, model.cluster_by
+            )
+            return RunResult(
+                model.name, "success", rows=self.warehouse.read(model.name).count()
+            )
         if model.materialized == "table":
             self.warehouse.write_table(
                 model.name, df, model.partition_by, model.cluster_by

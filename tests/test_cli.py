@@ -589,3 +589,51 @@ def test_config_check_reports_all_problems(tmp_path, monkeypatch, capsys):
 
     (tmp_path / "config.toml").write_text('theme = "dark"\n')
     assert main(["config", "--check"]) == 0
+
+
+def test_build_full_refresh_recreates_incremental(spark, tmp_path, capsys):
+    """`build --full-refresh` (reference commands/build.py:116): the
+    incremental table is dropped and recreated from this run's output
+    alone, so rows outside the current interval disappear — the
+    schema-change recovery dbt's flag provides."""
+    import yaml
+
+    proj = tmp_path / "proj"
+    (proj / "models").mkdir(parents=True)
+    src = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)],
+        "partitiondate STRING, v INT",
+    )
+    src_path = str(tmp_path / "src")
+    src.write.mode("overwrite").parquet(src_path)
+    (proj / "sources.yml").write_text(
+        yaml.safe_dump({"sources": [{"name": "src", "path": src_path}]})
+    )
+    (proj / "models" / "inc.sql").write_text(
+        "SELECT partitiondate, v FROM {{ ref('src') }} "
+        "WHERE partitiondate >= '{{ var(\"data_interval_start\") }}' "
+        "AND partitiondate < '{{ var(\"data_interval_end\") }}'"
+    )
+    (proj / "models" / "inc.yml").write_text(
+        yaml.safe_dump(
+            {"materialized": "incremental",
+             "incremental_strategy": "insert_overwrite",
+             "partition_by": "partitiondate"}
+        )
+    )
+    from dbtwiz_spark.cli import main
+
+    wh_dir = str(tmp_path / "wh")
+    base = ["build", "--project", str(proj), "--warehouse", wh_dir,
+            "--select", "inc"]
+    assert main(base + ["--start", "2024-01-01", "--end", "2024-01-03"]) == 0
+    assert main(base + ["--start", "2024-01-03", "--end", "2024-01-04"]) == 0
+    from dbtwiz_spark.materialize import Warehouse
+
+    wh = Warehouse(spark, wh_dir)
+    assert wh.read("inc").count() == 3  # incremental kept days 1-2
+
+    # full refresh with only day 3 in the interval -> table shrinks to 1 row
+    assert main(base + ["--start", "2024-01-03", "--end", "2024-01-04",
+                        "--full-refresh"]) == 0
+    assert wh.read("inc").count() == 1
