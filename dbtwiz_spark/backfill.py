@@ -135,12 +135,21 @@ def run_backfill(
     retry_failed_only: bool = False,
     serial: bool = True,
     exclude: str | None = "tag:no_backfill",
+    task_index: int | None = None,
+    task_count: int | None = None,
 ) -> list[tuple[tuple[date, date], str]]:
     """Run the selected models over date chunks, binding the reference's
     interval vars per chunk (data_interval_start/end, is_backfill —
     dbtwiz/commands/build.py:100). ``serial`` is the reference's
     parallelism=1 mode; chunks always run in date order so self-dependent
-    models see their own past data."""
+    models see their own past data.
+
+    ``task_index``/``task_count`` shard the chunk list across parallel
+    workers (reference: Cloud Run task fan-out, commands/build.py:81-92 —
+    each task builds its own date range): worker i runs chunks
+    i, i+count, i+2*count, ... Intended for independent-partition models
+    (insert_overwrite); self-dependent models must keep the single-worker
+    date order."""
     if batch_size is None:
         batch_size = (
             batch_size_from_bytes(bytes_per_day) if bytes_per_day else DEFAULT_BATCH_SIZE
@@ -150,6 +159,17 @@ def run_backfill(
         if (retry_failed_only and journal)
         else chunk_date_range(first, last, batch_size)
     )
+    if task_count is not None:
+        idx = task_index
+        if idx is None:
+            import os
+
+            idx = int(os.environ.get("CLOUD_RUN_TASK_INDEX", "0"))
+        if not (0 <= idx < task_count):
+            raise ValueError(
+                f"task_index {idx} out of bounds for task_count {task_count}"
+            )
+        chunks = chunks[idx::task_count]
     results = []
     # journal EVERY planned chunk as pending up front: after a serial-mode
     # break, never-attempted chunks would otherwise carry no journal entry,

@@ -233,6 +233,8 @@ def cmd_backfill(args) -> int:
         retry_failed_only=args.retry,
         serial=not args.parallel_safe,
         exclude=args.exclude or "tag:no_backfill",
+        task_index=args.task_index,
+        task_count=args.task_count,
     )
     for (lo, hi), status in results:
         print(f"{lo}..{hi}  {status}")
@@ -668,6 +670,11 @@ def build_parser() -> argparse.ArgumentParser:
     bf.add_argument("--first", required=True)
     bf.add_argument("--last", required=True)
     bf.add_argument("--batch-days", type=int, default=None)
+    bf.add_argument("--task-index", type=int, default=None,
+                    help="this worker's shard (defaults to "
+                         "$CLOUD_RUN_TASK_INDEX when --task-count is set)")
+    bf.add_argument("--task-count", type=int, default=None,
+                    help="shard the chunk list across N parallel workers")
     bf.add_argument("--journal", help="journal file; enables retry bookkeeping")
     bf.add_argument("--retry", action="store_true", help="re-run failed chunks only")
     bf.add_argument(

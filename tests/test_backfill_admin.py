@@ -469,3 +469,36 @@ def test_project_default_batch_size(tmp_path):
         )
         with pytest.raises(ValueError):
             project_default_batch_size(tmp_path)
+
+
+def test_backfill_task_sharding(engine, tmp_path, monkeypatch):
+    """task_index/task_count shard the chunk list across parallel workers
+    (reference Cloud Run fan-out): the union of all workers' chunks covers
+    the range exactly once, an unset index falls back to
+    $CLOUD_RUN_TASK_INDEX, and out-of-bounds is a hard error."""
+    all_chunks = [
+        c for c, _s in run_backfill(
+            engine, "daily_values", date(2024, 1, 1), date(2024, 1, 10),
+            batch_size=2)
+    ]
+    sharded = []
+    for i in range(3):
+        sharded += [
+            c for c, _s in run_backfill(
+                engine, "daily_values", date(2024, 1, 1), date(2024, 1, 10),
+                batch_size=2, task_index=i, task_count=3)
+        ]
+    assert sorted(sharded) == sorted(all_chunks)
+
+    monkeypatch.setenv("CLOUD_RUN_TASK_INDEX", "1")
+    env_chunks = [
+        c for c, _s in run_backfill(
+            engine, "daily_values", date(2024, 1, 1), date(2024, 1, 10),
+            batch_size=2, task_count=3)
+    ]
+    assert env_chunks == all_chunks[1::3]
+
+    with pytest.raises(ValueError):
+        run_backfill(engine, "daily_values", date(2024, 1, 1),
+                     date(2024, 1, 10), batch_size=2,
+                     task_index=5, task_count=3)
