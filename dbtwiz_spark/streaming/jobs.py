@@ -174,3 +174,118 @@ def foreach_batch_merge(
         warehouse.merge(table, out, unique_key, partition_by)
 
     return sink
+
+
+def band_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) MinHash band signatures for a document batch —
+    the same 8-band x 4-row scheme the batch near-dup path uses
+    (ops/ext_llm.py ext_dedup_near), DF-capped semantics excluded: a
+    micro-batch cannot know global document frequencies, so streaming
+    works on raw shingles (the cap is a batch-compaction concern)."""
+    from dbtwiz_spark.ops.ext_llm import BANDS, NUM_PERM, shingles
+
+    rows_per_band = NUM_PERM // BANDS
+    per_doc = shingles(docs, 3).groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
+            for i in range(NUM_PERM)
+        ]
+    )
+    return per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def foreach_batch_near_dedup(
+    warehouse: Warehouse, sig_table: str, out_table: str
+):
+    """foreachBatch sink: streaming near-duplicate detection against a
+    persisted signature store — the streaming face of MinHash+LSH dedup
+    (a crawl pipeline flags each arriving document against everything
+    already ingested, without re-scanning the corpus).
+
+    Per micro-batch: band-sign the batch, probe the signature store on the
+    (band, sig) LSH bucket key (never a similarity scan), emit
+    (doc_id, is_dup) to ``out_table``, and append the batch's signatures
+    (stamped with ``batch_id``) to the store. Keep-FIRST-ARRIVAL
+    semantics: a doc is a duplicate iff some doc with an earlier arrival
+    rank — (batch_id, doc_id) lexicographic — shares a band bucket. The
+    probe therefore guards on ``store.batch_id < batch_id`` (strictly
+    earlier batches only), and intra-batch collisions keep the minimum
+    doc_id. The guard is also what makes replay exactly idempotent:
+    Structured Streaming re-delivers a failed micro-batch under the SAME
+    batch_id, whose own stored signatures are invisible to the re-run's
+    probe, and the store append dedups on the full row. At scale the
+    store is a bucketed table on (band, sig) and each batch's probe is a
+    bucket-local join; state grows with the corpus, not the stream
+    duration — which is why this lives in foreachBatch against a table
+    rather than in bounded operator state."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sigs = band_signatures(batch_df).persist()
+        try:
+            store_exists = warehouse.exists(sig_table)
+            if store_exists:
+                t = warehouse.read(sig_table).alias("t")
+                s = sigs.alias("s")
+                vs_store = (
+                    s.join(
+                        t,
+                        (F.col("s.band") == F.col("t.band"))
+                        & (F.col("s.sig") == F.col("t.sig"))
+                        & (F.col("t.batch_id") < F.lit(batch_id)),
+                        "left_semi",
+                    )
+                    .select("doc_id")
+                    .distinct()
+                )
+            else:
+                vs_store = sigs.select("doc_id").limit(0)
+            first_in_batch = sigs.groupBy("band", "sig").agg(
+                F.min("doc_id").alias("first_doc")
+            )
+            vs_batch = (
+                sigs.join(first_in_batch, ["band", "sig"])
+                .filter(F.col("doc_id") > F.col("first_doc"))
+                .select("doc_id")
+                .distinct()
+            )
+            dups = vs_store.unionByName(vs_batch).distinct()
+            flagged = (
+                batch_df.select("doc_id")
+                .distinct()
+                .join(dups.withColumn("is_dup", F.lit(True)), "doc_id", "left")
+                .fillna(False, ["is_dup"])
+            )
+            if warehouse.exists(out_table):
+                warehouse.merge(out_table, flagged, "doc_id")
+            else:
+                warehouse.write_table(out_table, flagged, snapshot=False)
+            stamped = sigs.withColumn("batch_id", F.lit(batch_id))
+            if store_exists:
+                combined = warehouse.read(sig_table).unionByName(stamped).distinct()
+                warehouse.write_table(sig_table, combined, snapshot=False)
+            else:
+                warehouse.write_table(sig_table, stamped.distinct(), snapshot=False)
+        finally:
+            sigs.unpersist()
+
+    return sink

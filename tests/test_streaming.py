@@ -302,3 +302,72 @@ def test_foreach_batch_merge_partitioned_keeps_hive_layout(spark, tmp_path):
     # flatten it to root-level files)
     for day in ("2024-01-01", "2024-01-02", "2024-01-03"):
         assert (wh.path("pt") / f"partitiondate={day}").exists()
+
+
+def test_foreach_batch_near_dedup_matches_batch_rule(spark, tmp_path):
+    """Streaming near-dup (foreachBatch + persisted signature store) must
+    flag exactly the docs the batch rule flags: is_dup(d) == some doc with
+    a smaller doc_id shares a MinHash band bucket — regardless of which
+    micro-batch either doc arrived in."""
+    from dbtwiz_spark.catalog import Catalog
+    from dbtwiz_spark.streaming.jobs import (
+        band_signatures,
+        foreach_batch_near_dedup,
+    )
+
+    docs = Catalog(spark, "/root/testdata/sf0.001").table("documents")
+    src = tmp_path / "docs_stream"
+    # three arrival waves split by doc_id so "earlier batch" == smaller ids
+    for i, pred in enumerate(
+        ["doc_id % 3 = 0", "doc_id % 3 = 1", "doc_id % 3 = 2"]
+    ):
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"wave_{i}")
+        )
+    # stream order must be deterministic: feed the three waves as three
+    # single-file batches via three separate sink invocations (foreachBatch
+    # order with file sources isn't alphabetical-stable across runs)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sink = foreach_batch_near_dedup(wh, "sig_store", "dedup_flags")
+    for i in range(3):
+        sink(spark.read.parquet(str(src / f"wave_{i}")), i)
+
+    got = {r.doc_id: r.is_dup for r in wh.read("dedup_flags").collect()}
+
+    # batch rule under keep-first-ARRIVAL: arrival rank is
+    # (wave, doc_id) lexicographic; a doc is dup iff an earlier-ranked doc
+    # shares a band bucket
+    sigs = band_signatures(docs).withColumn(
+        "wave", F.col("doc_id") % 3
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    dup_ids = {
+        r.doc_id
+        for r in a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (
+                (F.col("b.wave") < F.col("a.wave"))
+                | (
+                    (F.col("b.wave") == F.col("a.wave"))
+                    & (F.col("b.doc_id") < F.col("a.doc_id"))
+                )
+            ),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    n_docs = docs.count()
+    assert len(got) == n_docs
+    assert {d for d, v in got.items() if v} != set()  # fixture has dups
+    assert {d for d, v in got.items() if v} == dup_ids
+
+    # replay of a micro-batch under its ORIGINAL batch_id (Structured
+    # Streaming's crash-recovery contract) is exactly idempotent: the
+    # batch's own stored signatures are invisible to its re-run's probe
+    sink(spark.read.parquet(str(src / "wave_1")), 1)
+    again = {r.doc_id: r.is_dup for r in wh.read("dedup_flags").collect()}
+    assert again == got
