@@ -311,3 +311,35 @@ def test_round4_ops_plan_properties(spark):
     # the exploded token stream is shuffled once, for the (doc, term)
     # aggregate; every other exchange moves tf-level or 1-row data
     assert tfidf_plan.count("Generate ") <= 2  # one explode (tree + detail)
+
+
+def test_latest_ops_plan_properties(spark):
+    """Round-4 late additions: z-order is a zero-exchange scan-fused
+    projection (pure bit math); importance sampling likewise (map-side
+    accept test); vocab-build shuffles once for the wordcount with
+    map-side combine; curriculum ordering windows per language (never a
+    single global partition); URL dedup is one partial-aggregated
+    hash-groupBy with no join at all."""
+    from dbtwiz_spark.ops.ext_pipeline import (
+        ext_curriculum_order,
+        ext_dedup_url,
+        ext_sample_importance,
+        ext_vocab_build,
+    )
+    from dbtwiz_spark.ops.functions import func_zorder
+
+    for fn in (func_zorder, ext_sample_importance):
+        plan = _formatted(fn(spark, SF_DIR))
+        assert plan.count("Exchange (") == 0, fn.__name__
+        assert plan.count("Scan parquet") == 2, fn.__name__  # tree + detail
+
+    vocab_plan = _formatted(ext_vocab_build(spark, SF_DIR))
+    assert "partial_count" in vocab_plan  # map-side combine on the wordcount
+
+    cur_plan = _formatted(ext_curriculum_order(spark, SF_DIR))
+    assert "hashpartitioning(lang" in cur_plan
+    assert "SinglePartition" not in cur_plan
+
+    url_plan = _formatted(ext_dedup_url(spark, SF_DIR))
+    assert "Join" not in url_plan
+    assert "partial_" in url_plan
