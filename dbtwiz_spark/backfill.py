@@ -159,6 +159,11 @@ def run_backfill(
         if (retry_failed_only and journal)
         else chunk_date_range(first, last, batch_size)
     )
+    if task_index is not None and task_count is None:
+        # silently running the FULL chunk list when the caller believes it
+        # runs one shard means N workers each backfill everything — N×
+        # cost and concurrent writes to the same partitions
+        raise ValueError("task_index given without task_count")
     if task_count is not None:
         idx = task_index
         if idx is None:

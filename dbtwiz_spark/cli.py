@@ -74,12 +74,14 @@ def cmd_build(args) -> int:
             print("no models selected")
             return 1
     select = args.select
-    if getattr(args, "upstream", False):
-        select = " ".join("+" + t if not t.startswith("+") else t
-                          for t in select.split())
-    if getattr(args, "downstream", False):
-        select = " ".join(t + "+" if not t.endswith("+") else t
-                          for t in select.split())
+    if getattr(args, "upstream", False) or getattr(args, "downstream", False):
+        # tokenize exactly like the selector grammar (commas are unions)
+        terms = select.replace(",", " ").split()
+        if getattr(args, "upstream", False):
+            terms = ["+" + t if not t.startswith("+") else t for t in terms]
+        if getattr(args, "downstream", False):
+            terms = [t + "+" if not t.endswith("+") else t for t in terms]
+        select = " ".join(terms)
     results = runner.run(select, state=state,
                          exclude=getattr(args, "exclude", None),
                          threads=getattr(args, "threads", 1),
@@ -124,6 +126,14 @@ def cmd_test(args) -> int:
     check; every check is a single Spark job over the built table."""
     from pyspark.sql import functions as F
 
+    if getattr(args, "date", None):
+        from datetime import date as _date
+
+        try:
+            _date.fromisoformat(args.date)
+        except ValueError:
+            print(f"error: --date must be YYYY-MM-DD, got {args.date!r}")
+            return 1
     runner, manifest, wh = _load(args)
     failures = 0
 
@@ -142,6 +152,12 @@ def cmd_test(args) -> int:
             # at scale the difference between testing today's increment and
             # re-scanning the whole history on every run
             df = df.filter(F.col(m.partition_by) == args.date)
+            if df.isEmpty():
+                # vacuous green is worse than noise: a typo'd or unbuilt
+                # date would otherwise "pass" every check on zero rows
+                report(False, name, f"partition {args.date}",
+                       "no rows — partition missing or never built")
+                continue
         if m.unique_key:
             total = df.count()
             distinct = df.select(m.unique_key).distinct().count()

@@ -413,6 +413,34 @@ def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     )
 
 
+def band_stack(per_doc: DataFrame, num_perm: int = NUM_PERM, bands: int = BANDS) -> DataFrame:
+    """(doc_id, band, sig): hash each band's minhash rows into one band
+    signature and explode to the LSH bucket key. Shared by the batch
+    near-dup path (ext_dedup_near) and the streaming signature store
+    (streaming/jobs.band_signatures) so the banding scheme can never
+    silently diverge between them."""
+    rows_per_band = num_perm // bands
+    return per_doc.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"mh_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("sig"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 @register("ext-dedup-near", oracle=None)
 def ext_dedup_near(spark, sf_dir):
     """Near-dup via MinHash + LSH banding (shingle → minhash → band →
@@ -433,7 +461,6 @@ def ext_dedup_near(spark, sf_dir):
     # Memoized per (session, sf_dir): it is a built artifact (at scale, a
     # materialized table), so repeat calls in a long-lived session reuse the
     # SAME persisted DataFrame instead of re-persisting an identical plan.
-    rows_per_band = NUM_PERM // BANDS
     key = (spark, sf_dir, "lsh_per_doc_capped")
     per_doc = _ARTIFACTS.get(key)
     if per_doc is None:
@@ -457,25 +484,7 @@ def ext_dedup_near(spark, sf_dir):
             .persist()
         )
         _ARTIFACTS[key] = per_doc
-    stacked = per_doc.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh_{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("sig"),
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    stacked = band_stack(per_doc)
     a, b = stacked.alias("a"), stacked.alias("b")
     candidates = (
         a.join(

@@ -122,9 +122,11 @@ def sort_within_partitions_cert(spark, sf_dir):
     parquet min/max block skipping depends on at 100 TB."""
     import pandas as pd
 
-    li = views(spark, sf_dir).table("lineitem")
+    # certify the SHIPPED entry's output, not a copy of its layout — if
+    # sort_within_partitions changes partitioning or sort keys, this
+    # certificate follows it instead of staying green on dead code
     cols = ["l_returnflag", "l_shipdate", "l_orderkey"]
-    laid_out = li.repartition(8, "l_returnflag").sortWithinPartitions(*cols)
+    laid_out = sort_within_partitions(spark, sf_dir)
 
     def check(batches):
         rows, ok, last = 0, True, None

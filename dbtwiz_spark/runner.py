@@ -179,14 +179,18 @@ class Runner:
             # dbt's full-refresh flag): drop-and-recreate the incremental
             # table from this run's output alone — the recovery path when
             # the schema changed shape between runs. write_table's publish
-            # swap keeps the old state readable until the new one lands.
+            # swap keeps the old state readable until the new one lands;
+            # snapshot honors the model's own config, exactly like the
+            # incremental path it replaces. Falls through to the shared
+            # temp-view registration so downstream refs resolve.
             self.warehouse.write_table(
-                model.name, df, model.partition_by, model.cluster_by
+                model.name,
+                df,
+                model.partition_by,
+                model.cluster_by,
+                snapshot=model.snapshot,
             )
-            return RunResult(
-                model.name, "success", rows=self.warehouse.read(model.name).count()
-            )
-        if model.materialized == "table":
+        elif model.materialized == "table":
             self.warehouse.write_table(
                 model.name, df, model.partition_by, model.cluster_by
             )

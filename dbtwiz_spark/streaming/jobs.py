@@ -178,38 +178,14 @@ def foreach_batch_merge(
 
 def band_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, band, sig) MinHash band signatures for a document batch —
-    the same 8-band x 4-row scheme the batch near-dup path uses
-    (ops/ext_llm.py ext_dedup_near), DF-capped semantics excluded: a
-    micro-batch cannot know global document frequencies, so streaming
-    works on raw shingles (the cap is a batch-compaction concern)."""
-    from dbtwiz_spark.ops.ext_llm import BANDS, NUM_PERM, shingles
+    the SAME signature + banding code the batch near-dup path runs
+    (ops/ext_llm.py minhash_signatures + band_stack, so the schemes can
+    never silently diverge). DF-capped semantics excluded: a micro-batch
+    cannot know global document frequencies, so streaming works on raw
+    shingles (the cap is a batch-compaction concern)."""
+    from dbtwiz_spark.ops.ext_llm import band_stack, minhash_signatures, shingles
 
-    rows_per_band = NUM_PERM // BANDS
-    per_doc = shingles(docs, 3).groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh_{i}")
-            for i in range(NUM_PERM)
-        ]
-    )
-    return per_doc.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"mh_{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("sig"),
-                    )
-                    for b in range(BANDS)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    return band_stack(minhash_signatures(shingles(docs, 3)))
 
 
 def foreach_batch_near_dedup(
@@ -251,7 +227,10 @@ def foreach_batch_near_dedup(
                         t,
                         (F.col("s.band") == F.col("t.band"))
                         & (F.col("s.sig") == F.col("t.sig"))
-                        & (F.col("t.batch_id") < F.lit(batch_id)),
+                        # hive partition columns read back as STRING
+                        # (inference disabled engine-wide): cast before the
+                        # numeric compare or "10" < "9" lexicographics leak in
+                        & (F.col("t.batch_id").cast("long") < F.lit(batch_id)),
                         "left_semi",
                     )
                     .select("doc_id")
@@ -279,12 +258,15 @@ def foreach_batch_near_dedup(
                 warehouse.merge(out_table, flagged, "doc_id")
             else:
                 warehouse.write_table(out_table, flagged, snapshot=False)
-            stamped = sigs.withColumn("batch_id", F.lit(batch_id))
-            if store_exists:
-                combined = warehouse.read(sig_table).unionByName(stamped).distinct()
-                warehouse.write_table(sig_table, combined, snapshot=False)
-            else:
-                warehouse.write_table(sig_table, stamped.distinct(), snapshot=False)
+            # append = overwrite only THIS batch's partition: the store is
+            # hive-partitioned on batch_id, so per-batch cost is O(batch),
+            # not O(corpus) (a full union+distinct rewrite would re-shuffle
+            # every historical signature each micro-batch), and a replay
+            # under the same batch_id overwrites exactly its own partition
+            stamped = sigs.withColumn("batch_id", F.lit(batch_id)).distinct()
+            warehouse.insert_overwrite(
+                sig_table, stamped, "batch_id", snapshot=False
+            )
         finally:
             sigs.unpersist()
 
