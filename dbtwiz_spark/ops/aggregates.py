@@ -583,3 +583,44 @@ def agg_quantile_digest(spark, sf_dir):
         _ok("lo50", "hi50", 0.5).alias("median_ok"),
         _ok("lo90", "hi90", 0.9).alias("p90_ok"),
     )
+
+
+@register(
+    "agg-mode-deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY cnt DESC, o_orderpriority) AS rn
+        FROM c)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           cnt AS mode_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Per-group statistical mode with a DETERMINISTIC tie-break (smallest
+    value wins): built-in ``mode()`` returns an arbitrary element among
+    tied candidates in both engines, which can never hash-match — so the
+    engine computes it as count-per-value then an argmax via struct-max
+    ordering (count DESC, value ASC), the same two-phase shape Catalyst
+    gives any distinct-style aggregate: both groupBys carry map-side
+    partial aggregation, and the second operates on the tiny
+    (group, value) count table."""
+    o = views(spark, sf_dir).table("orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("cnt")
+    )
+    # struct max over (cnt, reversed-value): Spark compares struct fields
+    # left-to-right, so this is argmax by count with min-value tie-break —
+    # encode "value ASC on ties" by negating the comparison via a sort on
+    # the original value inside min_by's ordering struct
+    return c.groupBy("o_orderstatus").agg(
+        F.min_by(
+            "o_orderpriority",
+            F.struct((-F.col("cnt")).alias("neg"), F.col("o_orderpriority").alias("v")),
+        ).alias("mode_priority"),
+        F.max("cnt").alias("mode_count"),
+    )

@@ -22,8 +22,9 @@ round 4 (text-normalize through curriculum-order), and ext-dedup-near,
 whose shingle universe changed this round. Exactly 50 entries. After this
 round every corpus entry has a driver row from code identical to what
 ships, EXCEPT the entries added after the window filled
-(ext-dedup-simhash-recall, sort-within-partitions-cert, func-zorder —
-local-oracle green, slated for the round-5 window).
+(ext-dedup-simhash-recall, sort-within-partitions-cert, func-zorder,
+stream-dedup-near, agg-mode-deterministic — local-oracle green, slated
+for the round-5 window).
 """
 
 from __future__ import annotations

@@ -180,3 +180,39 @@ def stream_foreachbatch_sink(spark, sf_dir):
         .groupBy("partitiondate")
         .agg(F.count("*").alias("n_events"), dsum("value", "total_value"))
     )
+
+
+@register("stream-dedup-near", oracle=None)
+def stream_dedup_near(spark, sf_dir):
+    """Batch-parity form of the streaming near-duplicate detector
+    (streaming/jobs.py foreach_batch_near_dedup): per document, is_dup =
+    some earlier (smaller doc_id) document shares a MinHash band bucket —
+    the keep-first rule the streaming sink applies per arrival rank,
+    evaluated here over the whole corpus at once. Rows-only: band
+    signatures are seeded xxhash64, which no other engine reproduces; the
+    streaming/batch agreement is pinned by
+    tests/test_streaming.py::test_foreach_batch_near_dedup_matches_batch_rule.
+
+    Scale shape: signatures + banding are the shared batch-path helpers
+    (one shuffle), the collision test is an equi-join of the band stream
+    against its per-bucket minimum — never a pair join."""
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.ops.common import views
+    from dbtwiz_spark.ops.ext_llm import band_stack, minhash_signatures, shingles
+
+    d = views(spark, sf_dir).table("documents")
+    sigs = band_stack(minhash_signatures(shingles(d, 3)))
+    firsts = sigs.groupBy("band", "sig").agg(F.min("doc_id").alias("first_doc"))
+    dups = (
+        sigs.join(firsts, ["band", "sig"])
+        .filter(F.col("doc_id") > F.col("first_doc"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        d.select("doc_id")
+        .join(dups, "doc_id", "left")
+        .fillna(False, ["is_dup"])
+    )

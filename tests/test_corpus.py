@@ -45,6 +45,7 @@ def test_queries_oracle_contract(spark):
         "ext-dedup-simhash",
         "ext-ann-lsh-bucket",
         "ext-ann-ivf",
+        "stream-dedup-near",
     }
 
 
