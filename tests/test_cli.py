@@ -701,3 +701,17 @@ def test_upstream_flag_marks_every_comma_term():
     terms = select.replace(",", " ").split()
     up = ["+" + t for t in terms]
     assert up == ["+a", "+b", "+c"]
+
+
+def test_session_default_shuffle_partitions_from_config(tmp_path, monkeypatch):
+    """session._default_shuffle_partitions: env var wins, else the user
+    config's shuffle_partitions, else 32."""
+    from dbtwiz_spark.session import _default_shuffle_partitions
+
+    monkeypatch.setenv("DBTWIZ_SPARK_CONFIG_DIR", str(tmp_path))
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE", raising=False)
+    assert _default_shuffle_partitions() == 32
+    (tmp_path / "config.toml").write_text("shuffle_partitions = 7\n")
+    assert _default_shuffle_partitions() == 7
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "64")
+    assert _default_shuffle_partitions() == 64
