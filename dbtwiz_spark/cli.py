@@ -35,6 +35,20 @@ def _load(args):
     return Runner(wh.spark, manifest, wh, variables=variables), manifest, wh
 
 
+def _apply_graph_flags(select: str, upstream: bool, downstream: bool) -> str:
+    """--upstream/--downstream sugar: mark every selector term with the
+    +graph operators, tokenizing commas exactly like the selector grammar
+    (manifest.select treats commas as unions)."""
+    if not (upstream or downstream):
+        return select
+    terms = select.replace(",", " ").split()
+    if upstream:
+        terms = ["+" + t if not t.startswith("+") else t for t in terms]
+    if downstream:
+        terms = [t + "+" if not t.endswith("+") else t for t in terms]
+    return " ".join(terms)
+
+
 def cmd_build(args) -> int:
     import json as _json
     from pathlib import Path as _Path
@@ -73,15 +87,11 @@ def cmd_build(args) -> int:
         elif picked is not None:  # interactive session, user aborted
             print("no models selected")
             return 1
-    select = args.select
-    if getattr(args, "upstream", False) or getattr(args, "downstream", False):
-        # tokenize exactly like the selector grammar (commas are unions)
-        terms = select.replace(",", " ").split()
-        if getattr(args, "upstream", False):
-            terms = ["+" + t if not t.startswith("+") else t for t in terms]
-        if getattr(args, "downstream", False):
-            terms = [t + "+" if not t.endswith("+") else t for t in terms]
-        select = " ".join(terms)
+    select = _apply_graph_flags(
+        args.select,
+        getattr(args, "upstream", False),
+        getattr(args, "downstream", False),
+    )
     results = runner.run(select, state=state,
                          exclude=getattr(args, "exclude", None),
                          threads=getattr(args, "threads", 1),

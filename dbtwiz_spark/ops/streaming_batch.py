@@ -187,22 +187,32 @@ def stream_dedup_near(spark, sf_dir):
     """Batch-parity form of the streaming near-duplicate detector
     (streaming/jobs.py foreach_batch_near_dedup): per document, is_dup =
     some earlier (smaller doc_id) document shares a MinHash band bucket —
-    the keep-first rule the streaming sink applies per arrival rank,
-    evaluated here over the whole corpus at once. Rows-only: band
-    signatures are seeded xxhash64, which no other engine reproduces; the
-    streaming/batch agreement is pinned by
-    tests/test_streaming.py::test_foreach_batch_near_dedup_matches_batch_rule.
+    the keep-first rule the streaming sink applies, here with arrival
+    rank = doc_id (the sink generalizes to (batch_id, doc_id) when
+    arrival order differs). Rows-only: band signatures are seeded
+    xxhash64, which no other engine reproduces. The sink-vs-entry
+    agreement when arrival order IS doc_id order is pinned by
+    tests/test_streaming.py::test_stream_dedup_near_entry_matches_sink.
 
     Scale shape: signatures + banding are the shared batch-path helpers
-    (one shuffle), the collision test is an equi-join of the band stream
-    against its per-bucket minimum — never a pair join."""
-    from pyspark.sql import functions as F
-
-    from dbtwiz_spark.ops.common import views
-    from dbtwiz_spark.ops.ext_llm import band_stack, minhash_signatures, shingles
+    (one shuffle, persisted via the memoized-artifact pattern because two
+    consumers — the bucket-minimum aggregate and the probe join — would
+    otherwise each recompute the full shingle->minhash pipeline), and the
+    collision test is an equi-join of the band stream against its
+    per-bucket minimum — never a pair join."""
+    from dbtwiz_spark.ops.ext_llm import (
+        _ARTIFACTS,
+        band_stack,
+        minhash_signatures,
+        shingles,
+    )
 
     d = views(spark, sf_dir).table("documents")
-    sigs = band_stack(minhash_signatures(shingles(d, 3)))
+    key = (spark, sf_dir, "stream_band_sigs")
+    sigs = _ARTIFACTS.get(key)
+    if sigs is None:
+        sigs = band_stack(minhash_signatures(shingles(d, 3))).persist()
+        _ARTIFACTS[key] = sigs
     firsts = sigs.groupBy("band", "sig").agg(F.min("doc_id").alias("first_doc"))
     dups = (
         sigs.join(firsts, ["band", "sig"])

@@ -68,10 +68,14 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # 64 MB static broadcast threshold (prod-typical; default 10 MB):
         # broadcasting a mid-size dimension at PLAN time skips the shuffle
-        # stages AQE would otherwise run before demoting the join at
-        # runtime — measured 30% on the fact⋈orders⋈customer chain. AQE
-        # still demotes joins whose runtime size exceeds the estimate, so
-        # the setting is an optimization ceiling, not a correctness bet.
+        # stages AQE would otherwise run before promoting the join at
+        # runtime — measured 30% on the fact⋈orders⋈customer chain. The
+        # trade is real memory headroom, not free: a statically planned
+        # broadcast cannot be demoted by AQE (no shuffle stats exist), and
+        # 64 MB of columnar parquet can deserialize to several hundred MB
+        # per executor — acceptable for the ≥8 GB-per-executor deployments
+        # this engine targets, but deployments with small executors or
+        # extreme compression ratios should lower it (runtime-settable).
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
@@ -94,11 +98,15 @@ def _apply_runtime_confs(spark: SparkSession, shuffle_partitions: int | None) ->
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # runtime-settable: driver-created sessions get the same broadcast
-    # ceiling as builder-created ones (see the builder comment)
-    spark.conf.set(
-        "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
-    )
+    # driver-created sessions get the same broadcast ceiling as
+    # builder-created ones (see the builder comment) — but only when the
+    # session still carries Spark's 10 MB default, so a host that
+    # deliberately tuned the threshold is never stomped
+    current = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    if str(current).rstrip("b") == "10485760":
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
     # Partition columns keep their written type on read-back: a model that
     # writes partitiondate as STRING must not see it come back as DATE after
     # an incremental append (schema drift breaks unionByName at scale).

@@ -262,8 +262,24 @@ def foreach_batch_near_dedup(
             # hive-partitioned on batch_id, so per-batch cost is O(batch),
             # not O(corpus) (a full union+distinct rewrite would re-shuffle
             # every historical signature each micro-batch), and a replay
-            # under the same batch_id overwrites exactly its own partition
-            stamped = sigs.withColumn("batch_id", F.lit(batch_id)).distinct()
+            # under the same batch_id overwrites exactly its own partition.
+            # No distinct: band_signatures emits exactly one row per
+            # (doc_id, band), so the batch is duplicate-free by shape.
+            stamped = sigs.withColumn("batch_id", F.lit(batch_id))
+            if store_exists and not any(
+                warehouse.path(sig_table).glob("batch_id=*")
+            ):
+                # migration guard: a store written by the pre-partitioned
+                # layout has root-level parquet files (batch_id as a data
+                # column); mixing hive dirs beside them makes every later
+                # read fail with conflicting directory structures — rewrite
+                # the old state into the partitioned layout once
+                warehouse.write_table(
+                    sig_table,
+                    warehouse.read(sig_table),
+                    partition_by="batch_id",
+                    snapshot=False,
+                )
             warehouse.insert_overwrite(
                 sig_table, stamped, "batch_id", snapshot=False
             )

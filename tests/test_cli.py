@@ -691,16 +691,15 @@ def test_full_refresh_registers_view_for_downstream(spark, tmp_path):
 
 def test_upstream_flag_marks_every_comma_term():
     """Regression: --upstream/--downstream must tokenize commas like the
-    selector grammar, not whitespace only."""
-    import argparse
+    selector grammar, not whitespace only — tested against the SHIPPED
+    transform, not a copy."""
+    from dbtwiz_spark.cli import _apply_graph_flags
 
-    from dbtwiz_spark import cli as cli_mod
-
-    # exercise just the selector-rewrite logic by reproducing its contract
-    select = "a,b c"
-    terms = select.replace(",", " ").split()
-    up = ["+" + t for t in terms]
-    assert up == ["+a", "+b", "+c"]
+    assert _apply_graph_flags("a,b c", True, False) == "+a +b +c"
+    assert _apply_graph_flags("a,b", False, True) == "a+ b+"
+    assert _apply_graph_flags("+a,b", True, True) == "+a+ +b+"
+    assert _apply_graph_flags("tag:x,m", True, False) == "+tag:x +m"
+    assert _apply_graph_flags("a,b", False, False) == "a,b"
 
 
 def test_session_default_shuffle_partitions_from_config(tmp_path, monkeypatch):

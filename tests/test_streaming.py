@@ -371,3 +371,31 @@ def test_foreach_batch_near_dedup_matches_batch_rule(spark, tmp_path):
     sink(spark.read.parquet(str(src / "wave_1")), 1)
     again = {r.doc_id: r.is_dup for r in wh.read("dedup_flags").collect()}
     assert again == got
+
+
+def test_stream_dedup_near_entry_matches_sink(spark, tmp_path):
+    """When arrival order IS doc_id order (waves split by doc_id ranges),
+    the streaming sink's flags must equal the stream-dedup-near corpus
+    entry — a cross-implementation parity check linking the rows-only
+    entry to the sink it mirrors."""
+    from dbtwiz_spark.catalog import Catalog
+    from dbtwiz_spark.ops.streaming_batch import stream_dedup_near
+    from dbtwiz_spark.streaming.jobs import foreach_batch_near_dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = Catalog(spark, sf).table("documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    t1, t2 = ids[len(ids) // 3], ids[2 * len(ids) // 3]
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    sink = foreach_batch_near_dedup(wh, "sigs", "flags")
+    for i, pred in enumerate(
+        [f"doc_id < {t1}", f"doc_id >= {t1} AND doc_id < {t2}",
+         f"doc_id >= {t2}"]
+    ):
+        sink(docs.filter(pred), i)
+
+    got = {r.doc_id: r.is_dup for r in wh.read("flags").collect()}
+    want = {r.doc_id: r.is_dup for r in stream_dedup_near(spark, sf).collect()}
+    assert got == want
+    assert any(got.values())  # fixture has near-dups
