@@ -624,3 +624,62 @@ def agg_mode_deterministic(spark, sf_dir):
         ).alias("mode_priority"),
         F.max("cnt").alias("mode_count"),
     )
+
+
+@register(
+    "agg-corr-covar",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {dsum_sql('l_quantity')} AS sx,
+               {dsum_sql('l_extendedprice')} AS sy,
+               {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+               {dsum_sql('l_quantity * l_quantity')} AS sxx,
+               {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+        FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+           round((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+             AS corr
+    FROM m
+    """,
+)
+def agg_corr_covar(spark, sf_dir):
+    """Per-group covariance and Pearson correlation — deterministically.
+    Built-in ``corr``/``covar_pop`` accumulate doubles in partition order,
+    so their low bits differ between engines (and between runs with
+    different partitioning); this entry instead reduces the five exact
+    moments (n, Σx, Σy, Σxy, Σx², Σy²) through the DECIMAL accumulator
+    (ops.common.dsum — order-independent by exactness) and combines them
+    in one double expression per group, rounded to 6 dp to absorb the
+    final combine's last-ulp division/sqrt variance.
+
+    One shuffle with map-side partial aggregation, identical to any other
+    groupBy — the moment trick costs nothing at scale and is also the
+    MERGEABLE form (per-shard moment vectors add), which is how a 100 TB
+    pipeline rolls correlation up across partitions without a second
+    pass."""
+    li = views(spark, sf_dir).table("lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * y, "sxy"),
+        dsum(x * x, "sxx"),
+        dsum(y * y, "syy"),
+    )
+    n = F.col("n")
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * (F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov, 6).alias("covar_pop"),
+        F.round(corr, 6).alias("corr"),
+    )
