@@ -23,8 +23,9 @@ whose shingle universe changed this round. Exactly 50 entries. After this
 round every corpus entry has a driver row from code identical to what
 ships, EXCEPT the entries added after the window filled
 (ext-dedup-simhash-recall, sort-within-partitions-cert, func-zorder,
-stream-dedup-near, agg-mode-deterministic, agg-corr-covar —
-local-oracle green, slated for the round-5 window).
+stream-dedup-near, agg-mode-deterministic, agg-corr-covar,
+set-except-all, set-intersect-all, win-gaps-islands — local-oracle
+green, slated for the round-5 window).
 """
 
 from __future__ import annotations

@@ -80,3 +80,41 @@ def set_except(spark, sf_dir):
     c = cat.table("customer").select(F.col("c_nationkey").alias("nationkey"))
     s = cat.table("supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)  # EXCEPT DISTINCT semantics (exceptAll is the ALL form)
+
+
+@register(
+    "set-except-all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference: each customer key cancels ONE of
+    its order occurrences, leaving a row per surplus order (multiplicity
+    arithmetic, not membership). Catalyst plans exceptAll as a
+    count-per-key aggregate + generate, one shuffle on the key — same
+    scale shape as a groupBy."""
+    cat = views(spark, sf_dir)
+    o = cat.table("orders").select(F.col("o_custkey").alias("custkey"))
+    c = cat.table("customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
+
+
+@register(
+    "set-intersect-all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    INTERSECT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset intersection: one row per matched
+    occurrence pair, min(multiplicity) semantics. Same count-aggregate
+    plan shape as set-except-all."""
+    cat = views(spark, sf_dir)
+    o = cat.table("orders").select(F.col("o_custkey").alias("custkey"))
+    c = cat.table("customer").select(F.col("c_custkey").alias("custkey"))
+    return o.intersectAll(c)

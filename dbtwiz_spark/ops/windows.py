@@ -271,3 +271,46 @@ def win_qualify(spark, sf_dir):
         .filter(F.col("_rn") <= 2)
         .drop("_rn")
     )
+
+
+@register(
+    "win-gaps-islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    grp AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INTEGER) AS anchor
+        FROM days)
+    SELECT user_id, CAST(MIN(d) AS VARCHAR) AS streak_start,
+           CAST(MAX(d) AS VARCHAR) AS streak_end,
+           COUNT(*) AS streak_days
+    FROM grp GROUP BY user_id, anchor
+    """,
+)
+def win_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days (the
+    classic streak/retention query). The date-minus-row_number trick maps
+    every island to a constant anchor — consecutive days advance both the
+    date and the rank in lockstep — so islands fall out of one ordinary
+    groupBy, no iterative logic.
+
+    Two shuffles, both on user_id (distinct-day reduce, then the rank
+    window) plus the island groupBy on (user_id, anchor) — all
+    partitioned by user, embarrassingly parallel across users at 100 TB.
+    Dates stringify for the cross-engine hash (DateType pandas
+    representations diverge; see .claude verify notes)."""
+    ev = views(spark, sf_dir).table("events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    return grp.groupBy("user_id", "anchor").agg(
+        F.min("d").cast("string").alias("streak_start"),
+        F.max("d").cast("string").alias("streak_end"),
+        F.count("*").alias("streak_days"),
+    ).drop("anchor")
