@@ -639,7 +639,7 @@ def agg_mode_deterministic(spark, sf_dir):
                {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
         FROM lineitem GROUP BY 1)
     SELECT l_returnflag, n,
-           round((sxy - sx * sy / n) / n, 6) AS covar_pop,
+           round((sxy - sx * sy / n) / n, 2) AS covar_pop,
            round((sxy - sx * sy / n)
                  / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
              AS corr
@@ -653,8 +653,13 @@ def agg_corr_covar(spark, sf_dir):
     different partitioning); this entry instead reduces the five exact
     moments (n, Σx, Σy, Σxy, Σx², Σy²) through the DECIMAL accumulator
     (ops.common.dsum — order-independent by exactness) and combines them
-    in one double expression per group, rounded to 6 dp to absorb the
-    final combine's last-ulp division/sqrt variance.
+    in one double expression per group. Rounding absorbs the combine's
+    last-ulp variance (JVM vs C++ contraction), sized to the output's
+    magnitude: corr is O(1) (ulp ~1e-16, 6 dp boundary gap 5e-7 — flake
+    odds negligible), but covar is O(1e8) where a 1-ulp drift (~1.5e-8)
+    sits uncomfortably close to a 6 dp boundary, so covar rounds to 2 dp
+    (boundary gap 5e-3) — still 10+ significant digits at this
+    magnitude.
 
     One shuffle with map-side partial aggregation, identical to any other
     groupBy — the moment trick costs nothing at scale and is also the
@@ -672,14 +677,14 @@ def agg_corr_covar(spark, sf_dir):
         dsum(y * y, "syy"),
     )
     n = F.col("n")
-    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / n
-    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / F.sqrt(
+    num = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    corr = num / F.sqrt(
         (F.col("sxx") - F.col("sx") * F.col("sx") / n)
         * (F.col("syy") - F.col("sy") * F.col("sy") / n)
     )
     return m.select(
         "l_returnflag",
         "n",
-        F.round(cov, 6).alias("covar_pop"),
+        F.round(num / n, 2).alias("covar_pop"),
         F.round(corr, 6).alias("corr"),
     )

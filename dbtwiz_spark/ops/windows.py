@@ -296,9 +296,10 @@ def win_gaps_islands(spark, sf_dir):
     date and the rank in lockstep — so islands fall out of one ordinary
     groupBy, no iterative logic.
 
-    Two shuffles, both on user_id (distinct-day reduce, then the rank
-    window) plus the island groupBy on (user_id, anchor) — all
-    partitioned by user, embarrassingly parallel across users at 100 TB.
+    Three shuffles — the distinct-day reduce on (user_id, day), the rank
+    window on user_id, the island groupBy on (user_id, anchor) — every
+    key contains user_id, so the work is embarrassingly parallel across
+    users at 100 TB and no single key concentrates a partition.
     Dates stringify for the cross-engine hash (DateType pandas
     representations diverge; see .claude verify notes)."""
     ev = views(spark, sf_dir).table("events")
