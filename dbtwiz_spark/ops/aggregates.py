@@ -688,3 +688,33 @@ def agg_corr_covar(spark, sf_dir):
         F.round(num / n, 2).alias("covar_pop"),
         F.round(corr, 6).alias("corr"),
     )
+
+
+@register(
+    "agg-percentile-exact",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_percentile_exact(spark, sf_dir):
+    """Exact per-group continuous percentiles (linear interpolation — the
+    PERCENTILE_CONT surface): the exact counterpart to agg-approx-quantile
+    and agg-quantile-digest. Both engines compute rank = p*(n-1) and
+    interpolate (1-f)*lo + f*hi over the same sorted values with the same
+    double expression, so the result is hash-exact; rounded to 6 dp to
+    absorb the interpolation's last-ulp multiply-add variance.
+
+    Exact percentiles buffer each group's values — fine when groups are
+    few and bounded (5 priorities here), the digest/approx entries are
+    the path for high-cardinality or corpus-scale grouping."""
+    o = views(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )

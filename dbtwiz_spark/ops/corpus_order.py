@@ -24,8 +24,9 @@ round every corpus entry has a driver row from code identical to what
 ships, EXCEPT the entries added after the window filled
 (ext-dedup-simhash-recall, sort-within-partitions-cert, func-zorder,
 stream-dedup-near, agg-mode-deterministic, agg-corr-covar,
-set-except-all, set-intersect-all, win-gaps-islands — local-oracle
-green, slated for the round-5 window).
+set-except-all, set-intersect-all, win-gaps-islands,
+agg-percentile-exact — local-oracle green, slated for the round-5
+window).
 """
 
 from __future__ import annotations
