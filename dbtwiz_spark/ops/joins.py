@@ -398,3 +398,79 @@ def join_self_dag(spark, sf_dir):
         closure = closure.unionByName(nxt).distinct()
         frontier = nxt
     return closure
+
+
+@register(
+    "join-null-safe",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey, NULLIF(o_custkey % 7, 0) AS k FROM orders),
+    c AS (
+        SELECT NULLIF(c_custkey % 7, 0) AS k, COUNT(*) AS n_cust
+        FROM customer GROUP BY 1)
+    SELECT o.k AS k, COUNT(*) AS n_orders, MIN(n_cust) AS n_cust
+    FROM o JOIN c ON o.k IS NOT DISTINCT FROM c.k
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — the semantics a late-arriving
+    dimension with placeholder NULL keys needs (an inner equi-join would
+    silently drop every unkeyed row). Keys are synthesized with NULLIF so
+    the NULL bucket is exercised on both sides.
+
+    Plan shape is identical to a plain equi-join (hash on the key with
+    NULLs hashing to one bucket) — but that is also the scale caveat: the
+    NULL bucket is a deliberate skew key, so at 100 TB a large NULL
+    population wants the salted-join path (ops/skew.py) or a pre-split."""
+    cat = views(spark, sf_dir)
+    o = cat.table("orders").select(
+        "o_orderkey", F.nullif(F.col("o_custkey") % 7, F.lit(0)).alias("k")
+    )
+    c = (
+        cat.table("customer")
+        .select(F.nullif(F.col("c_custkey") % 7, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    return (
+        o.join(c, o.k.eqNullSafe(c.k))
+        .groupBy(o.k.alias("k"))
+        .agg(F.count("*").alias("n_orders"), F.min("n_cust").alias("n_cust"))
+    )
+
+
+@register(
+    "filter-exists-correlated",
+    oracle="""
+    SELECT s_suppkey, s_nationkey FROM supplier s
+    WHERE EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+      AND NOT EXISTS (
+        SELECT 1 FROM customer c2
+        WHERE c2.c_nationkey = s.s_nationkey AND c2.c_acctbal < -900)
+    """,
+)
+def filter_exists_correlated(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS subqueries through the SQL surface
+    (suppliers in nations that have a high-balance customer and no
+    deep-negative one). Catalyst rewrites both into left-semi and
+    left-anti joins on the correlation key — the same shuffle shape as
+    the explicit join-semi/join-anti entries, which is precisely the
+    point: the subquery SURFACE must not cost more than the join it
+    means."""
+    cat = views(spark, sf_dir)
+    cat.register_views(("supplier", "customer"))
+    return cat.spark.sql(
+        """
+        SELECT s_suppkey, s_nationkey FROM supplier s
+        WHERE EXISTS (
+            SELECT 1 FROM customer c
+            WHERE c.c_nationkey = s.s_nationkey AND c.c_acctbal > 9000)
+          AND NOT EXISTS (
+            SELECT 1 FROM customer c2
+            WHERE c2.c_nationkey = s.s_nationkey AND c2.c_acctbal < -900)
+        """
+    )
