@@ -25,8 +25,9 @@ ships, EXCEPT the entries added after the window filled
 (ext-dedup-simhash-recall, sort-within-partitions-cert, func-zorder,
 stream-dedup-near, agg-mode-deterministic, agg-corr-covar,
 set-except-all, set-intersect-all, win-gaps-islands,
-agg-percentile-exact, join-null-safe, filter-exists-correlated —
-local-oracle green, slated for the round-5 window).
+agg-percentile-exact, join-null-safe, filter-exists-correlated,
+set-union-by-name — local-oracle green, slated for the round-5
+window).
 """
 
 from __future__ import annotations

@@ -118,3 +118,33 @@ def set_intersect_all(spark, sf_dir):
     o = cat.table("orders").select(F.col("o_custkey").alias("custkey"))
     c = cat.table("customer").select(F.col("c_custkey").alias("custkey"))
     return o.intersectAll(c)
+
+
+@register(
+    "set-union-by-name",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderkey % 100 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 100 = 50
+    """,
+)
+def set_union_by_name(spark, sf_dir):
+    """Schema-drift union — UNION ALL BY NAME: two relations with
+    different column sets align by column NAME, null-filling what either
+    side lacks (the schema-evolution read path every incremental table
+    needs after a column is added; the same allowMissingColumns contract
+    the merge materialization uses, materialize.py). A positional UNION
+    would mis-align or reject these inputs.
+
+    Zero-shuffle concatenation: unionByName is a plan-level operator, and
+    both branches' filters reach their scans."""
+    o = views(spark, sf_dir).table("orders")
+    a = o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderkey") % 100 == 50).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
