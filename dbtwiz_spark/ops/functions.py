@@ -476,3 +476,42 @@ def func_zorder(spark, sf_dir):
             F.shiftleft(y.bitwiseAND(F.lit(1 << i)).cast("long"), i + 1)
         )
     return o.select("o_orderkey", z.alias("zval"))
+
+
+@register(
+    "func-higher-order",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           len(list_transform(toks, w -> upper(w))) AS n_upper,
+           len(list_filter(toks, w -> length(w) >= 5)) AS n_long,
+           list_reduce(list_transform(toks, w -> length(w)),
+                       (a, b) -> a + b) AS total_len,
+           CAST(list_transform(toks, w -> length(w))[1]
+                AS BIGINT) AS first_len
+    FROM t
+    """,
+)
+def func_higher_order(spark, sf_dir):
+    """Higher-order array functions — the lambda surface
+    (transform / filter / aggregate / element access over arrays), the
+    primitive family every shingle/similarity operator in this engine is
+    built from, as an explicit entry: per-document token transforms,
+    predicate filtering, and a fold (sum of token lengths) with no
+    explode and no UDF.
+
+    Everything is a map-side expression evaluated inside the row — zero
+    shuffles, codegen where eligible; at 100 TB lambdas are what keep
+    array-shaped work from becoming token-level explode+shuffle
+    (shingles() in ext_llm.py is the production proof)."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    lens = F.transform(toks, lambda w: F.length(w))
+    return d.select(
+        "doc_id",
+        F.size(F.transform(toks, lambda w: F.upper(w))).cast("long").alias("n_upper"),
+        F.size(F.filter(toks, lambda w: F.length(w) >= 5)).cast("long").alias("n_long"),
+        F.aggregate(lens, F.lit(0), lambda a, b: a + b).cast("long").alias("total_len"),
+        F.element_at(lens, 1).cast("long").alias("first_len"),
+    )
