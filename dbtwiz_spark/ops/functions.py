@@ -515,3 +515,47 @@ def func_higher_order(spark, sf_dir):
         F.aggregate(lens, F.lit(0), lambda a, b: a + b).cast("long").alias("total_len"),
         F.element_at(lens, 1).cast("long").alias("first_len"),
     )
+
+
+@register(
+    "func-from-json",
+    oracle="""
+    WITH t AS (
+        SELECT event_id,
+               CASE WHEN event_id % 10 = 0 THEN substr(props, 1, 3)
+                    ELSE props END AS payload
+        FROM events)
+    SELECT event_id,
+           CASE WHEN json_valid(payload)
+                THEN CAST(json_extract_string(payload, '$.k') AS BIGINT)
+           END AS k_val,
+           json_valid(payload) AS parse_ok
+    FROM t
+    """,
+)
+def func_from_json(spark, sf_dir):
+    """Schema-applied JSON parse (``from_json`` with a declared struct
+    schema) including the malformed-input contract: unparseable payloads
+    (10% truncated here, deterministically) yield NULL rather than
+    failing the job — the property an ingest pipeline over dirty
+    event streams depends on. Complements func-json's path extraction:
+    this is the typed-columns parse surface.
+
+    Map-side expression (Jackson parse inside codegen), no UDF; the
+    parse_ok flag comes from PERMISSIVE mode's corrupt-record column —
+    the per-row quality signal a pipeline aggregates into its
+    dead-letter rate."""
+    ev = views(spark, sf_dir).table("events")
+    payload = F.when(
+        F.col("event_id") % 10 == 0, F.substring("props", 1, 3)
+    ).otherwise(F.col("props"))
+    parsed = F.from_json(
+        payload,
+        "k BIGINT, _corrupt STRING",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        parsed["_corrupt"].isNull().alias("parse_ok"),
+    )
