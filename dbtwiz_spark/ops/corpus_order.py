@@ -26,8 +26,8 @@ ships, EXCEPT the entries added after the window filled
 stream-dedup-near, agg-mode-deterministic, agg-corr-covar,
 set-except-all, set-intersect-all, win-gaps-islands,
 agg-percentile-exact, join-null-safe, filter-exists-correlated,
-set-union-by-name, func-higher-order, func-from-json — local-oracle
-green, slated for the round-5 window).
+set-union-by-name, func-higher-order, func-from-json,
+ext-dataset-card — local-oracle green, slated for the round-5 window).
 """
 
 from __future__ import annotations

@@ -1096,3 +1096,46 @@ def ext_curriculum_order(spark, sf_dir):
         "bucket",
         (F.row_number().over(w) - 1).cast("long").alias("position"),
     )
+
+
+@register(
+    "ext-dataset-card",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           {davg_sql("len(list_distinct(string_split(text, ' '))) * 1.0"
+                     " / len(string_split(text, ' '))")} AS mean_ttr,
+           CAST(SUM(CASE WHEN len(string_split(text, ' ')) < 25
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+    FROM documents
+    """,
+)
+def ext_dataset_card(spark, sf_dir):
+    """Dataset-card statistics: the one-pass corpus summary a training-data
+    release publishes (document/token/language/source counts, length
+    range, mean type-token ratio, short-document count). Everything a
+    consumer needs to sanity-check a drop before training lands in ONE
+    aggregation over one scan — per-row signals are map-side expressions,
+    the distinct counts expand in the same hash-aggregate, and the mean
+    goes through the exact DECIMAL accumulator so the card is
+    byte-reproducible across engines and reruns (a dataset card that
+    changes between identical builds is worse than none)."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks).cast("long")).alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        davg(ttr, "mean_ttr"),
+        F.sum(F.when(F.size(toks) < 25, 1).otherwise(0))
+        .cast("long")
+        .alias("n_short"),
+    )
