@@ -343,3 +343,28 @@ def test_latest_ops_plan_properties(spark):
     url_plan = _formatted(ext_dedup_url(spark, SF_DIR))
     assert "Join" not in url_plan
     assert "partial_" in url_plan
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Join-driven partition pruning: when a partitioned fact joins a
+    filtered dimension, the fact scan must carry a dynamic pruning
+    predicate on the partition column — at 100 TB this is what keeps a
+    star-join from scanning every date partition when the dimension
+    filter implies only a few."""
+    src = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "o_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = str(tmp_path / "orders_by_month")
+    src.write.partitionBy("o_month").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.createDataFrame(
+            [("1995-01", "Q1"), ("1995-02", "Q1"), ("1997-06", "Q2")],
+            "o_month STRING, tag STRING",
+        )
+    )
+    q = fact.join(dim.filter(F.col("tag") == "Q1"), "o_month").groupBy(
+        "o_month"
+    ).count()
+    plan = _formatted(q)
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
