@@ -7,94 +7,100 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-4 window (positions 0-49): the 29 entries that have never had a
-driver CORRECTNESS row (round-3 additions plus the ext-llm family the r3
-window couldn't fit), the three round-3 hash-mismatch entries now fixed
-(ext-split-train-eval / ext-pack-sequences / ext-mix-domains — their
-oracles produced DuckDB HUGEINT sums that pandas renders as float64,
-hashing differently from Spark's int64 even at equal values; all integer
-aggregates are now CAST(... AS BIGINT)), ``join-range`` (reimplemented
-for the TIMESTAMP_NTZ testdata, so its r1/r2 green rows certify dead
-code), and the five r1-green entries rotated out in r2 (win-lag-lead,
-win-first-last, win-running-agg, win-sliding-frame, sort-global — code
-unchanged, closing the last stale r1 rows), every operator added during
-round 4 (text-normalize through curriculum-order), and ext-dedup-near,
-whose shingle universe changed this round. Exactly 50 entries. After this
-round every corpus entry has a driver row from code identical to what
-ships, EXCEPT the entries added after the window filled
-(ext-dedup-simhash-recall, sort-within-partitions-cert, func-zorder,
-stream-dedup-near, agg-mode-deterministic, agg-corr-covar,
-set-except-all, set-intersect-all, win-gaps-islands,
-agg-percentile-exact, join-null-safe, filter-exists-correlated,
-set-union-by-name, func-higher-order, func-from-json,
-ext-dataset-card — local-oracle green, slated for the round-5 window).
+Round-5 window (positions 0-49):
+
+* 0-15 — the 16 entries that had never had a driver CORRECTNESS row
+  after round 4 (local-oracle green only): join-null-safe,
+  filter-exists-correlated, agg-mode-deterministic, agg-corr-covar,
+  agg-percentile-exact, win-gaps-islands, set-except-all,
+  set-intersect-all, set-union-by-name, func-zorder, func-higher-order,
+  func-from-json, sort-within-partitions-cert, ext-dedup-simhash-recall,
+  stream-dedup-near, ext-dataset-card. Green rows here close the
+  144/160 certification gap to 160/160.
+* 16-44 — the oldest-evidence rows: the r2-green scan / project /
+  filter / join families, whose newest driver row predates two rounds of
+  shared-helper evolution (catalog.py, common.py, session confs).
+* 45-48 — write-path entries (sink-table-create, sink-insert-overwrite,
+  sink-merge, scan-time-travel): their newest rows are r3-green but the
+  materialize.py commit path is being profiled/changed THIS round, so
+  they re-certify the new write path rather than coast on rows earned by
+  the old one.
+* 49 — stream-dedup-near-cert, NEW: the driver-checkable batch/stream
+  agreement certificate for rows-only stream-dedup-near (same device as
+  ext-dedup-near-recall), replaying the corpus through the real
+  foreachBatch sink. Placed last as the single most expensive entry.
+
+Still waiting after this round (slated for round 6): the 17 r2-green
+agg-family rows (agg-group-by .. agg-unpivot), win-row-number, win-rank,
+and the r3-era function/set/stream families — all unchanged code whose
+green rows remain valid under the green-manifest guard.
 """
 
 from __future__ import annotations
 
 # Order within the window is sweep order, cheapest families first so an
-# early driver timeout still lands most rows.
+# early driver timeout still lands most rows — EXCEPT positions 0-15,
+# which carry the never-certified entries (highest information value) and
+# therefore go first regardless of cost.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # round-3 hash mismatches, fixed (HUGEINT->float64 oracle dtype skew)
-    "ext-split-train-eval",
-    "ext-pack-sequences",
-    "ext-mix-domains",
-    # reimplemented for TIMESTAMP_NTZ testdata — r1/r2 rows are stale
-    "join-range",
-    # r1-green entries rotated out of the r2/r3 windows, code unchanged
-    "win-lag-lead",
-    "win-first-last",
-    "win-running-agg",
-    "win-sliding-frame",
-    "sort-global",
-    # never driver-tested: cheap scalar/agg entries first
-    "func-url",
-    "agg-hll-sketch-merge",
-    "agg-salted-skew",
-    # never driver-tested: text/quality family (map-side expressions)
-    "ext-text-stats",
-    "ext-token-count",
-    "ext-lang-id",
-    "ext-quality-score",
-    "ext-fingerprint",
-    "ext-quality-repetition",
-    "ext-quality-gopher",
-    "ext-pii-scrub",
-    "ext-token-histogram",
-    "ext-filter-length-outliers",
-    "ext-filter-composite",
-    "ext-mix-temperature",
-    # never driver-tested: similarity / dedup / ANN family
-    "ext-text-tfidf",
-    "ext-ngram-jaccard",
-    "ext-dedup-simhash",
-    "ext-sim-threshold-join",
-    "ext-dedup-embedding",
-    "ext-knn-label",
-    "ext-embed-stats",
-    "ext-ann-lsh-bucket",
-    "ext-ann-ivf",
-    "ext-ann-lsh-recall",
-    "ext-ann-ivf-recall",
-    "ext-dedup-cluster",
-    # never driver-tested: multimodal plumbing
-    "ext-multimodal-column",
-    "ext-multimodal-framesample",
-    # new this round
-    "ext-text-normalize",
-    "ext-host-token-budget",
-    "ext-dup-span",
-    "ext-dedup-near-recall",
-    "agg-heavy-hitters",
-    "sink-sharded-export",
-    "ext-vocab-build",
-    "agg-quantile-digest",
-    "ext-sample-importance",
-    "ext-dedup-url",
-    "ext-curriculum-order",
-    # re-enters: its shingle universe changed this round (DF cap before
-    # MinHash) — the r3 rows-only row certifies the uncapped code
-    "ext-dedup-near",
+    # never driver-tested (local-oracle green only) — the certification gap
+    "join-null-safe",
+    "filter-exists-correlated",
+    "agg-mode-deterministic",
+    "agg-corr-covar",
+    "agg-percentile-exact",
+    "win-gaps-islands",
+    "set-except-all",
+    "set-intersect-all",
+    "set-union-by-name",
+    "func-zorder",
+    "func-higher-order",
+    "func-from-json",
+    "sort-within-partitions-cert",
+    "ext-dedup-simhash-recall",
+    "stream-dedup-near",
+    "ext-dataset-card",
+    # oldest-evidence refresh: r2-green scan family
+    "scan-table",
+    "scan-view",
+    "scan-info-schema",
+    "file-format-parquet",
+    "file-format-csv",
+    "file-format-json",
+    "file-format-orc",
+    # r2-green projection family
+    "project-star",
+    "project-rename",
+    "project-computed",
+    "project-except-replace",
+    # r2-green filter family
+    "filter-predicate",
+    "filter-like",
+    "filter-in",
+    "filter-between",
+    "filter-null",
+    "filter-partition-required",
+    "distinct",
+    # r2-green join family
+    "join-inner-equi",
+    "join-left-outer",
+    "join-right-outer",
+    "join-full-outer",
+    "join-cross",
+    "join-broadcast",
+    "join-semi",
+    "join-anti",
+    "join-theta",
+    "join-asof",
+    "join-self-dag",
+    # write path re-certification: materialize.py commit path changes this
+    # round (insert-overwrite profiling), so the sink rows must be re-earned
+    "sink-table-create",
+    "sink-insert-overwrite",
+    "sink-merge",
+    "scan-time-travel",
+    # new certificate for rows-only stream-dedup-near; most expensive, last
+    "stream-dedup-near-cert",
 )
 
 

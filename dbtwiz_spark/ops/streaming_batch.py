@@ -182,6 +182,64 @@ def stream_foreachbatch_sink(spark, sf_dir):
     )
 
 
+@register(
+    "stream-dedup-near-cert",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, true AS agree_ok
+    FROM documents
+    """,
+)
+def stream_dedup_near_cert(spark, sf_dir):
+    """Driver-checkable certificate for the rows-only stream-dedup-near
+    entry (same device as ext-dedup-near-recall: the oracle cannot
+    reproduce seeded xxhash64 band signatures, but it CAN count the
+    corpus and demand full batch/stream agreement hold).
+
+    Replays the corpus through the real streaming sink
+    (streaming/jobs.py foreach_batch_near_dedup — persisted signature
+    store, per-batch probe, merge upsert of flags) as three doc_id-ordered
+    waves, then requires the sink's is_dup flags to equal the batch
+    entry's on EVERY document: agree_ok = (n_agree == n_docs), with
+    n_docs recomputed from scratch by DuckDB so the row also hash-pins
+    corpus cardinality. Arrival order must be doc_id order for the two
+    keep-first rules to coincide (sink: min (batch_id, doc_id); batch:
+    min doc_id), so waves split on doc_id terciles — two driver-side
+    threshold scalars via approxQuantile, never data. Cost: the batch
+    side reuses the memoized signature artifact; the sink side is three
+    micro-batch writes into a scratch warehouse."""
+    from dbtwiz_spark.materialize import Warehouse
+    from dbtwiz_spark.ops.common import scratch_dir
+    from dbtwiz_spark.streaming.jobs import foreach_batch_near_dedup
+
+    d = views(spark, sf_dir).table("documents")
+    t1, t2 = d.approxQuantile("doc_id", [1 / 3, 2 / 3], 0.001)
+    wh = Warehouse(spark, scratch_dir("streamcert_"))
+    sink = foreach_batch_near_dedup(wh, "sigs", "flags")
+    sink(d.filter(F.col("doc_id") < t1), 0)
+    sink(d.filter((F.col("doc_id") >= t1) & (F.col("doc_id") < t2)), 1)
+    sink(d.filter(F.col("doc_id") >= t2), 2)
+    streamed = wh.read("flags").select(
+        "doc_id", F.col("is_dup").alias("stream_dup")
+    )
+    batch = stream_dedup_near(spark, sf_dir).select(
+        "doc_id", F.col("is_dup").alias("batch_dup")
+    )
+    agree = batch.join(streamed, "doc_id").filter(
+        F.col("batch_dup") == F.col("stream_dup")
+    )
+    return (
+        batch.agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+        .crossJoin(
+            F.broadcast(
+                agree.agg(F.count_distinct("doc_id").alias("n_agree"))
+            )
+        )
+        .select(
+            "n_docs", (F.col("n_docs") == F.col("n_agree")).alias("agree_ok")
+        )
+    )
+
+
 @register("stream-dedup-near", oracle=None)
 def stream_dedup_near(spark, sf_dir):
     """Batch-parity form of the streaming near-duplicate detector
