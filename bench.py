@@ -158,7 +158,15 @@ def _bench_warehouse(spark):
 
 def q_insert_overwrite(cat):
     """Write path: dynamic-partition-overwrite of the monthly order rollup
-    (the reference's incremental materialization) into a scratch warehouse."""
+    (the reference's incremental materialization) into a scratch warehouse.
+
+    The write IS the terminal action (a full scan→agg→shuffle→parquet
+    commit job), so the entry returns action "done" — the previous
+    read-back-and-noop re-timed the 80-partition read path on top of
+    every write sample (~+0.35 s, double-counting reads that q1/q5
+    already measure). The table is seeded during warm-up (main) so every
+    timed sample takes the incremental dynamic-overwrite path the metric
+    names, not a first-run CTAS."""
     wh = _bench_warehouse(cat.spark)
     o = cat.table("orders")
     monthly = (
@@ -169,7 +177,7 @@ def q_insert_overwrite(cat):
         .agg(F.count("*").alias("n"), dsum("o_totalprice", "total"))
     )
     wh.insert_overwrite("monthly_orders", monthly, "o_month")
-    return wh.read("monthly_orders"), "noop"
+    return None, "done"
 
 
 QUERIES = {
@@ -203,6 +211,8 @@ def main() -> None:
     cat = views(spark, SF_DIR)
     cat.prime()
     _bench_warehouse(spark)  # write-path setup, outside the timed region
+    q_insert_overwrite(cat)  # seed the table: timed runs take the
+    # incremental dynamic-overwrite path, never the first-run CTAS
 
     # Best-of-N per query: run 1 pays one-time plan analysis + whole-stage
     # codegen compile; later runs are the steady state a long-lived session
@@ -211,17 +221,25 @@ def main() -> None:
     # Every run executes the full plan end-to-end.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name, build in QUERIES.items():
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             df, action = build(cat)
             if action == "collect":
                 df.collect()
-            else:
+            elif action != "done":  # "done": build ran its own action
                 df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(min(samples), 3)
+        # median alongside best: the minimum tracks the steady-state cost
+        # (headline, comparable across rounds), the median makes host-noise
+        # regressions attributable — a query whose best AND median both move
+        # is a real change, one whose best is flat while the median jumps is
+        # the VM. With the first run carrying one-time codegen compile, the
+        # median of 3 is effectively the slower of the two warm runs.
+        medians[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -231,6 +249,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "value_median": round(sum(medians.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
