@@ -402,12 +402,60 @@ FROM {{{{ ref('{parent}') }}}}
 """
 
 
+def _governance_wizard(args, gov, input_fn=None, print_fn=print) -> None:
+    """Prompt for missing/invalid governance values on a TTY (reference
+    wizard flow: dbtwiz/model/create.py:132-301 select_group /
+    select_access / select_team — each prompts only when the CLI value is
+    absent or fails vocabulary validation). Non-TTY without an injected
+    ``input_fn`` degrades to flag-driven (no prompt, values stay as
+    given); ``--quick`` skips prompting entirely, like the reference."""
+    import sys as _sys
+
+    from dbtwiz_spark.picker import select_from_choices
+    from dbtwiz_spark.project import ACCESS_CHOICES
+
+    if getattr(args, "quick", False):
+        return
+    if input_fn is None:
+        if not _sys.stdin.isatty():
+            return
+        input_fn = input
+
+    def ask(field: str, choices: dict, current, allow_none=True):
+        if not choices:
+            return current  # nothing declared to choose from
+        if current and (current in choices):
+            return current
+        if current:
+            print_fn(f"provided {field} {current!r} is invalid — re-select")
+        return select_from_choices(
+            f"Select {field}", choices, allow_none=allow_none,
+            input_fn=input_fn, print_fn=print_fn,
+        )
+
+    args.group = ask("group", gov.groups, args.group)
+    args.access = ask("access", ACCESS_CHOICES, args.access)
+    team = ask("team", gov.teams, (args.team or [None])[0])
+    args.team = [team] if team else []
+
+
 def cmd_model_create(args) -> int:
-    """Scaffold a model (.sql + .yml config sidecar) — the non-interactive
-    core of the reference's `model create` wizard
-    (dbtwiz/model/create.py:430-474 writes the same pair)."""
+    """Scaffold a model (.sql + .yml config sidecar) — the reference's
+    `model create` wizard (dbtwiz/model/create.py:430-474 writes the same
+    pair; get_config :440-497 defines the sidecar layout: access/group
+    top-level, teams/access-policy/service-consumers under meta, the
+    update frequency as a tag). Governance values are validated against
+    the project vocabulary (create.py:132-301) and prompted for on a TTY
+    (non-TTY runs stay flag-driven)."""
     import yaml as _yaml
     from pathlib import Path
+
+    from dbtwiz_spark.manifest import Model
+    from dbtwiz_spark.project import (
+        FREQUENCY_CHOICES,
+        load_governance,
+        validate_governance,
+    )
 
     models = Path(args.project) / "models"
     models.mkdir(parents=True, exist_ok=True)
@@ -415,7 +463,9 @@ def cmd_model_create(args) -> int:
     if sql_path.exists() and not args.force:
         print(f"refusing to overwrite {sql_path} (use --force)")
         return 1
-    sql_path.write_text(_MODEL_SQL_TEMPLATE.format(parent=args.parent or "upstream"))
+
+    gov = load_governance(args.project)
+    _governance_wizard(args, gov)
     cfg: dict = {"materialized": args.materialized, "description": args.description or ""}
     if args.materialized == "incremental":
         cfg.update(
@@ -423,10 +473,51 @@ def cmd_model_create(args) -> int:
             partition_by=args.partition_by or "partitiondate",
             require_partition_filter=True,
         )
+        if args.expiration_days:
+            cfg["partition_expiration_days"] = args.expiration_days
+    elif args.expiration_days:
+        # reference parity (create.py:254-261): expiration applies only to
+        # incremental materializations
+        print("ignoring --expiration-days: model is not incremental")
     if args.unique_key:
         cfg["unique_key"] = args.unique_key
     if args.cluster_by:
         cfg["cluster_by"] = args.cluster_by.split(",")
+    if args.access:
+        cfg["access"] = args.access
+    if args.group:
+        cfg["group"] = args.group
+    if args.frequency:
+        if args.frequency not in FREQUENCY_CHOICES:
+            print(f"invalid --frequency {args.frequency!r} "
+                  f"(choose from {sorted(FREQUENCY_CHOICES)})")
+            return 1
+        if args.materialized == "view":
+            # create.py:303-316: frequency is meaningless for views
+            print("ignoring --frequency: not applicable to views")
+        else:
+            cfg["tags"] = [args.frequency]
+    meta: dict = {}
+    if args.team:
+        meta["teams"] = list(args.team)
+    if args.access_policy:
+        meta["access-policy"] = args.access_policy
+    if args.service_consumer:
+        meta["service-consumers"] = list(args.service_consumer)
+    if meta:
+        cfg["meta"] = meta
+
+    errors = validate_governance(
+        Model(name=args.name, sql="", group=cfg.get("group"),
+              access=cfg.get("access"), meta=meta),
+        gov,
+    )
+    if errors:
+        for e in errors:
+            print(f"invalid: {e}")
+        return 1
+
+    sql_path.write_text(_MODEL_SQL_TEMPLATE.format(parent=args.parent or "upstream"))
     sql_path.with_suffix(".yml").write_text(_yaml.safe_dump(cfg, sort_keys=False))
     print(f"created {sql_path} + {sql_path.with_suffix('.yml').name}")
     return 0
@@ -436,16 +527,27 @@ def cmd_model_validate(args) -> int:
     """Reconcile declared YAML columns against the built table's live schema
     (dbtwiz/model/validate.py:97-108 fetch, :188-214 reconcile: removed
     columns dropped, new columns added from the warehouse). --fix rewrites
-    the sidecar, preserving descriptions of surviving columns."""
+    the sidecar, preserving descriptions of surviving columns. Also checks
+    each model's governance keys (group/access/meta teams) against the
+    project vocabulary — the validation the reference wizard applies at
+    create time (dbtwiz/model/create.py:132-230), re-run here so sidecars
+    edited by hand are caught too."""
     import yaml as _yaml
     from pathlib import Path
 
+    from dbtwiz_spark.project import load_governance, validate_governance
     from dbtwiz_spark.types import spark_type_to_sql
 
     _, manifest, wh = _load(args)
+    gov = load_governance(args.project)
     rc = 0
     for name in manifest.select(args.select):
         m = manifest.models[name]
+        gov_errors = validate_governance(m, gov)
+        if gov_errors:
+            rc = 1
+            for e in gov_errors:
+                print(f"GOVERNANCE {name}: {e}")
         if not wh.exists(name):
             continue
         actual = {
@@ -765,6 +867,19 @@ def build_parser() -> argparse.ArgumentParser:
     mc.add_argument("--cluster-by", help="comma-separated columns")
     mc.add_argument("--description")
     mc.add_argument("--force", action="store_true")
+    mc.add_argument("--group", help="model group (models/model_groups.yml)")
+    mc.add_argument("--access", choices=["private", "protected", "public"])
+    mc.add_argument("--team", action="append", default=[],
+                    help="responsible team (project.yml vars.teams)")
+    mc.add_argument("--service-consumer", action="append", default=[],
+                    help="service consumer needing access (repeatable)")
+    mc.add_argument("--access-policy",
+                    help="access policy (project.yml vars.access-policies)")
+    mc.add_argument("--frequency", help="update frequency tag (hourly|daily)")
+    mc.add_argument("--expiration-days", type=int,
+                    help="partition expiration (incremental only)")
+    mc.add_argument("--quick", action="store_true",
+                    help="skip interactive prompts for missing governance values")
     mc.set_defaults(fn=cmd_model_create)
 
     mm = msub.add_parser("move", help="move/rename a model, rewrite refs")

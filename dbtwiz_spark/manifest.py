@@ -49,6 +49,10 @@ class Model:
     description: str = ""
     meta: dict = field(default_factory=dict)
     columns: list = field(default_factory=list)  # [{name, data_type, description}]
+    # governance (dbtwiz/model/create.py get_config :440-497: access/group
+    # top-level, teams/access-policy/service-consumers under meta)
+    group: str | None = None
+    access: str | None = None  # private|protected|public
 
     def fingerprint(self) -> str:
         """Stable hash of SQL + config — the state:modified basis

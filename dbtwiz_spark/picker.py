@@ -105,3 +105,38 @@ def pick_interactively(
     if not sys.stdin.isatty():
         return None
     return choose_models(model_names, query=select, multi=multi)
+
+
+def select_from_choices(
+    prompt: str,
+    choices: dict[str, str],
+    allow_none: bool = False,
+    input_fn: Callable[[str], str] = input,
+    print_fn: Callable[[str], None] = print,
+) -> str | None:
+    """Numbered single-select over a name→description vocabulary — the
+    questionary ``select_from_list`` analog the governance wizard uses
+    (reference UI: dbtwiz/ui/interact.py via model/create.py:132-230),
+    driven through the same injectable IO as ``choose_models`` so the flow
+    is unit-testable and never blocks a non-TTY. Enter on an empty line
+    picks nothing when ``allow_none``; a typed name is accepted directly
+    if it is a valid choice."""
+    names = list(choices)
+    while True:
+        print_fn(prompt)
+        for i, name in enumerate(names, 1):
+            desc = choices[name]
+            print_fn(f"{i:3d}  {name}" + (f" — {desc}" if desc else ""))
+        try:
+            raw = input_fn("> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            return None
+        if not raw:
+            if allow_none:
+                return None
+            continue
+        if raw.isdigit() and 0 < int(raw) <= len(names):
+            return names[int(raw) - 1]
+        if raw in choices:
+            return raw
+        print_fn(f"invalid choice {raw!r}")

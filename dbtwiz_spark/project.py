@@ -18,6 +18,7 @@ Dependencies are extracted statically from ref()/source() calls
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
@@ -38,7 +39,110 @@ MODEL_CONFIG_KEYS = (
     "description",
     "meta",
     "columns",
+    "group",
+    "access",
 )
+
+# Model-governance vocabulary (reference: dbtwiz/core/project.py
+# access_choices :292-305, frequency_choices :308-317). Access levels are a
+# fixed enum; groups/teams/service-consumers/access-policies are
+# project-declared (Group at :9-48 reads models/model_groups.yml; teams()
+# :177-182, service_consumers() :184-191, access_policies() :193-200 read
+# project vars).
+ACCESS_CHOICES: dict[str, str] = {
+    "private": "Usable only by other models in the same group",
+    "protected": "Usable by models outside the group",
+    "public": "For marts models",
+}
+FREQUENCY_CHOICES: dict[str, str] = {
+    "hourly": "Model needs to be updated every hour",
+    "daily": "Model needs to be updated once a day",
+}
+
+
+@dataclass
+class Governance:
+    """Project-declared governance vocabulary the create wizard and
+    ``model validate`` check against."""
+
+    groups: dict[str, str] = field(default_factory=dict)
+    teams: dict[str, str] = field(default_factory=dict)
+    service_consumers: dict[str, str] = field(default_factory=dict)
+    access_policies: dict[str, str] = field(default_factory=dict)
+
+
+def load_governance(root: str | Path) -> Governance:
+    """Load the governance vocabulary: groups from
+    ``models/model_groups.yml`` (reference Group.YAML_PATH), the rest from
+    ``project.yml`` vars (reference keys ``teams`` /
+    ``service-consumers`` / ``access-policies``)."""
+    root = Path(root)
+    gov = Governance()
+    groups_file = root / "models" / "model_groups.yml"
+    if groups_file.exists():
+        data = yaml.safe_load(groups_file.read_text()) or {}
+        gov.groups = {
+            g["name"]: (g.get("config", {}).get("meta", {}) or {}).get(
+                "description", ""
+            )
+            for g in data.get("groups") or []
+        }
+    proj_file = root / "project.yml"
+    if proj_file.exists():
+        proj = yaml.safe_load(proj_file.read_text()) or {}
+        variables = proj.get("vars") or {}
+
+        def _vocab(key: str) -> dict[str, str]:
+            return {
+                name: (spec or {}).get("description", "")
+                for name, spec in (variables.get(key) or {}).items()
+            }
+
+        gov.teams = _vocab("teams")
+        gov.service_consumers = _vocab("service-consumers")
+        gov.access_policies = _vocab("access-policies")
+    return gov
+
+
+def validate_governance(model: Model, gov: Governance) -> list[str]:
+    """Governance checks mirroring the reference wizard's validation
+    (dbtwiz/model/create.py:132-230: group/access/team values must come
+    from the declared vocabulary). Unset keys pass — governance is
+    opt-in per model; SET keys must resolve against the project's
+    declarations."""
+    errors: list[str] = []
+    if model.access is not None and model.access not in ACCESS_CHOICES:
+        errors.append(
+            f"access {model.access!r} invalid (choose from "
+            f"{sorted(ACCESS_CHOICES)})"
+        )
+    if model.group is not None and model.group not in gov.groups:
+        errors.append(
+            f"group {model.group!r} not declared in models/model_groups.yml "
+            f"(declared: {sorted(gov.groups) or 'none'})"
+        )
+    meta = model.meta or {}
+    for team in meta.get("teams") or []:
+        if team not in gov.teams:
+            errors.append(
+                f"team {team!r} not declared in project.yml vars.teams "
+                f"(declared: {sorted(gov.teams) or 'none'})"
+            )
+    policy = meta.get("access-policy")
+    if policy is not None and policy not in gov.access_policies:
+        errors.append(
+            f"access-policy {policy!r} not declared in project.yml "
+            f"vars.access-policies (declared: "
+            f"{sorted(gov.access_policies) or 'none'})"
+        )
+    for consumer in meta.get("service-consumers") or []:
+        if consumer not in gov.service_consumers:
+            errors.append(
+                f"service-consumer {consumer!r} not declared in project.yml "
+                f"vars.service-consumers (declared: "
+                f"{sorted(gov.service_consumers) or 'none'})"
+            )
+    return errors
 
 
 def load_project(root: str | Path) -> tuple[Manifest, dict[str, Any]]:

@@ -714,3 +714,142 @@ def test_session_default_shuffle_partitions_from_config(tmp_path, monkeypatch):
     assert _default_shuffle_partitions() == 7
     monkeypatch.setenv("SPARK_GRAFT_SHUFFLE", "64")
     assert _default_shuffle_partitions() == 64
+
+
+def _governance_project(tmp_path):
+    """Project with a declared governance vocabulary (groups file +
+    project vars, the reference's two sources: core/project.py Group :9-48
+    and teams()/service_consumers()/access_policies() :177-200)."""
+    import yaml
+
+    proj = tmp_path / "govproj"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "model_groups.yml").write_text(yaml.safe_dump({
+        "groups": [
+            {"name": "finance", "config": {"meta": {"description": "Finance marts"}}},
+            {"name": "growth"},
+        ]
+    }))
+    (proj / "project.yml").write_text(yaml.safe_dump({
+        "name": "gov",
+        "vars": {
+            "teams": {"team-data": {"description": "Data platform"}},
+            "service-consumers": {"svc-api": {"description": "API backend"}},
+            "access-policies": {"restricted": {"description": "Need-to-know"}},
+        },
+    }))
+    return proj
+
+
+def test_model_create_governance_roundtrip(tmp_path, capsys):
+    import yaml
+
+    proj = _governance_project(tmp_path)
+    assert main([
+        "model", "create", "--project", str(proj), "--name", "mrt_fin__rev",
+        "--materialized", "table", "--group", "finance", "--access", "public",
+        "--team", "team-data", "--service-consumer", "svc-api",
+        "--access-policy", "restricted", "--frequency", "daily",
+    ]) == 0
+    capsys.readouterr()
+    cfg = yaml.safe_load((proj / "models" / "mrt_fin__rev.yml").read_text())
+    assert cfg["access"] == "public" and cfg["group"] == "finance"
+    assert cfg["meta"] == {
+        "teams": ["team-data"],
+        "access-policy": "restricted",
+        "service-consumers": ["svc-api"],
+    }
+    assert cfg["tags"] == ["daily"]
+    # the sidecar round-trips through the manifest loader
+    from dbtwiz_spark.project import load_project
+
+    manifest, _ = load_project(proj)
+    m = manifest.models["mrt_fin__rev"]
+    assert m.group == "finance" and m.access == "public"
+    assert m.meta["teams"] == ["team-data"]
+    # and `model validate` accepts it (governance clean; table not built,
+    # so the column check is skipped)
+    wh = tmp_path / "wh"
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", str(wh)]) == 0
+
+
+def test_model_create_rejects_undeclared_governance(tmp_path, capsys):
+    proj = _governance_project(tmp_path)
+    assert main([
+        "model", "create", "--project", str(proj), "--name", "mrt_bad",
+        "--group", "nonexistent",
+    ]) == 1
+    out = capsys.readouterr().out
+    assert "group 'nonexistent' not declared" in out
+    assert not (proj / "models" / "mrt_bad.sql").exists()
+    assert main([
+        "model", "create", "--project", str(proj), "--name", "mrt_bad2",
+        "--team", "team-unknown",
+    ]) == 1
+    assert "team 'team-unknown' not declared" in capsys.readouterr().out
+
+
+def test_model_validate_flags_hand_edited_governance(tmp_path, capsys):
+    import yaml
+
+    proj = _governance_project(tmp_path)
+    (proj / "models" / "mrt_x.sql").write_text("SELECT 1 AS a\n")
+    (proj / "models" / "mrt_x.yml").write_text(yaml.safe_dump({
+        "materialized": "table",
+        "group": "typo_group",
+        "access": "internal",  # not a valid access level
+        "meta": {"teams": ["team-data"]},
+    }))
+    wh = tmp_path / "wh"
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", str(wh)]) == 1
+    out = capsys.readouterr().out
+    assert "GOVERNANCE mrt_x" in out
+    assert "group 'typo_group'" in out and "access 'internal'" in out
+
+
+def test_governance_wizard_scripted_io(tmp_path):
+    """The TTY wizard path with injected IO: missing values are prompted
+    (numbered select), provided-but-invalid values are re-prompted, and
+    valid flag values pass through untouched."""
+    import argparse
+
+    from dbtwiz_spark.cli import _governance_wizard
+    from dbtwiz_spark.project import load_governance
+
+    gov = load_governance(_governance_project(tmp_path))
+    answers = iter(["1", "3", "team-data"])  # finance, public, team by name
+    args = argparse.Namespace(group=None, access=None, team=[], quick=False)
+    _governance_wizard(args, gov, input_fn=lambda _: next(answers),
+                       print_fn=lambda _: None)
+    assert args.group == "finance"
+    assert args.access == "public"
+    assert args.team == ["team-data"]
+    # a valid flag value short-circuits its prompt
+    answers = iter(["2"])  # only the access prompt fires
+    args = argparse.Namespace(group="growth", access=None, team=["team-data"],
+                              quick=False)
+    _governance_wizard(args, gov, input_fn=lambda _: next(answers),
+                       print_fn=lambda _: None)
+    assert args.group == "growth" and args.access == "protected"
+    assert args.team == ["team-data"]
+    # --quick never prompts (input_fn would raise StopIteration)
+    args = argparse.Namespace(group=None, access=None, team=[], quick=True)
+    _governance_wizard(args, gov, input_fn=lambda _: (_ for _ in ()).throw(
+        AssertionError("prompted under --quick")), print_fn=lambda _: None)
+    assert args.group is None and args.access is None
+
+
+def test_select_from_choices_io():
+    from dbtwiz_spark.picker import select_from_choices
+
+    choices = {"a": "first", "b": "second"}
+    feed = iter(["zzz", "2"])  # invalid then numeric pick
+    got = select_from_choices("pick", choices, input_fn=lambda _: next(feed),
+                              print_fn=lambda _: None)
+    assert got == "b"
+    feed = iter([""])
+    assert select_from_choices("pick", choices, allow_none=True,
+                               input_fn=lambda _: next(feed),
+                               print_fn=lambda _: None) is None
