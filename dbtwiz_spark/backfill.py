@@ -175,6 +175,19 @@ def run_backfill(
                 f"task_index {idx} out of bounds for task_count {task_count}"
             )
         chunks = chunks[idx::task_count]
+        if journal is not None:
+            # one journal PER worker: the journal rewrite is read-modify-
+            # write of the whole file, so N parallel workers sharing one
+            # path would interleave and clobber each other's status rows.
+            # Retry runs shard the same way, so each worker retries
+            # exactly its own failures from its own file.
+            journal = BackfillJournal(
+                journal.path.with_name(
+                    f"{journal.path.stem}.task{idx}{journal.path.suffix}"
+                )
+            )
+            if retry_failed_only:
+                chunks = journal.failed_chunks()
     results = []
     # journal EVERY planned chunk as pending up front: after a serial-mode
     # break, never-attempted chunks would otherwise carry no journal entry,

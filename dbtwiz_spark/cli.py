@@ -63,10 +63,23 @@ def cmd_build(args) -> int:
             return 1
         saved = _json.loads(last_file.read_text())
         args.select, args.exclude = saved["select"], saved.get("exclude")
+        # replay the graph/refresh flags too: `build --select a -u` then
+        # `build --last` must rebuild a+upstream, not just 'a' (the
+        # reference's replay reconstructs the full previous args,
+        # dbtwiz/admin/backfill.py:522). Flags given alongside --last OR
+        # with the saved ones.
+        for flag in ("upstream", "downstream", "full_refresh"):
+            if saved.get(flag):
+                setattr(args, flag, True)
     runner, manifest, _ = _load(args)
     last_file.parent.mkdir(exist_ok=True)
-    last_file.write_text(_json.dumps({"select": args.select,
-                                      "exclude": getattr(args, "exclude", None)}))
+    last_file.write_text(_json.dumps({
+        "select": args.select,
+        "exclude": getattr(args, "exclude", None),
+        "upstream": getattr(args, "upstream", False),
+        "downstream": getattr(args, "downstream", False),
+        "full_refresh": getattr(args, "full_refresh", False),
+    }))
     if args.start:
         runner.variables["data_interval_start"] = args.start
         runner.variables["data_interval_end"] = args.end or args.start

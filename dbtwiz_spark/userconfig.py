@@ -69,14 +69,21 @@ class UserConfig:
     def validate(self) -> None:
         if self.theme not in ("light", "dark"):
             raise ValueError("theme must be one of ['light', 'dark']")
-        if not isinstance(self.shuffle_partitions, int) or not (
-            1 <= self.shuffle_partitions <= 100_000
-        ):
+        # bool is an int subclass in Python: `shuffle_partitions = true`
+        # would otherwise pass the isinstance(int) gate and silently run
+        # with ONE shuffle partition
+        if isinstance(self.shuffle_partitions, bool) or not isinstance(
+            self.shuffle_partitions, int
+        ) or not (1 <= self.shuffle_partitions <= 100_000):
             raise ValueError("shuffle_partitions must be an int in [1, 100000]")
         for f in fields(self):
             v = getattr(self, f.name)
             if f.type == "bool" and not isinstance(v, bool):
                 raise ValueError(f"{f.name} must be a boolean")
+            if f.type == "str" and not isinstance(v, str):
+                raise ValueError(f"{f.name} must be a string")
+            if f.type == "int" and isinstance(v, bool):
+                raise ValueError(f"{f.name} must be an int, not a boolean")
 
 
 def config_dir() -> Path:

@@ -502,3 +502,32 @@ def test_backfill_task_sharding(engine, tmp_path, monkeypatch):
         run_backfill(engine, "daily_values", date(2024, 1, 1),
                      date(2024, 1, 10), batch_size=2,
                      task_index=5, task_count=3)
+
+
+def test_backfill_sharded_journal_is_per_task(engine, tmp_path):
+    """Parallel workers must not share one journal file (read-modify-write
+    races would clobber each other's rows): with task sharding the journal
+    path is derived per task index, and a sharded retry reads its own
+    worker's failures."""
+    base = tmp_path / "shard_journal.json"
+    for i in range(2):
+        run_backfill(engine, "daily_values", date(2024, 1, 1),
+                     date(2024, 1, 8), batch_size=2, task_index=i,
+                     task_count=2, journal=BackfillJournal(base))
+    assert not base.exists()
+    j0 = BackfillJournal(tmp_path / "shard_journal.task0.json")
+    j1 = BackfillJournal(tmp_path / "shard_journal.task1.json")
+    assert j0.path.exists() and j1.path.exists()
+    # disjoint interleaved shards, covering the range exactly once
+    k0, k1 = set(j0.load()), set(j1.load())
+    assert k0 and k1 and not (k0 & k1)
+    full = BackfillJournal(tmp_path / "full_journal.json")
+    run_backfill(engine, "daily_values", date(2024, 1, 1), date(2024, 1, 8),
+                 batch_size=2, journal=full)
+    assert k0 | k1 == set(full.load())
+    # sharded retry: worker 0 retries only ITS failed chunks (none here)
+    results = run_backfill(engine, "daily_values", date(2024, 1, 1),
+                           date(2024, 1, 8), batch_size=2, task_index=0,
+                           task_count=2, journal=BackfillJournal(base),
+                           retry_failed_only=True)
+    assert results == []

@@ -853,3 +853,40 @@ def test_select_from_choices_io():
     assert select_from_choices("pick", choices, allow_none=True,
                                input_fn=lambda _: next(feed),
                                print_fn=lambda _: None) is None
+
+
+def test_config_rejects_bool_for_int_and_nonstring_fields(tmp_path, monkeypatch):
+    """bool is an int subclass: `shuffle_partitions = true` parsed as True
+    must fail validation instead of silently meaning ONE shuffle
+    partition; string fields likewise reject non-strings."""
+    monkeypatch.setenv("DBTWIZ_SPARK_CONFIG_DIR", str(tmp_path))
+    from dbtwiz_spark import userconfig
+
+    (tmp_path / "config.toml").write_text("shuffle_partitions = true\n")
+    # load degrades to defaults on an invalid file — never 1 partition
+    assert userconfig.load_user_config().shuffle_partitions == 32
+    with pytest.raises(ValueError, match="shuffle_partitions"):
+        userconfig.UserConfig(shuffle_partitions=True).validate()
+    with pytest.raises(ValueError, match="editor_command must be a string"):
+        userconfig.UserConfig(editor_command=3).validate()
+
+
+def test_build_last_replays_graph_flags(spark, project, wh_dir, capsys):
+    """`build --select X -u` then `build --last` must replay the upstream
+    expansion (and full_refresh), not just the bare selector."""
+    import json as _json
+
+    rc = main(["build", "--project", str(project), "--warehouse", wh_dir,
+               "--select", "mrt_nation_balance", "-u"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "stg_customer" in out and "mrt_nation_balance" in out
+    saved = _json.loads(
+        (project / ".dbtwiz_spark" / "last_select.json").read_text()
+    )
+    assert saved["upstream"] is True and saved["full_refresh"] is False
+    rc = main(["build", "--project", str(project), "--warehouse", wh_dir,
+               "--last"])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    # upstream expansion replayed: the parent rebuilt too
+    assert "stg_customer" in out and "mrt_nation_balance" in out
