@@ -368,3 +368,81 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     ).count()
     plan = _formatted(q)
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_rotated_entries_plan_properties(spark):
+    """Plan pins for the round-5 window rotation (never-driver-certified
+    entries): null-safe join plans as a real equality join (hash/merge on
+    the key, never a nested loop — eqNullSafe is a joinable key); the
+    correlated EXISTS/NOT EXISTS pair rewrites to left-semi + left-anti
+    (the subquery surface must cost exactly the joins it means);
+    EXCEPT ALL / INTERSECT ALL plan as count-aggregate + replicaterows
+    with no join at all; UNION ALL BY NAME is a zero-exchange plan-level
+    concatenation with both branch filters pushed to the scans."""
+    from dbtwiz_spark.ops.joins import filter_exists_correlated, join_null_safe
+    from dbtwiz_spark.ops.setops import (
+        set_except_all,
+        set_intersect_all,
+        set_union_by_name,
+    )
+
+    ns_plan = _formatted(join_null_safe(spark, SF_DIR))
+    assert "CartesianProduct" not in ns_plan
+    assert "BroadcastNestedLoopJoin" not in ns_plan
+    assert any(j in ns_plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+    ex_plan = _formatted(filter_exists_correlated(spark, SF_DIR))
+    assert "LeftSemi" in ex_plan and "LeftAnti" in ex_plan
+    assert "CartesianProduct" not in ex_plan
+
+    for fn in (set_except_all, set_intersect_all):
+        plan = _formatted(fn(spark, SF_DIR))
+        assert "replicaterows" in plan, fn.__name__  # multiset arithmetic
+        assert "Join" not in plan, fn.__name__
+        assert "partial_" in plan, fn.__name__  # map-side count combine
+
+    ub_plan = _formatted(set_union_by_name(spark, SF_DIR))
+    assert ub_plan.count("Exchange (") == 0
+    assert "Union" in ub_plan
+    assert ub_plan.count("PushedFilters: [") >= 2  # both branches pushed
+
+
+def test_rotated_scalar_and_agg_entries_plan_properties(spark):
+    """More round-5 rotation pins: the higher-order-lambda and
+    schema-applied-JSON entries are zero-exchange scan-fused projections
+    (array lambdas and Jackson parse are row-local — the alternative,
+    explode+shuffle, is the scale-killer they exist to avoid); the
+    deterministic mode / exact-moment corr / exact-percentile aggregates
+    all carry map-side partial aggregation and no join; gaps-islands
+    keeps every window and shuffle keyed by user_id (never a single
+    global partition); the dataset card is ONE aggregation over ONE
+    scan."""
+    from dbtwiz_spark.ops.aggregates import (
+        agg_corr_covar,
+        agg_mode_deterministic,
+        agg_percentile_exact,
+    )
+    from dbtwiz_spark.ops.ext_pipeline import ext_dataset_card
+    from dbtwiz_spark.ops.functions import func_from_json, func_higher_order
+    from dbtwiz_spark.ops.windows import win_gaps_islands
+
+    for fn in (func_higher_order, func_from_json):
+        plan = _formatted(fn(spark, SF_DIR))
+        assert plan.count("Exchange (") == 0, fn.__name__
+        assert plan.count("Scan parquet") == 2, fn.__name__  # tree + detail
+
+    for fn in (agg_mode_deterministic, agg_corr_covar, agg_percentile_exact):
+        plan = _formatted(fn(spark, SF_DIR))
+        assert "partial_" in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+    # the moment-based corr is ONE ordinary shuffle, like any groupBy
+    assert _formatted(agg_corr_covar(spark, SF_DIR)).count("Exchange (") == 1
+
+    gi_plan = _formatted(win_gaps_islands(spark, SF_DIR))
+    assert "hashpartitioning(user_id" in gi_plan
+    assert "SinglePartition" not in gi_plan
+
+    card_plan = _formatted(ext_dataset_card(spark, SF_DIR))
+    assert card_plan.count("Scan parquet") == 2  # one scan (tree + detail)
+    assert "Join" not in card_plan
