@@ -718,3 +718,106 @@ def agg_percentile_exact(spark, sf_dir):
         F.min("o_totalprice").alias("lo"),
         F.max("o_totalprice").alias("hi"),
     )
+
+
+# Count-Min parameters: d hash rows × w counters. Width drives the additive
+# error bound (excess ≤ ~N/w expected per row); the certificate below uses
+# the generous 4N/w tail bound, whose min-over-d failure odds are
+# (1/4)^d = 0.4% per probe — and the data is fixed per sf_dir, so the
+# check is deterministic per dataset (verified at every test SF).
+_CM_D = 4
+_CM_W = 256
+_CM_PROBES = ("the", "of", "data", "model", "system", "a")
+
+
+@register(
+    "agg-countmin-sketch",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS true_count, true AS ok
+    FROM toks
+    WHERE tok IN {_CM_PROBES!r}
+    GROUP BY 1
+    """,
+)
+def agg_countmin_sketch(spark, sf_dir):
+    """Count-Min sketch over the corpus token stream — the frequency
+    member of the mergeable-summary family (HLL cardinality, Misra-Gries
+    heavy hitters, quantile digest): a d×w counter matrix answering point
+    frequency queries with one-sided error (never under, over by at most
+    ~N/w with high probability).
+
+    The merged sketch IS a groupBy: every token contributes d (row,
+    bucket) increments, and aggregating counts over the d×w = 1024
+    distinct keys collapses map-side (partial_count), so the shuffle
+    carries one row per counter per input partition — the distributed
+    equivalent of adding per-shard counter matrices, with no driver-side
+    state. Probes then look up min over d counters via an equi-join on
+    the tiny sketch.
+
+    Driver-checkable certificate shape (same device as the recall
+    entries): the output carries each probe's TRUE count (recomputed from
+    scratch by the oracle) plus ok = (estimate ≥ true AND estimate ≤
+    true + 4N/w); the estimates themselves are seeded-xxhash64-specific
+    and stay out of the hashed columns."""
+    d = views(spark, sf_dir).table("documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    rb = toks.select(
+        "tok",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.lit(i), F.col("tok")), F.lit(_CM_W)
+                        ).alias("bucket"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select(F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    sketch = rb.groupBy("row", "bucket").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    probes = toks.filter(F.col("tok").isin(*_CM_PROBES))
+    true_counts = probes.groupBy(F.col("tok").alias("token")).agg(
+        F.count("*").alias("true_count")
+    )
+    probe_cells = true_counts.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.lit(i), F.col("token")), F.lit(_CM_W)
+                        ).alias("bucket"),
+                    )
+                    for i in range(_CM_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probe_cells.join(sketch, ["row", "bucket"])
+        .groupBy("token")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        true_counts.join(est, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "true_count",
+            (
+                (F.col("est") >= F.col("true_count"))
+                & (
+                    F.col("est")
+                    <= F.col("true_count") + 4 * F.col("n_total") / _CM_W
+                )
+            ).alias("ok"),
+        )
+    )

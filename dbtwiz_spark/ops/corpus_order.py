@@ -17,14 +17,18 @@ Round-5 window (positions 0-49):
   func-from-json, sort-within-partitions-cert, ext-dedup-simhash-recall,
   stream-dedup-near, ext-dataset-card. Green rows here close the
   144/160 certification gap to 160/160.
-* 16-44 — the oldest-evidence rows: the r2-green scan / project /
-  filter / join families, whose newest driver row predates two rounds of
-  shared-helper evolution (catalog.py, common.py, session confs).
+* 16-20 — entries ADDED this round (zero driver evidence, same priority
+  class as the 16 above): sink-scd2, ext-chunk-documents,
+  ext-bm25-search, ext-dedup-containment, agg-countmin-sketch.
+* 21-44 — the oldest-evidence rows: the r2-green scan / project /
+  filter families and the core join family, whose newest driver row
+  predates two rounds of shared-helper evolution (catalog.py, common.py,
+  session confs).
 * 45-48 — write-path entries (sink-table-create, sink-insert-overwrite,
   sink-merge, scan-time-travel): their newest rows are r3-green but the
-  materialize.py commit path is being profiled/changed THIS round, so
-  they re-certify the new write path rather than coast on rows earned by
-  the old one.
+  materialize.py commit path changed THIS round (FileOutputCommitter v2),
+  so they re-certify the new write path rather than coast on rows earned
+  by the old one.
 * 49 — stream-dedup-near-cert, NEW: the driver-checkable batch/stream
   agreement certificate for rows-only stream-dedup-near (same device as
   ext-dedup-near-recall), replaying the corpus through the real
@@ -32,8 +36,10 @@ Round-5 window (positions 0-49):
 
 Still waiting after this round (slated for round 6): the 17 r2-green
 agg-family rows (agg-group-by .. agg-unpivot), win-row-number, win-rank,
-and the r3-era function/set/stream families — all unchanged code whose
-green rows remain valid under the green-manifest guard.
+join-cross/-anti/-theta/-asof/-self-dag (displaced by the round-5 new
+entries — their r2 rows remain valid), and the r3-era
+function/set/stream families — all unchanged code whose green rows
+remain valid under the green-manifest guard.
 """
 
 from __future__ import annotations
@@ -60,6 +66,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext-dedup-simhash-recall",
     "stream-dedup-near",
     "ext-dataset-card",
+    # added this round — zero driver evidence yet
+    "sink-scd2",
+    "ext-chunk-documents",
+    "ext-bm25-search",
+    "ext-dedup-containment",
+    "agg-countmin-sketch",
     # oldest-evidence refresh: r2-green scan family
     "scan-table",
     "scan-view",
@@ -81,18 +93,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter-null",
     "filter-partition-required",
     "distinct",
-    # r2-green join family
+    # r2-green join family (core shapes; the rest displaced to round 6)
     "join-inner-equi",
     "join-left-outer",
     "join-right-outer",
     "join-full-outer",
-    "join-cross",
     "join-broadcast",
     "join-semi",
-    "join-anti",
-    "join-theta",
-    "join-asof",
-    "join-self-dag",
     # write path re-certification: materialize.py commit path changes this
     # round (insert-overwrite profiling), so the sink rows must be re-earned
     "sink-table-create",

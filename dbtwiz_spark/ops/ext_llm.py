@@ -1425,3 +1425,63 @@ def ext_multimodal_framesample(spark, sf_dir):
     d = views(spark, sf_dir).table("documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return frame_sample(payloads, every_ms=100)
+
+
+_CONTAINMENT_SQL = """
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    sh_all AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(a) - 2),
+                      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS shingle
+        FROM arrs),
+    hot AS (
+        SELECT shingle FROM sh_all GROUP BY shingle
+        HAVING COUNT(*) > 0.25 * (SELECT COUNT(*) FROM documents)),
+    sh AS (
+        SELECT * FROM sh_all WHERE shingle NOT IN (SELECT shingle FROM hot)),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst, COUNT(*) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2)
+    SELECT src, dst, CAST(inter AS DOUBLE) / s.n AS containment
+    FROM pairs JOIN sizes s ON s.doc_id = src
+    WHERE CAST(inter AS DOUBLE) / s.n >= 0.6
+"""
+
+
+@register("ext-dedup-containment", oracle=_CONTAINMENT_SQL)
+def ext_dedup_containment(spark, sf_dir):
+    """Asymmetric n-gram containment join: pairs where ≥ 60% of the
+    SOURCE document's 3-shingles also occur in the destination —
+    detecting a document EMBEDDED in a larger one (quote farms,
+    boilerplate wrappers, page-plus-chrome crawls), which symmetric
+    Jaccard misses because the union in its denominator dilutes a small
+    doc contained in a big one.
+
+    Same linear scale shape as ext-ngram-jaccard (shared-shingle
+    equi-join over the DF-capped universe, one shuffle on the shingle
+    key, per-pair count, no cross join); only the denominator changes —
+    |grams(src)| instead of the union — and the join keeps BOTH
+    directions (a != b, not a < b) because containment is directional."""
+    d = views(spark, sf_dir).table("documents")
+    sh = cap_shingle_df(shingles(d, 3), d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s = sizes.select(F.col("doc_id").alias("src"), F.col("n").alias("n_src"))
+    containment = F.col("inter").cast("double") / F.col("n_src")
+    return (
+        pairs.join(s, "src")
+        .select("src", "dst", containment.alias("containment"))
+        .filter(F.col("containment") >= 0.6)
+    )

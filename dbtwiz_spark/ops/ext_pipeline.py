@@ -1139,3 +1139,140 @@ def ext_dataset_card(spark, sf_dir):
         .cast("long")
         .alias("n_short"),
     )
+
+
+@register(
+    "ext-chunk-documents",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (
+        SELECT doc_id, toks, g
+        FROM t, UNNEST(generate_series(0, len(toks) - 1, 32)) AS s(g))
+    SELECT doc_id, CAST(g // 32 AS BIGINT) AS chunk_id,
+           CAST(len(toks[g + 1 : g + 40]) AS BIGINT) AS chunk_tokens,
+           array_to_string(toks[g + 1 : g + 40], ' ') AS chunk_text
+    FROM u
+    """,
+)
+def ext_chunk_documents(spark, sf_dir):
+    """Fixed-window document chunking with overlap — the step that turns
+    long documents into trainable sequences (40-token windows, stride 32,
+    so consecutive chunks share an 8-token overlap and no token is lost
+    at a boundary; the final partial chunk is kept).
+
+    Pure map-side expansion: per row, a ``sequence`` of chunk starts is
+    exploded and each chunk sliced out of the token array — no shuffle
+    anywhere, output size is corpus tokens × (40/32), and the operator
+    composes with ext-pack-sequences downstream. Slicing is array
+    arithmetic (both engines clamp a slice past the end), never substring
+    math that could split a token."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(32))
+    chunk = F.slice(F.col("toks"), F.col("g") + 1, 40)
+    return (
+        d.select("doc_id", toks.alias("toks"), F.explode(starts).alias("g"))
+        .select(
+            "doc_id",
+            F.floor(F.col("g") / 32).cast("long").alias("chunk_id"),
+            F.size(chunk).cast("long").alias("chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+# BM25 constants (Robertson et al.; the values virtually every search
+# engine defaults to)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("data", "model", "system")
+
+
+def _bm25_sql() -> str:
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, w -> w = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    score = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1)"
+        f" * tf{i} * {_BM25_K1 + 1} / (tf{i} + {_BM25_K1} *"
+        f" (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) ELSE 0 END)"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    d AS (
+        SELECT doc_id, len(toks) AS dl, {tf_cols} FROM t),
+    g AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, {df_cols}
+        FROM d)
+    SELECT doc_id, round({score}, 6) AS score
+    FROM d, g
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register("ext-bm25-search", oracle=_bm25_sql())
+def ext_bm25_search(spark, sf_dir):
+    """BM25 lexical retrieval (k1=1.2, b=0.75): top-20 documents for a
+    fixed query term set — the classic search scorer, and the lexical
+    counterpart to ext-sim-cosine-topk.
+
+    Scale shape: per-term frequencies come from array lambdas INSIDE the
+    row (``filter(toks, w -> w = t)``), so there is NO token explode and
+    no token-level shuffle — the usual tf/df formulation shuffles the
+    entire exploded token stream, this one shuffles nothing but a 1-row
+    global aggregate (N, avgdl, per-term df) that broadcasts back to the
+    map side. Top-k is TakeOrdered (never a global sort). Scores are
+    rounded to 6 dp and ORDERED BY THE ROUNDED VALUE with a doc_id
+    tie-break, absorbing the last-ulp ln() divergence between engines
+    (same device as agg-corr-covar)."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    def _tf(term: str):
+        # NB: the lambda must be unary — pyspark gives a 2-arg callable
+        # (element, index) semantics, which would bind the term to the
+        # array index instead of the closed-over string
+        return F.size(F.filter(toks, lambda w: w == F.lit(term)))
+
+    tf = [_tf(t) for t in _BM25_TERMS]
+    per_doc = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[c.alias(f"tf{i}") for i, c in enumerate(tf)],
+    )
+    glob = per_doc.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    n, avgdl = F.col("n"), F.col("avgdl")
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tfi, dfi = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log((n - dfi + 0.5) / (dfi + 0.5) + 1)
+        part = F.when(
+            tfi > 0,
+            idf
+            * tfi
+            * (_BM25_K1 + 1)
+            / (tfi + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / avgdl)),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    return (
+        per_doc.join(F.broadcast(glob))
+        .select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(20)
+    )

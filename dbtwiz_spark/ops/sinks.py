@@ -213,6 +213,56 @@ def source_declare(spark, sf_dir):
 
 
 @register(
+    "sink-scd2",
+    oracle="""
+    WITH h AS (
+        SELECT c_custkey, '2024-01-01' AS snap_date, c_acctbal AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, '2024-02-01', c_acctbal + 50.0
+        FROM customer WHERE c_custkey % 10 = 0),
+    r AS (
+        SELECT *, LEAD(snap_date) OVER (PARTITION BY c_custkey
+                                        ORDER BY snap_date) AS valid_to
+        FROM h)
+    SELECT c_custkey, snap_date, bal, snap_date AS valid_from, valid_to,
+           valid_to IS NULL AS is_current
+    FROM r
+    """,
+)
+def sink_scd2(spark, sf_dir):
+    """SCD2 materialization end-to-end (dbtwiz/model/create.py:418-429 scd2
+    macro semantics: daily grain appended, validity intervals rebuilt with
+    lead() over the partition date): an initial full snapshot, then an
+    incremental run restating 10% of the keys at a later date. The engine
+    path (materialize.scd2_apply) re-windows ONLY the affected keys'
+    history and rewrites only their partitions; the oracle rebuilds the
+    whole interval table declaratively — matching means the
+    partition-scoped incremental path equals the from-scratch recompute,
+    the same idempotency contract sink-insert-overwrite pins.
+
+    Dates flow as 'yyyy-MM-dd' strings (hive partition columns read back
+    as STRING engine-wide; lexicographic order == chronological)."""
+    c = views(spark, sf_dir).table("customer")
+    wh = _wh(spark)
+    day1 = c.select(
+        "c_custkey",
+        F.lit("2024-01-01").alias("snap_date"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    wh.scd2_apply("cust_hist", day1, "c_custkey", "snap_date")
+    day2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("2024-02-01").alias("snap_date"),
+        (F.col("c_acctbal") + 50.0).alias("bal"),
+    )
+    wh.scd2_apply("cust_hist", day2, "c_custkey", "snap_date")
+    return wh.read("cust_hist").select(
+        "c_custkey", "snap_date", "bal", "valid_from", "valid_to", "is_current"
+    )
+
+
+@register(
     "sink-sharded-export",
     oracle=f"""
     SELECT CAST(({hkey_sql('doc_id')}) % 8 AS BIGINT) AS shard,

@@ -446,3 +446,37 @@ def test_rotated_scalar_and_agg_entries_plan_properties(spark):
     card_plan = _formatted(ext_dataset_card(spark, SF_DIR))
     assert card_plan.count("Scan parquet") == 2  # one scan (tree + detail)
     assert "Join" not in card_plan
+
+
+def test_round5_new_ops_plan_properties(spark):
+    """Round-5 additions: document chunking is a pure map-side expansion
+    (zero exchanges — the sequence explode and slice happen inside the
+    row); BM25 never explodes the token stream (per-term lambda counts,
+    one broadcast 1-row global aggregate, TakeOrdered top-k — no global
+    sort exchange); containment keeps the jaccard family's linear shape
+    (gram equi-join, no cross join); the Count-Min sketch groupBy
+    collapses map-side (partial_count over d×w=1024 keys) and probes the
+    tiny sketch with an equi-join."""
+    from dbtwiz_spark.ops.aggregates import agg_countmin_sketch
+    from dbtwiz_spark.ops.ext_llm import ext_dedup_containment
+    from dbtwiz_spark.ops.ext_pipeline import ext_bm25_search, ext_chunk_documents
+
+    chunk_plan = _formatted(ext_chunk_documents(spark, SF_DIR))
+    assert chunk_plan.count("Exchange (") == 0
+    assert chunk_plan.count("Scan parquet") == 2  # one scan (tree + detail)
+
+    bm25_plan = _formatted(ext_bm25_search(spark, SF_DIR))
+    assert "Generate" not in bm25_plan  # no token explode anywhere
+    assert "TakeOrderedAndProject" in bm25_plan  # top-k, never a global sort
+    assert "BroadcastNestedLoopJoin" in bm25_plan or "BroadcastExchange" in bm25_plan
+
+    cont_plan = _formatted(ext_dedup_containment(spark, SF_DIR))
+    assert "CartesianProduct" not in cont_plan
+    # the only nested-loop is the documented 1-row corpus-total broadcast
+    # inside cap_shingle_df; the gram self-join itself must be an equi-join
+    assert any(j in cont_plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+    cm_plan = _formatted(agg_countmin_sketch(spark, SF_DIR))
+    assert "partial_count" in cm_plan  # sketch merge is map-side
+    assert "CartesianProduct" not in cm_plan
