@@ -467,12 +467,37 @@ def cmd_model_create(args) -> int:
     from dbtwiz_spark.project import (
         FREQUENCY_CHOICES,
         load_governance,
+        load_layers,
         validate_governance,
     )
 
     models = Path(args.project) / "models"
+    name = args.name
+    if args.layer or args.domain:
+        # layered layout (dbtwiz/core/model.py ModelBasePath): the model
+        # lives at models/<layer_folder>/<domain>/ and its name carries
+        # the <abbr>_<domain>__ prefix; --name gives the identifier (a
+        # pre-prefixed name passes through untouched)
+        if not (args.layer and args.domain):
+            print("--layer and --domain must be given together")
+            return 1
+        layers = load_layers(args.project)
+        if args.layer not in layers:
+            print(f"invalid --layer {args.layer!r} "
+                  f"(choose from {sorted(layers)})")
+            return 1
+        folder, abbr = layers[args.layer]
+        prefix = f"{abbr}_{args.domain}__"
+        if not name.startswith(prefix):
+            name = prefix + name
+        models = models / folder / args.domain
+        if args.layer == "staging" and args.materialized != "view":
+            # reference parity (create.py:336-346): staging models are
+            # always views
+            print("setting materialization to view (required for staging)")
+            args.materialized = "view"
     models.mkdir(parents=True, exist_ok=True)
-    sql_path = models / f"{args.name}.sql"
+    sql_path = models / f"{name}.sql"
     if sql_path.exists() and not args.force:
         print(f"refusing to overwrite {sql_path} (use --force)")
         return 1
@@ -521,7 +546,7 @@ def cmd_model_create(args) -> int:
         cfg["meta"] = meta
 
     errors = validate_governance(
-        Model(name=args.name, sql="", group=cfg.get("group"),
+        Model(name=name, sql="", group=cfg.get("group"),
               access=cfg.get("access"), meta=meta),
         gov,
     )
@@ -548,12 +573,21 @@ def cmd_model_validate(args) -> int:
     import yaml as _yaml
     from pathlib import Path
 
-    from dbtwiz_spark.project import load_governance, validate_governance
+    from dbtwiz_spark.project import (
+        load_governance,
+        validate_governance,
+        validate_name_conventions,
+    )
     from dbtwiz_spark.types import spark_type_to_sql
 
     _, manifest, wh = _load(args)
     gov = load_governance(args.project)
     rc = 0
+    # layered-layout naming convention (reference model/validate.py:240-270:
+    # <abbr>_<domain>__<identifier> must agree with the folders)
+    for name, err in validate_name_conventions(args.project):
+        rc = 1
+        print(f"NAMING {name}: {err}")
     for name in manifest.select(args.select):
         m = manifest.models[name]
         gov_errors = validate_governance(m, gov)
@@ -893,6 +927,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="partition expiration (incremental only)")
     mc.add_argument("--quick", action="store_true",
                     help="skip interactive prompts for missing governance values")
+    mc.add_argument("--layer",
+                    help="layered layout: staging|intermediate|marts|bespoke "
+                         "(overridable via project.yml layers:)")
+    mc.add_argument("--domain", help="domain folder under the layer")
     mc.set_defaults(fn=cmd_model_create)
 
     mm = msub.add_parser("move", help="move/rename a model, rewrite refs")

@@ -104,6 +104,68 @@ def load_governance(root: str | Path) -> Governance:
     return gov
 
 
+# Layer layout (reference: dbtwiz/config/project.py:184-204 — configurable
+# via `[tool.dbtwiz.project.layers]`, defaulting to the historical layout;
+# dbtwiz/core/model.py ModelBasePath derives folder + name prefix from it).
+# The engine reads overrides from project.yml `layers:` with the same shape.
+DEFAULT_LAYERS: dict[str, tuple[str, str]] = {
+    "staging": ("1_staging", "stg"),
+    "intermediate": ("2_intermediate", "int"),
+    "marts": ("3_marts", "mrt"),
+    "bespoke": ("4_bespoke", "bsp"),
+}
+
+
+def load_layers(root: str | Path) -> dict[str, tuple[str, str]]:
+    """Layer name → (folder, abbreviation), with project.yml overrides."""
+    root = Path(root)
+    proj_file = root / "project.yml"
+    if proj_file.exists():
+        proj = yaml.safe_load(proj_file.read_text()) or {}
+        declared = proj.get("layers") or {}
+        if declared:
+            return {
+                name: (spec["folder"], spec["abbreviation"])
+                for name, spec in declared.items()
+            }
+    return dict(DEFAULT_LAYERS)
+
+
+def validate_name_conventions(
+    root: str | Path, layers: dict[str, tuple[str, str]] | None = None
+) -> list[tuple[str, str]]:
+    """Check every model under a layer folder against the reference's
+    ``<abbr>_<domain>__<identifier>`` naming convention
+    (dbtwiz/model/validate.py:240-270: prefix must agree with the layer
+    folder and domain folder the file lives in). Models outside a
+    recognized layer folder (flat layouts) are exempt. Returns
+    (model_name, error) pairs."""
+    root = Path(root)
+    layers = layers if layers is not None else load_layers(root)
+    by_folder = {folder: (layer, abbr) for layer, (folder, abbr) in layers.items()}
+    errors: list[tuple[str, str]] = []
+    models_dir = root / "models"
+    if not models_dir.exists():
+        return errors
+    for sql_path in sorted(models_dir.rglob("*.sql")):
+        rel = sql_path.relative_to(models_dir).parts
+        if len(rel) < 3 or rel[0] not in by_folder:
+            continue
+        layer, abbr = by_folder[rel[0]]
+        domain = rel[1]
+        expected = f"{abbr}_{domain}__"
+        name = sql_path.stem
+        if not name.startswith(expected):
+            errors.append(
+                (
+                    name,
+                    f"model in models/{rel[0]}/{domain}/ must be named "
+                    f"{expected}<identifier> ({layer} layer convention)",
+                )
+            )
+    return errors
+
+
 def validate_governance(model: Model, gov: Governance) -> list[str]:
     """Governance checks mirroring the reference wizard's validation
     (dbtwiz/model/create.py:132-230: group/access/team values must come

@@ -890,3 +890,70 @@ def test_build_last_replays_graph_flags(spark, project, wh_dir, capsys):
     assert rc == 0, out
     # upstream expansion replayed: the parent rebuilt too
     assert "stg_customer" in out and "mrt_nation_balance" in out
+
+
+def test_model_create_layered_layout(tmp_path, capsys):
+    """--layer/--domain parity with the reference layout
+    (models/<layer_folder>/<domain>/<abbr>_<domain>__<identifier>):
+    auto-prefixing, staging's forced view materialization, and the
+    validate-side naming-convention check."""
+    import yaml
+
+    proj = tmp_path / "layered"
+    (proj / "models").mkdir(parents=True)
+    assert main(["model", "create", "--project", str(proj), "--name", "rev",
+                 "--layer", "marts", "--domain", "finance",
+                 "--materialized", "table"]) == 0
+    capsys.readouterr()
+    sql = proj / "models" / "3_marts" / "finance" / "mrt_finance__rev.sql"
+    assert sql.exists() and sql.with_suffix(".yml").exists()
+    # staging forces view materialization
+    assert main(["model", "create", "--project", str(proj), "--name", "raw",
+                 "--layer", "staging", "--domain", "crm",
+                 "--materialized", "incremental"]) == 0
+    capsys.readouterr()
+    stg = proj / "models" / "1_staging" / "crm" / "stg_crm__raw.yml"
+    assert yaml.safe_load(stg.read_text())["materialized"] == "view"
+    # a pre-prefixed name passes through without double-prefixing
+    assert main(["model", "create", "--project", str(proj),
+                 "--name", "mrt_finance__cost", "--layer", "marts",
+                 "--domain", "finance"]) == 0
+    capsys.readouterr()
+    assert (proj / "models" / "3_marts" / "finance"
+            / "mrt_finance__cost.sql").exists()
+    # unknown layer is a hard error; --layer without --domain too
+    assert main(["model", "create", "--project", str(proj), "--name", "x",
+                 "--layer", "gold", "--domain", "d"]) == 1
+    assert main(["model", "create", "--project", str(proj), "--name", "x",
+                 "--layer", "marts"]) == 1
+    capsys.readouterr()
+    # the manifest loads the nested models under their full names
+    from dbtwiz_spark.project import load_project, validate_name_conventions
+
+    manifest, _ = load_project(proj)
+    assert "mrt_finance__rev" in manifest.models
+    assert "stg_crm__raw" in manifest.models
+    assert validate_name_conventions(proj) == []
+    # a hand-placed misnamed model is flagged by model validate
+    bad = proj / "models" / "3_marts" / "finance" / "orders_summary.sql"
+    bad.write_text("SELECT 1 AS a\n")
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", str(tmp_path / "wh")]) == 1
+    out = capsys.readouterr().out
+    assert "NAMING orders_summary" in out and "mrt_finance__" in out
+
+
+def test_layer_overrides_from_project_yml(tmp_path):
+    import yaml
+
+    from dbtwiz_spark.project import load_layers
+
+    proj = tmp_path / "ovr"
+    proj.mkdir()
+    (proj / "project.yml").write_text(yaml.safe_dump({
+        "name": "o",
+        "layers": {"gold": {"folder": "9_gold", "abbreviation": "gld"}},
+    }))
+    assert load_layers(proj) == {"gold": ("9_gold", "gld")}
+    # no override -> reference defaults
+    assert load_layers(tmp_path)["marts"] == ("3_marts", "mrt")
