@@ -17,10 +17,11 @@ Round-5 window (positions 0-49):
   func-from-json, sort-within-partitions-cert, ext-dedup-simhash-recall,
   stream-dedup-near, ext-dataset-card. Green rows here close the
   144/160 certification gap to 160/160.
-* 16-20 — entries ADDED this round (zero driver evidence, same priority
+* 16-21 — entries ADDED this round (zero driver evidence, same priority
   class as the 16 above): sink-scd2, ext-chunk-documents,
-  ext-bm25-search, ext-dedup-containment, agg-countmin-sketch.
-* 21-44 — the oldest-evidence rows: the r2-green scan / project /
+  ext-bm25-search, ext-dedup-containment, agg-countmin-sketch,
+  ext-quality-unigram-logprob.
+* 22-44 — the oldest-evidence rows: the r2-green scan / project /
   filter families and the core join family, whose newest driver row
   predates two rounds of shared-helper evolution (catalog.py, common.py,
   session confs).
@@ -36,8 +37,8 @@ Round-5 window (positions 0-49):
 
 Still waiting after this round (slated for round 6): the 17 r2-green
 agg-family rows (agg-group-by .. agg-unpivot), win-row-number, win-rank,
-join-cross/-anti/-theta/-asof/-self-dag (displaced by the round-5 new
-entries — their r2 rows remain valid), and the r3-era
+join-cross/-anti/-theta/-asof/-self-dag/-semi (displaced by the round-5
+new entries — their r2 rows remain valid), and the r3-era
 function/set/stream families — all unchanged code whose green rows
 remain valid under the green-manifest guard.
 """
@@ -72,6 +73,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext-bm25-search",
     "ext-dedup-containment",
     "agg-countmin-sketch",
+    "ext-quality-unigram-logprob",
     # oldest-evidence refresh: r2-green scan family
     "scan-table",
     "scan-view",
@@ -99,7 +101,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join-right-outer",
     "join-full-outer",
     "join-broadcast",
-    "join-semi",
     # write path re-certification: materialize.py commit path changes this
     # round (insert-overwrite profiling), so the sink rows must be re-earned
     "sink-table-create",

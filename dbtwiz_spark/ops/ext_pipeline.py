@@ -1276,3 +1276,56 @@ def ext_bm25_search(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "ext-quality-unigram-logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(CAST(ln(cnt / total) AS DECIMAL(28,6)))
+                      AS DOUBLE) / COUNT(*), 6) AS logprob_per_token
+    FROM toks JOIN vocab USING (tok), n
+    GROUP BY doc_id
+    """,
+)
+def ext_quality_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality proxy: each document's mean
+    per-token log-probability under the corpus's own unigram
+    distribution — the classic LM-based quality filter shape (CCNet /
+    Gopher use a KenLM perplexity; the unigram form is its
+    engine-native, oracle-checkable stand-in). Documents full of rare
+    junk tokens score very negative; formulaic boilerplate scores high —
+    both tails are what a mixture curator clips.
+
+    Scale shape: the vocab (bounded: distinct tokens, not corpus rows)
+    is built with one partial-aggregated groupBy and joins back to the
+    token stream — Catalyst broadcasts it when small, shuffles it
+    bucket-wise when not; the per-doc reduce is keyed on doc_id.
+    Determinism: ln() values are truncated to DECIMAL(28,6) BEFORE
+    summing (the dsum device) so the per-doc sum is order-independent
+    and identical across engines; the final division + 6 dp rounding
+    matches the oracle bit-for-bit."""
+    d = views(spark, sf_dir).table("documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").cast("double").alias("total"))
+    lp = F.log(F.col("cnt") / F.col("total"))
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(lp.cast("decimal(28,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("logprob_per_token"),
+        )
+    )

@@ -480,3 +480,15 @@ def test_round5_new_ops_plan_properties(spark):
     cm_plan = _formatted(agg_countmin_sketch(spark, SF_DIR))
     assert "partial_count" in cm_plan  # sketch merge is map-side
     assert "CartesianProduct" not in cm_plan
+
+
+def test_unigram_logprob_plan_properties(spark):
+    """The LM-quality scorer: vocab build and per-doc reduce both carry
+    map-side partial aggregation; the corpus total rides in as a 1-row
+    broadcast; no cross join beyond it."""
+    from dbtwiz_spark.ops.ext_pipeline import ext_quality_unigram_logprob
+
+    plan = _formatted(ext_quality_unigram_logprob(spark, SF_DIR))
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # the 1-row total + (small) vocab
