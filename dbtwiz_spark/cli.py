@@ -662,6 +662,24 @@ def cmd_model_move(args) -> int:
     return 0
 
 
+def cmd_model_convert(args) -> int:
+    """Rewrite raw table references in a model's SQL to ref()/source()
+    calls against the project manifest (dbtwiz/model/validate.py:310-346
+    convert_sql_to_model — the step that turns console SQL into a model).
+    Unresolved qualified references exit 1 so CI catches them."""
+    from dbtwiz_spark.model_ops import convert_sql_refs
+
+    res = convert_sql_refs(args.project, args.name)
+    for raw, new in res.replaced:
+        print(f"replaced {raw} -> {new}")
+    if not res.changed and not res.unresolved:
+        print("references ok")
+    for raw in res.unresolved:
+        print(f"unresolved: {raw} (not a known model/source — may be "
+              "intentional)")
+    return 1 if res.unresolved else 0
+
+
 def cmd_model_inspect(args) -> int:
     """Per-model DAG inspection: config, direct parents, full ancestor and
     descendant closures (dbtwiz/model/__init__.py:210 `inspect`,
@@ -942,6 +960,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="delete the old model instead of leaving a view")
     mm.add_argument("--no-update-refs", action="store_true")
     mm.set_defaults(fn=cmd_model_move)
+
+    mcv = msub.add_parser("convert",
+                          help="rewrite raw table refs to ref()/source()")
+    mcv.add_argument("name")
+    mcv.add_argument("--project", default=".")
+    mcv.set_defaults(fn=cmd_model_convert)
 
     mi = msub.add_parser("inspect", help="per-model config + ancestors/descendants")
     mi.add_argument("name")

@@ -277,3 +277,78 @@ def fix_project(project_root: str | Path) -> list[str]:
             sql_path.write_text(fixed)
             changed.append(sql_path.stem)
     return changed
+
+
+# ---------------------------------------------------------------------------
+# model convert — raw SQL → ref()/source() calls
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ConvertResult:
+    path: Path
+    replaced: list[tuple[str, str]]  # (raw reference, replacement)
+    unresolved: list[str]
+    changed: bool
+
+
+_FROM_JOIN_RE = re.compile(
+    r"\b(FROM|JOIN)(\s+)([A-Za-z_][\w.]*)", re.IGNORECASE
+)
+_QUALIFIED_RE = re.compile(r"^[\w-]+\.[\w-]+(\.[\w-]+)?$")
+
+
+def convert_sql_refs(
+    project_root: str | Path, model_name: str, write: bool = True
+) -> ConvertResult:
+    """Replace raw table references in a model's SQL with ``ref()`` /
+    ``source()`` calls resolved against the project manifest — the
+    reference's convert step for SQL pasted from an ad-hoc console query
+    (dbtwiz/model/validate.py:310-346 convert_sql_to_model;
+    _replace_table_references :475-501 does the same lookup-and-rewrite
+    against the prod manifest).
+
+    A FROM/JOIN target that names a known model becomes
+    ``{{ ref('<name>') }}``; a known source becomes
+    ``{{ source('raw', '<name>') }}``. Qualified ``a.b[.c]`` references
+    that resolve on their LAST component are rewritten the same way
+    (the reference strips the project/dataset qualifiers); ones that
+    don't resolve are reported as unresolved — possibly intentional
+    (temp views, struct field access), so they never fail silently.
+    References already wrapped in Jinja are left untouched."""
+    from dbtwiz_spark.project import load_project
+
+    root = Path(project_root)
+    sql_path = next((root / "models").rglob(f"{model_name}.sql"), None)
+    if sql_path is None:
+        raise FileNotFoundError(f"model {model_name!r} not found")
+    manifest, _ = load_project(root)
+    sql = sql_path.read_text()
+
+    replaced: list[tuple[str, str]] = []
+    unresolved: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        raw = m.group(3)
+        if raw == model_name:
+            return m.group(0)  # self-reference (e.g. a comment artifact)
+        leaf = raw.rsplit(".", 1)[-1]
+        if leaf in manifest.models and leaf != model_name:
+            new = f"{{{{ ref('{leaf}') }}}}"
+        elif leaf in manifest.sources:
+            new = f"{{{{ source('raw', '{leaf}') }}}}"
+        elif _QUALIFIED_RE.match(raw):
+            unresolved.append(raw)
+            return m.group(0)
+        else:
+            return m.group(0)
+        replaced.append((raw, new))
+        return f"{m.group(1)}{m.group(2)}{new}"
+
+    new_sql = _FROM_JOIN_RE.sub(repl, sql)
+    changed = new_sql != sql
+    if changed and write:
+        sql_path.write_text(new_sql)
+    return ConvertResult(
+        path=sql_path, replaced=replaced, unresolved=unresolved, changed=changed
+    )

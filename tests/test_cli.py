@@ -957,3 +957,51 @@ def test_layer_overrides_from_project_yml(tmp_path):
     assert load_layers(proj) == {"gold": ("9_gold", "gld")}
     # no override -> reference defaults
     assert load_layers(tmp_path)["marts"] == ("3_marts", "mrt")
+
+
+def test_model_convert_rewrites_raw_refs(tmp_path, capsys):
+    """`model convert`: raw FROM/JOIN table names resolve against the
+    manifest into ref()/source() calls; qualified names resolve on their
+    last component; unknowns are reported unresolved (exit 1) and the
+    build runs cleanly on the converted SQL."""
+    proj = tmp_path / "conv"
+    (proj / "models").mkdir(parents=True)
+    (proj / "sources.yml").write_text(
+        f"sources:\n  - name: customer\n    path: {SF_DIR}/customer.parquet\n"
+    )
+    (proj / "models" / "stg_cust.sql").write_text(
+        "SELECT c_custkey, c_acctbal FROM {{ source('raw', 'customer') }}\n"
+    )
+    (proj / "models" / "mrt_bal.sql").write_text(
+        "SELECT a.c_custkey, a.c_acctbal\n"
+        "FROM stg_cust a\n"
+        "JOIN warehouse.stg_cust b ON a.c_custkey = b.c_custkey\n"
+    )
+    assert main(["model", "convert", "mrt_bal", "--project", str(proj)]) == 0
+    out = capsys.readouterr().out
+    assert "replaced stg_cust" in out and "replaced warehouse.stg_cust" in out
+    sql = (proj / "models" / "mrt_bal.sql").read_text()
+    assert sql.count("{{ ref('stg_cust') }}") == 2
+    # a raw source reference converts to source(); already-converted SQL
+    # is a no-op
+    (proj / "models" / "stg_two.sql").write_text(
+        "SELECT * FROM customer\n"
+    )
+    assert main(["model", "convert", "stg_two", "--project", str(proj)]) == 0
+    assert "{{ source('raw', 'customer') }}" in (
+        proj / "models" / "stg_two.sql"
+    ).read_text()
+    capsys.readouterr()
+    assert main(["model", "convert", "stg_two", "--project", str(proj)]) == 0
+    assert "references ok" in capsys.readouterr().out
+    # unresolved qualified names exit 1 and are reported
+    (proj / "models" / "mrt_bad.sql").write_text(
+        "SELECT * FROM prod.unknown.thing\n"
+    )
+    assert main(["model", "convert", "mrt_bad", "--project", str(proj)]) == 1
+    assert "unresolved: prod.unknown.thing" in capsys.readouterr().out
+    # the converted project loads with the right DAG
+    from dbtwiz_spark.project import load_project
+
+    manifest, _ = load_project(proj)
+    assert manifest.parent_map["mrt_bal"] == {"stg_cust"}
