@@ -821,3 +821,96 @@ def agg_countmin_sketch(spark, sf_dir):
             ).alias("ok"),
         )
     )
+
+
+# Bloom filter parameters: m bits, k hashes. At the test corpora's vocab
+# sizes the bit-array load keeps the false-positive rate well under 1%;
+# the certificate below asserts only the DETERMINISTIC guarantee (no
+# false negatives), so a rare FP on an absent probe can never fail it.
+_BLOOM_M = 65536
+_BLOOM_K = 4
+_BLOOM_PROBES = ("the", "data", "model", "zq_unseen_token_1", "zq_unseen_token_2")
+
+
+@register(
+    "agg-bloom-filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    probes AS (
+        SELECT unnest({list(_BLOOM_PROBES)!r}) AS token)
+    SELECT p.token, (t.tok IS NOT NULL) AS present, true AS ok
+    FROM probes p LEFT JOIN toks t ON t.tok = p.token
+    """,
+)
+def agg_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership over the corpus vocabulary — the set-
+    membership member of the mergeable-summary family (HLL cardinality,
+    Misra-Gries heavy hitters, quantile digest, Count-Min frequency):
+    m-bit array, k seeded hashes, answering "was this token ever seen"
+    in O(m) state regardless of vocab size. The 100 TB use: shipping a
+    compact vocab/URL/doc-hash filter to the next pipeline stage so it
+    can skip lookups for definitely-new keys.
+
+    The merged filter IS a distinct-aggregate: every distinct token
+    contributes k bit positions and ``distinct`` over ≤ m values
+    collapses map-side — per-shard filters OR together exactly like the
+    bit arrays would. Probes semi-join the bit set and demand all k bits.
+
+    Certificate shape: output carries each probe's TRUE presence
+    (recomputed from scratch by the oracle) and ok = present ⇒ member —
+    the filter's deterministic no-false-negative guarantee. False
+    positives on absent probes are possible by design and deliberately
+    not asserted."""
+    d = views(spark, sf_dir).table("documents")
+    vocab = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    bits = vocab.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col("tok")), F.lit(_BLOOM_M))
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit")
+    ).distinct()
+    probes = spark.createDataFrame(
+        [(t,) for t in _BLOOM_PROBES], "token string"
+    )
+    probe_bits = probes.select(
+        "token",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(i), F.col("token")), F.lit(_BLOOM_M)
+                    )
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bit"),
+    )
+    member = (
+        probe_bits.join(bits, "bit", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("hits"))
+        .select("token", (F.col("hits") == _BLOOM_K).alias("member"))
+    )
+    present = probes.join(
+        vocab.withColumnRenamed("tok", "token"), "token", "left_semi"
+    ).withColumn("p", F.lit(True))
+    return (
+        probes.join(present.select("token", "p"), "token", "left")
+        .join(member, "token", "left")
+        .select(
+            "token",
+            F.coalesce("p", F.lit(False)).alias("present"),
+            (
+                ~F.coalesce("p", F.lit(False))
+                | F.coalesce("member", F.lit(False))
+            ).alias("ok"),
+        )
+    )

@@ -17,11 +17,11 @@ Round-5 window (positions 0-49):
   func-from-json, sort-within-partitions-cert, ext-dedup-simhash-recall,
   stream-dedup-near, ext-dataset-card. Green rows here close the
   144/160 certification gap to 160/160.
-* 16-21 — entries ADDED this round (zero driver evidence, same priority
+* 16-22 — entries ADDED this round (zero driver evidence, same priority
   class as the 16 above): sink-scd2, ext-chunk-documents,
   ext-bm25-search, ext-dedup-containment, agg-countmin-sketch,
-  ext-quality-unigram-logprob.
-* 22-44 — the oldest-evidence rows: the r2-green scan / project /
+  ext-quality-unigram-logprob, agg-bloom-filter.
+* 23-44 — the oldest-evidence rows: the r2-green scan / project /
   filter families and the core join family, whose newest driver row
   predates two rounds of shared-helper evolution (catalog.py, common.py,
   session confs).
@@ -37,8 +37,8 @@ Round-5 window (positions 0-49):
 
 Still waiting after this round (slated for round 6): the 17 r2-green
 agg-family rows (agg-group-by .. agg-unpivot), win-row-number, win-rank,
-join-cross/-anti/-theta/-asof/-self-dag/-semi (displaced by the round-5
-new entries — their r2 rows remain valid), and the r3-era
+join-cross/-anti/-theta/-asof/-self-dag/-semi and distinct (displaced by
+the round-5 new entries — their r2 rows remain valid), and the r3-era
 function/set/stream families — all unchanged code whose green rows
 remain valid under the green-manifest guard.
 """
@@ -74,6 +74,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext-dedup-containment",
     "agg-countmin-sketch",
     "ext-quality-unigram-logprob",
+    "agg-bloom-filter",
     # oldest-evidence refresh: r2-green scan family
     "scan-table",
     "scan-view",
@@ -94,7 +95,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter-between",
     "filter-null",
     "filter-partition-required",
-    "distinct",
     # r2-green join family (core shapes; the rest displaced to round 6)
     "join-inner-equi",
     "join-left-outer",

@@ -272,3 +272,40 @@ def test_quantile_digest_summary_rank_error_bound_pure(values, batch_rows):
     assert lo <= 0.5 * n + bound + 1e-9, f"lo rank {lo} beyond {0.5*n+bound}"
     assert hi >= 0.5 * n - bound - 1e-9, f"hi rank {hi} below {0.5*n-bound}"
 
+
+
+def test_chunking_covers_every_token_exactly_once_mod_overlap(spark):
+    """Property: concatenating each chunk's non-overlap prefix (the first
+    32 tokens; the final chunk contributes everything) reconstructs the
+    original document exactly — no token lost or duplicated at chunk
+    boundaries."""
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.ops.ext_pipeline import ext_chunk_documents
+    from tests.conftest import SF_DIR
+
+    chunks = ext_chunk_documents(spark, SF_DIR)
+    rebuilt = (
+        chunks.withColumn("toks", F.split("chunk_text", " "))
+        .withColumn("prefix", F.slice("toks", 1, 32))
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("chunk_id", "prefix"))
+            ).alias("parts")
+        )
+        .select(
+            "doc_id",
+            F.array_join(
+                F.flatten(F.transform("parts", lambda p: p["prefix"])), " "
+            ).alias("rebuilt_text"),
+        )
+    )
+    from dbtwiz_spark.ops.common import views
+
+    orig = views(spark, SF_DIR).table("documents").select("doc_id", "text")
+    diff = rebuilt.join(orig, "doc_id").filter(
+        F.col("rebuilt_text") != F.col("text")
+    )
+    assert diff.count() == 0
+    assert rebuilt.count() == orig.count()
