@@ -154,8 +154,37 @@ def run_backfill(
         batch_size = (
             batch_size_from_bytes(bytes_per_day) if bytes_per_day else DEFAULT_BATCH_SIZE
         )
+    def gathered_failures() -> list[tuple[date, date]]:
+        """Failed chunks merged across the base journal AND every per-task
+        sibling (``<stem>.taskN.json``): a retry must see failures no
+        matter how (or whether) the earlier run was sharded — a
+        re-sharded or un-sharded retry otherwise silently orphans other
+        workers' failures. A ``success`` recorded in ANY file wins over a
+        failure row elsewhere (a retried chunk records its success into
+        the retrying worker's own file, so the original failure row never
+        gets rewritten)."""
+        files = [journal] + [
+            BackfillJournal(p)
+            for p in sorted(
+                journal.path.parent.glob(
+                    f"{journal.path.stem}.task*{journal.path.suffix}"
+                )
+            )
+        ]
+        status: dict[str, str] = {}
+        for j in files:
+            for k, v in j.load().items():
+                if v == "success" or k not in status:
+                    status[k] = v
+        out = []
+        for k, v in status.items():
+            if v != "success":
+                a, b = k.split("..")
+                out.append((date.fromisoformat(a), date.fromisoformat(b)))
+        return sorted(out)
+
     chunks = (
-        journal.failed_chunks()
+        gathered_failures()
         if (retry_failed_only and journal)
         else chunk_date_range(first, last, batch_size)
     )
@@ -176,18 +205,17 @@ def run_backfill(
             )
         chunks = chunks[idx::task_count]
         if journal is not None:
-            # one journal PER worker: the journal rewrite is read-modify-
-            # write of the whole file, so N parallel workers sharing one
-            # path would interleave and clobber each other's status rows.
-            # Retry runs shard the same way, so each worker retries
-            # exactly its own failures from its own file.
+            # one journal PER worker for RECORDING: the journal rewrite is
+            # read-modify-write of the whole file, so N parallel workers
+            # sharing one path would interleave and clobber each other's
+            # status rows. Retries read the union of base + all task
+            # journals (gathered_failures above) and re-shard it, so the
+            # retry topology is free to differ from the failing run's.
             journal = BackfillJournal(
                 journal.path.with_name(
                     f"{journal.path.stem}.task{idx}{journal.path.suffix}"
                 )
             )
-            if retry_failed_only:
-                chunks = journal.failed_chunks()
     results = []
     # journal EVERY planned chunk as pending up front: after a serial-mode
     # break, never-attempted chunks would otherwise carry no journal entry,

@@ -448,8 +448,20 @@ def _governance_wizard(args, gov, input_fn=None, print_fn=print) -> None:
 
     args.group = ask("group", gov.groups, args.group)
     args.access = ask("access", ACCESS_CHOICES, args.access)
-    team = ask("team", gov.teams, (args.team or [None])[0])
-    args.team = [team] if team else []
+    # --team is repeatable: a fully valid flag list passes through intact
+    # (never collapsed to its first element); prompting happens only when
+    # nothing was given or something given is invalid
+    if gov.teams and (
+        not args.team or any(t not in gov.teams for t in args.team)
+    ):
+        for t in args.team:
+            if t not in gov.teams:
+                print_fn(f"provided team {t!r} is invalid — re-select")
+        team = select_from_choices(
+            "Select team", gov.teams, allow_none=True,
+            input_fn=input_fn, print_fn=print_fn,
+        )
+        args.team = [team] if team else []
 
 
 def cmd_model_create(args) -> int:
@@ -496,7 +508,8 @@ def cmd_model_create(args) -> int:
             # always views
             print("setting materialization to view (required for staging)")
             args.materialized = "view"
-    models.mkdir(parents=True, exist_ok=True)
+    # directories are created only after every validation below passes —
+    # a failed create must not litter empty layer/domain folders
     sql_path = models / f"{name}.sql"
     if sql_path.exists() and not args.force:
         print(f"refusing to overwrite {sql_path} (use --force)")
@@ -555,6 +568,7 @@ def cmd_model_create(args) -> int:
             print(f"invalid: {e}")
         return 1
 
+    models.mkdir(parents=True, exist_ok=True)
     sql_path.write_text(_MODEL_SQL_TEMPLATE.format(parent=args.parent or "upstream"))
     sql_path.with_suffix(".yml").write_text(_yaml.safe_dump(cfg, sort_keys=False))
     print(f"created {sql_path} + {sql_path.with_suffix('.yml').name}")
@@ -610,8 +624,11 @@ def cmd_model_validate(args) -> int:
         if not (missing or removed or retyped):
             print(f"pass {name}: {len(actual)} columns in sync")
             continue
-        rc = 1
         print(f"DRIFT {name}: +{missing} -{removed} ~{retyped}")
+        if not args.fix:
+            # rc may already be 1 from a naming/governance finding —
+            # a later fixed drift must never reset it back to 0
+            rc = 1
         if args.fix:
             keep_desc = {
                 c["name"]: c.get("description", "") for c in m.columns
@@ -636,7 +653,6 @@ def cmd_model_validate(args) -> int:
             ]
             sidecar.write_text(_yaml.safe_dump(raw, sort_keys=False))
             print(f"  fixed {sidecar.name}")
-            rc = 0
     return rc
 
 

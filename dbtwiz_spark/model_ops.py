@@ -293,9 +293,10 @@ class ConvertResult:
 
 
 _FROM_JOIN_RE = re.compile(
-    r"\b(FROM|JOIN)(\s+)([A-Za-z_][\w.]*)", re.IGNORECASE
+    r"\b(FROM|JOIN)(\s+)(`[^`]+`|[A-Za-z_][\w.$-]*)", re.IGNORECASE
 )
 _QUALIFIED_RE = re.compile(r"^[\w-]+\.[\w-]+(\.[\w-]+)?$")
+_CTE_RE = re.compile(r"(?:\bWITH|,)\s+([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
 
 
 def convert_sql_refs(
@@ -311,11 +312,14 @@ def convert_sql_refs(
     A FROM/JOIN target that names a known model becomes
     ``{{ ref('<name>') }}``; a known source becomes
     ``{{ source('raw', '<name>') }}``. Qualified ``a.b[.c]`` references
-    that resolve on their LAST component are rewritten the same way
-    (the reference strips the project/dataset qualifiers); ones that
-    don't resolve are reported as unresolved — possibly intentional
-    (temp views, struct field access), so they never fail silently.
-    References already wrapped in Jinja are left untouched."""
+    (backticked or hyphenated project ids included) that resolve on
+    their LAST component are rewritten the same way (the reference
+    strips the project/dataset qualifiers); ones that don't resolve are
+    reported as unresolved — possibly intentional (temp views, struct
+    field access), so they never fail silently. References already
+    wrapped in Jinja are left untouched, and so are names the SQL itself
+    defines as CTEs — the canonical dbt import-CTE style shadows any
+    same-named model on purpose."""
     from dbtwiz_spark.project import load_project
 
     root = Path(project_root)
@@ -324,20 +328,22 @@ def convert_sql_refs(
         raise FileNotFoundError(f"model {model_name!r} not found")
     manifest, _ = load_project(root)
     sql = sql_path.read_text()
+    cte_names = {m.group(1) for m in _CTE_RE.finditer(sql)}
 
     replaced: list[tuple[str, str]] = []
     unresolved: list[str] = []
 
     def repl(m: re.Match) -> str:
         raw = m.group(3)
-        if raw == model_name:
-            return m.group(0)  # self-reference (e.g. a comment artifact)
-        leaf = raw.rsplit(".", 1)[-1]
+        bare = raw.strip("`")
+        if bare == model_name or bare in cte_names:
+            return m.group(0)  # self-reference / CTE shadowing
+        leaf = bare.rsplit(".", 1)[-1]
         if leaf in manifest.models and leaf != model_name:
             new = f"{{{{ ref('{leaf}') }}}}"
         elif leaf in manifest.sources:
             new = f"{{{{ source('raw', '{leaf}') }}}}"
-        elif _QUALIFIED_RE.match(raw):
+        elif _QUALIFIED_RE.match(bare):
             unresolved.append(raw)
             return m.group(0)
         else:

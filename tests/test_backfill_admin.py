@@ -531,3 +531,42 @@ def test_backfill_sharded_journal_is_per_task(engine, tmp_path):
                            task_count=2, journal=BackfillJournal(base),
                            retry_failed_only=True)
     assert results == []
+
+
+def test_sharded_retry_sees_unsharded_failures_and_vice_versa(engine, tmp_path, monkeypatch):
+    """Review fix: retries merge failures across the base journal and all
+    per-task siblings (success anywhere wins), so the retry topology may
+    differ from the failing run's without orphaning chunks."""
+    base = tmp_path / "xj.json"
+    # simulate an earlier unsharded run that left two failures + a success
+    j = BackfillJournal(base)
+    j.record((date(2024, 1, 1), date(2024, 1, 2)), "error: boom")
+    j.record((date(2024, 1, 3), date(2024, 1, 4)), "error: boom")
+    j.record((date(2024, 1, 5), date(2024, 1, 6)), "success")
+    # sharded retry workers see the unsharded run's failures (sequential
+    # workers may observe a shrinking set — concurrent workers slice the
+    # same snapshot — so retries CONVERGE across passes rather than being
+    # guaranteed complete in one; nothing is ever permanently orphaned)
+    retried = []
+    for _pass in range(3):
+        for i in range(2):
+            retried += [
+                c for c, s in run_backfill(
+                    engine, "daily_values", date(2024, 1, 1),
+                    date(2024, 1, 6), batch_size=2, task_index=i,
+                    task_count=2, journal=BackfillJournal(base),
+                    retry_failed_only=True)
+            ]
+    assert sorted(set(retried)) == [
+        (date(2024, 1, 1), date(2024, 1, 2)),
+        (date(2024, 1, 3), date(2024, 1, 4)),
+    ]
+    # the successfully-retried chunk was never re-run a second time
+    assert len(retried) == 2
+    # successes were recorded in per-task files; an unsharded retry now
+    # sees success-anywhere-wins and has nothing left to do
+    again = run_backfill(engine, "daily_values", date(2024, 1, 1),
+                         date(2024, 1, 6), batch_size=2,
+                         journal=BackfillJournal(base),
+                         retry_failed_only=True)
+    assert again == []

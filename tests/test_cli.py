@@ -1005,3 +1005,96 @@ def test_model_convert_rewrites_raw_refs(tmp_path, capsys):
 
     manifest, _ = load_project(proj)
     assert manifest.parent_map["mrt_bal"] == {"stg_cust"}
+
+
+def test_model_validate_fix_preserves_governance_failure(spark, tmp_path, capsys):
+    """Review fix: --fix repairing column drift on one model must not
+    reset the exit code earned by another model's governance error."""
+    import yaml
+
+    proj = _governance_project(tmp_path)
+    wh_dir = tmp_path / "whfix"
+    from dbtwiz_spark.materialize import Warehouse
+
+    wh = Warehouse(spark, str(wh_dir))
+    # model A: governance error only
+    (proj / "models" / "mrt_gov.sql").write_text("SELECT 1 AS a\n")
+    (proj / "models" / "mrt_gov.yml").write_text(
+        yaml.safe_dump({"materialized": "table", "group": "nope"})
+    )
+    # model B: built table with drift the --fix will repair
+    (proj / "models" / "mrt_drift.sql").write_text("SELECT 1 AS a, 2 AS b\n")
+    (proj / "models" / "mrt_drift.yml").write_text(
+        yaml.safe_dump({"materialized": "table",
+                        "columns": [{"name": "a", "data_type": "INT64"}]})
+    )
+    wh.write_table("mrt_drift", spark.sql("SELECT 1 AS a, 2 AS b"),
+                   snapshot=False)
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", str(wh_dir), "--fix"]) == 1
+    out = capsys.readouterr().out
+    assert "GOVERNANCE mrt_gov" in out and "fixed mrt_drift.yml" in out
+
+
+def test_model_create_failed_validation_leaves_no_empty_dirs(tmp_path, capsys):
+    """Review fix: layer/domain directories are created only after
+    validation passes."""
+    proj = _governance_project(tmp_path)
+    assert main(["model", "create", "--project", str(proj), "--name", "x",
+                 "--layer", "marts", "--domain", "newdom",
+                 "--group", "nonexistent"]) == 1
+    capsys.readouterr()
+    assert not (proj / "models" / "3_marts").exists()
+
+
+def test_governance_wizard_keeps_full_team_list(tmp_path):
+    """Review fix: a fully valid repeatable --team list passes through the
+    wizard intact (never collapsed to its first element)."""
+    import argparse
+    import yaml
+
+    from dbtwiz_spark.cli import _governance_wizard
+    from dbtwiz_spark.project import load_governance
+
+    proj = _governance_project(tmp_path)
+    # declare a second team so a 2-team list is expressible
+    cfgd = yaml.safe_load((proj / "project.yml").read_text())
+    cfgd["vars"]["teams"]["team-ml"] = {"description": "ML"}
+    (proj / "project.yml").write_text(yaml.safe_dump(cfgd))
+    gov = load_governance(proj)
+    args = argparse.Namespace(group="growth", access="private",
+                              team=["team-data", "team-ml"], quick=False)
+    _governance_wizard(args, gov,
+                       input_fn=lambda _: (_ for _ in ()).throw(
+                           AssertionError("prompted despite valid flags")),
+                       print_fn=lambda _: None)
+    assert args.team == ["team-data", "team-ml"]
+
+
+def test_model_convert_skips_cte_names_and_handles_qualified_forms(tmp_path, capsys):
+    """Review fixes: FROM references to names the SQL defines as CTEs are
+    never rewritten (import-CTE shadowing), and backticked / hyphenated
+    qualified references resolve on their last component or report
+    unresolved instead of being silently skipped."""
+    proj = tmp_path / "conv2"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "orders.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "stg_a.sql").write_text("SELECT 1 AS x\n")
+    sql = (
+        "WITH orders AS (SELECT * FROM {{ ref('stg_a') }} WHERE x > 0),\n"
+        "     extra AS (SELECT * FROM orders)\n"
+        "SELECT * FROM extra\n"
+        "JOIN `my-proj.ds.stg_a` USING (x)\n"
+        "JOIN my-proj.ds.unknown_tbl USING (x)\n"
+    )
+    (proj / "models" / "mrt_c.sql").write_text(sql)
+    assert main(["model", "convert", "mrt_c", "--project", str(proj)]) == 1
+    out = capsys.readouterr().out
+    new_sql = (proj / "models" / "mrt_c.sql").read_text()
+    # CTE names untouched even though a model named 'orders' exists
+    assert "FROM orders)" in new_sql and "FROM extra" in new_sql
+    # backticked qualified ref resolved on its leaf
+    assert "JOIN {{ ref('stg_a') }} USING (x)" in new_sql
+    # hyphenated unknown reported unresolved, file unchanged there
+    assert "unresolved: my-proj.ds.unknown_tbl" in out
+    assert "my-proj.ds.unknown_tbl" in new_sql
