@@ -12,7 +12,7 @@ transformations over readStream (tested in tests/test_streaming.py).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from dbtwiz_spark.ops.common import views, dsum, dsum_sql
+from dbtwiz_spark.ops.common import views, davg, davg_sql, dsum, dsum_sql
 from dbtwiz_spark.ops.registry import register
 
 
@@ -283,4 +283,127 @@ def stream_dedup_near(spark, sf_dir):
         d.select("doc_id")
         .join(dups, "doc_id", "left")
         .fillna(False, ["is_dup"])
+    )
+
+
+@register(
+    "stream-resample-interpolate",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, ts, {davg_sql('value')} AS v
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+        GROUP BY user_id, ts),
+    grid AS (
+        SELECT DISTINCT user_id, g.g AS ts
+        FROM pts, UNNEST(generate_series(TIMESTAMP '2024-01-10',
+                                         TIMESTAMP '2024-01-11 23:00:00',
+                                         INTERVAL 1 HOUR)) AS g(g)),
+    u AS (
+        SELECT user_id, ts, v, 0 AS isg FROM pts
+        UNION ALL
+        SELECT user_id, ts, NULL, 1 FROM grid),
+    m AS (
+        SELECT *,
+          last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+          last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+            OVER w_prev AS prev_ts,
+          first_value(v IGNORE NULLS) OVER w_next AS next_v,
+          first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+            OVER w_next AS next_ts
+        FROM u
+        WINDOW
+          w_prev AS (PARTITION BY user_id ORDER BY ts, isg
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          w_next AS (PARTITION BY user_id ORDER BY ts, isg
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, ts,
+           round(CASE
+             WHEN prev_v IS NULL THEN next_v
+             WHEN next_v IS NULL THEN prev_v
+             WHEN epoch(next_ts) = epoch(prev_ts) THEN prev_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (epoch(ts) - epoch(prev_ts))
+                  / (epoch(next_ts) - epoch(prev_ts))
+           END, 6) AS value_interp
+    FROM m WHERE isg = 1
+    """,
+)
+def stream_resample_interpolate(spark, sf_dir):
+    """Time-series resampling onto a regular hourly grid with linear
+    interpolation — the gap-filling step any metric/telemetry pipeline
+    runs before joining series with different sampling (two days of the
+    event stream, one interpolated value per user per hour; grid points
+    outside a user's observations take the nearest endpoint).
+
+    Scale shape: NO as-of pair join — the series and the grid union into
+    one stream and two per-user windows (last non-null before, first
+    non-null after) resolve both interpolation endpoints in a single
+    partitioned sort, parallel across users; everything else is row-local
+    arithmetic. Same-timestamp event ties are pre-collapsed with the
+    exact-DECIMAL mean so both engines see identical inputs; the
+    interpolation expression is per-row IEEE arithmetic, rounded at 6 dp
+    to absorb last-ulp association differences."""
+    ev = views(spark, sf_dir).table("events")
+    lo, hi = "2024-01-10", "2024-01-12"
+    pts = (
+        ev.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp"))
+        )
+        .groupBy("user_id", "ts")
+        .agg(davg("value", "v"))
+    )
+    grid = pts.select("user_id").distinct().select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.lit(lo).cast("timestamp"),
+                F.lit("2024-01-11 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("ts"),
+    )
+    u = pts.withColumn("isg", F.lit(0)).unionByName(
+        grid.withColumn("v", F.lit(None).cast("double")).withColumn(
+            "isg", F.lit(1)
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "isg")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "isg")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_ts = F.when(F.col("v").isNotNull(), F.col("ts"))
+    m = (
+        u.withColumn("prev_v", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("prev_ts", F.last(obs_ts, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("next_ts", F.first(obs_ts, ignorenulls=True).over(w_next))
+    )
+    # fractional epoch seconds: unix_timestamp() truncates sub-second
+    # precision while DuckDB's epoch() keeps it — cast-to-double matches
+    def ep(c):
+        return c.cast("double")
+    interp = (
+        F.when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .when(ep(F.col("next_ts")) == ep(F.col("prev_ts")), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (ep(F.col("ts")) - ep(F.col("prev_ts")))
+            / (ep(F.col("next_ts")) - ep(F.col("prev_ts")))
+        )
+    )
+    return (
+        m.filter(F.col("isg") == 1)
+        .select("user_id", "ts", F.round(interp, 6).alias("value_interp"))
     )

@@ -492,3 +492,16 @@ def test_unigram_logprob_plan_properties(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan  # the 1-row total + (small) vocab
+
+
+def test_resample_interpolate_plan_properties(spark):
+    """Gap-filling must not become an as-of pair join or a global window:
+    no cartesian/nested-loop join anywhere, and every window is
+    partitioned by user_id."""
+    from dbtwiz_spark.ops.streaming_batch import stream_resample_interpolate
+
+    plan = _formatted(stream_resample_interpolate(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
