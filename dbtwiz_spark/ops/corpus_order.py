@@ -17,12 +17,12 @@ Round-5 window (positions 0-49):
   func-from-json, sort-within-partitions-cert, ext-dedup-simhash-recall,
   stream-dedup-near, ext-dataset-card. Green rows here close the
   144/160 certification gap to 160/160.
-* 16-23 — entries ADDED this round (zero driver evidence, same priority
+* 16-25 — entries ADDED this round (zero driver evidence, same priority
   class as the 16 above): sink-scd2, ext-chunk-documents,
   ext-bm25-search, ext-dedup-containment, agg-countmin-sketch,
   ext-quality-unigram-logprob, agg-bloom-filter,
-  stream-resample-interpolate.
-* 24-44 — the oldest-evidence rows: the r2-green scan / project /
+  stream-resample-interpolate, win-funnel, win-retention-cohort.
+* 26-44 — the oldest-evidence rows: the r2-green scan / project /
   filter families and the core join family, whose newest driver row
   predates two rounds of shared-helper evolution (catalog.py, common.py,
   session confs).
@@ -39,8 +39,8 @@ Round-5 window (positions 0-49):
 Still waiting after this round (slated for round 6): the 17 r2-green
 agg-family rows (agg-group-by .. agg-unpivot), win-row-number, win-rank,
 join-cross/-anti/-theta/-asof/-self-dag/-semi, distinct, and
-project-except-replace (displaced by the round-5 new entries — their r2
-rows remain valid), and the r3-era
+project-rename/-computed/-except-replace (displaced by the round-5 new
+entries — their r2 rows remain valid), and the r3-era
 function/set/stream families — all unchanged code whose green rows
 remain valid under the green-manifest guard.
 """
@@ -78,6 +78,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext-quality-unigram-logprob",
     "agg-bloom-filter",
     "stream-resample-interpolate",
+    "win-funnel",
+    "win-retention-cohort",
     # oldest-evidence refresh: r2-green scan family
     "scan-table",
     "scan-view",
@@ -88,8 +90,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "file-format-orc",
     # r2-green projection family
     "project-star",
-    "project-rename",
-    "project-computed",
     # r2-green filter family
     "filter-predicate",
     "filter-like",

@@ -315,3 +315,133 @@ def win_gaps_islands(spark, sf_dir):
         F.max("d").cast("string").alias("streak_end"),
         F.count("*").alias("streak_days"),
     ).drop("anchor")
+
+
+@register(
+    "win-funnel",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'view' THEN ts END)
+                 OVER (PARTITION BY user_id) AS t1
+        FROM events),
+    s2 AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'click' AND ts > t1
+                         AND ts <= t1 + INTERVAL 1 DAY THEN ts END)
+                 OVER (PARTITION BY user_id) AS t2
+        FROM s1),
+    s3 AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' AND ts > t2
+                         AND ts <= t2 + INTERVAL 1 DAY THEN ts END)
+                 OVER (PARTITION BY user_id) AS t3
+        FROM s2),
+    per_user AS (
+        SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+        FROM s3 GROUP BY user_id)
+    SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage,
+           COUNT(*) AS n_users
+    FROM per_user GROUP BY 1
+    """,
+)
+def win_funnel(spark, sf_dir):
+    """Ordered-funnel analysis (the MATCH_RECOGNIZE/funnel idiom every
+    product-analytics engine ships): per user, the earliest view, the
+    earliest click strictly AFTER that view, the earliest purchase
+    strictly after that click — each within a 1-day conversion window of
+    the previous step — then the population histogram by deepest stage
+    reached. Sequential "A then B then C within T" semantics, not mere
+    event-type presence.
+
+    Scale shape: three chained per-user window minimums over ONE
+    exchange — identical partitioning means Spark reuses the shuffle and
+    sort for all three passes and the final per-user collapse; no
+    self-join per funnel step (the join formulation is step-factorial at
+    100 TB). Parallel across users, no global window."""
+    e = views(spark, sf_dir).table("events").select(
+        "user_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id")
+    d = (
+        e.withColumn(
+            "t1",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t2",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t1"))
+                    & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t3",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t2"))
+                    & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 1 DAY")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = d.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.groupBy(stage.cast("long").alias("funnel_stage")).agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@register(
+    "win-retention-cohort",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    coh AS (
+        SELECT user_id, d,
+               MIN(d) OVER (PARTITION BY user_id) AS cohort_day
+        FROM days)
+    SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+           CAST(d - cohort_day AS BIGINT) AS offset_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_users
+    FROM coh GROUP BY 1, 2
+    """,
+)
+def win_retention_cohort(spark, sf_dir):
+    """Retention-cohort triangle: users grouped by first-activity day,
+    then counted by how many days after that first day they were active —
+    the standard D0/D1/D7 retention table.
+
+    Scale shape: distinct (user, day) reduce, a per-user window minimum
+    for the cohort anchor (same user_id partitioning as the reduce —
+    exchange reused), then one (cohort, offset) aggregate; every shuffle
+    key includes user_id or the small (cohort, offset) pair — nothing
+    funnels through a single partition. Dates stringify for the
+    cross-engine hash (DateType pandas representations diverge)."""
+    ev = views(spark, sf_dir).table("events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id")
+    coh = days.withColumn("cohort_day", F.min("d").over(w))
+    return (
+        coh.groupBy(
+            F.col("cohort_day").cast("string").alias("cohort_day"),
+            F.datediff("d", "cohort_day").cast("long").alias("offset_days"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_active_users"))
+    )

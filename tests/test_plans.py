@@ -505,3 +505,24 @@ def test_resample_interpolate_plan_properties(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_funnel_and_cohort_plan_properties(spark):
+    """Event-sequence analytics: the funnel's three chained window
+    minimums share one user_id exchange (no per-step self-join — the join
+    formulation is step-factorial); the cohort triangle likewise keeps
+    every window partitioned and joins nothing."""
+    from dbtwiz_spark.ops.windows import win_funnel, win_retention_cohort
+
+    f_plan = _formatted(win_funnel(spark, SF_DIR))
+    assert "Join" not in f_plan
+    assert "SinglePartition" not in f_plan
+    assert "hashpartitioning(user_id" in f_plan
+    # the three window passes reuse one exchange: exactly one shuffle
+    # keyed on user_id, plus the final tiny stage-histogram aggregate
+    assert f_plan.count("Exchange (") <= 3
+
+    c_plan = _formatted(win_retention_cohort(spark, SF_DIR))
+    assert "Join" not in c_plan
+    assert "SinglePartition" not in c_plan
+    assert "hashpartitioning(user_id" in c_plan
