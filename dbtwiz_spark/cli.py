@@ -415,7 +415,9 @@ FROM {{{{ ref('{parent}') }}}}
 """
 
 
-def _governance_wizard(args, gov, input_fn=None, print_fn=print) -> None:
+def _governance_wizard(
+    args, gov, input_fn=None, print_fn=print, inherited=None
+) -> None:
     """Prompt for missing/invalid governance values on a TTY (reference
     wizard flow: dbtwiz/model/create.py:132-301 select_group /
     select_access / select_team — each prompts only when the CLI value is
@@ -439,6 +441,10 @@ def _governance_wizard(args, gov, input_fn=None, print_fn=print) -> None:
             return current  # nothing declared to choose from
         if current and (current in choices):
             return current
+        if not current and (inherited or {}).get(field):
+            # reference create.py:160-177: an inherited value means no
+            # prompt and NO sidecar key — the hierarchy keeps providing it
+            return None
         if current:
             print_fn(f"provided {field} {current!r} is invalid — re-select")
         return select_from_choices(
@@ -516,7 +522,26 @@ def cmd_model_create(args) -> int:
         return 1
 
     gov = load_governance(args.project)
-    _governance_wizard(args, gov)
+    inherited = {"group": None, "access": None}
+    if args.layer and args.domain:
+        from dbtwiz_spark.project import inherited_model_config
+
+        proj_file = Path(args.project) / "project.yml"
+        proj = (
+            _yaml.safe_load(proj_file.read_text()) or {}
+            if proj_file.exists()
+            else {}
+        )
+        layers = load_layers(args.project)
+        folder = layers[args.layer][0]
+        inherited = inherited_model_config(
+            proj.get("models") or {}, proj.get("name"), folder, args.domain
+        )
+        for key in ("group", "access"):
+            if inherited[key] and not getattr(args, key):
+                print(f"inheriting {key} {inherited[key]!r} from "
+                      "project.yml (models hierarchy)")
+    _governance_wizard(args, gov, inherited=inherited)
     cfg: dict = {"materialized": args.materialized, "description": args.description or ""}
     if args.materialized == "incremental":
         cfg.update(

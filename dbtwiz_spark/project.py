@@ -131,6 +131,34 @@ def load_layers(root: str | Path) -> dict[str, tuple[str, str]]:
     return dict(DEFAULT_LAYERS)
 
 
+def inherited_model_config(
+    models_cfg: dict, project_name: str | None, layer_folder: str, domain: str
+) -> dict[str, Any]:
+    """Inherited group/access for a model path — the dbt_project.yml
+    ``models:`` hierarchy (reference core/project.py:213-249): project →
+    layer folder → domain, each level's ``+group`` / ``+access``
+    overriding the previous. Returns {'group': ..., 'access': ...} with
+    None where nothing is declared."""
+    result: dict[str, Any] = {"group": None, "access": None}
+    proj_level = (models_cfg or {}).get(project_name or "", {})
+    for level in (
+        proj_level,
+        proj_level.get(layer_folder, {}) if isinstance(proj_level, dict) else {},
+        (
+            proj_level.get(layer_folder, {}).get(domain, {})
+            if isinstance(proj_level, dict)
+            and isinstance(proj_level.get(layer_folder, {}), dict)
+            else {}
+        ),
+    ):
+        if isinstance(level, dict):
+            if "+group" in level:
+                result["group"] = level["+group"]
+            if "+access" in level:
+                result["access"] = level["+access"]
+    return result
+
+
 def validate_name_conventions(
     root: str | Path, layers: dict[str, tuple[str, str]] | None = None
 ) -> list[tuple[str, str]]:
@@ -214,9 +242,12 @@ def load_project(root: str | Path) -> tuple[Manifest, dict[str, Any]]:
     variables: dict[str, Any] = {}
 
     proj_file = root / "project.yml"
+    proj: dict[str, Any] = {}
     if proj_file.exists():
         proj = yaml.safe_load(proj_file.read_text()) or {}
         variables = dict(proj.get("vars") or {})
+    models_cfg = proj.get("models") or {}
+    project_name = proj.get("name")
 
     src_file = root / "sources.yml"
     if src_file.exists():
@@ -249,6 +280,18 @@ def load_project(root: str | Path) -> tuple[Manifest, dict[str, Any]]:
             if sidecar.exists():
                 raw = yaml.safe_load(sidecar.read_text()) or {}
                 cfg = {k: raw[k] for k in MODEL_CONFIG_KEYS if k in raw}
+            # governance inheritance (reference core/project.py:213-249):
+            # a layered model without its own group/access takes the
+            # project.yml models-hierarchy value, so the EFFECTIVE config
+            # is what build/validate see
+            rel = sql_path.relative_to(models_dir).parts
+            if len(rel) >= 3 and models_cfg:
+                inh = inherited_model_config(
+                    models_cfg, project_name, rel[0], rel[1]
+                )
+                for key in ("group", "access"):
+                    if cfg.get(key) is None and inh[key] is not None:
+                        cfg[key] = inh[key]
             manifest.add_model(Model(name=name, sql=sql_path.read_text(), **cfg))
 
     return manifest, variables

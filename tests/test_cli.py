@@ -1098,3 +1098,57 @@ def test_model_convert_skips_cte_names_and_handles_qualified_forms(tmp_path, cap
     # hyphenated unknown reported unresolved, file unchanged there
     assert "unresolved: my-proj.ds.unknown_tbl" in out
     assert "my-proj.ds.unknown_tbl" in new_sql
+
+
+def test_governance_inheritance_from_models_hierarchy(tmp_path, capsys):
+    """project.yml models-hierarchy governance (reference
+    core/project.py:213-249): a layered model without its own group/access
+    inherits the project → layer → domain values (deeper overrides), an
+    explicit sidecar value wins, and model create skips prompting and
+    writes NO key for inherited fields."""
+    import yaml
+
+    proj = _governance_project(tmp_path)
+    cfgd = yaml.safe_load((proj / "project.yml").read_text())
+    cfgd["models"] = {
+        "gov": {
+            "+group": "growth",
+            "3_marts": {
+                "+access": "protected",
+                "finance": {"+group": "finance"},
+            },
+        }
+    }
+    (proj / "project.yml").write_text(yaml.safe_dump(cfgd))
+    # create a layered model with no governance flags — inherits, no keys
+    assert main(["model", "create", "--project", str(proj), "--name", "rev",
+                 "--layer", "marts", "--domain", "finance",
+                 "--materialized", "table"]) == 0
+    out = capsys.readouterr().out
+    assert "inheriting group 'finance'" in out
+    assert "inheriting access 'protected'" in out
+    side = yaml.safe_load(
+        (proj / "models" / "3_marts" / "finance" / "mrt_finance__rev.yml")
+        .read_text()
+    )
+    assert "group" not in side and "access" not in side
+    # the manifest resolves the EFFECTIVE config through the hierarchy
+    from dbtwiz_spark.project import load_project
+
+    manifest, _ = load_project(proj)
+    m = manifest.models["mrt_finance__rev"]
+    assert m.group == "finance" and m.access == "protected"
+    # a different domain falls back to the layer/project levels
+    (proj / "models" / "3_marts" / "ads").mkdir(parents=True)
+    (proj / "models" / "3_marts" / "ads" / "mrt_ads__x.sql").write_text(
+        "SELECT 1 AS a\n"
+    )
+    manifest, _ = load_project(proj)
+    m2 = manifest.models["mrt_ads__x"]
+    assert m2.group == "growth" and m2.access == "protected"
+    # explicit sidecar value beats inheritance
+    (proj / "models" / "3_marts" / "ads" / "mrt_ads__x.yml").write_text(
+        yaml.safe_dump({"materialized": "table", "group": "finance"})
+    )
+    manifest, _ = load_project(proj)
+    assert manifest.models["mrt_ads__x"].group == "finance"
