@@ -1152,3 +1152,38 @@ def test_governance_inheritance_from_models_hierarchy(tmp_path, capsys):
     )
     manifest, _ = load_project(proj)
     assert manifest.models["mrt_ads__x"].group == "finance"
+
+
+def test_example_project_end_to_end(spark, tmp_path, capsys):
+    """examples/demo_project is a living walkthrough: it must build, pass
+    its data tests, resolve inherited governance, and validate clean —
+    copied to a tmp dir so the run never dirties the repo tree."""
+    import shutil
+
+    from pathlib import Path as _P
+
+    src = _P(__file__).resolve().parent.parent / "examples" / "demo_project"
+    proj = tmp_path / "demo"
+    shutil.copytree(src, proj)
+    wh = str(tmp_path / "wh")
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--select", "*"]) == 0
+    out = capsys.readouterr().out
+    assert "mrt_sales__customer_revenue" in out
+    assert main(["test", "--project", str(proj), "--warehouse", wh,
+                 "--select", "mrt_sales__customer_revenue"]) == 0
+    capsys.readouterr()
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", wh]) == 0
+    capsys.readouterr()
+    # inherited governance resolves through the models hierarchy
+    from dbtwiz_spark.project import load_project
+
+    manifest, _ = load_project(proj)
+    m = manifest.models["mrt_sales__customer_revenue"]
+    assert m.group == "sales" and m.access == "protected"
+    # the built mart has real rows
+    from dbtwiz_spark.materialize import Warehouse
+
+    built = Warehouse(spark, wh).read("mrt_sales__customer_revenue")
+    assert built.count() > 0
