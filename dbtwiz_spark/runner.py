@@ -294,6 +294,25 @@ class Runner:
                     "WARNING: window without partitioning — single task sorts everything"
                 )
                 break
+        if "BatchEvalPython" in plan:
+            notes.append(
+                "WARNING: row-at-a-time Python UDF in the plan — 10-100x "
+                "slower than built-ins / pandas_udf at scale"
+            )
+        elif "ArrowEvalPython" in plan or "MapInPandas" in plan:
+            notes.append("Arrow-vectorized Python stage present (ok, but "
+                         "built-in expressions beat it where possible)")
+        if "HashAggregate" in plan and "partial_" not in plan:
+            notes.append(
+                "note: aggregation without a map-side partial phase — the "
+                "full input stream shuffles (expected for some distinct/"
+                "first-value shapes; worth a look on large inputs)"
+            )
+        # NOTE: no blanket "Exchange SinglePartition" warning — Spark plans
+        # a global ORDER BY as a parallel rangepartitioning exchange, and
+        # the SinglePartition exchanges that DO appear (global aggregates
+        # after map-side combine) carry tiny streams; the harmful case
+        # (unpartitioned window) is caught above.
         return sql, plan, notes
 
 

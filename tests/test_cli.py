@@ -1187,3 +1187,33 @@ def test_example_project_end_to_end(spark, tmp_path, capsys):
 
     built = Warehouse(spark, wh).read("mrt_sales__customer_revenue")
     assert built.count() > 0
+
+
+def test_explain_audit_flags_new_red_flags(spark, tmp_path, capsys):
+    """The scale audit flags an unpartitioned window (single-task sort)
+    and stays quiet on clean top-k / aggregate models; built-in-only
+    models get no Python-UDF warning."""
+    proj = tmp_path / "exp"
+    (proj / "models").mkdir(parents=True)
+    (proj / "sources.yml").write_text(
+        f"sources:\n  - name: customer\n    path: {SF_DIR}/customer.parquet\n"
+    )
+    (proj / "models" / "m_gwin.sql").write_text(
+        "SELECT c_custkey, ROW_NUMBER() OVER (ORDER BY c_acctbal) AS rn "
+        "FROM {{ source('raw', 'customer') }}\n"
+    )
+    (proj / "models" / "m_agg.sql").write_text(
+        "SELECT c_mktsegment, COUNT(*) AS n "
+        "FROM {{ source('raw', 'customer') }} GROUP BY c_mktsegment\n"
+    )
+    wh = str(tmp_path / "wh")
+    assert main(["explain", "m_gwin", "--project", str(proj),
+                 "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "window without partitioning" in out
+    assert "Python UDF" not in out
+    assert main(["explain", "m_agg", "--project", str(proj),
+                 "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "WARNING" not in out  # clean map-side-combined aggregate
+    assert "partial" not in out or "without a map-side" not in out
