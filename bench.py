@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -239,7 +240,7 @@ def main() -> None:
         # is a real change, one whose best is flat while the median jumps is
         # the VM. With the first run carrying one-time codegen compile, the
         # median of 3 is effectively the slower of the two warm runs.
-        medians[name] = round(sorted(samples)[len(samples) // 2], 3)
+        medians[name] = round(statistics.median(samples), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

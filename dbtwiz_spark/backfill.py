@@ -159,23 +159,23 @@ def run_backfill(
         sibling (``<stem>.taskN.json``): a retry must see failures no
         matter how (or whether) the earlier run was sharded — a
         re-sharded or un-sharded retry otherwise silently orphans other
-        workers' failures. A ``success`` recorded in ANY file wins over a
-        failure row elsewhere (a retried chunk records its success into
-        the retrying worker's own file, so the original failure row never
-        gets rewritten)."""
-        files = [journal] + [
-            BackfillJournal(p)
-            for p in sorted(
-                journal.path.parent.glob(
-                    f"{journal.path.stem}.task*{journal.path.suffix}"
-                )
+        workers' failures. Files merge in modification-time order with
+        LAST WRITER WINS per chunk: a retried chunk's success (written to
+        the retrying worker's own, newer file) clears the original
+        failure row, while a NEW failure from a later run overrides a
+        stale success from an earlier one — a plain success-anywhere rule
+        would let old green rows permanently shadow fresh failures."""
+        paths = [journal.path] + sorted(
+            journal.path.parent.glob(
+                f"{journal.path.stem}.task*{journal.path.suffix}"
             )
-        ]
+        )
         status: dict[str, str] = {}
-        for j in files:
-            for k, v in j.load().items():
-                if v == "success" or k not in status:
-                    status[k] = v
+        for p in sorted(
+            (p for p in paths if p.exists()),
+            key=lambda p: p.stat().st_mtime,
+        ):
+            status.update(BackfillJournal(p).load())
         out = []
         for k, v in status.items():
             if v != "success":

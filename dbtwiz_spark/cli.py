@@ -72,14 +72,19 @@ def cmd_build(args) -> int:
             if saved.get(flag):
                 setattr(args, flag, True)
     runner, manifest, _ = _load(args)
-    last_file.parent.mkdir(exist_ok=True)
-    last_file.write_text(_json.dumps({
-        "select": args.select,
-        "exclude": getattr(args, "exclude", None),
-        "upstream": getattr(args, "upstream", False),
-        "downstream": getattr(args, "downstream", False),
-        "full_refresh": getattr(args, "full_refresh", False),
-    }))
+    if not getattr(args, "last", False):
+        # saved state = the last EXPLICIT invocation only. A --last replay
+        # never re-saves: one-off flags added alongside --last (e.g. a
+        # single --full-refresh) must not become sticky for every future
+        # --last run.
+        last_file.parent.mkdir(exist_ok=True)
+        last_file.write_text(_json.dumps({
+            "select": args.select,
+            "exclude": getattr(args, "exclude", None),
+            "upstream": getattr(args, "upstream", False),
+            "downstream": getattr(args, "downstream", False),
+            "full_refresh": getattr(args, "full_refresh", False),
+        }))
     if args.start:
         runner.variables["data_interval_start"] = args.start
         runner.variables["data_interval_end"] = args.end or args.start
@@ -454,20 +459,28 @@ def _governance_wizard(
 
     args.group = ask("group", gov.groups, args.group)
     args.access = ask("access", ACCESS_CHOICES, args.access)
-    # --team is repeatable: a fully valid flag list passes through intact
-    # (never collapsed to its first element); prompting happens only when
-    # nothing was given or something given is invalid
-    if gov.teams and (
-        not args.team or any(t not in gov.teams for t in args.team)
-    ):
-        for t in args.team:
-            if t not in gov.teams:
+    # --team is repeatable: valid flag values are ALWAYS kept; each
+    # invalid one is re-prompted individually (replacement or dropped on
+    # empty input); an entirely missing list gets one prompt
+    if gov.teams:
+        valid = [t for t in args.team if t in gov.teams]
+        invalid = [t for t in args.team if t not in gov.teams]
+        if not args.team:
+            team = select_from_choices(
+                "Select team", gov.teams, allow_none=True,
+                input_fn=input_fn, print_fn=print_fn,
+            )
+            args.team = [team] if team else []
+        elif invalid:
+            for t in invalid:
                 print_fn(f"provided team {t!r} is invalid — re-select")
-        team = select_from_choices(
-            "Select team", gov.teams, allow_none=True,
-            input_fn=input_fn, print_fn=print_fn,
-        )
-        args.team = [team] if team else []
+                pick = select_from_choices(
+                    f"Replace team {t!r}", gov.teams, allow_none=True,
+                    input_fn=input_fn, print_fn=print_fn,
+                )
+                if pick and pick not in valid:
+                    valid.append(pick)
+            args.team = valid
 
 
 def cmd_model_create(args) -> int:
@@ -622,9 +635,14 @@ def cmd_model_validate(args) -> int:
     _, manifest, wh = _load(args)
     gov = load_governance(args.project)
     rc = 0
+    selected = set(manifest.select(args.select))
     # layered-layout naming convention (reference model/validate.py:240-270:
-    # <abbr>_<domain>__<identifier> must agree with the folders)
+    # <abbr>_<domain>__<identifier> must agree with the folders) — scoped
+    # to --select so one legacy misnamed model can't fail every scoped
+    # CI validation of unrelated models
     for name, err in validate_name_conventions(args.project):
+        if name not in selected:
+            continue
         rc = 1
         print(f"NAMING {name}: {err}")
     for name in manifest.select(args.select):

@@ -296,7 +296,8 @@ _FROM_JOIN_RE = re.compile(
     r"\b(FROM|JOIN)(\s+)(`[^`]+`|[A-Za-z_][\w.$-]*)", re.IGNORECASE
 )
 _QUALIFIED_RE = re.compile(r"^[\w-]+\.[\w-]+(\.[\w-]+)?$")
-_CTE_RE = re.compile(r"(?:\bWITH|,)\s+([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+_CTE_RE = re.compile(r"(?:\bWITH|,)\s*([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+_COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
 
 
 def convert_sql_refs(
@@ -329,6 +330,10 @@ def convert_sql_refs(
     manifest, _ = load_project(root)
     sql = sql_path.read_text()
     cte_names = {m.group(1) for m in _CTE_RE.finditer(sql)}
+    # references inside -- and /* */ comments are never rewritten: the
+    # dependency extractor scans raw text, so templating a commented-out
+    # FROM would create a false DAG edge
+    comment_spans = [m.span() for m in _COMMENT_RE.finditer(sql)]
 
     replaced: list[tuple[str, str]] = []
     unresolved: list[str] = []
@@ -336,6 +341,8 @@ def convert_sql_refs(
     def repl(m: re.Match) -> str:
         raw = m.group(3)
         bare = raw.strip("`")
+        if any(a <= m.start() < b for a, b in comment_spans):
+            return m.group(0)  # inside a comment
         if bare == model_name or bare in cte_names:
             return m.group(0)  # self-reference / CTE shadowing
         leaf = bare.rsplit(".", 1)[-1]

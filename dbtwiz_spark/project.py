@@ -82,8 +82,10 @@ def load_governance(root: str | Path) -> Governance:
     if groups_file.exists():
         data = yaml.safe_load(groups_file.read_text()) or {}
         gov.groups = {
-            g["name"]: (g.get("config", {}).get("meta", {}) or {}).get(
-                "description", ""
+            g["name"]: (
+                ((g.get("config") or {}).get("meta") or {}).get(
+                    "description", ""
+                )
             )
             for g in data.get("groups") or []
         }
@@ -284,10 +286,16 @@ def load_project(root: str | Path) -> tuple[Manifest, dict[str, Any]]:
             # a layered model without its own group/access takes the
             # project.yml models-hierarchy value, so the EFFECTIVE config
             # is what build/validate see
+            # each declared hierarchy level applies at ANY depth (the
+            # dbt semantics the docstring cites): a depth-1 model gets
+            # project-level values, depth-2 adds the layer level, etc.
             rel = sql_path.relative_to(models_dir).parts
-            if len(rel) >= 3 and models_cfg:
+            if models_cfg:
                 inh = inherited_model_config(
-                    models_cfg, project_name, rel[0], rel[1]
+                    models_cfg,
+                    project_name,
+                    rel[0] if len(rel) >= 2 else "",
+                    rel[1] if len(rel) >= 3 else "",
                 )
                 for key in ("group", "access"):
                     if cfg.get(key) is None and inh[key] is not None:

@@ -570,3 +570,24 @@ def test_sharded_retry_sees_unsharded_failures_and_vice_versa(engine, tmp_path, 
                          journal=BackfillJournal(base),
                          retry_failed_only=True)
     assert again == []
+
+
+def test_retry_newer_failure_beats_stale_success(engine, tmp_path):
+    """Review fix: journals merge last-writer-wins (file mtime order) — a
+    fresh failure in a newer task journal is retried even though an older
+    base journal recorded the same chunk as success."""
+    import os
+    import time as _time
+
+    base = tmp_path / "lw.json"
+    j = BackfillJournal(base)
+    j.record((date(2024, 1, 1), date(2024, 1, 2)), "success")
+    task0 = BackfillJournal(tmp_path / "lw.task0.json")
+    task0.record((date(2024, 1, 1), date(2024, 1, 2)), "error: regressed")
+    # ensure distinct mtimes even on coarse filesystems
+    os.utime(base, (0, _time.time() - 100))
+    retried = run_backfill(engine, "daily_values", date(2024, 1, 1),
+                           date(2024, 1, 2), batch_size=2,
+                           journal=BackfillJournal(base),
+                           retry_failed_only=True)
+    assert [c for c, _s in retried] == [(date(2024, 1, 1), date(2024, 1, 2))]

@@ -1217,3 +1217,141 @@ def test_explain_audit_flags_new_red_flags(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "WARNING" not in out  # clean map-side-combined aggregate
     assert "partial" not in out or "without a map-side" not in out
+
+
+def test_last_replay_flags_are_not_sticky(spark, project, wh_dir, capsys):
+    """Review fix: flags passed alongside --last apply to that run only —
+    the saved state stays the last EXPLICIT invocation."""
+    import json as _json
+
+    assert main(["build", "--project", str(project), "--warehouse", wh_dir,
+                 "--select", "stg_customer"]) == 0
+    capsys.readouterr()
+    assert main(["build", "--project", str(project), "--warehouse", wh_dir,
+                 "--last", "--full-refresh"]) == 0
+    capsys.readouterr()
+    saved = _json.loads(
+        (project / ".dbtwiz_spark" / "last_select.json").read_text()
+    )
+    assert saved["full_refresh"] is False  # the one-off flag did not stick
+    assert saved["select"] == "stg_customer"
+
+
+def test_validate_naming_scoped_to_select(spark, tmp_path, capsys):
+    """Review fix: a legacy misnamed model outside --select must not fail
+    a scoped validate."""
+    import yaml
+
+    proj = _governance_project(tmp_path)
+    good = proj / "models" / "3_marts" / "finance"
+    good.mkdir(parents=True)
+    (good / "mrt_finance__ok.sql").write_text("SELECT 1 AS a\n")
+    (good / "mrt_finance__ok.yml").write_text(
+        yaml.safe_dump({"materialized": "table"})
+    )
+    (good / "legacy_badname.sql").write_text("SELECT 1 AS a\n")
+    wh = str(tmp_path / "wh")
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", wh, "--select", "mrt_finance__ok"]) == 0
+    capsys.readouterr()
+    # unscoped validate still catches it
+    assert main(["model", "validate", "--project", str(proj),
+                 "--warehouse", wh]) == 1
+    assert "NAMING legacy_badname" in capsys.readouterr().out
+
+
+def test_governance_wizard_replaces_only_invalid_teams(tmp_path):
+    """Review fix: valid --team entries survive; each invalid one gets its
+    own replacement prompt (empty input drops it)."""
+    import argparse
+    import yaml
+
+    from dbtwiz_spark.cli import _governance_wizard
+    from dbtwiz_spark.project import load_governance
+
+    proj = _governance_project(tmp_path)
+    cfgd = yaml.safe_load((proj / "project.yml").read_text())
+    cfgd["vars"]["teams"]["team-ml"] = {"description": "ML"}
+    (proj / "project.yml").write_text(yaml.safe_dump(cfgd))
+    gov = load_governance(proj)
+    args = argparse.Namespace(group="growth", access="private",
+                              team=["team-data", "typo"], quick=False)
+    feed = iter(["team-ml"])  # replacement for the one invalid entry
+    _governance_wizard(args, gov, input_fn=lambda _: next(feed),
+                       print_fn=lambda _: None)
+    assert args.team == ["team-data", "team-ml"]
+    # empty input drops the invalid entry, keeps the valid ones
+    args = argparse.Namespace(group="growth", access="private",
+                              team=["team-data", "typo"], quick=False)
+    feed = iter([""])
+    _governance_wizard(args, gov, input_fn=lambda _: next(feed),
+                       print_fn=lambda _: None)
+    assert args.team == ["team-data"]
+
+
+def test_model_convert_skips_comments_and_compact_ctes(tmp_path, capsys):
+    """Review fixes: commented-out FROM lines are never rewritten (no
+    false DAG edges) and a CTE declared without whitespace after the comma
+    still shadows a same-named model."""
+    proj = tmp_path / "conv3"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "legacy_model.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "extra.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "stg_b.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "mrt_d.sql").write_text(
+        "-- old: FROM legacy_model\n"
+        "/* also old:\n   FROM legacy_model */\n"
+        "WITH a AS (SELECT 1 AS x),extra AS (SELECT * FROM a)\n"
+        "SELECT * FROM extra\n"
+        "JOIN stg_b USING (x)\n"
+    )
+    assert main(["model", "convert", "mrt_d", "--project", str(proj)]) == 0
+    capsys.readouterr()
+    sql = (proj / "models" / "mrt_d.sql").read_text()
+    assert "ref('legacy_model')" not in sql          # comments untouched
+    assert "FROM extra\n" in sql                      # compact CTE shadowing
+    assert "JOIN {{ ref('stg_b') }} USING (x)" in sql # real ref rewritten
+    from dbtwiz_spark.project import load_project
+
+    manifest, _ = load_project(proj)
+    assert manifest.parent_map["mrt_d"] == {"stg_b"}
+
+
+def test_inheritance_applies_at_shallow_depths(tmp_path):
+    """Review fix: hierarchy levels apply at any model depth — a depth-2
+    model under a layer folder gets project+layer values, a depth-1 model
+    gets the project level."""
+    import yaml
+
+    proj = tmp_path / "shallow"
+    (proj / "models" / "3_marts").mkdir(parents=True)
+    (proj / "project.yml").write_text(yaml.safe_dump({
+        "name": "demo",
+        "models": {"demo": {"+group": "core",
+                            "3_marts": {"+access": "protected"}}},
+    }))
+    (proj / "models" / "util.sql").write_text("SELECT 1 AS a\n")
+    (proj / "models" / "3_marts" / "toplevel.sql").write_text(
+        "SELECT 1 AS a\n"
+    )
+    from dbtwiz_spark.project import load_project
+
+    manifest, _ = load_project(proj)
+    assert manifest.models["util"].group == "core"
+    assert manifest.models["util"].access is None
+    assert manifest.models["toplevel"].group == "core"
+    assert manifest.models["toplevel"].access == "protected"
+
+
+def test_load_governance_tolerates_empty_config_key(tmp_path):
+    """Review fix: a group entry with an empty 'config:' value must not
+    crash governance loading."""
+    proj = tmp_path / "emptycfg"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "model_groups.yml").write_text(
+        "groups:\n  - name: finance\n    config:\n  - name: bare\n"
+    )
+    from dbtwiz_spark.project import load_governance
+
+    gov = load_governance(proj)
+    assert set(gov.groups) == {"finance", "bare"}
