@@ -474,3 +474,69 @@ def filter_exists_correlated(spark, sf_dir):
             WHERE c2.c_nationkey = s.s_nationkey AND c2.c_acctbal < -900)
         """
     )
+
+
+# bucketed-layout tables built once per (session, sf_dir) — the long-lived
+# session analog of a materialized bucketed table pair
+_BUCKETED: dict[tuple, bool] = {}
+
+
+@register(
+    "join-bucketed",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Shuffle-free co-located join via bucketing — the physical strategy
+    for REPEATED large-fact joins at 100 TB (SURVEY §4): both sides are
+    written bucketed+sorted on the join key once (``bucketBy + sortBy``
+    into the session catalog), after which every join on that key is a
+    SortMergeJoin with ZERO exchanges below it — the per-query shuffle
+    cost moves into the one-time layout. The layout build is memoized per
+    (session, sf_dir), exactly how a warehouse would own a bucketed
+    table pair; results are identical to the plain equi-join, which is
+    what the oracle checks (the zero-shuffle plan property is pinned in
+    tests/test_plans.py::test_bucketed_join_has_no_shuffle).
+
+    Scale note: bucket count is fixed at write time (8 here; sized to
+    data volume in production) and both sides MUST agree on it — a
+    mismatch silently falls back to a shuffled join."""
+    cat = views(spark, sf_dir)
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    db = f"bkt_{tag}"
+    key = (id(spark), sf_dir)
+    if not _BUCKETED.get(key):
+        import shutil
+        from pathlib import Path
+        from urllib.parse import urlparse
+
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        wh_dir = Path(urlparse(spark.conf.get("spark.sql.warehouse.dir")).path)
+        for name, df, col in (
+            ("orders_b", cat.table("orders").select("o_orderkey", "o_custkey"), "o_custkey"),
+            ("customer_b", cat.table("customer").select("c_custkey", "c_mktsegment"), "c_custkey"),
+        ):
+            # a NEW session's in-memory catalog does not know about the
+            # previous session's managed-table directory, and saveAsTable
+            # refuses to create over an existing location — drop both the
+            # catalog entry and any stale directory before rebuilding
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{name}")
+            shutil.rmtree(wh_dir / f"{db}.db" / name, ignore_errors=True)
+            (
+                df.write.mode("overwrite")
+                .format("parquet")
+                .bucketBy(8, col)
+                .sortBy(col)
+                .saveAsTable(f"{db}.{name}")
+            )
+        _BUCKETED[key] = True
+    o = spark.table(f"{db}.orders_b")
+    c = spark.table(f"{db}.customer_b")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"))
+    )
