@@ -94,9 +94,24 @@ def estimate_bytes_per_day(
     return total / n_days
 
 
+def _row_status(v) -> str:
+    """Status of a journal row — rows are ``{"status": ..., "ts": ...}``
+    since the per-row-recency fix; plain strings are the legacy format."""
+    return v["status"] if isinstance(v, dict) else v
+
+
+def _row_ts(v, fallback: float) -> float:
+    """Row recency; legacy string rows fall back to the FILE's mtime."""
+    return v.get("ts", fallback) if isinstance(v, dict) else fallback
+
+
 @dataclass
 class BackfillJournal:
-    """Chunk-level run journal enabling retry-only-failures."""
+    """Chunk-level run journal enabling retry-only-failures. Each row
+    carries its own write timestamp so merges across journal files
+    (sharded workers, see ``run_backfill``) can resolve recency per
+    CHUNK — a rewritten file's untouched rows must not inherit the
+    file's fresh mtime."""
 
     path: Path
 
@@ -104,21 +119,26 @@ class BackfillJournal:
         # the CLI hands in a plain string; everything below needs Path
         self.path = Path(self.path)
 
-    def load(self) -> dict[str, str]:
+    def load(self) -> dict:
         if self.path.exists():
             return json.loads(self.path.read_text())
         return {}
 
     def record(self, chunk: tuple[date, date], status: str) -> None:
+        import time as _time
+
         j = self.load()
-        j[f"{chunk[0]}..{chunk[1]}"] = status
+        j[f"{chunk[0]}..{chunk[1]}"] = {
+            "status": status,
+            "ts": _time.time(),
+        }
         self.path.parent.mkdir(parents=True, exist_ok=True)
         self.path.write_text(json.dumps(j, indent=1))
 
     def failed_chunks(self) -> list[tuple[date, date]]:
         out = []
         for k, v in self.load().items():
-            if v != "success":
+            if _row_status(v) != "success":
                 a, b = k.split("..")
                 out.append((date.fromisoformat(a), date.fromisoformat(b)))
         return out
@@ -159,26 +179,32 @@ def run_backfill(
         sibling (``<stem>.taskN.json``): a retry must see failures no
         matter how (or whether) the earlier run was sharded — a
         re-sharded or un-sharded retry otherwise silently orphans other
-        workers' failures. Files merge in modification-time order with
-        LAST WRITER WINS per chunk: a retried chunk's success (written to
-        the retrying worker's own, newer file) clears the original
-        failure row, while a NEW failure from a later run overrides a
-        stale success from an earlier one — a plain success-anywhere rule
-        would let old green rows permanently shadow fresh failures."""
+        workers' failures. Rows merge LAST WRITER WINS per CHUNK, by each
+        row's own write timestamp: a retried chunk's success (written to
+        the retrying worker's own file) clears the original failure row,
+        a NEW failure from a later run overrides a stale success — and
+        an untouched stale row carried along by a later file REWRITE
+        keeps its original timestamp, so it can never shadow a genuinely
+        newer row in another file (per-FILE mtime would). Legacy string
+        rows fall back to file mtime, ties broken in favor of success."""
         paths = [journal.path] + sorted(
             journal.path.parent.glob(
                 f"{journal.path.stem}.task*{journal.path.suffix}"
             )
         )
-        status: dict[str, str] = {}
-        for p in sorted(
-            (p for p in paths if p.exists()),
-            key=lambda p: p.stat().st_mtime,
-        ):
-            status.update(BackfillJournal(p).load())
+        best: dict[str, tuple[float, bool, str]] = {}
+        for p in paths:
+            if not p.exists():
+                continue
+            mtime = p.stat().st_mtime
+            for k, v in BackfillJournal(p).load().items():
+                s = _row_status(v)
+                rank = (_row_ts(v, mtime), s == "success")
+                if k not in best or rank >= (best[k][0], best[k][1]):
+                    best[k] = (rank[0], rank[1], s)
         out = []
-        for k, v in status.items():
-            if v != "success":
+        for k, (_ts, _ok, s) in best.items():
+            if s != "success":
                 a, b = k.split("..")
                 out.append((date.fromisoformat(a), date.fromisoformat(b)))
         return sorted(out)
@@ -223,7 +249,7 @@ def run_backfill(
     if journal and not retry_failed_only:
         already = journal.load()
         for chunk in chunks:
-            if already.get(f"{chunk[0]}..{chunk[1]}") != "success":
+            if _row_status(already.get(f"{chunk[0]}..{chunk[1]}", "")) != "success":
                 journal.record(chunk, "pending")
     # interval vars are scoped to the backfill: restore the runner's own
     # variables afterwards so is_backfill/data_interval_* never leak into

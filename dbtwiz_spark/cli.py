@@ -72,19 +72,6 @@ def cmd_build(args) -> int:
             if saved.get(flag):
                 setattr(args, flag, True)
     runner, manifest, _ = _load(args)
-    if not getattr(args, "last", False):
-        # saved state = the last EXPLICIT invocation only. A --last replay
-        # never re-saves: one-off flags added alongside --last (e.g. a
-        # single --full-refresh) must not become sticky for every future
-        # --last run.
-        last_file.parent.mkdir(exist_ok=True)
-        last_file.write_text(_json.dumps({
-            "select": args.select,
-            "exclude": getattr(args, "exclude", None),
-            "upstream": getattr(args, "upstream", False),
-            "downstream": getattr(args, "downstream", False),
-            "full_refresh": getattr(args, "full_refresh", False),
-        }))
     if args.start:
         runner.variables["data_interval_start"] = args.start
         runner.variables["data_interval_end"] = args.end or args.start
@@ -105,6 +92,20 @@ def cmd_build(args) -> int:
         elif picked is not None:  # interactive session, user aborted
             print("no models selected")
             return 1
+    if not getattr(args, "last", False):
+        # saved state = the last EXPLICIT invocation, recorded AFTER the
+        # fuzzy picker resolved it (a typo'd selector must replay as what
+        # was actually built). A --last replay never re-saves: one-off
+        # flags added alongside --last (e.g. a single --full-refresh)
+        # must not become sticky for every future --last run.
+        last_file.parent.mkdir(exist_ok=True)
+        last_file.write_text(_json.dumps({
+            "select": args.select,
+            "exclude": getattr(args, "exclude", None),
+            "upstream": getattr(args, "upstream", False),
+            "downstream": getattr(args, "downstream", False),
+            "full_refresh": getattr(args, "full_refresh", False),
+        }))
     select = _apply_graph_flags(
         args.select,
         getattr(args, "upstream", False),
@@ -517,11 +518,11 @@ def cmd_model_create(args) -> int:
             print(f"invalid --layer {args.layer!r} "
                   f"(choose from {sorted(layers)})")
             return 1
-        folder, abbr = layers[args.layer]
+        layer_folder, abbr = layers[args.layer]
         prefix = f"{abbr}_{args.domain}__"
         if not name.startswith(prefix):
             name = prefix + name
-        models = models / folder / args.domain
+        models = models / layer_folder / args.domain
         if args.layer == "staging" and args.materialized != "view":
             # reference parity (create.py:336-346): staging models are
             # always views
@@ -537,6 +538,7 @@ def cmd_model_create(args) -> int:
     gov = load_governance(args.project)
     inherited = {"group": None, "access": None}
     if args.layer and args.domain:
+        # layer_folder was resolved by the layered-layout branch above
         from dbtwiz_spark.project import inherited_model_config
 
         proj_file = Path(args.project) / "project.yml"
@@ -545,10 +547,9 @@ def cmd_model_create(args) -> int:
             if proj_file.exists()
             else {}
         )
-        layers = load_layers(args.project)
-        folder = layers[args.layer][0]
         inherited = inherited_model_config(
-            proj.get("models") or {}, proj.get("name"), folder, args.domain
+            proj.get("models") or {}, proj.get("name"), layer_folder,
+            args.domain,
         )
         for key in ("group", "access"):
             if inherited[key] and not getattr(args, key):
@@ -645,7 +646,7 @@ def cmd_model_validate(args) -> int:
             continue
         rc = 1
         print(f"NAMING {name}: {err}")
-    for name in manifest.select(args.select):
+    for name in sorted(selected):
         m = manifest.models[name]
         gov_errors = validate_governance(m, gov)
         if gov_errors:

@@ -297,7 +297,11 @@ _FROM_JOIN_RE = re.compile(
 )
 _QUALIFIED_RE = re.compile(r"^[\w-]+\.[\w-]+(\.[\w-]+)?$")
 _CTE_RE = re.compile(r"(?:\bWITH|,)\s*([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
-_COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.DOTALL)
+# string literals are matched FIRST so a -- or /* INSIDE one never opens a
+# comment; an unterminated /* protects to end-of-text rather than not at all
+_COMMENT_OR_STRING_RE = re.compile(
+    r"'(?:[^']|'')*'|\"[^\"]*\"|(--[^\n]*|/\*.*?\*/|/\*.*\Z)", re.DOTALL
+)
 
 
 def convert_sql_refs(
@@ -329,11 +333,20 @@ def convert_sql_refs(
         raise FileNotFoundError(f"model {model_name!r} not found")
     manifest, _ = load_project(root)
     sql = sql_path.read_text()
-    cte_names = {m.group(1) for m in _CTE_RE.finditer(sql)}
-    # references inside -- and /* */ comments are never rewritten: the
+    # references inside -- and /* */ comments are never rewritten (the
     # dependency extractor scans raw text, so templating a commented-out
-    # FROM would create a false DAG edge
-    comment_spans = [m.span() for m in _COMMENT_RE.finditer(sql)]
+    # FROM would create a false DAG edge), and CTE names are collected
+    # from the comment-stripped text so a commented-out ", x AS (" can't
+    # suppress converting a real FROM x
+    comment_spans = [
+        m.span(1) for m in _COMMENT_OR_STRING_RE.finditer(sql) if m.group(1)
+    ]
+    stripped = list(sql)
+    for a, b in comment_spans:
+        for i in range(a, b):
+            if stripped[i] != "\n":
+                stripped[i] = " "
+    cte_names = {m.group(1) for m in _CTE_RE.finditer("".join(stripped))}
 
     replaced: list[tuple[str, str]] = []
     unresolved: list[str] = []

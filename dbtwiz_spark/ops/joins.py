@@ -477,7 +477,10 @@ def filter_exists_correlated(spark, sf_dir):
 
 
 # bucketed-layout tables built once per (session, sf_dir) — the long-lived
-# session analog of a materialized bucketed table pair
+# session analog of a materialized bucketed table pair. Keyed on the
+# SESSION OBJECT (same convention as ext_llm._ARTIFACTS), never id():
+# CPython reuses addresses after GC, so an id-keyed hit could skip the
+# build for a brand-new session whose catalog has no bucketed tables.
 _BUCKETED: dict[tuple, bool] = {}
 
 
@@ -507,7 +510,7 @@ def join_bucketed(spark, sf_dir):
     cat = views(spark, sf_dir)
     tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
     db = f"bkt_{tag}"
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if not _BUCKETED.get(key):
         import shutil
         from pathlib import Path

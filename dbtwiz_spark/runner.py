@@ -303,10 +303,14 @@ class Runner:
             notes.append("Arrow-vectorized Python stage present (ok, but "
                          "built-in expressions beat it where possible)")
         if "HashAggregate" in plan and "partial_" not in plan:
+            # plan-GLOBAL heuristic: one partial aggregate anywhere
+            # suppresses this note even if a second aggregate in the same
+            # plan lacks its partial phase — a per-node check would need
+            # to parse each HashAggregate's function list
             notes.append(
-                "note: aggregation without a map-side partial phase — the "
-                "full input stream shuffles (expected for some distinct/"
-                "first-value shapes; worth a look on large inputs)"
+                "note: no map-side partial aggregation anywhere in the "
+                "plan — the full input stream shuffles (expected for some "
+                "distinct/first-value shapes; worth a look on large inputs)"
             )
         # NOTE: no blanket "Exchange SinglePartition" warning — Spark plans
         # a global ORDER BY as a parallel rangepartitioning exchange, and

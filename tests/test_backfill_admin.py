@@ -591,3 +591,23 @@ def test_retry_newer_failure_beats_stale_success(engine, tmp_path):
                            journal=BackfillJournal(base),
                            retry_failed_only=True)
     assert [c for c, _s in retried] == [(date(2024, 1, 1), date(2024, 1, 2))]
+
+
+def test_journal_merge_recency_is_per_row_not_per_file(engine, tmp_path):
+    """Review fix: an untouched stale row carried along by a later file
+    REWRITE keeps its own timestamp — it can never shadow a genuinely
+    newer row for the same chunk in another file."""
+    base = tmp_path / "pr.json"
+    t0 = BackfillJournal(tmp_path / "pr.task0.json")
+    t1 = BackfillJournal(tmp_path / "pr.task1.json")
+    chunk = (date(2024, 1, 1), date(2024, 1, 2))
+    t0.record(chunk, "error: first failure")     # older row
+    t1.record(chunk, "success")                   # newer: the retry fixed it
+    # task0 is REWRITTEN later for an unrelated chunk — its stale error
+    # row keeps its original per-row timestamp
+    t0.record((date(2024, 1, 3), date(2024, 1, 4)), "success")
+    results = run_backfill(engine, "daily_values", date(2024, 1, 1),
+                           date(2024, 1, 4), batch_size=2,
+                           journal=BackfillJournal(base),
+                           retry_failed_only=True)
+    assert results == []  # the fresh success wins despite task0's rewrite

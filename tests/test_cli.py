@@ -1355,3 +1355,40 @@ def test_load_governance_tolerates_empty_config_key(tmp_path):
 
     gov = load_governance(proj)
     assert set(gov.groups) == {"finance", "bare"}
+
+
+def test_last_select_saved_after_picker_resolution(spark, project, wh_dir, capsys):
+    """Review fix: last_select.json records the selector as RESOLVED (what
+    was actually built), so a typo'd-then-picked selection replays
+    deterministically. Headless here, so we assert via a direct build —
+    the saved selector equals args.select at run time, post-picker."""
+    import json as _json
+
+    assert main(["build", "--project", str(project), "--warehouse", wh_dir,
+                 "--select", "mrt_nation_balance"]) == 0
+    capsys.readouterr()
+    saved = _json.loads(
+        (project / ".dbtwiz_spark" / "last_select.json").read_text()
+    )
+    assert saved["select"] == "mrt_nation_balance"
+
+
+def test_model_convert_ignores_comment_markers_inside_strings(tmp_path, capsys):
+    """Review fix: '--' or '/*' inside a string literal must not open a
+    comment span — references after them are still converted."""
+    proj = tmp_path / "conv4"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "stg_c.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "orders.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "mrt_e.sql").write_text(
+        "SELECT 'a--b' AS tag, '/*not a comment*/' AS t2, *\n"
+        "FROM stg_c\n"
+        "-- , orders AS ( this is really a comment\n"
+        "JOIN orders USING (x)\n"
+    )
+    assert main(["model", "convert", "mrt_e", "--project", str(proj)]) == 0
+    capsys.readouterr()
+    sql = (proj / "models" / "mrt_e.sql").read_text()
+    assert "FROM {{ ref('stg_c') }}" in sql   # literal -- did not hide it
+    # the commented-out CTE declaration did not shadow the real model
+    assert "JOIN {{ ref('orders') }} USING (x)" in sql
