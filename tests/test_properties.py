@@ -309,3 +309,80 @@ def test_chunking_covers_every_token_exactly_once_mod_overlap(spark):
     )
     assert diff.count() == 0
     assert rebuilt.count() == orig.count()
+
+
+def test_funnel_stages_partition_the_user_population(spark):
+    """Invariants of the ordered funnel: stage counts partition the users
+    that appear in events (every user lands in exactly one deepest
+    stage), and deeper stages require the shallower ones — a user at
+    stage 3 necessarily had a view and a subsequent click."""
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.ops.common import views
+    from dbtwiz_spark.ops.windows import win_funnel
+    from tests.conftest import SF_DIR
+
+    stages = {r.funnel_stage: r.n_users
+              for r in win_funnel(spark, SF_DIR).collect()}
+    ev = views(spark, SF_DIR).table("events")
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(stages.values()) == n_users
+    # stage >= 1 population == users with any 'view' at all
+    n_viewers = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id").distinct().count()
+    )
+    assert sum(v for k, v in stages.items() if k >= 1) == n_viewers
+
+
+def test_retention_cohort_invariants(spark):
+    """Cohort triangle invariants: offset 0 exists for every cohort and
+    counts exactly the users whose first activity was that day; summing
+    distinct users across a cohort's offsets never exceeds
+    cohort_size × n_offsets; offsets are non-negative."""
+    from dbtwiz_spark.ops.windows import win_retention_cohort
+    from tests.conftest import SF_DIR
+
+    rows = win_retention_cohort(spark, SF_DIR).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_day, {})[r.offset_days] = (
+            r.n_active_users
+        )
+    assert rows and all(r.offset_days >= 0 for r in rows)
+    for cohort, offsets in by_cohort.items():
+        assert 0 in offsets, f"cohort {cohort} missing day-0 row"
+        d0 = offsets[0]
+        # retention never exceeds the cohort's own size
+        assert all(n <= d0 for n in offsets.values()), cohort
+
+
+def test_resample_interpolation_is_bounded_by_endpoints(spark):
+    """Linear interpolation never extrapolates: every grid value lies
+    within [min, max] of the user's observed values in the window, and
+    every user has exactly 48 hourly grid rows."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.ops.common import views
+    from dbtwiz_spark.ops.streaming_batch import stream_resample_interpolate
+    from tests.conftest import SF_DIR
+
+    out = stream_resample_interpolate(spark, SF_DIR).collect()
+    per_user = Counter(r.user_id for r in out)
+    assert per_user and set(per_user.values()) == {48}  # 2 days hourly
+    ev = views(spark, SF_DIR).table("events")
+    bounds = {
+        r.user_id: (r.lo, r.hi)
+        for r in ev.filter(
+            (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-12")
+        )
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    eps = 1e-6  # rounding at 6 dp
+    for r in out:
+        lo, hi = bounds[r.user_id]
+        assert lo - eps <= r.value_interp <= hi + eps, r
