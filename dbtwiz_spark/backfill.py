@@ -128,6 +128,17 @@ class BackfillJournal:
         import time as _time
 
         j = self.load()
+        if any(not isinstance(v, dict) for v in j.values()):
+            # migrate legacy string rows ONCE, pinned at the file's mtime
+            # as it stood before this rewrite — otherwise every rewrite
+            # would re-rank untouched legacy rows at the file's fresh
+            # mtime, re-introducing the per-file-recency shadowing the
+            # per-row timestamps exist to prevent
+            mtime = self.path.stat().st_mtime if self.path.exists() else 0.0
+            j = {
+                k: v if isinstance(v, dict) else {"status": v, "ts": mtime}
+                for k, v in j.items()
+            }
         j[f"{chunk[0]}..{chunk[1]}"] = {
             "status": status,
             "ts": _time.time(),

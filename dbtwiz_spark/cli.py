@@ -551,6 +551,23 @@ def cmd_model_create(args) -> int:
             proj.get("models") or {}, proj.get("name"), layer_folder,
             args.domain,
         )
+        # an inherited value must itself be valid — a typo'd +group in
+        # project.yml would otherwise propagate silently at create time
+        # and fail every later validate of the whole subtree
+        from dbtwiz_spark.project import ACCESS_CHOICES
+
+        if inherited["group"] and gov.groups and (
+            inherited["group"] not in gov.groups
+        ):
+            print(f"invalid: inherited group {inherited['group']!r} "
+                  "(project.yml models hierarchy) is not declared in "
+                  "models/model_groups.yml")
+            return 1
+        if inherited["access"] and inherited["access"] not in ACCESS_CHOICES:
+            print(f"invalid: inherited access {inherited['access']!r} "
+                  "(project.yml models hierarchy) is not one of "
+                  f"{sorted(ACCESS_CHOICES)}")
+            return 1
         for key in ("group", "access"):
             if inherited[key] and not getattr(args, key):
                 print(f"inheriting {key} {inherited[key]!r} from "

@@ -296,7 +296,11 @@ _FROM_JOIN_RE = re.compile(
     r"\b(FROM|JOIN)(\s+)(`[^`]+`|[A-Za-z_][\w.$-]*)", re.IGNORECASE
 )
 _QUALIFIED_RE = re.compile(r"^[\w-]+\.[\w-]+(\.[\w-]+)?$")
-_CTE_RE = re.compile(r"(?:\bWITH|,)\s*([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE)
+# WITH keeps its mandatory whitespace (\bWITH\s* would let 'withagg'
+# match and capture a phantom CTE); only the comma branch is compact-safe
+_CTE_RE = re.compile(
+    r"(?:\bWITH\s+|,\s*)([A-Za-z_]\w*)\s+AS\s*\(", re.IGNORECASE
+)
 # string literals are matched FIRST so a -- or /* INSIDE one never opens a
 # comment; an unterminated /* protects to end-of-text rather than not at all
 _COMMENT_OR_STRING_RE = re.compile(
@@ -333,16 +337,15 @@ def convert_sql_refs(
         raise FileNotFoundError(f"model {model_name!r} not found")
     manifest, _ = load_project(root)
     sql = sql_path.read_text()
-    # references inside -- and /* */ comments are never rewritten (the
-    # dependency extractor scans raw text, so templating a commented-out
-    # FROM would create a false DAG edge), and CTE names are collected
-    # from the comment-stripped text so a commented-out ", x AS (" can't
-    # suppress converting a real FROM x
-    comment_spans = [
-        m.span(1) for m in _COMMENT_OR_STRING_RE.finditer(sql) if m.group(1)
-    ]
+    # references inside -- and /* */ comments AND string literals are
+    # never rewritten (the dependency extractor scans raw text, so
+    # templating a commented-out FROM would create a false DAG edge, and
+    # rewriting text inside a literal corrupts data); CTE names are
+    # collected from text with BOTH stripped so neither a commented-out
+    # nor an in-string ", x AS (" can shadow a real model reference
+    protected_spans = [m.span() for m in _COMMENT_OR_STRING_RE.finditer(sql)]
     stripped = list(sql)
-    for a, b in comment_spans:
+    for a, b in protected_spans:
         for i in range(a, b):
             if stripped[i] != "\n":
                 stripped[i] = " "
@@ -354,8 +357,8 @@ def convert_sql_refs(
     def repl(m: re.Match) -> str:
         raw = m.group(3)
         bare = raw.strip("`")
-        if any(a <= m.start() < b for a, b in comment_spans):
-            return m.group(0)  # inside a comment
+        if any(a <= m.start() < b for a, b in protected_spans):
+            return m.group(0)  # inside a comment or string literal
         if bare == model_name or bare in cte_names:
             return m.group(0)  # self-reference / CTE shadowing
         leaf = bare.rsplit(".", 1)[-1]

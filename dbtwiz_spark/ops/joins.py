@@ -508,7 +508,9 @@ def join_bucketed(spark, sf_dir):
     data volume in production) and both sides MUST agree on it — a
     mismatch silently falls back to a shuffled join."""
     cat = views(spark, sf_dir)
-    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    # lowercased: Spark stores managed database directories lowercased,
+    # and the stale-dir cleanup below must hit the ACTUAL path
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir).lower()
     db = f"bkt_{tag}"
     key = (spark, sf_dir)
     if not _BUCKETED.get(key):

@@ -611,3 +611,34 @@ def test_journal_merge_recency_is_per_row_not_per_file(engine, tmp_path):
                            journal=BackfillJournal(base),
                            retry_failed_only=True)
     assert results == []  # the fresh success wins despite task0's rewrite
+
+
+def test_legacy_journal_rows_pinned_at_migration(engine, tmp_path):
+    """Review fix: legacy string rows migrate to timestamped rows pinned
+    at the file's pre-rewrite mtime, so later rewrites of the same file
+    can't re-rank an untouched stale failure above a newer success in
+    another file."""
+    import json as _json
+    import os
+    import time as _time
+
+    base = tmp_path / "mig.json"
+    chunk_b = (date(2024, 1, 1), date(2024, 1, 2))
+    # legacy-format base journal with a stale failure for B
+    base.write_text(_json.dumps({"2024-01-01..2024-01-02": "error: old"}))
+    os.utime(base, (0, _time.time() - 1000))
+    # the retry fixed B, recording a NEWER success in a task journal
+    t0 = BackfillJournal(tmp_path / "mig.task0.json")
+    t0.record(chunk_b, "success")
+    # a later unrelated record() to the BASE file migrates the legacy row
+    # (pinned at the old mtime) while bumping the file's mtime
+    BackfillJournal(base).record((date(2024, 1, 3), date(2024, 1, 4)),
+                                 "success")
+    migrated = _json.loads(base.read_text())["2024-01-01..2024-01-02"]
+    assert isinstance(migrated, dict) and migrated["ts"] < _time.time() - 500
+    # the stale legacy failure never shadows the newer success
+    results = run_backfill(engine, "daily_values", date(2024, 1, 1),
+                           date(2024, 1, 4), batch_size=2,
+                           journal=BackfillJournal(base),
+                           retry_failed_only=True)
+    assert results == []

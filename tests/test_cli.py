@@ -1392,3 +1392,39 @@ def test_model_convert_ignores_comment_markers_inside_strings(tmp_path, capsys):
     assert "FROM {{ ref('stg_c') }}" in sql   # literal -- did not hide it
     # the commented-out CTE declaration did not shadow the real model
     assert "JOIN {{ ref('orders') }} USING (x)" in sql
+
+
+def test_model_convert_never_rewrites_inside_string_literals(tmp_path, capsys):
+    """Review fix: a FROM that appears INSIDE a string literal is data,
+    not a reference — it must survive conversion byte-identical, and a
+    ', x AS (' inside a string must not register a phantom CTE."""
+    proj = tmp_path / "conv5"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "orders.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "agg.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "mrt_f.sql").write_text(
+        "SELECT '%deleted FROM orders%' AS pat,\n"
+        "       'x, phantom AS (' AS weird, *\n"
+        "FROM agg\n"
+    )
+    assert main(["model", "convert", "mrt_f", "--project", str(proj)]) == 0
+    capsys.readouterr()
+    sql = (proj / "models" / "mrt_f.sql").read_text()
+    assert "'%deleted FROM orders%'" in sql      # literal untouched
+    assert "FROM {{ ref('agg') }}" in sql        # real ref converted
+
+
+def test_model_create_rejects_invalid_inherited_governance(tmp_path, capsys):
+    """Review fix: a typo'd +group in the project.yml models hierarchy
+    fails fast at create time instead of propagating silently."""
+    import yaml
+
+    proj = _governance_project(tmp_path)
+    cfgd = yaml.safe_load((proj / "project.yml").read_text())
+    cfgd["models"] = {"gov": {"3_marts": {"finance": {"+group": "financee"}}}}
+    (proj / "project.yml").write_text(yaml.safe_dump(cfgd))
+    assert main(["model", "create", "--project", str(proj), "--name", "rev",
+                 "--layer", "marts", "--domain", "finance"]) == 1
+    out = capsys.readouterr().out
+    assert "inherited group 'financee'" in out
+    assert not (proj / "models" / "3_marts").exists()
