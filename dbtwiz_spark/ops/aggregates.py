@@ -914,3 +914,51 @@ def agg_bloom_filter(spark, sf_dir):
             ).alias("ok"),
         )
     )
+
+
+@register(
+    "agg-histogram",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN -1
+                         WHEN o_totalprice >= 600000 THEN 20
+                         ELSE floor((o_totalprice - 0) * 20 / 600000)
+                    END AS BIGINT) AS bucket
+        FROM orders)
+    SELECT bucket,
+           CAST(0 + bucket * 600000.0 / 20 AS DOUBLE) AS bucket_lo,
+           COUNT(*) AS n
+    FROM b GROUP BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram of a numeric column (20 buckets over a fixed
+    [0, 600000) domain, with underflow/overflow buckets) — the data-
+    profiling / optimizer-statistics summary every engine ships
+    (BigQuery's APPROX_TOP_* family neighbor; Spark's ANALYZE histogram).
+
+    Pure map-side bucket arithmetic + one partial-aggregated groupBy over
+    at most n_buckets+2 keys — the shuffle carries one row per bucket per
+    input partition regardless of table size, the same mergeable shape as
+    the sketch family. The bucket expression is written IDENTICALLY on
+    both engines (same association order) so floor() can never flip on a
+    last-ulp difference."""
+    o = views(spark, sf_dir).table("orders")
+    x = F.col("o_totalprice")
+    lo, hi, n = 0, 600000, 20
+    bucket = (
+        F.when(x < lo, -1)
+        .when(x >= hi, n)
+        .otherwise(F.floor((x - lo) * n / (hi - lo)))
+        .cast("long")
+    )
+    return (
+        o.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            (lo + F.col("bucket") * (hi / n)).cast("double").alias("bucket_lo"),
+            "n",
+        )
+    )

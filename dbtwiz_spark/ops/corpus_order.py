@@ -17,13 +17,13 @@ Round-5 window (positions 0-49):
   func-from-json, sort-within-partitions-cert, ext-dedup-simhash-recall,
   stream-dedup-near, ext-dataset-card. Green rows here close the
   144/160 certification gap to 160/160.
-* 16-26 — entries ADDED this round (zero driver evidence, same priority
+* 16-27 — entries ADDED this round (zero driver evidence, same priority
   class as the 16 above): sink-scd2, ext-chunk-documents,
   ext-bm25-search, ext-dedup-containment, agg-countmin-sketch,
   ext-quality-unigram-logprob, agg-bloom-filter,
   stream-resample-interpolate, win-funnel, win-retention-cohort,
-  join-bucketed.
-* 27-44 — the oldest-evidence rows: the r2-green scan / project /
+  join-bucketed, agg-histogram.
+* 28-44 — the oldest-evidence rows: the r2-green scan / project /
   filter families and the core join family, whose newest driver row
   predates two rounds of shared-helper evolution (catalog.py, common.py,
   session confs).
@@ -40,9 +40,9 @@ Round-5 window (positions 0-49):
 Still waiting after this round (slated for round 6): the 17 r2-green
 agg-family rows (agg-group-by .. agg-unpivot), win-row-number, win-rank,
 join-cross/-anti/-theta/-asof/-self-dag/-semi, distinct,
-scan-info-schema, and project-rename/-computed/-except-replace
-(displaced by the round-5 new entries — their r2 rows remain valid),
-and the r3-era
+scan-info-schema, file-format-orc, and
+project-rename/-computed/-except-replace (displaced by the round-5 new
+entries — their r2 rows remain valid), and the r3-era
 function/set/stream families — all unchanged code whose green rows
 remain valid under the green-manifest guard.
 """
@@ -83,13 +83,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win-funnel",
     "win-retention-cohort",
     "join-bucketed",
+    "agg-histogram",
     # oldest-evidence refresh: r2-green scan family
     "scan-table",
     "scan-view",
     "file-format-parquet",
     "file-format-csv",
     "file-format-json",
-    "file-format-orc",
     # r2-green projection family
     "project-star",
     # r2-green filter family
