@@ -790,10 +790,13 @@ def cmd_model_inspect(args) -> int:
 
 def cmd_model_lint(args) -> int:
     """Deterministic SQL lint (dbtwiz/model/__init__.py:165 `lint`):
-    keyword case, whitespace hygiene, missing-alias check."""
+    keyword case, whitespace hygiene, missing-alias check. Selection by
+    explicit model names and/or --staged mirrors the reference
+    (dbtwiz/model/format.py:16-24)."""
     from dbtwiz_spark.model_ops import lint_project
 
-    offenders = lint_project(args.project)
+    offenders = lint_project(args.project, names=args.models,
+                             staged=args.staged)
     for name, findings in offenders.items():
         for f in findings:
             print(f"{name}.sql:{f.line}: {f.code} {f.message}")
@@ -807,10 +810,12 @@ def cmd_model_lint(args) -> int:
 
 def cmd_model_fix(args) -> int:
     """Apply the auto-fixable lint rules in place
-    (dbtwiz/model/__init__.py:237 `fix`)."""
+    (dbtwiz/model/__init__.py:237 `fix`); same name/--staged selection
+    as lint."""
     from dbtwiz_spark.model_ops import fix_project
 
-    changed = fix_project(args.project)
+    changed = fix_project(args.project, names=args.models,
+                          staged=args.staged)
     for name in changed:
         print(f"fixed {name}.sql")
     print(f"{len(changed)} model(s) rewritten")
@@ -1051,10 +1056,18 @@ def build_parser() -> argparse.ArgumentParser:
 
     ml = msub.add_parser("lint", help="deterministic SQL lint")
     ml.add_argument("--project", default=".")
+    ml.add_argument("models", nargs="*",
+                    help="specific model names (default: whole project)")
+    ml.add_argument("--staged", "-s", action="store_true",
+                    help="also lint git-staged model .sql files")
     ml.set_defaults(fn=cmd_model_lint)
 
     mf = msub.add_parser("fix", help="apply auto-fixable lint rules")
     mf.add_argument("--project", default=".")
+    mf.add_argument("models", nargs="*",
+                    help="specific model names (default: whole project)")
+    mf.add_argument("--staged", "-s", action="store_true",
+                    help="also fix git-staged model .sql files")
     mf.set_defaults(fn=cmd_model_fix)
 
     mv = msub.add_parser("validate", help="declared columns vs live schema")

@@ -256,21 +256,82 @@ def fix_sql(sql: str) -> str:
     return "\n".join(cleaned).rstrip("\n") + "\n"
 
 
-def lint_project(project_root: str | Path) -> dict[str, list[LintFinding]]:
-    """Lint every model; returns {model_name: findings} for offenders only."""
+def staged_model_files(project_root: str | Path) -> list[Path]:
+    """Git-staged (added/modified) model .sql files under ``models/``.
+
+    Parity with the reference's ``--staged`` selection for lint/fix
+    (dbtwiz/model/__init__.py:165,237 + dbtwiz/utils/git.py:8
+    ``get_staged_files``): the reference parses ``git status --short``;
+    here ``git diff --cached --name-only --diff-filter=AM`` gives the same
+    staged add/modify set directly. Returns [] when the project is not a
+    git work tree (new projects are usable before ``git init``)."""
+    import subprocess
+
+    root = Path(project_root)
+    proc = subprocess.run(
+        ["git", "-C", str(root), "diff", "--cached", "--name-only",
+         "--diff-filter=AM"],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        return []
+    # git prints paths relative to the repo top-level, which may sit above
+    # project_root; resolve against the top-level so nested projects work.
+    top = subprocess.run(
+        ["git", "-C", str(root), "rev-parse", "--show-toplevel"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    base = Path(top) if top else root
+    models_dir = root.joinpath("models").resolve()
+    out = []
+    for line in proc.stdout.splitlines():
+        p = (base / line.strip()).resolve()
+        if p.suffix == ".sql" and p.exists() and p.is_relative_to(models_dir):
+            out.append(p)
+    return sorted(out)
+
+
+def _select_model_files(
+    project_root: str | Path,
+    names: list[str] | None = None,
+    staged: bool = False,
+) -> list[Path]:
+    """Model .sql files selected by explicit names and/or git-staged status;
+    with neither selector, the whole project (reference lint/fix combine the
+    two selections with set-union, dbtwiz/model/format.py:16-24)."""
+    root = Path(project_root)
+    if not names and not staged:
+        return sorted(root.joinpath("models").rglob("*.sql"))
+    selected: set[Path] = set(staged_model_files(root)) if staged else set()
+    for name in names or []:
+        selected.update(root.joinpath("models").rglob(f"{name}.sql"))
+    return sorted(selected)
+
+
+def lint_project(
+    project_root: str | Path,
+    names: list[str] | None = None,
+    staged: bool = False,
+) -> dict[str, list[LintFinding]]:
+    """Lint selected models (default: all); returns {model_name: findings}
+    for offenders only."""
     out: dict[str, list[LintFinding]] = {}
-    for sql_path in sorted(Path(project_root).joinpath("models").rglob("*.sql")):
+    for sql_path in _select_model_files(project_root, names, staged):
         findings = lint_sql(sql_path.read_text())
         if findings:
             out[sql_path.stem] = findings
     return out
 
 
-def fix_project(project_root: str | Path) -> list[str]:
-    """Rewrite every model whose normalized form differs; returns the list
-    of changed model names."""
+def fix_project(
+    project_root: str | Path,
+    names: list[str] | None = None,
+    staged: bool = False,
+) -> list[str]:
+    """Rewrite selected models (default: all) whose normalized form differs;
+    returns the list of changed model names."""
     changed: list[str] = []
-    for sql_path in sorted(Path(project_root).joinpath("models").rglob("*.sql")):
+    for sql_path in _select_model_files(project_root, names, staged):
         original = sql_path.read_text()
         fixed = fix_sql(original)
         if fixed != original:

@@ -330,6 +330,47 @@ def test_model_lint_and_fix(tmp_path, capsys):
     assert "W101" in out
 
 
+def test_model_lint_selection(tmp_path, capsys):
+    """Name and --staged selection for lint/fix (reference
+    dbtwiz/model/format.py:16-24): explicit names restrict the sweep; the
+    two selectors union; staged selection reads the git index."""
+    import subprocess
+
+    proj = tmp_path / "projsel"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "clean.sql").write_text(
+        "SELECT r_regionkey FROM {{ ref('stg_region') }}\n")
+    (proj / "models" / "messy_a.sql").write_text("select 1 as x\t\n")
+    (proj / "models" / "messy_b.sql").write_text("select 2 as y\t\n")
+
+    # explicit name: only messy_a reported
+    assert main(["model", "lint", "--project", str(proj), "messy_a"]) == 1
+    out = capsys.readouterr().out
+    assert "messy_a.sql" in out and "messy_b" not in out
+
+    # staged selection: stage only messy_b, lint -s sees just it
+    subprocess.run(["git", "init", "-q", str(proj)], check=True)
+    subprocess.run(["git", "-C", str(proj), "add", "models/messy_b.sql"],
+                   check=True)
+    assert main(["model", "lint", "--project", str(proj), "--staged"]) == 1
+    out = capsys.readouterr().out
+    assert "messy_b.sql" in out and "messy_a" not in out
+
+    # union of the two selectors; fix honors the same selection
+    assert main(["model", "fix", "--project", str(proj), "messy_a", "-s"]) == 0
+    out = capsys.readouterr().out
+    assert "fixed messy_a.sql" in out and "fixed messy_b.sql" in out
+    assert "\t" not in (proj / "models" / "messy_a.sql").read_text()
+    assert "\t" not in (proj / "models" / "messy_b.sql").read_text()
+
+    # no selectors -> whole project (clean.sql passes, nothing left to flag
+    # except structural findings; tabs are gone everywhere)
+    from dbtwiz_spark.model_ops import staged_model_files
+
+    # non-git directory degrades to empty staged set, not an error
+    assert staged_model_files(tmp_path / "no_git_here") == []
+
+
 def test_model_inspect(project, capsys):
     """model inspect: per-model config + ancestor/descendant closures
     (dbtwiz/model/__init__.py:210, model/inspect.py)."""
