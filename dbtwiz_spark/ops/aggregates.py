@@ -962,3 +962,119 @@ def agg_histogram(spark, sf_dir):
             "n",
         )
     )
+
+
+@register(
+    "agg-weighted-median",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag, l_extendedprice AS val,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1, 2),
+    c AS (
+        SELECT l_returnflag, val, w,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag ORDER BY val
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(SUM(w) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+        FROM v)
+    SELECT l_returnflag, MIN(val) AS weighted_median, MIN(tw) AS total_weight
+    FROM c WHERE 2 * cw >= tw GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Per-group weighted median: the smallest value whose cumulative
+    weight reaches half the group's total weight (weights =
+    ``l_quantity``). The robust center a pricing or quality dashboard
+    wants when rows carry multiplicities — plain median over exploded
+    rows would be the same answer at explode cost.
+
+    Entirely in exact integer arithmetic: weights are integral
+    quantities summed as BIGINT, and the half-total test is
+    ``2·cum ≥ total`` — no doubles anywhere, so no cross-engine rounding
+    surface at all. Scale shape: a map-side pre-aggregation collapses
+    duplicate (group, value) pairs BEFORE the window (one shuffle on the
+    group key); the running sum then walks the collapsed per-group value
+    list — the same partition-local sort any per-group window costs, with
+    cardinality bounded by distinct values, not rows.
+    """
+    li = views(spark, sf_dir).table("lineitem")
+    v = li.groupBy(
+        F.col("l_returnflag"), F.col("l_extendedprice").alias("val")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    win = Window.partitionBy("l_returnflag").orderBy("val")
+    c = v.select(
+        "l_returnflag",
+        "val",
+        F.sum("w").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        c.filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("val").alias("weighted_median"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "agg-ab-test",
+    oracle=f"""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE user_id % 2 = 0) AS na,
+               COUNT(*) FILTER (WHERE user_id % 2 = 1) AS nb,
+               {dsum_sql('CASE WHEN user_id % 2 = 0 THEN value END')} AS sa,
+               {dsum_sql('CASE WHEN user_id % 2 = 1 THEN value END')} AS sb,
+               {dsum_sql('CASE WHEN user_id % 2 = 0 THEN value * value END')} AS sqa,
+               {dsum_sql('CASE WHEN user_id % 2 = 1 THEN value * value END')} AS sqb
+        FROM events GROUP BY 1)
+    SELECT event_type, na, nb,
+           round(sa / na, 6) AS mean_a,
+           round(sb / nb, 6) AS mean_b,
+           round((sa / na - sb / nb)
+                 / sqrt(((sqa - sa * sa / na) / (na - 1)) / na
+                        + ((sqb - sb * sb / nb) / (nb - 1)) / nb), 6)
+             AS t_welch
+    FROM m
+    """,
+)
+def agg_ab_test(spark, sf_dir):
+    """Two-sample A/B comparison per event type: variant = user_id parity
+    (the deterministic stand-in for an assignment column), reporting group
+    sizes, means, and Welch's t statistic — the experiment-readout query
+    every product-analytics warehouse runs daily.
+
+    Numerics follow the agg-corr-covar recipe: reduce exact moments
+    (n, Σx, Σx²) per (event_type, variant) through the DECIMAL
+    accumulator — order-independent, mergeable across shards — and
+    combine them in one double expression per output row; round(…, 6)
+    absorbs the combine's last-ulp engine variance. One shuffle with
+    map-side partial agg; conditional aggregation folds both variants
+    into a single pass instead of two scans + a join.
+    """
+    ev = views(spark, sf_dir).table("events")
+    a = F.col("user_id") % 2 == 0
+    val = F.col("value")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).alias("na"),
+        F.count(F.when(~a, 1)).alias("nb"),
+        dsum(F.when(a, val), "sa"),
+        dsum(F.when(~a, val), "sb"),
+        dsum(F.when(a, val * val), "sqa"),
+        dsum(F.when(~a, val * val), "sqb"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    sa, sb = F.col("sa"), F.col("sb")
+    var_a = (F.col("sqa") - sa * sa / na) / (na - 1)
+    var_b = (F.col("sqb") - sb * sb / nb) / (nb - 1)
+    t = (sa / na - sb / nb) / F.sqrt(var_a / na + var_b / nb)
+    return m.select(
+        "event_type",
+        "na",
+        "nb",
+        F.round(sa / na, 6).alias("mean_a"),
+        F.round(sb / nb, 6).alias("mean_b"),
+        F.round(t, 6).alias("t_welch"),
+    )

@@ -42,9 +42,12 @@ agg-family rows (agg-group-by .. agg-unpivot), win-row-number, win-rank,
 join-cross/-anti/-theta/-asof/-self-dag/-semi, distinct,
 scan-info-schema, file-format-orc, and
 project-rename/-computed/-except-replace (displaced by the round-5 new
-entries — their r2 rows remain valid), and the r3-era
+entries — their r2 rows remain valid), the r3-era
 function/set/stream families — all unchanged code whose green rows
-remain valid under the green-manifest guard.
+remain valid under the green-manifest guard — and the four entries
+added AFTER the round-5 window filled (zero driver evidence,
+first-priority for the round-6 window): join-interval-overlap,
+ext-split-drift, agg-weighted-median, agg-ab-test.
 """
 
 from __future__ import annotations

@@ -1329,3 +1329,70 @@ def ext_quality_unigram_logprob(spark, sf_dir):
             ).alias("logprob_per_token"),
         )
     )
+
+
+@register(
+    "ext-split-drift",
+    oracle=f"""
+    WITH c AS (
+        SELECT source,
+               COUNT(*) FILTER (WHERE b < 80)  AS n_train,
+               COUNT(*) FILTER (WHERE b >= 90) AS n_eval
+        FROM (SELECT source, {_hkey_sql('doc_id')} % 100 AS b FROM documents)
+        GROUP BY 1),
+    t AS (SELECT CAST(SUM(n_train) AS BIGINT) AS tt,
+                 CAST(SUM(n_eval) AS BIGINT)  AS te FROM c)
+    SELECT source, n_train, n_eval,
+           round(CAST(n_train AS DOUBLE) / tt, 8) AS p_train,
+           round(CAST(n_eval AS DOUBLE) / te, 8) AS p_eval,
+           round(
+             0.5 * (CASE WHEN n_train > 0 THEN (CAST(n_train AS DOUBLE) / tt)
+                         * ln((CAST(n_train AS DOUBLE) / tt)
+                              / ((CAST(n_train AS DOUBLE) / tt
+                                  + CAST(n_eval AS DOUBLE) / te) / 2))
+                         ELSE 0 END)
+           + 0.5 * (CASE WHEN n_eval > 0 THEN (CAST(n_eval AS DOUBLE) / te)
+                         * ln((CAST(n_eval AS DOUBLE) / te)
+                              / ((CAST(n_train AS DOUBLE) / tt
+                                  + CAST(n_eval AS DOUBLE) / te) / 2))
+                         ELSE 0 END), 6) AS js_term
+    FROM c, t
+    """,
+)
+def ext_split_drift(spark, sf_dir):
+    """Train/eval distribution drift: per-domain Jensen-Shannon divergence
+    terms between the deterministic train and eval splits (the splits of
+    ext-split-train-eval). The gate a training pipeline runs before
+    trusting an eval set: a domain whose js_term spikes is over- or
+    under-represented in eval relative to train. Summing js_term over
+    domains gives JS(train ‖ eval); per-domain terms localize the drift.
+
+    Same scale shape as ext-mix-domains: one per-domain aggregation with
+    conditional counts (map-side partial agg), a 1-row total broadcast
+    back, then pure per-row double math. The probabilities are ratios of
+    exact integers (identical IEEE division in any engine); only ln()
+    differs in the last ulp, absorbed by round(…, 6) (precedent:
+    agg-corr-covar, ext-quality-unigram-logprob).
+    """
+    d = views(spark, sf_dir).table("documents")
+    b = _hkey(F.col("doc_id")) % 100
+    c = d.select("source", b.alias("b")).groupBy("source").agg(
+        F.count(F.when(F.col("b") < 80, 1)).alias("n_train"),
+        F.count(F.when(F.col("b") >= 90, 1)).alias("n_eval"),
+    )
+    tot = c.agg(F.sum("n_train").alias("tt"), F.sum("n_eval").alias("te"))
+    j = c.crossJoin(F.broadcast(tot))
+    p_t = F.col("n_train").cast("double") / F.col("tt")
+    p_e = F.col("n_eval").cast("double") / F.col("te")
+    m = (p_t + p_e) / 2
+    term = 0.5 * F.when(F.col("n_train") > 0, p_t * F.log(p_t / m)).otherwise(
+        0.0
+    ) + 0.5 * F.when(F.col("n_eval") > 0, p_e * F.log(p_e / m)).otherwise(0.0)
+    return j.select(
+        "source",
+        "n_train",
+        "n_eval",
+        F.round(p_t, 8).alias("p_train"),
+        F.round(p_e, 8).alias("p_eval"),
+        F.round(term, 6).alias("js_term"),
+    )

@@ -545,3 +545,76 @@ def join_bucketed(spark, sf_dir):
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+@register(
+    "join-interval-overlap",
+    oracle="""
+    WITH L AS (
+        SELECT event_id AS lid, ts AS lstart,
+               ts + INTERVAL 2 HOUR AS lend
+        FROM events WHERE event_type = 'purchase' AND user_id % 50 = 0),
+    R AS (
+        SELECT event_id AS rid, user_id, ts AS rstart,
+               ts + INTERVAL 30 MINUTE AS rend
+        FROM events WHERE event_type = 'click')
+    SELECT lid, COUNT(DISTINCT rid) AS n_overlap,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM L JOIN R ON L.lstart <= R.rend AND R.rstart <= L.lend
+    GROUP BY lid
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join with NO equi key — the audit-window
+    shape (which click sessions overlap each flagged purchase window;
+    reference idiom: the backfill date-chunk ranges of
+    dbtwiz/admin/backfill.py:104-114 intersected against partition
+    validity intervals).
+
+    A bare mutual-overlap predicate (``l.start <= r.end AND r.start <=
+    l.end``) compiles to a broadcast-nested-loop — O(|L|·|R|), a
+    scale-killer. Instead both interval sets are expanded onto a fixed
+    2-hour bucket grid (each interval covers ≤ ceil(len/2 h)+1 buckets, so
+    the blow-up is a small constant); two genuinely overlapping intervals
+    always share at least one covered bucket, so an equi-join on the
+    bucket key is a superset of the answer and the exact predicate filters
+    the residual. count(DISTINCT) de-duplicates pairs that met in two
+    buckets. One shuffle on the bucket key; skew is bounded by bucket
+    width, which is the tuning knob at 100 TB.
+    """
+    ev = views(spark, sf_dir).table("events")
+    bucket_w = 7200  # seconds; = max interval length on either side
+
+    def expand(df, start, end):
+        lo = F.floor(F.col(start).cast("long") / bucket_w)
+        hi = F.floor(F.col(end).cast("long") / bucket_w)
+        return df.withColumn("bucket", F.explode(F.sequence(lo, hi)))
+
+    left = expand(
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") % 50 == 0))
+        .select(
+            F.col("event_id").alias("lid"),
+            F.col("ts").alias("lstart"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("lend"),
+        ),
+        "lstart", "lend",
+    )
+    right = expand(
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("rid"),
+            F.col("user_id"),
+            F.col("ts").alias("rstart"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("rend"),
+        ),
+        "rstart", "rend",
+    )
+    return (
+        left.join(right, "bucket")
+        .filter((F.col("lstart") <= F.col("rend")) & (F.col("rstart") <= F.col("lend")))
+        .groupBy("lid")
+        .agg(
+            F.countDistinct("rid").alias("n_overlap"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -526,3 +526,33 @@ def test_funnel_and_cohort_plan_properties(spark):
     assert "Join" not in c_plan
     assert "SinglePartition" not in c_plan
     assert "hashpartitioning(user_id" in c_plan
+
+
+def test_interval_overlap_and_stats_plan_properties(spark):
+    """The keyless interval-overlap join must compile to an equi-join on
+    the bucket key — never a nested-loop over the raw overlap predicate;
+    split-drift and the two-sample stats are single-shuffle aggregations
+    with map-side combine (the totals ride a 1-row broadcast)."""
+    from dbtwiz_spark.ops.aggregates import agg_ab_test, agg_weighted_median
+    from dbtwiz_spark.ops.ext_pipeline import ext_split_drift
+    from dbtwiz_spark.ops.joins import join_interval_overlap
+
+    ov_plan = _formatted(join_interval_overlap(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in ov_plan
+    assert "CartesianProduct" not in ov_plan
+    assert any(j in ov_plan for j in
+               ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+    drift_plan = _formatted(ext_split_drift(spark, SF_DIR))
+    assert "partial_count" in drift_plan  # map-side combine on the counts
+    assert "BroadcastExchange" in drift_plan  # 1-row totals broadcast back
+
+    ab_plan = _formatted(agg_ab_test(spark, SF_DIR))
+    assert "partial_count" in ab_plan
+    assert "Join" not in ab_plan  # one conditional-agg pass, not two + join
+    assert "SinglePartition" not in ab_plan
+
+    wm_plan = _formatted(agg_weighted_median(spark, SF_DIR))
+    assert "SinglePartition" not in wm_plan  # windows partitioned by group
+    assert "hashpartitioning(l_returnflag" in wm_plan
+    assert "partial_sum" in wm_plan  # (group, value) collapse is map-side

@@ -386,3 +386,102 @@ def test_resample_interpolation_is_bounded_by_endpoints(spark):
     for r in out:
         lo, hi = bounds[r.user_id]
         assert lo - eps <= r.value_interp <= hi + eps, r
+
+
+def test_interval_overlap_equals_naive_theta_join(spark):
+    """The bucketed interval-overlap join must return EXACTLY what the
+    naive theta-join formulation returns — bucketing is an optimization,
+    not an approximation (missing a pair = a wrong answer; the classic
+    bug is an interval spanning a bucket boundary counted 0 or 2 times)."""
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.ops.common import views
+    from dbtwiz_spark.ops.joins import join_interval_overlap
+    from tests.conftest import SF_DIR
+
+    got = {
+        (r.lid, r.n_overlap, r.n_users)
+        for r in join_interval_overlap(spark, SF_DIR).collect()
+    }
+    ev = views(spark, SF_DIR).table("events")
+    left = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") % 50 == 0)
+    ).select(
+        F.col("event_id").alias("lid"),
+        F.col("ts").alias("lstart"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("lend"),
+    )
+    right = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("rid"),
+        F.col("user_id"),
+        F.col("ts").alias("rstart"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("rend"),
+    )
+    naive = {
+        (r.lid, r.n_overlap, r.n_users)
+        for r in left.join(
+            right,
+            (F.col("lstart") <= F.col("rend")) & (F.col("rstart") <= F.col("lend")),
+        )
+        .groupBy("lid")
+        .agg(
+            F.countDistinct("rid").alias("n_overlap"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .collect()
+    }
+    assert got == naive and len(got) > 0
+
+
+def test_split_drift_and_ab_test_invariants(spark):
+    """JS-divergence terms are per-domain non-negative (convexity of
+    x·ln(x/m) around the midpoint) and the probability columns each sum
+    to 1; the weighted median sits inside the group's value range and
+    at least half the total weight lies at or below it; Welch's t is
+    finite and the group sizes partition each event type."""
+    from pyspark.sql import functions as F
+
+    from dbtwiz_spark.ops.aggregates import agg_ab_test, agg_weighted_median
+    from dbtwiz_spark.ops.common import views
+    from dbtwiz_spark.ops.ext_pipeline import ext_split_drift
+    from tests.conftest import SF_DIR
+
+    drift = ext_split_drift(spark, SF_DIR).collect()
+    assert all(r.js_term >= 0 for r in drift)
+    assert abs(sum(r.p_train for r in drift) - 1.0) < 1e-6
+    assert abs(sum(r.p_eval for r in drift) - 1.0) < 1e-6
+
+    li = views(spark, SF_DIR).table("lineitem")
+    bounds = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+            F.sum(F.col("l_quantity").cast("long")).alias("tw"),
+        )
+        .collect()
+    }
+    for r in agg_weighted_median(spark, SF_DIR).collect():
+        b = bounds[r.l_returnflag]
+        assert b.lo <= r.weighted_median <= b.hi
+        assert r.total_weight == b.tw
+        below = (
+            li.filter(
+                (F.col("l_returnflag") == r.l_returnflag)
+                & (F.col("l_extendedprice") <= r.weighted_median)
+            )
+            .agg(F.sum(F.col("l_quantity").cast("long")))
+            .collect()[0][0]
+        )
+        assert 2 * below >= b.tw
+
+    ev_counts = {
+        r.event_type: r["count"]
+        for r in views(spark, SF_DIR).table("events").groupBy("event_type").count().collect()
+    }
+    import math
+
+    for r in agg_ab_test(spark, SF_DIR).collect():
+        assert r.na + r.nb == ev_counts[r.event_type]
+        assert math.isfinite(r.t_welch)
