@@ -51,6 +51,32 @@ def chunk_date_range(
     return chunks
 
 
+def parse_task_ranges(task_ranges: str) -> list[tuple[date, date]]:
+    """Parse an explicit per-task range list —
+    ``"YYYY-MM-DD:YYYY-MM-DD,YYYY-MM-DD:YYYY-MM-DD"`` — into (start, end)
+    date pairs (reference: dbtwiz/commands/build.py:29-43
+    ``parse_task_ranges``; task index N runs the N-th range). Empty pieces
+    are skipped so a trailing comma is harmless; a start after its end is
+    rejected here rather than silently producing a zero-chunk worker."""
+    ranges: list[tuple[date, date]] = []
+    for piece in task_ranges.split(","):
+        piece = piece.strip()
+        if not piece:
+            continue
+        start_str, _, end_str = piece.partition(":")
+        if not end_str:
+            raise ValueError(f"task range {piece!r} is not 'start:end'")
+        start, end = date.fromisoformat(start_str.strip()), date.fromisoformat(
+            end_str.strip()
+        )
+        if start > end:
+            raise ValueError(f"task range {piece!r} has start after end")
+        ranges.append((start, end))
+    if not ranges:
+        raise ValueError("task_ranges parsed to an empty list")
+    return ranges
+
+
 def target_bytes(timeout_s: int = DEFAULT_TIMEOUT_S) -> float:
     """dbtwiz/admin/backfill.py:582-590: timeout × 0.1 GB/s × 0.8 ≈ 48 GB."""
     return timeout_s * TARGET_THROUGHPUT_GBPS * 1e9 * SAFETY_MARGIN
@@ -168,6 +194,7 @@ def run_backfill(
     exclude: str | None = "tag:no_backfill",
     task_index: int | None = None,
     task_count: int | None = None,
+    task_ranges: list[tuple[date, date]] | None = None,
 ) -> list[tuple[tuple[date, date], str]]:
     """Run the selected models over date chunks, binding the reference's
     interval vars per chunk (data_interval_start/end, is_backfill —
@@ -180,11 +207,34 @@ def run_backfill(
     each task builds its own date range): worker i runs chunks
     i, i+count, i+2*count, ... Intended for independent-partition models
     (insert_overwrite); self-dependent models must keep the single-worker
-    date order."""
+    date order.
+
+    ``task_ranges`` is the reference's EXPLICIT fan-out
+    (commands/build.py:83-91 + parse_task_ranges): instead of slicing a
+    computed chunk list, each worker owns a caller-chosen date range —
+    worker ``task_index`` backfills exactly ``task_ranges[task_index]``
+    (chunked by batch_size within it). Mutually exclusive with
+    ``task_count`` — the two dispatch the index differently, and
+    combining them would silently drop ranges. Retries re-run only the
+    failed chunks that fall inside this worker's range."""
     if batch_size is None:
         batch_size = (
             batch_size_from_bytes(bytes_per_day) if bytes_per_day else DEFAULT_BATCH_SIZE
         )
+    if task_ranges is not None:
+        if task_count is not None:
+            raise ValueError("task_ranges and task_count are mutually exclusive")
+        idx = task_index
+        if idx is None:
+            import os
+
+            idx = int(os.environ.get("CLOUD_RUN_TASK_INDEX", "0"))
+        if not (0 <= idx < len(task_ranges)):
+            raise ValueError(
+                f"task_index {idx} out of bounds for {len(task_ranges)} task ranges"
+            )
+        first, last = task_ranges[idx]
+        ranges_idx = idx
     def gathered_failures() -> list[tuple[date, date]]:
         """Failed chunks merged across the base journal AND every per-task
         sibling (``<stem>.taskN.json``): a retry must see failures no
@@ -225,7 +275,24 @@ def run_backfill(
         if (retry_failed_only and journal)
         else chunk_date_range(first, last, batch_size)
     )
-    if task_index is not None and task_count is None:
+    if task_ranges is not None:
+        if retry_failed_only:
+            # a range-owning worker retries only failures inside its range —
+            # the failure union spans every worker's journal, and re-running
+            # another worker's range would double-write its partitions
+            chunks = [c for c in chunks if c[0] >= first and c[1] <= last]
+        if journal is not None:
+            # per-worker journal isolation, as in task_count sharding (the
+            # journal rewrite is whole-file read-modify-write). Suffixed
+            # only AFTER gathered_failures ran: that closure globs sibling
+            # task journals off the BASE path — suffixing first would make
+            # a retry see only this worker's own journal.
+            journal = BackfillJournal(
+                journal.path.with_name(
+                    f"{journal.path.stem}.task{ranges_idx}{journal.path.suffix}"
+                )
+            )
+    if task_index is not None and task_count is None and task_ranges is None:
         # silently running the FULL chunk list when the caller believes it
         # runs one shard means N workers each backfill everything — N×
         # cost and concurrent writes to the same partitions

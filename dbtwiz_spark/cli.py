@@ -268,19 +268,33 @@ def cmd_backfill(args) -> int:
         except ValueError as e:
             print(f"error: {e}")
             return 1
-    results = run_backfill(
-        runner,
-        args.select,
-        date.fromisoformat(args.first),
-        date.fromisoformat(args.last),
-        batch_size=batch_days,
-        journal=journal,
-        retry_failed_only=args.retry,
-        serial=not args.parallel_safe,
-        exclude=args.exclude or "tag:no_backfill",
-        task_index=args.task_index,
-        task_count=args.task_count,
-    )
+    task_ranges = None
+    if args.task_ranges:
+        from dbtwiz_spark.backfill import parse_task_ranges
+
+        try:
+            task_ranges = parse_task_ranges(args.task_ranges)
+        except ValueError as e:
+            print(f"error: {e}")
+            return 1
+    try:
+        results = run_backfill(
+            runner,
+            args.select,
+            date.fromisoformat(args.first),
+            date.fromisoformat(args.last),
+            batch_size=batch_days,
+            journal=journal,
+            retry_failed_only=args.retry,
+            serial=not args.parallel_safe,
+            exclude=args.exclude or "tag:no_backfill",
+            task_index=args.task_index,
+            task_count=args.task_count,
+            task_ranges=task_ranges,
+        )
+    except ValueError as e:
+        print(f"error: {e}")
+        return 1
     for (lo, hi), status in results:
         print(f"{lo}..{hi}  {status}")
     return 0 if all(s == "success" for _, s in results) else 1
@@ -950,6 +964,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "$CLOUD_RUN_TASK_INDEX when --task-count is set)")
     bf.add_argument("--task-count", type=int, default=None,
                     help="shard the chunk list across N parallel workers")
+    bf.add_argument("--task-ranges", default=None,
+                    help="explicit per-task ranges "
+                         "'YYYY-MM-DD:YYYY-MM-DD,...'; worker --task-index "
+                         "(or $CLOUD_RUN_TASK_INDEX) runs the N-th range, "
+                         "overriding --first/--last")
     bf.add_argument("--journal", help="journal file; enables retry bookkeeping")
     bf.add_argument("--retry", action="store_true", help="re-run failed chunks only")
     bf.add_argument(

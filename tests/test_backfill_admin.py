@@ -642,3 +642,78 @@ def test_legacy_journal_rows_pinned_at_migration(engine, tmp_path):
                            journal=BackfillJournal(base),
                            retry_failed_only=True)
     assert results == []
+
+
+def test_backfill_task_ranges(engine, tmp_path, monkeypatch):
+    """Explicit per-task date ranges (reference commands/build.py:29-43,
+    83-91 parse_task_ranges): each worker backfills exactly its range
+    (chunked within it), the index defaults to $CLOUD_RUN_TASK_INDEX,
+    combining with task_count is rejected, and a range worker's retry
+    re-runs only failures inside its own range even when the failure
+    union spans every worker's journal."""
+    from dbtwiz_spark.backfill import parse_task_ranges
+
+    ranges = parse_task_ranges("2024-01-01:2024-01-04, 2024-01-05:2024-01-10,")
+    assert ranges == [
+        (date(2024, 1, 1), date(2024, 1, 4)),
+        (date(2024, 1, 5), date(2024, 1, 10)),
+    ]
+    with pytest.raises(ValueError, match="start after end"):
+        parse_task_ranges("2024-02-01:2024-01-01")
+    with pytest.raises(ValueError, match="start:end"):
+        parse_task_ranges("2024-02-01")
+
+    # worker i covers exactly its range; together they tile 01-01..01-10
+    base = tmp_path / "ranges_journal.json"
+    got = []
+    for i in range(2):
+        got += [
+            c for c, _s in run_backfill(
+                engine, "daily_values", date(2000, 1, 1), date(2000, 1, 2),
+                batch_size=2, task_index=i, task_ranges=ranges,
+                journal=BackfillJournal(base))
+        ]
+    assert got == [
+        (date(2024, 1, 1), date(2024, 1, 2)),
+        (date(2024, 1, 3), date(2024, 1, 4)),
+        (date(2024, 1, 5), date(2024, 1, 6)),
+        (date(2024, 1, 7), date(2024, 1, 8)),
+        (date(2024, 1, 9), date(2024, 1, 10)),
+    ]
+    # per-worker journal files, never the base path
+    assert not base.exists()
+    assert (tmp_path / "ranges_journal.task0.json").exists()
+    assert (tmp_path / "ranges_journal.task1.json").exists()
+
+    monkeypatch.setenv("CLOUD_RUN_TASK_INDEX", "1")
+    env_chunks = [
+        c for c, _s in run_backfill(
+            engine, "daily_values", date(2000, 1, 1), date(2000, 1, 2),
+            batch_size=2, task_ranges=ranges)
+    ]
+    assert env_chunks == got[2:]
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        run_backfill(engine, "daily_values", date(2024, 1, 1),
+                     date(2024, 1, 10), batch_size=2, task_index=0,
+                     task_count=2, task_ranges=ranges)
+    with pytest.raises(ValueError, match="out of bounds"):
+        run_backfill(engine, "daily_values", date(2024, 1, 1),
+                     date(2024, 1, 10), batch_size=2, task_index=9,
+                     task_ranges=ranges)
+
+    # retry scoping: plant a failure in EACH worker's journal, then retry
+    # worker 0 — it must re-run only the failure inside ITS range
+    j0 = BackfillJournal(tmp_path / "ranges_journal.task0.json")
+    j1 = BackfillJournal(tmp_path / "ranges_journal.task1.json")
+    j0.record((date(2024, 1, 3), date(2024, 1, 4)), "error: x")
+    j1.record((date(2024, 1, 7), date(2024, 1, 8)), "error: y")
+    retried = [
+        c for c, _s in run_backfill(
+            engine, "daily_values", date(2000, 1, 1), date(2000, 1, 2),
+            batch_size=2, task_index=0, task_ranges=ranges,
+            journal=BackfillJournal(base), retry_failed_only=True)
+    ]
+    assert retried == [(date(2024, 1, 3), date(2024, 1, 4))]
+    # ...and the retried chunk's success lands in worker 0's own journal
+    assert "2024-01-03..2024-01-04" in j0.load()
