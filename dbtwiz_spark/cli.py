@@ -17,10 +17,39 @@ import sys
 from datetime import date
 
 
+class CliError(RuntimeError):
+    """User-facing CLI error: main() prints it and exits 1 (no traceback)."""
+
+
 def _spark():
     from dbtwiz_spark.session import get_spark
 
     return get_spark("dbtwiz_spark-cli")
+
+
+def _resolve_warehouse(args) -> str:
+    """--warehouse wins; otherwise --target resolves through the
+    project.yml ``targets:`` section (reference: target environment choice
+    selects the warehouse, dbt/target.py + commands/build.py:62)."""
+    wh = getattr(args, "warehouse", None)
+    if wh:
+        return wh
+    target = getattr(args, "target", None)
+    if not target:
+        raise CliError("either --warehouse or --target is required")
+    from pathlib import Path
+
+    from dbtwiz_spark.project import project_targets
+
+    targets = project_targets(args.project)
+    if target not in targets:
+        raise CliError(
+            f"target {target!r} not declared in project.yml targets "
+            f"(declared: {sorted(targets)})"
+        )
+    raw = str(targets[target]["warehouse"])
+    p = Path(raw)
+    return raw if p.is_absolute() else str(Path(args.project) / p)
 
 
 def _load(args):
@@ -31,7 +60,7 @@ def _load(args):
     manifest, variables = load_project(args.project)
     if getattr(args, "vars", None):
         variables.update(json.loads(args.vars))
-    wh = Warehouse(_spark(), args.warehouse)
+    wh = Warehouse(_spark(), _resolve_warehouse(args))
     return Runner(wh.spark, manifest, wh, variables=variables), manifest, wh
 
 
@@ -71,6 +100,26 @@ def cmd_build(args) -> int:
         for flag in ("upstream", "downstream", "full_refresh"):
             if saved.get(flag):
                 setattr(args, flag, True)
+    target = getattr(args, "target", None)
+    if target and args.select == "*":
+        # reference target semantics (commands/build.py:106-115): dev with
+        # no selector is an error (a bare dev build of the whole project is
+        # never what was meant); a non-dev target defaults to rebuilding
+        # modified models + downstream when the target declares a state
+        # fingerprint file (the reference's state:modified+ with defer)
+        if target == "dev":
+            print("error: a selector is required with the dev target")
+            return 1
+        from pathlib import Path as _P
+
+        from dbtwiz_spark.project import project_targets
+
+        tcfg = project_targets(args.project).get(target) or {}
+        if tcfg.get("state") and not args.state:
+            sp = _P(str(tcfg["state"]))
+            args.state = str(sp if sp.is_absolute() else _P(args.project) / sp)
+            args.select = "state:modified+"
+            print(f"no selector given: building state:modified+ vs {args.state}")
     runner, manifest, _ = _load(args)
     if args.start:
         runner.variables["data_interval_start"] = args.start
@@ -908,7 +957,12 @@ def build_parser() -> argparse.ArgumentParser:
     def common(sp, warehouse=True):
         sp.add_argument("--project", required=True)
         if warehouse:
-            sp.add_argument("--warehouse", required=True)
+            sp.add_argument("--warehouse",
+                            help="warehouse root path (or use --target)")
+            sp.add_argument("--target", "-t",
+                            help="named environment from project.yml "
+                                 "'targets:' (resolves the warehouse; "
+                                 "reference dev/build/prod targets)")
         sp.add_argument("--select", default="*")
         sp.add_argument("--exclude", help="selector subtracted from --select")
         sp.add_argument("--vars", help="JSON dict of variable overrides")
@@ -1128,7 +1182,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except CliError as e:
+        print(f"error: {e}")
+        return 1
 
 
 if __name__ == "__main__":

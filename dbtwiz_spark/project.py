@@ -237,6 +237,33 @@ def validate_governance(model: Model, gov: Governance) -> list[str]:
     return errors
 
 
+def project_targets(root: str | Path) -> dict[str, dict[str, Any]]:
+    """Named target environments from the ``targets:`` section of
+    ``project.yml`` (reference: dbtwiz/dbt/target.py Target enum
+    dev/build/prod/prod-ci; target choice drives warehouse selection and
+    the no-selector default, commands/build.py:62-115). Each target maps
+    to a ``warehouse`` root (relative paths resolve against the project
+    directory at use time) and optionally a ``state`` fingerprint file
+    enabling the reference's non-dev no-selector default of building
+    ``state:modified+``::
+
+        targets:
+          dev:  {warehouse: ./wh_dev}
+          prod: {warehouse: /data/wh_prod, state: .state/fingerprints.json}
+    """
+    proj_file = Path(root) / "project.yml"
+    if not proj_file.exists():
+        return {}
+    proj = yaml.safe_load(proj_file.read_text()) or {}
+    targets = proj.get("targets") or {}
+    for name, cfg in targets.items():
+        if not isinstance(cfg, dict) or not cfg.get("warehouse"):
+            raise ValueError(
+                f"target {name!r} in project.yml must declare a warehouse path"
+            )
+    return targets
+
+
 def load_project(root: str | Path) -> tuple[Manifest, dict[str, Any]]:
     """Load a project directory; returns (manifest, project vars)."""
     root = Path(root)

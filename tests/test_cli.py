@@ -1469,3 +1469,60 @@ def test_model_create_rejects_invalid_inherited_governance(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "inherited group 'financee'" in out
     assert not (proj / "models" / "3_marts").exists()
+
+
+def test_build_target_environments(tmp_path, capsys):
+    """--target resolves the warehouse through project.yml targets:
+    (reference dbt/target.py + commands/build.py:62-115): dev requires a
+    selector; a non-dev target with no selector defaults to
+    state:modified+ against the target's declared state file; an unknown
+    target or missing both --warehouse/--target is a clean error."""
+    proj = tmp_path / "projtgt"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text(
+        "name: tgt\n"
+        "targets:\n"
+        "  dev:  {warehouse: wh_dev}\n"
+        f"  prod: {{warehouse: wh_prod, state: state.json}}\n"
+    )
+    (proj / "models" / "m_one.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "m_one.yml").write_text("materialized: table\n")
+    (proj / "models" / "m_two.sql").write_text("SELECT 2 AS y\n")
+    (proj / "models" / "m_two.yml").write_text("materialized: table\n")
+
+    # dev + selector: builds into the target-resolved warehouse dir
+    assert main(["build", "--project", str(proj), "-t", "dev",
+                 "--select", "m_one"]) == 0
+    assert (proj / "wh_dev" / "m_one").exists()
+    capsys.readouterr()
+
+    # dev with no selector is an error before any build happens
+    assert main(["build", "--project", str(proj), "-t", "dev"]) == 1
+    assert "selector is required with the dev target" in capsys.readouterr().out
+
+    # neither --warehouse nor --target; unknown target
+    assert main(["build", "--project", str(proj), "--select", "m_one"]) == 1
+    assert "either --warehouse or --target" in capsys.readouterr().out
+    assert main(["build", "--project", str(proj), "-t", "staging",
+                 "--select", "m_one"]) == 1
+    assert "not declared in project.yml targets" in capsys.readouterr().out
+
+    # --warehouse always wins over --target
+    assert main(["build", "--project", str(proj), "-t", "dev",
+                 "--warehouse", str(proj / "wh_x"),
+                 "--select", "m_one"]) == 0
+    assert (proj / "wh_x" / "m_one").exists()
+    capsys.readouterr()
+
+    # prod with no selector: state:modified+ vs the target's state file.
+    # Save fingerprints, touch ONE model, and only it rebuilds.
+    assert main(["manifest", "--project", str(proj),
+                 "--save-state", str(proj / "state.json")]) == 0
+    capsys.readouterr()
+    (proj / "models" / "m_two.sql").write_text("SELECT 22 AS y\n")
+    assert main(["build", "--project", str(proj), "-t", "prod"]) == 0
+    out = capsys.readouterr().out
+    assert "state:modified+" in out
+    assert "m_two" in out and "m_one" not in out
+    assert (proj / "wh_prod" / "m_two").exists()
+    assert not (proj / "wh_prod" / "m_one").exists()
