@@ -61,7 +61,29 @@ def _load(args):
     if getattr(args, "vars", None):
         variables.update(json.loads(args.vars))
     wh = Warehouse(_spark(), _resolve_warehouse(args))
-    return Runner(wh.spark, manifest, wh, variables=variables), manifest, wh
+    dwh = None
+    defer_target = getattr(args, "defer_target", None)
+    if defer_target:
+        from pathlib import Path
+
+        from dbtwiz_spark.project import project_targets
+
+        targets = project_targets(args.project)
+        if defer_target not in targets:
+            raise CliError(
+                f"defer target {defer_target!r} not declared in project.yml "
+                f"targets (declared: {sorted(targets)})"
+            )
+        raw = str(targets[defer_target]["warehouse"])
+        p = Path(raw)
+        dwh = Warehouse(
+            wh.spark, raw if p.is_absolute() else str(Path(args.project) / p)
+        )
+    return (
+        Runner(wh.spark, manifest, wh, variables=variables, defer_warehouse=dwh),
+        manifest,
+        wh,
+    )
 
 
 def _apply_graph_flags(select: str, upstream: bool, downstream: bool) -> str:
@@ -972,6 +994,10 @@ def build_parser() -> argparse.ArgumentParser:
     b.add_argument("--start", help="data_interval_start (ISO date)")
     b.add_argument("--end", help="data_interval_end (ISO date)")
     b.add_argument("--state", help="fingerprint state file for state:modified")
+    b.add_argument("--defer-target",
+                   help="read unbuilt parents from this target's warehouse "
+                        "(dbt --defer: dev builds of modified models read "
+                        "untouched parents from prod)")
     b.add_argument("--last", action="store_true",
                    help="replay the previous --select/--exclude")
     b.add_argument("--threads", type=int, default=1,

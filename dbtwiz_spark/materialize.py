@@ -139,6 +139,27 @@ class Warehouse:
     root: str
     views: dict[str, str] = field(default_factory=dict)  # name -> SQL
 
+    def __post_init__(self) -> None:
+        # view materializations must survive the process (the reference's
+        # views live in BigQuery, dbtwiz/integrations/bigquery.py:700-711):
+        # the definitions persist as _views.json under the warehouse root
+        # and reload on open, so `build --select child_of_a_view` works in
+        # a fresh process
+        vf = Path(self.root) / "_views.json"
+        if vf.exists():
+            import json as _json
+
+            stored = _json.loads(vf.read_text())
+            stored.update(self.views)  # explicit ctor views win
+            self.views = stored
+
+    def _persist_views(self) -> None:
+        import json as _json
+
+        vf = Path(self.root) / "_views.json"
+        vf.parent.mkdir(parents=True, exist_ok=True)
+        vf.write_text(_json.dumps(self.views, indent=1, sort_keys=True))
+
     def path(self, table: str) -> Path:
         return Path(self.root) / table
 
@@ -238,6 +259,7 @@ class Warehouse:
         """View materialization: store SQL, register a temp view
         (dbtwiz/integrations/bigquery.py:700-711 view_query)."""
         self.views[name] = sql
+        self._persist_views()
         self.spark.sql(sql).createOrReplaceTempView(name)
 
     # -- table (CTAS) ----------------------------------------------------
@@ -550,7 +572,8 @@ class Warehouse:
 
     def delete_table(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
-        self.views.pop(name, None)
+        if self.views.pop(name, None) is not None:
+            self._persist_views()
 
     # -- snapshots / time travel ----------------------------------------
     def _snapshot_via_links(self, name: str) -> int:

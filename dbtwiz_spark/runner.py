@@ -34,6 +34,10 @@ class Runner:
     manifest: Manifest
     warehouse: Warehouse
     variables: dict = field(default_factory=dict)
+    # dbt --defer: unbuilt parents fall back to this (e.g. prod) warehouse
+    # when absent from the local one (reference sets defer+state for
+    # state:modified builds, dbtwiz/commands/build.py:106-110)
+    defer_warehouse: Warehouse | None = None
 
     def _resolve_map(self) -> dict[str, str]:
         """ref()/source() name → readable relation (temp view or path scan)."""
@@ -56,6 +60,44 @@ class Runner:
                 out[name] = f"({self._render(model)})"
         return out
 
+    def _register_unbuilt(self, order: list[str]) -> None:
+        """Make refs to models NOT built in this run resolvable: a partial
+        selection (``--select child``, ``state:modified+``) must read
+        parents built by a PREVIOUS invocation from the warehouse — in a
+        fresh process there is no temp view left over from building them.
+        Falls back to ``defer_warehouse`` when the local warehouse lacks
+        the parent (dbt --defer: a dev build of modified models reads
+        untouched parents from prod). Walks the ancestor closure in
+        topological order so a persisted view's own parents are registered
+        before its SQL is parsed."""
+        selected = set(order)
+        needed: set[str] = set()
+        stack = [p for n in order for p in self.manifest.parent_map.get(n, ())]
+        while stack:
+            m = stack.pop()
+            if m in needed or m in selected:
+                continue
+            needed.add(m)
+            stack.extend(self.manifest.parent_map.get(m, ()))
+        for name in self.manifest.topo_order():
+            if name not in needed:
+                continue
+            model = self.manifest.models.get(name)
+            if model is None or model.materialized == "ephemeral":
+                continue  # sources register in _resolve_map; ephemerals inline
+            for wh in (self.warehouse, self.defer_warehouse):
+                if wh is None:
+                    continue
+                if name in wh.views or wh.exists(name):
+                    try:
+                        wh.read(name).createOrReplaceTempView(name)
+                    except Exception as e:  # noqa: BLE001 — a view whose own
+                        # parent is mid-rebuild in THIS run can't parse yet;
+                        # the failure will surface (with context) at the
+                        # selected model that actually reads it
+                        print(f"[runner] could not pre-register {name!r}: {e}")
+                    break
+
     def _render(self, model: Model) -> str:
         return render(
             model.sql,
@@ -75,6 +117,7 @@ class Runner:
     ) -> list[RunResult]:
         order = self.manifest.select(selector, state=state, exclude=exclude)
         self._resolve_cache = self._resolve_map()
+        self._register_unbuilt(order)
         if threads > 1:
             return self._run_parallel(order, threads, full_refresh=full_refresh)
         results = []

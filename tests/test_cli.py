@@ -1526,3 +1526,90 @@ def test_build_target_environments(tmp_path, capsys):
     assert "m_two" in out and "m_one" not in out
     assert (proj / "wh_prod" / "m_two").exists()
     assert not (proj / "wh_prod" / "m_one").exists()
+
+
+def _drop_temp_views(names):
+    """Simulate a fresh process: temp views from earlier main() calls in
+    this test session would mask the cross-invocation resolution paths."""
+    from dbtwiz_spark.session import get_spark
+
+    s = get_spark()
+    for n in names:
+        s.catalog.dropTempView(n)
+
+
+def test_cross_process_refs_and_view_persistence(tmp_path, capsys):
+    """A model built in a PREVIOUS invocation must be readable by a later
+    partial build (fresh process = no leftover temp views): tables
+    re-register from the warehouse, and view definitions persist in
+    _views.json and reload — including a view whose child is built two
+    invocations later."""
+    from pathlib import Path
+
+    proj = tmp_path / "projx"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: x\n")
+    (proj / "models" / "base.sql").write_text("SELECT 1 AS k, 10 AS v\n")
+    (proj / "models" / "base.yml").write_text("materialized: table\n")
+    (proj / "models" / "v_base.sql").write_text(
+        "SELECT k, v * 2 AS v2 FROM {{ ref('base') }}\n")
+    (proj / "models" / "v_base.yml").write_text("materialized: view\n")
+    (proj / "models" / "child.sql").write_text(
+        "SELECT k, v2 + 1 AS v3 FROM {{ ref('v_base') }}\n")
+    (proj / "models" / "child.yml").write_text("materialized: table\n")
+    wh = str(tmp_path / "whx")
+
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--select", "base v_base"]) == 0
+    assert (Path(wh) / "_views.json").exists()
+    capsys.readouterr()
+
+    # "new process": no temp views left — child must resolve v_base from
+    # the persisted view SQL, whose own parent re-registers from disk
+    _drop_temp_views(["base", "v_base", "child"])
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--select", "child"]) == 0
+    out = capsys.readouterr().out
+    assert "success  child" in out and "error" not in out
+
+
+def test_build_defer_target(tmp_path, capsys):
+    """--defer-target (dbt --defer): a dev build of a modified child reads
+    its untouched parent from the prod warehouse when the dev warehouse
+    does not have it; a locally-built parent wins over the deferred one."""
+    proj = tmp_path / "projdef"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text(
+        "name: d\n"
+        "targets:\n"
+        "  dev:  {warehouse: wh_dev}\n"
+        "  prod: {warehouse: wh_prod}\n"
+    )
+    (proj / "models" / "parent.sql").write_text("SELECT 7 AS k\n")
+    (proj / "models" / "parent.yml").write_text("materialized: table\n")
+    (proj / "models" / "child.sql").write_text(
+        "SELECT k * 100 AS kk FROM {{ ref('parent') }}\n")
+    (proj / "models" / "child.yml").write_text("materialized: table\n")
+
+    assert main(["build", "--project", str(proj), "-t", "prod",
+                 "--select", "parent"]) == 0
+    capsys.readouterr()
+    _drop_temp_views(["parent", "child"])
+
+    # without defer, the dev build of child alone cannot resolve parent
+    assert main(["build", "--project", str(proj), "-t", "dev",
+                 "--select", "child"]) == 1
+    capsys.readouterr()
+    _drop_temp_views(["parent", "child"])
+
+    assert main(["build", "--project", str(proj), "-t", "dev",
+                 "--select", "child", "--defer-target", "prod"]) == 0
+    out = capsys.readouterr().out
+    assert "success  child" in out
+    assert (proj / "wh_dev" / "child").exists()
+    assert not (proj / "wh_dev" / "parent").exists()  # read, not copied
+
+    # unknown defer target is a clean error
+    assert main(["build", "--project", str(proj), "-t", "dev",
+                 "--select", "child", "--defer-target", "nope"]) == 1
+    assert "defer target" in capsys.readouterr().out
