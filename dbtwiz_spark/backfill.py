@@ -277,10 +277,30 @@ def run_backfill(
     )
     if task_ranges is not None:
         if retry_failed_only:
-            # a range-owning worker retries only failures inside its range —
-            # the failure union spans every worker's journal, and re-running
-            # another worker's range would double-write its partitions
-            chunks = [c for c in chunks if c[0] >= first and c[1] <= last]
+            # a range-owning worker retries only failures it OWNS — the
+            # failure union spans every worker's journal, and re-running
+            # another worker's chunks would double-write its partitions.
+            # Ownership is by START-date containment, not full containment:
+            # a failed chunk that straddles a range boundary (recorded by
+            # an earlier run with different sharding) must belong to
+            # exactly ONE worker, not be dropped by all of them.
+            def _owner(c):
+                for i, (a, b) in enumerate(task_ranges):
+                    if a <= c[0] <= b:
+                        return i
+                return None
+
+            orphans = [c for c in chunks if _owner(c) is None]
+            if orphans:
+                # every worker sees the same orphan set and fails loudly —
+                # exiting 0 with the failure still in the journal would
+                # read as a clean retry that silently never happened
+                raise ValueError(
+                    "failed chunk(s) start outside every --task-ranges "
+                    f"range and would never be retried: "
+                    f"{[f'{a}..{b}' for a, b in orphans]}"
+                )
+            chunks = [c for c in chunks if _owner(c) == ranges_idx]
         if journal is not None:
             # per-worker journal isolation, as in task_count sharding (the
             # journal rewrite is whole-file read-modify-write). Suffixed

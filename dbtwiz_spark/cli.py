@@ -27,6 +27,25 @@ def _spark():
     return get_spark("dbtwiz_spark-cli")
 
 
+def _target_warehouse(project: str, target: str, kind: str = "target") -> str:
+    """Resolve a named target's warehouse path through the project.yml
+    ``targets:`` section; relative paths resolve against the project
+    directory. Shared by --target and --defer-target resolution."""
+    from pathlib import Path
+
+    from dbtwiz_spark.project import project_targets
+
+    targets = project_targets(project)
+    if target not in targets:
+        raise CliError(
+            f"{kind} {target!r} not declared in project.yml targets "
+            f"(declared: {sorted(targets)})"
+        )
+    raw = str(targets[target]["warehouse"])
+    p = Path(raw)
+    return raw if p.is_absolute() else str(Path(project) / p)
+
+
 def _resolve_warehouse(args) -> str:
     """--warehouse wins; otherwise --target resolves through the
     project.yml ``targets:`` section (reference: target environment choice
@@ -37,19 +56,7 @@ def _resolve_warehouse(args) -> str:
     target = getattr(args, "target", None)
     if not target:
         raise CliError("either --warehouse or --target is required")
-    from pathlib import Path
-
-    from dbtwiz_spark.project import project_targets
-
-    targets = project_targets(args.project)
-    if target not in targets:
-        raise CliError(
-            f"target {target!r} not declared in project.yml targets "
-            f"(declared: {sorted(targets)})"
-        )
-    raw = str(targets[target]["warehouse"])
-    p = Path(raw)
-    return raw if p.is_absolute() else str(Path(args.project) / p)
+    return _target_warehouse(args.project, target)
 
 
 def _load(args):
@@ -64,20 +71,8 @@ def _load(args):
     dwh = None
     defer_target = getattr(args, "defer_target", None)
     if defer_target:
-        from pathlib import Path
-
-        from dbtwiz_spark.project import project_targets
-
-        targets = project_targets(args.project)
-        if defer_target not in targets:
-            raise CliError(
-                f"defer target {defer_target!r} not declared in project.yml "
-                f"targets (declared: {sorted(targets)})"
-            )
-        raw = str(targets[defer_target]["warehouse"])
-        p = Path(raw)
         dwh = Warehouse(
-            wh.spark, raw if p.is_absolute() else str(Path(args.project) / p)
+            wh.spark, _target_warehouse(args.project, defer_target, "defer target")
         )
     return (
         Runner(wh.spark, manifest, wh, variables=variables, defer_warehouse=dwh),
@@ -122,6 +117,11 @@ def cmd_build(args) -> int:
         for flag in ("upstream", "downstream", "full_refresh"):
             if saved.get(flag):
                 setattr(args, flag, True)
+        # a replayed state:modified selector is meaningless without the
+        # state file it was diffed against — replaying it with state=None
+        # would fingerprint-mismatch EVERY model and rebuild the project
+        if saved.get("state") and not args.state:
+            args.state = saved["state"]
     target = getattr(args, "target", None)
     if target and args.select == "*":
         # reference target semantics (commands/build.py:106-115): dev with
@@ -176,6 +176,9 @@ def cmd_build(args) -> int:
             "upstream": getattr(args, "upstream", False),
             "downstream": getattr(args, "downstream", False),
             "full_refresh": getattr(args, "full_refresh", False),
+            # state:modified selectors are meaningless without the state
+            # file they were diffed against — replay must restore both
+            "state": getattr(args, "state", None),
         }))
     select = _apply_graph_flags(
         args.select,
@@ -348,12 +351,26 @@ def cmd_backfill(args) -> int:
         except ValueError as e:
             print(f"error: {e}")
             return 1
+    if task_ranges is not None:
+        # --task-ranges overrides --first/--last (the worker runs its own
+        # range); when omitted, the envelope of the ranges stands in so
+        # run_backfill's signature stays uniform
+        first = date.fromisoformat(args.first) if args.first else min(
+            a for a, _ in task_ranges)
+        last = date.fromisoformat(args.last) if args.last else max(
+            b for _, b in task_ranges)
+    elif not (args.first and args.last):
+        print("error: --first and --last are required unless --task-ranges "
+              "is given")
+        return 1
+    else:
+        first, last = date.fromisoformat(args.first), date.fromisoformat(args.last)
     try:
         results = run_backfill(
             runner,
             args.select,
-            date.fromisoformat(args.first),
-            date.fromisoformat(args.last),
+            first,
+            last,
             batch_size=batch_days,
             journal=journal,
             retry_failed_only=args.retry,
@@ -880,8 +897,12 @@ def cmd_model_lint(args) -> int:
     (dbtwiz/model/format.py:16-24)."""
     from dbtwiz_spark.model_ops import lint_project
 
-    offenders = lint_project(args.project, names=args.models,
-                             staged=args.staged)
+    try:
+        offenders = lint_project(args.project, names=args.models,
+                                 staged=args.staged)
+    except ValueError as e:
+        print(f"error: {e}")
+        return 2
     for name, findings in offenders.items():
         for f in findings:
             print(f"{name}.sql:{f.line}: {f.code} {f.message}")
@@ -899,8 +920,12 @@ def cmd_model_fix(args) -> int:
     as lint."""
     from dbtwiz_spark.model_ops import fix_project
 
-    changed = fix_project(args.project, names=args.models,
-                          staged=args.staged)
+    try:
+        changed = fix_project(args.project, names=args.models,
+                              staged=args.staged)
+    except ValueError as e:
+        print(f"error: {e}")
+        return 2
     for name in changed:
         print(f"fixed {name}.sql")
     print(f"{len(changed)} model(s) rewritten")
@@ -1036,8 +1061,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     bf = sub.add_parser("backfill", help="date-chunked re-run of a model range")
     common(bf)
-    bf.add_argument("--first", required=True)
-    bf.add_argument("--last", required=True)
+    bf.add_argument("--first", default=None,
+                    help="range start (required unless --task-ranges)")
+    bf.add_argument("--last", default=None,
+                    help="range end (required unless --task-ranges)")
     bf.add_argument("--batch-days", type=int, default=None)
     bf.add_argument("--task-index", type=int, default=None,
                     help="this worker's shard (defaults to "
@@ -1208,9 +1235,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from dbtwiz_spark.project import ProjectError
+
     try:
         return args.fn(args)
-    except CliError as e:
+    except (CliError, ProjectError) as e:
         print(f"error: {e}")
         return 1
 

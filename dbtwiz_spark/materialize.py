@@ -145,20 +145,48 @@ class Warehouse:
         # the definitions persist as _views.json under the warehouse root
         # and reload on open, so `build --select child_of_a_view` works in
         # a fresh process
+        self._dropped_views: set[str] = set()
+        stored = self._load_views_file()
+        stored.update(self.views)  # explicit ctor views win
+        self.views = stored
+
+    def _load_views_file(self) -> dict[str, str]:
         vf = Path(self.root) / "_views.json"
-        if vf.exists():
-            import json as _json
-
-            stored = _json.loads(vf.read_text())
-            stored.update(self.views)  # explicit ctor views win
-            self.views = stored
-
-    def _persist_views(self) -> None:
+        if not vf.exists():
+            return {}
         import json as _json
 
+        return _json.loads(vf.read_text())
+
+    def _persist_views(self) -> None:
+        """Write the view registry: merge-over-disk (a parallel worker's
+        concurrently-added views survive a whole-file rewrite; names this
+        process explicitly dropped stay dropped) and atomic tmp+rename —
+        a killed worker can truncate a plain write_text, and a truncated
+        registry would brick every later command on this warehouse."""
+        import json as _json
+        import os
+
+        stored = self._load_views_file()
+        stored.update(self.views)
+        for name in self._dropped_views:
+            stored.pop(name, None)
+        self.views = stored
         vf = Path(self.root) / "_views.json"
         vf.parent.mkdir(parents=True, exist_ok=True)
-        vf.write_text(_json.dumps(self.views, indent=1, sort_keys=True))
+        tmp = vf.with_name(f"_views.tmp.{os.getpid()}")
+        tmp.write_text(_json.dumps(stored, indent=1, sort_keys=True))
+        tmp.replace(vf)
+
+    def _unview(self, name: str) -> None:
+        """A table write under a name that used to be a view must retire
+        the view definition, or the persisted registry shadows the new
+        table forever (read() consults views first). Covers the
+        materialization change view→table/incremental across processes."""
+        if name in self.views:
+            del self.views[name]
+            self._dropped_views.add(name)
+            self._persist_views()
 
     def path(self, table: str) -> Path:
         return Path(self.root) / table
@@ -259,6 +287,7 @@ class Warehouse:
         """View materialization: store SQL, register a temp view
         (dbtwiz/integrations/bigquery.py:700-711 view_query)."""
         self.views[name] = sql
+        self._dropped_views.discard(name)
         self._persist_views()
         self.spark.sql(sql).createOrReplaceTempView(name)
 
@@ -275,6 +304,7 @@ class Warehouse:
         overwriting, the previous table state becomes a snapshot by MOVING
         its files at publish time — zero-copy, unlike a pre-write copy which
         would double-handle the whole table on every overwrite."""
+        self._unview(name)
         self._recover(name)
         target = self.path(name)
         tmp = target.with_name(f"{name}__tmp_{int(time.time() * 1000)}")
@@ -358,6 +388,7 @@ class Warehouse:
         rather than mutates, so links stay valid after the write; cost is
         O(files) metadata, zero data copy). On storage without hardlinks
         the manifest-based table formats own this job."""
+        self._unview(name)
         target = self.path(name)
         if not self.exists(name):
             self.write_table(name, df, partition_by, cluster_by, snapshot=False)
@@ -420,6 +451,7 @@ class Warehouse:
         new columns in ``updates`` evolve the table (old rows null-fill),
         columns missing from ``updates`` are preserved as nulls.
         """
+        self._unview(name)
         if not self.exists(name):
             self.write_table(name, updates, partition_by, snapshot=False)
             return
@@ -480,6 +512,7 @@ class Warehouse:
         O(touched keys × their history), not O(table)."""
         from pyspark.sql.window import Window
 
+        self._unview(name)
         base_cols = [c for c in updates.columns if c not in ("valid_from", "valid_to", "is_current")]
         w = Window.partitionBy(unique_key).orderBy(date_column)
 
@@ -572,8 +605,7 @@ class Warehouse:
 
     def delete_table(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)
-        if self.views.pop(name, None) is not None:
-            self._persist_views()
+        self._unview(name)
 
     # -- snapshots / time travel ----------------------------------------
     def _snapshot_via_links(self, name: str) -> int:

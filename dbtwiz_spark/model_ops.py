@@ -304,7 +304,12 @@ def _select_model_files(
         return sorted(root.joinpath("models").rglob("*.sql"))
     selected: set[Path] = set(staged_model_files(root)) if staged else set()
     for name in names or []:
-        selected.update(root.joinpath("models").rglob(f"{name}.sql"))
+        matches = list(root.joinpath("models").rglob(f"{name}.sql"))
+        if not matches:
+            # a typo'd name silently matching nothing would report
+            # "lint clean" / exit 0 for a model that was never checked
+            raise ValueError(f"no model file named {name!r} under models/")
+        selected.update(matches)
     return sorted(selected)
 
 

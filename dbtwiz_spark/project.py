@@ -60,6 +60,12 @@ FREQUENCY_CHOICES: dict[str, str] = {
 }
 
 
+class ProjectError(ValueError):
+    """Malformed project configuration (project.yml and friends). A
+    distinct type so the CLI can print it as a clean one-line error —
+    a bare ValueError from config loading surfaced as a traceback."""
+
+
 @dataclass
 class Governance:
     """Project-declared governance vocabulary the create wizard and
@@ -258,7 +264,7 @@ def project_targets(root: str | Path) -> dict[str, dict[str, Any]]:
     targets = proj.get("targets") or {}
     for name, cfg in targets.items():
         if not isinstance(cfg, dict) or not cfg.get("warehouse"):
-            raise ValueError(
+            raise ProjectError(
                 f"target {name!r} in project.yml must declare a warehouse path"
             )
     return targets

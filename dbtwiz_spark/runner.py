@@ -38,6 +38,12 @@ class Runner:
     # when absent from the local one (reference sets defer+state for
     # state:modified builds, dbtwiz/commands/build.py:106-110)
     defer_warehouse: Warehouse | None = None
+    # names already pre-registered by _register_unbuilt this process: a
+    # backfill calls run() once per chunk, and re-reading every ancestor's
+    # parquet schema + re-parsing every view SQL per chunk is pure waste —
+    # unbuilt ancestors don't change between chunks, and ancestors built
+    # mid-run refresh their own temp views at build time
+    _preregistered: set = field(default_factory=set)
 
     def _resolve_map(self) -> dict[str, str]:
         """ref()/source() name → readable relation (temp view or path scan)."""
@@ -85,18 +91,22 @@ class Runner:
             model = self.manifest.models.get(name)
             if model is None or model.materialized == "ephemeral":
                 continue  # sources register in _resolve_map; ephemerals inline
+            if name in self._preregistered:
+                continue
             for wh in (self.warehouse, self.defer_warehouse):
                 if wh is None:
                     continue
                 if name in wh.views or wh.exists(name):
                     try:
                         wh.read(name).createOrReplaceTempView(name)
+                        self._preregistered.add(name)
+                        break
                     except Exception as e:  # noqa: BLE001 — a view whose own
                         # parent is mid-rebuild in THIS run can't parse yet;
                         # the failure will surface (with context) at the
-                        # selected model that actually reads it
+                        # selected model that actually reads it. NO break:
+                        # the defer warehouse may hold a readable copy
                         print(f"[runner] could not pre-register {name!r}: {e}")
-                    break
 
     def _render(self, model: Model) -> str:
         return render(

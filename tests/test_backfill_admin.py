@@ -717,3 +717,39 @@ def test_backfill_task_ranges(engine, tmp_path, monkeypatch):
     assert retried == [(date(2024, 1, 3), date(2024, 1, 4))]
     # ...and the retried chunk's success lands in worker 0's own journal
     assert "2024-01-03..2024-01-04" in j0.load()
+
+
+def test_task_ranges_retry_straddling_and_orphan_chunks(engine, tmp_path):
+    """Review fix: a failed chunk recorded by an earlier run with DIFFERENT
+    sharding can straddle a --task-ranges boundary. Ownership is by
+    start-date containment — exactly one worker retries it instead of every
+    worker silently filtering it out and exiting 0 — and a failure starting
+    outside EVERY range fails loudly rather than being orphaned."""
+    from dbtwiz_spark.backfill import parse_task_ranges
+
+    ranges = parse_task_ranges("2024-01-01:2024-01-04,2024-01-05:2024-01-10")
+    base = BackfillJournal(tmp_path / "straddle_journal.json")
+    # recorded by an unsharded run with batch_size=3: straddles the boundary
+    base.record((date(2024, 1, 4), date(2024, 1, 6)), "error: boom")
+
+    # worker 1 owns nothing (chunk starts in worker 0's range)
+    r1 = run_backfill(
+        engine, "daily_values", date(2000, 1, 1), date(2000, 1, 2),
+        batch_size=2, task_index=1, task_ranges=ranges,
+        journal=base, retry_failed_only=True)
+    assert r1 == []
+    # worker 0 owns and re-runs the straddling chunk as-is
+    r0 = [c for c, s in run_backfill(
+        engine, "daily_values", date(2000, 1, 1), date(2000, 1, 2),
+        batch_size=2, task_index=0, task_ranges=ranges,
+        journal=base, retry_failed_only=True) if s == "success"]
+    assert r0 == [(date(2024, 1, 4), date(2024, 1, 6))]
+
+    # a failure starting OUTSIDE every range: loud error, not exit 0
+    orphan = BackfillJournal(tmp_path / "orphan_journal.json")
+    orphan.record((date(2023, 12, 20), date(2023, 12, 22)), "error: old")
+    with pytest.raises(ValueError, match="never be retried"):
+        run_backfill(
+            engine, "daily_values", date(2000, 1, 1), date(2000, 1, 2),
+            batch_size=2, task_index=0, task_ranges=ranges,
+            journal=orphan, retry_failed_only=True)

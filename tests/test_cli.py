@@ -1613,3 +1613,76 @@ def test_build_defer_target(tmp_path, capsys):
     assert main(["build", "--project", str(proj), "-t", "dev",
                  "--select", "child", "--defer-target", "nope"]) == 1
     assert "defer target" in capsys.readouterr().out
+
+
+def test_last_replay_restores_state_path(tmp_path, capsys):
+    """Review fix: the auto-derived state:modified+ selector is saved WITH
+    its state path — `build --last` with state=None would fingerprint-
+    mismatch every model and rebuild the whole project."""
+    import json as _json
+
+    proj = tmp_path / "projlast"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text(
+        "name: tgtlast\n"
+        "targets:\n"
+        f"  prod: {{warehouse: wh_prod, state: state.json}}\n"
+    )
+    (proj / "models" / "m_a.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "m_a.yml").write_text("materialized: table\n")
+    (proj / "models" / "m_b.sql").write_text("SELECT 2 AS y\n")
+    (proj / "models" / "m_b.yml").write_text("materialized: table\n")
+    assert main(["manifest", "--project", str(proj),
+                 "--save-state", str(proj / "state.json")]) == 0
+    capsys.readouterr()
+    (proj / "models" / "m_b.sql").write_text("SELECT 22 AS y\n")
+    assert main(["build", "--project", str(proj), "-t", "prod"]) == 0
+    capsys.readouterr()
+    saved = _json.loads((proj / ".dbtwiz_spark" / "last_select.json").read_text())
+    assert saved["select"] == "state:modified+"
+    assert saved["state"] and saved["state"].endswith("state.json")
+    # replay: still only the modified model, not the whole project
+    assert main(["build", "--project", str(proj), "-t", "prod", "--last"]) == 0
+    out = capsys.readouterr().out
+    assert "m_b" in out and "m_a" not in out
+
+
+def test_model_lint_unknown_name_is_an_error(tmp_path, capsys):
+    """Review fix: a typo'd model name must not report 'lint clean'."""
+    proj = tmp_path / "projlint"
+    (proj / "models").mkdir(parents=True)
+    (proj / "models" / "m_ok.sql").write_text("SELECT 1 AS x\n")
+    assert main(["model", "lint", "--project", str(proj), "no_such_model"]) == 2
+    assert "no model file named" in capsys.readouterr().out
+    assert main(["model", "fix", "--project", str(proj), "no_such_model"]) == 2
+    assert "no model file named" in capsys.readouterr().out
+
+
+def test_malformed_target_is_clean_cli_error(tmp_path, capsys):
+    """Review fix: a target without a warehouse key prints a one-line
+    error instead of a ValueError traceback."""
+    proj = tmp_path / "projbad"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: bad\ntargets:\n  prod: {}\n")
+    (proj / "models" / "m.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "m.yml").write_text("materialized: table\n")
+    assert main(["build", "--project", str(proj), "-t", "prod",
+                 "--select", "m"]) == 1
+    assert "must declare a warehouse path" in capsys.readouterr().out
+
+
+def test_backfill_task_ranges_without_first_last(spark, project, wh_dir, capsys):
+    """Review fix: --task-ranges fully determines each worker's dates, so
+    --first/--last are optional with it — and missing all three is a clean
+    error, not an argparse 'required' failure that contradicts the help."""
+    rc = main(
+        ["backfill", "--project", str(project), "--warehouse", wh_dir,
+         "--select", "daily_orders", "--batch-days", "10",
+         "--task-ranges", "1995-02-01:1995-02-10", "--task-index", "0"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert out.count("success") == 1
+    assert main(["backfill", "--project", str(project), "--warehouse", wh_dir,
+                 "--select", "daily_orders"]) == 1
+    assert "--first and --last are required" in capsys.readouterr().out

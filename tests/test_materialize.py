@@ -563,3 +563,44 @@ def test_compact_unpartitioned_and_noop(spark, wh):
     # second compact is a no-op
     again = wh.compact("tu")
     assert again["partitions"] == 0
+
+
+def test_table_rebuild_retires_persisted_view(spark, tmp_path):
+    """Review fix: a persisted _views.json entry must not shadow a table
+    later rebuilt under the same name (materialization change view→table
+    across processes) — write paths retire the view definition."""
+    root = str(tmp_path / "wh")
+    wh1 = Warehouse(spark, root)
+    src = _df(spark, [(1, "a", "2024-01-01")])
+    wh1.write_table("src_t", src)
+    wh1.read("src_t").createOrReplaceTempView("src_t")
+    wh1.create_view("m", "SELECT k, v FROM src_t")
+    assert wh1.read("m").count() == 1
+
+    # fresh process: rebuild m as a TABLE with different content
+    wh2 = Warehouse(spark, root)
+    assert "m" in wh2.views  # persisted registry loaded
+    wh2.write_table("m", _df(spark, [(7, "x", "2024-02-01"), (8, "y", "2024-02-01")]))
+    assert "m" not in wh2.views
+    assert wh2.read("m").count() == 2
+
+    # and the retirement itself persisted: a THIRD process sees the table
+    wh3 = Warehouse(spark, root)
+    assert "m" not in wh3.views
+    assert wh3.read("m").count() == 2
+
+
+def test_persist_views_merges_with_concurrent_writer(spark, tmp_path):
+    """Review fix: _persist_views merges over the on-disk registry instead
+    of clobbering it, so a parallel worker's concurrently-added view
+    survives this process's whole-file rewrite."""
+    root = str(tmp_path / "wh")
+    wh_a = Warehouse(spark, root)
+    wh_b = Warehouse(spark, root)
+    base = _df(spark, [(1, "a", "2024-01-01")])
+    wh_a.write_table("base_t", base)
+    wh_a.read("base_t").createOrReplaceTempView("base_t")
+    wh_a.create_view("view_a", "SELECT k FROM base_t")
+    wh_b.create_view("view_b", "SELECT v FROM base_t")
+    fresh = Warehouse(spark, root)
+    assert {"view_a", "view_b"} <= set(fresh.views)
