@@ -457,31 +457,53 @@ class Warehouse:
             return
         current = self.read(name)
         deduped = _pin_survivor(_align_types(updates, current), [unique_key])
+        self._apply_key_rewrite(
+            name, current, deduped.select(unique_key), deduped, unique_key,
+            partition_by,
+        )
+
+    def _apply_key_rewrite(
+        self,
+        name: str,
+        current: DataFrame,
+        touched_keys: DataFrame,
+        additions: DataFrame,
+        unique_key: str,
+        partition_by: str | None,
+    ) -> None:
+        """Anti-join + union rewrite core shared by merge() and
+        apply_changes(): rows whose key appears in ``touched_keys`` are
+        dropped from ``current`` and ``additions`` are appended. With
+        ``partition_by`` the rewrite is partition-scoped (dynamic
+        overwrite of affected partitions only); ``touched_keys`` may name
+        keys with NO addition row (apply_changes deletes), which is why it
+        is a separate input rather than additions' own key column."""
         if partition_by is None:
-            survivors = current.join(deduped, on=unique_key, how="left_anti")
+            survivors = current.join(touched_keys, on=unique_key, how="left_anti")
             self.write_table(
-                name, survivors.unionByName(deduped, allowMissingColumns=True)
+                name, survivors.unionByName(additions, allowMissingColumns=True)
             )
             return
-        # partitions holding a matched key -> must be rewritten
+        # partitions holding a touched key -> must be rewritten
         affected = (
-            current.join(deduped.select(unique_key), on=unique_key, how="left_semi")
+            current.join(touched_keys, on=unique_key, how="left_semi")
             .select(partition_by)
             .distinct()
         )
         survivors = (
             current.join(F.broadcast(affected), on=partition_by, how="left_semi")
-            .join(deduped, on=unique_key, how="left_anti")
+            .join(touched_keys, on=unique_key, how="left_anti")
         )
-        merged = survivors.unionByName(deduped, allowMissingColumns=True).persist()
+        merged = survivors.unionByName(additions, allowMissingColumns=True).persist()
         try:
             # a partition is EMPTIED when it is affected but contributes no
-            # rows to the merged output (every key moved elsewhere). merged
-            # is persisted AND force-materialized here so both the probe and
-            # the subsequent write read the (partition-scoped, small-vs-table)
-            # output from cache instead of re-scanning current + updates —
-            # the probe alone would populate it only partially (its limit(1)
-            # can stop after a block or two).
+            # rows to the merged output (every key moved elsewhere, or every
+            # key deleted). merged is persisted AND force-materialized here
+            # so both the probe and the subsequent write read the
+            # (partition-scoped, small-vs-table) output from cache instead
+            # of re-scanning current + updates — the probe alone would
+            # populate it only partially (its limit(1) can stop after a
+            # block or two).
             merged.count()
             emptied = affected.join(
                 merged.select(partition_by).distinct(),
@@ -490,13 +512,62 @@ class Warehouse:
             )
             if emptied.limit(1).count() > 0:
                 full = current.join(
-                    deduped, on=unique_key, how="left_anti"
-                ).unionByName(deduped, allowMissingColumns=True)
+                    touched_keys, on=unique_key, how="left_anti"
+                ).unionByName(additions, allowMissingColumns=True)
                 self.write_table(name, full, partition_by, snapshot=False)
                 return
             self.insert_overwrite(name, merged, partition_by)
         finally:
             merged.unpersist()
+
+    def apply_changes(
+        self,
+        name: str,
+        changes: DataFrame,
+        unique_key: str,
+        op_col: str = "op",
+        seq_col: str = "seq",
+        partition_by: str | None = None,
+    ) -> None:
+        """Ordered CDC changelog application (the Debezium/CDC ingest shape
+        the reference's BigQuery merge jobs consume upstream): ``changes``
+        carries one row per change event with ``op_col`` in ('I','U','D')
+        and a per-key ordering column ``seq_col``; the LATEST event per key
+        wins — 'D' removes the key, 'I'/'U' upsert the row. Intra-batch
+        history collapses BEFORE touching the table, so U→D deletes and
+        D→U re-inserts within one batch behave as if applied one by one.
+
+        Scale shape: the per-key ordering window runs over the CHANGES
+        batch only (never the base table) — one shuffle on the key,
+        batch-sized; the apply is then the same anti-join +
+        partition-scoped rewrite as merge(), so a changelog touching one
+        day of a 100 TB table rewrites one day."""
+        from pyspark.sql.window import Window
+
+        self._unview(name)
+        # seq ties broken by op descending ('U' > 'I' > 'D') —
+        # deterministic, documented: an equal-seq U+D pair keeps the upsert
+        w = Window.partitionBy(unique_key).orderBy(
+            F.col(seq_col).desc(), F.col(op_col).desc()
+        )
+        latest = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        upserts = latest.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+        if not self.exists(name):
+            self.write_table(name, upserts, partition_by, snapshot=False)
+            return
+        current = self.read(name)
+        self._apply_key_rewrite(
+            name,
+            current,
+            latest.select(unique_key),
+            _align_types(upserts, current),
+            unique_key,
+            partition_by,
+        )
 
     def scd2_apply(
         self, name: str, updates: DataFrame, unique_key: str, date_column: str

@@ -1396,3 +1396,83 @@ def ext_split_drift(spark, sf_dir):
         F.round(p_e, 8).alias("p_eval"),
         F.round(term, 6).alias("js_term"),
     )
+
+
+def _rrf_sql() -> str:
+    from dbtwiz_spark.ops.ext_llm import _pair_cosine_sql
+
+    return f"""
+    WITH lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lrank
+        FROM ({_bm25_sql()})),
+    vec AS (
+        SELECT doc_id, vrank FROM (
+            SELECT c_vec_id AS doc_id,
+                   ROW_NUMBER() OVER (ORDER BY cosine DESC, c_vec_id) AS vrank
+            FROM ({_pair_cosine_sql("e.vec_id = 0")}
+                  SELECT q_vec_id, c_vec_id, cosine FROM dots))
+        WHERE vrank <= 20)
+    SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+           CAST(COALESCE(l.lrank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(v.vrank, 0) AS BIGINT) AS vec_rank,
+           round(COALESCE(1.0 / (60 + l.lrank), 0.0)
+                 + COALESCE(1.0 / (60 + v.vrank), 0.0), 6) AS rrf
+    FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+    """
+
+
+@register("ext-rank-fusion", oracle=_rrf_sql())
+def ext_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (RRF, k=60) of the two retrieval modalities
+    the corpus already grades separately: BM25 lexical top-20
+    (ext-bm25-search) and embedding-cosine top-20 for query vector 0
+    (ext-sim-cosine-topk's exact path). Hybrid search is the standard
+    retrieval stack for RAG-style training-data curation — each modality
+    misses what the other finds, and RRF is the rank-only fusion that
+    needs no score calibration between them.
+
+    Scale shape: both rankings end in a top-k (TakeOrdered / bounded
+    window), so the fused join is a 20×20-row full-outer join — the
+    expensive parts are the two upstream retrievals, each already graded
+    scale-safe. Rank, not score, crosses the fusion boundary, so the
+    last-ulp ln() divergence absorbed by BM25's rounded ordering cannot
+    leak into the fused output. A missing rank contributes 0 (and is
+    REPORTED as rank 0, keeping both engines' null handling out of the
+    hash)."""
+    from dbtwiz_spark.ops.ext_llm import _cosine_pairs
+
+    lex = ext_bm25_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("lrank"),
+    )
+    emb = views(spark, sf_dir).table("embeddings")
+    # top-k FIRST via TakeOrdered (distributed), THEN rank the 20 survivors
+    # — ranking with a global window before the cut would single-partition
+    # the full corpus-sized cosine set
+    vec_top = (
+        _cosine_pairs(spark, emb, F.col("vec_id") == 0)
+        .orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
+        .limit(20)
+    )
+    vec = vec_top.select(
+        F.col("c_vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("c_vec_id")))
+        .alias("vrank"),
+    )
+    # 20-row sides: the global windows above are bounded by the upstream
+    # top-k, never corpus-sized
+    fused = lex.join(vec, on="doc_id", how="full_outer")
+    return fused.select(
+        "doc_id",
+        F.coalesce(F.col("lrank"), F.lit(0)).cast("long").alias("lex_rank"),
+        F.coalesce(F.col("vrank"), F.lit(0)).cast("long").alias("vec_rank"),
+        F.round(
+            F.coalesce(1.0 / (F.col("lrank") + 60), F.lit(0.0))
+            + F.coalesce(1.0 / (F.col("vrank") + 60), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )

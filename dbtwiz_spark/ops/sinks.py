@@ -305,3 +305,68 @@ def sink_sharded_export(spark, sf_dir):
         )
         .select(F.col("shard").cast("long").alias("shard"), "n_docs", "total_chars")
     )
+
+
+@register(
+    "sink-cdc-apply",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_nationkey = 1 THEN c_acctbal + 100.0
+                WHEN c_nationkey = 5 THEN c_acctbal + 9.0
+                ELSE c_acctbal END AS bal
+    FROM customer WHERE c_nationkey NOT IN (2, 4)
+    UNION ALL
+    SELECT c_custkey + 1000000 AS c_custkey, c_acctbal AS bal
+    FROM customer WHERE c_nationkey = 3
+    """,
+)
+def sink_cdc_apply(spark, sf_dir):
+    """CDC changelog application (Warehouse.apply_changes): a batch of
+    (op, seq, key, row) change events — the Debezium-style ingest feed a
+    warehouse sits downstream of — collapses to latest-event-per-key and
+    applies in one rewrite: 'D' deletes the key, 'I'/'U' upsert.
+
+    The changelog exercises every ordering case: nation-1 keys get TWO
+    updates (seq 1 then 2 — the later one must win), nation-2 keys a
+    delete, nation-3 keys an insert under new ids, nation-4 an update
+    THEN a delete (net: gone), nation-5 a delete THEN an update (net:
+    re-inserted). Scale shape: the per-key window runs over the CHANGES
+    batch only, then the same anti-join + union rewrite as sink-merge —
+    never a second scan of the base table."""
+    c = views(spark, sf_dir).table("customer")
+    wh = _wh(spark)
+    wh.write_table(
+        "accounts_cdc",
+        c.select("c_custkey", F.col("c_acctbal").alias("bal")),
+        snapshot=False,
+    )
+
+    def ev(pred, op, seq, bal_expr):
+        return c.filter(pred).select(
+            "c_custkey",
+            F.lit(op).alias("op"),
+            F.lit(seq).cast("int").alias("seq"),
+            bal_expr.alias("bal"),
+        )
+
+    nat = F.col("c_nationkey")
+    bal = F.col("c_acctbal")
+    changes = (
+        ev(nat == 1, "U", 1, bal + 50.0)
+        .unionByName(ev(nat == 1, "U", 2, bal + 100.0))
+        .unionByName(ev(nat == 2, "D", 1, F.lit(None).cast("double")))
+        .unionByName(ev(nat == 4, "U", 1, bal + 7.0))
+        .unionByName(ev(nat == 4, "D", 2, F.lit(None).cast("double")))
+        .unionByName(ev(nat == 5, "D", 1, F.lit(None).cast("double")))
+        .unionByName(ev(nat == 5, "U", 2, bal + 9.0))
+        .unionByName(
+            c.filter(nat == 3).select(
+                (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+                F.lit("I").alias("op"),
+                F.lit(1).cast("int").alias("seq"),
+                bal.alias("bal"),
+            )
+        )
+    )
+    wh.apply_changes("accounts_cdc", changes, unique_key="c_custkey")
+    return wh.read("accounts_cdc")

@@ -10,6 +10,7 @@ reference's "same model, daily batches" semantics.
 
 from dbtwiz_spark.streaming.jobs import (  # noqa: F401
     events_stream,
+    foreach_batch_apply_changes,
     foreach_batch_merge,
     foreach_batch_overwrite,
     running_user_totals_stream,

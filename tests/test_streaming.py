@@ -399,3 +399,64 @@ def test_stream_dedup_near_entry_matches_sink(spark, tmp_path):
     want = {r.doc_id: r.is_dup for r in stream_dedup_near(spark, sf).collect()}
     assert got == want
     assert any(got.values())  # fixture has near-dups
+
+
+def test_foreach_batch_apply_changes_matches_batch(spark, tmp_path):
+    """Streaming CDC with deletes: change events streamed through
+    foreachBatch apply_changes land the same final state as one batch
+    apply_changes over the full changelog (both route through
+    Warehouse.apply_changes, so intra-batch U->D collapse, deletes, and
+    re-inserts behave identically)."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    from dbtwiz_spark.materialize import Warehouse
+    from dbtwiz_spark.streaming import foreach_batch_apply_changes
+
+    schema = "op STRING, seq INT, k INT, v STRING"
+    base_rows = [("I", 0, 1, "a"), ("I", 0, 2, "b"), ("I", 0, 3, "c")]
+    batches = [
+        [("U", 1, 1, "a1"), ("D", 1, 2, None)],          # update 1, delete 2
+        [("U", 2, 1, "a2"), ("I", 1, 4, "d"),
+         ("U", 1, 3, "c1"), ("D", 2, 3, None)],          # U->D nets delete
+    ]
+
+    # batch reference: one apply over base + full changelog
+    wh_b = Warehouse(spark, str(tmp_path / "wh_batch"))
+    wh_b.write_table("s", spark.createDataFrame(
+        [(k, v) for _, _, k, v in base_rows], "k INT, v STRING"),
+        snapshot=False)
+    wh_b.apply_changes(
+        "s", spark.createDataFrame(sum(batches, []), schema), unique_key="k")
+    want = {r.k: r.v for r in wh_b.read("s").collect()}
+    assert want == {1: "a2", 4: "d"}
+
+    # streaming: same changelog through micro-batches
+    in_dir = tmp_path / "cdc_stream_in"
+    in_dir.mkdir()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / f"sb{i}"))
+        src = _glob.glob(str(tmp_path / f"sb{i}" / "*.parquet"))[0]
+        _shutil.copy(src, in_dir / f"{i:02d}.parquet")
+        _time.sleep(1.1)
+    wh_s = Warehouse(spark, str(tmp_path / "wh_stream"))
+    wh_s.write_table("s", spark.createDataFrame(
+        [(k, v) for _, _, k, v in base_rows], "k INT, v STRING"),
+        snapshot=False)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(foreach_batch_apply_changes(wh_s, "s", "k"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.k: r.v for r in wh_s.read("s").collect()}
+    assert got == want
