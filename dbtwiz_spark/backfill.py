@@ -300,6 +300,22 @@ def run_backfill(
                     f"range and would never be retried: "
                     f"{[f'{a}..{b}' for a, b in orphans]}"
                 )
+            # differently-owned chunks that OVERLAP in dates (possible when
+            # the journal holds failures from runs with different sharding)
+            # would be retried by two workers concurrently — a double-write
+            # of the overlapping partitions. Every worker sees the same
+            # global failure set, so all fail loudly; retry unsharded.
+            owned = [(c, _owner(c)) for c in chunks]
+            for i, (c1, o1) in enumerate(owned):
+                for c2, o2 in owned[i + 1:]:
+                    if o1 != o2 and c1[0] <= c2[1] and c2[0] <= c1[1]:
+                        raise ValueError(
+                            f"failed chunks {c1[0]}..{c1[1]} and "
+                            f"{c2[0]}..{c2[1]} overlap but belong to "
+                            f"different task ranges — concurrent retries "
+                            f"would double-write the overlap; retry without "
+                            f"--task-ranges"
+                        )
             chunks = [c for c in chunks if _owner(c) == ranges_idx]
         if journal is not None:
             # per-worker journal isolation, as in task_count sharding (the

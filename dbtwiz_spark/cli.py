@@ -352,13 +352,17 @@ def cmd_backfill(args) -> int:
             print(f"error: {e}")
             return 1
     if task_ranges is not None:
-        # --task-ranges overrides --first/--last (the worker runs its own
-        # range); when omitted, the envelope of the ranges stands in so
-        # run_backfill's signature stays uniform
-        first = date.fromisoformat(args.first) if args.first else min(
-            a for a, _ in task_ranges)
-        last = date.fromisoformat(args.last) if args.last else max(
-            b for _, b in task_ranges)
+        if args.first or args.last:
+            # run_backfill would silently ignore them (each worker runs
+            # exactly its range) — accepting a narrowing that never
+            # happens is worse than rejecting the combination
+            print("error: --first/--last cannot be combined with "
+                  "--task-ranges (each worker runs exactly its range)")
+            return 1
+        # the envelope of the ranges stands in so run_backfill's
+        # signature stays uniform
+        first = min(a for a, _ in task_ranges)
+        last = max(b for _, b in task_ranges)
     elif not (args.first and args.last):
         print("error: --first and --last are required unless --task-ranges "
               "is given")
@@ -1074,8 +1078,8 @@ def build_parser() -> argparse.ArgumentParser:
     bf.add_argument("--task-ranges", default=None,
                     help="explicit per-task ranges "
                          "'YYYY-MM-DD:YYYY-MM-DD,...'; worker --task-index "
-                         "(or $CLOUD_RUN_TASK_INDEX) runs the N-th range, "
-                         "overriding --first/--last")
+                         "(or $CLOUD_RUN_TASK_INDEX) runs the N-th range "
+                         "(mutually exclusive with --first/--last)")
     bf.add_argument("--journal", help="journal file; enables retry bookkeeping")
     bf.add_argument("--retry", action="store_true", help="re-run failed chunks only")
     bf.add_argument(

@@ -145,6 +145,10 @@ class Warehouse:
         # the definitions persist as _views.json under the warehouse root
         # and reload on open, so `build --select child_of_a_view` works in
         # a fresh process
+        # this process's not-yet-applied registry edits: persisted ONCE
+        # each, then cleared — re-applying them forever would resurrect a
+        # view another process retired (or re-drop one it re-created)
+        self._pending_views: dict[str, str] = dict(self.views)
         self._dropped_views: set[str] = set()
         stored = self._load_views_file()
         stored.update(self.views)  # explicit ctor views win
@@ -159,16 +163,20 @@ class Warehouse:
         return _json.loads(vf.read_text())
 
     def _persist_views(self) -> None:
-        """Write the view registry: merge-over-disk (a parallel worker's
-        concurrently-added views survive a whole-file rewrite; names this
-        process explicitly dropped stay dropped) and atomic tmp+rename —
-        a killed worker can truncate a plain write_text, and a truncated
-        registry would brick every later command on this warehouse."""
+        """Write the view registry: disk is authoritative for names this
+        process never touched (a parallel worker's concurrent edits
+        survive the whole-file rewrite), this process's pending
+        creates/drops apply ON TOP and exactly once — replaying them on
+        every later persist would resurrect a view another process
+        retired, or re-drop one it legitimately re-created. Atomic
+        tmp+rename: a killed worker can truncate a plain write_text, and
+        a truncated registry would brick every later command on this
+        warehouse."""
         import json as _json
         import os
 
         stored = self._load_views_file()
-        stored.update(self.views)
+        stored.update(self._pending_views)
         for name in self._dropped_views:
             stored.pop(name, None)
         self.views = stored
@@ -177,16 +185,23 @@ class Warehouse:
         tmp = vf.with_name(f"_views.tmp.{os.getpid()}")
         tmp.write_text(_json.dumps(stored, indent=1, sort_keys=True))
         tmp.replace(vf)
+        self._pending_views.clear()
+        self._dropped_views.clear()
 
     def _unview(self, name: str) -> None:
         """A table write under a name that used to be a view must retire
         the view definition, or the persisted registry shadows the new
         table forever (read() consults views first). Covers the
-        materialization change view→table/incremental across processes."""
-        if name in self.views:
-            del self.views[name]
-            self._dropped_views.add(name)
-            self._persist_views()
+        materialization change view→table/incremental across processes —
+        the tombstone is recorded unconditionally because the view may
+        exist only on disk (created by another process after our load).
+        Called AFTER the replacement table publishes: dropping first
+        would destroy the only copy of the view SQL when the write
+        fails."""
+        self.views.pop(name, None)
+        self._pending_views.pop(name, None)
+        self._dropped_views.add(name)
+        self._persist_views()
 
     def path(self, table: str) -> Path:
         return Path(self.root) / table
@@ -287,6 +302,7 @@ class Warehouse:
         """View materialization: store SQL, register a temp view
         (dbtwiz/integrations/bigquery.py:700-711 view_query)."""
         self.views[name] = sql
+        self._pending_views[name] = sql
         self._dropped_views.discard(name)
         self._persist_views()
         self.spark.sql(sql).createOrReplaceTempView(name)
@@ -304,7 +320,6 @@ class Warehouse:
         overwriting, the previous table state becomes a snapshot by MOVING
         its files at publish time — zero-copy, unlike a pre-write copy which
         would double-handle the whole table on every overwrite."""
-        self._unview(name)
         self._recover(name)
         target = self.path(name)
         tmp = target.with_name(f"{name}__tmp_{int(time.time() * 1000)}")
@@ -368,6 +383,10 @@ class Warehouse:
                 shutil.move(str(old), str(dst))
             else:
                 shutil.rmtree(old)
+        # the name stops being a view only once its replacement table is
+        # live — retiring the registry entry first would destroy the only
+        # copy of the view SQL on a failed write
+        self._unview(name)
 
     # -- incremental insert_overwrite ------------------------------------
     def insert_overwrite(
@@ -388,7 +407,6 @@ class Warehouse:
         rather than mutates, so links stay valid after the write; cost is
         O(files) metadata, zero data copy). On storage without hardlinks
         the manifest-based table formats own this job."""
-        self._unview(name)
         target = self.path(name)
         if not self.exists(name):
             self.write_table(name, df, partition_by, cluster_by, snapshot=False)
@@ -420,6 +438,7 @@ class Warehouse:
         # rewritten partitions replaced leaf files in place — drop any stale
         # cached listing (same hazard the write_table publish refresh covers)
         self.spark.catalog.refreshByPath(str(target))
+        self._unview(name)  # after success, same rule as write_table
 
     # -- merge upsert ----------------------------------------------------
     def merge(
@@ -451,7 +470,6 @@ class Warehouse:
         new columns in ``updates`` evolve the table (old rows null-fill),
         columns missing from ``updates`` are preserved as nulls.
         """
-        self._unview(name)
         if not self.exists(name):
             self.write_table(name, updates, partition_by, snapshot=False)
             return
@@ -544,7 +562,6 @@ class Warehouse:
         day of a 100 TB table rewrites one day."""
         from pyspark.sql.window import Window
 
-        self._unview(name)
         # seq ties broken by op descending ('U' > 'I' > 'D') —
         # deterministic, documented: an equal-seq U+D pair keeps the upsert
         w = Window.partitionBy(unique_key).orderBy(
@@ -583,7 +600,6 @@ class Warehouse:
         O(touched keys × their history), not O(table)."""
         from pyspark.sql.window import Window
 
-        self._unview(name)
         base_cols = [c for c in updates.columns if c not in ("valid_from", "valid_to", "is_current")]
         w = Window.partitionBy(unique_key).orderBy(date_column)
 

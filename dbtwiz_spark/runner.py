@@ -99,7 +99,14 @@ class Runner:
                 if name in wh.views or wh.exists(name):
                     try:
                         wh.read(name).createOrReplaceTempView(name)
-                        self._preregistered.add(name)
+                        if wh is self.warehouse:
+                            # memoize LOCAL registrations only: a
+                            # defer-warehouse (prod) fallback must re-resolve
+                            # on the next run() — the local copy may have
+                            # become readable mid-backfill, and pinning the
+                            # prod snapshot would silently feed later chunks
+                            # stale data
+                            self._preregistered.add(name)
                         break
                     except Exception as e:  # noqa: BLE001 — a view whose own
                         # parent is mid-rebuild in THIS run can't parse yet;

@@ -753,3 +753,50 @@ def test_task_ranges_retry_straddling_and_orphan_chunks(engine, tmp_path):
             engine, "daily_values", date(2000, 1, 1), date(2000, 1, 2),
             batch_size=2, task_index=0, task_ranges=ranges,
             journal=orphan, retry_failed_only=True)
+
+
+def test_task_ranges_retry_rejects_cross_owner_overlap(engine, tmp_path):
+    """Review fix: overlapping failed chunks owned by DIFFERENT workers
+    (possible when the journal mixes runs with different sharding) must
+    fail loudly — concurrent retries would double-write the overlap."""
+    from dbtwiz_spark.backfill import parse_task_ranges
+
+    ranges = parse_task_ranges("2024-01-01:2024-01-04,2024-01-05:2024-01-08")
+    j = BackfillJournal(tmp_path / "overlap_journal.json")
+    j.record((date(2024, 1, 4), date(2024, 1, 6)), "error: a")  # owner 0
+    j.record((date(2024, 1, 5), date(2024, 1, 6)), "error: b")  # owner 1
+    with pytest.raises(ValueError, match="double-write the overlap"):
+        run_backfill(
+            engine, "daily_values", date(2000, 1, 1), date(2000, 1, 2),
+            batch_size=2, task_index=0, task_ranges=ranges,
+            journal=j, retry_failed_only=True)
+
+
+def test_runner_defer_registration_not_pinned(spark, tmp_path):
+    """Review fix: an ancestor registered from the DEFER warehouse must be
+    re-resolved on the next run() — once the local copy exists, later
+    chunks read local data, not the pinned prod snapshot."""
+    local = Warehouse(spark, str(tmp_path / "wh_local"))
+    prod = Warehouse(spark, str(tmp_path / "wh_prod"))
+    prod.write_table(
+        "parent_d",
+        spark.createDataFrame([(1, "prod")], "k INT, origin STRING"),
+        snapshot=False,
+    )
+    man = Manifest()
+    man.add_model(Model("parent_d", "SELECT 1 AS k, 'local' AS origin",
+                        materialized="table"))
+    man.add_model(Model("child_d", "SELECT * FROM {{ ref('parent_d') }}",
+                        materialized="table"))
+    runner = Runner(spark, man, local, defer_warehouse=prod)
+    spark.catalog.dropTempView("parent_d")
+    # run 1: only the child — parent resolves from the defer warehouse
+    r1 = runner.run("child_d")
+    assert all(r.status == "success" for r in r1)
+    assert local.read("child_d").first().origin == "prod"
+    # parent is then built locally (e.g. a later chunk selects it)
+    runner.run("parent_d")
+    # run 2: the child must now read the LOCAL parent, not the pinned copy
+    r2 = runner.run("child_d")
+    assert all(r.status == "success" for r in r2)
+    assert local.read("child_d").first().origin == "local"

@@ -1686,3 +1686,13 @@ def test_backfill_task_ranges_without_first_last(spark, project, wh_dir, capsys)
     assert main(["backfill", "--project", str(project), "--warehouse", wh_dir,
                  "--select", "daily_orders"]) == 1
     assert "--first and --last are required" in capsys.readouterr().out
+
+
+def test_backfill_rejects_first_last_with_task_ranges(project, wh_dir, capsys):
+    """Review fix: --first/--last alongside --task-ranges would be
+    silently ignored — reject the combination instead."""
+    assert main(["backfill", "--project", str(project), "--warehouse", wh_dir,
+                 "--select", "daily_orders", "--task-ranges",
+                 "1995-02-01:1995-02-10", "--task-index", "0",
+                 "--first", "1995-02-01", "--last", "1995-02-05"]) == 1
+    assert "cannot be combined with" in capsys.readouterr().out

@@ -657,3 +657,44 @@ def test_apply_changes_creates_missing_table(spark, wh):
     )
     wh.apply_changes("cdc_new", changes, unique_key="k")
     assert {r.k for r in wh.read("cdc_new").collect()} == {1}
+
+
+def test_unview_not_resurrected_by_stale_process(spark, tmp_path):
+    """Review fix: a process holding a stale in-memory copy of a view must
+    not resurrect it when persisting unrelated registry edits after
+    another process retired it (pending edits apply exactly once)."""
+    root = str(tmp_path / "wh")
+    wh_a = Warehouse(spark, root)
+    wh_a.write_table("src_u", _df(spark, [(1, "a", "d1")]), snapshot=False)
+    wh_a.read("src_u").createOrReplaceTempView("src_u")
+    wh_a.create_view("m", "SELECT k FROM src_u")
+
+    wh_b = Warehouse(spark, root)   # loads registry incl. 'm'
+    wh_a2 = Warehouse(spark, root)  # stale copy also holding 'm'
+    # B retires 'm' by rebuilding it as a table
+    wh_b.write_table("m", _df(spark, [(7, "x", "d2")]))
+    # A2 persists an unrelated view create: must NOT resurrect 'm'
+    wh_a2.create_view("other", "SELECT v FROM src_u")
+    fresh = Warehouse(spark, root)
+    assert "m" not in fresh.views and "other" in fresh.views
+    assert fresh.read("m").count() == 1  # the table, not the old view
+
+
+def test_failed_write_preserves_view_definition(spark, tmp_path):
+    """Review fix: the view registry entry is retired only AFTER the
+    replacement table publishes — a failed write must leave the view SQL
+    intact (it is the only copy)."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root)
+    wh.write_table("src_f", _df(spark, [(1, "a", "d1")]), snapshot=False)
+    wh.read("src_f").createOrReplaceTempView("src_f")
+    wh.create_view("vf", "SELECT k FROM src_f")
+    bad = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.raise_error(F.lit("boom")).alias("v"),
+    )
+    with pytest.raises(Exception, match="boom"):
+        wh.write_table("vf", bad)
+    fresh = Warehouse(spark, root)
+    assert "vf" in fresh.views  # definition survived the failed write
+    assert fresh.read("vf").count() == 1
