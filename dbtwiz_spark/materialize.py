@@ -200,6 +200,11 @@ class Warehouse:
         fails."""
         self.views.pop(name, None)
         self._pending_views.pop(name, None)
+        if not (Path(self.root) / "_views.json").exists():
+            # no registry on disk -> nothing to retire; skip the
+            # read+rewrite that would otherwise tax every table write in
+            # view-less warehouses
+            return
         self._dropped_views.add(name)
         self._persist_views()
 

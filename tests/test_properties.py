@@ -485,3 +485,51 @@ def test_split_drift_and_ab_test_invariants(spark):
     for r in agg_ab_test(spark, SF_DIR).collect():
         assert r.na + r.nb == ev_counts[r.event_type]
         assert math.isfinite(r.t_welch)
+
+
+def test_apply_changes_matches_sequential_reference(spark, tmp_path):
+    """apply_changes over a whole changelog batch must equal applying the
+    events ONE BY ONE in (seq, op) order to a dict — the definitional CDC
+    semantics. Randomized but seeded: deterministic across runs."""
+    import random
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    rng = random.Random(42)
+    keys = list(range(12))
+    base = {k: f"b{k}" for k in keys if rng.random() < 0.6}
+    events = []
+    for seq in range(1, 7):
+        for k in keys:
+            if rng.random() < 0.45:
+                op = rng.choice(["U", "D", "I"])
+                events.append(
+                    (op, seq, k, None if op == "D" else f"v{k}_{seq}"))
+    # reference model: strictly sequential application; equal-seq ties
+    # resolve upsert-over-delete, matching the documented 'op desc' rule
+    state = dict(base)
+    latest: dict[int, tuple[int, str, str | None]] = {}
+    for op, seq, k, v in events:
+        cur = latest.get(k)
+        if cur is None or (seq, op) > (cur[0], cur[1]):
+            latest[k] = (seq, op, v)
+    for k, (_seq, op, v) in latest.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    wh = Warehouse(spark, str(tmp_path / "wh_prop"))
+    wh.write_table(
+        "t",
+        spark.createDataFrame(list(base.items()), "k INT, v STRING"),
+        snapshot=False,
+    )
+    rng.shuffle(events)  # batch order must not matter
+    wh.apply_changes(
+        "t",
+        spark.createDataFrame(events, "op STRING, seq INT, k INT, v STRING"),
+        unique_key="k",
+    )
+    got = {r.k: r.v for r in wh.read("t").collect()}
+    assert got == state
