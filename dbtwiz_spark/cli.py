@@ -225,7 +225,9 @@ def cmd_test(args) -> int:
     """Model checks (the dbt-test surface the reference's `test` command
     drives): the declared unique_key plus per-column data tests from the
     YAML sidecar — not_null / unique / accepted_values / relationships
-    (dbt's four built-in generic tests). One aggregated violation count per
+    (dbt's four built-in generic tests) — plus model-level custom tests
+    (dbt's singular tests): `expression` row predicates and `sql` queries
+    that select violating rows. One aggregated violation count per
     check; every check is a single Spark job over the built table."""
     from pyspark.sql import functions as F
 
@@ -245,7 +247,11 @@ def cmd_test(args) -> int:
         failures += 0 if ok else 1
         print(f"{'pass' if ok else 'FAIL':4s} {name}: {what} ({detail})")
 
-    for name in manifest.select(args.select):
+    selected = manifest.select(args.select)
+    # lazy ref-resolution state for sql tests: built once, on first use
+    # (most test runs carry none and must not pay the resolve pass)
+    _test_resolve: list = [None]
+    for name in selected:
         m = manifest.models[name]
         if not wh.exists(name):
             continue
@@ -301,6 +307,47 @@ def cmd_test(args) -> int:
                            f"{rel['to']}.{rel['field']}", f"{bad} orphans")
                 else:
                     report(False, name, f"unknown test {t!r} on {col}", "skipped")
+        # model-level custom tests (dbt's singular-test surface): an
+        # `expression` is a row predicate that must hold on every row; a
+        # `sql` test is a full query (refs render like model SQL) that must
+        # return ZERO rows — it SELECTs the violations
+        mtests = getattr(m, "tests", []) or []
+        if mtests:
+            # the (possibly partition-filtered) rows under test are what a
+            # rendered ref to this model resolves to — same date scoping as
+            # the generic tests
+            df.createOrReplaceTempView(name)
+        for t in mtests:
+            if isinstance(t, dict) and "expression" in t:
+                try:
+                    bad = df.filter(~F.expr(t["expression"])).count()
+                except Exception as e:  # noqa: BLE001 — a typo'd predicate
+                    report(False, name, f"expression {t['expression']}",
+                           f"invalid: {e}")
+                    continue
+                report(bad == 0, name, f"expression {t['expression']}",
+                       f"{bad} violating rows")
+            elif isinstance(t, dict) and "sql" in t:
+                label = t.get("name") or "sql test"
+                if _test_resolve[0] is None:
+                    _test_resolve[0] = runner._resolve_map()
+                    runner._register_unbuilt(selected)
+                from dbtwiz_spark.macros import render as _render_sql
+
+                try:
+                    rendered = _render_sql(
+                        t["sql"], resolve=_test_resolve[0],
+                        variables=runner.variables,
+                        interval_start=runner.variables.get("data_interval_start"),
+                        interval_end=runner.variables.get("data_interval_end"),
+                    )
+                    bad = wh.spark.sql(rendered).count()
+                except Exception as e:  # noqa: BLE001 — surface, don't abort
+                    report(False, name, label, f"invalid: {e}")
+                    continue
+                report(bad == 0, name, label, f"{bad} failing rows")
+            else:
+                report(False, name, f"unknown model test {t!r}", "skipped")
     return 0 if failures == 0 else 1
 
 

@@ -49,6 +49,11 @@ class Model:
     description: str = ""
     meta: dict = field(default_factory=dict)
     columns: list = field(default_factory=list)  # [{name, data_type, description}]
+    # model-level data tests (dbt's singular/custom test surface, run by
+    # `test` alongside the per-column generics): each entry is
+    # {expression: "<row predicate that must hold>"} or
+    # {sql: "<query returning VIOLATING rows>", name: "<label>"}
+    tests: list = field(default_factory=list)
     # governance (dbtwiz/model/create.py get_config :440-497: access/group
     # top-level, teams/access-policy/service-consumers under meta)
     group: str | None = None

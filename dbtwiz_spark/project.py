@@ -39,6 +39,7 @@ MODEL_CONFIG_KEYS = (
     "description",
     "meta",
     "columns",
+    "tests",
     "group",
     "access",
 )

@@ -1696,3 +1696,39 @@ def test_backfill_rejects_first_last_with_task_ranges(project, wh_dir, capsys):
                  "1995-02-01:1995-02-10", "--task-index", "0",
                  "--first", "1995-02-01", "--last", "1995-02-05"]) == 1
     assert "cannot be combined with" in capsys.readouterr().out
+
+
+def test_model_level_custom_tests(tmp_path, capsys):
+    """dbt's singular-test surface: model-level `tests:` entries — an
+    `expression` row predicate and a `sql` query selecting violations
+    (refs render like model SQL; zero rows = pass)."""
+    proj = tmp_path / "projtests"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: t\n")
+    (proj / "models" / "m_nums.sql").write_text(
+        "SELECT 1 AS k, 10 AS v UNION ALL SELECT 2 AS k, 20 AS v\n")
+    (proj / "models" / "m_nums.yml").write_text(
+        "materialized: table\n"
+        "tests:\n"
+        "  - expression: v > 0\n"
+        "  - name: no_large_v\n"
+        "    sql: \"SELECT * FROM {{ ref('m_nums') }} WHERE v > 100\"\n"
+    )
+    wh = str(proj / "wh")
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--select", "m_nums"]) == 0
+    capsys.readouterr()
+    assert main(["test", "--project", str(proj), "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "pass" in out and "no_large_v" in out and "expression v > 0" in out
+
+    # now make both tests fail
+    (proj / "models" / "m_nums.sql").write_text(
+        "SELECT 1 AS k, -5 AS v UNION ALL SELECT 2 AS k, 500 AS v\n")
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--select", "m_nums"]) == 0
+    capsys.readouterr()
+    assert main(["test", "--project", str(proj), "--warehouse", wh]) == 1
+    out = capsys.readouterr().out
+    assert out.count("FAIL") == 2
+    assert "1 violating rows" in out and "1 failing rows" in out
