@@ -1476,3 +1476,50 @@ def ext_rank_fusion(spark, sf_dir):
             6,
         ).alias("rrf"),
     )
+
+
+@register(
+    "ext-mask-tokens",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+        SELECT doc_id, len(toks) AS n_tokens,
+               list_transform(toks, (x, i) -> CASE
+                   WHEN ({_hkey_sql('doc_id * 1000003 + i')}) % 100 < 15
+                   THEN '<mask>' ELSE x END) AS masked
+        FROM t)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(masked, x -> x = '<mask>')) AS BIGINT)
+               AS n_masked,
+           array_to_string(masked, ' ') AS masked_text
+    FROM m
+    """,
+)
+def ext_mask_tokens(spark, sf_dir):
+    """Deterministic MLM-style token masking (~15% of positions → a
+    '<mask>' sentinel): the training-objective prep step between a curated
+    corpus and a masked-LM batch. Mask decisions are the corpus's standard
+    multiplicative hash over (doc_id, position) — never rand() — so a
+    retried/speculated task masks identical positions and the epoch is
+    byte-reproducible.
+
+    Scale shape: pure map-side array lambdas inside the row (transform +
+    filter with index semantics); zero shuffles, zero UDFs. The position
+    index is 1-based to match DuckDB's lambda index, pinning the same
+    hash input on both engines."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+
+    def mask(x, i):
+        key = _hkey(F.col("doc_id") * F.lit(1_000_003) + (i + F.lit(1)))
+        return F.when(key % 100 < 15, F.lit("<mask>")).otherwise(x)
+
+    masked = F.transform(toks, mask)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(masked, lambda w: w == F.lit("<mask>")))
+        .cast("long")
+        .alias("n_masked"),
+        F.array_join(masked, " ").alias("masked_text"),
+    )
