@@ -1213,7 +1213,10 @@ def test_example_project_end_to_end(spark, tmp_path, capsys):
     assert "mrt_sales__customer_revenue" in out
     assert main(["test", "--project", str(proj), "--warehouse", wh,
                  "--select", "mrt_sales__customer_revenue"]) == 0
-    capsys.readouterr()
+    test_out = capsys.readouterr().out
+    # the example exercises the singular-test surface too
+    assert "expression revenue >= 0" in test_out
+    assert "orders_imply_revenue" in test_out
     assert main(["model", "validate", "--project", str(proj),
                  "--warehouse", wh]) == 0
     capsys.readouterr()
