@@ -122,6 +122,27 @@ def cmd_build(args) -> int:
         # would fingerprint-mismatch EVERY model and rebuild the project
         if saved.get("state") and not args.state:
             args.state = saved["state"]
+    if getattr(args, "work", False):
+        # reference `build --work` (commands/__init__.py:106 +
+        # dbt/support.py models_with_local_changes): restrict to models
+        # with local git changes. Headless-deterministic: the changed set
+        # IS the selection; an explicit selector fuzzy-filters it (the
+        # reference feeds it to fzf as the initial query).
+        from dbtwiz_spark.model_ops import locally_changed_model_files
+
+        changed = [p.stem for p in locally_changed_model_files(args.project)]
+        if not changed:
+            print("no new or modified models found")
+            return 1
+        if args.select != "*":
+            from dbtwiz_spark import picker as _picker
+
+            changed = _picker.fuzzy_rank(args.select, changed)
+            if not changed:
+                print(f"no locally changed model matches {args.select!r}")
+                return 1
+        args.select = " ".join(sorted(changed))
+        print(f"building locally changed models: {args.select}")
     target = getattr(args, "target", None)
     if target and args.select == "*":
         # reference target semantics (commands/build.py:106-115): dev with
@@ -1086,6 +1107,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also build upstream dependencies (prepends '+')")
     b.add_argument("--downstream", "-d", action="store_true",
                    help="also build downstream dependents (appends '+')")
+    b.add_argument("--work", "-w", action="store_true",
+                   help="restrict to models with local git changes "
+                        "(new/modified .sql under models/); a selector "
+                        "further filters that set")
     b.set_defaults(fn=cmd_build)
 
     ex = sub.add_parser("explain", help="compile a model and audit its plan")

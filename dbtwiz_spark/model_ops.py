@@ -447,3 +447,39 @@ def convert_sql_refs(
     return ConvertResult(
         path=sql_path, replaced=replaced, unresolved=unresolved, changed=changed
     )
+
+
+def locally_changed_model_files(project_root: str | Path) -> list[Path]:
+    """New or modified model .sql files per git — staged, unstaged, or
+    untracked. Parity with the reference's ``--work`` selection
+    (dbtwiz/dbt/support.py:6 models_with_local_changes parses
+    ``git status --porcelain`` and keeps added/modified paths under
+    models/; untracked brand-new models count as "new" here, which the
+    reference's A-status also covers once staged). Returns [] outside a
+    git work tree."""
+    import subprocess
+
+    root = Path(project_root)
+    proc = subprocess.run(
+        ["git", "-C", str(root), "status", "--porcelain"],
+        capture_output=True, text=True,
+    )
+    if proc.returncode != 0:
+        return []
+    top = subprocess.run(
+        ["git", "-C", str(root), "rev-parse", "--show-toplevel"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+    base = Path(top) if top else root
+    models_dir = root.joinpath("models").resolve()
+    out = []
+    for line in proc.stdout.splitlines():
+        if len(line) < 4:
+            continue
+        status, path = line[:2], line[3:].strip().strip('"')
+        if not (set(status) & set("AM?")):
+            continue  # deletes/renames/unmerged are not buildable changes
+        p = (base / path).resolve()
+        if p.suffix == ".sql" and p.exists() and p.is_relative_to(models_dir):
+            out.append(p)
+    return sorted(set(out))

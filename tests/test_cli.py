@@ -1735,3 +1735,42 @@ def test_model_level_custom_tests(tmp_path, capsys):
     out = capsys.readouterr().out
     assert out.count("FAIL") == 2
     assert "1 violating rows" in out and "1 failing rows" in out
+
+
+def test_build_work_selects_locally_changed_models(tmp_path, capsys):
+    """Reference `build --work`: only models with local git changes build
+    (commands/__init__.py:106 + dbt/support.py models_with_local_changes);
+    a selector fuzzy-filters the changed set; none changed = clean error."""
+    import subprocess
+
+    proj = tmp_path / "projwork"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: w\n")
+    for n in ("m_alpha", "m_beta", "m_gamma"):
+        (proj / "models" / f"{n}.sql").write_text(f"SELECT '{n}' AS v\n")
+        (proj / "models" / f"{n}.yml").write_text("materialized: table\n")
+    subprocess.run(["git", "init", "-q"], cwd=proj, check=True)
+    subprocess.run(["git", "add", "-A"], cwd=proj, check=True)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "commit", "-qm", "init"], cwd=proj, check=True)
+    wh = str(proj / "wh")
+
+    # clean tree: --work finds nothing
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--work"]) == 1
+    assert "no new or modified models found" in capsys.readouterr().out
+
+    # modify one, add one untracked: exactly those two build
+    (proj / "models" / "m_beta.sql").write_text("SELECT 'beta2' AS v\n")
+    (proj / "models" / "m_new.sql").write_text("SELECT 'new' AS v\n")
+    (proj / "models" / "m_new.yml").write_text("materialized: table\n")
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--work"]) == 0
+    out = capsys.readouterr().out
+    assert "m_beta" in out and "m_new" in out and "m_alpha" not in out
+
+    # a selector narrows the changed set
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--work", "--select", "beta"]) == 0
+    out = capsys.readouterr().out
+    assert "m_beta" in out and "m_new" not in out
