@@ -407,3 +407,54 @@ def stream_resample_interpolate(spark, sf_dir):
         m.filter(F.col("isg") == 1)
         .select("user_id", "ts", F.round(interp, 6).alias("value_interp"))
     )
+
+
+@register(
+    "stream-join-interval",
+    oracle=f"""
+    WITH v AS (SELECT user_id, ts AS view_ts FROM events
+               WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts AS click_ts FROM events
+          WHERE event_type = 'click')
+    SELECT v.user_id, COUNT(*) AS n_attributed,
+           round({davg_sql('epoch(click_ts) - epoch(view_ts)')}, 6)
+               AS avg_delay_s
+    FROM v JOIN c ON v.user_id = c.user_id
+        AND click_ts >= view_ts
+        AND click_ts <= view_ts + INTERVAL 10 MINUTE
+    GROUP BY 1
+    """,
+)
+def stream_join_interval(spark, sf_dir):
+    """Event-attribution interval join — the batch form of a watermarked
+    stream-stream join (clicks attributed to the views they followed
+    within a 10-minute horizon, per user). The true streaming runtime
+    runs the identical predicate through readStream with watermarks on
+    both sides (tests/test_streaming.py pins stream/batch agreement).
+
+    Scale shape: equi-join on user_id carries the shuffle; the time
+    predicate evaluates inside the join — never a cross join. In
+    Structured Streaming the same horizon bounds the join STATE (each
+    view is droppable once its 10-minute window passes the watermark),
+    which is exactly why the horizon must be explicit at 100 TB: an
+    unbounded attribution join accumulates state forever. Delays are
+    double-precision epoch differences (unix_timestamp would truncate
+    sub-second parts the oracle keeps)."""
+    ev = views(spark, sf_dir).table("events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    joined = v.join(
+        c,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    delay = F.col("click_ts").cast("double") - F.col("view_ts").cast("double")
+    return joined.groupBy("user_id").agg(
+        F.count("*").alias("n_attributed"),
+        F.round(davg(delay), 6).alias("avg_delay_s"),
+    )

@@ -460,3 +460,48 @@ def test_foreach_batch_apply_changes_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = {r.k: r.v for r in wh_s.read("s").collect()}
     assert got == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, source_dir):
+    """Watermarked stream-stream join: clicks attributed to views within a
+    10-minute horizon per user, streamed over the 3-micro-batch event
+    feed, must equal the batch corpus form (stream-join-interval). The
+    watermark + horizon bound the join state — the streaming property the
+    batch entry's docstring claims."""
+    from dbtwiz_spark.ops.streaming_batch import stream_join_interval
+
+    v = (
+        events_stream(spark, source_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "1 day")
+    )
+    c = (
+        events_stream(spark, source_dir)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user_id"),
+                F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 day")
+    )
+    joined = v.join(
+        c,
+        F.expr(
+            "user_id = c_user_id AND "
+            "click_ts >= view_ts AND "
+            "click_ts <= view_ts + INTERVAL 10 MINUTES"
+        ),
+    )
+    pairs = _run(spark, joined, mode="append")
+    got = {
+        (r.user_id, r.n_attributed)
+        for r in pairs.groupBy("user_id")
+        .agg(F.count("*").alias("n_attributed"))
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n_attributed)
+        for r in stream_join_interval(spark, SF_DIR)
+        .select("user_id", "n_attributed")
+        .collect()
+    }
+    assert got == want
