@@ -1078,3 +1078,120 @@ def agg_ab_test(spark, sf_dir):
         F.round(sb / nb, 6).alias("mean_b"),
         F.round(t, 6).alias("t_welch"),
     )
+
+
+@register(
+    "agg-kmv-intersect",
+    oracle="""
+    WITH sv AS (
+        SELECT hv FROM (SELECT DISTINCT ((user_id % 2147483648) * 2654435761)
+                            % 4294967296 AS hv
+                        FROM events WHERE event_type = 'view')
+        ORDER BY hv LIMIT 64),
+    sc AS (
+        SELECT hv FROM (SELECT DISTINCT ((user_id % 2147483648) * 2654435761)
+                            % 4294967296 AS hv
+                        FROM events WHERE event_type = 'click')
+        ORDER BY hv LIMIT 64),
+    uk AS (
+        SELECT hv FROM (SELECT hv FROM sv UNION SELECT hv FROM sc)
+        ORDER BY hv LIMIT 64),
+    stats AS (
+        SELECT MAX(hv) AS m,
+               SUM(CASE WHEN hv IN (SELECT hv FROM sv)
+                         AND hv IN (SELECT hv FROM sc)
+                   THEN 1 ELSE 0 END) AS shared
+        FROM uk),
+    truth AS (
+        SELECT COUNT(DISTINCT user_id) FILTER (event_type = 'view') AS n_view,
+               COUNT(DISTINCT user_id) FILTER (event_type = 'click') AS n_click,
+               COUNT(DISTINCT CASE WHEN user_id IN (
+                   SELECT user_id FROM events WHERE event_type = 'view')
+                   AND user_id IN (
+                   SELECT user_id FROM events WHERE event_type = 'click')
+                   THEN user_id END) AS inter_true
+        FROM events)
+    SELECT n_view, n_click, CAST(inter_true AS BIGINT) AS inter_true,
+           CAST(FLOOR(63 * 4294967296 / m) AS BIGINT) AS union_est,
+           CAST(FLOOR(shared * FLOOR(63 * 4294967296 / m) / 64) AS BIGINT)
+               AS inter_est,
+           CAST(ABS(FLOOR(shared * FLOOR(63 * 4294967296 / m) / 64)
+                    - inter_true)
+                <= 0.35 * GREATEST(inter_true, 1) AS BOOLEAN) AS within_bound
+    FROM stats, truth
+    """,
+)
+def agg_kmv_intersect(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-set sketch, k=64: estimated
+    distinct-union and distinct-intersection of two user sets (viewers ∩
+    clickers) with the exact counts and an error-bound flag in the same
+    row — the set-OPERATION member of the mergeable-summary family (HLL
+    counts one set; KMV's k smallest hashes additionally compose across
+    sets: union = k smallest of the sketch union, Jaccard = shared
+    fraction among them, intersection = Jaccard × union estimate).
+
+    Determinism: the sketch hash is the corpus's exact-BIGINT
+    multiplicative hash, so both engines pick the IDENTICAL k-minimum
+    sample and every estimate hash-matches — the estimator itself is
+    value-checked, not just bounded. Scale shape: per-side distinct is
+    the only corpus-sized shuffle; the k-smallest cut is TakeOrdered
+    (never a global sort), and all sketch math runs on ≤64-row frames.
+    At 1000 executors the same sketches would be collected per partition
+    and merged associatively — the k-minimum property is closed under
+    union, which is what makes KMV mergeable."""
+    from dbtwiz_spark.ops.common import hkey
+
+    K = 64
+    M32 = 4294967296
+    ev = views(spark, sf_dir).table("events")
+
+    def sketch(side):
+        return (
+            ev.filter(F.col("event_type") == side)
+            .select(hkey(F.col("user_id")).alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(K)
+        )
+
+    sv, sc = sketch("view"), sketch("click")
+    uk = sv.union(sc).distinct().orderBy("hv").limit(K)
+    in_both = sv.join(sc, "hv", "left_semi")
+    stats = uk.agg(
+        F.max("hv").alias("m"),
+        F.count("*").alias("k_eff"),
+    ).crossJoin(
+        F.broadcast(uk.join(in_both, "hv", "left_semi")
+                    .agg(F.count("*").alias("shared")))
+    )
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    truth = (
+        ev.agg(
+            F.count_distinct(
+                F.when(F.col("event_type") == "view", F.col("user_id"))
+            ).alias("n_view"),
+            F.count_distinct(
+                F.when(F.col("event_type") == "click", F.col("user_id"))
+            ).alias("n_click"),
+        )
+        .crossJoin(
+            F.broadcast(
+                viewers.join(clickers, "user_id", "left_semi")
+                .agg(F.count("*").cast("long").alias("inter_true"))
+            )
+        )
+    )
+    union_est = F.floor(F.lit((K - 1) * M32) / F.col("m")).cast("long")
+    out = stats.crossJoin(F.broadcast(truth)).select(
+        "n_view",
+        "n_click",
+        "inter_true",
+        union_est.alias("union_est"),
+        F.floor(F.col("shared") * union_est / K).cast("long").alias("inter_est"),
+        (
+            F.abs(F.floor(F.col("shared") * union_est / K) - F.col("inter_true"))
+            <= 0.35 * F.greatest(F.col("inter_true"), F.lit(1))
+        ).alias("within_bound"),
+    )
+    return out
