@@ -271,7 +271,7 @@ def cmd_test(args) -> int:
     selected = manifest.select(args.select)
     # lazy ref-resolution state for sql tests: built once, on first use
     # (most test runs carry none and must not pay the resolve pass)
-    _test_resolve: list = [None]
+    test_resolve = None
     for name in selected:
         m = manifest.models[name]
         if not wh.exists(name):
@@ -350,14 +350,22 @@ def cmd_test(args) -> int:
                        f"{bad} violating rows")
             elif isinstance(t, dict) and "sql" in t:
                 label = t.get("name") or "sql test"
-                if _test_resolve[0] is None:
-                    _test_resolve[0] = runner._resolve_map()
+                if test_resolve is None:
+                    test_resolve = runner._resolve_map()
+                    # ancestors OUTSIDE the selection register here; models
+                    # IN the selection are skipped by _register_unbuilt, so
+                    # register their built tables too — a sql test may ref
+                    # any other selected model (the model under test itself
+                    # keeps the partition-filtered view set above)
                     runner._register_unbuilt(selected)
+                    for other in selected:
+                        if other != name and wh.exists(other):
+                            wh.read(other).createOrReplaceTempView(other)
                 from dbtwiz_spark.macros import render as _render_sql
 
                 try:
                     rendered = _render_sql(
-                        t["sql"], resolve=_test_resolve[0],
+                        t["sql"], resolve=test_resolve,
                         variables=runner.variables,
                         interval_start=runner.variables.get("data_interval_start"),
                         interval_end=runner.variables.get("data_interval_end"),
@@ -369,6 +377,11 @@ def cmd_test(args) -> int:
                 report(bad == 0, name, label, f"{bad} failing rows")
             else:
                 report(False, name, f"unknown model test {t!r}", "skipped")
+        if mtests:
+            # restore the UNFILTERED view once this model's tests ran: a
+            # later model's sql test ref'ing this one must see all rows,
+            # not the partition slice scoped to this model's --date check
+            wh.read(name).createOrReplaceTempView(name)
     return 0 if failures == 0 else 1
 
 

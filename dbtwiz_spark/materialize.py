@@ -200,12 +200,18 @@ class Warehouse:
         fails."""
         self.views.pop(name, None)
         self._pending_views.pop(name, None)
-        if not (Path(self.root) / "_views.json").exists():
-            # no registry on disk -> nothing to retire; skip the
-            # read+rewrite that would otherwise tax every table write in
-            # view-less warehouses
-            return
         self._dropped_views.add(name)
+        if not (Path(self.root) / "_views.json").exists():
+            # no registry on disk -> nothing to retire NOW; skip the
+            # read+rewrite that would otherwise tax every table write in
+            # view-less warehouses. The tombstone above stays pending, so
+            # if a registry appears before this process's next persist
+            # (another process created views concurrently), the retirement
+            # still applies then — the remaining unguarded window is a
+            # cross-process create-view-vs-write race on the SAME name
+            # with no further persist, which file-level merging cannot
+            # order without locks
+            return
         self._persist_views()
 
     def path(self, table: str) -> Path:

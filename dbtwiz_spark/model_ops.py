@@ -455,13 +455,18 @@ def locally_changed_model_files(project_root: str | Path) -> list[Path]:
     (dbtwiz/dbt/support.py:6 models_with_local_changes parses
     ``git status --porcelain`` and keeps added/modified paths under
     models/; untracked brand-new models count as "new" here, which the
-    reference's A-status also covers once staged). Returns [] outside a
-    git work tree."""
+    reference's A-status also covers once staged). Staged renames/copies
+    select the NEW name, and a .yml-sidecar-only change selects its
+    model (config changes need a rebuild too). Returns [] outside a git
+    work tree."""
     import subprocess
 
     root = Path(project_root)
+    # -z: NUL-separated records with NO C-style quoting — plain-text
+    # porcelain octal-escapes non-ASCII paths ("caf\303\251.sql"), which
+    # would fail the exists() check and silently drop the model
     proc = subprocess.run(
-        ["git", "-C", str(root), "status", "--porcelain"],
+        ["git", "-C", str(root), "status", "--porcelain", "-z"],
         capture_output=True, text=True,
     )
     if proc.returncode != 0:
@@ -473,13 +478,26 @@ def locally_changed_model_files(project_root: str | Path) -> list[Path]:
     base = Path(top) if top else root
     models_dir = root.joinpath("models").resolve()
     out = []
-    for line in proc.stdout.splitlines():
-        if len(line) < 4:
+    tokens = proc.stdout.split("\0")
+    i = 0
+    while i < len(tokens):
+        rec = tokens[i]
+        i += 1
+        if len(rec) < 4:
             continue
-        status, path = line[:2], line[3:].strip().strip('"')
-        if not (set(status) & set("AM?")):
-            continue  # deletes/renames/unmerged are not buildable changes
+        status, path = rec[:2], rec[3:]
+        if "R" in status or "C" in status:
+            # rename/copy records carry the ORIGINAL path as the next
+            # token; the new path above is the buildable change (a
+            # git-mv'd model is a brand-new name that was never built)
+            i += 1
+        elif not (set(status) & set("AM?")):
+            continue  # deletes/unmerged are not buildable changes
         p = (base / path).resolve()
+        if p.suffix == ".yml":
+            # a sidecar-only change (materialization, partitioning,
+            # tests) re-selects its model: map to the sibling .sql
+            p = p.with_suffix(".sql")
         if p.suffix == ".sql" and p.exists() and p.is_relative_to(models_dir):
             out.append(p)
     return sorted(set(out))

@@ -1097,11 +1097,17 @@ def agg_ab_test(spark, sf_dir):
         SELECT hv FROM (SELECT hv FROM sv UNION SELECT hv FROM sc)
         ORDER BY hv LIMIT 64),
     stats AS (
-        SELECT MAX(hv) AS m,
+        SELECT MAX(hv) AS m, COUNT(*) AS k_eff,
                SUM(CASE WHEN hv IN (SELECT hv FROM sv)
                          AND hv IN (SELECT hv FROM sc)
                    THEN 1 ELSE 0 END) AS shared
         FROM uk),
+    est AS (
+        SELECT shared, k_eff,
+               CASE WHEN k_eff < 64 THEN k_eff
+                    ELSE CAST(FLOOR(63 * 4294967296 / m) AS BIGINT)
+               END AS union_est
+        FROM stats),
     truth AS (
         SELECT COUNT(DISTINCT user_id) FILTER (event_type = 'view') AS n_view,
                COUNT(DISTINCT user_id) FILTER (event_type = 'click') AS n_click,
@@ -1112,13 +1118,14 @@ def agg_ab_test(spark, sf_dir):
                    THEN user_id END) AS inter_true
         FROM events)
     SELECT n_view, n_click, CAST(inter_true AS BIGINT) AS inter_true,
-           CAST(FLOOR(63 * 4294967296 / m) AS BIGINT) AS union_est,
-           CAST(FLOOR(shared * FLOOR(63 * 4294967296 / m) / 64) AS BIGINT)
+           CAST(union_est AS BIGINT) AS union_est,
+           CAST(CASE WHEN k_eff < 64 THEN shared
+                     ELSE FLOOR(shared * union_est / 64) END AS BIGINT)
                AS inter_est,
-           CAST(ABS(FLOOR(shared * FLOOR(63 * 4294967296 / m) / 64)
-                    - inter_true)
+           CAST(ABS(CASE WHEN k_eff < 64 THEN shared
+                         ELSE FLOOR(shared * union_est / 64) END - inter_true)
                 <= 0.35 * GREATEST(inter_true, 1) AS BOOLEAN) AS within_bound
-    FROM stats, truth
+    FROM est, truth
     """,
 )
 def agg_kmv_intersect(spark, sf_dir):
@@ -1182,15 +1189,25 @@ def agg_kmv_intersect(spark, sf_dir):
             )
         )
     )
-    union_est = F.floor(F.lit((K - 1) * M32) / F.col("m")).cast("long")
+    # unsaturated sketch (k_eff < K) means BOTH sides' full distinct hash
+    # sets were observed — the estimates are exact counts, not the
+    # (K-1)/m extrapolation (which is undefined off the k-th order
+    # statistic it assumes)
+    saturated = F.col("k_eff") >= K
+    union_est = F.when(
+        saturated, F.floor(F.lit((K - 1) * M32) / F.col("m"))
+    ).otherwise(F.col("k_eff")).cast("long")
+    inter_est = F.when(
+        saturated, F.floor(F.col("shared") * union_est / K)
+    ).otherwise(F.col("shared")).cast("long")
     out = stats.crossJoin(F.broadcast(truth)).select(
         "n_view",
         "n_click",
         "inter_true",
         union_est.alias("union_est"),
-        F.floor(F.col("shared") * union_est / K).cast("long").alias("inter_est"),
+        inter_est.alias("inter_est"),
         (
-            F.abs(F.floor(F.col("shared") * union_est / K) - F.col("inter_true"))
+            F.abs(inter_est - F.col("inter_true"))
             <= 0.35 * F.greatest(F.col("inter_true"), F.lit(1))
         ).alias("within_bound"),
     )

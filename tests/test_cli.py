@@ -1774,3 +1774,58 @@ def test_build_work_selects_locally_changed_models(tmp_path, capsys):
                  "--work", "--select", "beta"]) == 0
     out = capsys.readouterr().out
     assert "m_beta" in out and "m_new" not in out
+
+
+def test_singular_sql_test_refs_other_selected_model(tmp_path, capsys):
+    """Review fix: a sql test ref'ing ANOTHER selected model must resolve
+    in a fresh process (selected models' built tables register as temp
+    views, not only ancestors outside the selection)."""
+    proj = tmp_path / "projxref"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: x\n")
+    (proj / "models" / "p_dim.sql").write_text("SELECT 1 AS k\n")
+    (proj / "models" / "p_dim.yml").write_text("materialized: table\n")
+    (proj / "models" / "m_child.sql").write_text("SELECT 1 AS k, 7 AS v\n")
+    (proj / "models" / "m_child.yml").write_text(
+        "materialized: table\n"
+        "tests:\n"
+        "  - name: child_in_parent\n"
+        "    sql: \"SELECT c.k FROM {{ ref('m_child') }} c\n"
+        "      LEFT ANTI JOIN {{ ref('p_dim') }} p ON c.k = p.k\"\n"
+    )
+    wh = str(proj / "wh")
+    assert main(["build", "--project", str(proj), "--warehouse", wh]) == 0
+    capsys.readouterr()
+    _drop_temp_views(["p_dim", "m_child"])  # simulate a fresh process
+    assert main(["test", "--project", str(proj), "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "child_in_parent" in out and "FAIL" not in out
+
+
+def test_build_work_sees_renames_and_sidecar_changes(tmp_path, capsys):
+    """Review fix: --work selects a git-mv'd model under its NEW name and
+    a model whose only change is its .yml sidecar."""
+    import subprocess
+
+    proj = tmp_path / "projwork2"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: w2\n")
+    for n in ("m_one", "m_two"):
+        (proj / "models" / f"{n}.sql").write_text(f"SELECT '{n}' AS v\n")
+        (proj / "models" / f"{n}.yml").write_text("materialized: table\n")
+    subprocess.run(["git", "init", "-q"], cwd=proj, check=True)
+    subprocess.run(["git", "add", "-A"], cwd=proj, check=True)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "commit", "-qm", "init"], cwd=proj, check=True)
+    # staged rename + sidecar-only change
+    subprocess.run(["git", "mv", "models/m_one.sql", "models/m_moved.sql"],
+                   cwd=proj, check=True)
+    subprocess.run(["git", "mv", "models/m_one.yml", "models/m_moved.yml"],
+                   cwd=proj, check=True)
+    (proj / "models" / "m_two.yml").write_text(
+        "materialized: table\ntags: [x]\n")
+    wh = str(proj / "wh")
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--work"]) == 0
+    out = capsys.readouterr().out
+    assert "m_moved" in out and "m_two" in out
