@@ -597,3 +597,28 @@ def test_cdc_apply_and_rank_fusion_plan_properties(spark, tmp_path):
     # anti-join present: the base table is filtered by keys, never windowed
     assert any(j in plan for j in
                ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_mask_kmv_interval_join_plan_properties(spark):
+    """Latest entries: token masking is pure map-side (zero exchanges);
+    the attribution interval join hashes on user_id with the time horizon
+    as a join condition (never a cartesian/NLJ over events); the KMV
+    sketch's k-cuts are TakeOrdered, and its only non-equi joins are the
+    broadcast 1-row stat frames."""
+    from dbtwiz_spark.ops.aggregates import agg_kmv_intersect
+    from dbtwiz_spark.ops.ext_pipeline import ext_mask_tokens
+    from dbtwiz_spark.ops.streaming_batch import stream_join_interval
+
+    mask_plan = _formatted(ext_mask_tokens(spark, SF_DIR))
+    assert mask_plan.count("Exchange (") == 0
+    assert "Generate" not in mask_plan  # no token explode
+
+    ij_plan = _formatted(stream_join_interval(spark, SF_DIR))
+    assert "CartesianProduct" not in ij_plan
+    assert any(j in ij_plan for j in
+               ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    assert "INTERVAL '10' MINUTE" in ij_plan  # horizon inside the join
+
+    kmv_plan = _formatted(agg_kmv_intersect(spark, SF_DIR))
+    assert "CartesianProduct" not in kmv_plan
+    assert "TakeOrderedAndProject" in kmv_plan  # k-cut, never a global sort
