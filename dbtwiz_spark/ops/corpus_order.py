@@ -44,12 +44,12 @@ scan-info-schema, file-format-orc, and
 project-rename/-computed/-except-replace (displaced by the round-5 new
 entries — their r2 rows remain valid), the r3-era
 function/set/stream families — all unchanged code whose green rows
-remain valid under the green-manifest guard — and the nine entries
+remain valid under the green-manifest guard — and the ten entries
 added AFTER the round-5 window filled (zero driver evidence,
 first-priority for the round-6 window): join-interval-overlap,
 ext-split-drift, agg-weighted-median, agg-ab-test, sink-cdc-apply,
 ext-rank-fusion, ext-mask-tokens, stream-join-interval,
-agg-kmv-intersect.
+agg-kmv-intersect, ext-embed-quantize.
 """
 
 from __future__ import annotations

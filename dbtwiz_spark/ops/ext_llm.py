@@ -1485,3 +1485,70 @@ def ext_dedup_containment(spark, sf_dir):
         .select("src", "dst", containment.alias("containment"))
         .filter(F.col("containment") >= 0.6)
     )
+
+
+@register(
+    "ext-embed-quantize",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id, embedding,
+               GREATEST(list_max(list_transform(embedding,
+                   x -> ABS(CAST(x AS DOUBLE)))), 1e-12) / 127 AS scale
+        FROM embeddings),
+    err AS (
+        SELECT vec_id, scale,
+               list_transform(embedding, x ->
+                   CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+                   AS codes
+        FROM q),
+    stats AS (
+        SELECT vec_id, scale, len(codes) AS n_dims,
+               list_max(list_transform(codes, c -> ABS(c))) AS max_code
+        FROM err)
+    SELECT vec_id, round(scale, 9) AS scale,
+           CAST(n_dims AS BIGINT) AS n_dims,
+           CAST(max_code AS BIGINT) AS max_code,
+           CAST(max_code <= 127 AS BOOLEAN) AS fits_int8
+    FROM stats
+    """,
+)
+def ext_embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column — the vector
+    compression step before a large corpus's embeddings go to an ANN
+    index or a training shard (4× smaller than float32, 8× than the
+    float64 these fixtures carry). Per-vector scale = max|x|/127;
+    codes = floor(x/scale + 0.5) — floor(+0.5) rather than round(),
+    because HALF_UP vs banker's rounding differs between engines on
+    exact .5 ties while floor(+0.5) is bit-identical. The output proves
+    every code fits int8 (max_code ≤ 127: |x|/scale ≤ 127 by
+    construction, and floor(127 + 0.5) = 127 exactly).
+
+    Scale shape: pure map-side array lambdas inside the row — zero
+    shuffles, zero UDFs; at 100 TB this runs entirely inside the scan
+    stage. The epsilon floor on scale keeps all-zero vectors finite."""
+    emb = views(spark, sf_dir).table("embeddings")
+    xd = lambda x: x.cast("double")  # noqa: E731
+    scale = (
+        F.greatest(
+            F.array_max(F.transform("embedding", lambda x: F.abs(xd(x)))),
+            F.lit(1e-12),
+        )
+        / 127
+    )
+    e = emb.select("vec_id", "embedding", scale.alias("scale"))
+    codes = F.transform(
+        "embedding", lambda x: F.floor(xd(x) / F.col("scale") + 0.5).cast("long")
+    )
+    s = e.select(
+        "vec_id",
+        "scale",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.array_max(F.transform(codes, lambda c: F.abs(c))).alias("max_code"),
+    )
+    return s.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        "n_dims",
+        F.col("max_code").cast("long").alias("max_code"),
+        (F.col("max_code") <= 127).alias("fits_int8"),
+    )
