@@ -513,10 +513,18 @@ class Warehouse:
                 name, survivors.unionByName(additions, allowMissingColumns=True)
             )
             return
-        # partitions holding a touched key -> must be rewritten
+        # partitions holding a touched key must be rewritten — and so must
+        # every partition the ADDITIONS land in: dynamic overwrite replaces
+        # a destination partition wholesale, so an update moving (or a new
+        # key inserting) into a partition that already holds OTHER rows
+        # would otherwise drop those rows (caught by
+        # tests/test_properties.py::test_partitioned_merge_matches_dict_
+        # semantics — the existing move test only covered fresh
+        # destinations)
         affected = (
             current.join(touched_keys, on=unique_key, how="left_semi")
             .select(partition_by)
+            .union(additions.select(partition_by))
             .distinct()
         )
         survivors = (

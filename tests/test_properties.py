@@ -533,3 +533,41 @@ def test_apply_changes_matches_sequential_reference(spark, tmp_path):
     )
     got = {r.k: r.v for r in wh.read("t").collect()}
     assert got == state
+
+
+def test_partitioned_merge_matches_dict_semantics(spark, tmp_path):
+    """Randomized (seeded) partition-scoped merges vs the definitional
+    model: updates win on key collision, a key adopts its update's
+    partition (including moves that empty a partition), untouched rows
+    survive. Three sequential merges exercise overlapping touched sets."""
+    import random
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    rng = random.Random(7)
+    days = [f"2024-01-0{d}" for d in range(1, 6)]
+    state = {k: (f"b{k}", rng.choice(days)) for k in range(20)}
+    wh = Warehouse(spark, str(tmp_path / "wh_merge_prop"))
+    wh.write_table(
+        "t",
+        spark.createDataFrame(
+            [(k, v, p) for k, (v, p) in state.items()],
+            "k INT, v STRING, partitiondate STRING",
+        ),
+        partition_by="partitiondate",
+        snapshot=False,
+    )
+    for round_i in range(3):
+        updates = []
+        for k in rng.sample(range(30), 8):  # keys 20-29 are inserts
+            v, p = f"u{round_i}_{k}", rng.choice(days)
+            updates.append((k, v, p))
+            state[k] = (v, p)
+        wh.merge(
+            "t",
+            spark.createDataFrame(updates, "k INT, v STRING, partitiondate STRING"),
+            unique_key="k",
+            partition_by="partitiondate",
+        )
+        got = {r.k: (r.v, r.partitiondate) for r in wh.read("t").collect()}
+        assert got == state, f"diverged after merge round {round_i}"
