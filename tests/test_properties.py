@@ -571,3 +571,58 @@ def test_partitioned_merge_matches_dict_semantics(spark, tmp_path):
         )
         got = {r.k: (r.v, r.partitiondate) for r in wh.read("t").collect()}
         assert got == state, f"diverged after merge round {round_i}"
+
+
+def test_partitioned_apply_changes_matches_dict_semantics(spark, tmp_path):
+    """Randomized (seeded) partitioned CDC batches vs the definitional
+    model — latest event per key wins, deletes remove, moves into
+    OCCUPIED partitions keep the destination's other rows (the shared
+    rewrite-core guarantee the merge property test pins)."""
+    import random
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    rng = random.Random(11)
+    days = [f"2024-02-0{d}" for d in range(1, 5)]
+    state = {k: (f"b{k}", rng.choice(days)) for k in range(15)}
+    wh = Warehouse(spark, str(tmp_path / "wh_cdc_prop"))
+    wh.write_table(
+        "t",
+        spark.createDataFrame(
+            [(k, v, p) for k, (v, p) in state.items()],
+            "k INT, v STRING, partitiondate STRING",
+        ),
+        partition_by="partitiondate",
+        snapshot=False,
+    )
+    for round_i in range(3):
+        events = []
+        for k in rng.sample(range(20), 7):
+            for seq in (1, 2):
+                if rng.random() < 0.5:
+                    op = rng.choice(["U", "D", "I"])
+                    v, p = f"r{round_i}s{seq}_{k}", rng.choice(days)
+                    events.append(
+                        (op, seq, k, None if op == "D" else v,
+                         rng.choice(days) if op == "D" else p))
+        if not events:
+            continue
+        latest: dict[int, tuple] = {}
+        for op, seq, k, v, p in events:
+            cur = latest.get(k)
+            if cur is None or (seq, op) > (cur[0], cur[1]):
+                latest[k] = (seq, op, v, p)
+        for k, (_s, op, v, p) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (v, p)
+        wh.apply_changes(
+            "t",
+            spark.createDataFrame(
+                events, "op STRING, seq INT, k INT, v STRING, partitiondate STRING"),
+            unique_key="k",
+            partition_by="partitiondate",
+        )
+        got = {r.k: (r.v, r.partitiondate) for r in wh.read("t").collect()}
+        assert got == state, f"diverged after CDC round {round_i}"
