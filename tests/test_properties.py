@@ -626,3 +626,46 @@ def test_partitioned_apply_changes_matches_dict_semantics(spark, tmp_path):
         )
         got = {r.k: (r.v, r.partitiondate) for r in wh.read("t").collect()}
         assert got == state, f"diverged after CDC round {round_i}"
+
+
+def test_scd2_apply_matches_interval_rebuild_model(spark, tmp_path):
+    """Randomized (seeded) SCD2 batches vs the definitional model: per
+    key, the validity chain equals a from-scratch rebuild of all
+    (key, date) states ever applied, update winning over the stored row
+    on a restated date; exactly one is_current row per key."""
+    import random
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    rng = random.Random(23)
+    days = [f"2024-03-{d:02d}" for d in range(1, 9)]
+    hist: dict[tuple[int, str], str] = {}
+    wh = Warehouse(spark, str(tmp_path / "wh_scd2_prop"))
+    for round_i in range(4):
+        batch = []
+        for k in rng.sample(range(8), 4):
+            d = rng.choice(days)
+            v = f"r{round_i}_{k}_{d}"
+            batch.append((k, v, d))
+            hist[(k, d)] = v  # update wins on a restated (key, date)
+        wh.scd2_apply(
+            "dim",
+            spark.createDataFrame(batch, "k INT, v STRING, partitiondate STRING"),
+            unique_key="k",
+            date_column="partitiondate",
+        )
+        # reference model: rebuild intervals from the full state history
+        want = set()
+        by_key: dict[int, list[str]] = {}
+        for (k, d) in hist:
+            by_key.setdefault(k, []).append(d)
+        for k, ds in by_key.items():
+            ds = sorted(set(ds))
+            for i, d in enumerate(ds):
+                nxt = ds[i + 1] if i + 1 < len(ds) else None
+                want.add((k, d, hist[(k, d)], d, nxt, nxt is None))
+        got = {
+            (r.k, r.partitiondate, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in wh.read("dim").collect()
+        }
+        assert got == want, f"diverged after scd2 round {round_i}"
