@@ -669,3 +669,87 @@ def test_scd2_apply_matches_interval_rebuild_model(spark, tmp_path):
             for r in wh.read("dim").collect()
         }
         assert got == want, f"diverged after scd2 round {round_i}"
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        max_size=24,
+    ),
+    pick=st.integers(0, 11),
+)
+@settings(max_examples=60, deadline=None)
+def test_selector_graph_operators_match_closures(edges, pick):
+    """For random DAGs: `+n` = ancestors∪{n}, `n+` = descendants∪{n},
+    `+n+` = both, results topo-ordered, and exclude subtracts exactly."""
+    man = Manifest()
+    names = [f"m{i}" for i in range(12)]
+    parents: dict[str, set[str]] = {n: set() for n in names}
+    for a, b in edges:
+        parents[names[b]].add(names[a])
+    for n in names:
+        refs = " ".join(f"{{{{ ref('{p}') }}}}" for p in sorted(parents[n]))
+        man.add_model(Model(n, f"SELECT 1 AS x -- {refs}"))
+
+    def ancestors(n):
+        out, stack = set(), list(parents[n])
+        while stack:
+            p = stack.pop()
+            if p not in out:
+                out.add(p)
+                stack.extend(parents[p])
+        return out
+
+    def descendants(n):
+        return {m for m in names if n in ancestors(m)}
+
+    n = names[pick]
+    assert set(man.select(f"+{n}")) == ancestors(n) | {n}
+    assert set(man.select(f"{n}+")) == descendants(n) | {n}
+    assert set(man.select(f"+{n}+")) == ancestors(n) | descendants(n) | {n}
+    # topo order: every parent precedes its child in the selection
+    sel = man.select(f"+{n}")
+    pos = {m: i for i, m in enumerate(sel)}
+    for m in sel:
+        for p in parents[m]:
+            if p in pos:
+                assert pos[p] < pos[m]
+    # exclude subtracts exactly
+    assert set(man.select(f"+{n}+", exclude=n)) == (
+        ancestors(n) | descendants(n)
+    )
+
+
+def test_insert_overwrite_matches_partition_replace_model(spark, tmp_path):
+    """Randomized (seeded) incremental writes vs the definitional model:
+    partitions present in the interval are replaced wholesale, absent
+    partitions survive untouched, reruns are idempotent."""
+    import random
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    rng = random.Random(31)
+    days = [f"2024-04-0{d}" for d in range(1, 6)]
+    state: dict[str, list[tuple[int, str]]] = {d: [] for d in days}
+    wh = Warehouse(spark, str(tmp_path / "wh_io_prop"))
+    next_k = 0
+    for round_i in range(4):
+        batch_days = rng.sample(days, rng.randint(1, 3))
+        rows = []
+        for d in batch_days:
+            n = rng.randint(1, 4)
+            part = [(next_k + i, f"r{round_i}_{d}") for i in range(n)]
+            next_k += n
+            state[d] = part  # wholesale replace
+            rows += [(k, v, d) for k, v in part]
+        df = spark.createDataFrame(rows, "k INT, v STRING, partitiondate STRING")
+        wh.insert_overwrite("t", df, "partitiondate")
+        if rng.random() < 0.5:
+            wh.insert_overwrite("t", df, "partitiondate")  # idempotent rerun
+        got: dict[str, set] = {}
+        for r in wh.read("t").collect():
+            got.setdefault(r.partitiondate, set()).add((r.k, r.v))
+        want = {d: set(p) for d, p in state.items() if p}
+        assert got == want, f"diverged after interval round {round_i}"
