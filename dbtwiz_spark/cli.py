@@ -269,14 +269,47 @@ def cmd_test(args) -> int:
         print(f"{'pass' if ok else 'FAIL':4s} {name}: {what} ({detail})")
 
     selected = manifest.select(args.select)
-    # lazy ref-resolution state for sql tests: built once, on first use
-    # (most test runs carry none and must not pay the resolve pass)
+    # lazy ref-resolution state, built once on first need: sql tests must
+    # render refs, and testing a VIEW model needs its ancestors registered
+    # before the view SQL can parse (most table-only test runs pay neither)
     test_resolve = None
+
+    def ensure_registered(current: str) -> dict:
+        nonlocal test_resolve
+        if test_resolve is None:
+            test_resolve = runner._resolve_map()
+            # ancestors OUTSIDE the selection register here; models IN the
+            # selection are skipped by _register_unbuilt, so register their
+            # built tables AND persisted views too — a sql test may ref any
+            # other selected model. Topo order (manifest.select) puts a
+            # view's selected parents before it, so its SQL parses.
+            runner._register_unbuilt(selected)
+            for other in selected:
+                if other == current:
+                    continue
+                try:
+                    if other in wh.views or wh.exists(other):
+                        wh.read(other).createOrReplaceTempView(other)
+                except Exception as e:  # noqa: BLE001 — surface at use site
+                    print(f"[test] could not register {other!r}: {e}")
+        return test_resolve
+
     for name in selected:
         m = manifest.models[name]
-        if not wh.exists(name):
+        is_view = name in wh.views and not wh.exists(name)
+        if not (wh.exists(name) or is_view):
             continue
-        df = wh.read(name)
+        if is_view:
+            # a view's checks read through its SQL — ancestors must be
+            # resolvable first (previously views were silently SKIPPED,
+            # exiting 0 without running their declared tests)
+            ensure_registered(name)
+        try:
+            df = wh.read(name)
+        except Exception as e:  # noqa: BLE001 — an unparseable view is a
+            # failed check, not a crash of the whole test run
+            report(False, name, "readable", f"{e}")
+            continue
         if getattr(args, "date", None) and m.partition_by:
             # reference `test --date`: check only that date's partition —
             # at scale the difference between testing today's increment and
@@ -350,22 +383,12 @@ def cmd_test(args) -> int:
                        f"{bad} violating rows")
             elif isinstance(t, dict) and "sql" in t:
                 label = t.get("name") or "sql test"
-                if test_resolve is None:
-                    test_resolve = runner._resolve_map()
-                    # ancestors OUTSIDE the selection register here; models
-                    # IN the selection are skipped by _register_unbuilt, so
-                    # register their built tables too — a sql test may ref
-                    # any other selected model (the model under test itself
-                    # keeps the partition-filtered view set above)
-                    runner._register_unbuilt(selected)
-                    for other in selected:
-                        if other != name and wh.exists(other):
-                            wh.read(other).createOrReplaceTempView(other)
+                resolve = ensure_registered(name)
                 from dbtwiz_spark.macros import render as _render_sql
 
                 try:
                     rendered = _render_sql(
-                        t["sql"], resolve=test_resolve,
+                        t["sql"], resolve=resolve,
                         variables=runner.variables,
                         interval_start=runner.variables.get("data_interval_start"),
                         interval_end=runner.variables.get("data_interval_end"),
@@ -377,10 +400,12 @@ def cmd_test(args) -> int:
                 report(bad == 0, name, label, f"{bad} failing rows")
             else:
                 report(False, name, f"unknown model test {t!r}", "skipped")
-        if mtests:
+        if mtests or (is_view and test_resolve is not None):
             # restore the UNFILTERED view once this model's tests ran: a
             # later model's sql test ref'ing this one must see all rows,
-            # not the partition slice scoped to this model's --date check
+            # not the partition slice scoped to this model's --date check.
+            # A test-less VIEW that triggered registration also registers
+            # itself here (ensure_registered skips the current model)
             wh.read(name).createOrReplaceTempView(name)
     return 0 if failures == 0 else 1
 

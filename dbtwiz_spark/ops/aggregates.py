@@ -1103,11 +1103,16 @@ def agg_ab_test(spark, sf_dir):
                    THEN 1 ELSE 0 END) AS shared
         FROM uk),
     est AS (
-        SELECT shared, k_eff,
-               CASE WHEN k_eff < 64 THEN k_eff
-                    ELSE CAST(FLOOR(63 * 4294967296 / m) AS BIGINT)
-               END AS union_est
-        FROM stats),
+        SELECT union_est,
+               CASE WHEN k_eff < 64 THEN shared
+                    ELSE CAST(FLOOR(shared * union_est / 64) AS BIGINT)
+               END AS inter_est
+        FROM (
+            SELECT shared, k_eff,
+                   CASE WHEN k_eff < 64 THEN k_eff
+                        ELSE CAST(FLOOR(63 * 4294967296 / m) AS BIGINT)
+                   END AS union_est
+            FROM stats)),
     truth AS (
         SELECT COUNT(DISTINCT user_id) FILTER (event_type = 'view') AS n_view,
                COUNT(DISTINCT user_id) FILTER (event_type = 'click') AS n_click,
@@ -1119,11 +1124,8 @@ def agg_ab_test(spark, sf_dir):
         FROM events)
     SELECT n_view, n_click, CAST(inter_true AS BIGINT) AS inter_true,
            CAST(union_est AS BIGINT) AS union_est,
-           CAST(CASE WHEN k_eff < 64 THEN shared
-                     ELSE FLOOR(shared * union_est / 64) END AS BIGINT)
-               AS inter_est,
-           CAST(ABS(CASE WHEN k_eff < 64 THEN shared
-                         ELSE FLOOR(shared * union_est / 64) END - inter_true)
+           CAST(inter_est AS BIGINT) AS inter_est,
+           CAST(ABS(inter_est - inter_true)
                 <= 0.35 * GREATEST(inter_true, 1) AS BOOLEAN) AS within_bound
     FROM est, truth
     """,

@@ -1829,3 +1829,44 @@ def test_build_work_sees_renames_and_sidecar_changes(tmp_path, capsys):
                  "--work"]) == 0
     out = capsys.readouterr().out
     assert "m_moved" in out and "m_two" in out
+
+
+def test_view_models_run_their_declared_tests(tmp_path, capsys):
+    """Review fix: a view-materialized model's declared tests must RUN
+    (views were silently skipped, exiting 0 untested) — including a sql
+    test on another model ref'ing the view, in a fresh process."""
+    proj = tmp_path / "projviewtests"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: vt\n")
+    (proj / "models" / "base_t.sql").write_text(
+        "SELECT 1 AS k UNION ALL SELECT 2 AS k UNION ALL SELECT 2 AS k\n")
+    (proj / "models" / "base_t.yml").write_text("materialized: table\n")
+    (proj / "models" / "v_stats.sql").write_text(
+        "SELECT k, COUNT(*) AS n FROM {{ ref('base_t') }} GROUP BY k\n")
+    (proj / "models" / "v_stats.yml").write_text(
+        "materialized: view\n"
+        "columns:\n"
+        "  - name: k\n"
+        "    tests: [unique, not_null]\n"
+        "tests:\n"
+        "  - expression: n >= 1\n"
+    )
+    (proj / "models" / "m_reader.sql").write_text(
+        "SELECT SUM(n) AS total FROM {{ ref('v_stats') }}\n")
+    (proj / "models" / "m_reader.yml").write_text(
+        "materialized: table\n"
+        "tests:\n"
+        "  - name: totals_match\n"
+        "    sql: \"SELECT 1 AS bad FROM {{ ref('m_reader') }} r,\n"
+        "      (SELECT CAST(SUM(n) AS BIGINT) AS t FROM {{ ref('v_stats') }}) v\n"
+        "      WHERE r.total <> v.t\"\n"
+    )
+    wh = str(proj / "wh")
+    assert main(["build", "--project", str(proj), "--warehouse", wh]) == 0
+    capsys.readouterr()
+    _drop_temp_views(["base_t", "v_stats", "m_reader"])  # fresh process
+    assert main(["test", "--project", str(proj), "--warehouse", wh]) == 0
+    out = capsys.readouterr().out
+    assert "v_stats: unique k" in out      # view's column tests ran
+    assert "expression n >= 1" in out      # view's singular test ran
+    assert "totals_match" in out and "FAIL" not in out
