@@ -753,3 +753,61 @@ def test_insert_overwrite_matches_partition_replace_model(spark, tmp_path):
             got.setdefault(r.partitiondate, set()).add((r.k, r.v))
         want = {d: set(p) for d, p in state.items() if p}
         assert got == want, f"diverged after interval round {round_i}"
+
+
+def test_compact_after_fragmenting_merges_preserves_content(spark, tmp_path):
+    """Chained-subsystem invariant: streaming-style per-batch appends
+    fragment partitions into many files; compact() must reduce the file
+    count without changing the row multiset — and the table must still
+    merge correctly afterwards."""
+    import glob
+    import random
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    rng = random.Random(43)
+    days = [f"2024-05-0{d}" for d in range(1, 4)]
+    state = {k: (f"b{k}", rng.choice(days)) for k in range(12)}
+    wh = Warehouse(spark, str(tmp_path / "wh_compact_prop"))
+    wh.write_table(
+        "t",
+        spark.createDataFrame(
+            [(k, v, p) for k, (v, p) in state.items()],
+            "k INT, v STRING, partitiondate STRING",
+        ),
+        partition_by="partitiondate",
+        snapshot=False,
+    )
+    # the Warehouse's own writes self-compact (one right-sized file per
+    # partition via _distribute_for_write), so fragmentation is simulated
+    # the way it actually arises: a per-micro-batch streaming sink
+    # appending one file per batch directly into the hive layout
+    for i in range(5):
+        k = 100 + i
+        v, p = f"s{i}", rng.choice(days)
+        state[k] = (v, p)
+        spark.createDataFrame(
+            [(k, v, p)], "k INT, v STRING, partitiondate STRING"
+        ).coalesce(1).write.mode("append").partitionBy("partitiondate").parquet(
+            str(wh.path("t")))
+
+    def files():
+        return len(glob.glob(str(wh.path("t") / "partitiondate=*" / "*.parquet")))
+
+    before = files()
+    stats = wh.compact("t", target_file_bytes=128 << 20, min_files=2)
+    assert stats["files_after"] <= stats["files_before"] == before
+    assert files() == stats["files_after"] < before
+    got = {r.k: (r.v, r.partitiondate) for r in wh.read("t").collect()}
+    assert got == state
+    # the compacted table still merges correctly
+    state[0] = ("post_compact", days[0])
+    wh.merge(
+        "t",
+        spark.createDataFrame([(0, "post_compact", days[0])],
+                              "k INT, v STRING, partitiondate STRING"),
+        unique_key="k",
+        partition_by="partitiondate",
+    )
+    got = {r.k: (r.v, r.partitiondate) for r in wh.read("t").collect()}
+    assert got == state
