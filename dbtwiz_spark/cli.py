@@ -562,6 +562,26 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_expire_snapshots(args) -> int:
+    """Warehouse-wide snapshot GC: expire every table's time-travel
+    snapshots older than the retention window (per-table
+    Warehouse.expire_snapshots, swept like the reference's partition
+    expiration jobs, dbtwiz/admin/partition.py run-all shape)."""
+    from dbtwiz_spark.admin import list_catalog_tables
+    from dbtwiz_spark.materialize import Warehouse
+
+    wh = Warehouse(_spark(), args.warehouse)
+    tables = [args.table] if args.table else list_catalog_tables(wh)
+    total = 0
+    for t in tables:
+        n = wh.expire_snapshots(t, older_than_days=args.older_than_days)
+        if n:
+            print(f"{t}: expired {n} snapshot(s)")
+        total += n
+    print(f"{total} snapshot(s) expired across {len(tables)} table(s)")
+    return 0
+
+
 def cmd_freshness(args) -> int:
     from dbtwiz_spark.admin import check_freshness, check_source_freshness
     from dbtwiz_spark.materialize import Warehouse
@@ -1228,6 +1248,14 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--target-mb", type=int, default=128)
     cp.add_argument("--min-files", type=int, default=2)
     cp.set_defaults(fn=cmd_compact)
+
+    es = asub.add_parser("expire-snapshots",
+                         help="GC time-travel snapshots past retention")
+    es.add_argument("--warehouse", required=True)
+    es.add_argument("--table", default=None,
+                    help="one table (default: every table in the warehouse)")
+    es.add_argument("--older-than-days", type=int, default=7)
+    es.set_defaults(fn=cmd_expire_snapshots)
 
     sd = asub.add_parser("sync-descriptions", help="declared vs stored descriptions")
     common(sd)

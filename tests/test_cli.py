@@ -1870,3 +1870,29 @@ def test_view_models_run_their_declared_tests(tmp_path, capsys):
     assert "v_stats: unique k" in out      # view's column tests ran
     assert "expression n >= 1" in out      # view's singular test ran
     assert "totals_match" in out and "FAIL" not in out
+
+
+def test_admin_expire_snapshots_sweeps_warehouse(spark, tmp_path, capsys):
+    """Warehouse-wide snapshot GC: snapshots past retention expire across
+    every table in one command; recent snapshots survive."""
+    import os
+    import time as _time
+
+    from dbtwiz_spark.materialize import SNAPSHOT_DIRNAME, Warehouse
+
+    wh_dir = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_dir)
+    for t in ("t_a", "t_b"):
+        df = spark.createDataFrame([(1, "x")], "k INT, v STRING")
+        wh.write_table(t, df, snapshot=False)
+        wh.write_table(t, df, snapshot=True)  # one snapshot each
+    # backdate t_a's snapshot past the window
+    snaps = wh.snapshots("t_a")
+    old_ms = int(_time.time() * 1000) - 9 * 86_400_000
+    os.rename(wh.path("t_a") / SNAPSHOT_DIRNAME / str(snaps[0]),
+              wh.path("t_a") / SNAPSHOT_DIRNAME / str(old_ms))
+    assert main(["admin", "expire-snapshots", "--warehouse", wh_dir]) == 0
+    out = capsys.readouterr().out
+    assert "t_a: expired 1" in out and "1 snapshot(s) expired" in out
+    assert wh.snapshots("t_a") == []
+    assert len(wh.snapshots("t_b")) == 1  # recent snapshot survives
