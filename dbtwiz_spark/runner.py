@@ -138,11 +138,27 @@ class Runner:
         if threads > 1:
             return self._run_parallel(order, threads, full_refresh=full_refresh)
         results = []
+        selected = set(order)
+        failed_or_skipped: set[str] = set()
         for name in order:
             model = self.manifest.models[name]
+            if any(
+                p in failed_or_skipped
+                for p in self.manifest.parent_map.get(name, ())
+                if p in selected
+            ):
+                # dbt semantics, same as the parallel scheduler: a failed
+                # model's downstream is SKIPPED, not attempted against a
+                # missing table (which would surface as a confusing
+                # unresolved-relation error). Pinned equal to the parallel
+                # path by the random-DAG property test.
+                failed_or_skipped.add(name)
+                results.append(RunResult(name, "skipped", error="upstream failed"))
+                continue
             try:
                 results.append(self._run_model(model, full_refresh=full_refresh))
             except Exception as e:  # noqa: BLE001 — per-model isolation, like dbt
+                failed_or_skipped.add(name)
                 results.append(RunResult(name, "error", error=f"{type(e).__name__}: {e}"))
         return results
 

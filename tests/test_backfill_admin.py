@@ -800,3 +800,52 @@ def test_runner_defer_registration_not_pinned(spark, tmp_path):
     r2 = runner.run("child_d")
     assert all(r.status == "success" for r in r2)
     assert local.read("child_d").first().origin == "local"
+
+
+def test_parallel_scheduler_matches_serial_on_random_dags(spark, tmp_path):
+    """Randomized (seeded) DAGs with injected failures: the thread-pooled
+    scheduler must produce the exact per-model status map the serial run
+    does — error at the failing model, skipped for its descendants,
+    success elsewhere — across several topologies."""
+    import random
+
+    rng = random.Random(97)
+    for trial in range(3):
+        n = 8
+        names = [f"g{trial}_m{i}" for i in range(n)]
+        parents: dict[str, list[str]] = {m: [] for m in names}
+        for i in range(n):
+            for j in range(i):
+                if rng.random() < 0.3:
+                    parents[names[i]].append(names[j])
+        bad = set(rng.sample(names, 2))
+
+        def make() -> Manifest:
+            man = Manifest()
+            for i, m in enumerate(names):
+                if parents[m]:
+                    srcs = " UNION ALL ".join(
+                        f"SELECT x FROM {{{{ ref('{p}') }}}}" for p in parents[m])
+                else:
+                    srcs = f"SELECT {i} AS x"
+                sql = (f"SELECT nonexistent_col FROM ({srcs})"
+                       if m in bad else f"SELECT x FROM ({srcs})")
+                man.add_model(Model(m, sql, materialized="table"))
+            return man
+
+        ser = {r.model: r.status for r in Runner(
+            spark, make(), Warehouse(spark, str(tmp_path / f"ws{trial}"))
+        ).run("*", threads=1)}
+        par = {r.model: r.status for r in Runner(
+            spark, make(), Warehouse(spark, str(tmp_path / f"wp{trial}"))
+        ).run("*", threads=4)}
+        assert par == ser, f"trial {trial}: {par} != {ser}"
+        # and the statuses are the definitional ones: a doomed ancestor
+        # means SKIPPED (never attempted) even when the model itself is
+        # also bad; error only at the first failing model of its chain
+        def doomed(m):
+            return m in bad or any(doomed(p) for p in parents[m])
+        for m in names:
+            want = ("skipped" if any(doomed(p) for p in parents[m])
+                    else "error" if m in bad else "success")
+            assert ser[m] == want, f"trial {trial} {m}: {ser[m]} != {want}"
