@@ -274,19 +274,18 @@ def cmd_test(args) -> int:
     # before the view SQL can parse (most table-only test runs pay neither)
     test_resolve = None
 
-    def ensure_registered(current: str) -> dict:
+    def ensure_registered() -> dict:
+        """One-time ref registration: sources + out-of-selection ancestors
+        (runner._register_unbuilt), then EVERY selected built model/view
+        in topo order — a sql test may ref any of them, and a selected
+        view's parents must carry temp views before its SQL parses. All
+        registrations are UNFILTERED; a --date-scoped model re-registers
+        its filtered rows under its own name afterwards."""
         nonlocal test_resolve
         if test_resolve is None:
             test_resolve = runner._resolve_map()
-            # ancestors OUTSIDE the selection register here; models IN the
-            # selection are skipped by _register_unbuilt, so register their
-            # built tables AND persisted views too — a sql test may ref any
-            # other selected model. Topo order (manifest.select) puts a
-            # view's selected parents before it, so its SQL parses.
             runner._register_unbuilt(selected)
             for other in selected:
-                if other == current:
-                    continue
                 try:
                     if other in wh.views or wh.exists(other):
                         wh.read(other).createOrReplaceTempView(other)
@@ -296,14 +295,27 @@ def cmd_test(args) -> int:
 
     for name in selected:
         m = manifest.models[name]
-        is_view = name in wh.views and not wh.exists(name)
+        mtests = getattr(m, "tests", []) or []
+        has_checks = bool(
+            m.unique_key or mtests
+            or any((cs.get("tests") or []) for cs in m.columns)
+        )
+        # Warehouse.read precedence: a persisted view definition WINS over
+        # a leftover table dir (table→view migration), so the view path is
+        # keyed on the registry alone
+        is_view = name in wh.views
         if not (wh.exists(name) or is_view):
             continue
-        if is_view:
-            # a view's checks read through its SQL — ancestors must be
-            # resolvable first (previously views were silently SKIPPED,
-            # exiting 0 without running their declared tests)
-            ensure_registered(name)
+        if not has_checks:
+            # nothing would be reported — skip the read (and, for a
+            # test-less view, the whole resolve pass it would trigger)
+            continue
+        if is_view or any(isinstance(t, dict) and "sql" in t for t in mtests):
+            # views read through their SQL (ancestors must resolve), and
+            # sql tests may ref any selected model — register BEFORE the
+            # --date-filtered own-name registration below so downstream
+            # views never capture a filtered plan
+            ensure_registered()
         try:
             df = wh.read(name)
         except Exception as e:  # noqa: BLE001 — an unparseable view is a
@@ -350,13 +362,23 @@ def cmd_test(args) -> int:
                         report(False, name, f"relationships {col}->{rel['to']}",
                                "parent table not built")
                         continue
-                    parent = wh.read(rel["to"]).select(
-                        F.col(rel["field"]).alias(col)
-                    )
-                    bad = (
-                        df.select(col).filter(F.col(col).isNotNull())
-                        .join(parent, col, "left_anti").count()
-                    )
+                    if rel["to"] in wh.views:
+                        # a view parent parses through temp views — make
+                        # the selection's registrations available first
+                        ensure_registered()
+                    try:
+                        parent = wh.read(rel["to"]).select(
+                            F.col(rel["field"]).alias(col)
+                        )
+                        bad = (
+                            df.select(col).filter(F.col(col).isNotNull())
+                            .join(parent, col, "left_anti").count()
+                        )
+                    except Exception as e:  # noqa: BLE001 — unreadable
+                        # parent = failed check, not a command crash
+                        report(False, name, f"relationships {col}->{rel['to']}",
+                               f"unreadable parent: {e}")
+                        continue
                     report(bad == 0, name, f"relationships {col}->"
                            f"{rel['to']}.{rel['field']}", f"{bad} orphans")
                 else:
@@ -365,7 +387,6 @@ def cmd_test(args) -> int:
         # `expression` is a row predicate that must hold on every row; a
         # `sql` test is a full query (refs render like model SQL) that must
         # return ZERO rows — it SELECTs the violations
-        mtests = getattr(m, "tests", []) or []
         if mtests:
             # the (possibly partition-filtered) rows under test are what a
             # rendered ref to this model resolves to — same date scoping as
@@ -383,7 +404,7 @@ def cmd_test(args) -> int:
                        f"{bad} violating rows")
             elif isinstance(t, dict) and "sql" in t:
                 label = t.get("name") or "sql test"
-                resolve = ensure_registered(name)
+                resolve = ensure_registered()
                 from dbtwiz_spark.macros import render as _render_sql
 
                 try:
@@ -400,12 +421,12 @@ def cmd_test(args) -> int:
                 report(bad == 0, name, label, f"{bad} failing rows")
             else:
                 report(False, name, f"unknown model test {t!r}", "skipped")
-        if mtests or (is_view and test_resolve is not None):
+        if mtests:
             # restore the UNFILTERED view once this model's tests ran: a
             # later model's sql test ref'ing this one must see all rows,
-            # not the partition slice scoped to this model's --date check.
-            # A test-less VIEW that triggered registration also registers
-            # itself here (ensure_registered skips the current model)
+            # not the partition slice scoped to this model's --date check
+            # (ensure_registered registers every selected model, current
+            # included, so no other self-registration is needed)
             wh.read(name).createOrReplaceTempView(name)
     return 0 if failures == 0 else 1
 
@@ -571,10 +592,28 @@ def cmd_expire_snapshots(args) -> int:
     from dbtwiz_spark.materialize import Warehouse
 
     wh = Warehouse(_spark(), args.warehouse)
-    tables = [args.table] if args.table else list_catalog_tables(wh)
+    if args.table:
+        if not wh.exists(args.table):
+            # a misspelled table sweeping nothing and exiting 0 would
+            # read as "GC ran" while snapshots keep accumulating
+            print(f"error: no table {args.table!r} in {args.warehouse}")
+            return 1
+        tables = [args.table]
+    else:
+        # __old_* crash-recovery dirs are NOT tables: their snapshot
+        # history belongs to the interrupted publish and is _recover's to
+        # surface, never this sweep's to GC
+        tables = [
+            t for t in list_catalog_tables(wh) if "__old_" not in t
+        ]
     total = 0
     for t in tables:
-        n = wh.expire_snapshots(t, older_than_days=args.older_than_days)
+        kw = (
+            {"older_than_days": args.older_than_days}
+            if args.older_than_days is not None
+            else {}  # Warehouse's own TIME_TRAVEL_WINDOW_DAYS default
+        )
+        n = wh.expire_snapshots(t, **kw)
         if n:
             print(f"{t}: expired {n} snapshot(s)")
         total += n
@@ -1254,7 +1293,9 @@ def build_parser() -> argparse.ArgumentParser:
     es.add_argument("--warehouse", required=True)
     es.add_argument("--table", default=None,
                     help="one table (default: every table in the warehouse)")
-    es.add_argument("--older-than-days", type=int, default=7)
+    es.add_argument("--older-than-days", type=int, default=None,
+                    help="retention window (default: the engine's "
+                         "time-travel window)")
     es.set_defaults(fn=cmd_expire_snapshots)
 
     sd = asub.add_parser("sync-descriptions", help="declared vs stored descriptions")

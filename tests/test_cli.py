@@ -1896,3 +1896,51 @@ def test_admin_expire_snapshots_sweeps_warehouse(spark, tmp_path, capsys):
     assert "t_a: expired 1" in out and "1 snapshot(s) expired" in out
     assert wh.snapshots("t_a") == []
     assert len(wh.snapshots("t_b")) == 1  # recent snapshot survives
+
+
+def test_view_of_view_and_expire_snapshots_guards(spark, tmp_path, capsys):
+    """Review fixes: chained views register in topo order (a sql test
+    ref'ing a view-of-view resolves in a fresh process); expire-snapshots
+    rejects unknown --table and never sweeps __old_ recovery dirs."""
+    proj = tmp_path / "projvv"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: vv\n")
+    (proj / "models" / "base_v.sql").write_text("SELECT 1 AS k\n")
+    (proj / "models" / "base_v.yml").write_text("materialized: table\n")
+    (proj / "models" / "v_one.sql").write_text(
+        "SELECT k FROM {{ ref('base_v') }}\n")
+    (proj / "models" / "v_one.yml").write_text("materialized: view\n")
+    (proj / "models" / "v_two.sql").write_text(
+        "SELECT k FROM {{ ref('v_one') }}\n")
+    (proj / "models" / "v_two.yml").write_text(
+        "materialized: view\ntests:\n  - expression: k = 1\n")
+    (proj / "models" / "m_probe.sql").write_text(
+        "SELECT COUNT(*) AS n FROM {{ ref('v_two') }}\n")
+    (proj / "models" / "m_probe.yml").write_text(
+        "materialized: table\n"
+        "tests:\n"
+        "  - name: probe_vs_view\n"
+        "    sql: \"SELECT 1 AS bad FROM {{ ref('m_probe') }} p,\n"
+        "      (SELECT COUNT(*) AS n FROM {{ ref('v_two') }}) v\n"
+        "      WHERE p.n <> v.n\"\n"
+    )
+    wh_dir = str(proj / "wh")
+    assert main(["build", "--project", str(proj), "--warehouse", wh_dir]) == 0
+    capsys.readouterr()
+    _drop_temp_views(["base_v", "v_one", "v_two", "m_probe"])
+    assert main(["test", "--project", str(proj), "--warehouse", wh_dir]) == 0
+    out = capsys.readouterr().out
+    assert "probe_vs_view" in out and "expression k = 1" in out
+    assert "FAIL" not in out
+
+    # expire-snapshots: unknown table errors; __old_ dirs are not swept
+    from dbtwiz_spark.materialize import Warehouse
+
+    wh = Warehouse(spark, wh_dir)
+    (wh.path("ghost__old_123")).mkdir()
+    assert main(["admin", "expire-snapshots", "--warehouse", wh_dir,
+                 "--table", "nope"]) == 1
+    assert "no table" in capsys.readouterr().out
+    assert main(["admin", "expire-snapshots", "--warehouse", wh_dir]) == 0
+    assert "ghost__old_123" not in capsys.readouterr().out
+    assert wh.path("ghost__old_123").exists()
