@@ -209,7 +209,8 @@ def cmd_build(args) -> int:
     results = runner.run(select, state=state,
                          exclude=getattr(args, "exclude", None),
                          threads=getattr(args, "threads", 1),
-                         full_refresh=getattr(args, "full_refresh", False))
+                         full_refresh=getattr(args, "full_refresh", False),
+                         fail_fast=getattr(args, "fail_fast", False))
     for r in results:
         line = f"{r.status:8s} {r.model}" + (f"  rows={r.rows}" if r.rows is not None else "")
         print(line + (f"  {r.error}" if r.error else ""))
@@ -1204,6 +1205,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also build upstream dependencies (prepends '+')")
     b.add_argument("--downstream", "-d", action="store_true",
                    help="also build downstream dependents (appends '+')")
+    b.add_argument("--fail-fast", action="store_true", dest="fail_fast",
+                   help="stop scheduling after the first model error "
+                        "(in-flight models finish; the rest report skipped)")
     b.add_argument("--work", "-w", action="store_true",
                    help="restrict to models with local git changes "
                         "(new/modified .sql under models/); a selector "

@@ -131,12 +131,14 @@ class Runner:
         exclude: str | None = None,
         threads: int = 1,
         full_refresh: bool = False,
+        fail_fast: bool = False,
     ) -> list[RunResult]:
         order = self.manifest.select(selector, state=state, exclude=exclude)
         self._resolve_cache = self._resolve_map()
         self._register_unbuilt(order)
         if threads > 1:
-            return self._run_parallel(order, threads, full_refresh=full_refresh)
+            return self._run_parallel(order, threads, full_refresh=full_refresh,
+                                      fail_fast=fail_fast)
         results = []
         selected = set(order)
         failed_or_skipped: set[str] = set()
@@ -160,10 +162,20 @@ class Runner:
             except Exception as e:  # noqa: BLE001 — per-model isolation, like dbt
                 failed_or_skipped.add(name)
                 results.append(RunResult(name, "error", error=f"{type(e).__name__}: {e}"))
+                if fail_fast:
+                    # dbt --fail-fast: stop scheduling after the first
+                    # error; everything not yet attempted reports skipped
+                    done = {r.model for r in results}
+                    results.extend(
+                        RunResult(rest, "skipped", error="fail-fast")
+                        for rest in order if rest not in done
+                    )
+                    break
         return results
 
     def _run_parallel(
-        self, order: list[str], threads: int, full_refresh: bool = False
+        self, order: list[str], threads: int, full_refresh: bool = False,
+        fail_fast: bool = False,
     ) -> list[RunResult]:
         """Dependency-aware thread-pooled execution (dbt's --threads):
         independent models run concurrently — on a cluster that is the
@@ -198,8 +210,16 @@ class Runner:
                 deps.discard(name)
 
         running: dict = {}
+        halted = False
         with ThreadPoolExecutor(max_workers=threads) as pool:
             while len(results) < len(order):
+                if halted and not running:
+                    # fail-fast drain complete: everything unfinished skips
+                    for n in order:
+                        if n not in results:
+                            finish(n, RunResult(n, "skipped",
+                                                error="fail-fast"))
+                    break
                 # cascade skips: a model whose parent failed/was skipped
                 for n in list(pending):
                     if n in results or n in submitted:
@@ -213,7 +233,7 @@ class Runner:
                         failed_or_skipped.add(n)
                         finish(n, RunResult(n, "skipped",
                                             error="upstream failed"))
-                for n in runnable():
+                for n in ([] if halted else runnable()):
                     submitted.add(n)
                     model = self.manifest.models[n]
 
@@ -236,7 +256,10 @@ class Runner:
                     continue
                 done, _ = wait(running, return_when=FIRST_COMPLETED)
                 for fut in done:
-                    finish(running.pop(fut), fut.result())
+                    res = fut.result()
+                    finish(running.pop(fut), res)
+                    if fail_fast and res.status == "error":
+                        halted = True  # in-flight models drain, no new starts
         return [results[n] for n in order]
 
     def _run_model(self, model: Model, full_refresh: bool = False) -> RunResult:

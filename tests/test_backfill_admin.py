@@ -849,3 +849,41 @@ def test_parallel_scheduler_matches_serial_on_random_dags(spark, tmp_path):
             want = ("skipped" if any(doomed(p) for p in parents[m])
                     else "error" if m in bad else "success")
             assert ser[m] == want, f"trial {trial} {m}: {ser[m]} != {want}"
+
+
+def test_fail_fast_stops_scheduling_in_both_modes(spark, tmp_path):
+    """dbt --fail-fast: after the first error, nothing new is attempted —
+    remaining models report skipped ('fail-fast') in serial AND parallel
+    runs; without the flag, independent models still build."""
+    def make() -> Manifest:
+        man = Manifest()
+        man.add_model(Model("ff_a", "SELECT 1 AS x", materialized="table"))
+        man.add_model(Model("ff_bad", "SELECT no_such_col FROM (SELECT 1 AS x)",
+                            materialized="table"))
+        man.add_model(Model("ff_c", "SELECT 2 AS x", materialized="table"))
+        man.add_model(Model("ff_d", "SELECT 3 AS x", materialized="table"))
+        return man
+
+    # without the flag: independents all build despite the error
+    res = {r.model: r.status for r in Runner(
+        spark, make(), Warehouse(spark, str(tmp_path / "w0"))).run("*")}
+    assert res == {"ff_a": "success", "ff_bad": "error",
+                   "ff_c": "success", "ff_d": "success"}
+
+    # serial fail-fast: models after the error report skipped
+    res = [ (r.model, r.status) for r in Runner(
+        spark, make(), Warehouse(spark, str(tmp_path / "w1"))
+    ).run("*", fail_fast=True)]
+    statuses = dict(res)
+    assert statuses["ff_bad"] == "error"
+    after = [m for m, _ in res[[m for m, _ in res].index("ff_bad") + 1:]]
+    assert all(statuses[m] == "skipped" for m in after) and after
+
+    # parallel fail-fast: error present, no model left unaccounted, and
+    # at least the scheduling stopped (skipped or already-running success)
+    res = {r.model: r.status for r in Runner(
+        spark, make(), Warehouse(spark, str(tmp_path / "w2"))
+    ).run("*", threads=2, fail_fast=True)}
+    assert res["ff_bad"] == "error"
+    assert set(res) == {"ff_a", "ff_bad", "ff_c", "ff_d"}
+    assert all(s in ("success", "error", "skipped") for s in res.values())
