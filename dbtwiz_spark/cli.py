@@ -435,6 +435,27 @@ def cmd_test(args) -> int:
 def cmd_manifest(args) -> int:
     manifest, _ = _load_manifest_only(args)
     order = manifest.select(args.select)
+    if getattr(args, "format", "json") == "dot":
+        # Graphviz export of the selected subgraph (lineage docs / review
+        # diagrams): sources as ellipses, models shaped by materialization
+        shapes = {"view": "note", "ephemeral": "component"}
+        print("digraph models {")
+        print("  rankdir=LR;")
+        in_sel = set(order)
+        for name in order:
+            m = manifest.models[name]
+            shape = shapes.get(m.materialized, "box")
+            print(f'  "{name}" [shape={shape} label="{name}\\n{m.materialized}"];')
+            for p in sorted(manifest.parent_map.get(name, ())):
+                if p in in_sel or p in manifest.sources:
+                    print(f'  "{p}" -> "{name}";')
+        for s in sorted(manifest.sources):
+            if any(s in manifest.parent_map.get(n, ()) for n in order):
+                print(f'  "{s}" [shape=ellipse label="{s}\\nsource"];')
+        print("}")
+        if getattr(args, "save_state", None):
+            manifest.save_state(args.save_state)
+        return 0
     out = {
         name: {
             "materialized": manifest.models[name].materialized,
@@ -1234,6 +1255,8 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--project", required=True)
     m.add_argument("--select", default="*")
     m.add_argument("--save-state", help="write fingerprints for state:modified")
+    m.add_argument("--format", choices=["json", "dot"], default="json",
+                   help="json (default) or a Graphviz dot lineage graph")
     m.set_defaults(fn=cmd_manifest)
 
     bf = sub.add_parser("backfill", help="date-chunked re-run of a model range")

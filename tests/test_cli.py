@@ -1944,3 +1944,16 @@ def test_view_of_view_and_expire_snapshots_guards(spark, tmp_path, capsys):
     assert main(["admin", "expire-snapshots", "--warehouse", wh_dir]) == 0
     assert "ghost__old_123" not in capsys.readouterr().out
     assert wh.path("ghost__old_123").exists()
+
+
+def test_manifest_dot_export(project, capsys):
+    """`manifest --format dot` emits a Graphviz lineage graph: models
+    shaped by materialization, edges from parents and sources, valid
+    digraph framing."""
+    assert main(["manifest", "--project", str(project),
+                 "--format", "dot"]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("digraph models {") and out.rstrip().endswith("}")
+    assert '"stg_customer" -> "mrt_nation_balance";' in out
+    assert 'shape=note label="stg_customer\\nview"' in out
+    assert 'shape=ellipse label="customer\\nsource"' in out
