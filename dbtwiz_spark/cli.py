@@ -122,6 +122,22 @@ def cmd_build(args) -> int:
         # would fingerprint-mismatch EVERY model and rebuild the project
         if saved.get("state") and not args.state:
             args.state = saved["state"]
+    if getattr(args, "retry_failed", False):
+        # dbt retry: re-run exactly the models that errored or were
+        # skipped in the previous invocation, from the persisted status
+        # map (written at the end of every build)
+        results_file = _Path(args.project) / ".dbtwiz_spark" / "last_results.json"
+        if not results_file.exists():
+            print("no previous run recorded (missing "
+                  f"{results_file}); run a build first")
+            return 1
+        prior = _json.loads(results_file.read_text())
+        failed = sorted(m for m, s in prior.items() if s in ("error", "skipped"))
+        if not failed:
+            print("nothing to retry: previous run had no errors")
+            return 0
+        args.select = " ".join(failed)
+        print(f"retrying failed/skipped models: {args.select}")
     if getattr(args, "work", False):
         # reference `build --work` (commands/__init__.py:106 +
         # dbt/support.py models_with_local_changes): restrict to models
@@ -214,6 +230,12 @@ def cmd_build(args) -> int:
     for r in results:
         line = f"{r.status:8s} {r.model}" + (f"  rows={r.rows}" if r.rows is not None else "")
         print(line + (f"  {r.error}" if r.error else ""))
+    # per-model statuses persist for `build --retry-failed` (dbt retry):
+    # written on every build so the retry basis is always the latest run
+    results_file = _Path(args.project) / ".dbtwiz_spark" / "last_results.json"
+    results_file.parent.mkdir(exist_ok=True)
+    results_file.write_text(_json.dumps(
+        {r.model: r.status for r in results}, indent=1, sort_keys=True))
     return 0 if all(r.status != "error" for r in results) else 1
 
 
@@ -1226,6 +1248,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also build upstream dependencies (prepends '+')")
     b.add_argument("--downstream", "-d", action="store_true",
                    help="also build downstream dependents (appends '+')")
+    b.add_argument("--retry-failed", action="store_true", dest="retry_failed",
+                   help="re-run the models that errored or were skipped in "
+                        "the previous invocation (dbt retry)")
     b.add_argument("--fail-fast", action="store_true", dest="fail_fast",
                    help="stop scheduling after the first model error "
                         "(in-flight models finish; the rest report skipped)")

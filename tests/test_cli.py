@@ -1957,3 +1957,31 @@ def test_manifest_dot_export(project, capsys):
     assert '"stg_customer" -> "mrt_nation_balance";' in out
     assert 'shape=note label="stg_customer\\nview"' in out
     assert 'shape=ellipse label="customer\\nsource"' in out
+
+
+def test_build_retry_failed_reruns_error_and_skipped(tmp_path, capsys):
+    """dbt retry: --retry-failed re-runs exactly the previous run's
+    error+skipped models from the persisted status map; a clean previous
+    run retries nothing and exits 0."""
+    proj = tmp_path / "projretry"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: r\n")
+    (proj / "models" / "r_ok.sql").write_text("SELECT 1 AS x\n")
+    (proj / "models" / "r_ok.yml").write_text("materialized: table\n")
+    (proj / "models" / "r_bad.sql").write_text("SELECT no_col FROM (SELECT 1 AS x)\n")
+    (proj / "models" / "r_bad.yml").write_text("materialized: table\n")
+    (proj / "models" / "r_child.sql").write_text("SELECT * FROM {{ ref('r_bad') }}\n")
+    (proj / "models" / "r_child.yml").write_text("materialized: table\n")
+    wh = str(proj / "wh")
+    assert main(["build", "--project", str(proj), "--warehouse", wh]) == 1
+    capsys.readouterr()
+    # fix the broken model, then retry: only bad+child rebuild
+    (proj / "models" / "r_bad.sql").write_text("SELECT 2 AS x\n")
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--retry-failed"]) == 0
+    out = capsys.readouterr().out
+    assert "r_bad" in out and "r_child" in out and " r_ok" not in out
+    # clean run -> nothing to retry, exit 0
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--retry-failed"]) == 0
+    assert "nothing to retry" in capsys.readouterr().out
