@@ -7,49 +7,34 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-5 window (positions 0-49):
+Round-6 window (positions 0-49):
 
-* 0-15 — the 16 entries that had never had a driver CORRECTNESS row
-  after round 4 (local-oracle green only): join-null-safe,
-  filter-exists-correlated, agg-mode-deterministic, agg-corr-covar,
-  agg-percentile-exact, win-gaps-islands, set-except-all,
-  set-intersect-all, set-union-by-name, func-zorder, func-higher-order,
-  func-from-json, sort-within-partitions-cert, ext-dedup-simhash-recall,
-  stream-dedup-near, ext-dataset-card. Green rows here close the
-  144/160 certification gap to 160/160.
-* 16-27 — entries ADDED this round (zero driver evidence, same priority
-  class as the 16 above): sink-scd2, ext-chunk-documents,
-  ext-bm25-search, ext-dedup-containment, agg-countmin-sketch,
-  ext-quality-unigram-logprob, agg-bloom-filter,
-  stream-resample-interpolate, win-funnel, win-retention-cohort,
-  join-bucketed, agg-histogram.
-* 28-44 — the oldest-evidence rows: the r2-green scan / project /
-  filter families and the core join family, whose newest driver row
-  predates two rounds of shared-helper evolution (catalog.py, common.py,
-  session confs).
-* 45-48 — write-path entries (sink-table-create, sink-insert-overwrite,
-  sink-merge, scan-time-travel): their newest rows are r3-green but the
-  materialize.py commit path changed THIS round (FileOutputCommitter v2),
-  so they re-certify the new write path rather than coast on rows earned
-  by the old one.
-* 49 — stream-dedup-near-cert, NEW: the driver-checkable batch/stream
-  agreement certificate for rows-only stream-dedup-near (same device as
-  ext-dedup-near-recall), replaying the corpus through the real
-  foreachBatch sink. Placed last as the single most expensive entry.
+* 0-9 — the 10 entries added after the round-5 window filled, the only
+  corpus entries with ZERO driver evidence (all are local-oracle green):
+  join-interval-overlap, ext-split-drift, agg-weighted-median,
+  agg-ab-test, sink-cdc-apply, ext-rank-fusion, ext-mask-tokens,
+  stream-join-interval, agg-kmv-intersect, ext-embed-quantize. Green
+  rows here restore 183/183 everything-driver-certified.
+* 10-40 — ALL 31 entries whose newest green row is still round 2 (the
+  scan-info-schema / project / distinct / join-shape / core-agg /
+  win-row-number / win-rank families): three rounds of shared-helper
+  evolution (catalog.py, common.py, session confs) since their last
+  driver check. After this round no entry's newest row predates r3.
+* 41-49 — r3-era rows on the most-evolved shared paths: the write path
+  (source-declare, sink-view-create, sink-copy-table, sink-delete-table
+  — materialize.py changed again in r5: FileOutputCommitter v2, merge
+  partition fix) and the Python-boundary family (udf-scalar, udaf, udtf,
+  macro-template) plus win-percent (range-partitioned global window).
 
-Still waiting after this round (slated for round 6): the 17 r2-green
-agg-family rows (agg-group-by .. agg-unpivot), win-row-number, win-rank,
-join-cross/-anti/-theta/-asof/-self-dag/-semi, distinct,
-scan-info-schema, file-format-orc, and
-project-rename/-computed/-except-replace (displaced by the round-5 new
-entries — their r2 rows remain valid), the r3-era
-function/set/stream families — all unchanged code whose green rows
-remain valid under the green-manifest guard — and the ten entries
-added AFTER the round-5 window filled (zero driver evidence,
-first-priority for the round-6 window): join-interval-overlap,
-ext-split-drift, agg-weighted-median, agg-ab-test, sink-cdc-apply,
-ext-rank-fusion, ext-mask-tokens, stream-join-interval,
-agg-kmv-intersect, ext-embed-quantize.
+Entries ADDED during round 6 displace positions 41-49 first (their r3
+rows remain valid), then the window tail, so new code always lands
+driver evidence the same round it ships.
+
+Still waiting after this round: the remaining r3-era rows —
+function/set/sort/stream-batch families and
+ext-sample-stratified/-decontaminate/-dedup-exact/-sim-cosine-topk —
+all unchanged code whose green rows remain valid under the
+green-manifest guard; slate them for round 7.
 """
 
 from __future__ import annotations
@@ -59,65 +44,60 @@ from __future__ import annotations
 # which carry the never-certified entries (highest information value) and
 # therefore go first regardless of cost.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # never driver-tested (local-oracle green only) — the certification gap
-    "join-null-safe",
-    "filter-exists-correlated",
-    "agg-mode-deterministic",
-    "agg-corr-covar",
-    "agg-percentile-exact",
-    "win-gaps-islands",
-    "set-except-all",
-    "set-intersect-all",
-    "set-union-by-name",
-    "func-zorder",
-    "func-higher-order",
-    "func-from-json",
-    "sort-within-partitions-cert",
-    "ext-dedup-simhash-recall",
-    "stream-dedup-near",
-    "ext-dataset-card",
-    # added this round — zero driver evidence yet
-    "sink-scd2",
-    "ext-chunk-documents",
-    "ext-bm25-search",
-    "ext-dedup-containment",
-    "agg-countmin-sketch",
-    "ext-quality-unigram-logprob",
-    "agg-bloom-filter",
-    "stream-resample-interpolate",
-    "win-funnel",
-    "win-retention-cohort",
-    "join-bucketed",
-    "agg-histogram",
-    # oldest-evidence refresh: r2-green scan family
-    "scan-table",
-    "scan-view",
-    "file-format-parquet",
-    "file-format-csv",
-    "file-format-json",
-    # r2-green projection family
-    "project-star",
-    # r2-green filter family
-    "filter-predicate",
-    "filter-like",
-    "filter-in",
-    "filter-between",
-    "filter-null",
-    "filter-partition-required",
-    # r2-green join family (core shapes; the rest displaced to round 6)
-    "join-inner-equi",
-    "join-left-outer",
-    "join-right-outer",
-    "join-full-outer",
-    "join-broadcast",
-    # write path re-certification: materialize.py commit path changes this
-    # round (insert-overwrite profiling), so the sink rows must be re-earned
-    "sink-table-create",
-    "sink-insert-overwrite",
-    "sink-merge",
-    "scan-time-travel",
-    # new certificate for rows-only stream-dedup-near; most expensive, last
-    "stream-dedup-near-cert",
+    # zero driver evidence (added after the round-5 window filled) — first
+    "join-interval-overlap",
+    "ext-split-drift",
+    "agg-weighted-median",
+    "agg-ab-test",
+    "sink-cdc-apply",
+    "ext-rank-fusion",
+    "ext-mask-tokens",
+    "stream-join-interval",
+    "agg-kmv-intersect",
+    "ext-embed-quantize",
+    # oldest-evidence refresh: every entry whose newest green row is r2
+    "scan-info-schema",
+    "file-format-orc",
+    "project-rename",
+    "project-computed",
+    "project-except-replace",
+    "distinct",
+    "join-cross",
+    "join-semi",
+    "join-anti",
+    "join-theta",
+    "join-asof",
+    "join-self-dag",
+    "agg-group-by",
+    "agg-count",
+    "agg-sum",
+    "agg-min",
+    "agg-max",
+    "agg-avg",
+    "agg-count-distinct",
+    "agg-array-agg",
+    "agg-string-agg",
+    "agg-grouping-sets",
+    "agg-rollup",
+    "agg-cube",
+    "agg-having",
+    "agg-filtered",
+    "agg-approx-quantile",
+    "agg-pivot",
+    "agg-unpivot",
+    "win-row-number",
+    "win-rank",
+    # r3-era rows on the most-evolved shared paths (write path + Python
+    # boundary); displaced first by entries added during round 6
+    "source-declare",
+    "sink-view-create",
+    "sink-copy-table",
+    "sink-delete-table",
+    "udf-scalar",
+    "udaf",
+    "udtf",
+    "macro-template",
+    "win-percent",
 )
 
 
