@@ -1214,3 +1214,171 @@ def agg_kmv_intersect(spark, sf_dir):
         ).alias("within_bound"),
     )
     return out
+
+
+@register(
+    "agg-linear-regression",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {dsum_sql('l_quantity')} AS sx,
+               {dsum_sql('l_extendedprice')} AS sy,
+               {dsum_sql('l_quantity * l_extendedprice')} AS sxy,
+               {dsum_sql('l_quantity * l_quantity')} AS sxx,
+               {dsum_sql('l_extendedprice * l_extendedprice')} AS syy
+        FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n,
+                 4) AS intercept,
+           round(power(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM m
+    """,
+)
+def agg_linear_regression(spark, sf_dir):
+    """Per-group ordinary-least-squares fit (slope / intercept / R²) of
+    extendedprice on quantity — the ``regr_slope``-family capability
+    (BigQuery exposes it as ML.LINEAR_REG / regr_* in GoogleSQL; the
+    reference's SQL plane can emit it) computed deterministically: the
+    built-in regr_* aggregates accumulate doubles in partition order, so
+    instead the five exact DECIMAL moments (n, Σx, Σy, Σxy, Σx², Σy²) are
+    reduced (order-independent) and the closed-form OLS combine runs once
+    per group in double. Rounding absorbs the combine's last-ulp variance,
+    dp sized to output magnitude (slope/R² O(1–1e3) → 6 dp, intercept
+    O(1e4) → 4 dp).
+
+    Scale: one shuffle with map-side partial aggregation; the moment
+    vector is MERGEABLE (per-shard vectors add), so a 100 TB fit is a
+    single pass — and the same vector serves corr/covar (agg-corr-covar)
+    and stddev for free."""
+    li = views(spark, sf_dir).table("lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * y, "sxy"),
+        dsum(x * x, "sxx"),
+        dsum(y * y, "syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    slope = num / (n * sxx - sx * sx)
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - sx * slope) / n, 4).alias("intercept"),
+        F.round(
+            F.pow(num, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("r2"),
+    )
+
+
+@register(
+    "agg-entropy",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, COUNT(*) AS cnt FROM documents GROUP BY 1, 2),
+    t AS (
+        SELECT lang, source, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY lang) AS DOUBLE) AS total
+        FROM c)
+    SELECT lang,
+           COUNT(*) AS n_sources,
+           CAST(SUM(CAST(-(cnt / total) * ln(cnt / total)
+                         AS DECIMAL(28, 6))) AS DOUBLE) AS entropy_nats
+    FROM t GROUP BY 1
+    """,
+)
+def agg_entropy(spark, sf_dir):
+    """Per-language Shannon entropy (nats) of the source distribution —
+    the diversity metric a training-data pipeline tracks per slice (a
+    collapsing entropy flags a crawl that lost a source). Computed as
+    count-per-(lang, source), a windowed per-lang total over that TINY
+    aggregate (distinct pairs, not the corpus — never a single-partition
+    global window), then -Σ p·ln p with each term truncated to
+    DECIMAL(28,6) before the sum so the reduction is order-independent
+    across engines (the unigram-logprob device; per-term ln() ulp skew
+    cannot reorder a truncated sum).
+
+    Scale: one corpus-wide shuffle (the count), everything after runs on
+    the distinct-pair table — O(langs × sources) rows at any corpus
+    size."""
+    d = views(spark, sf_dir).table("documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("cnt"))
+    t = c.withColumn(
+        "total", F.sum("cnt").over(Window.partitionBy("lang")).cast("double")
+    )
+    p = F.col("cnt") / F.col("total")
+    term = (-p * F.log(p)).cast("decimal(28,6)")
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_sources"),
+        F.sum(term).cast("double").alias("entropy_nats"),
+    )
+
+
+@register(
+    "agg-skewness-kurtosis",
+    oracle=f"""
+    WITH m AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               {dsum_sql('l_quantity')} AS s1,
+               {dsum_sql('l_quantity * l_quantity')} AS s2,
+               {dsum_sql('l_quantity * l_quantity * l_quantity')} AS s3,
+               {dsum_sql('l_quantity * l_quantity * l_quantity * l_quantity')}
+                 AS s4
+        FROM lineitem GROUP BY 1)
+    SELECT l_returnflag, n,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * power(s1 / n, 3))
+                 / power(s2 / n - power(s1 / n, 2), 1.5), 6) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * power(s1 / n, 2) * (s2 / n) - 3 * power(s1 / n, 4))
+                 / power(s2 / n - power(s1 / n, 2), 2) - 3, 6)
+             AS kurtosis_excess
+    FROM m
+    """,
+)
+def agg_skewness_kurtosis(spark, sf_dir):
+    """Per-group population skewness and excess kurtosis of quantity —
+    distribution-shape checks a data pipeline runs per shard (a spike in
+    kurtosis flags an outlier burst). Built-in ``skewness``/``kurtosis``
+    accumulate central moments in partition order (engine- and
+    partitioning-dependent low bits), so the engine reduces the exact
+    DECIMAL power sums Σx..Σx⁴ (order-independent) and applies the raw→
+    central moment combine once per group in double: m3 = s3/n − 3μ·s2/n
+    + 2μ³, m4 = s4/n − 4μ·s3/n + 6μ²·s2/n − 3μ⁴. x is O(50), so Σx⁴ stays
+    ≤ 6·10⁶·n — far inside DECIMAL(38,6) at any SF — and the combine's
+    cancellation keeps ~10 significant digits, absorbed by round(6).
+
+    Scale: identical single-shuffle shape as agg-corr-covar; the power-sum
+    vector is mergeable across shards."""
+    li = views(spark, sf_dir).table("lineitem")
+    x = F.col("l_quantity")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(x, "s1"),
+        dsum(x * x, "s2"),
+        dsum(x * x * x, "s3"),
+        dsum(x * x * x * x, "s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - F.pow(mu, 2)
+    m3 = F.col("s3") / n - 3 * mu * (F.col("s2") / n) + 2 * F.pow(mu, 3)
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * (F.col("s3") / n)
+        + 6 * F.pow(mu, 2) * (F.col("s2") / n)
+        - 3 * F.pow(mu, 4)
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurtosis_excess"),
+    )

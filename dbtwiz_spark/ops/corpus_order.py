@@ -20,18 +20,23 @@ Round-6 window (positions 0-49):
   win-row-number / win-rank families): three rounds of shared-helper
   evolution (catalog.py, common.py, session confs) since their last
   driver check. After this round no entry's newest row predates r3.
-* 41-49 — r3-era rows on the most-evolved shared paths: the write path
+* 41-44 — r3-era rows on the most-evolved shared path: the write path
   (source-declare, sink-view-create, sink-copy-table, sink-delete-table
   — materialize.py changed again in r5: FileOutputCommitter v2, merge
-  partition fix) and the Python-boundary family (udf-scalar, udaf, udtf,
-  macro-template) plus win-percent (range-partitioned global window).
+  partition fix).
+* 45-49 — the 5 entries added at the round-6 start (zero driver
+  evidence, local-oracle green): agg-linear-regression, agg-entropy,
+  agg-skewness-kurtosis, join-asof-nearest, win-ema. Per the displacement
+  policy these took the udf-scalar/udaf/udtf/macro-template/win-percent
+  slots (those r3 rows remain valid and their code is unchanged).
 
-Entries ADDED during round 6 displace positions 41-49 first (their r3
-rows remain valid), then the window tail, so new code always lands
-driver evidence the same round it ships.
+Entries ADDED later in round 6 displace the write-path slots 41-44 next
+(their r3 rows remain valid), then the window tail, so new code always
+lands driver evidence the same round it ships.
 
 Still waiting after this round: the remaining r3-era rows —
-function/set/sort/stream-batch families and
+function/set/sort/stream-batch families, the Python-boundary family
+(udf-scalar/udaf/udtf/macro-template), win-percent, and
 ext-sample-stratified/-decontaminate/-dedup-exact/-sim-cosine-topk —
 all unchanged code whose green rows remain valid under the
 green-manifest guard; slate them for round 7.
@@ -93,11 +98,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sink-view-create",
     "sink-copy-table",
     "sink-delete-table",
-    "udf-scalar",
-    "udaf",
-    "udtf",
-    "macro-template",
-    "win-percent",
+    # added at round-6 start — zero driver evidence, go in this window
+    "agg-linear-regression",
+    "agg-entropy",
+    "agg-skewness-kurtosis",
+    "join-asof-nearest",
+    "win-ema",
 )
 
 

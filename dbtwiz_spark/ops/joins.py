@@ -618,3 +618,122 @@ def join_interval_overlap(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "join-asof-nearest",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+    ), o AS (
+        SELECT o_custkey AS user_id, o_orderkey,
+               TIMESTAMP '2024-01-01'
+                 + (o_orderkey % 2592000) * INTERVAL 1 SECOND AS ots
+        FROM orders WHERE o_custkey < 15
+    ), c AS (
+        SELECT e.event_id, o.o_orderkey,
+               abs(epoch(e.ts) - epoch(o.ots)) AS dist,
+               (o.ots > e.ts) AS is_fwd
+        FROM e JOIN o USING (user_id)
+    ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+                                     ORDER BY dist, is_fwd, o_orderkey) AS rn
+        FROM c)
+    SELECT e.event_id, e.user_id,
+           r.o_orderkey AS nearest_orderkey, r.dist AS dist_s
+    FROM e LEFT JOIN (SELECT event_id, o_orderkey, dist FROM r WHERE rn = 1) r
+      USING (event_id)
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each purchase event pairs with the user's closest
+    "order" in time, whichever side it falls on — backward preferred on
+    exact distance ties, then smallest key. The lookup shape sensor/event
+    enrichment needs when the reference stream is sampled, not
+    cumulative.
+
+    Same scale story as join-asof — NO per-user event×order join: the two
+    sides are union-tagged and two lag-structured window passes (one
+    ascending for the latest at-or-before candidate, one descending for
+    the earliest after candidate) each carry a (time, key) struct via
+    ``last(ignoreNulls)``; the direction pick is then a per-row CASE.
+    One shuffle on the key, two linear scans per key, safe at 100 TB.
+    Window tie-order places order rows before event rows at equal time
+    (so distance-0 matches are visible to both directions) and scans
+    keys descending so the surviving ``last`` is the SMALLEST key —
+    matching the oracle's deterministic (dist, direction, key) argmin.
+
+    Epochs compare as exact doubles (integer seconds ≤ 2⁵³), never
+    ``unix_timestamp`` (truncates sub-second — testing.py gotcha)."""
+    cat = views(spark, sf_dir)
+    ev = (
+        cat.table("events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "ts", "user_id")
+    )
+    orders = (
+        cat.table("orders")
+        .filter(F.col("o_custkey") < 15)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            "o_orderkey",
+            F.timestamp_seconds(
+                F.lit("2024-01-01").cast("timestamp").cast("long")
+                + F.col("o_orderkey") % 2592000
+            ).alias("ots"),
+        )
+    )
+    cand = F.struct(F.col("otsd").alias("otsd"), F.col("o_orderkey").alias("k"))
+    left = ev.select(
+        "user_id",
+        F.col("ts").cast("double").alias("tsd"),
+        F.lit(1).alias("tag"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("otsd"),
+    )
+    right = orders.select(
+        "user_id",
+        F.col("ots").cast("double").alias("tsd"),
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        F.col("ots").cast("double").alias("otsd"),
+    )
+    u = left.unionByName(right).withColumn(
+        "cand", F.when(F.col("tag") == 0, cand)
+    )
+    # ascending pass: latest order at-or-before (same-ts orders sort before
+    # events via tag; o_orderkey DESC so `last` keeps the smallest key)
+    w_bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("tsd", "tag", F.col("o_orderkey").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # descending pass: earliest order strictly after (equal-ts orders
+    # already belong to the backward side, so exclude them here via tag
+    # ordering: events(1) sort before orders(0) at equal tsd)
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("tsd").desc(), F.col("tag").desc(), F.col("o_orderkey").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    paired = (
+        u.withColumn("bwd", F.last("cand", ignorenulls=True).over(w_bwd))
+        .withColumn("fwd", F.last("cand", ignorenulls=True).over(w_fwd))
+        .filter(F.col("tag") == 1)
+    )
+    bdist = F.col("tsd") - F.col("bwd.otsd")
+    fdist = F.col("fwd.otsd") - F.col("tsd")
+    pick_bwd = F.col("fwd").isNull() | (
+        F.col("bwd").isNotNull() & (bdist <= fdist)
+    )
+    return paired.select(
+        "event_id",
+        "user_id",
+        F.when(pick_bwd, F.col("bwd.k")).otherwise(F.col("fwd.k")).alias(
+            "nearest_orderkey"
+        ),
+        F.when(pick_bwd, bdist).otherwise(fdist).alias("dist_s"),
+    )

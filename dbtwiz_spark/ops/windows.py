@@ -445,3 +445,67 @@ def win_retention_cohort(spark, sf_dir):
         )
         .agg(F.count_distinct("user_id").cast("long").alias("n_active_users"))
     )
+
+
+@register(
+    "win-ema",
+    oracle="""
+    WITH l AS (
+        SELECT user_id, event_id, value,
+               lag(value, 1) OVER w AS x1,
+               lag(value, 2) OVER w AS x2,
+               lag(value, 3) OVER w AS x3,
+               ROW_NUMBER() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           round((value + 0.5 * (x1 + 0.5 * (x2 + 0.5 * x3))) / 1.875, 6)
+             AS ema4
+    FROM l WHERE rn >= 4
+    """,
+)
+def win_ema(spark, sf_dir):
+    """Per-user exponentially-weighted moving average (α=0.5, 4-term
+    truncation) over the event stream — the smoothing a metrics pipeline
+    applies before thresholding. A true infinite-history EMA is a
+    sequential recurrence no engine's window frame expresses; the 4-term
+    truncation (residual weight 2⁻⁴ ≈ 6%) is the standard bounded-frame
+    form, and it makes the value an EXACT cross-engine expression: α=0.5
+    gives power-of-two coefficients (each product a bit-exact scaling)
+    and the nested Horner tree fixes the double-addition order, so both
+    engines evaluate the identical float expression (round(6) is belt and
+    braces). Rows before a full 4-event history are excluded rather than
+    renormalized — a ragged-start coalesce would reintroduce
+    engine-ordered arithmetic.
+
+    Scale: one hash-partitioned window (user_id), lag-only frame — the
+    same single-shuffle shape as win-lag-lead; no global ordering
+    anywhere."""
+    e = views(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x0 = F.col("value")
+    x1, x2, x3 = (F.lag("value", k).over(w) for k in (1, 2, 3))
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            x0.alias("v"),
+            x1.alias("x1"),
+            x2.alias("x2"),
+            x3.alias("x3"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") >= 4)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                (
+                    F.col("v")
+                    + 0.5 * (F.col("x1") + 0.5 * (F.col("x2") + 0.5 * F.col("x3")))
+                )
+                / 1.875,
+                6,
+            ).alias("ema4"),
+        )
+    )
