@@ -1382,3 +1382,69 @@ def agg_skewness_kurtosis(spark, sf_dir):
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(m2, 2) - 3, 6).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "agg-chi-squared",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    t AS (
+        SELECT lang, source, o,
+               CAST(SUM(o) OVER (PARTITION BY lang) AS DOUBLE) AS r,
+               CAST(SUM(o) OVER (PARTITION BY source) AS DOUBLE) AS col_t,
+               CAST(SUM(o) OVER () AS DOUBLE) AS n
+        FROM c),
+    term AS (
+        SELECT lang, source, n,
+               CAST(power(o - r * col_t / n, 2) / (r * col_t / n)
+                    AS DECIMAL(28, 6)) AS x
+        FROM t)
+    SELECT CAST(MAX(n) AS BIGINT) AS n,
+           (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS dof,
+           CAST(SUM(x) AS DOUBLE) AS chi2
+    FROM term
+    """,
+)
+def agg_chi_squared(spark, sf_dir):
+    """Pearson chi-squared test of independence between two categorical
+    columns (lang x source) -- the drift / contingency check a data
+    pipeline runs to ask "did the language mix shift between sources?".
+    Observed counts are exact BIGINTs; each cell's (O-E)^2/E is a
+    deterministic double expression over exact inputs (E computed as
+    double r*c/n so the formula never overflows integer range at any
+    corpus size), truncated to DECIMAL(28,6) BEFORE the final sum so the
+    cell reduction is order-independent across engines (the agg-entropy
+    device). dof = (R-1)(C-1) for the caller's p-value lookup.
+
+    Scale: one corpus-wide shuffle (the count); the marginal windows and
+    the final reduce run on the distinct (lang, source) pair table --
+    O(langs x sources) rows at any corpus size, so the unpartitioned
+    total window is provably bounded."""
+    d = views(spark, sf_dir).table("documents")
+    c = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    t = (
+        c.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("lang")).cast("double")
+        )
+        .withColumn(
+            "col_t",
+            F.sum("o").over(Window.partitionBy("source")).cast("double"),
+        )
+        .withColumn(
+            "n",
+            F.sum("o").over(
+                Window.partitionBy()
+            ).cast("double"),
+        )
+    )
+    e = F.col("r") * F.col("col_t") / F.col("n")
+    term = (F.pow(F.col("o") - e, 2) / e).cast("decimal(28,6)")
+    return t.select("lang", "source", "n", term.alias("x")).agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            (F.count_distinct(F.col("lang")) - 1)
+            * (F.count_distinct(F.col("source")) - 1)
+        ).alias("dof"),
+        F.sum("x").cast("double").alias("chi2"),
+    )

@@ -20,26 +20,25 @@ Round-6 window (positions 0-49):
   win-row-number / win-rank families): three rounds of shared-helper
   evolution (catalog.py, common.py, session confs) since their last
   driver check. After this round no entry's newest row predates r3.
-* 41-44 — r3-era rows on the most-evolved shared path: the write path
-  (source-declare, sink-view-create, sink-copy-table, sink-delete-table
-  — materialize.py changed again in r5: FileOutputCommitter v2, merge
-  partition fix).
-* 45-49 — the 5 entries added at the round-6 start (zero driver
-  evidence, local-oracle green): agg-linear-regression, agg-entropy,
-  agg-skewness-kurtosis, join-asof-nearest, win-ema. Per the displacement
-  policy these took the udf-scalar/udaf/udtf/macro-template/win-percent
-  slots (those r3 rows remain valid and their code is unchanged).
+* 41-49 — the 9 entries added during round 6 (zero driver evidence,
+  local-oracle green at sf0.001/0.01/0.1): agg-linear-regression,
+  agg-entropy, agg-skewness-kurtosis, join-asof-nearest, win-ema,
+  agg-chi-squared, win-zscore-anomaly, ext-dedup-paragraph,
+  ext-ngram-pmi. Per the displacement policy these took the write-path
+  (source-declare/sink-view-create/sink-copy-table/sink-delete-table)
+  and udf-scalar/udaf/udtf/macro-template/win-percent slots — all nine
+  displaced entries keep valid r3 rows under the green-manifest guard.
 
-Entries ADDED later in round 6 displace the write-path slots 41-44 next
-(their r3 rows remain valid), then the window tail, so new code always
-lands driver evidence the same round it ships.
+Entries ADDED later in round 6 go to the "added after the window
+filled" list below and front-load the round-7 window, so new code lands
+driver evidence at most one round after it ships.
 
-Still waiting after this round: the remaining r3-era rows —
-function/set/sort/stream-batch families, the Python-boundary family
-(udf-scalar/udaf/udtf/macro-template), win-percent, and
-ext-sample-stratified/-decontaminate/-dedup-exact/-sim-cosine-topk —
-all unchanged code whose green rows remain valid under the
-green-manifest guard; slate them for round 7.
+Still waiting after this round: the remaining r3-era rows — the write
+path (materialize.py evolved in r5), function/set/sort/stream-batch
+families, the Python-boundary family (udf-scalar/udaf/udtf/
+macro-template), win-percent, and ext-sample-stratified/-decontaminate/
+-dedup-exact/-sim-cosine-topk — all unchanged code whose green rows
+remain valid under the green-manifest guard; slate them for round 7.
 """
 
 from __future__ import annotations
@@ -94,16 +93,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win-rank",
     # r3-era rows on the most-evolved shared paths (write path + Python
     # boundary); displaced first by entries added during round 6
-    "source-declare",
-    "sink-view-create",
-    "sink-copy-table",
-    "sink-delete-table",
-    # added at round-6 start — zero driver evidence, go in this window
+    # added during round 6 — zero driver evidence, go in this window
     "agg-linear-regression",
     "agg-entropy",
     "agg-skewness-kurtosis",
     "join-asof-nearest",
     "win-ema",
+    "agg-chi-squared",
+    "win-zscore-anomaly",
+    "ext-dedup-paragraph",
+    "ext-ngram-pmi",
 )
 
 

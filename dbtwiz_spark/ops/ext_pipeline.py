@@ -1523,3 +1523,197 @@ def ext_mask_tokens(spark, sf_dir):
         .alias("n_masked"),
         F.array_join(masked, " ").alias("masked_text"),
     )
+
+
+@register(
+    "ext-dedup-paragraph",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    u AS (
+        SELECT doc_id, toks, g
+        FROM t, UNNEST(generate_series(0, len(toks) - 1, 5)) AS s(g)),
+    c AS (
+        SELECT doc_id, g // 5 AS idx,
+               array_to_string(toks[g + 1 : g + 5], ' ') AS chunk
+        FROM u),
+    k AS (
+        SELECT doc_id, idx, chunk,
+               ROW_NUMBER() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, idx) AS rn
+        FROM c),
+    r AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               string_agg(chunk, ' ' ORDER BY idx) AS text_dedup
+        FROM k WHERE rn = 1 GROUP BY 1)
+    SELECT t.doc_id,
+           CAST((len(toks) + 4) // 5 AS BIGINT) AS n_chunks,
+           COALESCE(r.n_kept, 0) AS n_kept,
+           COALESCE(r.text_dedup, '') AS text_dedup
+    FROM t LEFT JOIN r ON t.doc_id = r.doc_id
+    """,
+)
+def ext_dedup_paragraph(spark, sf_dir):
+    """Corpus-level repeated-passage removal (the CCNet / RefinedWeb
+    paragraph-dedup step): the corpus is cut into fixed 5-token passages
+    and every passage that already occurred ANYWHERE earlier in the corpus
+    (first occurrence = smallest (doc_id, position)) is dropped, then each
+    document is reassembled from its surviving passages in original order.
+    Unlike ext-dedup-near (whole-document) or ext-dup-span (detection
+    only), this TRANSFORMS the text -- the boilerplate-stripping pass that
+    runs before tokenization. Documents that lose every passage survive
+    with empty text (a downstream length filter's job, not this op's).
+
+    Scale: passage explode is map-side; first-occurrence is ONE window
+    shuffle hash-partitioned by passage text (high cardinality -- no hot
+    partition; an over-represented boilerplate passage lands one partition
+    with its duplicate count, bounded by corpus/5 rows, and only its
+    min-key row survives the rank); reassembly is one groupBy doc_id with
+    a sorted in-group collect bounded by document size. No all-pairs
+    stage anywhere, linear in corpus tokens at 100 TB."""
+    d = views(spark, sf_dir).table("documents")
+    toks = F.split("text", " ")
+    base = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.floor((F.size(toks) + 4) / 5).cast("long").alias("n_chunks"),
+    )
+    chunks = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - 1, F.lit(5))).alias(
+            "g"
+        ),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        F.floor(F.col("g") / 5).cast("long").alias("idx"),
+        F.array_join(F.slice(F.col("toks"), F.col("g") + 1, 5), " ").alias(
+            "chunk"
+        ),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    kept = (
+        chunks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "chunk"))
+                    ),
+                    lambda x: x["chunk"],
+                ),
+                " ",
+            ).alias("text_dedup"),
+        )
+    )
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
+
+
+@register(
+    "ext-ngram-pmi",
+    oracle="""
+    WITH t AS (
+        SELECT string_split(text, ' ') AS toks FROM documents),
+    b AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+               AS bg
+        FROM t),
+    bc AS (SELECT bg, COUNT(*) AS c12 FROM b GROUP BY 1),
+    uc AS (
+        SELECT w, COUNT(*) AS c1
+        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+    tot AS (
+        SELECT CAST(SUM(len(toks)) AS DOUBLE) AS n_uni,
+               CAST(SUM(len(toks) - 1) AS DOUBLE) AS n_big
+        FROM t),
+    s AS (
+        SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2,
+               c12 FROM bc WHERE c12 >= 5)
+    SELECT s.w1, s.w2, CAST(s.c12 AS BIGINT) AS c12,
+           round(ln((s.c12 / tot.n_big)
+                    / ((u1.c1 / tot.n_uni) * (u2.c1 / tot.n_uni))), 6)
+             AS pmi
+    FROM s
+    JOIN uc u1 ON u1.w = s.w1
+    JOIN uc u2 ON u2.w = s.w2
+    CROSS JOIN tot
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+)
+def ext_ngram_pmi(spark, sf_dir):
+    """Bigram collocation mining via pointwise mutual information:
+    PMI(w1,w2) = ln( p(w1,w2) / (p(w1) p(w2)) ), top-20 over bigrams seen
+    at least 5 times -- the statistic tokenizer/vocab pipelines use to
+    decide which word pairs deserve a merged token (and the corpus-drift
+    probe for phrase-level shifts). Counts are exact; the single ln() per
+    surviving bigram differs across engines only in the last ulp, absorbed
+    by round(6), and the top-20 orders by the ROUNDED value with (w1, w2)
+    tie-breaks, so the cut is deterministic (the ext-bm25-search device).
+
+    Scale: token/bigram explodes are map-side; two count shuffles whose
+    output is vocabulary-bounded (vocab and vocab^2-observed, both far
+    below corpus size); the unigram side and the 1-row totals broadcast
+    into the bigram join, so no shuffle ever moves more than the bigram
+    count table."""
+    d = views(spark, sf_dir).table("documents")
+    t = d.select(F.split("text", " ").alias("toks"))
+    bg = t.select(
+        F.explode(
+            F.when(
+                F.size("toks") > 1,
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                ),
+            ).otherwise(F.expr("array()")),
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uc = (
+        t.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    tot = t.agg(
+        F.sum(F.size("toks")).cast("double").alias("n_uni"),
+        F.sum(F.size("toks") - 1).cast("double").alias("n_big"),
+    )
+    s = bc.filter(F.col("c12") >= 5)
+    j = (
+        s.join(F.broadcast(uc.withColumnRenamed("w", "w1")), "w1")
+        .withColumnRenamed("c1", "c1_left")
+        .join(
+            F.broadcast(
+                uc.withColumnRenamed("w", "w2").withColumnRenamed("c1", "c2")
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c12") / F.col("n_big"))
+            / ((F.col("c1_left") / F.col("n_uni")) * (F.col("c2") / F.col("n_uni")))
+        ),
+        6,
+    )
+    return (
+        j.select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )

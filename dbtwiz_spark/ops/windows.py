@@ -509,3 +509,77 @@ def win_ema(spark, sf_dir):
             ).alias("ema4"),
         )
     )
+
+
+@register(
+    "win-zscore-anomaly",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL),
+    f AS (
+        SELECT user_id, event_id, value,
+               CAST(SUM(CAST(value AS DECIMAL(28, 6))) OVER w AS DOUBLE) AS s,
+               CAST(SUM(CAST(value * value AS DECIMAL(28, 6))) OVER w
+                    AS DOUBLE) AS s2,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id) AS rn
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id,
+           round(CASE WHEN (s2 - s * s / 10) / 9 > 0
+                      THEN (value - s / 10) / sqrt((s2 - s * s / 10) / 9)
+                      ELSE 0.0 END, 6) AS zscore,
+           (abs(round(CASE WHEN (s2 - s * s / 10) / 9 > 0
+                           THEN (value - s / 10)
+                                / sqrt((s2 - s * s / 10) / 9)
+                           ELSE 0.0 END, 6)) > 3.0) AS is_anomaly
+    FROM f WHERE rn > 10
+    """,
+)
+def win_zscore_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly flag: each event scored against the mean /
+    stddev of the SAME user's 10 preceding events (frame excludes the
+    current row, so an outlier cannot mask itself) -- the online
+    outlier-detection shape a metrics pipeline runs before alerting.
+    Frame sums go through exact DECIMAL accumulation (order-independent),
+    the two-moment variance combine (s2 - s^2/10)/9 then runs in double on
+    bit-identical inputs, and sqrt/divide are IEEE-deterministic -- so the
+    z-score is bit-equal across engines before the belt-and-braces
+    round(6). The anomaly flag compares the ROUNDED score (a raw-double
+    threshold could flip on the last ulp). Degenerate frames (zero
+    variance) score 0 rather than dividing by zero. Rows without a full
+    10-event history are excluded, not renormalized.
+
+    Scale: one hash-partitioned window on user_id with a bounded ROWS
+    frame -- the same single-shuffle shape as win-sliding-frame; no global
+    ordering anywhere."""
+    e = (
+        views(spark, sf_dir)
+        .table("events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    frame = w.rowsBetween(-10, -1)
+    v = F.col("value")
+    f = e.select(
+        "user_id",
+        "event_id",
+        v.alias("v"),
+        F.sum(v.cast(DEC)).over(frame).cast("double").alias("s"),
+        F.sum((v * v).cast(DEC)).over(frame).cast("double").alias("s2"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") > 10)
+    var = (F.col("s2") - F.col("s") * F.col("s") / 10) / 9
+    z = F.round(
+        F.when(var > 0, (F.col("v") - F.col("s") / 10) / F.sqrt(var))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        z.alias("zscore"),
+        (F.abs(z) > 3.0).alias("is_anomaly"),
+    )
