@@ -369,7 +369,11 @@ class Warehouse:
         # deleted. A crash at any point leaves every row on disk under either
         # the live path or the __old path — never the delete-then-move hole
         # where no live table exists.
-        ts = int(time.time() * 1000)
+        # snapshot id allocated BEFORE the rename, while the outgoing
+        # table's snapshot dir is still readable at the live path — bumped
+        # past existing ids so same-ms overwrites can't fold the outgoing
+        # state inside an existing snapshot (shutil.move-into-dir)
+        ts = self._next_snapshot_ts(name)
         old = target.with_name(f"{name}__old_{ts}")
         if target.exists():
             target.rename(old)
@@ -714,12 +718,25 @@ class Warehouse:
         self._unview(name)
 
     # -- snapshots / time travel ----------------------------------------
+    def _next_snapshot_ts(self, name: str) -> int:
+        """Allocate a snapshot id: wall-clock ms, bumped past the newest
+        existing id. Two snapshots of the same table within one
+        millisecond would otherwise collide — ``mkdir`` raises on the
+        copy paths, and ``shutil.move`` on the write_table publish path
+        silently folds the outgoing table INSIDE the existing snapshot
+        directory instead of beside it, corrupting both states."""
+        ts = int(time.time() * 1000)
+        existing = self.snapshots(name)
+        if existing and ts <= existing[-1]:
+            ts = existing[-1] + 1
+        return ts
+
     def _snapshot_via_links(self, name: str) -> int:
         """Zero-copy snapshot of the current table state via hardlinks
         (see insert_overwrite). Returns the snapshot epoch-ms id."""
         import os
 
-        ts = int(time.time() * 1000)
+        ts = self._next_snapshot_ts(name)
         src = self.path(name)
         dst = src / SNAPSHOT_DIRNAME / str(ts)
         dst.mkdir(parents=True)
@@ -737,7 +754,7 @@ class Warehouse:
     def snapshot(self, name: str) -> int:
         """Write a timestamped snapshot of the current table state; returns
         the snapshot epoch-ms id (the ``@ms`` decorator analog)."""
-        ts = int(time.time() * 1000)
+        ts = self._next_snapshot_ts(name)
         src = self.path(name)
         dst = src / SNAPSHOT_DIRNAME / str(ts)
         dst.parent.mkdir(parents=True, exist_ok=True)

@@ -698,3 +698,48 @@ def test_failed_write_preserves_view_definition(spark, tmp_path):
     fresh = Warehouse(spark, root)
     assert "vf" in fresh.views  # definition survived the failed write
     assert fresh.read("vf").count() == 1
+
+
+class _FrozenTime:
+    """time-module stand-in whose clock never advances — forces the
+    same-millisecond snapshot-id collision that wall clocks only produce
+    under rapid successive writes."""
+
+    def __init__(self, ms: int):
+        self._s = ms / 1000.0
+
+    def time(self) -> float:
+        return self._s
+
+
+def test_snapshot_ids_unique_within_same_millisecond(spark, wh, monkeypatch):
+    """Two snapshots of one table in the same ms must get distinct,
+    increasing ids — not FileExistsError (copy/hardlink paths) or a
+    silent move-into-dir merge (write_table publish path)."""
+    import dbtwiz_spark.materialize as mat
+
+    wh.write_table("tsnap", _df(spark, [(1, "a", "d")]))
+    frozen = _FrozenTime(int(time.time() * 1000))
+    monkeypatch.setattr(mat, "time", frozen)
+    s1 = wh.snapshot("tsnap")
+    s2 = wh.snapshot("tsnap")
+    s3 = wh._snapshot_via_links("tsnap")
+    assert s1 < s2 < s3
+    assert wh.snapshots("tsnap") == [s1, s2, s3]
+
+
+def test_same_ms_overwrites_keep_all_snapshot_states(spark, wh, monkeypatch):
+    """write_table publish allocates the snapshot id past existing ids:
+    three same-ms overwrites leave two distinct readable snapshots (v1,
+    v2), not one corrupted dir with v1 nested inside it."""
+    import dbtwiz_spark.materialize as mat
+
+    frozen = _FrozenTime(int(time.time() * 1000))
+    monkeypatch.setattr(mat, "time", frozen)
+    for v in ("v1", "v2", "v3"):
+        wh.write_table("tms", _df(spark, [(1, v, "d")]))
+    assert wh.read("tms").first().v == "v3"
+    snaps = wh.snapshots("tms")
+    assert len(snaps) == 2
+    got = {wh.read_snapshot("tms", s).first().v for s in snaps}
+    assert got == {"v1", "v2"}

@@ -811,3 +811,68 @@ def test_compact_after_fragmenting_merges_preserves_content(spark, tmp_path):
     )
     got = {r.k: (r.v, r.partitiondate) for r in wh.read("t").collect()}
     assert got == state
+
+
+def test_time_travel_history_matches_recorded_states(spark, tmp_path):
+    """Randomized (seeded) mixed write ops (overwrite / merge /
+    insert_overwrite) with a snapshot after each — alternating the copy
+    and hardlink snapshot paths. Every recorded snapshot id must
+    reproduce exactly the state at its moment (history survives later
+    overwrites, which MOVE the snapshot dir), and restore() to a
+    mid-history id must reproduce it live."""
+    import random
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    rng = random.Random(23)
+    days = [f"2024-03-0{d}" for d in range(1, 5)]
+    wh = Warehouse(spark, str(tmp_path / "wh_tt_prop"))
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v, p) for k, (v, p) in sorted(rows.items())],
+            "k INT, v STRING, partitiondate STRING",
+        )
+
+    def live():
+        return {r.k: (r.v, r.partitiondate) for r in wh.read("t").collect()}
+
+    state = {k: (f"b{k}", rng.choice(days)) for k in range(12)}
+    wh.write_table("t", df_of(state), partition_by="partitiondate", snapshot=False)
+    history: dict[int, dict] = {}
+    for round_i in range(6):
+        op = rng.choice(["overwrite", "merge", "insert_overwrite"])
+        if op == "overwrite":
+            state = {
+                k: (f"o{round_i}_{k}", rng.choice(days))
+                for k in rng.sample(range(18), 10)
+            }
+            wh.write_table(
+                "t", df_of(state), partition_by="partitiondate", snapshot=False
+            )
+        elif op == "merge":
+            ups = {
+                k: (f"m{round_i}_{k}", rng.choice(days))
+                for k in rng.sample(range(18), 5)
+            }
+            state.update(ups)
+            wh.merge("t", df_of(ups), unique_key="k", partition_by="partitiondate")
+        else:
+            day = rng.choice(days)
+            rows = {k: (f"i{round_i}_{k}", day) for k in rng.sample(range(18), 4)}
+            state = {k: vp for k, vp in state.items() if vp[1] != day}
+            state.update(rows)
+            wh.insert_overwrite("t", df_of(rows), "partitiondate")
+        sid = wh.snapshot("t") if round_i % 2 == 0 else wh._snapshot_via_links("t")
+        history[sid] = dict(state)
+        assert live() == state, f"live state diverged after {op} round {round_i}"
+    assert sorted(history) == list(history), "snapshot ids must be increasing"
+    for sid, snap_state in history.items():
+        got = {
+            r.k: (r.v, r.partitiondate)
+            for r in wh.read_snapshot("t", sid).collect()
+        }
+        assert got == snap_state, f"snapshot {sid} diverged from recorded state"
+    mid = sorted(history)[2]
+    wh.restore("t", mid)
+    assert live() == history[mid], "restore did not reproduce the snapshot state"
