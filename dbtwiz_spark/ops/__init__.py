@@ -23,6 +23,7 @@ from dbtwiz_spark.ops import udfs  # noqa: F401  §2.10
 from dbtwiz_spark.ops import ext_llm  # noqa: F401  §2.11
 from dbtwiz_spark.ops import ext_pipeline  # noqa: F401  §2.11 family §E
 from dbtwiz_spark.ops import skew  # noqa: F401  §4 skew mitigation
+from dbtwiz_spark.ops import graphs  # noqa: F401  §2.11 iterative graph
 
 # Driver correctness-window rotation: the driver checks the FIRST 50
 # queries() keys per round, so corpus_order.DRIVER_WINDOW deliberately

@@ -1448,3 +1448,176 @@ def agg_chi_squared(spark, sf_dir):
         ).alias("dof"),
         F.sum("x").cast("double").alias("chi2"),
     )
+
+
+@register(
+    "agg-market-basket",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    item AS (SELECT p_brand, COUNT(*) AS supp FROM baskets GROUP BY 1),
+    pair AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS supp_pair
+        FROM baskets a JOIN baskets b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY 1, 2)
+    SELECT p.brand_a, p.brand_b, p.supp_pair,
+           round(CAST(p.supp_pair AS DOUBLE) / ia.supp, 6) AS confidence,
+           round(CAST(p.supp_pair AS DOUBLE) * n.n_orders
+                 / (ia.supp * ib.supp), 6) AS lift
+    FROM pair p
+    JOIN item ia ON p.brand_a = ia.p_brand
+    JOIN item ib ON p.brand_b = ib.p_brand, n
+    WHERE p.supp_pair >= 5
+    ORDER BY round(CAST(p.supp_pair AS DOUBLE) * n.n_orders
+                   / (ia.supp * ib.supp), 6) DESC,
+             p.brand_a, p.brand_b
+    LIMIT 20
+    """,
+)
+def agg_market_basket(spark, sf_dir):
+    """Association rules over order baskets (brand co-occurrence):
+    support / confidence / lift, top-20 by lift -- the market-basket
+    primitive behind recommendation and affinity marts. All statistics
+    derive from integer counts (identical in any engine); confidence and
+    lift are single divisions of identical integers, so the doubles are
+    bit-equal before the belt-and-braces round(6); ordering is on the
+    ROUNDED lift with a full (brand_a, brand_b) tie-break.
+
+    Scale: pair generation self-joins baskets on l_orderkey -- O(k^2) per
+    basket with k bounded by the items-per-order (single digits), never
+    corpus-quadratic; Catalyst partial-aggregates pair counts map-side.
+    The item-support and n_orders sides are vocabulary-sized and
+    broadcast into the final enrichment join."""
+    cat = views(spark, sf_dir)
+    li, p = cat.table("lineitem"), cat.table("part")
+    baskets = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item = baskets.groupBy("p_brand").agg(F.count("*").alias("supp"))
+    a = baskets.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_a"))
+    b = baskets.select(F.col("l_orderkey"), F.col("p_brand").alias("brand_b"))
+    pair = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("supp_pair"))
+        .filter(F.col("supp_pair") >= 5)
+    )
+    ia = item.select(F.col("p_brand").alias("brand_a"), F.col("supp").alias("supp_a"))
+    ib = item.select(F.col("p_brand").alias("brand_b"), F.col("supp").alias("supp_b"))
+    lift = F.round(
+        F.col("supp_pair").cast("double")
+        * F.col("n_orders")
+        / (F.col("supp_a") * F.col("supp_b")),
+        6,
+    )
+    return (
+        pair.join(F.broadcast(ia), "brand_a")
+        .join(F.broadcast(ib), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "supp_pair",
+            F.round(F.col("supp_pair").cast("double") / F.col("supp_a"), 6).alias(
+                "confidence"
+            ),
+            lift.alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@register(
+    "agg-mann-whitney",
+    oracle="""
+    WITH g AS (
+        SELECT l_quantity AS v,
+               SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS nr,
+               SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS na
+        FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+    r AS (
+        SELECT v, nr, na, nr + na AS t,
+               SUM(nr + na) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+        FROM g),
+    s AS (
+        SELECT CAST(SUM(nr) AS BIGINT) AS n1, CAST(SUM(na) AS BIGINT) AS n2,
+               CAST(SUM(nr + na) AS BIGINT) AS n,
+               CAST(SUM(nr * (COALESCE(cum, 0) + (t + 1) / 2.0)) AS DOUBLE)
+                 AS rank_sum_r,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+        FROM r)
+    SELECT n1, n2,
+           rank_sum_r - n1 * (n1 + 1) / 2.0 AS u_stat,
+           round((rank_sum_r - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                 / sqrt(n1 * n2 / 12.0
+                        * ((n + 1) - CAST(tie_term AS DOUBLE)
+                                     / (n * (n - 1.0)))), 6) AS z_score
+    FROM s
+    """,
+)
+def agg_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (with tie correction) comparing the
+    quantity distributions of returned vs accepted lineitems -- the
+    nonparametric A/B device when values are skewed and a t-test's
+    normality assumption fails (complements agg-ab-test). Ranks come from
+    the DISTINCT-VALUE table: per value, group counts; the average rank
+    of a tied block is cum_before + (t+1)/2. All inputs are integers, so
+    every double is a single division/sqrt on bit-identical operands;
+    round(6) absorbs nothing but the last ulp.
+
+    Scale: the corpus-wide work is ONE partial-aggregated groupBy on the
+    value column; the windowed cumulative rank then runs over the
+    distinct-value table (cardinality of the measure's value domain --
+    here 50 rows, never corpus-sized; a continuous measure would be
+    binned first, same shape). The single-partition window over that
+    tiny aggregate is deliberate and bounded."""
+    li = (
+        views(spark, sf_dir)
+        .table("lineitem")
+        .filter(F.col("l_returnflag").isin("R", "A"))
+    )
+    g = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias("na"),
+    )
+    t = F.col("nr") + F.col("na")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "nr",
+        "na",
+        t.alias("t"),
+        F.sum(t).over(w).alias("cum"),
+    )
+    s = r.agg(
+        F.sum("nr").cast("bigint").alias("n1"),
+        F.sum("na").cast("bigint").alias("n2"),
+        F.sum(F.col("t")).cast("bigint").alias("n"),
+        F.sum(
+            F.col("nr") * (F.coalesce(F.col("cum"), F.lit(0)) + (F.col("t") + 1) / 2.0)
+        ).cast("double").alias("rank_sum_r"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
+    u = F.col("rank_sum_r") - n1 * (n1 + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1.0)))
+    )
+    return s.select(
+        "n1",
+        "n2",
+        u.alias("u_stat"),
+        F.round((u - n1 * n2 / 2.0) / sigma, 6).alias("z_score"),
+    )

@@ -29,9 +29,14 @@ Round-6 window (positions 0-49):
   and udf-scalar/udaf/udtf/macro-template/win-percent slots — all nine
   displaced entries keep valid r3 rows under the green-manifest guard.
 
-Entries ADDED later in round 6 go to the "added after the window
-filled" list below and front-load the round-7 window, so new code lands
-driver evidence at most one round after it ships.
+Added AFTER the round-6 window filled (zero driver evidence, all
+local-oracle green at sf0.001/0.01 — front-load these into the round-7
+window): graph-pagerank, win-rolling-median, join-spatial-radius,
+join-fuzzy-string, agg-market-basket, agg-mann-whitney.
+
+Entries ADDED later in round 6 extend that list and front-load the
+round-7 window, so new code lands driver evidence at most one round
+after it ships.
 
 Still waiting after this round: the remaining r3-era rows — the write
 path (materialize.py evolved in r5), function/set/sort/stream-batch

@@ -737,3 +737,132 @@ def join_asof_nearest(spark, sf_dir):
         ),
         F.when(pick_bwd, bdist).otherwise(fdist).alias("dist_s"),
     )
+
+
+@register(
+    "join-spatial-radius",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST((c_custkey * 7919) % 10000 AS DOUBLE) / 10.0 AS x,
+               CAST((c_custkey * 104729) % 10000 AS DOUBLE) / 10.0 AS y
+        FROM customer),
+    ctr AS (
+        SELECT s_suppkey,
+               CAST((s_suppkey * 4231) % 10000 AS DOUBLE) / 10.0 AS cx,
+               CAST((s_suppkey * 9973) % 10000 AS DOUBLE) / 10.0 AS cy
+        FROM supplier WHERE s_suppkey <= 20)
+    SELECT p.c_custkey, c.s_suppkey,
+           (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS dist2
+    FROM pts p, ctr c
+    WHERE (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)
+          <= 3600.0
+    """,
+)
+def join_spatial_radius(spark, sf_dir):
+    """Radius join: every customer point within distance 60 of any of 20
+    hub centers, on a synthetic 1000x1000 plane derived from the keys by
+    exact integer arithmetic (same derivation both engines; squared
+    Euclidean distance on those doubles is IEEE-exact, so the boundary
+    predicate cannot flip cross-engine -- a haversine variant has the
+    same plan shape but transcendental ulp risk on the boundary).
+
+    Scale: the oracle's theta cross-join is O(points x centers); the
+    engine instead grid-buckets points into radius-sized cells and
+    explodes each center to its 3x3 neighbor cells -- candidate
+    generation becomes a broadcast EQUI-join on the cell key (any point
+    within R of a center lies in one of the 9 cells), then the exact
+    distance filter prunes corner candidates. Per point: one cell-key
+    hash probe and <= a few center comparisons, independent of corpus
+    size; the center side stays a handful of rows per cell even when
+    centers number in the millions (hash-partition the cell key then)."""
+    cat = views(spark, sf_dir)
+    r = F.lit(60.0)
+    pts = cat.table("customer").select(
+        "c_custkey",
+        (((F.col("c_custkey") * 7919) % 10000).cast("double") / 10.0).alias("x"),
+        (((F.col("c_custkey") * 104729) % 10000).cast("double") / 10.0).alias("y"),
+    ).withColumn("cell_x", F.floor(F.col("x") / r)).withColumn(
+        "cell_y", F.floor(F.col("y") / r)
+    )
+    ctr = (
+        cat.table("supplier")
+        .filter(F.col("s_suppkey") <= 20)
+        .select(
+            "s_suppkey",
+            (((F.col("s_suppkey") * 4231) % 10000).cast("double") / 10.0).alias("cx"),
+            (((F.col("s_suppkey") * 9973) % 10000).cast("double") / 10.0).alias("cy"),
+        )
+        .withColumn("dx", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("dy", F.explode(F.sequence(F.lit(-1), F.lit(1))))
+        .withColumn("cell_x", F.floor(F.col("cx") / r) + F.col("dx"))
+        .withColumn("cell_y", F.floor(F.col("cy") / r) + F.col("dy"))
+    )
+    dist2 = (F.col("x") - F.col("cx")) * (F.col("x") - F.col("cx")) + (
+        F.col("y") - F.col("cy")
+    ) * (F.col("y") - F.col("cy"))
+    return (
+        pts.join(F.broadcast(ctr), ["cell_x", "cell_y"])
+        .filter(dist2 <= 3600.0)
+        .select("c_custkey", "s_suppkey", dist2.alias("dist2"))
+    )
+
+
+@register(
+    "join-fuzzy-string",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY 1, 2)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist,
+           a.n_parts * b.n_parts AS pair_card
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def join_fuzzy_string(spark, sf_dir):
+    """Blocked fuzzy self-join: near-identical part names (edit distance
+    <= 2) found WITHOUT an all-pairs comparison -- the entity-resolution
+    primitive (catalog dedup, vendor-name reconciliation). Levenshtein is
+    exact integer DP, identical in both engines.
+
+    Scale: two devices. (1) Compare the NAME VOCABULARY, not the corpus:
+    names are first aggregated (count per distinct name), so the
+    quadratic step runs on vocabulary cardinality -- corpus growth only
+    grows the cheap pre-aggregation. (2) Block on the head noun: the
+    O(v^2) candidate space becomes per-block O(b^2) equi-join fan-out;
+    real deployments block on soundex/prefix/length-band the same way.
+    The edit-distance filter then verifies candidates exactly."""
+    names = (
+        views(spark, sf_dir)
+        .table("part")
+        .groupBy(
+            F.col("p_name"),
+            F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+        )
+        .agg(F.count("*").alias("n_parts"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("noun"),
+        F.col("n_parts").alias("na"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("noun"),
+        F.col("n_parts").alias("nb"),
+    )
+    return (
+        a.join(b, "noun")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= 2)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+            (F.col("na") * F.col("nb")).alias("pair_card"),
+        )
+    )

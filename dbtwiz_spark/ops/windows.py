@@ -583,3 +583,54 @@ def win_zscore_anomaly(spark, sf_dir):
         z.alias("zscore"),
         (F.abs(z) > 3.0).alias("is_anomaly"),
     )
+
+
+@register(
+    "win-rolling-median",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(median(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_median_qty
+    FROM lineitem WHERE l_suppkey <= 25
+    """,
+)
+def win_rolling_median(spark, sf_dir):
+    """Rolling EXACT median of quantity over each supplier's last 11
+    shipments -- the robust-trend smoother (median shrugs off the outlier
+    bursts that wreck a rolling mean; the z-score op above is the
+    complementary detector). Spark has no holistic aggregate over a
+    window frame, so the engine collects the bounded frame into an array,
+    sorts it, and interpolates the middle (even count averages the two
+    middle elements, matching DuckDB's interpolated median on doubles --
+    the average of two identical doubles is IEEE-exact, no rounding
+    needed). The frame ORDER BY carries the unique (shipdate, orderkey,
+    linenumber) key so frame membership is a total order on both engines.
+
+    Scale: single hash-partitioned window on l_suppkey with a bounded
+    11-row frame -- collect/sort cost is O(k log k) per row with k=11,
+    all inside whole-stage codegen; no global ordering, no UDF. An
+    unbounded-frame median would instead need the two-heap
+    applyInPandasWithState device; bounded frames never do."""
+    li = (
+        views(spark, sf_dir)
+        .table("lineitem")
+        .filter(F.col("l_suppkey") <= 25)
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-10, 0)
+    )
+    arr = F.array_sort(F.collect_list("l_quantity").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        ((mid_lo + mid_hi) / 2).alias("rolling_median_qty"),
+    )
