@@ -1621,3 +1621,74 @@ def agg_mann_whitney(spark, sf_dir):
         u.alias("u_stat"),
         F.round((u - n1 * n2 / 2.0) / sigma, 6).alias("z_score"),
     )
+
+
+@register(
+    "agg-cramers-v",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id % 5 AS cohort, COUNT(*) AS o
+        FROM events GROUP BY 1, 2),
+    t AS (
+        SELECT event_type, cohort, o,
+               CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) AS r,
+               CAST(SUM(o) OVER (PARTITION BY cohort) AS DOUBLE) AS col_t,
+               CAST(SUM(o) OVER () AS DOUBLE) AS n
+        FROM c),
+    term AS (
+        SELECT event_type, cohort, n,
+               CAST(power(o - r * col_t / n, 2) / (r * col_t / n)
+                    AS DECIMAL(28, 6)) AS x
+        FROM t),
+    s AS (
+        SELECT CAST(MAX(n) AS BIGINT) AS n,
+               COUNT(DISTINCT event_type) AS nr,
+               COUNT(DISTINCT cohort) AS nc,
+               CAST(SUM(x) AS DOUBLE) AS chi2
+        FROM term)
+    SELECT n, chi2,
+           round(sqrt(chi2 / (n * (CASE WHEN nr < nc THEN nr ELSE nc END - 1))),
+                 6) AS cramers_v
+    FROM s
+    """,
+)
+def agg_cramers_v(spark, sf_dir):
+    """Cramer's V effect size for the association between event type and
+    user cohort -- the NORMALIZED companion to agg-chi-squared: chi2
+    grows with n, so pipelines alert on V = sqrt(chi2 / (n * (min(R,C)-1)))
+    in [0, 1], which is comparable across table sizes. Same determinism
+    device as agg-chi-squared (exact counts, DECIMAL-truncated cell
+    terms); the final sqrt runs on a bit-identical double.
+
+    Scale: one corpus-wide count shuffle; everything else on the
+    O(types x cohorts) pair table."""
+    e = views(spark, sf_dir).table("events")
+    c = e.groupBy(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    ).agg(F.count("*").alias("o"))
+    t = (
+        c.withColumn(
+            "r", F.sum("o").over(Window.partitionBy("event_type")).cast("double")
+        )
+        .withColumn(
+            "col_t", F.sum("o").over(Window.partitionBy("cohort")).cast("double")
+        )
+        .withColumn("n", F.sum("o").over(Window.partitionBy()).cast("double"))
+    )
+    exp = F.col("r") * F.col("col_t") / F.col("n")
+    term = (F.pow(F.col("o") - exp, 2) / exp).cast("decimal(28,6)")
+    s = t.select(
+        "event_type", "cohort", "n", term.alias("x")
+    ).agg(
+        F.max("n").cast("long").alias("n"),
+        F.count_distinct("event_type").alias("nr"),
+        F.count_distinct("cohort").alias("nc"),
+        F.sum("x").cast("double").alias("chi2"),
+    )
+    return s.select(
+        "n",
+        "chi2",
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))), 6
+        ).alias("cramers_v"),
+    )

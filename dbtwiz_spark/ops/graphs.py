@@ -128,3 +128,71 @@ def graph_pagerank(spark, sf_dir):
         .orderBy(F.desc("pagerank_fp"), "node")
         .limit(20)
     )
+
+
+@register(
+    "graph-triangle-count",
+    oracle="""
+    WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_suppkey <= 100),
+    p AS (
+        SELECT a.s AS sa, b.s AS sb, COUNT(*) AS shared
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2),
+    thr AS (SELECT CAST(SUM(shared) AS DOUBLE) / COUNT(*) * 1.05 AS t FROM p),
+    e AS (SELECT sa, sb FROM p, thr WHERE shared > thr.t),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e1.sa = e2.sa AND e1.sb < e2.sb
+        JOIN e e3 ON e3.sa = e1.sb AND e3.sb = e2.sb)
+    SELECT (SELECT COUNT(*) FROM e) AS n_edges,
+           tri.n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle count over the supplier co-purchase graph (edges between
+    suppliers whose shared-customer count exceeds 1.05x the mean) -- the
+    clustering/cohesion metric behind community detection and fraud-ring
+    screens. The edge threshold is data-relative so the graph stays
+    meaningful at every SF; all joins are on exact integers and the
+    threshold compare is one double division on identical operands.
+
+    The counting join uses ID-ORIENTATION: every edge is stored once as
+    (lo, hi), and a triangle a<b<c is found as wedge (a,b)x(a,c), b<c,
+    closed by probing (b,c) -- each triangle counted exactly once, no
+    all-pairs step. At 100 TB the same plan holds with DEGREE-orientation
+    (orient each edge toward the higher-degree endpoint) so wedge fan-out
+    is bounded by the lighter endpoint's degree -- the standard skew
+    device this bounded demo graph (supplier key <= 100 at any SF)
+    doesn't need."""
+    cat = views(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_suppkey") <= 100)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = cs.select(F.col("c"), F.col("s").alias("sa"))
+    b = cs.select(F.col("c"), F.col("s").alias("sb"))
+    p = (
+        a.join(b, "c")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("shared"))
+    )
+    thr = p.agg(
+        (F.sum("shared").cast("double") / F.count("*") * 1.05).alias("t")
+    )
+    e = p.crossJoin(F.broadcast(thr)).filter(F.col("shared") > F.col("t")).select("sa", "sb")
+    e1 = e.select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+    e2 = e.select(F.col("sa").alias("a"), F.col("sb").alias("c"))
+    e3 = e.select(F.col("sa").alias("b"), F.col("sb").alias("c"))
+    wedges = e1.join(e2, "a").filter(F.col("b") < F.col("c"))
+    tri = wedges.join(e3, ["b", "c"]).agg(F.count("*").alias("n_triangles"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    return F.broadcast(n_edges).crossJoin(tri)

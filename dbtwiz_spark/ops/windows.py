@@ -634,3 +634,79 @@ def win_rolling_median(spark, sf_dir):
         "l_linenumber",
         ((mid_lo + mid_hi) / 2).alias("rolling_median_qty"),
     )
+
+
+@register(
+    "win-cusum-changepoint",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, value FROM events WHERE value IS NOT NULL),
+    m AS (
+        SELECT user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE)
+                 / COUNT(*) AS mu
+        FROM e GROUP BY 1),
+    c AS (
+        SELECT e.user_id, e.event_id,
+               abs(CAST(SUM(CAST(e.value AS DECIMAL(28, 6))) OVER w AS DOUBLE)
+                   - (ROW_NUMBER() OVER w) * m.mu) AS abs_cusum
+        FROM e JOIN m ON e.user_id = m.user_id
+        WINDOW w AS (PARTITION BY e.user_id ORDER BY e.event_id)),
+    r AS (
+        SELECT user_id, event_id, round(abs_cusum, 6) AS peak,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY round(abs_cusum, 6) DESC,
+                                           event_id) AS rn
+        FROM c)
+    SELECT user_id, event_id AS changepoint_event, peak AS max_abs_cusum
+    FROM r WHERE rn = 1
+    """,
+)
+def win_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per user: the running sum of
+    deviations from the user's overall mean peaks where the level
+    shifts; the peak's position is the change-point estimate (Page's
+    classic offline CUSUM). Two passes: an exact-decimal per-user mean,
+    then Σ(x_i - mu) computed as cum(x)::double - rn*mu: the cumulative
+    sum runs ONLY over value::DECIMAL (source values are exactly
+    representable, the sum is order-independent), and the mean leaves
+    decimal once -- no double->decimal conversion of a computed double
+    anywhere, because HALF_UP at a conversion boundary is the one place
+    Spark (shortest-repr BigDecimal) and DuckDB (true binary value)
+    disagree (bit us here: 2 cells per 10k rows). The argmax row is
+    picked on the ROUNDED peak with event_id as total-order tie-break.
+
+    Scale: one shuffle for the mean, one hash-partitioned window on
+    user_id for the cumulative sum (the mean join is a broadcast at dim
+    scale, shuffled co-partitioned above it); the argmax is the same
+    window, no extra exchange."""
+    e = (
+        views(spark, sf_dir)
+        .table("events")
+        .filter(F.col("value").isNotNull())
+        .select("user_id", "event_id", "value")
+    )
+    m = e.groupBy("user_id").agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*")).alias("mu")
+    )
+    wcum = Window.partitionBy("user_id").orderBy("event_id")
+    c = e.join(m, "user_id").select(
+        "user_id",
+        "event_id",
+        F.abs(
+            F.sum(F.col("value").cast(DEC)).over(wcum).cast("double")
+            - F.row_number().over(wcum) * F.col("mu")
+        ).alias("abs_cusum"),
+    )
+    wpk = Window.partitionBy("user_id").orderBy(
+        F.desc(F.round(F.col("abs_cusum"), 6)), "event_id"
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(wpk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("changepoint_event"),
+            F.round("abs_cusum", 6).alias("max_abs_cusum"),
+        )
+    )
