@@ -1717,3 +1717,122 @@ def ext_ngram_pmi(spark, sf_dir):
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle() -> str:
+    sql = r"""
+    WITH toks AS (
+        SELECT UNNEST(string_split(
+            regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS w
+        FROM documents),
+    words AS (
+        SELECT w AS word, COUNT(*) AS cnt FROM toks
+        WHERE length(w) BETWEEN 2 AND 12 GROUP BY 1),
+    rep0 AS (
+        SELECT word, cnt,
+               '|' || regexp_replace(word, '(.)', '\1|', 'g') AS rep
+        FROM words)"""
+    for i in range(1, _BPE_ROUNDS + 1):
+        sql += f""",
+    pr{i} AS (
+        SELECT s[j] || '|' || s[j + 1] AS pair, CAST(SUM(cnt) AS BIGINT) AS c
+        FROM (SELECT cnt,
+                     list_filter(string_split(rep, '|'), x -> x <> '') AS s
+              FROM rep{i - 1}),
+             UNNEST(generate_series(1, len(s) - 1)) AS u(j)
+        GROUP BY 1),
+    top{i} AS (SELECT pair, c FROM pr{i} ORDER BY c DESC, pair LIMIT 1),
+    rep{i} AS (
+        SELECT word, cnt,
+               replace(rep, '|' || pair || '|',
+                       '|' || replace(pair, '|', '') || '|') AS rep
+        FROM rep{i - 1}, top{i})"""
+    selects = [
+        f"""
+    SELECT {i} AS merge_round,
+           string_split(pair, '|')[1] AS sym_a,
+           string_split(pair, '|')[2] AS sym_b,
+           replace(pair, '|', '') AS merged,
+           c AS pair_count
+    FROM top{i}"""
+        for i in range(1, _BPE_ROUNDS + 1)
+    ]
+    return sql + "\n" + "\n    UNION ALL\n".join(selects) + "\n    ORDER BY merge_round"
+
+
+@register("ext-bpe-train", oracle=_bpe_oracle())
+def ext_bpe_train(spark, sf_dir):
+    """BPE tokenizer training, first 3 merges: the iterative
+    pair-count -> argmax -> merge-apply loop at the heart of every
+    modern tokenizer, run corpus-wide. Words are piped symbol strings
+    ('|h|e|' ...); a merge rewrites '|a|b|' to '|ab|' -- the leading
+    delimiter makes the pattern unambiguous (no match can start inside
+    a symbol), and sequential left-to-right replace semantics were
+    pinned identical across engines before relying on them.
+
+    Scale devices: (1) training iterates over the WORD VOCABULARY with
+    counts, aggregated from the corpus exactly once -- the corpus-sized
+    shuffle happens one time, every merge round then touches
+    vocabulary-sized data (the classic BPE-training optimization);
+    (2) the per-round argmax is a top-1 over the pair-count table
+    (vocabulary-bounded), broadcast back into the rewrite -- no
+    driver-side loop state beyond the fixed round count. Symbol pairs
+    are built with a guarded transform (a fully-merged word yields no
+    pairs, not a descending sequence). Counts are exact BIGINTs; the
+    argmax tie-break is (count DESC, pair ASC)."""
+    d = views(spark, sf_dir).table("documents")
+    toks = d.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
+        ).alias("w")
+    )
+    words = (
+        toks.filter((F.length("w") >= 2) & (F.length("w") <= 12))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    rep = words.select(
+        "word",
+        "cnt",
+        F.concat(F.lit("|"), F.regexp_replace("word", "(.)", "$1|")).alias("rep"),
+    )
+    pair_expr = (
+        "CASE WHEN size(filter(split(rep, '[|]'), x -> x != '')) >= 2 "
+        "THEN transform(sequence(0, size(filter(split(rep, '[|]'), x -> x != '')) - 2), "
+        "j -> filter(split(rep, '[|]'), x -> x != '')[j] || '|' "
+        "|| filter(split(rep, '[|]'), x -> x != '')[j + 1]) "
+        "ELSE array() END"
+    )
+    tops = []
+    for i in range(1, _BPE_ROUNDS + 1):
+        pairs = rep.select("cnt", F.explode(F.expr(pair_expr)).alias("pair"))
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .limit(1)
+        )
+        tops.append(
+            top.select(
+                F.lit(i).alias("merge_round"),
+                F.expr("split(pair, '[|]')[0]").alias("sym_a"),
+                F.expr("split(pair, '[|]')[1]").alias("sym_b"),
+                F.expr("replace(pair, '|', '')").alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        rep = rep.crossJoin(F.broadcast(top)).select(
+            "word",
+            "cnt",
+            F.expr(
+                "replace(rep, '|' || pair || '|', "
+                "'|' || replace(pair, '|', '') || '|')"
+            ).alias("rep"),
+        )
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.orderBy("merge_round")
