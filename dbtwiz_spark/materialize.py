@@ -27,6 +27,8 @@ backup-then-replace discipline, dbtwiz/integrations/bigquery.py:898-1048).
 
 from __future__ import annotations
 
+import errno
+import os
 import shutil
 import time
 from dataclasses import dataclass, field
@@ -369,10 +371,9 @@ class Warehouse:
         # deleted. A crash at any point leaves every row on disk under either
         # the live path or the __old path — never the delete-then-move hole
         # where no live table exists.
-        # snapshot id allocated BEFORE the rename, while the outgoing
-        # table's snapshot dir is still readable at the live path — bumped
-        # past existing ids so same-ms overwrites can't fold the outgoing
-        # state inside an existing snapshot (shutil.move-into-dir)
+        # monotonic id for the __old suffix (collision-safe for the
+        # recover scan); the SNAPSHOT id is allocated separately at move
+        # time below, after the carried-forward history is in place
         ts = self._next_snapshot_ts(name)
         old = target.with_name(f"{name}__old_{ts}")
         if target.exists():
@@ -392,10 +393,24 @@ class Warehouse:
                 shutil.move(str(old_snaps), str(target / SNAPSHOT_DIRNAME))
             if snapshot:
                 # zero-copy snapshot: the outgoing table state moves (not
-                # copies) into the snapshot dir that ships with the new table
-                dst = target / SNAPSHOT_DIRNAME / str(ts)
-                dst.parent.mkdir(exist_ok=True)
-                shutil.move(str(old), str(dst))
+                # copies) into the snapshot dir that ships with the new
+                # table. The id is re-allocated HERE (the carried-forward
+                # history above is visible now) and the move is os.rename,
+                # which atomically refuses an existing non-empty dst —
+                # shutil.move would nest the outgoing table INSIDE it
+                ts_snap = self._next_snapshot_ts(name)
+                snap_root = target / SNAPSHOT_DIRNAME
+                snap_root.mkdir(exist_ok=True)
+                while True:
+                    dst = snap_root / str(ts_snap)
+                    try:
+                        os.rename(old, dst)
+                        break
+                    except OSError as exc:
+                        if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                            ts_snap += 1
+                            continue
+                        raise
             else:
                 shutil.rmtree(old)
         # the name stops being a view only once its replacement table is
@@ -731,15 +746,28 @@ class Warehouse:
             ts = existing[-1] + 1
         return ts
 
+    def _claim_snapshot_dir(self, name: str) -> tuple[int, Path]:
+        """Atomically claim a fresh snapshot slot: ``mkdir`` is the claim
+        (atomic on POSIX), and a lost race bumps the id instead of
+        corrupting the neighbour — the read-then-act allocation in
+        ``_next_snapshot_ts`` alone would let two concurrent writers pick
+        the same id."""
+        ts = self._next_snapshot_ts(name)
+        root = self.path(name) / SNAPSHOT_DIRNAME
+        root.mkdir(parents=True, exist_ok=True)
+        while True:
+            dst = root / str(ts)
+            try:
+                dst.mkdir()
+                return ts, dst
+            except FileExistsError:
+                ts += 1
+
     def _snapshot_via_links(self, name: str) -> int:
         """Zero-copy snapshot of the current table state via hardlinks
         (see insert_overwrite). Returns the snapshot epoch-ms id."""
-        import os
-
-        ts = self._next_snapshot_ts(name)
+        ts, dst = self._claim_snapshot_dir(name)
         src = self.path(name)
-        dst = src / SNAPSHOT_DIRNAME / str(ts)
-        dst.mkdir(parents=True)
         for root, dirs, files in os.walk(src):
             rel = Path(root).relative_to(src)
             if SNAPSHOT_DIRNAME in rel.parts:
@@ -754,11 +782,8 @@ class Warehouse:
     def snapshot(self, name: str) -> int:
         """Write a timestamped snapshot of the current table state; returns
         the snapshot epoch-ms id (the ``@ms`` decorator analog)."""
-        ts = self._next_snapshot_ts(name)
+        ts, dst = self._claim_snapshot_dir(name)
         src = self.path(name)
-        dst = src / SNAPSHOT_DIRNAME / str(ts)
-        dst.parent.mkdir(parents=True, exist_ok=True)
-        dst.mkdir()
         for p in src.iterdir():
             if p.name != SNAPSHOT_DIRNAME:
                 if p.is_dir():

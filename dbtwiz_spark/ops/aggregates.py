@@ -1389,12 +1389,17 @@ def agg_skewness_kurtosis(spark, sf_dir):
     oracle="""
     WITH c AS (
         SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    grid AS (
+        SELECT r.lang, s.source, COALESCE(c.o, 0) AS o
+        FROM (SELECT DISTINCT lang FROM c) r
+        CROSS JOIN (SELECT DISTINCT source FROM c) s
+        LEFT JOIN c ON c.lang = r.lang AND c.source = s.source),
     t AS (
         SELECT lang, source, o,
                CAST(SUM(o) OVER (PARTITION BY lang) AS DOUBLE) AS r,
                CAST(SUM(o) OVER (PARTITION BY source) AS DOUBLE) AS col_t,
                CAST(SUM(o) OVER () AS DOUBLE) AS n
-        FROM c),
+        FROM grid),
     term AS (
         SELECT lang, source, n,
                CAST(power(o - r * col_t / n, 2) / (r * col_t / n)
@@ -1415,7 +1420,11 @@ def agg_chi_squared(spark, sf_dir):
     double r*c/n so the formula never overflows integer range at any
     corpus size), truncated to DECIMAL(28,6) BEFORE the final sum so the
     cell reduction is order-independent across engines (the agg-entropy
-    device). dof = (R-1)(C-1) for the caller's p-value lookup.
+    device). The contingency table is DENSIFIED to the full R x C grid
+    first (distinct rows x distinct cols, observed counts left-joined
+    in): an unobserved cell still contributes (0-E)^2/E = E, so building
+    from observed rows alone understates the statistic. dof = (R-1)(C-1)
+    for the caller's p-value lookup.
 
     Scale: one corpus-wide shuffle (the count); the marginal windows and
     the final reduce run on the distinct (lang, source) pair table --
@@ -1423,8 +1432,18 @@ def agg_chi_squared(spark, sf_dir):
     total window is provably bounded."""
     d = views(spark, sf_dir).table("documents")
     c = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    # densify to the full R x C grid: an UNOBSERVED cell still contributes
+    # (0-E)^2/E = E to the statistic -- building the table from observed
+    # rows alone understates chi2 whenever a cell is empty
+    grid = (
+        c.select("lang")
+        .distinct()
+        .crossJoin(F.broadcast(c.select("source").distinct()))
+        .join(c, ["lang", "source"], "left")
+        .fillna(0, ["o"])
+    )
     t = (
-        c.withColumn(
+        grid.withColumn(
             "r", F.sum("o").over(Window.partitionBy("lang")).cast("double")
         )
         .withColumn(
@@ -1552,16 +1571,16 @@ def agg_market_basket(spark, sf_dir):
     s AS (
         SELECT CAST(SUM(nr) AS BIGINT) AS n1, CAST(SUM(na) AS BIGINT) AS n2,
                CAST(SUM(nr + na) AS BIGINT) AS n,
-               CAST(SUM(nr * (COALESCE(cum, 0) + (t + 1) / 2.0)) AS DOUBLE)
+               CAST(SUM(CAST(nr AS HUGEINT)
+                        * (2 * COALESCE(cum, 0) + t + 1)) AS DOUBLE) / 2
                  AS rank_sum_r,
-               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_term
+               CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS DOUBLE) AS tie_term
         FROM r)
     SELECT n1, n2,
            rank_sum_r - n1 * (n1 + 1) / 2.0 AS u_stat,
            round((rank_sum_r - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
                  / sqrt(n1 * n2 / 12.0
-                        * ((n + 1) - CAST(tie_term AS DOUBLE)
-                                     / (n * (n - 1.0)))), 6) AS z_score
+                        * ((n + 1) - tie_term / (n * (n - 1.0)))), 6) AS z_score
     FROM s
     """,
 )
@@ -1571,9 +1590,14 @@ def agg_mann_whitney(spark, sf_dir):
     nonparametric A/B device when values are skewed and a t-test's
     normality assumption fails (complements agg-ab-test). Ranks come from
     the DISTINCT-VALUE table: per value, group counts; the average rank
-    of a tied block is cum_before + (t+1)/2. All inputs are integers, so
-    every double is a single division/sqrt on bit-identical operands;
-    round(6) absorbs nothing but the last ulp.
+    of a tied block is cum_before + (t+1)/2. Both reductions stay EXACT
+    INTEGER all the way: the doubled rank sum Σ nr·(2·cum+t+1) and the
+    tie term Σ(t³−t) accumulate in DECIMAL (Spark) / HUGEINT (DuckDB) —
+    a plain long t³ wraps once a tie block passes 2^21 rows and a float
+    rank sum goes order-dependent past 2^52 — and leave the exact
+    domain through one correctly-rounded cast each; every subsequent
+    double op runs on bit-identical operands; round(6) absorbs nothing
+    but the last ulp.
 
     Scale: the corpus-wide work is ONE partial-aggregated groupBy on the
     value column; the windowed cumulative rank then runs over the
@@ -1602,18 +1626,23 @@ def agg_mann_whitney(spark, sf_dir):
         F.sum("nr").cast("bigint").alias("n1"),
         F.sum("na").cast("bigint").alias("n2"),
         F.sum(F.col("t")).cast("bigint").alias("n"),
+        (
+            F.sum(
+                F.col("nr").cast("decimal(19,0)")
+                * (2 * F.coalesce(F.col("cum"), F.lit(0)) + F.col("t") + 1)
+            ).cast("double")
+            / 2
+        ).alias("rank_sum_r"),
         F.sum(
-            F.col("nr") * (F.coalesce(F.col("cum"), F.lit(0)) + (F.col("t") + 1) / 2.0)
-        ).cast("double").alias("rank_sum_r"),
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
-        .cast("bigint")
+            F.col("t").cast("decimal(12,0)") * F.col("t") * F.col("t") - F.col("t")
+        )
+        .cast("double")
         .alias("tie_term"),
     )
     n1, n2, n = F.col("n1"), F.col("n2"), F.col("n")
     u = F.col("rank_sum_r") - n1 * (n1 + 1) / 2.0
     sigma = F.sqrt(
-        n1 * n2 / 12.0
-        * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1.0)))
+        n1 * n2 / 12.0 * ((n + 1) - F.col("tie_term") / (n * (n - 1.0)))
     )
     return s.select(
         "n1",
@@ -1629,12 +1658,17 @@ def agg_mann_whitney(spark, sf_dir):
     WITH c AS (
         SELECT event_type, user_id % 5 AS cohort, COUNT(*) AS o
         FROM events GROUP BY 1, 2),
+    grid AS (
+        SELECT r.event_type, s.cohort, COALESCE(c.o, 0) AS o
+        FROM (SELECT DISTINCT event_type FROM c) r
+        CROSS JOIN (SELECT DISTINCT cohort FROM c) s
+        LEFT JOIN c ON c.event_type = r.event_type AND c.cohort = s.cohort),
     t AS (
         SELECT event_type, cohort, o,
                CAST(SUM(o) OVER (PARTITION BY event_type) AS DOUBLE) AS r,
                CAST(SUM(o) OVER (PARTITION BY cohort) AS DOUBLE) AS col_t,
                CAST(SUM(o) OVER () AS DOUBLE) AS n
-        FROM c),
+        FROM grid),
     term AS (
         SELECT event_type, cohort, n,
                CAST(power(o - r * col_t / n, 2) / (r * col_t / n)
@@ -1658,7 +1692,8 @@ def agg_cramers_v(spark, sf_dir):
     grows with n, so pipelines alert on V = sqrt(chi2 / (n * (min(R,C)-1)))
     in [0, 1], which is comparable across table sizes. Same determinism
     device as agg-chi-squared (exact counts, DECIMAL-truncated cell
-    terms); the final sqrt runs on a bit-identical double.
+    terms) and the same dense-grid rule (empty cells contribute E);
+    the final sqrt runs on a bit-identical double.
 
     Scale: one corpus-wide count shuffle; everything else on the
     O(types x cohorts) pair table."""
@@ -1666,8 +1701,17 @@ def agg_cramers_v(spark, sf_dir):
     c = e.groupBy(
         "event_type", (F.col("user_id") % 5).alias("cohort")
     ).agg(F.count("*").alias("o"))
+    # dense R x C grid -- see agg_chi_squared: empty cells must still
+    # contribute their expected count to the statistic
+    grid = (
+        c.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(c.select("cohort").distinct()))
+        .join(c, ["event_type", "cohort"], "left")
+        .fillna(0, ["o"])
+    )
     t = (
-        c.withColumn(
+        grid.withColumn(
             "r", F.sum("o").over(Window.partitionBy("event_type")).cast("double")
         )
         .withColumn(

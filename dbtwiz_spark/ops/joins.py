@@ -841,7 +841,12 @@ def join_fuzzy_string(spark, sf_dir):
         .table("part")
         .groupBy(
             F.col("p_name"),
-            F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+            # coalesce to '' so a single-word name matches DuckDB
+            # split_part semantics (empty block) instead of NULL, which
+            # would silently drop the row from the equi-join
+            F.coalesce(
+                F.split(F.col("p_name"), " ").getItem(1), F.lit("")
+            ).alias("noun"),
         )
         .agg(F.count("*").alias("n_parts"))
     )

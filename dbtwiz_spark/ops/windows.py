@@ -603,10 +603,12 @@ def win_rolling_median(spark, sf_dir):
     bursts that wreck a rolling mean; the z-score op above is the
     complementary detector). Spark has no holistic aggregate over a
     window frame, so the engine collects the bounded frame into an array,
-    sorts it, and interpolates the middle (even count averages the two
-    middle elements, matching DuckDB's interpolated median on doubles --
-    the average of two identical doubles is IEEE-exact, no rounding
-    needed). The frame ORDER BY carries the unique (shipdate, orderkey,
+    sorts it, and interpolates the middle (even count uses
+    lo + (hi-lo)/2, the same interpolation DuckDB's median applies --
+    pinned empirically: DuckDB median of two 1e308 values is 1e308, so
+    it cannot be the naive (lo+hi)/2, which differs by 1 ulp on general
+    doubles and overflows at the extremes). The frame ORDER BY carries
+    the unique (shipdate, orderkey,
     linenumber) key so frame membership is a total order on both engines.
 
     Scale: single hash-partitioned window on l_suppkey with a bounded
@@ -628,11 +630,14 @@ def win_rolling_median(spark, sf_dir):
     n = F.size(arr)
     mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
     mid_lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    # lo + (hi - lo)/2, NOT (lo + hi)/2: matches DuckDB's interpolation
+    # exactly -- the two forms differ by 1 ulp on general doubles ((a+b)
+    # rounds before halving), and the exact-value compare would flip
     return li.select(
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        ((mid_lo + mid_hi) / 2).alias("rolling_median_qty"),
+        (mid_lo + (mid_hi - mid_lo) / 2).alias("rolling_median_qty"),
     )
 
 

@@ -743,3 +743,29 @@ def test_same_ms_overwrites_keep_all_snapshot_states(spark, wh, monkeypatch):
     assert len(snaps) == 2
     got = {wh.read_snapshot("tms", s).first().v for s in snaps}
     assert got == {"v1", "v2"}
+
+
+def test_snapshot_claim_skips_preexisting_slot(spark, wh, monkeypatch):
+    """A slot already claimed by a concurrent writer (simulated by
+    pre-creating the directory) must bump the id, not raise -- and the
+    publish path's os.rename must refuse a NON-EMPTY stolen slot and land
+    the outgoing state in the next one, intact."""
+    import dbtwiz_spark.materialize as mat
+
+    wh.write_table("trace", _df(spark, [(1, "v1", "d")]))
+    frozen = _FrozenTime(int(time.time() * 1000))
+    monkeypatch.setattr(mat, "time", frozen)
+    snap_root = wh.path("trace") / mat.SNAPSHOT_DIRNAME
+    stolen = wh._next_snapshot_ts("trace")
+    (snap_root / str(stolen)).mkdir(parents=True)
+    sid = wh.snapshot("trace")
+    assert sid == stolen + 1
+    # publish path: steal the id the overwrite would allocate, non-empty
+    stolen2 = sid + 1
+    marker = snap_root / str(stolen2)
+    marker.mkdir()
+    (marker / "racer.txt").write_text("claimed")
+    wh.write_table("trace", _df(spark, [(2, "v2", "d")]))
+    assert (marker / "racer.txt").exists(), "non-empty slot must survive"
+    assert wh.read_snapshot("trace", stolen2 + 1).first().v == "v1"
+    assert wh.read("trace").first().v == "v2"
