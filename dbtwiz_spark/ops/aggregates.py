@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbtwiz_spark.ops.common import views, dsum, davg, dsum_sql, davg_sql
+from dbtwiz_spark.ops.common import views, dsum, davg, dsum_sql, davg_sql, DEC
 from dbtwiz_spark.ops.registry import register
 
 
@@ -1735,4 +1735,152 @@ def agg_cramers_v(spark, sf_dir):
         F.round(
             F.sqrt(F.col("chi2") / (F.col("n") * (F.least("nr", "nc") - 1))), 6
         ).alias("cramers_v"),
+    )
+
+
+@register(
+    "agg-log-histogram",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(floor(value * 1000) AS BIGINT) AS v_ms
+        FROM events WHERE value > 0),
+    b AS (
+        SELECT length(bin(v_ms)) AS bucket_bits, COUNT(*) AS n
+        FROM v GROUP BY 1),
+    c AS (
+        SELECT bucket_bits, n,
+               SUM(n) OVER (ORDER BY bucket_bits) AS cum_n,
+               SUM(n) OVER () AS total
+        FROM b)
+    SELECT bucket_bits, n, CAST(cum_n AS BIGINT) AS cum_n,
+           round(CAST(cum_n AS DOUBLE) / total, 6) AS cdf
+    FROM c
+    """,
+)
+def agg_log_histogram(spark, sf_dir):
+    """Log2-bucketed (HdrHistogram-style) value histogram with CDF --
+    the latency-distribution summary every metrics pipeline keeps:
+    power-of-two buckets give constant relative error with a tiny,
+    MERGEABLE state (one counter per bucket, <= 64 buckets for any
+    int64). The bucket is length(bin(floor(value*1000))) -- floor is
+    explicit because double->int CAST truncates in Spark but rounds in
+    DuckDB, and bit-length is exact integer log2, no transcendental
+    boundary risk.
+
+    Scale: one partial-aggregated groupBy over the corpus; the CDF
+    window runs on the <= 64-row bucket table (bounded, the
+    quantile-digest precedent)."""
+    e = views(spark, sf_dir).table("events").filter(F.col("value") > 0)
+    v = e.select(
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_ms")
+    )
+    b = v.groupBy(
+        F.length(F.bin("v_ms")).alias("bucket_bits")
+    ).agg(F.count("*").alias("n"))
+    w = Window.orderBy("bucket_bits").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    c = b.select(
+        "bucket_bits",
+        "n",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(wt).alias("total"),
+    )
+    return c.select(
+        "bucket_bits",
+        "n",
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        F.round(F.col("cum_n").cast("double") / F.col("total"), 6).alias("cdf"),
+    )
+
+
+@register(
+    "agg-gini-concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT o.o_custkey,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(28, 6))) AS r
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1),
+    rk AS (
+        SELECT r,
+               ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i,
+               COUNT(*) OVER () AS n
+        FROM rev)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(SUM(r) AS DOUBLE) AS total_revenue,
+           round(CAST(SUM((2 * i - n - 1) * r) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)),
+                 6) AS gini
+    FROM rk
+    """,
+)
+def agg_gini_concentration(spark, sf_dir):
+    """Gini coefficient of revenue concentration across customers -- the
+    inequality metric a marketplace team tracks (how dependent is
+    revenue on the top accounts). Formula: sum((2i-n-1)*x_(i)) / (n*sum(x))
+    over revenues ranked ascending with the unique (revenue, custkey)
+    total order. Revenue stays in exact DECIMAL from the sum through the
+    (2i-n-1) integer multiply and the final reduction; doubles appear
+    only in the last division.
+
+    Scale: the global rank uses the win-percent device -- range-partition
+    on the order key, per-partition row_number, tiny broadcast offsets --
+    so no corpus-sized single-partition window exists; the customer-level
+    revenue table is dimension-sized, not fact-sized."""
+    cat = views(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    rev = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("r")
+        )
+    )
+    keys = [F.col("r"), F.col("o_custkey")]
+    parts = rev.repartitionByRange(8, *keys)
+    local = (
+        parts.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+        )
+        .persist()
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    carr = counts.agg(
+        F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+    prefix = F.transform(
+        F.col("arr"),
+        lambda s, i: F.struct(
+            s["_pid"].alias("_pid"),
+            F.aggregate(
+                F.slice(F.col("arr"), 1, i), zero, lambda a, x: a + x["_cnt"]
+            ).alias("_off"),
+        ),
+    )
+    total = F.aggregate(F.col("arr"), zero, lambda a, x: a + x["_cnt"])
+    offsets = carr.select(
+        F.explode(prefix).alias("o"), total.alias("_n")
+    ).select(F.col("o._pid").alias("_pid"), F.col("o._off").alias("_off"), "_n")
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
+        "r", (F.col("_off") + F.col("_rn")).alias("i"), "_n"
+    )
+    s = ranked.agg(
+        F.max("_n").cast("bigint").alias("n_customers"),
+        F.sum("r").cast("double").alias("total_revenue"),
+        F.sum((2 * F.col("i") - F.col("_n") - 1) * F.col("r"))
+        .cast("double")
+        .alias("num"),
+    )
+    return s.select(
+        "n_customers",
+        "total_revenue",
+        F.round(
+            F.col("num") / (F.col("n_customers").cast("double") * F.col("total_revenue")),
+            6,
+        ).alias("gini"),
     )

@@ -34,7 +34,8 @@ local-oracle green at sf0.001/0.01 — front-load these into the round-7
 window): graph-pagerank, win-rolling-median, join-spatial-radius,
 join-fuzzy-string, agg-market-basket, agg-mann-whitney,
 graph-triangle-count, agg-cramers-v, win-cusum-changepoint,
-ext-bpe-train.
+ext-bpe-train, agg-log-histogram, agg-gini-concentration,
+win-seasonal-baseline, ext-span-corruption.
 
 Entries ADDED later in round 6 extend that list and front-load the
 round-7 window, so new code lands driver evidence at most one round

@@ -1836,3 +1836,71 @@ def ext_bpe_train(spark, sf_dir):
     for t in tops[1:]:
         out = out.unionAll(t)
     return out.orderBy("merge_round")
+
+
+@register(
+    "ext-span-corruption",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, s[j] AS tok, CAST(j AS BIGINT) - 1 AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             UNNEST(generate_series(1, len(s))) AS u(j)),
+    m AS (
+        SELECT doc_id, tok, pos,
+               ({_hkey_sql('doc_id * 4096 + pos')}) % 7 = 0 OR
+               (pos >= 1 AND ({_hkey_sql('doc_id * 4096 + pos - 1')}) % 7 = 0) OR
+               (pos >= 2 AND ({_hkey_sql('doc_id * 4096 + pos - 2')}) % 7 = 0)
+                 AS masked
+        FROM toks)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           string_agg(CASE WHEN masked THEN '<X>' ELSE tok END, ' '
+                      ORDER BY pos) AS corrupted_text
+    FROM m GROUP BY doc_id
+    """,
+)
+def ext_span_corruption(spark, sf_dir):
+    """T5-style span corruption: deterministic ~1/7 of token positions
+    start a 3-token masked span; overlapping spans merge. The
+    denoising-objective preprocessing step of an LLM pipeline, with the
+    corpus rule that randomness is a MULTIPLICATIVE HASH of
+    (doc_id, position) -- reruns and retries mask the identical spans,
+    and a token is masked iff a span starts at pos, pos-1 or pos-2
+    (three hash probes, no self-join over span extents). Token position
+    is split ordinality, identical in both engines.
+
+    Scale: tokenize -> hash -> reassemble is map-side per document; the
+    per-doc ordered reassembly sorts the doc's own tokens only (array
+    sort of a document-bounded list, the ext-dedup-paragraph device)."""
+    d = views(spark, sf_dir).table("documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    def _start(shift):
+        probe = F.col("doc_id") * 4096 + F.col("pos") - shift
+        hit = _hkey(probe) % 7 == F.lit(0)
+        if shift:
+            return (F.col("pos") >= shift) & hit
+        return hit
+    m = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (_start(0) | _start(1) | _start(2)).alias("masked"),
+    )
+    out_tok = F.when(F.col("masked"), F.lit("<X>")).otherwise(F.col("tok"))
+    return m.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("masked").cast("int")).cast("bigint").alias("n_masked"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), out_tok.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("corrupted_text"),
+    )

@@ -715,3 +715,66 @@ def win_cusum_changepoint(spark, sf_dir):
             F.round("abs_cusum", 6).alias("max_abs_cusum"),
         )
     )
+
+
+@register(
+    "win-seasonal-baseline",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, event_type, value,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7
+                 AS dow
+        FROM events WHERE value IS NOT NULL),
+    m AS (
+        SELECT event_type, dow,
+               CAST(SUM(CAST(value AS DECIMAL(28, 6))) AS DOUBLE) / COUNT(*)
+                 AS baseline
+        FROM e GROUP BY 1, 2)
+    SELECT e.event_id, e.event_type, e.dow,
+           m.baseline,
+           e.value - m.baseline AS residual
+    FROM e JOIN m ON e.event_type = m.event_type AND e.dow = m.dow
+    """,
+)
+def win_seasonal_baseline(spark, sf_dir):
+    """Weekly-seasonality decomposition: each event's value split into
+    the (event_type, day-of-week) mean baseline plus a residual -- the
+    first step of seasonal anomaly detection (alert on residual, not raw
+    value, so Sunday lows stop paging). Day-of-week is epoch-day mod 7,
+    NOT the engines' dayofweek() (Spark numbers Sunday=1..7, DuckDB
+    Sunday=0..6 -- exact integer date arithmetic sidesteps the
+    convention). Baselines are exact-decimal means; the residual is one
+    double subtraction on bit-identical operands and ships UNROUNDED --
+    every input double is bit-identical across engines, and round() is
+    precisely where a boundary value CAN diverge (Spark rounds the
+    shortest decimal repr, DuckDB the true binary value; a round() here
+    flipped 1 cell in 10k before it was removed).
+
+    Scale: one partial-aggregated groupBy to the (type x 7)-row baseline
+    table, broadcast back into the fact stream -- map-side end to end,
+    no window at all."""
+    e = (
+        views(spark, sf_dir)
+        .table("events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")) % 7).alias(
+                "dow"
+            ),
+        )
+    )
+    m = e.groupBy("event_type", "dow").agg(
+        (F.sum(F.col("value").cast(DEC)).cast("double") / F.count("*")).alias(
+            "baseline"
+        )
+    )
+    return e.join(F.broadcast(m), ["event_type", "dow"]).select(
+        "event_id",
+        "event_type",
+        "dow",
+        "baseline",
+        (F.col("value") - F.col("baseline")).alias("residual"),
+    )
