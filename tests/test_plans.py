@@ -622,3 +622,100 @@ def test_mask_kmv_interval_join_plan_properties(spark):
     kmv_plan = _formatted(agg_kmv_intersect(spark, SF_DIR))
     assert "CartesianProduct" not in kmv_plan
     assert "TakeOrderedAndProject" in kmv_plan  # k-cut, never a global sort
+
+
+def test_round6_graph_and_join_plan_properties(spark):
+    """Round-6 additions, part 1: PageRank's iterations and the blocked
+    similarity joins must never degrade to cartesian shapes; the spatial
+    radius join is a single broadcast equi-join on the cell key."""
+    from dbtwiz_spark.ops.graphs import graph_pagerank, graph_triangle_count
+    from dbtwiz_spark.ops.joins import join_fuzzy_string, join_spatial_radius
+
+    import re
+
+    def _nodes(plan, name):
+        # formatted explain prints each node in the tree AND the detail
+        # section; count the numbered detail headers only
+        return len(re.findall(rf"\(\d+\) {name}", plan))
+
+    pr_plan = _formatted(graph_pagerank(spark, SF_DIR))
+    assert "CartesianProduct" not in pr_plan
+    # the only nested-loop joins are the broadcast 1-row n-node frames
+    assert _nodes(pr_plan, "BroadcastNestedLoopJoin") <= 4
+
+    tri_plan = _formatted(graph_triangle_count(spark, SF_DIR))
+    assert "CartesianProduct" not in tri_plan
+
+    sp_plan = _formatted(join_spatial_radius(spark, SF_DIR))
+    assert "BroadcastHashJoin" in sp_plan  # equi on the grid cell key
+    assert "CartesianProduct" not in sp_plan
+    assert "SortMergeJoin" not in sp_plan  # points side never shuffles
+    assert "Exchange hashpartitioning" not in sp_plan
+
+    fz_plan = _formatted(join_fuzzy_string(spark, SF_DIR))
+    assert "CartesianProduct" not in fz_plan
+    # vocabulary aggregation happens BELOW the self-join: HashAggregate
+    # on p_name feeds both join inputs
+    assert "HashAggregate" in fz_plan
+
+
+def test_round6_stat_and_window_plan_properties(spark):
+    """Round-6 additions, part 2: the statistics family's corpus-wide
+    work is one partial-aggregated shuffle each; windows stay
+    hash-partitioned (or provably bounded); Gini reuses the
+    range-partitioned parallel rank (no single-partition window)."""
+    import re
+
+    from dbtwiz_spark.ops.aggregates import (
+        agg_gini_concentration,
+        agg_mann_whitney,
+        agg_market_basket,
+    )
+    from dbtwiz_spark.ops.windows import (
+        win_cusum_changepoint,
+        win_rolling_median,
+        win_seasonal_baseline,
+    )
+
+    mb_plan = _formatted(agg_market_basket(spark, SF_DIR))
+    assert "CartesianProduct" not in mb_plan
+    assert (
+        len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", mb_plan)) <= 1
+    )  # 1-row n_orders
+
+    mw_plan = _formatted(agg_mann_whitney(spark, SF_DIR))
+    assert "CartesianProduct" not in mw_plan
+    # partial aggregation below the value-domain window
+    assert "partial_sum" in mw_plan or "HashAggregate" in mw_plan
+
+    gini_plan = _formatted(agg_gini_concentration(spark, SF_DIR))
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", gini_plan):
+        args = m.group(1)
+        assert "_pid" in args or " ASC" not in args.split(",")[0]
+
+    for fn in (win_rolling_median, win_cusum_changepoint):
+        plan = _formatted(fn(spark, SF_DIR))
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0]
+            assert "ASC" not in first and "DESC" not in first, (
+                f"{fn.__name__} has an unpartitioned window: {first}"
+            )
+
+    sb_plan = _formatted(win_seasonal_baseline(spark, SF_DIR))
+    assert "BroadcastHashJoin" in sb_plan  # baseline table broadcast back
+    assert "windowspecdefinition" not in sb_plan  # no window at all
+
+
+def test_bpe_train_single_corpus_shuffle(spark):
+    """BPE training shuffles the CORPUS exactly once (the word-vocabulary
+    aggregation); every merge round's pair count and rewrite run on
+    vocabulary-sized data. Pin: the documents scan appears once per
+    consuming branch but the token explode feeds exactly one aggregation
+    keyed on the raw word."""
+    from dbtwiz_spark.ops.ext_pipeline import ext_bpe_train
+
+    plan = _formatted(ext_bpe_train(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the top-1 merge selections are TakeOrdered, never global sorts
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan or "Sort [merge_round" in plan
