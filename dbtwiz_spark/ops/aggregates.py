@@ -1884,3 +1884,63 @@ def agg_gini_concentration(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "agg-sliding-distinct",
+    oracle="""
+    WITH ed AS (
+        SELECT DISTINCT event_type,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day, user_id
+        FROM events),
+    contrib AS (
+        SELECT e.event_type, e.user_id,
+               e.day + INTERVAL (o) DAY AS win_end
+        FROM ed e, UNNEST(generate_series(0, 6)) AS u(o)),
+    wins AS (
+        SELECT event_type, win_end, COUNT(DISTINCT user_id) AS u7
+        FROM contrib GROUP BY 1, 2)
+    SELECT w.event_type, w.win_end, w.u7
+    FROM wins w
+    JOIN (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ed) b
+      ON w.win_end BETWEEN b.lo AND b.hi
+    """,
+)
+def agg_sliding_distinct(spark, sf_dir):
+    """Sliding 7-day distinct users per event type -- the rolling-reach
+    metric (WAU per surface) that is NOT window-expressible because
+    COUNT(DISTINCT) does not decompose over a sliding frame. Each
+    (type, day, user) contribution EXPLODES into the <= 7 window
+    endpoints it can serve (bounded fan-out, the interval-overlap bucket
+    device), turning the sliding distinct into a plain groupBy-distinct
+    on (type, window_end); endpoints outside the observed day span are
+    clipped so every reported window is fully inside the data.
+
+    Scale: the pre-distinct collapses the corpus to (type, day, user)
+    map-side; the 7x explode multiplies the DISTINCT table, not the
+    corpus; the final count-distinct is one partial-aggregated shuffle.
+    An approximate variant swaps the exact distinct for HLL sketch
+    merge (agg-hll-sketch-merge) with identical shape."""
+    e = views(spark, sf_dir).table("events")
+    ed = e.select(
+        "event_type",
+        F.date_trunc("DAY", F.col("ts")).alias("day"),
+        "user_id",
+    ).distinct()
+    bounds = ed.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    contrib = ed.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.expr("transform(sequence(0, 6), o -> day + make_interval(0,0,0,o))")
+        ).alias("win_end"),
+    )
+    wins = contrib.groupBy("event_type", "win_end").agg(
+        F.countDistinct("user_id").alias("u7")
+    )
+    return wins.join(
+        F.broadcast(bounds),
+        (F.col("win_end") >= F.col("lo")) & (F.col("win_end") <= F.col("hi")),
+    ).select("event_type", "win_end", "u7")

@@ -196,3 +196,155 @@ def graph_triangle_count(spark, sf_dir):
     tri = wedges.join(e3, ["b", "c"]).agg(F.count("*").alias("n_triangles"))
     n_edges = e.agg(F.count("*").alias("n_edges"))
     return F.broadcast(n_edges).crossJoin(tri)
+
+
+@register(
+    "graph-jaccard-neighbors",
+    oracle="""
+    WITH cs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_suppkey <= 100),
+    deg AS (SELECT s, COUNT(*) AS d FROM cs GROUP BY 1),
+    inter AS (
+        SELECT a.s AS sa, b.s AS sb, COUNT(*) AS shared
+        FROM cs a JOIN cs b ON a.c = b.c AND a.s < b.s
+        GROUP BY 1, 2)
+    SELECT i.sa, i.sb, i.shared,
+           CAST(i.shared AS DOUBLE) / (da.d + db.d - i.shared) AS jaccard
+    FROM inter i
+    JOIN deg da ON i.sa = da.s
+    JOIN deg db ON i.sb = db.s
+    ORDER BY CAST(i.shared AS DOUBLE) / (da.d + db.d - i.shared) DESC,
+             i.sa, i.sb
+    LIMIT 25
+    """,
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Node similarity by neighbourhood Jaccard: supplier pairs ranked by
+    |N(a) intersect N(b)| / |N(a) union N(b)| over shared customers -- the
+    link-prediction / substitutable-vendor primitive. Intersections come
+    from one equi-join on the customer key (a pair is only generated
+    where it shares at least one neighbour -- the same candidate
+    discipline as the LSH family, no all-pairs step); union sizes are
+    inclusion-exclusion from broadcast degree counts. All-integer until
+    one division of identical operands; ordering is on that exact double
+    with a full (sa, sb) tie-break.
+
+    Scale: bounded demo graph (supplier key <= 100); at real scale the
+    hub-customer fan-out is capped the way ext-dedup-near caps hot
+    shingles (drop or sample customers whose supplier list exceeds a
+    bound -- they contribute near-zero Jaccard signal)."""
+    cat = views(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_suppkey") <= 100)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    deg = cs.groupBy("s").agg(F.count("*").alias("d"))
+    a = cs.select("c", F.col("s").alias("sa"))
+    b = cs.select("c", F.col("s").alias("sb"))
+    inter = (
+        a.join(b, "c")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").alias("shared"))
+    )
+    da = deg.select(F.col("s").alias("sa"), F.col("d").alias("da"))
+    db = deg.select(F.col("s").alias("sb"), F.col("d").alias("db"))
+    jac = F.col("shared").cast("double") / (
+        F.col("da") + F.col("db") - F.col("shared")
+    )
+    return (
+        inter.join(F.broadcast(da), "sa")
+        .join(F.broadcast(db), "sb")
+        .select("sa", "sb", "shared", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "sa", "sb")
+        .limit(25)
+    )
+
+
+_BFS_HOPS = 3
+
+
+def _bfs_oracle() -> str:
+    sql = """
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_suppkey <= 50 AND o.o_custkey <= 500),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs),
+    d0 AS (SELECT 's1' AS node, 0 AS dist)
+    """
+    prev = "d0"
+    for i in range(1, _BFS_HOPS + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, r.dist + 1 AS dist
+            FROM edges e JOIN {prev} r ON e.src = r.node) u
+        GROUP BY 1)
+        """
+        prev = f"d{i}"
+    sql += f"""
+    SELECT dist, COUNT(*) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM {prev} GROUP BY dist ORDER BY dist
+    """
+    return sql
+
+
+@register("graph-bfs-hops", oracle=_bfs_oracle())
+def graph_bfs_hops(spark, sf_dir):
+    """Breadth-first reachability: shortest hop distance from a seed
+    supplier to every node within 3 hops of the purchase graph -- the
+    blast-radius / influence-sphere query (which accounts does this
+    vendor touch within k steps). Per round, the frontier's neighbours
+    join in and MIN(dist) keeps the first arrival -- min-label
+    propagation, the ext-dedup-cluster device with distances instead of
+    labels. All integers; the per-distance summary (count + min/max
+    node) keeps the output bounded while pinning membership.
+
+    Scale: each hop is one equi-join (edges hash-partitioned on src,
+    reused every round) plus a partial-aggregated MIN -- identical
+    mechanics to graph-pagerank but with a growing-then-stable frontier;
+    production BFS checkpoints the distance table per ~5 hops."""
+    cat = views(spark, sf_dir)
+    o, li = cat.table("orders"), cat.table("lineitem")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter((F.col("l_suppkey") <= 50) & (F.col("o_custkey") <= 500))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    dist = spark.createDataFrame([("s1", 0)], "node STRING, dist INT")
+    for _ in range(_BFS_HOPS):
+        expanded = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionAll(expanded).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return (
+        dist.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("dist")
+    )

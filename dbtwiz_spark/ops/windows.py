@@ -778,3 +778,85 @@ def win_seasonal_baseline(spark, sf_dir):
         "baseline",
         (F.col("value") - F.col("baseline")).alias("residual"),
     )
+
+
+@register(
+    "win-rolling-trend",
+    oracle="""
+    WITH base AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               CAST(l_quantity AS DECIMAL(28, 6)) AS yd,
+               ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn
+        FROM lineitem WHERE l_suppkey <= 25),
+    e AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, rn,
+               COUNT(*) OVER f AS cnt,
+               CAST(SUM(yd) OVER f AS DECIMAL(38, 6)) AS sy,
+               CAST(SUM(yd * rn) OVER f AS DECIMAL(38, 6)) AS sjy
+        FROM base
+        WINDOW f AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(10 * (sjy - (rn - 10 + 1) * sy)
+                - 45 * sy AS DOUBLE) / 825.0 AS slope,
+           (CAST(sy AS DOUBLE) - CAST(10 * (sjy - (rn - 10 + 1) * sy)
+                                      - 45 * sy AS DOUBLE) / 825.0 * 45)
+             / 10.0
+           + CAST(10 * (sjy - (rn - 10 + 1) * sy)
+                  - 45 * sy AS DOUBLE) / 825.0 * 10 AS forecast_next
+    FROM e WHERE cnt = 10
+    """,
+)
+def win_rolling_trend(spark, sf_dir):
+    """Rolling linear-trend forecast: OLS slope over each supplier's
+    last 10 shipments (x = position 0..9 in the frame) and the
+    one-step-ahead forecast a + slope*10 -- the short-horizon demand
+    predictor a replenishment pipeline computes per key. No arrays, no
+    UDF: with x anchored to the frame, sum(x*y) telescopes to
+    sum(rn*y) - (rn-9)*sum(y), so BOTH regression sums are plain frame
+    SUMs over DECIMAL-cast values (exact, order-independent); Sx = 45
+    and the variance denominator 10*Sxx - Sx^2 = 825 are compile-time
+    constants. Doubles appear only in the final slope division and
+    forecast combine, on bit-identical exact operands -- unrounded, per
+    the no-round rule for identical doubles.
+
+    Scale: one hash-partitioned window on l_suppkey, bounded ROWS
+    frames, everything in whole-stage codegen -- identical shape to
+    win-sliding-frame; rows without a full 10-point history are
+    excluded, not extrapolated."""
+    li = views(spark, sf_dir).table("lineitem").filter(F.col("l_suppkey") <= 25)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    f = w.rowsBetween(-9, 0)
+    base = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.col("l_quantity").cast(DEC).alias("yd"),
+        F.row_number().over(w).alias("rn"),
+    )
+    e = base.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "rn",
+        F.count("*").over(f).alias("cnt"),
+        F.sum("yd").over(f).cast("decimal(38,6)").alias("sy"),
+        F.sum(F.col("yd") * F.col("rn")).over(f).cast("decimal(38,6)").alias("sjy"),
+    ).filter(F.col("cnt") == 10)
+    num = 10 * (F.col("sjy") - (F.col("rn") - 10 + 1) * F.col("sy")) - 45 * F.col(
+        "sy"
+    )
+    slope = num.cast("double") / 825.0
+    a = (F.col("sy").cast("double") - slope * 45) / 10.0
+    return e.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        slope.alias("slope"),
+        (a + slope * 10).alias("forecast_next"),
+    )
