@@ -1824,8 +1824,9 @@ def agg_gini_concentration(spark, sf_dir):
     (2i-n-1) integer multiply and the final reduction; doubles appear
     only in the last division.
 
-    Scale: the global rank uses the win-percent device -- range-partition
-    on the order key, per-partition row_number, tiny broadcast offsets --
+    Scale: the global rank is the shared ``common.parallel_rank`` device
+    (also backing win-percent) -- range-partition on the order key,
+    per-partition row_number, tiny broadcast offsets --
     so no corpus-sized single-partition window exists; the customer-level
     revenue table is dimension-sized, not fact-sized."""
     cat = views(spark, sf_dir)
@@ -1839,35 +1840,11 @@ def agg_gini_concentration(spark, sf_dir):
             ).alias("r")
         )
     )
+    from dbtwiz_spark.ops.common import parallel_rank
+
     keys = [F.col("r"), F.col("o_custkey")]
-    parts = rev.repartitionByRange(8, *keys)
-    local = (
-        parts.withColumn("_pid", F.spark_partition_id())
-        .withColumn(
-            "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
-        )
-        .persist()
-    )
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    carr = counts.agg(
-        F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("arr")
-    )
-    zero = F.lit(0).cast("long")
-    prefix = F.transform(
-        F.col("arr"),
-        lambda s, i: F.struct(
-            s["_pid"].alias("_pid"),
-            F.aggregate(
-                F.slice(F.col("arr"), 1, i), zero, lambda a, x: a + x["_cnt"]
-            ).alias("_off"),
-        ),
-    )
-    total = F.aggregate(F.col("arr"), zero, lambda a, x: a + x["_cnt"])
-    offsets = carr.select(
-        F.explode(prefix).alias("o"), total.alias("_n")
-    ).select(F.col("o._pid").alias("_pid"), F.col("o._off").alias("_off"), "_n")
-    ranked = local.join(F.broadcast(offsets), "_pid").select(
-        "r", (F.col("_off") + F.col("_rn")).alias("i"), "_n"
+    ranked = parallel_rank(rev, keys).select(
+        "r", F.col("_rank").alias("i"), "_n"
     )
     s = ranked.agg(
         F.max("_n").cast("bigint").alias("n_customers"),

@@ -119,3 +119,58 @@ def hkey(col: Column) -> Column:
 
 def hkey_sql(expr: str) -> str:
     return f"((({expr}) % {M31}) * {KNUTH}) % {M32}"
+
+
+def parallel_rank(df, keys, n_parts: int = 8):
+    """Global 1-based row number over a UNIQUE total order, scale-safe.
+
+    A bare ``Window.orderBy`` funnels the whole table through one task;
+    this device gets identical ranks fully in parallel:
+
+    1. range-partition + local sort on the order key,
+    2. local row_number per physical partition,
+    3. tiny per-partition counts -> cumulative offsets (broadcast),
+    4. global rank = offset + local row_number.
+
+    Returns ``df`` plus ``_rank`` (global row number) and ``_n`` (total
+    rows). The key chain MUST be a unique total order or ranks are
+    partition-placement-dependent. The ranked input is persisted because
+    both the counts and the final join consume the sorted partitions
+    (without it the range partition + sort runs twice, measured 2x at
+    sf0.01). Shared by win-percent and agg-gini-concentration; the
+    offset fold is O(P^2) on a handful of elements in one tiny task,
+    never a windowed cumsum (that would be a single-partition
+    WindowExec)."""
+    from pyspark.sql.window import Window
+
+    parts = df.repartitionByRange(n_parts, *keys)
+    local = (
+        parts.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
+        )
+        .persist()
+    )
+    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    carr = counts.agg(
+        F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+    prefix = F.transform(
+        F.col("arr"),
+        lambda s, i: F.struct(
+            s["_pid"].alias("_pid"),
+            F.aggregate(
+                F.slice(F.col("arr"), 1, i), zero, lambda a, x: a + x["_cnt"]
+            ).alias("_off"),
+        ),
+    )
+    total = F.aggregate(F.col("arr"), zero, lambda a, x: a + x["_cnt"])
+    offsets = carr.select(F.explode(prefix).alias("o"), total.alias("_n")).select(
+        F.col("o._pid").alias("_pid"), F.col("o._off").alias("_off"), "_n"
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", F.col("_off") + F.col("_rn"))
+        .drop("_pid", "_rn", "_off")
+    )

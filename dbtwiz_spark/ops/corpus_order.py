@@ -15,11 +15,14 @@ Round-6 window (positions 0-49):
   agg-ab-test, sink-cdc-apply, ext-rank-fusion, ext-mask-tokens,
   stream-join-interval, agg-kmv-intersect, ext-embed-quantize. Green
   rows here restore 183/183 everything-driver-certified.
-* 10-40 — ALL 31 entries whose newest green row is still round 2 (the
+* 10-40 — the entries whose newest green row is still round 2 (the
   scan-info-schema / project / distinct / join-shape / core-agg /
   win-row-number / win-rank families): three rounds of shared-helper
   evolution (catalog.py, common.py, session confs) since their last
-  driver check. After this round no entry's newest row predates r3.
+  driver check. Exception: win-percent took file-format-orc's slot
+  mid-round (its rank machinery moved into common.parallel_rank, so the
+  manifest guard requires re-certification; orc's code is unchanged and
+  keeps its r2 row).
 * 41-49 — the 9 entries added during round 6 (zero driver evidence,
   local-oracle green at sf0.001/0.01/0.1): agg-linear-regression,
   agg-entropy, agg-skewness-kurtosis, join-asof-nearest, win-ema,
@@ -70,7 +73,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext-embed-quantize",
     # oldest-evidence refresh: every entry whose newest green row is r2
     "scan-info-schema",
-    "file-format-orc",
+    # win-percent re-enters the window: its rank machinery was extracted
+    # into the shared common.parallel_rank helper mid-round-6 (source hash
+    # changed -> the green-manifest guard requires driver re-certification;
+    # identical plan, pinned in test_plans). Displaces file-format-orc,
+    # whose code is byte-unchanged and keeps its valid r2 row.
+    "win-percent",
     "project-rename",
     "project-computed",
     "project-except-replace",

@@ -202,42 +202,16 @@ def win_percent(spark, sf_dir):
     The order key (c_acctbal, c_custkey) is a unique total order, so
     rank == row_number, percent_rank == (rank-1)/(N-1) and
     cume_dist == rank/N — exactly DuckDB's values, with every step parallel
-    (the only single-task work is the cumsum over #partitions rows).
+    (the only single-task work is the cumsum over #partitions rows). The
+    rank machinery is the shared ``common.parallel_rank`` device (also
+    backing agg-gini-concentration).
     """
+    from dbtwiz_spark.ops.common import parallel_rank
+
     c = views(spark, sf_dir).table("customer")
     keys = [F.col("c_acctbal"), F.col("c_custkey")]
-    parts = c.select("c_custkey", "c_acctbal").repartitionByRange(8, *keys)
-    local = parts.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_rn", F.row_number().over(Window.partitionBy("_pid").orderBy(*keys))
-    ).persist()
-    # both consumers (the per-partition counts and the final rank join) read
-    # the sorted ranked partitions from cache — without it the range
-    # partitioning + local sort runs twice (measured 2x at sf0.01)
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    # cumulative offsets computed window-free (a windowed cumsum here would
-    # be a single-partition WindowExec): fold the #partitions-sized count
-    # array — O(P²) on a handful of elements, all in one tiny task
-    carr = counts.agg(
-        F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("arr")
-    )
-    zero = F.lit(0).cast("long")
-    prefix = F.transform(
-        F.col("arr"),
-        lambda s, i: F.struct(
-            s["_pid"].alias("_pid"),
-            F.aggregate(
-                F.slice(F.col("arr"), 1, i), zero, lambda a, x: a + x["_cnt"]
-            ).alias("_off"),
-        ),
-    )
-    total = F.aggregate(F.col("arr"), zero, lambda a, x: a + x["_cnt"])
-    offsets = carr.select(
-        F.explode(prefix).alias("o"), total.alias("_n")
-    ).select(F.col("o._pid").alias("_pid"), F.col("o._off").alias("_off"), "_n")
-    ranked = local.join(F.broadcast(offsets), "_pid").select(
-        "c_custkey",
-        (F.col("_off") + F.col("_rn")).alias("_rank"),
-        "_n",
+    ranked = parallel_rank(c.select("c_custkey", "c_acctbal"), keys).select(
+        "c_custkey", "_rank", "_n"
     )
     return ranked.select(
         "c_custkey",

@@ -650,7 +650,9 @@ def test_round6_graph_and_join_plan_properties(spark):
     assert "BroadcastHashJoin" in sp_plan  # equi on the grid cell key
     assert "CartesianProduct" not in sp_plan
     assert "SortMergeJoin" not in sp_plan  # points side never shuffles
-    assert "Exchange hashpartitioning" not in sp_plan
+    # no shuffle exchange at all (BroadcastExchange is a distinct node
+    # name; formatted mode prints plain shuffles as "(N) Exchange")
+    assert _nodes(sp_plan, "Exchange") == 0
 
     fz_plan = _formatted(join_fuzzy_string(spark, SF_DIR))
     assert "CartesianProduct" not in fz_plan
@@ -714,8 +716,16 @@ def test_bpe_train_single_corpus_shuffle(spark):
     keyed on the raw word."""
     from dbtwiz_spark.ops.ext_pipeline import ext_bpe_train
 
+    import re
+
     plan = _formatted(ext_bpe_train(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     # the top-1 merge selections are TakeOrdered, never global sorts
     assert "TakeOrderedAndProject" in plan
-    assert "Sort [" not in plan or "Sort [merge_round" in plan
+    # the ONLY Sort nodes allowed are the final 3-row merge_round order
+    # (formatted mode puts the node header and its Arguments on separate
+    # lines, so match the detail block, not a contiguous substring)
+    sorts = re.findall(
+        r"\(\d+\) Sort\nInput[^\n]*\nArguments: ([^\n]*)", plan
+    )
+    assert all("merge_round" in args for args in sorts), sorts
