@@ -1921,3 +1921,69 @@ def agg_sliding_distinct(spark, sf_dir):
         F.broadcast(bounds),
         (F.col("win_end") >= F.col("lo")) & (F.col("win_end") <= F.col("hi")),
     ).select("event_type", "win_end", "u7")
+
+
+@register(
+    "agg-attribution-linear",
+    oracle="""
+    WITH conv AS (
+        SELECT event_id AS conv_id, user_id, ts AS conv_ts
+        FROM events WHERE event_type = 'purchase'),
+    touch AS (
+        SELECT user_id, event_type, ts
+        FROM events WHERE event_type <> 'purchase'),
+    paired AS (
+        SELECT c.conv_id, t.event_type
+        FROM conv c JOIN touch t
+          ON c.user_id = t.user_id
+         AND t.ts < c.conv_ts
+         AND t.ts >= c.conv_ts - INTERVAL 7 DAY),
+    sized AS (
+        SELECT conv_id, event_type,
+               COUNT(*) OVER (PARTITION BY conv_id) AS n_touches
+        FROM paired)
+    SELECT event_type,
+           COUNT(*) AS n_touch_events,
+           CAST(SUM(CAST(1.0 / n_touches AS DECIMAL(28, 6))) AS DOUBLE)
+             AS attributed_conversions
+    FROM sized GROUP BY event_type
+    """,
+)
+def agg_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase distributes one unit
+    of credit equally across the user's touch events in the prior 7 days;
+    credit is summed per touch channel -- the marketing-mart workhorse
+    the reference's mart layer would build in SQL. Each credit term
+    1/n_touches is one double division on identical integers, truncated
+    to DECIMAL before the channel sum so the reduction is
+    order-independent (per-term ulp skew cannot reorder a truncated sum).
+
+    Scale: the conversion-touch pairing is an equi-join on user_id with
+    the 7-day horizon as a join-time filter (per-user fan-out is bounded
+    by a user's own event density -- the stream-join-interval shape, never
+    a cartesian); touch counting is one window partitioned by conversion
+    id; the final rollup is channel-cardinality sized."""
+    e = views(spark, sf_dir).table("events")
+    conv = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id"),
+        F.col("ts").alias("conv_ts"),
+    )
+    touch = e.filter(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", "ts"
+    )
+    paired = conv.join(touch, "user_id").filter(
+        (F.col("ts") < F.col("conv_ts"))
+        & (F.col("ts") >= F.col("conv_ts") - F.expr("INTERVAL 7 DAYS"))
+    )
+    sized = paired.select(
+        "conv_id",
+        "event_type",
+        F.count("*").over(Window.partitionBy("conv_id")).alias("n_touches"),
+    )
+    return sized.groupBy("event_type").agg(
+        F.count("*").alias("n_touch_events"),
+        F.sum((F.lit(1.0) / F.col("n_touches")).cast(DEC))
+        .cast("double")
+        .alias("attributed_conversions"),
+    )

@@ -834,3 +834,121 @@ def win_rolling_trend(spark, sf_dir):
         slope.alias("slope"),
         (a + slope * 10).alias("forecast_next"),
     )
+
+
+@register(
+    "win-rolling-corr",
+    oracle="""
+    WITH base AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               CAST(l_quantity AS DECIMAL(8, 2)) AS x,
+               CAST(l_extendedprice AS DECIMAL(12, 2)) AS y,
+               CAST(l_quantity AS DECIMAL(8, 2))
+                 * CAST(l_extendedprice AS DECIMAL(12, 2)) AS xy,
+               CAST(l_quantity AS DECIMAL(8, 2))
+                 * CAST(l_quantity AS DECIMAL(8, 2)) AS xx,
+               CAST(l_extendedprice AS DECIMAL(12, 2))
+                 * CAST(l_extendedprice AS DECIMAL(12, 2)) AS yy
+        FROM lineitem WHERE l_suppkey <= 25),
+    e AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               COUNT(*) OVER f AS cnt,
+               CAST(SUM(x) OVER f AS DECIMAL(38, 6)) AS sx,
+               CAST(SUM(y) OVER f AS DECIMAL(38, 6)) AS sy,
+               CAST(SUM(xy) OVER f AS DECIMAL(38, 6)) AS sxy,
+               CAST(SUM(xx) OVER f AS DECIMAL(38, 6)) AS sxx,
+               CAST(SUM(yy) OVER f AS DECIMAL(38, 6)) AS syy
+        FROM base
+        WINDOW f AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    c AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(sx * 100 AS BIGINT) AS sxi,
+               CAST(sy * 100 AS BIGINT) AS syi,
+               CAST(sxy * 10000 AS BIGINT) AS sxyi,
+               CAST(sxx * 10000 AS BIGINT) AS sxxi,
+               CAST(syy * 10000 AS BIGINT) AS syyi
+        FROM e WHERE cnt = 10),
+    d AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(10 * sxyi - sxi * syi AS DOUBLE) AS num,
+               CAST(10 * sxxi - sxi * sxi AS DOUBLE) AS vx,
+               CAST(10 * syyi - syi * syi AS DOUBLE) AS vy
+        FROM c)
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CASE WHEN vx > 0 AND vy > 0
+                THEN num / sqrt(vx) / sqrt(vy)
+                ELSE NULL END AS rolling_corr
+    FROM d
+    """,
+)
+def win_rolling_corr(spark, sf_dir):
+    """Rolling Pearson correlation of quantity vs extended price over
+    each supplier's last 10 shipments -- the co-movement monitor (a price
+    and volume decoupling flags demand shifts). All five moment sums are
+    plain DECIMAL frame sums over EXACT inputs: each FACTOR is cast to a
+    tight decimal first (source values carry <= 2 decimals, so the cast
+    is unambiguous) and the products are DECIMAL multiplies whose widths
+    stay inside DECIMAL(38). The combine then moves to SCALED BIGINTs
+    (x10^2 / x10^4 -- integral by construction, frame-bounded far below
+    int64): 10*Sxy - Sx*Sy runs in exact integer arithmetic with the
+    scale factors cancelling in the correlation ratio, and the ONLY
+    rounding anywhere is the final int64->double conversion + IEEE
+    sqrt/divide, all correctly rounded in hardware. Two rejected
+    formulations both diverged in the last ulp: combining in DECIMAL
+    overflows DECIMAL(38) (Spark truncates, DuckDB promotes to double),
+    and casting the WIDE decimal sums to double hits DuckDB's
+    int128-then-scale double-rounding (Spark/Java round the decimal
+    directly). Output ships unrounded -- it is bit-identical.
+    Zero-variance frames return NULL explicitly on both engines (NaN
+    equality semantics differ).
+
+    Scale: identical single-shuffle bounded-frame shape as
+    win-rolling-trend."""
+    li = views(spark, sf_dir).table("lineitem").filter(F.col("l_suppkey") <= 25)
+    qd = F.col("l_quantity").cast("decimal(8,2)")
+    pd = F.col("l_extendedprice").cast("decimal(12,2)")
+    base = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        qd.alias("x"),
+        pd.alias("y"),
+        (qd * pd).alias("xy"),
+        (qd * qd).alias("xx"),
+        (pd * pd).alias("yy"),
+    )
+    f = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, 0)
+    )
+    e = base.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count("*").over(f).alias("cnt"),
+        F.sum("x").over(f).cast("decimal(38,6)").alias("sx"),
+        F.sum("y").over(f).cast("decimal(38,6)").alias("sy"),
+        F.sum("xy").over(f).cast("decimal(38,6)").alias("sxy"),
+        F.sum("xx").over(f).cast("decimal(38,6)").alias("sxx"),
+        F.sum("yy").over(f).cast("decimal(38,6)").alias("syy"),
+    ).filter(F.col("cnt") == 10)
+    sxi = (F.col("sx") * 100).cast("bigint")
+    syi = (F.col("sy") * 100).cast("bigint")
+    sxyi = (F.col("sxy") * 10000).cast("bigint")
+    sxxi = (F.col("sxx") * 10000).cast("bigint")
+    syyi = (F.col("syy") * 10000).cast("bigint")
+    num = (10 * sxyi - sxi * syi).cast("double")
+    vx = (10 * sxxi - sxi * sxi).cast("double")
+    vy = (10 * syyi - syi * syi).cast("double")
+    return e.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(
+            (vx > 0) & (vy > 0), num / F.sqrt(vx) / F.sqrt(vy)
+        ).otherwise(F.lit(None).cast("double")).alias("rolling_corr"),
+    )
