@@ -769,3 +769,57 @@ def test_snapshot_claim_skips_preexisting_slot(spark, wh, monkeypatch):
     assert (marker / "racer.txt").exists(), "non-empty slot must survive"
     assert wh.read_snapshot("trace", stolen2 + 1).first().v == "v1"
     assert wh.read("trace").first().v == "v2"
+
+
+def test_publish_crash_at_every_swap_point_loses_no_state(spark, tmp_path):
+    """Fault injection over the publish swap: every filesystem rename in
+    the write path (Path.rename, shutil.move and os.rename all bottom out
+    in os.rename on one filesystem) is crashed once, at each call index.
+    After recovery the table must read as EITHER the complete previous
+    state or the complete new state -- never empty, mixed, or lost -- and
+    the previously committed snapshot id must still be readable."""
+    import os
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    def run(crash_at):
+        root = tmp_path / f"wh_crash_{crash_at}"
+        wh = Warehouse(spark, str(root))
+        wh.write_table("t", _df(spark, [(1, "v1", "d")]))
+        wh.write_table("t", _df(spark, [(2, "v2", "d")]))  # snapshots v1
+        snaps_before = wh.snapshots("t")
+        assert len(snaps_before) == 1
+        calls = {"n": 0}
+        real_rename = os.rename
+
+        def inject(*a, **k):
+            calls["n"] += 1
+            if crash_at is not None and calls["n"] == crash_at:
+                raise RuntimeError("injected crash")
+            return real_rename(*a, **k)
+
+        os.rename = inject
+        try:
+            wh.write_table("t", _df(spark, [(3, "v3", "d")]))
+            crashed = False
+        except RuntimeError:
+            crashed = True
+        finally:
+            os.rename = real_rename
+        wh2 = Warehouse(spark, str(root))
+        wh2._recover("t")
+        rows = {(r.k, r.v) for r in wh2.read("t").collect()}
+        assert rows in ({(2, "v2")}, {(3, "v3")}), f"crash_at={crash_at}: {rows}"
+        # the committed v1 snapshot survives every crash point: either
+        # still under the live table or parked in the surfaced __old dir
+        live_snaps = set(wh2.snapshots("t"))
+        parked = list(root.glob("t__old_*/_snapshots/*"))
+        surviving = live_snaps | {int(p.name) for p in parked}
+        assert set(snaps_before) <= surviving, f"crash_at={crash_at}"
+        return calls["n"], crashed
+
+    total, _ = run(None)
+    assert total >= 3, f"expected >=3 rename points in the publish, saw {total}"
+    for point in range(1, total + 1):
+        _, crashed = run(point)
+        assert crashed, f"injection at point {point} did not fire"
