@@ -1944,7 +1944,8 @@ def agg_sliding_distinct(spark, sf_dir):
         FROM paired)
     SELECT event_type,
            COUNT(*) AS n_touch_events,
-           CAST(SUM(CAST(1.0 / n_touches AS DECIMAL(28, 6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(1.0 / n_touches AS DECIMAL(28, 6))) * 1000000
+                     AS BIGINT) AS DOUBLE) / 1000000
              AS attributed_conversions
     FROM sized GROUP BY event_type
     """,
@@ -1954,9 +1955,13 @@ def agg_attribution_linear(spark, sf_dir):
     of credit equally across the user's touch events in the prior 7 days;
     credit is summed per touch channel -- the marketing-mart workhorse
     the reference's mart layer would build in SQL. Each credit term
-    1/n_touches is one double division on identical integers, truncated
-    to DECIMAL before the channel sum so the reduction is
-    order-independent (per-term ulp skew cannot reorder a truncated sum).
+    1/n_touches is one double division on identical integers, ROUNDED
+    (HALF_UP -- no 1/n below n=200k sits on a conversion boundary,
+    checked exhaustively) to DECIMAL before the channel sum so the
+    reduction is order-independent, and the sum exits the exact domain
+    as a SCALED BIGINT (x10^6, integral by construction) rather than a
+    wide-decimal->double cast -- the DuckDB double-rounding hazard the
+    verify-skill gotchas record from win-rolling-corr.
 
     Scale: the conversion-touch pairing is an equi-join on user_id with
     the 7-day horizon as a join-time filter (per-user fan-out is bounded
@@ -1983,7 +1988,10 @@ def agg_attribution_linear(spark, sf_dir):
     )
     return sized.groupBy("event_type").agg(
         F.count("*").alias("n_touch_events"),
-        F.sum((F.lit(1.0) / F.col("n_touches")).cast(DEC))
-        .cast("double")
-        .alias("attributed_conversions"),
+        (
+            (F.sum((F.lit(1.0) / F.col("n_touches")).cast(DEC)) * 1000000)
+            .cast("bigint")
+            .cast("double")
+            / 1000000
+        ).alias("attributed_conversions"),
     )

@@ -26,10 +26,39 @@ sys.path.insert(0, str(REPO))
 from dbtwiz_spark.ops import CORPUS  # noqa: E402
 
 
+# Shared ops helpers whose behavior flows into entries WITHOUT appearing
+# in the entry function's own source. An edit to one of these must trip
+# the guard for every referencing green entry (the parallel_rank
+# extraction created exactly that blind spot for win-percent/gini), so
+# each referenced helper's source is folded into the entry hash.
+# Substring matching is deliberately conservative: "dsum" also matches a
+# "dsum_sql" reference — over-inclusion can only force a re-window,
+# never miss an edit.
+_SHARED_HELPERS = (
+    "parallel_rank",
+    "dsum_sql",
+    "davg_sql",
+    "hkey_sql",
+    "dsum",
+    "davg",
+    "hkey",
+    "cap_shingle_df",
+)
+
+
 def entry_hash(name: str) -> str:
+    import dbtwiz_spark.ops.common as _common
+    import dbtwiz_spark.ops.ext_llm as _ext_llm
+
     spec = CORPUS[name]
-    src = inspect.getsource(spec.fn) + "\n---oracle---\n" + (spec.oracle or "")
-    return hashlib.sha256(src.encode()).hexdigest()
+    src = inspect.getsource(spec.fn)
+    parts = [src, "---oracle---", spec.oracle or ""]
+    for helper in _SHARED_HELPERS:
+        if helper in src or helper in (spec.oracle or ""):
+            owner = _common if hasattr(_common, helper) else _ext_llm
+            if hasattr(owner, helper):
+                parts.append(inspect.getsource(getattr(owner, helper)))
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 
 def green_entries() -> set[str]:
