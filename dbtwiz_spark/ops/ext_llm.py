@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from dbtwiz_spark.ops.common import views
+from dbtwiz_spark.ops.common import views, davg, davg_sql
 from dbtwiz_spark.ops.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1551,4 +1551,113 @@ def ext_embed_quantize(spark, sf_dir):
         "n_dims",
         F.col("max_code").cast("long").alias("max_code"),
         (F.col("max_code") <= 127).alias("fits_int8"),
+    )
+
+
+@register(
+    "ext-hard-negatives",
+    oracle=_pair_cosine_sql("e.vec_id % 50 = 0")
+    + """
+    SELECT d.q_vec_id, ql.label AS q_label, d.c_vec_id, d.c_label,
+           d.cosine, r.rnk
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
+                                     ORDER BY cosine DESC, c_vec_id) AS rnk
+        FROM (SELECT dd.* FROM dots dd
+              JOIN embeddings ql2 ON dd.q_vec_id = ql2.vec_id
+              WHERE dd.c_label <> ql2.label)) r
+    JOIN dots d ON d.q_vec_id = r.q_vec_id AND d.c_vec_id = r.c_vec_id
+    JOIN embeddings ql ON d.q_vec_id = ql.vec_id
+    WHERE r.rnk <= 5
+    """,
+)
+def ext_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training: per query vector,
+    the 5 most-similar candidates carrying a DIFFERENT label — the
+    examples that teach an embedding model the most (easy negatives are
+    already far; hard negatives sit just across the boundary). Reuses
+    the exact-decimal cosine machinery of ext-sim-cosine-topk with a
+    label-mismatch filter BEFORE the per-query top-k window, so a
+    query's negatives are ranked among negatives only.
+
+    Scale: identical to the cosine top-k shape — broadcast sampled query
+    side (with labels), one map-side streaming pass over candidates,
+    per-query windowed top-k; the LSH/IVF bucketed variants drop in as
+    candidate generators unchanged."""
+    emb = views(spark, sf_dir).table("embeddings")
+    pairs = _cosine_pairs(spark, emb, F.col("vec_id") % 50 == 0)
+    qlab = emb.select(
+        F.col("vec_id").alias("q_vec_id"), F.col("label").alias("q_label")
+    )
+    return (
+        pairs.join(F.broadcast(qlab), "q_vec_id")
+        .filter(F.col("c_label") != F.col("q_label"))
+        .select(
+            "q_vec_id",
+            "q_label",
+            "c_vec_id",
+            "c_label",
+            "cosine",
+            F.row_number()
+            .over(
+                Window.partitionBy("q_vec_id").orderBy(
+                    F.col("cosine").desc(), F.col("c_vec_id")
+                )
+            )
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@register(
+    "ext-embed-normalize",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, dim - 1 AS dim, CAST(embedding[dim] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(dim)),
+    agg AS (
+        SELECT dim,
+               {davg_sql('v')} AS mean_v,
+               {davg_sql('v * v')} AS mean_sq
+        FROM ex GROUP BY 1)
+    SELECT e.vec_id, e.dim, e.v,
+           (e.v - a.mean_v)
+             / sqrt(a.mean_sq - a.mean_v * a.mean_v) AS z
+    FROM ex e JOIN agg a ON e.dim = a.dim
+    WHERE e.vec_id % 100 = 0
+    """,
+)
+def ext_embed_normalize(spark, sf_dir):
+    """Per-dimension embedding whitening: z = (x - mean) / std using the
+    corpus statistics — the preprocessing that stops high-variance
+    dimensions from dominating cosine/L2 geometry before ANN indexing or
+    linear probes. Statistics come from the ext-embed-stats DECIMAL
+    path (exact, order-independent); x is float32 (exactly widened to
+    double), so the normalized value is a chain of IEEE ops on
+    bit-identical operands and ships UNROUNDED. Output sampled to
+    vec_id % 100 = 0 to keep the checked surface bounded; the full
+    transform is the same map-side expression.
+
+    Scale: the stats aggregation is the O(partitions x dims) wordcount
+    shape; application is a broadcast join of the 64-row stats table
+    back into a map-side transform — no second corpus shuffle."""
+    e = views(spark, sf_dir).table("embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "vf")
+    ).select("vec_id", "dim", F.col("vf").cast("double").alias("v"))
+    agg = ex.groupBy("dim").agg(
+        davg("v", "mean_v"),
+        davg(F.col("v") * F.col("v"), "mean_sq"),
+    )
+    std = F.sqrt(F.col("mean_sq") - F.col("mean_v") * F.col("mean_v"))
+    return (
+        ex.filter(F.col("vec_id") % 100 == 0)
+        .join(F.broadcast(agg), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            "v",
+            ((F.col("v") - F.col("mean_v")) / std).alias("z"),
+        )
     )
