@@ -181,6 +181,48 @@ def q_insert_overwrite(cat):
     return None, "done"
 
 
+def q_pagerank(cat):
+    from dbtwiz_spark.ops.graphs import graph_pagerank
+
+    return graph_pagerank(cat.spark, cat.sf_dir), "collect"
+
+
+def q_bpe_train(cat):
+    from dbtwiz_spark.ops.ext_pipeline import ext_bpe_train
+
+    return ext_bpe_train(cat.spark, cat.sf_dir), "collect"
+
+
+def q_sliding_distinct(cat):
+    from dbtwiz_spark.ops.aggregates import agg_sliding_distinct
+
+    return agg_sliding_distinct(cat.spark, cat.sf_dir), "noop"
+
+
+def q_rolling_corr(cat):
+    from dbtwiz_spark.ops.windows import win_rolling_corr
+
+    return win_rolling_corr(cat.spark, cat.sf_dir), "noop"
+
+
+def q_triangle_count(cat):
+    from dbtwiz_spark.ops.graphs import graph_triangle_count
+
+    return graph_triangle_count(cat.spark, cat.sf_dir), "collect"
+
+
+# Round-6 additions measured SEPARATELY: the headline set (and its total)
+# stays fixed so headline_total remains comparable across every recorded
+# round; extras give the iterative/graph/statistics families their own
+# perf trace without moving the cross-round baseline.
+EXTRA_QUERIES = {
+    "q_pagerank": q_pagerank,
+    "q_bpe_train": q_bpe_train,
+    "q_sliding_distinct": q_sliding_distinct,
+    "q_rolling_corr": q_rolling_corr,
+    "q_triangle_count": q_triangle_count,
+}
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q5_revenue_by_nation": q5_revenue_by_nation,
@@ -242,6 +284,19 @@ def main() -> None:
         # median of 3 is effectively the slower of the two warm runs.
         medians[name] = round(statistics.median(samples), 3)
 
+    extras: dict[str, float] = {}
+    for name, build in EXTRA_QUERIES.items():
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df, action = build(cat)
+            if action == "collect":
+                df.collect()
+            elif action != "done":
+                df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+        extras[name] = round(min(samples), 3)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -252,6 +307,8 @@ def main() -> None:
                 "queries": timings,
                 "queries_median": medians,
                 "value_median": round(sum(medians.values()), 3),
+                "extras": extras,
+                "extras_total": round(sum(extras.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
