@@ -263,9 +263,15 @@ def main() -> None:
     # of three is a much tighter estimator of the true cost than of two.
     # Every run executes the full plan end-to-end.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    timings: dict[str, float] = {}
-    medians: dict[str, float] = {}
-    for name, build in QUERIES.items():
+
+    def time_query(build) -> tuple[float, float]:
+        """(best, median) of N full end-to-end executions. The minimum
+        tracks the steady-state cost (headline, comparable across
+        rounds); the median makes host-noise regressions attributable —
+        a query whose best AND median both move is a real change, one
+        whose best is flat while the median jumps is the VM. With run 1
+        carrying one-time codegen compile, the median of 3 is
+        effectively the slower of the two warm runs."""
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -275,27 +281,17 @@ def main() -> None:
             elif action != "done":  # "done": build ran its own action
                 df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(min(samples), 3)
-        # median alongside best: the minimum tracks the steady-state cost
-        # (headline, comparable across rounds), the median makes host-noise
-        # regressions attributable — a query whose best AND median both move
-        # is a real change, one whose best is flat while the median jumps is
-        # the VM. With the first run carrying one-time codegen compile, the
-        # median of 3 is effectively the slower of the two warm runs.
-        medians[name] = round(statistics.median(samples), 3)
+        return round(min(samples), 3), round(statistics.median(samples), 3)
+
+    timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    for name, build in QUERIES.items():
+        timings[name], medians[name] = time_query(build)
 
     extras: dict[str, float] = {}
+    extras_median: dict[str, float] = {}
     for name, build in EXTRA_QUERIES.items():
-        samples = []
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df, action = build(cat)
-            if action == "collect":
-                df.collect()
-            elif action != "done":
-                df.write.format("noop").mode("overwrite").save()
-            samples.append(time.perf_counter() - t0)
-        extras[name] = round(min(samples), 3)
+        extras[name], extras_median[name] = time_query(build)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -308,6 +304,7 @@ def main() -> None:
                 "queries_median": medians,
                 "value_median": round(sum(medians.values()), 3),
                 "extras": extras,
+                "extras_median": extras_median,
                 "extras_total": round(sum(extras.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1558,17 +1558,14 @@ def ext_embed_quantize(spark, sf_dir):
     "ext-hard-negatives",
     oracle=_pair_cosine_sql("e.vec_id % 50 = 0")
     + """
-    SELECT d.q_vec_id, ql.label AS q_label, d.c_vec_id, d.c_label,
-           d.cosine, r.rnk
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_vec_id
-                                     ORDER BY cosine DESC, c_vec_id) AS rnk
-        FROM (SELECT dd.* FROM dots dd
-              JOIN embeddings ql2 ON dd.q_vec_id = ql2.vec_id
-              WHERE dd.c_label <> ql2.label)) r
-    JOIN dots d ON d.q_vec_id = r.q_vec_id AND d.c_vec_id = r.c_vec_id
-    JOIN embeddings ql ON d.q_vec_id = ql.vec_id
-    WHERE r.rnk <= 5
+    SELECT q_vec_id, q_label, c_vec_id, c_label, cosine, rnk FROM (
+        SELECT dd.q_vec_id, ql.label AS q_label, dd.c_vec_id, dd.c_label,
+               dd.cosine,
+               ROW_NUMBER() OVER (PARTITION BY dd.q_vec_id
+                                  ORDER BY dd.cosine DESC, dd.c_vec_id) AS rnk
+        FROM dots dd JOIN embeddings ql ON dd.q_vec_id = ql.vec_id
+        WHERE dd.c_label <> ql.label)
+    WHERE rnk <= 5
     """,
 )
 def ext_hard_negatives(spark, sf_dir):
@@ -1586,7 +1583,10 @@ def ext_hard_negatives(spark, sf_dir):
     candidate generators unchanged."""
     emb = views(spark, sf_dir).table("embeddings")
     pairs = _cosine_pairs(spark, emb, F.col("vec_id") % 50 == 0)
-    qlab = emb.select(
+    # label map restricted to the QUERY SAMPLE before broadcast — the
+    # unfiltered table is 50x the needed rows and breaks the documented
+    # broadcast-the-sampled-side scale contract
+    qlab = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_vec_id"), F.col("label").alias("q_label")
     )
     return (
@@ -1623,7 +1623,7 @@ def ext_hard_negatives(spark, sf_dir):
         FROM ex GROUP BY 1)
     SELECT e.vec_id, e.dim, e.v,
            (e.v - a.mean_v)
-             / sqrt(a.mean_sq - a.mean_v * a.mean_v) AS z
+             / sqrt(greatest(a.mean_sq - a.mean_v * a.mean_v, 0)) AS z
     FROM ex e JOIN agg a ON e.dim = a.dim
     WHERE e.vec_id % 100 = 0
     """,
@@ -1650,7 +1650,14 @@ def ext_embed_normalize(spark, sf_dir):
         davg("v", "mean_v"),
         davg(F.col("v") * F.col("v"), "mean_sq"),
     )
-    std = F.sqrt(F.col("mean_sq") - F.col("mean_v") * F.col("mean_v"))
+    # clamp at 0: decimal-rounded mean_sq can land ~1e-13 below mean_v^2
+    # for a near-constant dimension, where bare sqrt is NaN in Spark but a
+    # hard ERROR in DuckDB (aborts the whole oracle query)
+    std = F.sqrt(
+        F.greatest(
+            F.col("mean_sq") - F.col("mean_v") * F.col("mean_v"), F.lit(0.0)
+        )
+    )
     return (
         ex.filter(F.col("vec_id") % 100 == 0)
         .join(F.broadcast(agg), "dim")

@@ -38,7 +38,10 @@ _ARTIFACTS: dict[tuple, object] = {}
 
 
 def _artifact(spark, sf_dir: str, kind: str, build):
-    key = (id(spark), sf_dir, kind)
+    # keyed on the session OBJECT (ext_llm._ARTIFACTS convention), never
+    # id(spark): a GC'd session's address can be reused by a new session,
+    # which would then receive cached plans bound to the stopped one
+    key = (spark, sf_dir, kind)
     df = _ARTIFACTS.get(key)
     if df is None:
         df = build().persist()
