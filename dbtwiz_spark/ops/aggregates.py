@@ -1995,3 +1995,32 @@ def agg_attribution_linear(spark, sf_dir):
             / 1000000
         ).alias("attributed_conversions"),
     )
+
+
+@register(
+    "agg-bool-logic",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_large
+    FROM orders GROUP BY 1
+    """,
+)
+def agg_bool_logic(spark, sf_dir):
+    """Boolean aggregate surface: bool_and / bool_or / count_if per
+    group -- the data-quality assertion shape ('every order priced',
+    'any outlier present', 'how many match') that dbt tests compile to.
+    All-boolean logic over exact comparisons: deterministic by
+    construction in any engine or order.
+
+    Scale: single partial-aggregated shuffle; booleans partial-combine
+    like any other aggregate."""
+    o = views(spark, sf_dir).table("orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias("n_finished"),
+        F.count_if(F.col("o_totalprice") > 200000).cast("bigint").alias("n_large"),
+    )

@@ -952,3 +952,60 @@ def win_rolling_corr(spark, sf_dir):
             (vx > 0) & (vy > 0), num / F.sqrt(vx) / F.sqrt(vy)
         ).otherwise(F.lit(None).cast("double")).alias("rolling_corr"),
     )
+
+
+@register(
+    "win-rolling-mad",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(mad(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS rolling_mad_qty
+    FROM lineitem WHERE l_suppkey <= 25
+    """,
+)
+def win_rolling_mad(spark, sf_dir):
+    """Rolling median absolute deviation (unscaled MAD) over each
+    supplier's last 11 shipments -- the robust dispersion partner to
+    win-rolling-median (a rolling stddev explodes on one outlier; MAD
+    shrugs it off, which is why robust z-scores use it). Two median
+    passes over the bounded frame: sort the frame array, interpolate
+    the median with the pinned lo+(hi-lo)/2 form, transform to absolute
+    deviations, sort again, interpolate again. Source values are exact
+    small doubles, the median is at worst a .5 value, so every deviation
+    is IEEE-exact and the result matches DuckDB's mad() window bit for
+    bit, unrounded.
+
+    Scale: identical hash-partitioned bounded-frame shape as
+    win-rolling-median; O(k log k) per row with k=11, in codegen."""
+    li = views(spark, sf_dir).table("lineitem").filter(F.col("l_suppkey") <= 25)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-10, 0)
+    )
+
+    def interp_median(arr):
+        n = F.size(arr)
+        hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+        lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        return lo + (hi - lo) / 2
+
+    base = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.array_sort(F.collect_list("l_quantity").over(w)).alias("arr"),
+    )
+    med = interp_median(F.col("arr"))
+    devs = F.array_sort(
+        F.transform(F.col("arr"), lambda v: F.abs(v - med))
+    )
+    return base.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        interp_median(devs).alias("rolling_mad_qty"),
+    )
