@@ -1622,8 +1622,10 @@ def ext_hard_negatives(spark, sf_dir):
                {davg_sql('v * v')} AS mean_sq
         FROM ex GROUP BY 1)
     SELECT e.vec_id, e.dim, e.v,
-           (e.v - a.mean_v)
-             / sqrt(greatest(a.mean_sq - a.mean_v * a.mean_v, 0)) AS z
+           CASE WHEN a.mean_sq - a.mean_v * a.mean_v > 0
+                THEN (e.v - a.mean_v)
+                     / sqrt(a.mean_sq - a.mean_v * a.mean_v)
+                ELSE NULL END AS z
     FROM ex e JOIN agg a ON e.dim = a.dim
     WHERE e.vec_id % 100 = 0
     """,
@@ -1650,14 +1652,12 @@ def ext_embed_normalize(spark, sf_dir):
         davg("v", "mean_v"),
         davg(F.col("v") * F.col("v"), "mean_sq"),
     )
-    # clamp at 0: decimal-rounded mean_sq can land ~1e-13 below mean_v^2
-    # for a near-constant dimension, where bare sqrt is NaN in Spark but a
-    # hard ERROR in DuckDB (aborts the whole oracle query)
-    std = F.sqrt(
-        F.greatest(
-            F.col("mean_sq") - F.col("mean_v") * F.col("mean_v"), F.lit(0.0)
-        )
-    )
+    # degenerate (near-constant) dimension -> NULL on BOTH engines, the
+    # win-rolling-corr guard pattern: decimal-rounded mean_sq can land
+    # below mean_v^2, where bare sqrt NaNs in Spark but hard-errors the
+    # DuckDB oracle, and a zero-clamped std then divides by zero — which
+    # THROWS under Spark 4 ANSI mode while DuckDB yields NULL
+    var = F.col("mean_sq") - F.col("mean_v") * F.col("mean_v")
     return (
         ex.filter(F.col("vec_id") % 100 == 0)
         .join(F.broadcast(agg), "dim")
@@ -1665,6 +1665,8 @@ def ext_embed_normalize(spark, sf_dir):
             "vec_id",
             "dim",
             "v",
-            ((F.col("v") - F.col("mean_v")) / std).alias("z"),
+            F.when(var > 0, (F.col("v") - F.col("mean_v")) / F.sqrt(var))
+            .otherwise(F.lit(None).cast("double"))
+            .alias("z"),
         )
     )
