@@ -729,3 +729,52 @@ def test_bpe_train_single_corpus_shuffle(spark):
         r"\(\d+\) Sort\nInput[^\n]*\nArguments: ([^\n]*)", plan
     )
     assert all("merge_round" in args for args in sorts), sorts
+
+
+# Entries whose plans contain an UNPARTITIONED window, each justified by a
+# provably bounded input (the docstrings carry the bound) — any other entry
+# growing a global window is a scale regression this test catches:
+#   ext-rank-fusion     — windows over the fused top-20+top-20 rank tables
+#   agg-quantile-digest — final interpolation over the <= 64-point digest
+#   agg-mann-whitney    — cumulative ranks over the measure's value domain
+#   agg-log-histogram   — CDF over <= 64 power-of-two buckets
+#   ext-vocab-build     — ordering the AGGREGATED vocabulary table
+UNPARTITIONED_WINDOW_OK = {
+    "ext-rank-fusion",
+    "agg-quantile-digest",
+    "agg-mann-whitney",
+    "agg-log-histogram",
+    "ext-vocab-build",
+}
+
+
+def test_every_corpus_plan_is_scale_clean(spark):
+    """Corpus-WIDE plan audit (generalizes the hand-picked pins above):
+    no entry's physical plan may contain a cartesian product, a
+    row-at-a-time Python UDF stage, or an unpartitioned window outside
+    the justified bounded-input allowlist. This is the engine's
+    every-operator scale contract, enforced, not sampled."""
+    import re
+
+    from dbtwiz_spark.ops import CORPUS
+
+    cartesian, row_python, global_window = [], [], []
+    for name, spec in CORPUS.items():
+        plan = _formatted(spec.fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if "BatchEvalPython" in plan:
+            row_python.append(name)
+        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+            first = m.group(1).split(",")[0]
+            if (" ASC" in first or " DESC" in first) and (
+                name not in UNPARTITIONED_WINDOW_OK
+            ):
+                global_window.append(name)
+                break
+    assert not cartesian, f"cartesian products: {cartesian}"
+    assert not row_python, f"row-at-a-time Python UDFs: {row_python}"
+    assert not global_window, (
+        f"unjustified unpartitioned windows: {global_window} — either fix "
+        "the plan or document the bound and extend UNPARTITIONED_WINDOW_OK"
+    )
