@@ -41,7 +41,8 @@ ext-bpe-train, agg-log-histogram, agg-gini-concentration,
 win-seasonal-baseline, ext-span-corruption, agg-sliding-distinct,
 graph-jaccard-neighbors, graph-bfs-hops, win-rolling-trend,
 agg-attribution-linear, win-rolling-corr, ext-hard-negatives,
-ext-embed-normalize, agg-bool-logic, win-rolling-mad.
+ext-embed-normalize, agg-bool-logic, win-rolling-mad,
+stream-cusum-online.
 
 Entries ADDED later in round 6 extend that list and front-load the
 round-7 window, so new code lands driver evidence at most one round

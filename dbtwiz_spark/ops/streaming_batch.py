@@ -458,3 +458,87 @@ def stream_join_interval(spark, sf_dir):
         F.count("*").alias("n_attributed"),
         F.round(davg(delay), 6).alias("avg_delay_s"),
     )
+
+
+# Online CUSUM parameters (Page's test): reference level mu0=50.0,
+# allowance k=0.5, decision threshold h=25.0 — all in exact integer
+# micro-units (x100, events.value carries 2 decimals).
+_CUSUM_REF_C = 5050   # (mu0 + k) * 100
+_CUSUM_H_C = 2500     # h * 100
+
+
+@register(
+    "stream-cusum-online",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
+        FROM events WHERE value IS NOT NULL),
+    cc AS (
+        SELECT user_id, event_id,
+               SUM(v100 - {_CUSUM_REF_C}) OVER
+                   (PARTITION BY user_id ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM e),
+    c AS (
+        SELECT user_id, event_id, cum,
+               MIN(cum) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS minc
+        FROM cc)
+    SELECT user_id, event_id,
+           CAST(cum - LEAST(minc, 0) AS BIGINT) AS cusum_c,
+           cum - LEAST(minc, 0) > {_CUSUM_H_C} AS alarm
+    FROM c
+    """,
+)
+def stream_cusum_online(spark, sf_dir):
+    """Online CUSUM drift alarm (Page's test), batch form: per user, the
+    one-sided statistic S_t = max(0, S_(t-1) + x_t - mu0 - k) with alarm
+    at S > h -- the sequential change detector a metrics stream runs
+    per key (the OFFLINE two-pass variant is win-cusum-changepoint; this
+    one needs no second pass and so has a true streaming runtime:
+    streaming/jobs.cusum_alarm_stream carries S as per-key state through
+    applyInPandasWithState, parity pinned in tests/test_streaming.py).
+
+    The recursion is window-expressible through the max-suffix-sum
+    closed form S_t = cum_t - min(0, running_min(cum)) -- no iteration,
+    two frames over one shuffle. Everything runs in exact BIGINT
+    micro-units (x100; source values carry 2 decimals, floor(x*100+0.5)
+    rounds the one representation ulp identically in both engines), so
+    the statistic and the threshold compare are integer-exact.
+
+    Scale: one hash-partitioned window pair on user_id, ROWS frames,
+    no UDF; the streaming form holds O(1) state per key."""
+    e = (
+        views(spark, sf_dir)
+        .table("events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v100"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("v100") - _CUSUM_REF_C).over(w).alias("cum"),
+    ).select(
+        "user_id",
+        "event_id",
+        "cum",
+        F.min("cum").over(w).alias("minc"),
+    )
+    s = F.col("cum") - F.least(F.col("minc"), F.lit(0))
+    return c.select(
+        "user_id",
+        "event_id",
+        s.cast("bigint").alias("cusum_c"),
+        (s > _CUSUM_H_C).alias("alarm"),
+    )

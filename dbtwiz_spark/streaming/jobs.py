@@ -321,3 +321,46 @@ def foreach_batch_near_dedup(
             sigs.unpersist()
 
     return sink
+
+
+def cusum_alarm_stream(
+    events: DataFrame, ref_c: int = 5050, h_c: int = 2500
+) -> DataFrame:
+    """Online CUSUM drift alarm as a custom stateful operator
+    (stream-cusum-online, streaming form): per user, Page's recursion
+    S_t = max(0, S_(t-1) + v100 - ref_c) carried across micro-batches as
+    O(1) per-key state, alarm at S > h_c. All arithmetic is int64
+    micro-units (x100), so the streamed statistic is bit-equal to the
+    batch entry's closed-form window computation — parity pinned in
+    tests/test_streaming.py. Rows are processed in event_id order within
+    each batch; the CUSUM contract (like any sequential test) requires
+    per-key in-order delivery across batches, which the event-time
+    source provides."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, event_id long, cusum_c long, alarm boolean"
+    state_schema = "s long"
+
+    def fn(key, pdfs, state):
+        (s,) = state.get if state.exists else (0,)
+        parts = [pdf for pdf in pdfs]
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        rows = {"user_id": [], "event_id": [], "cusum_c": [], "alarm": []}
+        if len(df):
+            df = df[df["value"].notna()].sort_values("event_id")
+            for eid, val in zip(df["event_id"], df["value"]):
+                v100 = int(math.floor(val * 100 + 0.5))
+                s = max(0, s + v100 - ref_c)
+                rows["user_id"].append(key[0])
+                rows["event_id"].append(int(eid))
+                rows["cusum_c"].append(s)
+                rows["alarm"].append(s > h_c)
+        state.update((s,))
+        yield pd.DataFrame(rows)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -505,3 +505,47 @@ def test_stream_stream_interval_join_matches_batch(spark, source_dir):
         .collect()
     }
     assert got == want
+
+
+def test_cusum_stream_matches_batch_entry(spark, tmp_path):
+    """The stateful streaming CUSUM must emit exactly the batch entry's
+    per-event statistic and alarm flags: events are replayed in three
+    event_id-ordered waves (the sequential test's in-order delivery
+    contract) and the int64 micro-unit arithmetic makes stream and
+    closed-form batch bit-equal."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from dbtwiz_spark.ops.streaming_batch import stream_cusum_online
+    from dbtwiz_spark.streaming import cusum_alarm_stream, events_stream
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    lo, hi = ev.approxQuantile("event_id", [0.34, 0.67], 0.0)
+    cuts = [None, lo, hi, None]
+    for i in range(3):
+        part = ev
+        if cuts[i] is not None:
+            part = part.filter(F.col("event_id") >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(F.col("event_id") < cuts[i + 1])
+        tmp = str(tmp_path / f"slice_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        shutil.copy(src, in_dir / f"{i:02d}.parquet")
+        time.sleep(1.1)
+    out = _run(
+        spark, cusum_alarm_stream(events_stream(spark, str(in_dir))), mode="update"
+    )
+    got = {(r.user_id, r.event_id): (r.cusum_c, r.alarm) for r in out.collect()}
+    want = {
+        (r.user_id, r.event_id): (r.cusum_c, r.alarm)
+        for r in stream_cusum_online(spark, SF_DIR).collect()
+    }
+    assert got == want, (
+        f"{len(got)} streamed vs {len(want)} batch rows; "
+        f"first diffs: {sorted(set(want) ^ set(got))[:3]}"
+    )
