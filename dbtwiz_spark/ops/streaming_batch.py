@@ -473,7 +473,7 @@ _CUSUM_H_C = 2500     # h * 100
     WITH e AS (
         SELECT user_id, event_id,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS v100
-        FROM events WHERE value IS NOT NULL),
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
     cc AS (
         SELECT user_id, event_id,
                SUM(v100 - {_CUSUM_REF_C}) OVER
@@ -513,7 +513,10 @@ def stream_cusum_online(spark, sf_dir):
     e = (
         views(spark, sf_dir)
         .table("events")
-        .filter(F.col("value").isNotNull())
+        # NaN filtered WITH null: the streaming runtime cannot tell them
+        # apart after the Arrow transfer, so the shared batch/stream
+        # contract is finite values only
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
         .select(
             "user_id",
             "event_id",

@@ -324,7 +324,7 @@ def foreach_batch_near_dedup(
 
 
 def cusum_alarm_stream(
-    events: DataFrame, ref_c: int = 5050, h_c: int = 2500
+    events: DataFrame, ref_c: int | None = None, h_c: int | None = None
 ) -> DataFrame:
     """Online CUSUM drift alarm as a custom stateful operator
     (stream-cusum-online, streaming form): per user, Page's recursion
@@ -335,11 +335,21 @@ def cusum_alarm_stream(
     tests/test_streaming.py. Rows are processed in event_id order within
     each batch; the CUSUM contract (like any sequential test) requires
     per-key in-order delivery across batches, which the event-time
-    source provides."""
+    source provides. NaN values: the NULL-vs-NaN distinction is LOST at
+    the Arrow boundary (both arrive as pandas NaN), so both the batch
+    entry and this stream filter NaN alongside NULL -- the shared
+    contract is 'finite values only'."""
     import math
 
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # defaults come from the BATCH entry's constants — two hand-copied
+    # literals here would silently diverge on a retune
+    from dbtwiz_spark.ops.streaming_batch import _CUSUM_H_C, _CUSUM_REF_C
+
+    ref_c = _CUSUM_REF_C if ref_c is None else ref_c
+    h_c = _CUSUM_H_C if h_c is None else h_c
 
     out_schema = "user_id long, event_id long, cusum_c long, alarm boolean"
     state_schema = "s long"

@@ -19,6 +19,59 @@ def _formatted(df):
     )
 
 
+def _window_specs(plan):
+    """Full top-level argument lists of every windowspecdefinition in a
+    formatted plan, parenthesis-balanced — a bare regex truncates at the
+    first ')' and misses function-call ordering expressions."""
+    specs = []
+    token = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(token, i)
+        if j < 0:
+            break
+        k = j + len(token)
+        depth = 1
+        args, cur = [], []
+        while k < len(plan) and depth:
+            ch = plan[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            if ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+            k += 1
+        args.append("".join(cur).strip())
+        specs.append(args)
+        i = k
+    return specs
+
+
+def _unpartitioned_windows(plan):
+    """Window specs lacking a partition column: the first top-level arg
+    is an ORDERING expression (trailing ASC/DESC) or directly the frame
+    (unordered unpartitioned window) — both funnel all rows through one
+    task."""
+    bad = []
+    for args in _window_specs(plan):
+        first = args[0]
+        if (
+            first.startswith("specifiedwindowframe")
+            or first.endswith(" ASC NULLS FIRST")
+            or first.endswith(" ASC NULLS LAST")
+            or first.endswith(" DESC NULLS FIRST")
+            or first.endswith(" DESC NULLS LAST")
+        ):
+            bad.append(args)
+    return bad
+
+
 def test_filter_and_projection_reach_the_scan(spark):
     df = (
         spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -169,14 +222,7 @@ def test_win_percent_has_no_single_partition_window(spark):
             assert "specifiedwindowframe" in line
     # physical check: executing must not emit the WindowExec warning path —
     # partition spec present means partitionSpec.nonEmpty in every window
-    import re
-
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-        args = m.group(1)
-        # first argument list = partition columns; a bare ordered window
-        # starts directly with "<col> ASC" — require a partition column (the
-        # engine uses _pid) ahead of any ordering
-        assert "_pid" in args or " ASC" not in args.split(",")[0]
+    assert not _unpartitioned_windows(plan)
 
 
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
@@ -691,17 +737,11 @@ def test_round6_stat_and_window_plan_properties(spark):
     assert "partial_sum" in mw_plan or "HashAggregate" in mw_plan
 
     gini_plan = _formatted(agg_gini_concentration(spark, SF_DIR))
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", gini_plan):
-        args = m.group(1)
-        assert "_pid" in args or " ASC" not in args.split(",")[0]
+    assert not _unpartitioned_windows(gini_plan)
 
     for fn in (win_rolling_median, win_cusum_changepoint):
         plan = _formatted(fn(spark, SF_DIR))
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-            first = m.group(1).split(",")[0]
-            assert "ASC" not in first and "DESC" not in first, (
-                f"{fn.__name__} has an unpartitioned window: {first}"
-            )
+        assert not _unpartitioned_windows(plan), fn.__name__
 
     sb_plan = _formatted(win_seasonal_baseline(spark, SF_DIR))
     assert "BroadcastHashJoin" in sb_plan  # baseline table broadcast back
@@ -739,12 +779,20 @@ def test_bpe_train_single_corpus_shuffle(spark):
 #   agg-mann-whitney    — cumulative ranks over the measure's value domain
 #   agg-log-histogram   — CDF over <= 64 power-of-two buckets
 #   ext-vocab-build     — ordering the AGGREGATED vocabulary table
+#   agg-chi-squared     — grand-total window over the R x C contingency
+#   agg-cramers-v         grid (distinct category pairs, never the corpus;
+#                         these two were INVISIBLE to the old regex-based
+#                         detector — unordered global windows carry no
+#                         ASC/DESC token, which is why the balanced parser
+#                         exists)
 UNPARTITIONED_WINDOW_OK = {
     "ext-rank-fusion",
     "agg-quantile-digest",
     "agg-mann-whitney",
     "agg-log-histogram",
     "ext-vocab-build",
+    "agg-chi-squared",
+    "agg-cramers-v",
 }
 
 
@@ -754,24 +802,23 @@ def test_every_corpus_plan_is_scale_clean(spark):
     row-at-a-time Python UDF stage, or an unpartitioned window outside
     the justified bounded-input allowlist. This is the engine's
     every-operator scale contract, enforced, not sampled."""
-    import re
-
     from dbtwiz_spark.ops import CORPUS
 
     cartesian, row_python, global_window = [], [], []
     for name, spec in CORPUS.items():
+        # sink/write entries execute their writes EAGERLY inside fn and
+        # return a read-back scan — formatting that plan would rerun the
+        # whole write path for a vacuous audit; their write plans are
+        # covered by the materialize/sink tests
+        if spec.fn.__module__ == "dbtwiz_spark.ops.sinks":
+            continue
         plan = _formatted(spec.fn(spark, SF_DIR))
         if "CartesianProduct" in plan:
             cartesian.append(name)
         if "BatchEvalPython" in plan:
             row_python.append(name)
-        for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
-            first = m.group(1).split(",")[0]
-            if (" ASC" in first or " DESC" in first) and (
-                name not in UNPARTITIONED_WINDOW_OK
-            ):
-                global_window.append(name)
-                break
+        if name not in UNPARTITIONED_WINDOW_OK and _unpartitioned_windows(plan):
+            global_window.append(name)
     assert not cartesian, f"cartesian products: {cartesian}"
     assert not row_python, f"row-at-a-time Python UDFs: {row_python}"
     assert not global_window, (
