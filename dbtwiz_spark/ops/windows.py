@@ -1009,3 +1009,125 @@ def win_rolling_mad(spark, sf_dir):
         "l_linenumber",
         interp_median(devs).alias("rolling_mad_qty"),
     )
+
+
+@register(
+    "win-autocorr",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, event_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+    lagged AS (
+        SELECT event_type, v,
+               LAG(v, 1) OVER w AS v1,
+               LAG(v, 2) OVER w AS v2,
+               LAG(v, 3) OVER w AS v3
+        FROM e WINDOW w AS (PARTITION BY event_type ORDER BY event_id)),
+    s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(v) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(v AS HUGEINT) * v) AS HUGEINT) AS sxx,
+               CAST(SUM(CASE WHEN v1 IS NOT NULL
+                             THEN CAST(v AS HUGEINT) * v1 END) AS HUGEINT) AS p1,
+               COUNT(v1) AS n1,
+               CAST(SUM(CASE WHEN v2 IS NOT NULL
+                             THEN CAST(v AS HUGEINT) * v2 END) AS HUGEINT) AS p2,
+               COUNT(v2) AS n2,
+               CAST(SUM(CASE WHEN v3 IS NOT NULL
+                             THEN CAST(v AS HUGEINT) * v3 END) AS HUGEINT) AS p3,
+               COUNT(v3) AS n3
+        FROM lagged GROUP BY 1),
+    d AS (
+        SELECT event_type, n,
+               CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS denom,
+               CAST(n AS DOUBLE) * p1 * n / n1
+                 - CAST(sx AS DOUBLE) * sx AS num1,
+               CAST(n AS DOUBLE) * p2 * n / n2
+                 - CAST(sx AS DOUBLE) * sx AS num2,
+               CAST(n AS DOUBLE) * p3 * n / n3
+                 - CAST(sx AS DOUBLE) * sx AS num3
+        FROM s)
+    SELECT event_type, n,
+           CASE WHEN denom > 0 THEN num1 / denom ELSE NULL END AS acf_1,
+           CASE WHEN denom > 0 THEN num2 / denom ELSE NULL END AS acf_2,
+           CASE WHEN denom > 0 THEN num3 / denom ELSE NULL END AS acf_3
+    FROM d
+    """,
+)
+def win_autocorr(spark, sf_dir):
+    """Autocorrelation function at lags 1-3 per event-type series -- the
+    seasonality/momentum probe (a high acf_1 says smooth drift, a
+    negative one says mean reversion; feeding dashboards that decide
+    whether the EMA or the seasonal model applies). Estimator: the
+    circular-free large-sample form r_k ~ (n*E[x_t*x_(t+k)] - mean^2*n^2)
+    / (n*Sxx - Sx^2), with the lag-pair mean scaled by n/n_k so shorter
+    pair counts at higher lags stay unbiased.
+
+    Determinism: values go to int64 micro-units (x100) first; every sum
+    (Sx, Sxx, lag products) is exact integer (DECIMAL-free, HUGEINT on
+    the DuckDB side); doubles appear only in the final combine on
+    bit-identical operands, divisions guarded NULL on zero variance --
+    the win-rolling-corr discipline end to end.
+
+    Scale: one hash-partitioned lag window on event_type + one
+    partial-aggregated groupBy -- two exchanges total, lag state is
+    3 rows deep, no frame materialization."""
+    e = (
+        views(spark, sf_dir)
+        .table("events")
+        .filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .select(
+            "event_type",
+            "event_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("v"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    lagged = e.select(
+        "event_type",
+        "v",
+        F.lag("v", 1).over(w).alias("v1"),
+        F.lag("v", 2).over(w).alias("v2"),
+        F.lag("v", 3).over(w).alias("v3"),
+    )
+
+    def pair_sum(col):
+        return F.sum(
+            F.when(
+                F.col(col).isNotNull(),
+                F.col("v").cast("decimal(30,0)") * F.col(col),
+            )
+        ).cast("decimal(38,0)")
+
+    s = lagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("v").cast("bigint").alias("sx"),
+        F.sum(F.col("v").cast("decimal(30,0)") * F.col("v"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        pair_sum("v1").alias("p1"),
+        F.count("v1").alias("n1"),
+        pair_sum("v2").alias("p2"),
+        F.count("v2").alias("n2"),
+        pair_sum("v3").alias("p3"),
+        F.count("v3").alias("n3"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    denom = nd * F.col("sxx").cast("double") - sxd * sxd
+
+    def acf(p, nk):
+        num = nd * F.col(p).cast("double") * nd / F.col(nk) - sxd * sxd
+        return F.when(denom > 0, num / denom).otherwise(
+            F.lit(None).cast("double")
+        )
+
+    return s.select(
+        "event_type",
+        "n",
+        acf("p1", "n1").alias("acf_1"),
+        acf("p2", "n2").alias("acf_2"),
+        acf("p3", "n3").alias("acf_3"),
+    )
