@@ -1071,9 +1071,15 @@ def win_autocorr(spark, sf_dir):
     bit-identical operands, divisions guarded NULL on zero variance --
     the win-rolling-corr discipline end to end.
 
-    Scale: one hash-partitioned lag window on event_type + one
-    partial-aggregated groupBy -- two exchanges total, lag state is
-    3 rows deep, no frame materialization."""
+    Scale: one lag window on event_type + one partial-aggregated
+    groupBy -- two exchanges total, lag state is 3 rows deep, no frame
+    materialization. HONEST CAVEAT: the series key is low-cardinality
+    (5 types), so each series streams through ONE window task; at
+    100 TB per-series volume the production formulation range-shards
+    each series (e.g. by day) and prepends a 3-row halo from the
+    previous shard before the lag -- the overlap-shard device, same
+    results, fully parallel. The moment SUMS already shard fine (the
+    groupBy partial-aggregates); only the lag pairing needs the halo."""
     e = (
         views(spark, sf_dir)
         .table("events")
