@@ -1109,7 +1109,10 @@ def win_autocorr(spark, sf_dir):
 
     s = lagged.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("v").cast("bigint").alias("sx"),
+        # decimal like every other moment: a plain long sum wraps
+        # silently at extreme per-series volume while the oracle's
+        # HUGEINT stays exact
+        F.sum(F.col("v").cast("decimal(30,0)")).cast("decimal(38,0)").alias("sx"),
         F.sum(F.col("v").cast("decimal(30,0)") * F.col("v"))
         .cast("decimal(38,0)")
         .alias("sxx"),
