@@ -2024,3 +2024,201 @@ def agg_bool_logic(spark, sf_dir):
         F.count_if(F.col("o_orderstatus") == "F").cast("bigint").alias("n_finished"),
         F.count_if(F.col("o_totalprice") > 200000).cast("bigint").alias("n_large"),
     )
+
+
+@register(
+    "agg-cohort-ltv",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+    rev AS (
+        SELECT e.user_id,
+               date_trunc('month', su.first_day) AS cohort_month,
+               date_diff('day', su.first_day, CAST(e.ts AS DATE)) // 7
+                 AS weeks_since,
+               CAST(e.value AS DECIMAL(28, 6)) AS v
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+          AND e.ts >= CAST(su.first_day AS TIMESTAMP)),
+    cs AS (SELECT cohort_month, COUNT(*) AS cohort_users
+           FROM su GROUP BY date_trunc('month', first_day)),
+    wk AS (
+        SELECT cohort_month, weeks_since,
+               SUM(v) AS week_rev
+        FROM rev GROUP BY 1, 2),
+    cum AS (
+        SELECT cohort_month, weeks_since,
+               SUM(week_rev) OVER (PARTITION BY cohort_month
+                                   ORDER BY weeks_since) AS cum_rev
+        FROM wk)
+    SELECT CAST(c.cohort_month AS TIMESTAMP) AS cohort_month,
+           CAST(c.weeks_since AS BIGINT) AS weeks_since,
+           s.cohort_users,
+           CAST(CAST(c.cum_rev * 1000000 AS BIGINT) // s.cohort_users
+                AS DOUBLE) / 1000000 AS ltv_per_user
+    FROM cum c JOIN cs s ON c.cohort_month = s.cohort_month
+    """,
+)
+def agg_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value curves: users grouped by signup month, each
+    cohort's cumulative purchase revenue per signed-up user by weeks
+    since signup -- THE retention-economics mart (which cohorts pay
+    back, and how fast). Pipeline: per-user first signup day (one agg),
+    purchases joined back and bucketed by elapsed weeks, per-(cohort,
+    week) decimal revenue, cumulative window over the WEEK-BUCKET table
+    (cohorts x weeks rows, never the fact stream), normalized by
+    broadcast cohort sizes through a scaled-BIGINT division exit.
+
+    Determinism: date arithmetic is exact integer; revenue stays DECIMAL
+    through the cumulative window; the per-user normalization converts
+    the integral-scaled decimal to a x1e6 BIGINT FIRST, floor-divides in
+    integer (decimal DIVISION rounds its last digit differently across
+    engines -- bit this op), then one exact double divide.
+
+    Scale: two corpus-sized shuffles (signup agg, purchase join on
+    user_id -- the signup dim broadcasts at dim scale); everything after
+    runs on the bounded cohort x week grid."""
+    e = views(spark, sf_dir).table("events")
+    su = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    )
+    rev = (
+        e.filter(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(su, "user_id")
+        .filter(F.col("ts") >= F.col("first_day").cast("timestamp"))
+        .select(
+            F.date_trunc("month", F.col("first_day")).alias("cohort_month"),
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("first_day")) / 7
+            ).cast("bigint").alias("weeks_since"),
+            F.col("value").cast(DEC).alias("v"),
+        )
+    )
+    cs = su.groupBy(
+        F.date_trunc("month", F.col("first_day")).alias("cohort_month")
+    ).agg(F.count("*").alias("cohort_users"))
+    wk = rev.groupBy("cohort_month", "weeks_since").agg(
+        F.sum("v").alias("week_rev")
+    )
+    wcum = Window.partitionBy("cohort_month").orderBy("weeks_since")
+    cum = wk.select(
+        "cohort_month",
+        "weeks_since",
+        F.sum("week_rev").over(wcum).alias("cum_rev"),
+    )
+    return cum.join(F.broadcast(cs), "cohort_month").select(
+        "cohort_month",
+        F.col("weeks_since").cast("bigint").alias("weeks_since"),
+        "cohort_users",
+        (
+            F.expr(
+                "CAST(cum_rev * 1000000 AS BIGINT) div cohort_users"
+            ).cast("double")
+            / 1000000
+        ).alias("ltv_per_user"),
+    )
+
+
+# Benford first-digit probabilities log10(1 + 1/d) as INTEGER-RATIO
+# literals (value = p_int / 1e17): computing them via log10() would
+# differ by a ulp between JVM StrictMath and DuckDB libm, and even a
+# plain decimal-string literal parses one ulp off in DuckDB
+# (0.12493873660829993 -> ...992, measured). int64->double conversion
+# and the single divide by the exactly-representable 1e17 are
+# hardware-correctly-rounded in both engines, so the ratio is the one
+# literal form that is bit-identical.
+_BENFORD_P_E17 = {
+    1: 30102999566398120,
+    2: 17609125905568124,
+    3: 12493873660829993,
+    4: 9691001300805642,
+    5: 7918124604762482,
+    6: 6694678963061322,
+    7: 5799194697768673,
+    8: 5115252244738129,
+    9: 4575749056067514,
+}
+
+
+def _benford_case_sql() -> str:
+    return (
+        "CASE first_digit "
+        + " ".join(
+            f"WHEN {d} THEN CAST({p} AS DOUBLE) / 1e17"
+            for d, p in _BENFORD_P_E17.items()
+        )
+        + " END"
+    )
+
+
+@register(
+    "agg-benford-test",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INT) AS first_digit
+        FROM orders WHERE o_totalprice >= 1),
+    c AS (
+        SELECT first_digit, COUNT(*) AS observed,
+               SUM(COUNT(*)) OVER () AS n
+        FROM d GROUP BY 1),
+    x AS (
+        SELECT first_digit, observed, CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE) * ({_benford_case_sql()}) AS expected
+        FROM c)
+    SELECT first_digit, observed, expected,
+           CAST(CAST(power(observed - expected, 2) / expected
+                     AS DECIMAL(28, 6)) AS DOUBLE) AS chi2_term
+    FROM x
+    """,
+)
+def agg_benford_test(spark, sf_dir):
+    """Benford's-law first-digit screen over order totals -- the
+    forensic-accounting / fraud-detection staple (fabricated amounts
+    drift from the logarithmic digit law; audit teams chi-square exactly
+    this table). First digit extracted via integer->string (floor of a
+    positive double then substring -- exact in both engines, no log10 on
+    data); expected shares are INTEGER-RATIO
+    literals (p_int / 1e17) because computing log10(1+1/d) differs by a
+    ulp between JVM StrictMath and DuckDB's libm, and DuckDB's
+    decimal-string parse itself lands one ulp off — only int->double +
+    one divide is correctly rounded everywhere. Each chi-squared term is one double expression over
+    exact counts and identical literals, DECIMAL-quantized for the
+    caller's order-free total.
+
+    Scale: one partial-aggregated count shuffle; the digit table is 9
+    rows, its total window bounded by construction."""
+    o = views(spark, sf_dir).table("orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    c = d.groupBy("first_digit").agg(F.count("*").alias("observed"))
+    c = c.withColumn("n", F.sum("observed").over(Window.partitionBy()))
+    expected = F.col("n").cast("double") * F.coalesce(
+        *[
+            F.when(
+                F.col("first_digit") == dd,
+                F.lit(p).cast("double") / F.lit(1e17),
+            )
+            for dd, p in _BENFORD_P_E17.items()
+        ]
+    )
+    x = c.select(
+        "first_digit",
+        "observed",
+        F.col("n").cast("bigint").alias("n"),
+        expected.alias("expected"),
+    )
+    term = (
+        F.pow(F.col("observed") - F.col("expected"), 2) / F.col("expected")
+    ).cast(DEC).cast("double")
+    return x.select("first_digit", "observed", "expected", term.alias("chi2_term"))

@@ -42,7 +42,7 @@ win-seasonal-baseline, ext-span-corruption, agg-sliding-distinct,
 graph-jaccard-neighbors, graph-bfs-hops, win-rolling-trend,
 agg-attribution-linear, win-rolling-corr, ext-hard-negatives,
 ext-embed-normalize, agg-bool-logic, win-rolling-mad,
-stream-cusum-online, win-autocorr.
+stream-cusum-online, win-autocorr, agg-cohort-ltv, agg-benford-test.
 
 Entries ADDED later in round 6 extend that list and front-load the
 round-7 window, so new code lands driver evidence at most one round
