@@ -2041,8 +2041,9 @@ def agg_bool_logic(spark, sf_dir):
         FROM events e JOIN su ON e.user_id = su.user_id
         WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
           AND e.ts >= CAST(su.first_day AS TIMESTAMP)),
-    cs AS (SELECT cohort_month, COUNT(*) AS cohort_users
-           FROM su GROUP BY date_trunc('month', first_day)),
+    cs AS (SELECT date_trunc('month', first_day) AS cohort_month,
+                  COUNT(*) AS cohort_users
+           FROM su GROUP BY 1),
     wk AS (
         SELECT cohort_month, weeks_since,
                SUM(v) AS week_rev
@@ -2168,12 +2169,12 @@ def _benford_case_sql() -> str:
                SUM(COUNT(*)) OVER () AS n
         FROM d GROUP BY 1),
     x AS (
-        SELECT first_digit, observed, CAST(n AS BIGINT) AS n,
+        SELECT first_digit, observed,
                CAST(n AS DOUBLE) * ({_benford_case_sql()}) AS expected
         FROM c)
     SELECT first_digit, observed, expected,
-           CAST(CAST(power(observed - expected, 2) / expected
-                     AS DECIMAL(28, 6)) AS DOUBLE) AS chi2_term
+           (observed - expected) * (observed - expected) / expected
+             AS chi2_term
     FROM x
     """,
 )
@@ -2187,9 +2188,10 @@ def agg_benford_test(spark, sf_dir):
     literals (p_int / 1e17) because computing log10(1+1/d) differs by a
     ulp between JVM StrictMath and DuckDB's libm, and DuckDB's
     decimal-string parse itself lands one ulp off — only int->double +
-    one divide is correctly rounded everywhere. Each chi-squared term is one double expression over
-    exact counts and identical literals, DECIMAL-quantized for the
-    caller's order-free total.
+    one divide is correctly rounded everywhere. Each chi-squared term
+    is (O-E)*(O-E)/E via plain multiply -- pow() is not correctly
+    rounded and diverges between JVM and libm -- over exact counts and
+    identical shares, so it ships as an unrounded bit-identical double.
 
     Scale: one partial-aggregated count shuffle; the digit table is 9
     rows, its total window bounded by construction."""
@@ -2212,13 +2214,10 @@ def agg_benford_test(spark, sf_dir):
             for dd, p in _BENFORD_P_E17.items()
         ]
     )
-    x = c.select(
-        "first_digit",
-        "observed",
-        F.col("n").cast("bigint").alias("n"),
-        expected.alias("expected"),
-    )
-    term = (
-        F.pow(F.col("observed") - F.col("expected"), 2) / F.col("expected")
-    ).cast(DEC).cast("double")
+    x = c.select("first_digit", "observed", expected.alias("expected"))
+    # plain multiply, NOT pow() (JVM Math.pow vs libm can differ by a
+    # ulp), and NO decimal quantization: every operand is bit-identical
+    # across engines, so the term ships as an exact unrounded double
+    dev = F.col("observed") - F.col("expected")
+    term = dev * dev / F.col("expected")
     return x.select("first_digit", "observed", "expected", term.alias("chi2_term"))

@@ -56,3 +56,41 @@ def test_every_corpus_entry_is_documented():
 
     undocumented = [n for n, s in CORPUS.items() if len(s.doc.strip()) < 20]
     assert not undocumented, f"undocumented corpus entries: {undocumented}"
+
+
+def test_cohort_ltv_agrees_on_multi_month_cohorts(spark, tmp_path):
+    """Regression for a DuckDB silent-correlation bug: the LTV oracle's
+    cohort-size CTE referenced a nonexistent column, which DuckDB bound
+    to the OUTER query (duplicating rows per cohort) — invisible on the
+    shipped testdata because every synthetic signup lands in one month.
+    This replays the entry on a two-cohort dataset, the shape that
+    exposed it. Device: copy an sf dir and replace one table — the
+    data-shape regression pattern for bugs the fixed testdata masks."""
+    import datetime
+    import glob
+    import os
+    import shutil
+
+    from dbtwiz_spark.testing import run_all
+
+    d = tmp_path / "sf_multi"
+    shutil.copytree("/root/testdata/sf0.001", d)
+    rows = [
+        (1, datetime.datetime(2024, 1, 5), 1, "signup", 0.0, "{}"),
+        (2, datetime.datetime(2024, 1, 8), 1, "purchase", 10.0, "{}"),
+        (3, datetime.datetime(2024, 2, 3), 2, "signup", 0.0, "{}"),
+        (4, datetime.datetime(2024, 2, 20), 2, "purchase", 30.0, "{}"),
+        (5, datetime.datetime(2024, 2, 21), 1, "purchase", 5.0, "{}"),
+        (6, datetime.datetime(2024, 2, 3), 3, "signup", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    tmp_ev = str(tmp_path / "ev")
+    ev.coalesce(1).write.mode("overwrite").parquet(tmp_ev)
+    os.remove(d / "events.parquet")
+    shutil.copy(glob.glob(os.path.join(tmp_ev, "*.parquet"))[0], d / "events.parquet")
+    res = run_all(spark, str(d), names=["agg-cohort-ltv"])
+    assert res[0].ok, res[0].detail
