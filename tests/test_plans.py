@@ -785,6 +785,7 @@ def test_bpe_train_single_corpus_shuffle(spark):
 #                         detector — unordered global windows carry no
 #                         ASC/DESC token, which is why the balanced parser
 #                         exists)
+#   agg-benford-test    — grand-total window over the 9-row digit table
 UNPARTITIONED_WINDOW_OK = {
     "ext-rank-fusion",
     "agg-quantile-digest",
@@ -793,6 +794,7 @@ UNPARTITIONED_WINDOW_OK = {
     "ext-vocab-build",
     "agg-chi-squared",
     "agg-cramers-v",
+    "agg-benford-test",
 }
 
 
