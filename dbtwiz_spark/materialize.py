@@ -395,22 +395,29 @@ class Warehouse:
                 # zero-copy snapshot: the outgoing table state moves (not
                 # copies) into the snapshot dir that ships with the new
                 # table. The id is re-allocated HERE (the carried-forward
-                # history above is visible now) and the move is os.rename,
-                # which atomically refuses an existing non-empty dst —
-                # shutil.move would nest the outgoing table INSIDE it
+                # history above is visible now). The slot is CLAIMED via
+                # mkdir — atomic, and unlike os.rename(old, dst) it also
+                # refuses an existing EMPTY dst (POSIX rename silently
+                # replaces empty dirs, which would overwrite a slot a
+                # concurrent snapshot() just claimed but not yet
+                # populated). Contents then move item-by-item into the
+                # owned empty slot; a crash mid-move leaves the remainder
+                # in the __old dir, which _recover surfaces (the live
+                # table is already in place at this point, so no data is
+                # unreachable).
                 ts_snap = self._next_snapshot_ts(name)
                 snap_root = target / SNAPSHOT_DIRNAME
                 snap_root.mkdir(exist_ok=True)
                 while True:
                     dst = snap_root / str(ts_snap)
                     try:
-                        os.rename(old, dst)
+                        dst.mkdir()
                         break
-                    except OSError as exc:
-                        if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
-                            ts_snap += 1
-                            continue
-                        raise
+                    except FileExistsError:
+                        ts_snap += 1
+                for item in sorted(old.iterdir()):
+                    os.rename(item, dst / item.name)
+                os.rmdir(old)
             else:
                 shutil.rmtree(old)
         # the name stops being a view only once its replacement table is

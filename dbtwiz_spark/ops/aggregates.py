@@ -1807,12 +1807,14 @@ def agg_log_histogram(spark, sf_dir):
                ROW_NUMBER() OVER (ORDER BY r, o_custkey) AS i,
                COUNT(*) OVER () AS n
         FROM rev)
-    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
-           CAST(SUM(r) AS DOUBLE) AS total_revenue,
-           round(CAST(SUM((2 * i - n - 1) * r) AS DOUBLE)
-                 / (CAST(MAX(n) AS DOUBLE) * CAST(SUM(r) AS DOUBLE)),
-                 6) AS gini
-    FROM rk
+    SELECT n_customers, total_revenue,
+           round(num / (CAST(n_customers AS DOUBLE) * total_revenue), 6) AS gini
+    FROM (
+        SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+               CAST(CAST(SUM(r) * 1000000 AS BIGINT) AS DOUBLE)
+                   / 1000000 AS total_revenue,
+               CAST(SUM((2 * i - n - 1) * r) AS DOUBLE) AS num
+        FROM rk) t
     """,
 )
 def agg_gini_concentration(spark, sf_dir):
@@ -1848,7 +1850,12 @@ def agg_gini_concentration(spark, sf_dir):
     )
     s = ranked.agg(
         F.max("_n").cast("bigint").alias("n_customers"),
-        F.sum("r").cast("double").alias("total_revenue"),
+        # exact-DECIMAL sum exits through a x1e6 BIGINT (integral by
+        # construction at scale 6) -- a direct DECIMAL(38,6)->DOUBLE cast
+        # double-rounds in DuckDB; int64->double is hardware-identical in
+        # both engines (the agg-attribution-linear device).
+        ((F.sum("r") * 1000000).cast("bigint").cast("double") / 1000000)
+        .alias("total_revenue"),
         F.sum((2 * F.col("i") - F.col("_n") - 1) * F.col("r"))
         .cast("double")
         .alias("num"),

@@ -7,122 +7,116 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-6 window (positions 0-49):
+Round-7 window (positions 0-49):
 
-* 0-9 — the 10 entries added after the round-5 window filled, the only
-  corpus entries with ZERO driver evidence (all are local-oracle green):
-  join-interval-overlap, ext-split-drift, agg-weighted-median,
-  agg-ab-test, sink-cdc-apply, ext-rank-fusion, ext-mask-tokens,
-  stream-join-interval, agg-kmv-intersect, ext-embed-quantize. Green
-  rows here restore 183/183 everything-driver-certified.
-* 10-40 — the entries whose newest green row is still round 2 (the
-  scan-info-schema / project / distinct / join-shape / core-agg /
-  win-row-number / win-rank families): three rounds of shared-helper
-  evolution (catalog.py, common.py, session confs) since their last
-  driver check. Exception: win-percent took file-format-orc's slot
-  mid-round (its rank machinery moved into common.parallel_rank, so the
-  manifest guard requires re-certification; orc's code is unchanged and
-  keeps its r2 row).
-* 41-49 — the 9 entries added during round 6 (zero driver evidence,
-  local-oracle green at sf0.001/0.01/0.1): agg-linear-regression,
-  agg-entropy, agg-skewness-kurtosis, join-asof-nearest, win-ema,
-  agg-chi-squared, win-zscore-anomaly, ext-dedup-paragraph,
-  ext-ngram-pmi. Per the displacement policy these took the write-path
-  (source-declare/sink-view-create/sink-copy-table/sink-delete-table)
-  and udf-scalar/udaf/udtf/macro-template/win-percent slots — all nine
-  displaced entries keep valid r3 rows under the green-manifest guard.
+* 0-27 — the 28 entries added after the round-6 window filled, the only
+  corpus entries with ZERO driver evidence (all local-oracle green at
+  sf0.001/0.01, most also at 0.1): the graph family (pagerank,
+  triangle-count, jaccard-neighbors, bfs-hops), the rolling-statistics
+  window family (rolling-median/-trend/-corr/-mad, autocorr, ema was r6,
+  cusum-changepoint, seasonal-baseline, zscore was r6), the statistics
+  aggregates (market-basket, mann-whitney, cramers-v, log-histogram,
+  gini-concentration, sliding-distinct, attribution-linear, bool-logic,
+  cohort-ltv, benford-test), spatial/fuzzy joins, and ext-bpe-train /
+  ext-span-corruption / ext-hard-negatives / ext-embed-normalize /
+  stream-cusum-online. Green rows here restore everything-ever-shipped
+  driver-certified.
+* 28 — win-percent re-enters: its shared ``common.parallel_rank`` helper
+  gained memoization this round (round-7 ADVICE leak fix), so the
+  green-manifest guard requires driver re-certification. Identical plan,
+  pinned in test_plans; agg-gini-concentration (the other consumer) is
+  already at position 11.
+* 29-36 — the write path (sink-table-create/-view-create/
+  -insert-overwrite/-merge/-copy-table/-delete-table, scan-time-travel,
+  source-declare): materialize.py's publish path changed this round (the
+  empty-slot claim fix) and these rows are r3-era — the oldest evidence
+  on the most-evolved shared path.
+* 37-40 — the Python boundary (udf-scalar/udaf/udtf/macro-template),
+  r3-era rows.
+* 41-44 — ext-sample-stratified/-decontaminate/-dedup-exact/
+  -sim-cosine-topk, r3-era rows.
+* 45-49 — the batch-mode streaming family (tumbling/sliding/session/
+  watermark-late/stateful-dedup), r3-era rows.
 
-Added AFTER the round-6 window filled (zero driver evidence, all
-local-oracle green at sf0.001/0.01 — front-load these into the round-7
-window): graph-pagerank, win-rolling-median, join-spatial-radius,
-join-fuzzy-string, agg-market-basket, agg-mann-whitney,
-graph-triangle-count, agg-cramers-v, win-cusum-changepoint,
-ext-bpe-train, agg-log-histogram, agg-gini-concentration,
-win-seasonal-baseline, ext-span-corruption, agg-sliding-distinct,
-graph-jaccard-neighbors, graph-bfs-hops, win-rolling-trend,
-agg-attribution-linear, win-rolling-corr, ext-hard-negatives,
-ext-embed-normalize, agg-bool-logic, win-rolling-mad,
-stream-cusum-online, win-autocorr, agg-cohort-ltv, agg-benford-test.
+Displacement policy for entries added DURING round 7: new entries take
+the tail refresh slots (45 backwards) — every displaced entry keeps a
+valid r3 row under the green-manifest guard, while new code would
+otherwise wait a full round for driver evidence.
 
-Entries ADDED later in round 6 extend that list and front-load the
-round-7 window, so new code lands driver evidence at most one round
-after it ships.
+Entries added AFTER this window fills get zero driver evidence until the
+round-8 window — list them here so the next session front-loads them:
+(round-7 additions, zero driver evidence, local-oracle green):
+agg-funnel-conversion, win-holt-winters, ext-tokenize-apply,
+agg-reservoir-sample, join-bloom-prefilter, agg-tdigest-merge,
+ext-minhash-containment, agg-survival-km, win-theil-sen,
+ext-dedup-softdedup, agg-hypergeom-enrich, ext-contrastive-pairs.
 
-Still waiting after this round: the remaining r3-era rows — the write
-path (materialize.py evolved in r5), function/set/sort/stream-batch
-families, the Python-boundary family (udf-scalar/udaf/udtf/
-macro-template), win-percent, and ext-sample-stratified/-decontaminate/
--dedup-exact/-sim-cosine-topk — all unchanged code whose green rows
-remain valid under the green-manifest guard; slate them for round 7.
+Still waiting after this round (all unchanged code with valid green
+rows): file formats, core filters/joins (r2/r6 rows), function/set/sort
+families (r3 rows), stream-foreachbatch-sink, the ext_pipeline r4/r5
+families, and the sketch aggregates — slate the oldest for round 8.
 """
+
 
 from __future__ import annotations
 
-# Order within the window is sweep order, cheapest families first so an
-# early driver timeout still lands most rows — EXCEPT positions 0-15,
-# which carry the never-certified entries (highest information value) and
-# therefore go first regardless of cost.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # zero driver evidence (added after the round-5 window filled) — first
-    "join-interval-overlap",
-    "ext-split-drift",
-    "agg-weighted-median",
-    "agg-ab-test",
-    "sink-cdc-apply",
-    "ext-rank-fusion",
-    "ext-mask-tokens",
-    "stream-join-interval",
-    "agg-kmv-intersect",
-    "ext-embed-quantize",
-    # oldest-evidence refresh: every entry whose newest green row is r2
-    "scan-info-schema",
-    # win-percent re-enters the window: its rank machinery was extracted
-    # into the shared common.parallel_rank helper mid-round-6 (source hash
-    # changed -> the green-manifest guard requires driver re-certification;
-    # identical plan, pinned in test_plans). Displaces file-format-orc,
-    # whose code is byte-unchanged and keeps its valid r2 row.
+    # zero driver evidence (added after the round-6 window filled) — first
+    "graph-pagerank",
+    "win-rolling-median",
+    "join-spatial-radius",
+    "join-fuzzy-string",
+    "agg-market-basket",
+    "agg-mann-whitney",
+    "graph-triangle-count",
+    "agg-cramers-v",
+    "win-cusum-changepoint",
+    "ext-bpe-train",
+    "agg-log-histogram",
+    "agg-gini-concentration",
+    "win-seasonal-baseline",
+    "ext-span-corruption",
+    "agg-sliding-distinct",
+    "graph-jaccard-neighbors",
+    "graph-bfs-hops",
+    "win-rolling-trend",
+    "agg-attribution-linear",
+    "win-rolling-corr",
+    "ext-hard-negatives",
+    "ext-embed-normalize",
+    "agg-bool-logic",
+    "win-rolling-mad",
+    "stream-cusum-online",
+    "win-autocorr",
+    "agg-cohort-ltv",
+    "agg-benford-test",
+    # shared-helper change (parallel_rank memoization) -> re-certify
     "win-percent",
-    "project-rename",
-    "project-computed",
-    "project-except-replace",
-    "distinct",
-    "join-cross",
-    "join-semi",
-    "join-anti",
-    "join-theta",
-    "join-asof",
-    "join-self-dag",
-    "agg-group-by",
-    "agg-count",
-    "agg-sum",
-    "agg-min",
-    "agg-max",
-    "agg-avg",
-    "agg-count-distinct",
-    "agg-array-agg",
-    "agg-string-agg",
-    "agg-grouping-sets",
-    "agg-rollup",
-    "agg-cube",
-    "agg-having",
-    "agg-filtered",
-    "agg-approx-quantile",
-    "agg-pivot",
-    "agg-unpivot",
-    "win-row-number",
-    "win-rank",
-    # r3-era rows on the most-evolved shared paths (write path + Python
-    # boundary); displaced first by entries added during round 6
-    # added during round 6 — zero driver evidence, go in this window
-    "agg-linear-regression",
-    "agg-entropy",
-    "agg-skewness-kurtosis",
-    "join-asof-nearest",
-    "win-ema",
-    "agg-chi-squared",
-    "win-zscore-anomaly",
-    "ext-dedup-paragraph",
-    "ext-ngram-pmi",
+    # r3-era rows on the write path; materialize.py changed this round
+    "sink-table-create",
+    "sink-view-create",
+    "sink-insert-overwrite",
+    "sink-merge",
+    "sink-copy-table",
+    "sink-delete-table",
+    "scan-time-travel",
+    "source-declare",
+    # r3-era rows on the Python boundary
+    "udf-scalar",
+    "udaf",
+    "udtf",
+    "macro-template",
+    # r3-era ext rows
+    "ext-sample-stratified",
+    "ext-decontaminate",
+    "ext-dedup-exact",
+    "ext-sim-cosine-topk",
+    # r3-era batch-mode streaming rows
+    "stream-tumbling-window",
+    "stream-sliding-window",
+    "stream-session-window",
+    "stream-watermark-late",
+    "stream-stateful-dedup",
 )
 
 

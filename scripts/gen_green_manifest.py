@@ -53,11 +53,30 @@ def entry_hash(name: str) -> str:
     spec = CORPUS[name]
     src = inspect.getsource(spec.fn)
     parts = [src, "---oracle---", spec.oracle or ""]
+    # Transitive closure over helper references: a listed helper's source
+    # may itself call another listed helper (parallel_rank -> hkey style),
+    # and an edit to the INNER one must trip the guard for entries that
+    # only name the outer one. Iterate to fixpoint — helper sets are tiny.
+    included: dict[str, str] = {}
+    pending = [
+        h for h in _SHARED_HELPERS if h in src or h in (spec.oracle or "")
+    ]
+    while pending:
+        helper = pending.pop()
+        if helper in included:
+            continue
+        owner = _common if hasattr(_common, helper) else _ext_llm
+        if not hasattr(owner, helper):
+            continue
+        hsrc = inspect.getsource(getattr(owner, helper))
+        included[helper] = hsrc
+        pending.extend(
+            h for h in _SHARED_HELPERS if h not in included and h in hsrc
+        )
+    # append in _SHARED_HELPERS tuple order for hash stability
     for helper in _SHARED_HELPERS:
-        if helper in src or helper in (spec.oracle or ""):
-            owner = _common if hasattr(_common, helper) else _ext_llm
-            if hasattr(owner, helper):
-                parts.append(inspect.getsource(getattr(owner, helper)))
+        if helper in included:
+            parts.append(included[helper])
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 

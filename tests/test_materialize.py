@@ -769,6 +769,21 @@ def test_snapshot_claim_skips_preexisting_slot(spark, wh, monkeypatch):
     assert (marker / "racer.txt").exists(), "non-empty slot must survive"
     assert wh.read_snapshot("trace", stolen2 + 1).first().v == "v1"
     assert wh.read("trace").first().v == "v2"
+    # publish path: steal with an EMPTY slot — a slot claimed via mkdir by
+    # a concurrent snapshot() that has not populated it yet. POSIX
+    # os.rename silently REPLACES an empty directory, so the old
+    # rename-with-retry would overwrite the claim and the claimer would
+    # then pour its files into the outgoing-table snapshot. The mkdir
+    # claim must skip it.
+    stolen3 = wh._next_snapshot_ts("trace")
+    empty = snap_root / str(stolen3)
+    empty.mkdir()
+    wh.write_table("trace", _df(spark, [(3, "v3", "d")]))
+    assert empty.exists() and not any(empty.iterdir()), (
+        "empty claimed slot must survive untouched"
+    )
+    assert wh.read_snapshot("trace", stolen3 + 1).first().v == "v2"
+    assert wh.read("trace").first().v == "v3"
 
 
 def test_publish_crash_at_every_swap_point_loses_no_state(spark, tmp_path):
