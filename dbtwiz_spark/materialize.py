@@ -27,7 +27,6 @@ backup-then-replace discipline, dbtwiz/integrations/bigquery.py:898-1048).
 
 from __future__ import annotations
 
-import errno
 import os
 import shutil
 import time
@@ -394,29 +393,22 @@ class Warehouse:
             if snapshot:
                 # zero-copy snapshot: the outgoing table state moves (not
                 # copies) into the snapshot dir that ships with the new
-                # table. The id is re-allocated HERE (the carried-forward
-                # history above is visible now). The slot is CLAIMED via
-                # mkdir — atomic, and unlike os.rename(old, dst) it also
-                # refuses an existing EMPTY dst (POSIX rename silently
-                # replaces empty dirs, which would overwrite a slot a
-                # concurrent snapshot() just claimed but not yet
-                # populated). Contents then move item-by-item into the
-                # owned empty slot; a crash mid-move leaves the remainder
-                # in the __old dir, which _recover surfaces (the live
-                # table is already in place at this point, so no data is
-                # unreachable).
-                ts_snap = self._next_snapshot_ts(name)
-                snap_root = target / SNAPSHOT_DIRNAME
-                snap_root.mkdir(exist_ok=True)
-                while True:
-                    dst = snap_root / str(ts_snap)
-                    try:
-                        dst.mkdir()
-                        break
-                    except FileExistsError:
-                        ts_snap += 1
+                # table. The slot comes from _claim_snapshot_dir (mkdir is
+                # the claim — atomic, and unlike os.rename(old, dst) it
+                # also refuses an existing EMPTY dst: POSIX rename
+                # silently replaces empty dirs, which would overwrite a
+                # slot a concurrent snapshot() claimed but not yet
+                # populated). Contents move item-by-item into the owned
+                # slot; the slot stays marked _INCOMPLETE — invisible to
+                # snapshots()/read_snapshot — until the final commit
+                # unlink, so a crash mid-move can never serve a partial
+                # snapshot (the remainder stays in the __old dir, which
+                # _recover surfaces; the live table is already in place,
+                # so no data is unreachable).
+                _ts_snap, dst = self._claim_snapshot_dir(name)
                 for item in sorted(old.iterdir()):
                     os.rename(item, dst / item.name)
+                self._commit_snapshot_dir(dst)
                 os.rmdir(old)
             else:
                 shutil.rmtree(old)
@@ -758,7 +750,14 @@ class Warehouse:
         (atomic on POSIX), and a lost race bumps the id instead of
         corrupting the neighbour — the read-then-act allocation in
         ``_next_snapshot_ts`` alone would let two concurrent writers pick
-        the same id."""
+        the same id.
+
+        The claimed dir carries an ``_INCOMPLETE`` marker until the caller
+        finishes populating it and calls ``_commit_snapshot_dir``:
+        populating a directory is never atomic (hardlink walk, file copy,
+        item-by-item publish move), and without the marker a crash or a
+        concurrent reader mid-populate would make ``snapshots()`` serve a
+        half-written state as a valid snapshot."""
         ts = self._next_snapshot_ts(name)
         root = self.path(name) / SNAPSHOT_DIRNAME
         root.mkdir(parents=True, exist_ok=True)
@@ -766,9 +765,18 @@ class Warehouse:
             dst = root / str(ts)
             try:
                 dst.mkdir()
+                (dst / "_INCOMPLETE").touch()
                 return ts, dst
             except FileExistsError:
                 ts += 1
+
+    @staticmethod
+    def _commit_snapshot_dir(dst: Path) -> None:
+        """Publish a fully populated snapshot slot: removing the marker is
+        the single atomic commit point (unlink). The leading underscore
+        also keeps the marker invisible to Spark's parquet reader if a
+        crash leaves it behind."""
+        (dst / "_INCOMPLETE").unlink()
 
     def _snapshot_via_links(self, name: str) -> int:
         """Zero-copy snapshot of the current table state via hardlinks
@@ -784,6 +792,7 @@ class Warehouse:
                 out = dst / rel / f
                 out.parent.mkdir(parents=True, exist_ok=True)
                 os.link(Path(root) / f, out)
+        self._commit_snapshot_dir(dst)
         return ts
 
     def snapshot(self, name: str) -> int:
@@ -797,11 +806,20 @@ class Warehouse:
                     shutil.copytree(p, dst / p.name)
                 else:
                     shutil.copy2(p, dst / p.name)
+        self._commit_snapshot_dir(dst)
         return ts
 
     def snapshots(self, name: str) -> list[int]:
         d = self.path(name) / SNAPSHOT_DIRNAME
-        return sorted(int(p.name) for p in d.iterdir()) if d.exists() else []
+        if not d.exists():
+            return []
+        # a slot still carrying its _INCOMPLETE marker is mid-populate
+        # (or a crash artifact): never a readable snapshot
+        return sorted(
+            int(p.name)
+            for p in d.iterdir()
+            if not (p / "_INCOMPLETE").exists()
+        )
 
     def read_snapshot(self, name: str, at_ms: int) -> DataFrame:
         """Read the latest snapshot ≤ at_ms, enforcing the 7-day window

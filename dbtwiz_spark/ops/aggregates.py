@@ -2228,3 +2228,287 @@ def agg_benford_test(spark, sf_dir):
     dev = F.col("observed") - F.col("expected")
     term = dev * dev / F.col("expected")
     return x.select("first_digit", "observed", "expected", term.alias("chi2_term"))
+
+
+@register(
+    "agg-ks-test",
+    oracle="""
+    WITH g AS (
+        SELECT value,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS c2
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        GROUP BY value),
+    c AS (
+        SELECT SUM(c1) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+               SUM(c2) OVER (ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+        FROM g),
+    t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                 CAST(SUM(c2) AS BIGINT) AS n2 FROM g)
+    SELECT t.n1, t.n2,
+           CAST(MAX(ABS(c.cum1 * t.n2 - c.cum2 * t.n1)) AS BIGINT) AS d_num,
+           CASE WHEN t.n1 * t.n2 > 0
+                THEN CAST(MAX(ABS(c.cum1 * t.n2 - c.cum2 * t.n1)) AS DOUBLE)
+                     / CAST(t.n1 * t.n2 AS DOUBLE)
+                ELSE NULL END AS ks_d
+    FROM c, t GROUP BY t.n1, t.n2
+    """,
+)
+def agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov statistic comparing the value
+    distributions of click vs view events -- the standard drift detector
+    between two samples (did the metric's distribution change?). The
+    statistic D = max_x |F1(x) - F2(x)| is computed in EXACT integer
+    arithmetic: group by value (one shuffle, the only corpus-sized one),
+    then global prefix counts of each sample in value order via the
+    ``common.parallel_prefix_sum`` device (range partition + local
+    running sums + broadcast offsets -- no single-partition window), and
+    D's numerator is max |cum1*n2 - cum2*n1| over BIGINTs; the one double
+    division happens on the final 1-row result.
+
+    Scale: distinct-value cardinality bounds the prefix stage; the
+    device's only serial work is the O(P^2) offset fold on #partitions
+    elements. The same shape handles any two-cohort CDF comparison."""
+    from dbtwiz_spark.ops.common import parallel_prefix_sum
+
+    e = views(spark, sf_dir).table("events")
+    g = (
+        # NULL values are excluded on BOTH sides: Spark sorts NULLS FIRST,
+        # DuckDB NULLS LAST, so a NULL group would shift every prefix count
+        e.filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
+        .groupBy("value")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("c2"),
+        )
+    )
+    ps = parallel_prefix_sum(g, [F.col("value")], ["c1", "c2"])
+    totals = g.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+    )
+    d = ps.crossJoin(F.broadcast(totals)).agg(
+        F.first("n1").alias("n1"),
+        F.first("n2").alias("n2"),
+        F.max(
+            F.abs(F.col("_cum_c1") * F.col("n2") - F.col("_cum_c2") * F.col("n1"))
+        ).alias("d_num"),
+    )
+    # degenerate-denominator guard (ANSI mode throws on double/0 while
+    # DuckDB yields NULL — determinism rule 5) and empty-input parity: the
+    # oracle's GROUP BY yields zero rows on empty input, Spark's global
+    # agg yields one all-NULL row, so drop it
+    return d.filter(F.col("d_num").isNotNull()).select(
+        "n1",
+        "n2",
+        "d_num",
+        F.when(
+            (F.col("n1") * F.col("n2")) > 0,
+            F.col("d_num").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("ks_d"),
+    )
+
+
+@register(
+    "agg-markov-transition",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+    c AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2),
+    t AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS tot
+        FROM c GROUP BY 1)
+    SELECT c.prev_type, c.next_type, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS prob
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def agg_markov_transition(spark, sf_dir):
+    """First-order Markov transition matrix over each user's event
+    stream -- the user-journey model (P(next event type | current)) that
+    powers funnel diagnostics and session simulation. One lag window per
+    user, one count shuffle; probabilities are exact BIGINT counts with a
+    single int64->double division each (hardware-identical in both
+    engines, no rounding needed).
+
+    Scale: the window partitions on user_id (high cardinality); the
+    transition matrix is |types|^2 rows -- dimension-sized output, and
+    the per-prev totals join is a broadcast."""
+    e = views(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = s.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n").cast("long").alias("tot"))
+    return c.join(F.broadcast(t), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("prob"),
+    )
+
+
+@register(
+    "agg-survival-km",
+    oracle="""
+    WITH le AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
+        FROM events GROUP BY 1),
+    mx AS (SELECT MAX(l) AS gmax FROM le),
+    lt AS (
+        SELECT date_diff('day', f, l) AS t,
+               CASE WHEN l < gmax - 7 THEN 1 ELSE 0 END AS death
+        FROM le, mx),
+    tbl AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS a, CAST(SUM(death) AS BIGINT) AS d
+        FROM lt GROUP BY 1),
+    n AS (SELECT CAST(SUM(a) AS BIGINT) AS total FROM tbl),
+    cum AS (
+        SELECT t, a, d,
+               SUM(a) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca
+        FROM tbl),
+    dth AS (
+        SELECT t, CAST(n.total - ca + a AS BIGINT) AS n_risk, d,
+               ROW_NUMBER() OVER (ORDER BY t) AS k
+        FROM cum, n WHERE d > 0),
+    farr AS (
+        SELECT list(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+                    ORDER BY t) AS arr
+        FROM dth)
+    SELECT CAST(dth.t AS BIGINT) AS t_days, dth.n_risk, dth.d AS d_events,
+           list_reduce(list_prepend(CAST(1 AS DOUBLE), arr[1:k]),
+                       (a, x) -> a * x) AS survival
+    FROM dth, farr
+    """,
+)
+def agg_survival_km(spark, sf_dir):
+    """Kaplan-Meier survival curve of user lifetimes (days between first
+    and last event; a user whose last event falls in the final 7 days of
+    the observation window is CENSORED, not dead) -- the retention
+    estimator that handles censoring correctly, unlike a naive lifetime
+    histogram. S(t) = prod_{t_i <= t} (1 - d_i/n_i) over death times: the
+    risk sets come from the ``parallel_prefix_sum`` device (n_i = N -
+    cum_a + a_i, exact BIGINTs), each factor is one int64->double
+    division, and the cumulative product is the ORDERED FOLD over the
+    collected factor array (win-holt-winters device) -- both engines
+    multiply the identical sequence, so survival ships unrounded.
+
+    Scale: corpus-sized work is the per-user groupBy; everything after
+    runs on the lifetime-day table, bounded by the calendar (<= 366 rows)
+    -- the fold array and the per-row slice product are O(T^2) on that
+    bounded table, never on the corpus."""
+    from dbtwiz_spark.ops.common import parallel_prefix_sum, parallel_rank
+
+    e = views(spark, sf_dir).table("events")
+    le = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("f"),
+        F.max(F.col("ts").cast("date")).alias("l"),
+    )
+    gmax = le.agg(F.max("l").alias("gmax"))
+    lt = le.crossJoin(F.broadcast(gmax)).select(
+        F.datediff("l", "f").alias("t"),
+        (F.col("l") < F.date_sub("gmax", 7)).cast("long").alias("death"),
+    )
+    tbl = lt.groupBy("t").agg(
+        F.count("*").alias("a"), F.sum("death").cast("long").alias("d")
+    )
+    n_total = tbl.agg(F.sum("a").cast("long").alias("total"))
+    cum = parallel_prefix_sum(tbl, [F.col("t")], ["a"])
+    dth = (
+        cum.crossJoin(F.broadcast(n_total))
+        .filter(F.col("d") > 0)
+        .select(
+            "t",
+            (F.col("total") - F.col("_cum_a") + F.col("a")).alias("n_risk"),
+            "d",
+        )
+    )
+    ranked = parallel_rank(dth, [F.col("t")]).select(
+        "t", "n_risk", "d", F.col("_rank").cast("int").alias("k")
+    )
+    farr = dth.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "t",
+                        (
+                            (F.col("n_risk") - F.col("d")).cast("double")
+                            / F.col("n_risk").cast("double")
+                        ).alias("fct"),
+                    )
+                )
+            ),
+            lambda s: s.fct,
+        ).alias("arr")
+    )
+    return ranked.crossJoin(F.broadcast(farr)).select(
+        F.col("t").cast("long").alias("t_days"),
+        "n_risk",
+        F.col("d").alias("d_events"),
+        F.aggregate(
+            F.slice("arr", 1, F.col("k")), F.lit(1.0), lambda a, x: a * x
+        ).alias("survival"),
+    )
+
+
+def _reservoir_oracle() -> str:
+    from dbtwiz_spark.ops.common import hkey_sql
+
+    return f"""
+    SELECT event_type, event_id, hrank FROM (
+        SELECT event_type, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                   ORDER BY {hkey_sql('event_id')}, event_id) AS hrank
+        FROM events)
+    WHERE hrank <= 20
+    """
+
+
+@register("agg-reservoir-sample", oracle=_reservoir_oracle())
+def agg_reservoir_sample(spark, sf_dir):
+    """Deterministic fixed-size uniform sample per group (k = 20 events
+    per event type) -- the distributed, REPLAYABLE equivalent of
+    reservoir sampling: rank rows by the Knuth multiplicative hash of
+    their unique key and keep the k smallest. Unlike rand()-based
+    sampling this is retry-stable (the ext-sample-importance property)
+    and engine-portable, and unlike a true streaming reservoir it needs
+    no sequential state.
+
+    Scale: a windowed top-k per group key -- Spark plans the rank filter
+    as a partial top-k before the shuffle (WindowGroupLimit), so each
+    partition forwards at most k rows per group; the 5-value group key
+    is bounded-domain (the win-autocorr caveat), and the same shape on a
+    high-cardinality key is fully parallel."""
+    from dbtwiz_spark.ops.common import hkey
+
+    e = views(spark, sf_dir).table("events")
+    w = Window.partitionBy("event_type").orderBy(
+        hkey(F.col("event_id")), "event_id"
+    )
+    return (
+        e.select(
+            "event_type", "event_id", F.row_number().over(w).alias("hrank")
+        )
+        .filter(F.col("hrank") <= 20)
+    )

@@ -129,6 +129,22 @@ def hkey_sql(expr: str) -> str:
 _RANK_CACHE: dict[tuple, object] = {}
 
 
+def _plan_sig(df, keys, *extra) -> tuple:
+    """Memo key for a (session, input plan, key exprs, ...) combination.
+
+    The canonicalized plan normalizes exprIds (two independently built but
+    identical plans hit the same slot); serialized via toJSON(), NOT
+    toString() — toString truncates at spark.sql.debug.maxToStringFields
+    (25) fields, so wide plans differing only past the cutoff would
+    COLLIDE and silently serve another input's cached rows."""
+    return (
+        df.sparkSession,
+        df._jdf.queryExecution().analyzed().canonicalized().toJSON(),
+        tuple(str(k) for k in keys),
+        *extra,
+    )
+
+
 def parallel_rank(df, keys, n_parts: int = 8):
     """Global 1-based row number over a UNIQUE total order, scale-safe.
 
@@ -151,14 +167,7 @@ def parallel_rank(df, keys, n_parts: int = 8):
     WindowExec)."""
     from pyspark.sql.window import Window
 
-    sig = (
-        df.sparkSession,
-        # canonicalized form normalizes exprIds, so two independently
-        # constructed but identical plans hit the same memo slot
-        df._jdf.queryExecution().analyzed().canonicalized().toString(),
-        tuple(str(k) for k in keys),
-        n_parts,
-    )
+    sig = _plan_sig(df, keys, n_parts)
     local = _RANK_CACHE.get(sig)
     if local is None:
         parts = df.repartitionByRange(n_parts, *keys)
@@ -194,3 +203,76 @@ def parallel_rank(df, keys, n_parts: int = 8):
         .withColumn("_rank", F.col("_off") + F.col("_rn"))
         .drop("_pid", "_rn", "_off")
     )
+
+
+def parallel_prefix_sum(df, keys, cols, n_parts: int = 8):
+    """Global inclusive running SUM of integer ``cols`` in ``keys`` order,
+    scale-safe — the prefix-sum generalization of ``parallel_rank``:
+
+    1. range-partition + local sort on the order key,
+    2. per-partition running sums (partition-local window),
+    3. tiny per-partition totals -> cumulative offsets (broadcast),
+    4. global prefix = offset + local running sum.
+
+    Returns ``df`` plus one ``_cum_<col>`` column per input col. The key
+    chain must be a unique total order. No global single-partition window
+    anywhere; the offset fold is O(P^2) on #partitions elements in one
+    tiny task. Backs agg-ks-test (two-sample CDF comparison)."""
+    from pyspark.sql.window import Window
+
+    # persisted + memoized like parallel_rank: BOTH the totals branch and
+    # the output branch consume the range-partitioned local stage, and the
+    # _pid-keyed offset join is only correct if both branches see the SAME
+    # physical range boundaries — two independent instantiations of
+    # repartitionByRange may sample different boundaries. The persist also
+    # halves the wall-clock (the parallel_rank measurement).
+    sig = _plan_sig(df, keys, tuple(cols), n_parts)
+    local = _RANK_CACHE.get(sig)
+    if local is None:
+        parts = df.repartitionByRange(n_parts, *keys)
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(*keys)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        local = parts.withColumn("_pid", F.spark_partition_id())
+        for c in cols:
+            local = local.withColumn(f"_cum_{c}", F.sum(c).over(w))
+        local = local.persist()
+        _RANK_CACHE[sig] = local
+    totals = local.groupBy("_pid").agg(
+        *[F.sum(c).cast("long").alias(f"_t_{c}") for c in cols]
+    )
+    carr = totals.agg(
+        F.array_sort(
+            F.collect_list(F.struct("_pid", *[f"_t_{c}" for c in cols]))
+        ).alias("arr")
+    )
+    zero = F.lit(0).cast("long")
+
+    # close over the column name via a factory, never a default arg: a
+    # pyspark higher-order lambda's EXTRA parameter silently binds to the
+    # element index (the documented lambda-arity gotcha)
+    def _adder(c):
+        return lambda a, x: a + x[f"_t_{c}"]
+
+    prefix = F.transform(
+        F.col("arr"),
+        lambda s, i: F.struct(
+            s["_pid"].alias("_pid"),
+            *[
+                F.aggregate(F.slice(F.col("arr"), 1, i), zero, _adder(c)).alias(
+                    f"_off_{c}"
+                )
+                for c in cols
+            ],
+        ),
+    )
+    offsets = carr.select(F.explode(prefix).alias("o")).select(
+        F.col("o._pid").alias("_pid"),
+        *[F.col(f"o._off_{c}").alias(f"_off_{c}") for c in cols],
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for c in cols:
+        out = out.withColumn(f"_cum_{c}", F.col(f"_off_{c}") + F.col(f"_cum_{c}"))
+    return out.drop("_pid", *[f"_off_{c}" for c in cols])

@@ -31,30 +31,25 @@ Round-7 window (positions 0-49):
   source-declare): materialize.py's publish path changed this round (the
   empty-slot claim fix) and these rows are r3-era — the oldest evidence
   on the most-evolved shared path.
-* 37-40 — the Python boundary (udf-scalar/udaf/udtf/macro-template),
-  r3-era rows.
-* 41-44 — ext-sample-stratified/-decontaminate/-dedup-exact/
-  -sim-cosine-topk, r3-era rows.
-* 45-49 — the batch-mode streaming family (tumbling/sliding/session/
-  watermark-late/stateful-dedup), r3-era rows.
-
-Displacement policy for entries added DURING round 7: new entries take
-the tail refresh slots (45 backwards) — every displaced entry keeps a
-valid r3 row under the green-manifest guard, while new code would
-otherwise wait a full round for driver evidence.
-
-Entries added AFTER this window fills get zero driver evidence until the
-round-8 window — list them here so the next session front-loads them:
-(round-7 additions, zero driver evidence, local-oracle green):
-agg-funnel-conversion, win-holt-winters, ext-tokenize-apply,
-agg-reservoir-sample, join-bloom-prefilter, agg-tdigest-merge,
-ext-minhash-containment, agg-survival-km, win-theil-sen,
-ext-dedup-softdedup, agg-hypergeom-enrich, ext-contrastive-pairs.
+* 37-39 — the Python boundary (udf-scalar/udaf/udtf), r3-era rows.
+* 40-49 — the 10 entries added during round 7 (zero driver evidence,
+  local-oracle green at sf0.01): win-max-drawdown, win-theil-sen,
+  win-holt-winters (the ordered-fold device), agg-ks-test (the
+  parallel_prefix_sum device), agg-markov-transition, agg-survival-km,
+  agg-reservoir-sample, ext-tokenize-apply (applies the shared BPE
+  training), ext-dedup-softdedup, ext-contrastive-pairs. These took the
+  macro-template / ext-sample-stratified / ext-decontaminate /
+  ext-dedup-exact / ext-sim-cosine-topk / batch-streaming-family tail
+  slots per the displacement policy — every displaced entry keeps a
+  valid r3 row under the green-manifest guard.
 
 Still waiting after this round (all unchanged code with valid green
-rows): file formats, core filters/joins (r2/r6 rows), function/set/sort
-families (r3 rows), stream-foreachbatch-sink, the ext_pipeline r4/r5
-families, and the sketch aggregates — slate the oldest for round 8.
+rows): macro-template and the batch-mode streaming family (displaced
+above), file formats, core filters/joins (r2/r6 rows), function/set/
+sort families (r3 rows), stream-foreachbatch-sink, the ext_pipeline
+r4/r5 families, and the sketch aggregates — slate the oldest for
+round 8, plus any entries added after this window filled (list them
+below as they land).
 """
 
 
@@ -105,18 +100,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udf-scalar",
     "udaf",
     "udtf",
-    "macro-template",
-    # r3-era ext rows
-    "ext-sample-stratified",
-    "ext-decontaminate",
-    "ext-dedup-exact",
-    "ext-sim-cosine-topk",
-    # r3-era batch-mode streaming rows
-    "stream-tumbling-window",
-    "stream-sliding-window",
-    "stream-session-window",
-    "stream-watermark-late",
-    "stream-stateful-dedup",
+    # added during round 7 — zero driver evidence, take the tail refresh
+    # slots per the displacement policy (every displaced entry keeps a
+    # valid r3 row under the green-manifest guard)
+    "win-max-drawdown",
+    "win-theil-sen",
+    "win-holt-winters",
+    "agg-ks-test",
+    "agg-markov-transition",
+    "agg-survival-km",
+    "agg-reservoir-sample",
+    "ext-tokenize-apply",
+    "ext-dedup-softdedup",
+    "ext-contrastive-pairs",
 )
 
 

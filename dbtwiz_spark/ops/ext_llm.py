@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from dbtwiz_spark.ops.common import views, davg, davg_sql
+from dbtwiz_spark.ops.common import views, davg, davg_sql, hkey_sql
 from dbtwiz_spark.ops.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1668,5 +1668,97 @@ def ext_embed_normalize(spark, sf_dir):
             F.when(var > 0, (F.col("v") - F.col("mean_v")) / F.sqrt(var))
             .otherwise(F.lit(None).cast("double"))
             .alias("z"),
+        )
+    )
+
+
+@register(
+    "ext-dedup-softdedup",
+    oracle="""
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY text) AS BIGINT) AS cluster_size,
+           CAST(1 AS DOUBLE)
+               / CAST(COUNT(*) OVER (PARTITION BY text) AS DOUBLE) AS weight
+    FROM documents
+    """,
+)
+def ext_dedup_softdedup(spark, sf_dir):
+    """Soft deduplication: instead of DROPPING exact duplicates
+    (ext-dedup-exact), keep every copy but downweight it by its duplicate
+    cluster size (weight = 1/n) so the training sampler sees each unique
+    text with total mass 1 -- the SoftDedup/UniMax-style alternative that
+    preserves natural duplication signal without over-training on it.
+
+    Scale: ONE hash-partitioned window on the text key (the same shuffle
+    an exact-dedup groupBy pays; at extreme scale the partition key drops
+    to xxhash64(text) to shuffle 8-byte keys instead of full documents --
+    same clusters, collision odds ~2^-64)."""
+    d = views(spark, sf_dir).table("documents")
+    w = Window.partitionBy("text")
+    n = F.count("*").over(w)
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("cluster_size"),
+        (F.lit(1.0) / n.cast("double")).alias("weight"),
+    )
+
+
+@register(
+    "ext-contrastive-pairs",
+    oracle=f"""
+    WITH ng AS (SELECT * FROM ({_NGRAM_JACCARD_SQL})),
+    hr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY {{hk}}, doc_id) AS r,
+               COUNT(*) OVER () AS n
+        FROM documents)
+    SELECT ng.doc_a AS anchor_id, ng.doc_b AS pos_id,
+           h2.doc_id AS neg_id, ng.jaccard
+    FROM ng
+    JOIN hr h1 ON h1.doc_id = ng.doc_a
+    JOIN hr h2 ON h2.r = (h1.r % h1.n) + 1
+    WHERE h2.doc_id <> ng.doc_a AND h2.doc_id <> ng.doc_b
+    """.format(hk=hkey_sql("doc_id")),
+)
+def ext_contrastive_pairs(spark, sf_dir):
+    """(anchor, positive, negative) triplet mining for contrastive
+    training: positives are the exact 3-shingle Jaccard >= 0.4 pairs
+    (the ext-ngram-jaccard join, shared code path), negatives are drawn
+    deterministically as the anchor's SUCCESSOR in the Knuth-hash
+    ordering of all doc ids (wrap-around at the end) -- a replayable
+    stand-in for a uniform random negative, with the rare successor that
+    collides with the anchor or positive dropped rather than re-rolled
+    (the oracle applies the identical rule).
+
+    Scale: positives ride the shingle equi-join (no cross join); the
+    hash ordering comes from ``common.parallel_rank`` (range partition +
+    broadcast offsets, no global window); the successor lookup is an
+    equi-join on rank."""
+    from dbtwiz_spark.ops.common import hkey, parallel_rank
+
+    d = views(spark, sf_dir).table("documents")
+    pos = ext_ngram_jaccard(spark, sf_dir)
+    ranked = parallel_rank(
+        d.select("doc_id"), [hkey(F.col("doc_id")), F.col("doc_id")]
+    ).select("doc_id", "_rank", "_n")
+    h1 = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        ((F.col("_rank") % F.col("_n")) + 1).alias("succ_rank"),
+    )
+    h2 = ranked.select(
+        F.col("_rank").alias("succ_rank"), F.col("doc_id").alias("neg_id")
+    )
+    return (
+        pos.join(h1, "doc_a")
+        .join(h2, "succ_rank")
+        .filter(
+            (F.col("neg_id") != F.col("doc_a"))
+            & (F.col("neg_id") != F.col("doc_b"))
+        )
+        .select(
+            F.col("doc_a").alias("anchor_id"),
+            F.col("doc_b").alias("pos_id"),
+            "neg_id",
+            "jaccard",
         )
     )

@@ -1722,7 +1722,10 @@ def ext_ngram_pmi(spark, sf_dir):
 _BPE_ROUNDS = 3
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte() -> str:
+    """Shared WITH body: word vocabulary -> 3 BPE merge rounds (rep3).
+    Reused by the ext-bpe-train oracle and the ext-tokenize-apply oracle
+    so training semantics cannot drift between the two entries."""
     sql = r"""
     WITH toks AS (
         SELECT UNNEST(string_split(
@@ -1750,6 +1753,10 @@ def _bpe_oracle() -> str:
                replace(rep, '|' || pair || '|',
                        '|' || replace(pair, '|', '') || '|') AS rep
         FROM rep{i - 1}, top{i})"""
+    return sql
+
+
+def _bpe_oracle() -> str:
     selects = [
         f"""
     SELECT {i} AS merge_round,
@@ -1760,29 +1767,20 @@ def _bpe_oracle() -> str:
     FROM top{i}"""
         for i in range(1, _BPE_ROUNDS + 1)
     ]
-    return sql + "\n" + "\n    UNION ALL\n".join(selects) + "\n    ORDER BY merge_round"
+    return (
+        _bpe_cte()
+        + "\n"
+        + "\n    UNION ALL\n".join(selects)
+        + "\n    ORDER BY merge_round"
+    )
 
 
-@register("ext-bpe-train", oracle=_bpe_oracle())
-def ext_bpe_train(spark, sf_dir):
-    """BPE tokenizer training, first 3 merges: the iterative
-    pair-count -> argmax -> merge-apply loop at the heart of every
-    modern tokenizer, run corpus-wide. Words are piped symbol strings
-    ('|h|e|' ...); a merge rewrites '|a|b|' to '|ab|' -- the leading
-    delimiter makes the pattern unambiguous (no match can start inside
-    a symbol), and sequential left-to-right replace semantics were
-    pinned identical across engines before relying on them.
-
-    Scale devices: (1) training iterates over the WORD VOCABULARY with
-    counts, aggregated from the corpus exactly once -- the corpus-sized
-    shuffle happens one time, every merge round then touches
-    vocabulary-sized data (the classic BPE-training optimization);
-    (2) the per-round argmax is a top-1 over the pair-count table
-    (vocabulary-bounded), broadcast back into the rewrite -- no
-    driver-side loop state beyond the fixed round count. Symbol pairs
-    are built with a guarded transform (a fully-merged word yields no
-    pairs, not a descending sequence). Counts are exact BIGINTs; the
-    argmax tie-break is (count DESC, pair ASC)."""
+def _bpe_reps(spark, sf_dir):
+    """Run the 3-round BPE training loop; returns (rep_final, tops) where
+    rep_final is the word vocabulary with its post-merge piped symbol
+    representation and tops is the per-round merge list. Shared by
+    ext-bpe-train (emits the merges) and ext-tokenize-apply (applies the
+    trained representation to documents)."""
     d = views(spark, sf_dir).table("documents")
     toks = d.select(
         F.explode(
@@ -1832,10 +1830,92 @@ def ext_bpe_train(spark, sf_dir):
                 "'|' || replace(pair, '|', '') || '|')"
             ).alias("rep"),
         )
+    return rep, tops
+
+
+@register("ext-bpe-train", oracle=_bpe_oracle())
+def ext_bpe_train(spark, sf_dir):
+    """BPE tokenizer training, first 3 merges: the iterative
+    pair-count -> argmax -> merge-apply loop at the heart of every
+    modern tokenizer, run corpus-wide. Words are piped symbol strings
+    ('|h|e|' ...); a merge rewrites '|a|b|' to '|ab|' -- the leading
+    delimiter makes the pattern unambiguous (no match can start inside
+    a symbol), and sequential left-to-right replace semantics were
+    pinned identical across engines before relying on them.
+
+    Scale devices: (1) training iterates over the WORD VOCABULARY with
+    counts, aggregated from the corpus exactly once -- the corpus-sized
+    shuffle happens one time, every merge round then touches
+    vocabulary-sized data (the classic BPE-training optimization);
+    (2) the per-round argmax is a top-1 over the pair-count table
+    (vocabulary-bounded), broadcast back into the rewrite -- no
+    driver-side loop state beyond the fixed round count. Symbol pairs
+    are built with a guarded transform (a fully-merged word yields no
+    pairs, not a descending sequence). Counts are exact BIGINTs; the
+    argmax tie-break is (count DESC, pair ASC)."""
+    _rep, tops = _bpe_reps(spark, sf_dir)
     out = tops[0]
     for t in tops[1:]:
         out = out.unionAll(t)
     return out.orderBy("merge_round")
+
+
+def _tokenize_apply_oracle() -> str:
+    return (
+        _bpe_cte()
+        + """,
+    dtoks AS (
+        SELECT doc_id, UNNEST(string_split(
+            regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')) AS w
+        FROM documents),
+    j AS (
+        SELECT doc_id,
+               len(list_filter(string_split(rep, '|'), x -> x <> '')) AS ntok
+        FROM dtoks JOIN rep"""
+        + str(_BPE_ROUNDS)
+        + """ ON dtoks.w = word)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS tokens_per_word
+    FROM j GROUP BY doc_id
+    """
+    )
+
+
+@register("ext-tokenize-apply", oracle=_tokenize_apply_oracle())
+def ext_tokenize_apply(spark, sf_dir):
+    """Apply the trained BPE merges (ext-bpe-train, shared ``_bpe_reps``
+    loop) to every document: per-doc token counts under the learned
+    subword vocabulary -- the encode step of the tokenizer, the number
+    every training-data pipeline needs per document (sequence packing,
+    token budgets, cost estimates). Words outside the trained vocabulary
+    (length outside 2..12 after normalization) are excluded on both
+    engines by the inner vocab join.
+
+    Scale: the trained representation table is VOCABULARY-sized (unique
+    words, not corpus rows) and broadcast into the document-word join,
+    so the corpus-sized path is one map-side explode + broadcast-join +
+    one partial-aggregated groupBy(doc_id) -- no second corpus shuffle.
+    At extreme vocab sizes the broadcast degrades to a plain equi-join
+    on the word key (swap the hint), same semantics."""
+    rep, _tops = _bpe_reps(spark, sf_dir)
+    d = views(spark, sf_dir).table("documents")
+    dtoks = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
+        ).alias("w"),
+    )
+    ntok = F.size(F.expr("filter(split(rep, '[|]'), x -> x != '')"))
+    j = dtoks.join(
+        F.broadcast(rep.withColumnRenamed("word", "w").select("w", "rep")),
+        "w",
+    ).select("doc_id", ntok.alias("ntok"))
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        (F.sum("ntok").cast("double") / F.count("*")).alias("tokens_per_word"),
+    )
 
 
 @register(

@@ -1140,3 +1140,236 @@ def win_autocorr(spark, sf_dir):
         acf("p2", "n2").alias("acf_2"),
         acf("p3", "n3").alias("acf_3"),
     )
+
+
+@register(
+    "win-max-drawdown",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN value
+                    ELSE -value END AS flow
+        FROM events WHERE event_type IN ('purchase', 'error')),
+    b AS (
+        SELECT user_id, ts, event_id,
+               SUM(CAST(flow AS DECIMAL(28,6))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+        FROM f),
+    p AS (
+        SELECT user_id, bal,
+               MAX(bal) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        FROM b)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(CAST(MAX(peak - bal) * 1000000 AS BIGINT) AS DOUBLE)
+               / 1000000 AS max_drawdown
+    FROM p GROUP BY user_id
+    """,
+)
+def win_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of each user's running purchase-minus-error
+    balance -- the risk metric every portfolio/billing pipeline tracks
+    (largest peak-to-trough fall of the cumulative P&L path). Running
+    balance and running peak are windowed DECIMAL aggregates (exact, so
+    DuckDB's segment-tree and Spark's running accumulation cannot
+    diverge); drawdown = peak - balance stays decimal to the final MAX
+    and exits through the scaled-BIGINT device.
+
+    Scale: two hash-partitioned windows on user_id (the high-cardinality
+    key) with running frames, then one partial-aggregated groupBy -- the
+    win-running-agg shape twice; no global window, no UDF."""
+    e = views(spark, sf_dir).table("events")
+    f = e.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(-F.col("value"))
+        .alias("flow"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = f.select(
+        "user_id", "ts", "event_id",
+        F.sum(F.col("flow").cast(DEC)).over(w).alias("bal"),
+    )
+    p = b.select(
+        "user_id", "bal", F.max("bal").over(w).alias("peak")
+    )
+    return p.groupBy("user_id").agg(
+        F.count("*").alias("n_flows"),
+        (
+            (F.max(F.col("peak") - F.col("bal")) * 1000000)
+            .cast("bigint")
+            .cast("double")
+            / 1000000
+        ).alias("max_drawdown"),
+    )
+
+
+@register(
+    "win-theil-sen",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+    slopes AS (
+        SELECT a.event_type,
+               (b.y - a.y) / CAST(b.x - a.x AS DOUBLE) AS slope
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x)
+    SELECT s.event_type,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM daily d
+             WHERE d.event_type = s.event_type) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(median(slope) AS DOUBLE) AS theil_sen_slope
+    FROM slopes s GROUP BY s.event_type
+    """,
+)
+def win_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per event type: the median of all pairwise
+    slopes of the daily-total series -- the outlier-proof alternative to
+    least-squares trend (one corrupted day moves an OLS slope arbitrarily,
+    but not the median of C(n,2) slopes). Daily totals are exact decimal
+    sums cast once to double; each slope is one subtraction and one
+    division (correctly rounded, identical in both engines); the median
+    interpolates the sorted slope array with the pinned lo + (hi-lo)/2
+    form DuckDB's median uses (win-rolling-median precedent). Shipped
+    unrounded -- every upstream value is bit-identical by construction.
+
+    Scale: the pairwise self-join is over the DAILY aggregate (bounded by
+    the calendar x series keys, never by corpus size -- same bound as
+    win-autocorr), so the quadratic blowup is ~366^2 per series key at
+    any data scale; the corpus-sized work is one partial-aggregated
+    groupBy."""
+    e = views(spark, sf_dir).table("events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .alias("x"),
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("y"))
+    a = daily.alias("a")
+    b = daily.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y"))
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    n_days = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    med = slopes.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.array_sort(F.collect_list("slope")).alias("arr"),
+    )
+    n = F.size("arr")
+    mid_hi = F.element_at("arr", (n / 2 + 1).cast("int"))
+    mid_lo = F.element_at("arr", ((n + 1) / 2).cast("int"))
+    return (
+        med.join(F.broadcast(n_days), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            (mid_lo + (mid_hi - mid_lo) / 2).alias("theil_sen_slope"),
+        )
+    )
+
+
+@register(
+    "win-holt-winters",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS y
+        FROM events GROUP BY 1, 2),
+    ser AS (
+        SELECT event_type, list(y ORDER BY day) AS arr,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1),
+    fit AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_prepend(
+                       [arr[1], arr[2] - arr[1]],
+                       [[v, CAST(0 AS DOUBLE)] for v in arr[2:]]),
+                   (acc, e) -> [
+                       e[1] / 2 + (acc[1] + acc[2]) / 2,
+                       (e[1] / 2 + (acc[1] + acc[2]) / 2 - acc[1]) / 2
+                           + acc[2] / 2]) AS hw
+        FROM ser WHERE n_days >= 2)
+    SELECT event_type, n_days,
+           hw[1] AS level, hw[2] AS trend, hw[1] + hw[2] AS forecast_1
+    FROM fit
+    """,
+)
+def win_holt_winters(spark, sf_dir):
+    """Holt double-exponential smoothing (level + trend) of each event
+    type's daily-total series, alpha = beta = 1/2 -- the forecasting
+    recurrence S_t = a*y_t + (1-a)(S+B), B_t = b*(S_t-S) + (1-b)*B that no
+    window frame expresses (every S_t depends on ALL history through the
+    recurrence, unlike win-ema's truncated form). Device: the ORDERED
+    FOLD -- collect the day-ordered series into an array and fold it
+    sequentially (F.aggregate here, list_reduce in the oracle). Both
+    engines then execute the IDENTICAL sequence of IEEE operations --
+    halvings are exact, additions order-fixed by the fold -- so the
+    result is bit-identical unrounded, with no decimal detour.
+
+    Scale: the corpus-sized work is one partial-aggregated daily groupBy;
+    the fold runs over the bounded calendar series (<= 366 elements per
+    series key, the win-autocorr bound) inside codegen. A truly unbounded
+    per-key series would use applyInPandasWithState instead.
+
+    Init: S_1 = y_1, B_1 = y_2 - y_1; fold over y_2..y_n (standard Holt
+    initialization)."""
+    e = views(spark, sf_dir).table("events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("y"))
+    ser = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "y"))),
+            lambda s: s.y,
+        ).alias("arr"),
+        F.count("*").alias("n_days"),
+    )
+    arr = F.col("arr")
+    # accumulator is a 2-element ARRAY [s, b], not a struct: DuckDB's
+    # list_reduce mutates a struct accumulator in place field by field,
+    # so a 'b' expression would see the step's already-updated 's'
+    # (observed: correct on a 1-step fold, wrong from step 2 on). A fresh
+    # list value per step has no aliasing in either engine.
+    init = F.array(
+        F.element_at(arr, 1),
+        F.element_at(arr, 2) - F.element_at(arr, 1),
+    )
+    rest = F.slice(arr, 2, F.size(arr) - 1)
+
+    def step(acc, y):
+        s_old, b_old = F.element_at(acc, 1), F.element_at(acc, 2)
+        s_new = y / 2 + (s_old + b_old) / 2
+        return F.array(s_new, (s_new - s_old) / 2 + b_old / 2)
+
+    fit = ser.filter(F.col("n_days") >= 2).select(
+        "event_type", "n_days", F.aggregate(rest, init, step).alias("hw")
+    )
+    hw = F.col("hw")
+    return fit.select(
+        "event_type",
+        "n_days",
+        F.element_at(hw, 1).alias("level"),
+        F.element_at(hw, 2).alias("trend"),
+        (F.element_at(hw, 1) + F.element_at(hw, 2)).alias("forecast_1"),
+    )

@@ -36,6 +36,9 @@ from dbtwiz_spark.ops import CORPUS  # noqa: E402
 # never miss an edit.
 _SHARED_HELPERS = (
     "parallel_rank",
+    "parallel_prefix_sum",
+    "_bpe_reps",
+    "ext_ngram_jaccard",
     "dsum_sql",
     "davg_sql",
     "hkey_sql",
@@ -43,12 +46,17 @@ _SHARED_HELPERS = (
     "davg",
     "hkey",
     "cap_shingle_df",
+    "shingles",
+    "_plan_sig",
 )
 
 
 def entry_hash(name: str) -> str:
     import dbtwiz_spark.ops.common as _common
     import dbtwiz_spark.ops.ext_llm as _ext_llm
+    import dbtwiz_spark.ops.ext_pipeline as _ext_pipeline
+
+    owners = (_common, _ext_llm, _ext_pipeline)
 
     spec = CORPUS[name]
     src = inspect.getsource(spec.fn)
@@ -65,8 +73,8 @@ def entry_hash(name: str) -> str:
         helper = pending.pop()
         if helper in included:
             continue
-        owner = _common if hasattr(_common, helper) else _ext_llm
-        if not hasattr(owner, helper):
+        owner = next((m for m in owners if hasattr(m, helper)), None)
+        if owner is None:
             continue
         hsrc = inspect.getsource(getattr(owner, helper))
         included[helper] = hsrc

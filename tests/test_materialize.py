@@ -838,3 +838,24 @@ def test_publish_crash_at_every_swap_point_loses_no_state(spark, tmp_path):
     for point in range(1, total + 1):
         _, crashed = run(point)
         assert crashed, f"injection at point {point} did not fire"
+
+
+def test_incomplete_snapshot_slot_is_invisible(spark, wh):
+    """A snapshot slot still carrying its _INCOMPLETE marker (crash or
+    concurrent writer mid-populate) must not be served by snapshots()/
+    read_snapshot — populating a directory is never atomic, so the marker
+    unlink is the commit point."""
+    import dbtwiz_spark.materialize as mat
+
+    wh.write_table("tinc", _df(spark, [(1, "v1", "d")]))
+    wh.write_table("tinc", _df(spark, [(2, "v2", "d")]))  # snapshots v1
+    good = wh.snapshots("tinc")
+    assert len(good) == 1
+    # simulate a crash mid-populate: claimed slot, partial file, marker on
+    ts, dst = wh._claim_snapshot_dir("tinc")
+    (dst / "part-00000.parquet").write_text("partial garbage")
+    assert wh.snapshots("tinc") == good, "incomplete slot must be invisible"
+    assert wh.read_snapshot("tinc", ts).first().v == "v1"
+    # commit makes it visible
+    wh._commit_snapshot_dir(dst)
+    assert wh.snapshots("tinc") == good + [ts]
