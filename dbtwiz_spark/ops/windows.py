@@ -1329,8 +1329,10 @@ def win_holt_winters(spark, sf_dir):
 
     Scale: the corpus-sized work is one partial-aggregated daily groupBy;
     the fold runs over the bounded calendar series (<= 366 elements per
-    series key, the win-autocorr bound) inside codegen. A truly unbounded
-    per-key series would use applyInPandasWithState instead.
+    series key, the win-autocorr bound) inside codegen. The TRUE streaming
+    form (unbounded series, O(1) per-key state) is
+    streaming/jobs.holt_stream via applyInPandasWithState — bit-equal
+    final state, parity pinned in tests/test_streaming.py.
 
     Init: S_1 = y_1, B_1 = y_2 - y_1; fold over y_2..y_n (standard Holt
     initialization)."""

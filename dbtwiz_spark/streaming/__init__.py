@@ -14,6 +14,7 @@ from dbtwiz_spark.streaming.jobs import (  # noqa: F401
     foreach_batch_merge,
     foreach_batch_overwrite,
     cusum_alarm_stream,
+    holt_stream,
     running_user_totals_stream,
     sessionized_stream,
     stateful_dedup_stream,

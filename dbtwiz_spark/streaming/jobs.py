@@ -374,3 +374,64 @@ def cusum_alarm_stream(
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def holt_stream(daily: DataFrame) -> DataFrame:
+    """Online Holt double-exponential smoothing (level + trend, a=b=1/2)
+    as a custom stateful operator — the streaming form of the
+    win-holt-winters batch entry: per series key, the recurrence
+    S_t = y_t/2 + (S+B)/2, B_t = (S_t-S)/2 + B/2 carried across
+    micro-batches as O(1) per-key state (n, y1, S, B), emitting the
+    current fit after every batch in update mode.
+
+    Python float arithmetic is IEEE-754 double with the identical
+    rounding as the JVM fold in the batch entry, and the recurrence uses
+    only halvings and order-fixed additions, so the streamed final
+    (level, trend) is BIT-EQUAL to the batch ordered fold — parity
+    pinned in tests/test_streaming.py. The init matches the batch entry:
+    S_1 = y_1, B_1 = y_2 - y_1, with y_2 then folded as the first step.
+    Like every sequential operator here, the contract is per-key
+    day-ordered delivery across batches (the file source's arrival
+    order)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "event_type string, n_days long, level double, trend double, "
+        "forecast_1 double"
+    )
+    state_schema = "n long, y1 double, s double, b double"
+
+    def fn(key, pdfs, state):
+        n, y1, s, b = state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        parts = [pdf for pdf in pdfs]
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        if len(df):
+            df = df.sort_values("day")
+            for y in df["y"]:
+                y = float(y)
+                if n == 0:
+                    y1 = y
+                    n = 1
+                    continue
+                if n == 1:
+                    s, b = y1, y - y1
+                s_new = y / 2 + (s + b) / 2
+                b = (s_new - s) / 2 + b / 2
+                s = s_new
+                n += 1
+        state.update((n, y1, s, b))
+        if n >= 2:
+            yield pd.DataFrame(
+                {
+                    "event_type": [key[0]],
+                    "n_days": [n],
+                    "level": [s],
+                    "trend": [b],
+                    "forecast_1": [s + b],
+                }
+            )
+
+    return daily.groupBy("event_type").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

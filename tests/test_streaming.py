@@ -549,3 +549,55 @@ def test_cusum_stream_matches_batch_entry(spark, tmp_path):
         f"{len(got)} streamed vs {len(want)} batch rows; "
         f"first diffs: {sorted(set(want) ^ set(got))[:3]}"
     )
+
+
+def test_holt_stream_matches_batch_entry(spark, tmp_path):
+    """The stateful streaming Holt smoother must land on BIT-EQUAL final
+    (level, trend) to the batch entry's ordered fold: the daily series is
+    replayed in three day-ordered waves; Python float and JVM double
+    execute the identical IEEE halving/addition sequence."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from dbtwiz_spark.ops.common import DEC
+    from dbtwiz_spark.ops.windows import win_holt_winters
+    from dbtwiz_spark.streaming import holt_stream
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("y"))
+    days = sorted(r.day for r in daily.select("day").distinct().collect())
+    cuts = [None, days[len(days) // 3], days[2 * len(days) // 3], None]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    for i in range(3):
+        part = daily
+        if cuts[i] is not None:
+            part = part.filter(F.col("day") >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(F.col("day") < cuts[i + 1])
+        tmp = str(tmp_path / f"slice_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        shutil.copy(src, in_dir / f"{i:02d}.parquet")
+        time.sleep(1.1)  # distinct mtimes -> file source keeps arrival order
+    stream_in = (
+        spark.readStream.schema("event_type string, day date, y double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    out = _run(spark, holt_stream(stream_in), mode="update").collect()
+    # update mode emits one row per key per micro-batch: the final state
+    # is the row with the largest n_days per key
+    got = {}
+    for r in out:
+        if r.event_type not in got or r.n_days > got[r.event_type][0]:
+            got[r.event_type] = (r.n_days, r.level, r.trend, r.forecast_1)
+    want = {
+        r.event_type: (r.n_days, r.level, r.trend, r.forecast_1)
+        for r in win_holt_winters(spark, SF_DIR).collect()
+    }
+    assert got == want, f"stream {got} != batch {want}"
