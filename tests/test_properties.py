@@ -841,8 +841,24 @@ def test_time_travel_history_matches_recorded_states(spark, tmp_path):
     wh.write_table("t", df_of(state), partition_by="partitiondate", snapshot=False)
     history: dict[int, dict] = {}
     for round_i in range(6):
-        op = rng.choice(["overwrite", "merge", "insert_overwrite"])
-        if op == "overwrite":
+        op = rng.choice(["overwrite", "overwrite_snap", "merge", "insert_overwrite"])
+        if op == "overwrite_snap":
+            # the PUBLISH-path snapshot: write_table(snapshot=True) moves
+            # the OUTGOING state into a freshly claimed slot item-by-item
+            # (the marker-committed path) — the recorded state for the new
+            # id is the PRE-overwrite table
+            outgoing = dict(state)
+            before_ids = set(wh.snapshots("t"))
+            state = {
+                k: (f"s{round_i}_{k}", rng.choice(days))
+                for k in rng.sample(range(18), 8)
+            }
+            wh.write_table(
+                "t", df_of(state), partition_by="partitiondate", snapshot=True
+            )
+            (new_id,) = set(wh.snapshots("t")) - before_ids
+            history[new_id] = outgoing
+        elif op == "overwrite":
             state = {
                 k: (f"o{round_i}_{k}", rng.choice(days))
                 for k in rng.sample(range(18), 10)
@@ -863,8 +879,13 @@ def test_time_travel_history_matches_recorded_states(spark, tmp_path):
             state = {k: vp for k, vp in state.items() if vp[1] != day}
             state.update(rows)
             wh.insert_overwrite("t", df_of(rows), "partitiondate")
-        sid = wh.snapshot("t") if round_i % 2 == 0 else wh._snapshot_via_links("t")
-        history[sid] = dict(state)
+        if op != "overwrite_snap":
+            sid = (
+                wh.snapshot("t")
+                if round_i % 2 == 0
+                else wh._snapshot_via_links("t")
+            )
+            history[sid] = dict(state)
         assert live() == state, f"live state diverged after {op} round {round_i}"
     assert sorted(history) == list(history), "snapshot ids must be increasing"
     for sid, snap_state in history.items():
