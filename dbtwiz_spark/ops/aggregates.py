@@ -2512,3 +2512,105 @@ def agg_reservoir_sample(spark, sf_dir):
         )
         .filter(F.col("hrank") <= 20)
     )
+
+
+def _bootstrap_ci_oracle() -> str:
+    from dbtwiz_spark.ops.common import davg_sql, hkey_sql
+
+    u = hkey_sql("o_orderkey * 31 + r")
+    return f"""
+    WITH e AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(28,6)) AS x, r
+        FROM orders, UNNEST(generate_series(1, 32)) AS t(r)),
+    wts AS (
+        SELECT r, x,
+               CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+                    WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+                    ELSE 4 END AS w
+        FROM (SELECT *, ({u}) % 1000000 AS u FROM e)),
+    per AS (
+        SELECT r,
+               CAST(CAST(SUM(w * x) * 1000000 AS BIGINT) AS DOUBLE) AS num,
+               CAST(SUM(w) AS BIGINT) AS wsum
+        FROM wts GROUP BY r),
+    m AS (
+        SELECT list_sort(list(CASE WHEN wsum > 0
+                                   THEN num / 1000000 / CAST(wsum AS DOUBLE)
+                                   END)) AS a,
+               CAST(COUNT(*) AS BIGINT) AS n_replicates
+        FROM per)
+    SELECT s.n_rows, s.mean_full, m.n_replicates,
+           a[1] + (a[2] - a[1]) * (CAST(775 AS DOUBLE) / 1000) AS ci_lo,
+           a[31] + (a[32] - a[31]) * (CAST(225 AS DOUBLE) / 1000) AS ci_hi
+    FROM m, (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                    {davg_sql('o_totalprice')} AS mean_full FROM orders) s
+    """
+
+
+@register("agg-bootstrap-ci", oracle=_bootstrap_ci_oracle())
+def agg_bootstrap_ci(spark, sf_dir):
+    """95% bootstrap confidence interval for the mean order price via the
+    POISSON BOOTSTRAP -- the distributed-systems form of the bootstrap
+    (each of 32 resamples weights every row by an independent Poisson(1)
+    draw, the n-with-replacement limit; the draw here is DETERMINISTIC:
+    Knuth-hash of (row key, replicate id) against exact integer CDF
+    thresholds of Poisson(1), so the interval is replayable and
+    engine-portable, never rand()). Per-replicate means go through exact
+    DECIMAL sums with the scaled-BIGINT exit; the 2.5%/97.5% quantiles
+    of the 32 means interpolate with integer-ratio fractions (float
+    literals parse differently across engines).
+
+    Scale: the 32x explode is map-side and collapses straight into
+    partial aggregation -- the shuffle carries 32 rows per map task, not
+    32x the data; everything after runs on a 32-row frame. This is why
+    Poisson bootstrap beats resample-materialization at 100 TB."""
+    from dbtwiz_spark.ops.common import davg, hkey
+
+    o = views(spark, sf_dir).table("orders")
+    e = o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast(DEC).alias("x"),
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("r"),
+    )
+    u = hkey(F.col("o_orderkey") * 31 + F.col("r")) % 1000000
+    w = (
+        F.when(u < 367879, 0)
+        .when(u < 735759, 1)
+        .when(u < 919699, 2)
+        .when(u < 981012, 3)
+        .otherwise(4)
+    )
+    per = e.select("r", "x", w.alias("w")).groupBy("r").agg(
+        (F.sum(F.col("w") * F.col("x")) * 1000000)
+        .cast("bigint")
+        .cast("double")
+        .alias("num"),
+        F.sum("w").cast("long").alias("wsum"),
+    )
+    mean_r = F.when(
+        F.col("wsum") > 0,
+        F.col("num") / 1000000 / F.col("wsum").cast("double"),
+    )
+    m = per.agg(
+        F.array_sort(F.collect_list(mean_r)).alias("a"),
+        F.count("*").alias("n_replicates"),
+    )
+    s = o.agg(
+        F.count("*").alias("n_rows"), davg("o_totalprice", "mean_full")
+    )
+    a = F.col("a")
+    frac_lo = F.lit(775).cast("double") / 1000
+    frac_hi = F.lit(225).cast("double") / 1000
+    return m.crossJoin(F.broadcast(s)).select(
+        "n_rows",
+        "mean_full",
+        "n_replicates",
+        (
+            F.element_at(a, 1)
+            + (F.element_at(a, 2) - F.element_at(a, 1)) * frac_lo
+        ).alias("ci_lo"),
+        (
+            F.element_at(a, 31)
+            + (F.element_at(a, 32) - F.element_at(a, 31)) * frac_hi
+        ).alias("ci_hi"),
+    )

@@ -31,13 +31,16 @@ Round-7 window (positions 0-49):
   source-declare): materialize.py's publish path changed this round (the
   empty-slot claim fix) and these rows are r3-era — the oldest evidence
   on the most-evolved shared path.
-* 37-39 — the Python boundary (udf-scalar/udaf/udtf), r3-era rows.
-* 40-49 — the 10 entries added during round 7 (zero driver evidence,
+* 37 — the Python boundary (udf-scalar), r3-era row (udaf/udtf were
+  displaced by late round-7 additions; their r3 rows stay valid).
+* 38-49 — the 12 entries added during round 7 (zero driver evidence,
   local-oracle green at sf0.01): win-max-drawdown, win-theil-sen,
   win-holt-winters (the ordered-fold device), agg-ks-test (the
   parallel_prefix_sum device), agg-markov-transition, agg-survival-km,
   agg-reservoir-sample, ext-tokenize-apply (applies the shared BPE
-  training), ext-dedup-softdedup, ext-contrastive-pairs. These took the
+  training), ext-dedup-softdedup, ext-contrastive-pairs,
+  ext-quality-bigram-logprob (interpolated bigram LM), agg-bootstrap-ci
+  (deterministic Poisson bootstrap). These took the
   macro-template / ext-sample-stratified / ext-decontaminate /
   ext-dedup-exact / ext-sim-cosine-topk / batch-streaming-family tail
   slots per the displacement policy — every displaced entry keeps a
@@ -96,10 +99,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sink-delete-table",
     "scan-time-travel",
     "source-declare",
-    # r3-era rows on the Python boundary
+    # r3-era row on the Python boundary (udaf/udtf displaced by the two
+    # late round-7 additions below; their r3 rows stay valid)
     "udf-scalar",
-    "udaf",
-    "udtf",
     # added during round 7 — zero driver evidence, take the tail refresh
     # slots per the displacement policy (every displaced entry keeps a
     # valid r3 row under the green-manifest guard)
@@ -113,6 +115,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext-tokenize-apply",
     "ext-dedup-softdedup",
     "ext-contrastive-pairs",
+    "ext-quality-bigram-logprob",
+    "agg-bootstrap-ci",
 )
 
 

@@ -1984,3 +1984,86 @@ def ext_span_corruption(spark, sf_dir):
             " ",
         ).alias("corrupted_text"),
     )
+
+
+@register(
+    "ext-quality-bigram-logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, j AS pos, s[j] AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+             UNNEST(generate_series(1, len(s))) AS u(j)),
+    bi AS (
+        SELECT doc_id, tok,
+               LAG(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM toks),
+    bi2 AS (SELECT * FROM bi WHERE prev IS NOT NULL),
+    uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+    bvoc AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt2
+             FROM bi2 GROUP BY 1, 2),
+    ctx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cctx FROM bi2 GROUP BY 1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(ln(
+                     (CAST(cnt2 AS DOUBLE) / CAST(cctx AS DOUBLE)
+                      + CAST(cnt AS DOUBLE) / total) / 2)
+                 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+               AS logprob_per_bigram
+    FROM bi2
+    JOIN bvoc USING (prev, tok)
+    JOIN ctx USING (prev)
+    JOIN uni USING (tok), n
+    GROUP BY doc_id
+    """,
+)
+def ext_quality_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram language-model quality score: each document's
+    mean per-bigram log-probability under p = (p_bigram + p_unigram)/2
+    trained on the corpus itself -- one LM order above
+    ext-quality-unigram-logprob, so word-salad documents whose unigrams
+    are individually common but whose SEQUENCES are improbable now score
+    low (the CCNet-perplexity shape, engine-native). lambda = 1/2 makes
+    the interpolation an exact halving; both conditional and marginal
+    probabilities are int64->double divisions (hardware-identical), and
+    ln() values are truncated to DECIMAL(28,6) before summing (the
+    unigram entry's device) so the per-doc mean is order-independent.
+
+    Scale: bigram positions come from a doc-key window (hash-partitioned
+    on doc_id, the corpus-sized shuffle); both vocabularies are bounded
+    by distinct n-grams, not corpus rows, and join back bucket-wise or
+    broadcast under AQE; the per-doc reduce is one partial-aggregated
+    groupBy."""
+    d = views(spark, sf_dir).table("documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi2 = (
+        toks.select("doc_id", "tok", F.lag("tok").over(w).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").cast("double").alias("total"))
+    bvoc = bi2.groupBy("prev", "tok").agg(F.count("*").alias("cnt2"))
+    ctx = bi2.groupBy("prev").agg(F.count("*").alias("cctx"))
+    p = (
+        F.col("cnt2").cast("double") / F.col("cctx").cast("double")
+        + F.col("cnt").cast("double") / F.col("total")
+    ) / 2
+    return (
+        bi2.join(bvoc, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(p).cast("decimal(28,6)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("logprob_per_bigram"),
+        )
+    )
