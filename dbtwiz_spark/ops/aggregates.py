@@ -2517,7 +2517,10 @@ def agg_reservoir_sample(spark, sf_dir):
 def _bootstrap_ci_oracle() -> str:
     from dbtwiz_spark.ops.common import davg_sql, hkey_sql
 
-    u = hkey_sql("o_orderkey * 31 + r")
+    # stride must EXCEED the replicate count: with stride 31 and r in 1..32,
+    # (k, r=32) and (k+1, r=1) hash the same input (31k+32 == 31(k+1)+1), so
+    # replicate 32 would be replicate 1 shifted by one row — correlated means
+    u = hkey_sql("o_orderkey * 37 + r")
     return f"""
     WITH e AS (
         SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(28,6)) AS x, r
@@ -2572,7 +2575,7 @@ def agg_bootstrap_ci(spark, sf_dir):
         F.col("o_totalprice").cast(DEC).alias("x"),
         F.explode(F.sequence(F.lit(1), F.lit(32))).alias("r"),
     )
-    u = hkey(F.col("o_orderkey") * 31 + F.col("r")) % 1000000
+    u = hkey(F.col("o_orderkey") * 37 + F.col("r")) % 1000000
     w = (
         F.when(u < 367879, 0)
         .when(u < 735759, 1)

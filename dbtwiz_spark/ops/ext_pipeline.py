@@ -2052,17 +2052,25 @@ def ext_quality_bigram_logprob(spark, sf_dir):
         F.col("cnt2").cast("double") / F.col("cctx").cast("double")
         + F.col("cnt").cast("double") / F.col("total")
     ) / 2
+    # pre-aggregate per-(doc, bigram) occurrence counts BEFORE the vocab
+    # joins: repeated bigrams (exactly what this score flags) then probe
+    # each join once, and k * trunc(ln p) in DECIMAL is exactly the k-fold
+    # sum, so the result is bit-identical to the per-occurrence form
+    occ = bi2.groupBy("doc_id", "prev", "tok").agg(
+        F.count("*").alias("k")
+    )
     return (
-        bi2.join(bvoc, ["prev", "tok"])
+        occ.join(bvoc, ["prev", "tok"])
         .join(ctx, "prev")
         .join(uni, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
+            F.sum("k").cast("bigint").alias("n_bigrams"),
             F.round(
-                F.sum(F.log(p).cast("decimal(28,6)")).cast("double")
-                / F.count("*"),
+                F.sum(F.col("k") * F.log(p).cast("decimal(28,6)"))
+                .cast("double")
+                / F.sum("k"),
                 6,
             ).alias("logprob_per_bigram"),
         )

@@ -390,9 +390,14 @@ def holt_stream(daily: DataFrame) -> DataFrame:
     (level, trend) is BIT-EQUAL to the batch ordered fold — parity
     pinned in tests/test_streaming.py. The init matches the batch entry:
     S_1 = y_1, B_1 = y_2 - y_1, with y_2 then folded as the first step.
-    Like every sequential operator here, the contract is per-key
-    day-ordered delivery across batches (the file source's arrival
-    order)."""
+
+    Delivery contract: per-key day-ordered, each day FINALIZED and
+    delivered exactly once (feed it an append-mode watermark-closed
+    daily aggregate, not an update-mode one — a revised day would
+    otherwise fold twice as two observations). The operator enforces the
+    monotone half of the contract itself: rows at or before the last
+    folded day are DROPPED (at-least-once replays become exactly-once;
+    a revision is treated as a duplicate, never re-folded)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -400,15 +405,21 @@ def holt_stream(daily: DataFrame) -> DataFrame:
         "event_type string, n_days long, level double, trend double, "
         "forecast_1 double"
     )
-    state_schema = "n long, y1 double, s double, b double"
+    state_schema = "n long, y1 double, s double, b double, last_d long"
 
     def fn(key, pdfs, state):
-        n, y1, s, b = state.get if state.exists else (0, 0.0, 0.0, 0.0)
+        n, y1, s, b, last_d = (
+            state.get if state.exists else (0, 0.0, 0.0, 0.0, -1)
+        )
         parts = [pdf for pdf in pdfs]
         df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
         if len(df):
             df = df.sort_values("day")
-            for y in df["y"]:
+            for day, y in zip(df["day"], df["y"]):
+                d_ord = day.toordinal()
+                if d_ord <= last_d:
+                    continue  # replay/revision of an already-folded day
+                last_d = d_ord
                 y = float(y)
                 if n == 0:
                     y1 = y
@@ -420,7 +431,7 @@ def holt_stream(daily: DataFrame) -> DataFrame:
                 b = (s_new - s) / 2 + b / 2
                 s = s_new
                 n += 1
-        state.update((n, y1, s, b))
+        state.update((n, y1, s, b, last_d))
         if n >= 2:
             yield pd.DataFrame(
                 {

@@ -584,6 +584,11 @@ def test_holt_stream_matches_batch_entry(spark, tmp_path):
         src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
         shutil.copy(src, in_dir / f"{i:02d}.parquet")
         time.sleep(1.1)  # distinct mtimes -> file source keeps arrival order
+    # replay wave 0 at the end: the at-most-once guard must DROP already-
+    # folded days, so the duplicate delivery cannot perturb the final state
+    shutil.copy(glob.glob(str(tmp_path / "slice_0" / "*.parquet"))[0],
+                in_dir / "03_replay.parquet")
+    time.sleep(1.1)
     stream_in = (
         spark.readStream.schema("event_type string, day date, y double")
         .option("maxFilesPerTrigger", 1)
