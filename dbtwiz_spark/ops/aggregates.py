@@ -2371,12 +2371,13 @@ def agg_markov_transition(spark, sf_dir):
     "agg-survival-km",
     oracle="""
     WITH le AS (
-        SELECT user_id, MIN(CAST(ts AS DATE)) AS f, MAX(CAST(ts AS DATE)) AS l
-        FROM events GROUP BY 1),
+        SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+               MAX(CAST(o_orderdate AS DATE)) AS l
+        FROM orders GROUP BY 1),
     mx AS (SELECT MAX(l) AS gmax FROM le),
     lt AS (
         SELECT date_diff('day', f, l) AS t,
-               CASE WHEN l < gmax - 7 THEN 1 ELSE 0 END AS death
+               CASE WHEN l < gmax - 90 THEN 1 ELSE 0 END AS death
         FROM le, mx),
     tbl AS (
         SELECT t, CAST(COUNT(*) AS BIGINT) AS a, CAST(SUM(death) AS BIGINT) AS d
@@ -2402,11 +2403,14 @@ def agg_markov_transition(spark, sf_dir):
     """,
 )
 def agg_survival_km(spark, sf_dir):
-    """Kaplan-Meier survival curve of user lifetimes (days between first
-    and last event; a user whose last event falls in the final 7 days of
-    the observation window is CENSORED, not dead) -- the retention
-    estimator that handles censoring correctly, unlike a naive lifetime
-    histogram. S(t) = prod_{t_i <= t} (1 - d_i/n_i) over death times: the
+    """Kaplan-Meier survival curve of customer ordering lifetimes (days
+    between a customer's first and last order; a customer whose last
+    order falls within 90 days of the dataset's horizon is CENSORED, not
+    churned) -- the churn estimator that handles censoring correctly,
+    unlike a naive lifetime histogram. (The events table is the wrong
+    subject here: its synthetic users are ALL active in the final week,
+    so every one is censored and the curve is empty at every scale;
+    order histories spread customers' last-activity dates for real.) S(t) = prod_{t_i <= t} (1 - d_i/n_i) over death times: the
     risk sets come from the ``parallel_prefix_sum`` device (n_i = N -
     cum_a + a_i, exact BIGINTs), each factor is one int64->double
     division, and the cumulative product is the ORDERED FOLD over the
@@ -2419,15 +2423,15 @@ def agg_survival_km(spark, sf_dir):
     bounded table, never on the corpus."""
     from dbtwiz_spark.ops.common import parallel_prefix_sum, parallel_rank
 
-    e = views(spark, sf_dir).table("events")
-    le = e.groupBy("user_id").agg(
-        F.min(F.col("ts").cast("date")).alias("f"),
-        F.max(F.col("ts").cast("date")).alias("l"),
+    o = views(spark, sf_dir).table("orders")
+    le = o.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("f"),
+        F.max(F.col("o_orderdate").cast("date")).alias("l"),
     )
     gmax = le.agg(F.max("l").alias("gmax"))
     lt = le.crossJoin(F.broadcast(gmax)).select(
         F.datediff("l", "f").alias("t"),
-        (F.col("l") < F.date_sub("gmax", 7)).cast("long").alias("death"),
+        (F.col("l") < F.date_sub("gmax", 90)).cast("long").alias("death"),
     )
     tbl = lt.groupBy("t").agg(
         F.count("*").alias("a"), F.sum("death").cast("long").alias("d")

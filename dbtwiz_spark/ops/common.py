@@ -136,10 +136,15 @@ def _plan_sig(df, keys, *extra) -> tuple:
     identical plans hit the same slot); serialized via toJSON(), NOT
     toString() — toString truncates at spark.sql.debug.maxToStringFields
     (25) fields, so wide plans differing only past the cutoff would
-    COLLIDE and silently serve another input's cached rows."""
+    COLLIDE and silently serve another input's cached rows. Canonicalization
+    ALSO erases file-source locations (measured: identical JSON for the
+    same query over sf0.001 and sf0.01 dirs — a cross-scale sweep then
+    served the wrong scale's cached ranks), so the input file set is
+    folded in explicitly."""
     return (
         df.sparkSession,
         df._jdf.queryExecution().analyzed().canonicalized().toJSON(),
+        tuple(sorted(df.inputFiles())),
         tuple(str(k) for k in keys),
         *extra,
     )

@@ -94,3 +94,88 @@ def test_cohort_ltv_agrees_on_multi_month_cohorts(spark, tmp_path):
     shutil.copy(glob.glob(os.path.join(tmp_ev, "*.parquet"))[0], d / "events.parquet")
     res = run_all(spark, str(d), names=["agg-cohort-ltv"])
     assert res[0].ok, res[0].detail
+
+
+def test_round7_statistics_invariants(spark):
+    """Semantic invariants for the round-7 statistics family — properties
+    the DuckDB hash parity cannot see (both engines could share a bug):
+    KM survival is a proper non-increasing probability over shrinking
+    risk sets, KS lives in [0,1], drawdowns are non-negative, Theil-Sen
+    covers all C(n,2) pairs, Markov rows are exact partitions, the
+    bootstrap CI brackets sanely, Holt's forecast decomposes, and the
+    reservoir takes exactly min(k, group) rows."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    km = sorted(rows("agg-survival-km"), key=lambda r: r.t_days)
+    assert len(km) >= 50, "KM curve must carry real death times (orders data)"
+    prev_s, prev_n = 1.0, None
+    for r in km:
+        assert 0.0 < r.survival <= 1.0
+        assert r.survival <= prev_s + 1e-15, "survival must be non-increasing"
+        if prev_n is not None:
+            assert r.n_risk <= prev_n, "risk set must shrink over time"
+        assert r.d_events >= 1 and r.d_events <= r.n_risk
+        prev_s, prev_n = r.survival, r.n_risk
+
+    (ks,) = rows("agg-ks-test")
+    assert 0.0 <= ks.ks_d <= 1.0
+    assert 0 <= ks.d_num <= ks.n1 * ks.n2
+
+    for r in rows("win-max-drawdown"):
+        assert r.max_drawdown >= 0.0
+        assert r.n_flows >= 1
+
+    for r in rows("win-theil-sen"):
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+
+    mk = rows("agg-markov-transition")
+    by_prev: dict[str, list] = {}
+    for r in mk:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        tot = sum(r.n for r in rs)
+        assert all(abs(r.prob - r.n / tot) < 1e-15 for r in rs), prev
+        assert abs(sum(r.prob for r in rs) - 1.0) < 1e-9, prev
+
+    (bs,) = rows("agg-bootstrap-ci")
+    assert bs.n_replicates == 32
+    assert bs.ci_lo <= bs.ci_hi
+    # the CI should bracket a value NEAR the full mean (not a strict
+    # containment guarantee, but 10x-width violations mean a bug)
+    width = max(bs.ci_hi - bs.ci_lo, 1e-9)
+    assert abs((bs.ci_lo + bs.ci_hi) / 2 - bs.mean_full) < 10 * width
+
+    for r in rows("win-holt-winters"):
+        assert r.forecast_1 == r.level + r.trend
+        assert r.n_days >= 2
+
+    rs = rows("agg-reservoir-sample")
+    from collections import Counter
+
+    per = Counter(r.event_type for r in rs)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sizes = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").count().withColumnRenamed("count", "n").collect()
+    }
+    for t, k in per.items():
+        assert k == min(20, sizes[t]), t
+    for r in rs:
+        assert 1 <= r.hrank <= 20
+
+    soft = rows("ext-dedup-softdedup")
+    total_mass = sum(r.weight for r in soft)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_unique = docs.select("text").distinct().count()
+    assert abs(total_mass - n_unique) < 1e-6
+
+    tok = rows("ext-tokenize-apply")
+    for r in tok:
+        assert r.n_words <= r.n_tokens  # each word is >= 1 symbol
+        assert r.tokens_per_word >= 1.0
+
+    for r in rows("ext-contrastive-pairs"):
+        assert r.neg_id != r.anchor_id and r.neg_id != r.pos_id

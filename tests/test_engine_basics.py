@@ -138,3 +138,20 @@ def test_parallel_rank_memoizes_persisted_input(spark):
     # ranks are a unique total order 1..n either way
     got = sorted(row._rank for row in r2.collect())
     assert got == list(range(1, 101))
+
+
+def test_parallel_rank_memo_separates_scale_dirs(spark, tmp_path):
+    """Plan canonicalization erases file-source paths, so two scale dirs
+    running the same query must NOT share a memo slot — a cross-scale
+    sweep would otherwise serve the wrong scale's cached ranks (caught
+    live: an sf0.1 run leaked 1462 rows into the sf0.01 oracle sweep)."""
+    from dbtwiz_spark.ops.common import _plan_sig, parallel_rank
+
+    for i, n in enumerate((7, 19)):
+        spark.range(n).write.mode("overwrite").parquet(str(tmp_path / f"d{i}"))
+    a = spark.read.parquet(str(tmp_path / "d0"))
+    b = spark.read.parquet(str(tmp_path / "d1"))
+    keys = [F.col("id")]
+    assert _plan_sig(a, keys, 8) != _plan_sig(b, keys, 8)
+    assert parallel_rank(a, keys).count() == 7
+    assert parallel_rank(b, keys).count() == 19
