@@ -211,6 +211,30 @@ def q_triangle_count(cat):
     return graph_triangle_count(cat.spark, cat.sf_dir), "collect"
 
 
+def q_ks_test(cat):
+    from dbtwiz_spark.ops.aggregates import agg_ks_test
+
+    return agg_ks_test(cat.spark, cat.sf_dir), "collect"
+
+
+def q_survival_km(cat):
+    from dbtwiz_spark.ops.aggregates import agg_survival_km
+
+    return agg_survival_km(cat.spark, cat.sf_dir), "collect"
+
+
+def q_holt_winters(cat):
+    from dbtwiz_spark.ops.windows import win_holt_winters
+
+    return win_holt_winters(cat.spark, cat.sf_dir), "collect"
+
+
+def q_bootstrap_ci(cat):
+    from dbtwiz_spark.ops.aggregates import agg_bootstrap_ci
+
+    return agg_bootstrap_ci(cat.spark, cat.sf_dir), "collect"
+
+
 # Round-6 additions measured SEPARATELY: the headline set (and its total)
 # stays fixed so headline_total remains comparable across every recorded
 # round; extras give the iterative/graph/statistics families their own
@@ -221,6 +245,11 @@ EXTRA_QUERIES = {
     "q_sliding_distinct": q_sliding_distinct,
     "q_rolling_corr": q_rolling_corr,
     "q_triangle_count": q_triangle_count,
+    # round-7 sequential-statistics family
+    "q_ks_test": q_ks_test,
+    "q_survival_km": q_survival_km,
+    "q_holt_winters": q_holt_winters,
+    "q_bootstrap_ci": q_bootstrap_ci,
 }
 
 QUERIES = {

@@ -2621,3 +2621,84 @@ def agg_bootstrap_ci(spark, sf_dir):
             + (F.element_at(a, 32) - F.element_at(a, 31)) * frac_hi
         ).alias("ci_hi"),
     )
+
+
+@register(
+    "agg-cohen-d",
+    oracle="""
+    WITH m AS (
+        SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000
+                         AS BIGINT) AS DOUBLE) / 1000000 AS sx,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))
+                             * CAST(value AS DECIMAL(28,6))) * 1000000
+                         AS BIGINT) AS DOUBLE) / 1000000 AS sxx
+        FROM events
+        WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+        GROUP BY 1),
+    w AS (
+        SELECT a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
+               b.n AS n2, b.sx AS sx2, b.sxx AS sxx2
+        FROM m a, m b WHERE a.g = 'click' AND b.g = 'view')
+    SELECT n1, n2,
+           sx1 / n1 - sx2 / n2 AS mean_diff,
+           CASE WHEN n1 + n2 > 2 AND n1 > 0 AND n2 > 0 THEN
+               (sx1 / n1 - sx2 / n2)
+               / sqrt(((sxx1 - sx1 / n1 * sx1)
+                       + (sxx2 - sx2 / n2 * sx2)) / (n1 + n2 - 2))
+           END AS cohen_d
+    FROM w
+    """,
+)
+def agg_cohen_d(spark, sf_dir):
+    """Cohen's d standardized effect size between the click and view
+    value distributions -- the parametric counterpart to the
+    rank-based agg-mann-whitney (how MANY pooled standard deviations
+    apart are the means, the number an experiment readout reports next
+    to its p-value). Moments are exact DECIMAL sums exiting through
+    scaled BIGINTs (both sums stay under 2^53 micro-units at every test
+    scale, so even the int64->double conversions are exact); means,
+    pooled variance, and the final sqrt are the identical double
+    expression tree on both engines, shipped unrounded.
+
+    Scale: one partial-aggregated groupBy over the two cohorts -- the
+    mergeable-moments shape shared with agg-linear-regression and
+    agg-skewness-kurtosis."""
+    e = views(spark, sf_dir).table("events")
+    m = (
+        e.filter(
+            F.col("event_type").isin("click", "view")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(
+            F.count("*").alias("n"),
+            ((F.sum(F.col("value").cast(DEC)) * 1000000)
+             .cast("bigint").cast("double") / 1000000).alias("sx"),
+            ((F.sum(F.col("value").cast(DEC) * F.col("value").cast(DEC))
+              * 1000000).cast("bigint").cast("double") / 1000000).alias("sxx"),
+        )
+    )
+    a = m.filter(F.col("g") == "click").select(
+        F.col("n").alias("n1"), F.col("sx").alias("sx1"), F.col("sxx").alias("sxx1")
+    )
+    b = m.filter(F.col("g") == "view").select(
+        F.col("n").alias("n2"), F.col("sx").alias("sx2"), F.col("sxx").alias("sxx2")
+    )
+    w = a.crossJoin(F.broadcast(b))
+    mean_diff = F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2")
+    pooled = (
+        (F.col("sxx1") - F.col("sx1") / F.col("n1") * F.col("sx1"))
+        + (F.col("sxx2") - F.col("sx2") / F.col("n2") * F.col("sx2"))
+    ) / (F.col("n1") + F.col("n2") - 2)
+    return w.select(
+        "n1",
+        "n2",
+        mean_diff.alias("mean_diff"),
+        F.when(
+            (F.col("n1") + F.col("n2") > 2)
+            & (F.col("n1") > 0)
+            & (F.col("n2") > 0),
+            mean_diff / F.sqrt(pooled),
+        ).alias("cohen_d"),
+    )

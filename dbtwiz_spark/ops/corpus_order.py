@@ -46,13 +46,16 @@ Round-7 window (positions 0-49):
   slots per the displacement policy — every displaced entry keeps a
   valid r3 row under the green-manifest guard.
 
+Added AFTER the round-7 window filled (zero driver evidence, all
+local-oracle green at sf0.001/0.01 — front-load these into the round-8
+window): graph-minplus-distance, agg-cohen-d, ext-vocab-growth.
+
 Still waiting after this round (all unchanged code with valid green
-rows): macro-template and the batch-mode streaming family (displaced
-above), file formats, core filters/joins (r2/r6 rows), function/set/
-sort families (r3 rows), stream-foreachbatch-sink, the ext_pipeline
-r4/r5 families, and the sketch aggregates — slate the oldest for
-round 8, plus any entries added after this window filled (list them
-below as they land).
+rows): macro-template, udaf/udtf, and the batch-mode streaming family
+(displaced above), file formats, core filters/joins (r2/r6 rows),
+function/set/sort families (r3 rows), stream-foreachbatch-sink, the
+ext_pipeline r4/r5 families, and the sketch aggregates — slate the
+oldest for round 8 after the front-loads.
 """
 
 

@@ -2075,3 +2075,80 @@ def ext_quality_bigram_logprob(spark, sf_dir):
             ).alias("logprob_per_bigram"),
         )
     )
+
+
+def _vocab_growth_oracle() -> str:
+    from dbtwiz_spark.ops.common import hkey_sql
+
+    b = f"({hkey_sql('doc_id')}) % 10 + 1"
+    return f"""
+    WITH dt AS (
+        SELECT {b} AS bucket, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+           FROM dt GROUP BY 1),
+    fb AS (SELECT tok, MIN(bucket) AS bucket FROM dt GROUP BY 1),
+    nd AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_new
+           FROM fb GROUP BY 1),
+    grid AS (SELECT CAST(r AS BIGINT) AS bucket
+             FROM UNNEST(generate_series(1, 10)) AS g(r)),
+    j AS (
+        SELECT g.bucket,
+               COALESCE(nt.n_tokens, 0) AS n_tokens,
+               COALESCE(nd.n_new, 0) AS n_new
+        FROM grid g
+        LEFT JOIN nt ON nt.bucket = g.bucket
+        LEFT JOIN nd ON nd.bucket = g.bucket)
+    SELECT bucket,
+           CAST(SUM(n_tokens) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens,
+           CAST(SUM(n_new) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_distinct
+    FROM j
+    """
+
+
+@register("ext-vocab-growth", oracle=_vocab_growth_oracle())
+def ext_vocab_growth(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law profile): cumulative distinct
+    tokens vs cumulative tokens seen as the corpus is consumed in 10
+    deterministic hash-order chunks -- the saturation diagnostic a
+    training-data curator reads before deciding whether more of a source
+    still buys new vocabulary. A token's first appearance is its MIN
+    chunk (one groupBy over the token vocabulary, never a sequential
+    scan); per-chunk totals then prefix-sum over the fixed 10-row grid
+    (densified so empty chunks hold zeros) via
+    ``common.parallel_prefix_sum``.
+
+    Scale: two partial-aggregated shuffles over corpus tokens (per-chunk
+    counts + first-appearance vocab reduce); everything after runs on 10
+    rows. The chunk key is the Knuth hash of doc_id -- replayable, no
+    rand(), and any chunk count K works unchanged."""
+    from dbtwiz_spark.ops.common import hkey, parallel_prefix_sum
+
+    d = views(spark, sf_dir).table("documents")
+    dt = d.select(
+        (hkey(F.col("doc_id")) % 10 + 1).alias("bucket"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    nt = dt.groupBy("bucket").agg(F.count("*").alias("n_tokens"))
+    fb = dt.groupBy("tok").agg(F.min("bucket").alias("bucket"))
+    nd = fb.groupBy("bucket").agg(F.count("*").alias("n_new"))
+    grid = spark.range(1, 11).select(F.col("id").alias("bucket"))
+    j = (
+        grid.join(F.broadcast(nt), "bucket", "left")
+        .join(F.broadcast(nd), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    cum = parallel_prefix_sum(j, [F.col("bucket")], ["n_tokens", "n_new"])
+    return cum.select(
+        "bucket",
+        F.col("_cum_n_tokens").cast("long").alias("cum_tokens"),
+        F.col("_cum_n_new").cast("long").alias("cum_distinct"),
+    )

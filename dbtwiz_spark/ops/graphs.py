@@ -402,3 +402,82 @@ def graph_bfs_hops(spark, sf_dir):
         )
         .orderBy("dist")
     )
+
+
+_MINPLUS_HOPS = 3
+
+
+def _minplus_oracle() -> str:
+    sql = """
+    WITH pairs AS (
+        SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+               's' || CAST(l.l_suppkey AS VARCHAR) AS s,
+               CAST(MIN(l.l_quantity) AS BIGINT) AS w
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_suppkey <= 50 AND o.o_custkey <= 500
+        GROUP BY 1, 2),
+    edges AS (
+        SELECT c AS src, s AS dst, w FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst, w FROM pairs),
+    d0 AS (SELECT 's1' AS node, CAST(0 AS BIGINT) AS dist)
+    """
+    prev = "d0"
+    for i in range(1, _MINPLUS_HOPS + 1):
+        sql += f""",
+    d{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, r.dist + e.w AS dist
+            FROM edges e JOIN {prev} r ON e.src = r.node) u
+        GROUP BY 1)
+        """
+        prev = f"d{i}"
+    sql += f"""
+    SELECT node, dist FROM {prev}
+    """
+    return sql
+
+
+@register("graph-minplus-distance", oracle=_minplus_oracle())
+def graph_minplus_distance(spark, sf_dir):
+    """Weighted shortest distances (min-plus / tropical semiring) from a
+    seed supplier within 3 hops -- Bellman-Ford unrolled: where
+    graph-bfs-hops relaxes over (min, +1) this relaxes over (min, +w),
+    the third semiring in the iteration family after PageRank's (+, x)
+    and BFS's (min, +1). Edge weight = MIN line quantity on the
+    customer-supplier relation, exact BIGINT end-to-end, so the result
+    is bit-identical under any partitioning or relaxation order.
+
+    Scale: per round one equi-join (weighted edges hash-partitioned on
+    src, persisted once via the shared graph-artifact memo) + one
+    partial-aggregated MIN; distances stay node-granular (bounded by the
+    vertex set, not the corpus)."""
+    cat = views(spark, sf_dir)
+
+    def _build_weighted_edges():
+        o, li = cat.table("orders"), cat.table("lineitem")
+        pairs = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .filter((F.col("l_suppkey") <= 50) & (F.col("o_custkey") <= 500))
+            .groupBy(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            )
+            .agg(F.min("l_quantity").cast("long").alias("w"))
+        )
+        return pairs.select(
+            F.col("c").alias("src"), F.col("s").alias("dst"), "w"
+        ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
+
+    edges = _artifact(spark, sf_dir, "minplus_edges", _build_weighted_edges)
+    dist = spark.createDataFrame([("s1", 0)], "node STRING, dist LONG")
+    for _ in range(_MINPLUS_HOPS):
+        expanded = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionAll(expanded).groupBy("node").agg(F.min("dist").alias("dist"))
+        )
+    return dist
