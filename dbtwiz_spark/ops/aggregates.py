@@ -2702,3 +2702,179 @@ def agg_cohen_d(spark, sf_dir):
             mean_diff / F.sqrt(pooled),
         ).alias("cohen_d"),
     )
+
+
+@register(
+    "agg-anova-oneway",
+    oracle="""
+    WITH m AS (
+        SELECT event_type AS g, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000
+                         AS BIGINT) AS DOUBLE) / 1000000 AS sx,
+               CAST(CAST(SUM(CAST(value AS DECIMAL(28,6))
+                             * CAST(value AS DECIMAL(28,6))) * 1000000
+                         AS BIGINT) AS DOUBLE) / 1000000 AS sxx
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(CAST(sx AS DECIMAL(28,6))) AS DOUBLE) AS gx,
+               CAST(SUM(CAST(sxx - sx / n * sx AS DECIMAL(28,6)))
+                    AS DOUBLE) AS ssw,
+               CAST(SUM(CAST(sx / n * sx AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sgm
+        FROM m)
+    SELECT k, n_total,
+           sgm - gx / n_total * gx AS ss_between,
+           ssw AS ss_within,
+           CASE WHEN k > 1 AND n_total > k AND ssw > 0 THEN
+               ((sgm - gx / n_total * gx) / (k - 1))
+               / (ssw / (n_total - k))
+           END AS f_stat
+    FROM agg
+    """,
+)
+def agg_anova_oneway(spark, sf_dir):
+    """One-way ANOVA F-statistic across the event-type cohorts -- the
+    k-group generalization of the two-cohort tests (agg-ab-test,
+    agg-cohen-d): does ANY cohort's mean value differ. Per-group moments
+    are exact DECIMAL sums with scaled-BIGINT exits; the k per-group
+    terms (within-group SS, weighted squared means) are truncated to
+    DECIMAL(28,6) BEFORE the cross-group sum -- a 5-row double sum would
+    otherwise be reduction-order-dependent across engines (the ln-sum
+    device). The F ratio is the identical double expression tree on both
+    sides, shipped unrounded, NULL-guarded for degenerate inputs.
+
+    Scale: one partial-aggregated groupBy over the cohorts, then a
+    k-row reduce -- the mergeable-moments family shape."""
+    e = views(spark, sf_dir).table("events")
+    m = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy(F.col("event_type").alias("g"))
+        .agg(
+            F.count("*").alias("n"),
+            ((F.sum(F.col("value").cast(DEC)) * 1000000)
+             .cast("bigint").cast("double") / 1000000).alias("sx"),
+            ((F.sum(F.col("value").cast(DEC) * F.col("value").cast(DEC))
+              * 1000000).cast("bigint").cast("double") / 1000000).alias("sxx"),
+        )
+    )
+    agg = m.agg(
+        F.count("*").alias("k"),
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum(F.col("sx").cast(DEC)).cast("double").alias("gx"),
+        F.sum(
+            (F.col("sxx") - F.col("sx") / F.col("n") * F.col("sx")).cast(DEC)
+        ).cast("double").alias("ssw"),
+        F.sum(
+            (F.col("sx") / F.col("n") * F.col("sx")).cast(DEC)
+        ).cast("double").alias("sgm"),
+    )
+    ssb = F.col("sgm") - F.col("gx") / F.col("n_total") * F.col("gx")
+    return agg.select(
+        "k",
+        "n_total",
+        ssb.alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        F.when(
+            (F.col("k") > 1) & (F.col("n_total") > F.col("k")) & (F.col("ssw") > 0),
+            (ssb / (F.col("k") - 1)) / (F.col("ssw") / (F.col("n_total") - F.col("k"))),
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "agg-spearman-corr",
+    oracle="""
+    WITH li AS (
+        SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    gx AS (
+        SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+    cx AS (
+        SELECT x, 2 * SUM(c) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - c + 1 AS drx
+        FROM gx),
+    gy AS (
+        SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+    cy AS (
+        SELECT y, 2 * SUM(c) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - c + 1 AS dry
+        FROM gy),
+    r AS (
+        SELECT CAST(drx AS DECIMAL(19,0)) AS drx,
+               CAST(dry AS DECIMAL(19,0)) AS dry
+        FROM li JOIN cx USING (x) JOIN cy USING (y)),
+    mo AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+               CAST(SUM(drx) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(dry) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(drx * dry) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(drx * drx) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(dry * dry) AS DECIMAL(38,0)) AS syy
+        FROM r)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+               AS spearman_rho
+    FROM mo
+    """,
+)
+def agg_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation between quantity and price -- the
+    robust, monotonicity-sensitive complement to agg-corr-covar's
+    Pearson (outliers move Pearson arbitrarily; ranks cap their
+    leverage). Tie-handling is exact: each distinct value's AVERAGE rank
+    comes from cumulative counts over the DISTINCT-VALUE table (the
+    agg-mann-whitney doubled-rank device -- doubled ranks are integers,
+    so everything to the final ratio is exact integer/DECIMAL
+    arithmetic; the DECIMAL(38,0)->DOUBLE casts are scale-0, a single
+    int128 conversion in both engines, no scale-divide double-rounding).
+    round(6) absorbs the last-ulp sqrt composition.
+
+    Scale: two distinct-value aggregations + two join-backs (the
+    quantity side broadcasts at 50 values; the price side shuffles on
+    the value key); cumulative ranks over the distinct tables use the
+    parallel_prefix_sum device, never a corpus-wide global window. The
+    doubled-rank products are cast to DECIMAL BEFORE multiplying --
+    int64 products would overflow past ~2e9 rows."""
+    from dbtwiz_spark.ops.common import parallel_prefix_sum
+
+    li = views(spark, sf_dir).table("lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def ranks(col):
+        g = li.groupBy(col).agg(F.count("*").alias("c"))
+        cum = parallel_prefix_sum(g, [F.col(col)], ["c"])
+        return cum.select(
+            col,
+            (2 * F.col("_cum_c") - F.col("c") + 1).alias(f"dr{col}"),
+        )
+
+    r = (
+        li.join(F.broadcast(ranks("x")), "x")
+        .join(ranks("y"), "y")
+        .select(
+            F.col("drx").cast("decimal(19,0)").alias("drx"),
+            F.col("dry").cast("decimal(19,0)").alias("dry"),
+        )
+    )
+    mo = r.agg(
+        F.count("*").cast("decimal(19,0)").alias("n"),
+        F.sum("drx").cast("decimal(38,0)").alias("sx"),
+        F.sum("dry").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("drx") * F.col("dry")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("drx") * F.col("drx")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("dry") * F.col("dry")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return mo.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("spearman_rho"),
+    )

@@ -871,3 +871,98 @@ def join_fuzzy_string(spark, sf_dir):
             (F.col("na") * F.col("nb")).alias("pair_card"),
         )
     )
+
+
+@register(
+    "join-interval-coalesce",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, event_id, epoch_us(ts) AS s,
+               epoch_us(ts) + 300000000 AS e
+        FROM events),
+    fl AS (
+        SELECT user_id, event_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY user_id
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY user_id
+                        ORDER BY s, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               THEN 1 ELSE 0 END AS new_island
+        FROM iv),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id
+                   ORDER BY s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM fl),
+    m AS (
+        SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+        FROM isl GROUP BY 1, 2)
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(en - st) AS BIGINT) AS covered_us
+    FROM m GROUP BY user_id
+    """,
+)
+def join_interval_coalesce(spark, sf_dir):
+    """Interval union (coalesce overlapping ranges): each event opens a
+    5-minute activity interval; overlapping/abutting intervals per user
+    merge, and the output is each user's merged-interval count and total
+    covered time -- the interval-algebra primitive behind uptime
+    accounting, ad-exposure dedup, and on-call coverage (distinct from
+    gaps-islands, which runs on DISCRETE days; this coalesces
+    continuous, overlapping ranges). Classic two-window form: a range is
+    a NEW island iff its start exceeds the running MAX of all preceding
+    ends; island id = running sum of the flags. All arithmetic is exact
+    BIGINT microseconds (unix_micros here, epoch_us in the oracle --
+    Spark's unix_timestamp would truncate sub-second precision).
+
+    Scale: two windows on the SAME (user_id, time-ordered) partitioning
+    -- one exchange, one sort -- plus two partial-aggregated groupBys.
+    The island trick never self-joins intervals (the naive overlap join
+    is quadratic per user)."""
+    e = views(spark, sf_dir).table("events")
+    iv = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("s"),
+        (F.unix_micros(F.col("ts")) + 300_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fl = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.max("e").over(w_prev).isNull()
+            | (F.col("s") > F.max("e").over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    # the island cumsum must follow the SAME unique total order as the
+    # flag window: ordering by (s, e) alone ties on duplicate timestamps,
+    # and engines numbering tied rows differently would split islands
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = fl.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_cum).alias("island")
+    )
+    m = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("st"), F.max("e").alias("en")
+    )
+    return m.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("en") - F.col("st")).cast("bigint").alias("covered_us"),
+    )

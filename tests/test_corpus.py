@@ -179,3 +179,41 @@ def test_round7_statistics_invariants(spark):
 
     for r in rows("ext-contrastive-pairs"):
         assert r.neg_id != r.anchor_id and r.neg_id != r.pos_id
+
+
+def test_round7_late_additions_invariants(spark):
+    """Invariants for the late round-7 additions (minplus, Cohen's d,
+    vocab growth, interval coalesce, ANOVA, Spearman)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    mp = {r.node: r.dist for r in rows("graph-minplus-distance")}
+    bfs = {r.dist: r.n_nodes for r in rows("graph-bfs-hops")}
+    assert mp["s1"] == 0
+    assert all(d >= 0 for d in mp.values())
+    # weighted reachability equals hop reachability on the same graph
+    assert len(mp) == sum(bfs.values())
+
+    (cd,) = rows("agg-cohen-d")
+    assert cd.cohen_d is not None and abs(cd.cohen_d) < 10
+
+    vg = sorted(rows("ext-vocab-growth"), key=lambda r: r.bucket)
+    assert [r.bucket for r in vg] == list(range(1, 11))
+    for a, b in zip(vg, vg[1:]):
+        assert b.cum_tokens >= a.cum_tokens
+        assert b.cum_distinct >= a.cum_distinct
+    assert vg[-1].cum_distinct <= vg[-1].cum_tokens
+
+    for r in rows("join-interval-coalesce"):
+        assert r.n_intervals >= 1
+        # every merged interval covers at least one 5-minute window
+        assert r.covered_us >= r.n_intervals * 300_000_000
+
+    (an,) = rows("agg-anova-oneway")
+    assert an.k == 5 and an.ss_between >= 0 and an.ss_within > 0
+    assert an.f_stat is not None and an.f_stat >= 0
+
+    (sp,) = rows("agg-spearman-corr")
+    assert -1.0 <= sp.spearman_rho <= 1.0
