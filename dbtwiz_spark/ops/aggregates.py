@@ -11,7 +11,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbtwiz_spark.ops.common import views, dsum, davg, dsum_sql, davg_sql, DEC
+from dbtwiz_spark.ops.common import (
+    views, dsum, davg, dsum_sql, davg_sql, dsum_scaled, DEC,
+)
 from dbtwiz_spark.ops.registry import register
 
 
@@ -2640,14 +2642,16 @@ def agg_bootstrap_ci(spark, sf_dir):
         SELECT a.n AS n1, a.sx AS sx1, a.sxx AS sxx1,
                b.n AS n2, b.sx AS sx2, b.sxx AS sxx2
         FROM m a, m b WHERE a.g = 'click' AND b.g = 'view')
-    SELECT n1, n2,
-           sx1 / n1 - sx2 / n2 AS mean_diff,
-           CASE WHEN n1 + n2 > 2 AND n1 > 0 AND n2 > 0 THEN
-               (sx1 / n1 - sx2 / n2)
-               / sqrt(((sxx1 - sx1 / n1 * sx1)
-                       + (sxx2 - sx2 / n2 * sx2)) / (n1 + n2 - 2))
-           END AS cohen_d
-    FROM w
+    SELECT n1, n2, mean_diff,
+           CASE WHEN n1 + n2 > 2 AND pooled > 0
+                THEN mean_diff / sqrt(pooled) END AS cohen_d
+    FROM (
+        SELECT n1, n2,
+               sx1 / n1 - sx2 / n2 AS mean_diff,
+               CASE WHEN n1 + n2 > 2 THEN
+                   ((sxx1 - sx1 / n1 * sx1) + (sxx2 - sx2 / n2 * sx2))
+                   / (n1 + n2 - 2) END AS pooled
+        FROM w) t
     """,
 )
 def agg_cohen_d(spark, sf_dir):
@@ -2673,10 +2677,11 @@ def agg_cohen_d(spark, sf_dir):
         .groupBy(F.col("event_type").alias("g"))
         .agg(
             F.count("*").alias("n"),
-            ((F.sum(F.col("value").cast(DEC)) * 1000000)
-             .cast("bigint").cast("double") / 1000000).alias("sx"),
-            ((F.sum(F.col("value").cast(DEC) * F.col("value").cast(DEC))
-              * 1000000).cast("bigint").cast("double") / 1000000).alias("sxx"),
+            dsum_scaled("value", "sx"),
+            (
+                (F.sum(F.col("value").cast(DEC) * F.col("value").cast(DEC))
+                 * 1000000).cast("bigint").cast("double") / 1000000
+            ).alias("sxx"),
         )
     )
     a = m.filter(F.col("g") == "click").select(
@@ -2687,19 +2692,28 @@ def agg_cohen_d(spark, sf_dir):
     )
     w = a.crossJoin(F.broadcast(b))
     mean_diff = F.col("sx1") / F.col("n1") - F.col("sx2") / F.col("n2")
+    # pooled computed once, then guarded > 0: zero-variance cohorts give
+    # pooled = 0 (ANSI divide-by-zero throws while DuckDB yields NULL),
+    # and exact-zero true variance can even cancel to a tiny NEGATIVE,
+    # where DuckDB's sqrt ERRORS while Spark returns NaN — rule 5 guard
+    # on both engines (the agg-anova-oneway ssw > 0 pattern)
     pooled = (
         (F.col("sxx1") - F.col("sx1") / F.col("n1") * F.col("sx1"))
         + (F.col("sxx2") - F.col("sx2") / F.col("n2") * F.col("sx2"))
     ) / (F.col("n1") + F.col("n2") - 2)
-    return w.select(
+    t = w.select(
         "n1",
         "n2",
         mean_diff.alias("mean_diff"),
+        F.when(F.col("n1") + F.col("n2") > 2, pooled).alias("pooled"),
+    )
+    return t.select(
+        "n1",
+        "n2",
+        "mean_diff",
         F.when(
-            (F.col("n1") + F.col("n2") > 2)
-            & (F.col("n1") > 0)
-            & (F.col("n2") > 0),
-            mean_diff / F.sqrt(pooled),
+            (F.col("n1") + F.col("n2") > 2) & (F.col("pooled") > 0),
+            F.col("mean_diff") / F.sqrt("pooled"),
         ).alias("cohen_d"),
     )
 
@@ -2719,11 +2733,12 @@ def agg_cohen_d(spark, sf_dir):
     agg AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS k,
                CAST(SUM(n) AS BIGINT) AS n_total,
-               CAST(SUM(CAST(sx AS DECIMAL(28,6))) AS DOUBLE) AS gx,
-               CAST(SUM(CAST(sxx - sx / n * sx AS DECIMAL(28,6)))
-                    AS DOUBLE) AS ssw,
-               CAST(SUM(CAST(sx / n * sx AS DECIMAL(28,6))) AS DOUBLE)
-                   AS sgm
+               CAST(CAST(SUM(CAST(sx AS DECIMAL(28,6))) * 1000000
+                         AS BIGINT) AS DOUBLE) / 1000000 AS gx,
+               CAST(CAST(SUM(CAST(sxx - sx / n * sx AS DECIMAL(28,6)))
+                         * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS ssw,
+               CAST(CAST(SUM(CAST(sx / n * sx AS DECIMAL(28,6))) * 1000000
+                         AS BIGINT) AS DOUBLE) / 1000000 AS sgm
         FROM m)
     SELECT k, n_total,
            sgm - gx / n_total * gx AS ss_between,
@@ -2754,22 +2769,23 @@ def agg_anova_oneway(spark, sf_dir):
         .groupBy(F.col("event_type").alias("g"))
         .agg(
             F.count("*").alias("n"),
-            ((F.sum(F.col("value").cast(DEC)) * 1000000)
-             .cast("bigint").cast("double") / 1000000).alias("sx"),
-            ((F.sum(F.col("value").cast(DEC) * F.col("value").cast(DEC))
-              * 1000000).cast("bigint").cast("double") / 1000000).alias("sxx"),
+            dsum_scaled("value", "sx"),
+            (
+                (F.sum(F.col("value").cast(DEC) * F.col("value").cast(DEC))
+                 * 1000000).cast("bigint").cast("double") / 1000000
+            ).alias("sxx"),
         )
     )
+    # cross-group sums also exit via scaled BIGINT — they are strictly
+    # larger than the per-group moments that already pay for it
     agg = m.agg(
         F.count("*").alias("k"),
         F.sum("n").cast("long").alias("n_total"),
-        F.sum(F.col("sx").cast(DEC)).cast("double").alias("gx"),
-        F.sum(
-            (F.col("sxx") - F.col("sx") / F.col("n") * F.col("sx")).cast(DEC)
-        ).cast("double").alias("ssw"),
-        F.sum(
-            (F.col("sx") / F.col("n") * F.col("sx")).cast(DEC)
-        ).cast("double").alias("sgm"),
+        dsum_scaled("sx", "gx"),
+        dsum_scaled(
+            F.col("sxx") - F.col("sx") / F.col("n") * F.col("sx"), "ssw"
+        ),
+        dsum_scaled(F.col("sx") / F.col("n") * F.col("sx"), "sgm"),
     )
     ssb = F.col("sgm") - F.col("gx") / F.col("n_total") * F.col("gx")
     return agg.select(
@@ -2816,10 +2832,11 @@ def agg_anova_oneway(spark, sf_dir):
                CAST(SUM(dry * dry) AS DECIMAL(38,0)) AS syy
         FROM r)
     SELECT CAST(n AS BIGINT) AS n_rows,
-           round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
-               AS spearman_rho
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS spearman_rho
     FROM mo
     """,
 )
@@ -2874,7 +2891,14 @@ def agg_spearman_corr(spark, sf_dir):
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
     dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    # a constant column makes its variance term EXACTLY zero (the whole
+    # pipeline is exact integer/DECIMAL), so guard the division — ANSI
+    # Spark throws on double/0 while DuckDB yields NULL (rule 5)
     return mo.select(
         F.col("n").cast("bigint").alias("n_rows"),
-        F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6).alias("spearman_rho"),
+        F.when(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("spearman_rho"),
     )

@@ -281,3 +281,23 @@ def parallel_prefix_sum(df, keys, cols, n_parts: int = 8):
     for c in cols:
         out = out.withColumn(f"_cum_{c}", F.col(f"_off_{c}") + F.col(f"_cum_{c}"))
     return out.drop("_pid", *[f"_off_{c}" for c in cols])
+
+
+def dsum_scaled(col: Column | str, alias: str | None = None) -> Column:
+    """Exact decimal sum exiting through a x1e6 BIGINT (integral by
+    construction at scale 6), then one int64->double conversion and one
+    divide — both hardware-correct and identical across engines. The
+    direct DECIMAL(38,6)->DOUBLE cast double-rounds in DuckDB (int128
+    conversion, then scale divide) while Spark rounds the decimal once;
+    past 2^53 micro-units the two paths differ in the last ulp
+    (win-rolling-corr lesson)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = (F.sum(c.cast(DEC)) * 1000000).cast("bigint").cast("double") / 1000000
+    return out.alias(alias) if alias else out
+
+
+def dsum_scaled_sql(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS {DEC_SQL})) * 1000000 AS BIGINT) "
+        "AS DOUBLE) / 1000000"
+    )

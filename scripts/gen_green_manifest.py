@@ -40,6 +40,8 @@ _SHARED_HELPERS = (
     "_bpe_reps",
     "ext_ngram_jaccard",
     "dsum_sql",
+    "dsum_scaled_sql",
+    "dsum_scaled",
     "davg_sql",
     "hkey_sql",
     "dsum",
