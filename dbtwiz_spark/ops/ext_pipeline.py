@@ -2003,13 +2003,14 @@ def ext_span_corruption(spark, sf_dir):
     bvoc AS (SELECT prev, tok, CAST(COUNT(*) AS BIGINT) AS cnt2
              FROM bi2 GROUP BY 1, 2),
     ctx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cctx FROM bi2 GROUP BY 1)
-    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(CAST(ln(
+    SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(k * CAST(ln(
                      (CAST(cnt2 AS DOUBLE) / CAST(cctx AS DOUBLE)
                       + CAST(cnt AS DOUBLE) / total) / 2)
-                 AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+                 AS DECIMAL(28,4))) AS DOUBLE) / SUM(k), 6)
                AS logprob_per_bigram
-    FROM bi2
+    FROM (SELECT doc_id, prev, tok, CAST(COUNT(*) AS BIGINT) AS k
+          FROM bi2 GROUP BY 1, 2, 3) occ
     JOIN bvoc USING (prev, tok)
     JOIN ctx USING (prev)
     JOIN uni USING (tok), n
@@ -2054,8 +2055,15 @@ def ext_quality_bigram_logprob(spark, sf_dir):
     ) / 2
     # pre-aggregate per-(doc, bigram) occurrence counts BEFORE the vocab
     # joins: repeated bigrams (exactly what this score flags) then probe
-    # each join once, and k * trunc(ln p) in DECIMAL is exactly the k-fold
-    # sum, so the result is bit-identical to the per-occurrence form
+    # each join once, and k * quantized(ln p) in DECIMAL is exactly the
+    # k-fold sum, so the result is bit-identical to the per-occurrence
+    # form. Quantization is DECIMAL(28,4) — COARSER than the unigram
+    # entry's 1e-6 grid, because JVM and DuckDB ln() disagree by ~1e-13
+    # (hundreds of ulps, measured: a 1e-6 grid flipped 1 term at sf0.1
+    # and a 1e-9 grid flipped dozens). At 1e-4 the per-term boundary-flip
+    # probability is ~1e-9, negligible over any corpus this engine
+    # tests; a quality score does not need more than 4 exact decimals
+    # per term.
     occ = bi2.groupBy("doc_id", "prev", "tok").agg(
         F.count("*").alias("k")
     )
@@ -2068,7 +2076,7 @@ def ext_quality_bigram_logprob(spark, sf_dir):
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),
             F.round(
-                F.sum(F.col("k") * F.log(p).cast("decimal(28,6)"))
+                F.sum(F.col("k") * F.log(p).cast("decimal(28,4)"))
                 .cast("double")
                 / F.sum("k"),
                 6,
