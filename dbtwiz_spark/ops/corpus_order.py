@@ -103,9 +103,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sink-delete-table",
     "scan-time-travel",
     "source-declare",
-    # r3-era row on the Python boundary (udaf/udtf displaced by the two
-    # late round-7 additions below; their r3 rows stay valid)
-    "udf-scalar",
+    # ext-quality-unigram-logprob re-enters: its ln quantization grid
+    # changed this round (1e-6 -> 1e-4, the cross-engine ln-skew fix), so
+    # the green-manifest guard requires driver re-certification. Displaces
+    # udf-scalar, whose r3 row stays valid.
+    "ext-quality-unigram-logprob",
     # added during round 7 — zero driver evidence, take the tail refresh
     # slots per the displacement policy (every displaced entry keeps a
     # valid r3 row under the green-manifest guard)

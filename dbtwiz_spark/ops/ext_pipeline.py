@@ -1287,8 +1287,9 @@ def ext_bm25_search(spark, sf_dir):
         SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           round(CAST(SUM(CAST(ln(cnt / total) AS DECIMAL(28,6)))
-                      AS DOUBLE) / COUNT(*), 6) AS logprob_per_token
+           CAST(CAST(SUM(CAST(ln(cnt / total) AS DECIMAL(28,4))) * 10000
+                     AS BIGINT) AS DOUBLE) / 10000 / COUNT(*)
+               AS logprob_per_token
     FROM toks JOIN vocab USING (tok), n
     GROUP BY doc_id
     """,
@@ -1306,10 +1307,17 @@ def ext_quality_unigram_logprob(spark, sf_dir):
     is built with one partial-aggregated groupBy and joins back to the
     token stream — Catalyst broadcasts it when small, shuffles it
     bucket-wise when not; the per-doc reduce is keyed on doc_id.
-    Determinism: ln() values are truncated to DECIMAL(28,6) BEFORE
-    summing (the dsum device) so the per-doc sum is order-independent
-    and identical across engines; the final division + 6 dp rounding
-    matches the oracle bit-for-bit."""
+    Determinism: ln() values are quantized to DECIMAL(28,4) BEFORE
+    summing so the per-doc sum is order-independent and identical across
+    engines. The grid is 1e-4, not 1e-6: JVM and DuckDB ln() disagree by
+    ~1e-13 absolute (measured via the bigram sibling), so a 1e-6 grid
+    flips a boundary-straddling term every ~30 sweeps at scale; at 1e-4
+    the flip probability is ~1e-9 per term. The mean ships UNROUNDED
+    through the scaled-BIGINT exit — round(double, 6) itself diverges
+    (Spark rounds the shortest repr, DuckDB the true binary; a mean
+    whose two representations straddle x.5e-6 flips, measured at
+    sf0.1), while two correctly-rounded divisions on identical exact
+    operands are bit-identical."""
     d = views(spark, sf_dir).table("documents")
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
@@ -1323,9 +1331,12 @@ def ext_quality_unigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(
-                F.sum(lp.cast("decimal(28,6)")).cast("double") / F.count("*"),
-                6,
+            (
+                (F.sum(lp.cast("decimal(28,4)")) * 10000)
+                .cast("bigint")
+                .cast("double")
+                / 10000
+                / F.count("*")
             ).alias("logprob_per_token"),
         )
     )
@@ -2004,11 +2015,11 @@ def ext_span_corruption(spark, sf_dir):
              FROM bi2 GROUP BY 1, 2),
     ctx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cctx FROM bi2 GROUP BY 1)
     SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(k * CAST(ln(
+           CAST(CAST(SUM(k * CAST(ln(
                      (CAST(cnt2 AS DOUBLE) / CAST(cctx AS DOUBLE)
                       + CAST(cnt AS DOUBLE) / total) / 2)
-                 AS DECIMAL(28,4))) AS DOUBLE) / SUM(k), 6)
-               AS logprob_per_bigram
+                 AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE)
+               / 10000 / SUM(k) AS logprob_per_bigram
     FROM (SELECT doc_id, prev, tok, CAST(COUNT(*) AS BIGINT) AS k
           FROM bi2 GROUP BY 1, 2, 3) occ
     JOIN bvoc USING (prev, tok)
@@ -2075,11 +2086,12 @@ def ext_quality_bigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),
-            F.round(
-                F.sum(F.col("k") * F.log(p).cast("decimal(28,4)"))
+            (
+                (F.sum(F.col("k") * F.log(p).cast("decimal(28,4)")) * 10000)
+                .cast("bigint")
                 .cast("double")
-                / F.sum("k"),
-                6,
+                / 10000
+                / F.sum("k")
             ).alias("logprob_per_bigram"),
         )
     )
