@@ -49,7 +49,8 @@ Round-7 window (positions 0-49):
 Added AFTER the round-7 window filled (zero driver evidence, all
 local-oracle green at sf0.001/0.01 — front-load these into the round-8
 window): graph-minplus-distance, agg-cohen-d, ext-vocab-growth,
-join-interval-coalesce, agg-anova-oneway, agg-spearman-corr.
+join-interval-coalesce, agg-anova-oneway, agg-spearman-corr,
+ext-classify-naive-bayes.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udaf/udtf, and the batch-mode streaming family

@@ -2172,3 +2172,121 @@ def ext_vocab_growth(spark, sf_dir):
         F.col("_cum_n_tokens").cast("long").alias("cum_tokens"),
         F.col("_cum_n_new").cast("long").alias("cum_distinct"),
     )
+
+
+@register(
+    "ext-classify-naive-bayes",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang AS true_lang,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    cnt AS (SELECT true_lang AS lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY 1, 2),
+    tl AS (SELECT true_lang AS lang, CAST(COUNT(*) AS BIGINT) AS t
+           FROM toks GROUP BY 1),
+    v AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM toks),
+    pri AS (
+        SELECT lang,
+               CAST(ln(CAST(COUNT(*) AS DOUBLE)
+                       / (SELECT COUNT(*) FROM documents))
+                    AS DECIMAL(28,4)) AS pq
+        FROM documents GROUP BY 1),
+    contrib AS (
+        SELECT t.doc_id, t.true_lang, l.lang,
+               CAST(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                       / CAST(tl.t + v.v AS DOUBLE))
+                    AS DECIMAL(28,4)) AS q
+        FROM toks t
+        CROSS JOIN langs l
+        LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = t.tok
+        JOIN tl ON tl.lang = l.lang, v),
+    sc AS (
+        SELECT contrib.doc_id, contrib.true_lang, contrib.lang,
+               SUM(q) + ANY_VALUE(pri.pq) AS score
+        FROM contrib JOIN pri ON pri.lang = contrib.lang
+        GROUP BY 1, 2, 3),
+    pred AS (
+        SELECT doc_id, true_lang, lang AS pred_lang,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang) AS rn
+        FROM sc)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def ext_classify_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained ON the corpus
+    and evaluated on it (Laplace add-1 smoothing), reported as the
+    confusion matrix -- the trainable-classifier member of the curation
+    family (alongside ext-bpe-train's tokenizer): data pipelines train
+    exactly this shape of cheap classifier for domain/quality routing
+    (CCNet, DCLM), and the confusion matrix against the heuristic
+    ext-lang-id is the calibration readout. Determinism: every log term
+    is quantized to the 1e-4 DECIMAL grid (the cross-engine ln-skew
+    device) and scores stay EXACT DECIMAL through the argmax, which
+    breaks ties (score DESC, lang ASC) -- no double ever enters the
+    ranking.
+
+    Scale: training is one (lang, token) count shuffle over the corpus
+    plus a vocabulary-bounded totals table; scoring explodes tokens x
+    |classes| (bounded fan-out, 5 here) with the count table joined on
+    the token key (broadcast when it fits), then one partial-aggregated
+    (doc, class) reduce and a per-doc argmax window. |classes| is the
+    only fan-out factor -- the same plan serves any bounded label set."""
+    d = views(spark, sf_dir).table("documents")
+    from pyspark.sql.window import Window
+
+    toks = d.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    langs = d.select(F.col("lang")).distinct()
+    cnt = toks.groupBy(
+        F.col("true_lang").alias("lang"), "tok"
+    ).agg(F.count("*").alias("c"))
+    tl = toks.groupBy(F.col("true_lang").alias("lang")).agg(
+        F.count("*").alias("t")
+    )
+    v = toks.agg(F.countDistinct("tok").alias("v"))
+    n_docs = d.count()
+    pri = d.groupBy("lang").agg(
+        F.log(F.count("*").cast("double") / F.lit(n_docs))
+        .cast("decimal(28,4)")
+        .alias("pq")
+    )
+    contrib = (
+        toks.crossJoin(F.broadcast(langs))
+        .join(F.broadcast(cnt), ["lang", "tok"], "left")
+        .join(F.broadcast(tl), "lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                / (F.col("t") + F.col("v")).cast("double")
+            )
+            .cast("decimal(28,4)")
+            .alias("q"),
+        )
+    )
+    sc = (
+        contrib.join(F.broadcast(pri), "lang")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg((F.sum("q") + F.first("pq")).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang")
+    )
+    pred = sc.select(
+        "true_lang",
+        F.col("lang").alias("pred_lang"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count("*").alias("n_docs")
+    )

@@ -217,3 +217,27 @@ def test_round7_late_additions_invariants(spark):
 
     (sp,) = rows("agg-spearman-corr")
     assert -1.0 <= sp.spearman_rho <= 1.0
+
+
+def test_naive_bayes_confusion_is_conservative_and_better_than_chance(spark):
+    """The NB confusion matrix must partition the corpus exactly (row sums
+    == docs per true lang) and the trained-on-self classifier must beat
+    the majority-class rate — a silent scoring bug (all-ties, swapped
+    joins) collapses predictions to one class and fails one of these."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    rows = CORPUS["ext-classify-naive-bayes"].fn(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_lang = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    got = {}
+    correct = 0
+    for r in rows:
+        got[r.true_lang] = got.get(r.true_lang, 0) + r.n_docs
+        if r.true_lang == r.pred_lang:
+            correct += r.n_docs
+    assert got == per_lang, "confusion rows must partition the corpus"
+    total = sum(per_lang.values())
+    majority = max(per_lang.values()) / total
+    assert correct / total > majority, (
+        f"self-trained NB accuracy {correct/total:.2f} must beat majority {majority:.2f}"
+    )
