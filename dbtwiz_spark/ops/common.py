@@ -301,3 +301,25 @@ def dsum_scaled_sql(expr: str) -> str:
         f"CAST(CAST(SUM(CAST({expr} AS {DEC_SQL})) * 1000000 AS BIGINT) "
         "AS DOUBLE) / 1000000"
     )
+
+
+def dsum_q4(col: Column | str, alias: str | None = None) -> Column:
+    """x1e4 sibling of ``dsum_scaled`` for terms already quantized to
+    the 1e-4 DECIMAL(28,4) grid (the LM logprob entries): the x1e4
+    scaled sum is integral at scale 4 by construction, so the BIGINT
+    exit is exact and any final divide is one correctly-rounded
+    operation on identical exact operands in both engines. Kept as a
+    separate device (not a scale parameter on dsum_scaled) so editing
+    one grid cannot silently re-certify entries pinned on the other."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = (
+        F.sum(c.cast("decimal(28,4)")) * 10000
+    ).cast("bigint").cast("double") / 10000
+    return out.alias(alias) if alias else out
+
+
+def dsum_q4_sql(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) * 10000 AS BIGINT) "
+        "AS DOUBLE) / 10000"
+    )

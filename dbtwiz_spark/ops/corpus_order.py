@@ -31,8 +31,11 @@ Round-7 window (positions 0-49):
   source-declare): materialize.py's publish path changed this round (the
   empty-slot claim fix) and these rows are r3-era — the oldest evidence
   on the most-evolved shared path.
-* 37 — the Python boundary (udf-scalar), r3-era row (udaf/udtf were
-  displaced by late round-7 additions; their r3 rows stay valid).
+* 37 — ext-quality-unigram-logprob re-enters: its ln quantization grid
+  changed this round (1e-6 -> 1e-4, the cross-engine ln-skew fix), so
+  the green-manifest guard requires driver re-certification. This slot
+  was originally planned for udf-scalar (the Python boundary), which
+  keeps its valid r3 row and moves to the round-8 queue.
 * 38-49 — the 12 entries added during round 7 (zero driver evidence,
   local-oracle green at sf0.01): win-max-drawdown, win-theil-sen,
   win-holt-winters (the ordered-fold device), agg-ks-test (the
@@ -53,7 +56,8 @@ join-interval-coalesce, agg-anova-oneway, agg-spearman-corr,
 ext-classify-naive-bayes.
 
 Still waiting after this round (all unchanged code with valid green
-rows): macro-template, udaf/udtf, and the batch-mode streaming family
+rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode
+streaming family
 (displaced above), file formats, core filters/joins (r2/r6 rows),
 function/set/sort families (r3 rows), stream-foreachbatch-sink, the
 ext_pipeline r4/r5 families, and the sketch aggregates — slate the

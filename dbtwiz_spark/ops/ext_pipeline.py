@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dbtwiz_spark.ops.common import davg, davg_sql, views
+from dbtwiz_spark.ops.common import (
+    davg,
+    davg_sql,
+    dsum_q4,
+    dsum_q4_sql,
+    views,
+)
 from dbtwiz_spark.ops.common import hkey as _hkey
 from dbtwiz_spark.ops.common import hkey_sql as _hkey_sql
 from dbtwiz_spark.ops.registry import register
@@ -1280,15 +1286,14 @@ def ext_bm25_search(spark, sf_dir):
 
 @register(
     "ext-quality-unigram-logprob",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
     vocab AS (
         SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
     n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks)
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(CAST(SUM(CAST(ln(cnt / total) AS DECIMAL(28,4))) * 10000
-                     AS BIGINT) AS DOUBLE) / 10000 / COUNT(*)
+           {dsum_q4_sql('ln(cnt / total)')} / COUNT(*)
                AS logprob_per_token
     FROM toks JOIN vocab USING (tok), n
     GROUP BY doc_id
@@ -1331,13 +1336,7 @@ def ext_quality_unigram_logprob(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
-            (
-                (F.sum(lp.cast("decimal(28,4)")) * 10000)
-                .cast("bigint")
-                .cast("double")
-                / 10000
-                / F.count("*")
-            ).alias("logprob_per_token"),
+            (dsum_q4(lp) / F.count("*")).alias("logprob_per_token"),
         )
     )
 
@@ -1999,7 +1998,7 @@ def ext_span_corruption(spark, sf_dir):
 
 @register(
     "ext-quality-bigram-logprob",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
         SELECT doc_id, j AS pos, s[j] AS tok
         FROM (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
@@ -2015,11 +2014,11 @@ def ext_span_corruption(spark, sf_dir):
              FROM bi2 GROUP BY 1, 2),
     ctx AS (SELECT prev, CAST(COUNT(*) AS BIGINT) AS cctx FROM bi2 GROUP BY 1)
     SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
-           CAST(CAST(SUM(k * CAST(ln(
+           {dsum_q4_sql('''k * CAST(ln(
                      (CAST(cnt2 AS DOUBLE) / CAST(cctx AS DOUBLE)
                       + CAST(cnt AS DOUBLE) / total) / 2)
-                 AS DECIMAL(28,4))) * 10000 AS BIGINT) AS DOUBLE)
-               / 10000 / SUM(k) AS logprob_per_bigram
+                 AS DECIMAL(28,4))''')}
+               / SUM(k) AS logprob_per_bigram
     FROM (SELECT doc_id, prev, tok, CAST(COUNT(*) AS BIGINT) AS k
           FROM bi2 GROUP BY 1, 2, 3) occ
     JOIN bvoc USING (prev, tok)
@@ -2037,8 +2036,11 @@ def ext_quality_bigram_logprob(spark, sf_dir):
     low (the CCNet-perplexity shape, engine-native). lambda = 1/2 makes
     the interpolation an exact halving; both conditional and marginal
     probabilities are int64->double divisions (hardware-identical), and
-    ln() values are truncated to DECIMAL(28,6) before summing (the
-    unigram entry's device) so the per-doc mean is order-independent.
+    ln() values are quantized to the 1e-4 DECIMAL(28,4) grid before
+    summing (the shared cross-engine ln-skew device; the unigram entry
+    uses the same grid) so the per-doc sum is order-independent, and the
+    mean exits UNROUNDED through the scaled-BIGINT device -- no rounded
+    double ever ships.
 
     Scale: bigram positions come from a doc-key window (hash-partitioned
     on doc_id, the corpus-sized shuffle); both vocabularies are bounded
@@ -2046,8 +2048,6 @@ def ext_quality_bigram_logprob(spark, sf_dir):
     broadcast under AQE; the per-doc reduce is one partial-aggregated
     groupBy."""
     d = views(spark, sf_dir).table("documents")
-    from pyspark.sql.window import Window
-
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
@@ -2068,8 +2068,8 @@ def ext_quality_bigram_logprob(spark, sf_dir):
     # joins: repeated bigrams (exactly what this score flags) then probe
     # each join once, and k * quantized(ln p) in DECIMAL is exactly the
     # k-fold sum, so the result is bit-identical to the per-occurrence
-    # form. Quantization is DECIMAL(28,4) — COARSER than the unigram
-    # entry's 1e-6 grid, because JVM and DuckDB ln() disagree by ~1e-13
+    # form. Quantization is DECIMAL(28,4) — the 1e-4 grid both LM
+    # entries share, because JVM and DuckDB ln() disagree by ~1e-13
     # (hundreds of ulps, measured: a 1e-6 grid flipped 1 term at sf0.1
     # and a 1e-9 grid flipped dozens). At 1e-4 the per-term boundary-flip
     # probability is ~1e-9, negligible over any corpus this engine
@@ -2087,10 +2087,7 @@ def ext_quality_bigram_logprob(spark, sf_dir):
         .agg(
             F.sum("k").cast("bigint").alias("n_bigrams"),
             (
-                (F.sum(F.col("k") * F.log(p).cast("decimal(28,4)")) * 10000)
-                .cast("bigint")
-                .cast("double")
-                / 10000
+                dsum_q4(F.col("k") * F.log(p).cast("decimal(28,4)"))
                 / F.sum("k")
             ).alias("logprob_per_bigram"),
         )
@@ -2181,6 +2178,9 @@ def ext_vocab_growth(spark, sf_dir):
         SELECT doc_id, lang AS true_lang,
                unnest(string_split(text, ' ')) AS tok
         FROM documents),
+    tk AS (SELECT doc_id, true_lang, tok,
+                  CAST(COUNT(*) AS DECIMAL(9,0)) AS k
+           FROM toks GROUP BY 1, 2, 3),
     langs AS (SELECT DISTINCT lang FROM documents),
     cnt AS (SELECT true_lang AS lang, tok, CAST(COUNT(*) AS BIGINT) AS c
             FROM toks GROUP BY 1, 2),
@@ -2194,17 +2194,17 @@ def ext_vocab_growth(spark, sf_dir):
                     AS DECIMAL(28,4)) AS pq
         FROM documents GROUP BY 1),
     contrib AS (
-        SELECT t.doc_id, t.true_lang, l.lang,
-               CAST(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
-                       / CAST(tl.t + v.v AS DOUBLE))
-                    AS DECIMAL(28,4)) AS q
-        FROM toks t
+        SELECT tk.doc_id, tk.true_lang, l.lang,
+               tk.k * CAST(ln(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                              / CAST(tl.t + v.v AS DOUBLE))
+                           AS DECIMAL(28,4)) AS kq
+        FROM tk
         CROSS JOIN langs l
-        LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = t.tok
+        LEFT JOIN cnt c ON c.lang = l.lang AND c.tok = tk.tok
         JOIN tl ON tl.lang = l.lang, v),
     sc AS (
         SELECT contrib.doc_id, contrib.true_lang, contrib.lang,
-               SUM(q) + ANY_VALUE(pri.pq) AS score
+               SUM(kq) + ANY_VALUE(pri.pq) AS score
         FROM contrib JOIN pri ON pri.lang = contrib.lang
         GROUP BY 1, 2, 3),
     pred AS (
@@ -2227,21 +2227,29 @@ def ext_classify_naive_bayes(spark, sf_dir):
     is quantized to the 1e-4 DECIMAL grid (the cross-engine ln-skew
     device) and scores stay EXACT DECIMAL through the argmax, which
     breaks ties (score DESC, lang ASC) -- no double ever enters the
-    ranking.
+    ranking. Scoring pre-aggregates per-(doc, token) occurrence counts
+    k BEFORE the class fan-out (the bigram entry's occ/k device):
+    k * quantized(ln p) in DECIMAL(9,0) x DECIMAL(28,4) = DECIMAL(38,4)
+    is exactly the k-fold sum, bit-identical to per-occurrence folding.
 
     Scale: training is one (lang, token) count shuffle over the corpus
-    plus a vocabulary-bounded totals table; scoring explodes tokens x
-    |classes| (bounded fan-out, 5 here) with the count table joined on
-    the token key (broadcast when it fits), then one partial-aggregated
-    (doc, class) reduce and a per-doc argmax window. |classes| is the
-    only fan-out factor -- the same plan serves any bounded label set."""
+    plus a vocabulary-bounded totals table; scoring explodes distinct
+    (doc, token) pairs x |classes| (bounded fan-out, 5 here) with the
+    vocabulary-sized count table joined shuffle-wise on the token key
+    (AQE broadcasts it when it fits -- never forced, it grows with the
+    vocabulary), then one partial-aggregated (doc, class) reduce and a
+    per-doc argmax window. The corpus doc count folds into the lazy
+    plan as a broadcast 1-row aggregate, not an eager .count() job.
+    |classes| is the only fan-out factor -- the same plan serves any
+    bounded label set."""
     d = views(spark, sf_dir).table("documents")
-    from pyspark.sql.window import Window
-
     toks = d.select(
         "doc_id",
         F.col("lang").alias("true_lang"),
         F.explode(F.split("text", " ")).alias("tok"),
+    )
+    tk = toks.groupBy("doc_id", "true_lang", "tok").agg(
+        F.count("*").cast("decimal(9,0)").alias("k")
     )
     langs = d.select(F.col("lang")).distinct()
     cnt = toks.groupBy(
@@ -2251,33 +2259,43 @@ def ext_classify_naive_bayes(spark, sf_dir):
         F.count("*").alias("t")
     )
     v = toks.agg(F.countDistinct("tok").alias("v"))
-    n_docs = d.count()
-    pri = d.groupBy("lang").agg(
-        F.log(F.count("*").cast("double") / F.lit(n_docs))
-        .cast("decimal(28,4)")
-        .alias("pq")
+    total = d.agg(F.count("*").alias("n_total"))
+    pri = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("nl"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            F.log(
+                F.col("nl").cast("double")
+                / F.col("n_total").cast("double")
+            )
+            .cast("decimal(28,4)")
+            .alias("pq"),
+        )
     )
     contrib = (
-        toks.crossJoin(F.broadcast(langs))
-        .join(F.broadcast(cnt), ["lang", "tok"], "left")
+        tk.crossJoin(F.broadcast(langs))
+        .join(cnt, ["lang", "tok"], "left")
         .join(F.broadcast(tl), "lang")
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
             "true_lang",
             "lang",
-            F.log(
-                (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
-                / (F.col("t") + F.col("v")).cast("double")
-            )
-            .cast("decimal(28,4)")
-            .alias("q"),
+            (
+                F.col("k")
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("t") + F.col("v")).cast("double")
+                ).cast("decimal(28,4)")
+            ).alias("kq"),
         )
     )
     sc = (
         contrib.join(F.broadcast(pri), "lang")
         .groupBy("doc_id", "true_lang", "lang")
-        .agg((F.sum("q") + F.first("pq")).alias("score"))
+        .agg((F.sum("kq") + F.first("pq")).alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("lang")

@@ -42,6 +42,8 @@ _SHARED_HELPERS = (
     "dsum_sql",
     "dsum_scaled_sql",
     "dsum_scaled",
+    "dsum_q4_sql",
+    "dsum_q4",
     "davg_sql",
     "hkey_sql",
     "dsum",
