@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbtwiz_spark.ops.common import (
-    views, dsum, davg, dsum_sql, davg_sql, dsum_scaled, DEC,
+    views, dsum, davg, dsum_sql, davg_sql, dsum_scaled, dsum_q4,
+    dsum_q4_sql, DEC,
 )
 from dbtwiz_spark.ops.registry import register
 
@@ -2901,4 +2902,294 @@ def agg_spearman_corr(spark, sf_dir):
             & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
             F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
         ).alias("spearman_rho"),
+    )
+
+
+@register(
+    "agg-kendall-tau",
+    oracle="""
+    WITH m AS (
+        SELECT n.n_name,
+               CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                    + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS mi,
+               CAST(SUM(o.o_totalprice) * 100 AS BIGINT) AS revc
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2),
+    p AS (
+        SELECT a.n_name,
+               CAST(COUNT(*) FILTER (WHERE b.revc > a.revc) AS BIGINT) AS cc,
+               CAST(COUNT(*) FILTER (WHERE b.revc < a.revc) AS BIGINT) AS dd,
+               CAST(COUNT(*) FILTER (WHERE b.revc = a.revc) AS BIGINT) AS tt
+        FROM m a JOIN m b ON a.n_name = b.n_name AND a.mi < b.mi
+        GROUP BY 1),
+    k AS (SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_months FROM m GROUP BY 1)
+    SELECT k.n_name, k.n_months, p.cc + p.dd + p.tt AS n_pairs,
+           CASE WHEN p.cc + p.dd + p.tt > 0
+                 AND p.cc + p.dd + p.tt - p.tt > 0 THEN
+               round(CAST(p.cc - p.dd AS DOUBLE)
+                     / (sqrt(CAST(p.cc + p.dd + p.tt AS DOUBLE))
+                        * sqrt(CAST(p.cc + p.dd + p.tt - p.tt AS DOUBLE))), 6)
+           END AS kendall_tau
+    FROM k JOIN p USING (n_name)
+    """,
+)
+def agg_kendall_tau(spark, sf_dir):
+    """Kendall rank correlation (tau-b) between calendar month and each
+    nation's monthly revenue -- the pairwise-concordance member of the
+    correlation family (Pearson agg-corr-covar, Spearman
+    agg-spearman-corr): tau reads directly as the probability a later
+    month out-earns an earlier one, the trend statistic a revenue
+    dashboard wants when the series is short and outlier-prone. The
+    month axis is strictly increasing, so x-ties vanish and tau-b =
+    (C - D) / (sqrt(n0) * sqrt(n0 - Ty)) over concordant/discordant/
+    y-tied pair counts -- ALL exact BIGINTs (revenue compared in exact
+    cents), so the only doubles are two sqrt compositions on identical
+    integers, rounded to 6 dp (the spearman device). Degenerate guards:
+    n0 > 0 and n0 - Ty > 0 (single-month or all-tied series), NULL on
+    both engines (ANSI rule 5).
+
+    Scale: the corpus-sized work is one partial-aggregated monthly
+    groupBy; the O(k^2) pair self-join runs on the BOUNDED monthly
+    table (<= 12*years rows per nation, ~80 here), never on raw orders
+    -- pre-aggregate-then-pair is what keeps Kendall feasible at all
+    (raw-pair Kendall is quadratic in corpus size)."""
+    cat = views(spark, sf_dir)
+    o, c, n = cat.table("orders"), cat.table("customer"), cat.table("nation")
+    m = (
+        o.join(c, c.c_custkey == o.o_custkey)
+        .join(n, n.n_nationkey == c.c_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("mi"),
+        )
+        .agg((F.sum("o_totalprice") * 100).cast("long").alias("revc"))
+    )
+    a, b = m.alias("a"), m.alias("b")
+    p = (
+        a.join(
+            b,
+            (F.col("a.n_name") == F.col("b.n_name"))
+            & (F.col("a.mi") < F.col("b.mi")),
+        )
+        .groupBy(F.col("a.n_name").alias("n_name"))
+        .agg(
+            F.sum(F.when(F.col("b.revc") > F.col("a.revc"), 1).otherwise(0))
+            .cast("long")
+            .alias("cc"),
+            F.sum(F.when(F.col("b.revc") < F.col("a.revc"), 1).otherwise(0))
+            .cast("long")
+            .alias("dd"),
+            F.sum(F.when(F.col("b.revc") == F.col("a.revc"), 1).otherwise(0))
+            .cast("long")
+            .alias("tt"),
+        )
+    )
+    k = m.groupBy("n_name").agg(F.count("*").alias("n_months"))
+    n0 = F.col("cc") + F.col("dd") + F.col("tt")
+    return k.join(p, "n_name").select(
+        "n_name",
+        "n_months",
+        n0.alias("n_pairs"),
+        F.when(
+            (n0 > 0) & (n0 - F.col("tt") > 0),
+            F.round(
+                (F.col("cc") - F.col("dd")).cast("double")
+                / (
+                    F.sqrt(n0.cast("double"))
+                    * F.sqrt((n0 - F.col("tt")).cast("double"))
+                ),
+                6,
+            ),
+        ).alias("kendall_tau"),
+    )
+
+
+@register(
+    "agg-tukey-fences",
+    oracle="""
+    WITH v AS (
+        SELECT event_type AS pri,
+               CAST(floor(value * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    cum AS (
+        SELECT pri, cents, c,
+               CAST(SUM(c) OVER (PARTITION BY pri ORDER BY cents
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+               CAST(SUM(c) OVER (PARTITION BY pri) AS BIGINT) AS n
+        FROM v),
+    q AS (
+        SELECT pri, MIN(n) AS n,
+               MIN(CASE WHEN cw >= (n + 3) // 4 THEN cents END) AS q1c,
+               MIN(CASE WHEN cw >= (3 * n + 3) // 4 THEN cents END) AS q3c
+        FROM cum GROUP BY 1),
+    f AS (
+        SELECT pri, n, q1c, q3c,
+               10 * q1c - 15 * (q3c - q1c) AS lo10,
+               10 * q3c + 15 * (q3c - q1c) AS hi10
+        FROM q),
+    o AS (
+        SELECT v.pri,
+               CAST(SUM(CASE WHEN 10 * v.cents < f.lo10 THEN v.c
+                             ELSE 0 END) AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN 10 * v.cents > f.hi10 THEN v.c
+                             ELSE 0 END) AS BIGINT) AS n_high
+        FROM v JOIN f USING (pri) GROUP BY 1)
+    SELECT f.pri AS event_type, f.n AS n_rows,
+           CAST(f.q1c AS DOUBLE) / 100 AS q1,
+           CAST(f.q3c AS DOUBLE) / 100 AS q3,
+           CAST(f.lo10 AS DOUBLE) / 1000 AS lo_fence,
+           CAST(f.hi10 AS DOUBLE) / 1000 AS hi_fence,
+           o.n_low, o.n_high
+    FROM f JOIN o USING (pri)
+    """,
+)
+def agg_tukey_fences(spark, sf_dir):
+    """Per-group Tukey outlier fences over event values: type-1
+    quartiles (the k-th smallest order statistic, k = ceil(n/4) /
+    ceil(3n/4)), fences at 1.5 IQR, and the count of rows outside each
+    fence -- the robust outlier screen a data-quality dashboard runs
+    per segment (the right-skewed value column actually HAS upper
+    outliers, ~90 per type at sf0.01 -- asserted non-degenerate in
+    tests). Exact integer end-to-end: values become BIGINT cents via
+    floor(v*100) -- an explicit floor because a bare double->BIGINT
+    cast TRUNCATES in Spark but ROUNDS in DuckDB -- ORDER-STATISTIC
+    quartiles (never interpolated -- interpolation is the cross-engine
+    divergence surface agg-percentile-exact has to round away), and the
+    1.5-IQR fences stay in tenth-of-cent integers (10*q1 - 15*IQR), so
+    every comparison and count is exact; the only doubles are final
+    int->divide presentation casts, correctly rounded identically in
+    both engines.
+
+    Scale: duplicate (group, value) pairs collapse in one map-side
+    pre-aggregation before the per-group running sum walks the
+    collapsed distinct-value list (the agg-weighted-median shape --
+    cardinality bounded by distinct values, not rows); the outlier
+    count is one more partial-aggregated pass joined against the
+    broadcast 5-row fence table."""
+    e = views(spark, sf_dir).table("events")
+    v = e.groupBy(
+        F.col("event_type").alias("pri"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count("*").alias("c"))
+    win = Window.partitionBy("pri").orderBy("cents")
+    cum = v.select(
+        "pri",
+        "cents",
+        "c",
+        F.sum("c").over(win.rowsBetween(Window.unboundedPreceding, 0)).alias("cw"),
+        F.sum("c").over(Window.partitionBy("pri")).alias("n"),
+    )
+    k1 = F.floor((F.col("n") + 3) / 4)
+    k3 = F.floor((3 * F.col("n") + 3) / 4)
+    q = cum.groupBy("pri").agg(
+        F.min("n").alias("n"),
+        F.min(F.when(F.col("cw") >= k1, F.col("cents"))).alias("q1c"),
+        F.min(F.when(F.col("cw") >= k3, F.col("cents"))).alias("q3c"),
+    )
+    f = q.select(
+        "pri",
+        "n",
+        "q1c",
+        "q3c",
+        (10 * F.col("q1c") - 15 * (F.col("q3c") - F.col("q1c"))).alias("lo10"),
+        (10 * F.col("q3c") + 15 * (F.col("q3c") - F.col("q1c"))).alias("hi10"),
+    )
+    out = (
+        v.join(F.broadcast(f), "pri")
+        .groupBy("pri")
+        .agg(
+            F.sum(F.when(10 * F.col("cents") < F.col("lo10"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_low"),
+            F.sum(F.when(10 * F.col("cents") > F.col("hi10"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_high"),
+        )
+    )
+    return f.join(out, "pri").select(
+        F.col("pri").alias("event_type"),
+        F.col("n").alias("n_rows"),
+        (F.col("q1c").cast("double") / 100).alias("q1"),
+        (F.col("q3c").cast("double") / 100).alias("q3"),
+        (F.col("lo10").cast("double") / 1000).alias("lo_fence"),
+        (F.col("hi10").cast("double") / 1000).alias("hi_fence"),
+        "n_low",
+        "n_high",
+    )
+
+
+def _mi_oracle() -> str:
+    ratio = (
+        "(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE))"
+        " / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))"
+    )
+    return f"""
+    WITH xy AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS cxy
+        FROM documents GROUP BY 1, 2),
+    x AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS cx
+          FROM documents GROUP BY 1),
+    y AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS cy
+          FROM documents GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    cells AS (
+        SELECT CAST(cxy AS DECIMAL(9,0))
+                   * CAST(ln({ratio}) AS DECIMAL(28,4)) AS term
+        FROM xy JOIN x USING (lang) JOIN y USING (source), n)
+    SELECT (SELECT n FROM n) AS n_docs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cells) AS n_cells,
+           {dsum_q4_sql('term')} / (SELECT n FROM n) AS mi_nats
+    FROM cells
+    """
+
+
+@register("agg-mutual-information", oracle=_mi_oracle())
+def agg_mutual_information(spark, sf_dir):
+    """Mutual information (nats) between the two categorical axes of the
+    document corpus (lang x source) -- the dependence screen a mixture
+    curator runs before trusting per-axis marginals: MI ~ 0 means
+    sampling by source cannot skew language balance, high MI means the
+    axes confound. MI = sum over cells c_xy/n * ln(c_xy*n/(c_x*c_y)),
+    computed from exact BIGINT counts; each cell's log-likelihood ratio
+    is built double-by-double with one correctly-rounded multiply and
+    divide (identical in both engines at ANY count magnitude -- never an
+    int64 product that could exceed 2^53), its ln() quantized to the
+    shared 1e-4 DECIMAL grid (the ln-skew device), weighted by the exact
+    cell count in DECIMAL, and the sum exits unrounded through
+    ``dsum_q4``. Cell counts are cast DECIMAL(9,0) to keep the weighted
+    product inside DECIMAL(38,4) -- bounded by corpus rows per cell.
+
+    Scale: three partial-aggregated groupBys (cells + two marginals) and
+    two joins on the bounded cell table (|langs| x |sources| rows, never
+    corpus-sized); the marginals broadcast."""
+    d = views(spark, sf_dir).table("documents")
+    xy = d.groupBy("lang", "source").agg(F.count("*").alias("cxy"))
+    x = d.groupBy("lang").agg(F.count("*").alias("cx"))
+    y = d.groupBy("source").agg(F.count("*").alias("cy"))
+    n = d.agg(F.count("*").alias("n"))
+    ratio = (F.col("cxy").cast("double") * F.col("n").cast("double")) / (
+        F.col("cx").cast("double") * F.col("cy").cast("double")
+    )
+    cells = (
+        xy.join(F.broadcast(x), "lang")
+        .join(F.broadcast(y), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            (
+                F.col("cxy").cast("decimal(9,0)")
+                * F.log(ratio).cast("decimal(28,4)")
+            ).alias("term"),
+        )
+    )
+    return cells.groupBy("n").agg(
+        F.count("*").alias("n_cells"),
+        (dsum_q4("term") / F.col("n")).alias("mi_nats"),
+    ).select(
+        F.col("n").alias("n_docs"), "n_cells", "mi_nats"
     )

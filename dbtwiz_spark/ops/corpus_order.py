@@ -53,7 +53,9 @@ Added AFTER the round-7 window filled (zero driver evidence, all
 local-oracle green at sf0.001/0.01 — front-load these into the round-8
 window): graph-minplus-distance, agg-cohen-d, ext-vocab-growth,
 join-interval-coalesce, agg-anova-oneway, agg-spearman-corr,
-ext-classify-naive-bayes.
+ext-classify-naive-bayes, graph-connected-components, agg-kendall-tau,
+agg-tukey-fences, agg-mutual-information, ext-length-decile-mix,
+stream-rate-limit.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode

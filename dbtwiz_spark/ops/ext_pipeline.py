@@ -2308,3 +2308,63 @@ def ext_classify_naive_bayes(spark, sf_dir):
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count("*").alias("n_docs")
     )
+
+
+@register(
+    "ext-length-decile-mix",
+    oracle="""
+    WITH r AS (
+        SELECT lang,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM documents),
+    d AS (
+        SELECT lang, CAST((rk - 1) * 10 // n + 1 AS BIGINT) AS decile
+        FROM r),
+    c AS (
+        SELECT decile, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM d GROUP BY 1, 2),
+    t AS (
+        SELECT decile, CAST(SUM(n_docs) AS BIGINT) AS dt FROM c GROUP BY 1)
+    SELECT c.decile, c.lang, c.n_docs,
+           CAST(c.n_docs AS DOUBLE) / CAST(t.dt AS DOUBLE) AS share
+    FROM c JOIN t USING (decile)
+    """,
+)
+def ext_length_decile_mix(spark, sf_dir):
+    """Language composition across document-length deciles -- the drift
+    diagnostic a curator reads before length-filtering a corpus: if one
+    language concentrates in the short deciles, a global length cutoff
+    silently reshapes the language mix. Deciles come from the exact
+    global rank over the unique (n_chars, doc_id) order, bucketed by
+    INTEGER floor-division ((rank-1)*10 div n + 1) -- never ntile or a
+    float divide, so bucket edges are bit-identical across engines; the
+    per-decile share is one exact-int division (correctly rounded
+    identically on both sides, shipped unrounded).
+
+    Scale: the rank uses ``common.parallel_rank`` (range-partition +
+    local row_number + broadcast offsets), never a single-partition
+    global window; everything after runs on the bounded (decile, lang)
+    grid."""
+    from dbtwiz_spark.ops.common import parallel_rank
+
+    d = views(spark, sf_dir).table("documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    r = parallel_rank(d, [F.col("n_chars"), F.col("doc_id")])
+    dec = r.select(
+        "lang",
+        (
+            F.expr("div((_rank - 1) * 10, _n)") + 1
+        ).cast("long").alias("decile"),
+    )
+    c = dec.groupBy("decile", "lang").agg(F.count("*").alias("n_docs"))
+    t = c.groupBy("decile").agg(F.sum("n_docs").alias("dt"))
+    return c.join(F.broadcast(t), "decile").select(
+        "decile",
+        "lang",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("dt").cast("double")).alias(
+            "share"
+        ),
+    )

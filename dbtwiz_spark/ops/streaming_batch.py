@@ -545,3 +545,72 @@ def stream_cusum_online(spark, sf_dir):
         s.cast("bigint").alias("cusum_c"),
         (s > _CUSUM_H_C).alias("alarm"),
     )
+
+
+_RATE_LIMIT_GAP_S = 21600  # keep at most one event per 6h per user
+
+
+@register(
+    "stream-rate-limit",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, list(epoch(ts) ORDER BY ts) AS arr,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1),
+    f AS (
+        SELECT user_id, n_events,
+               list_reduce(
+                   list_prepend(
+                       [arr[1], CAST(1 AS DOUBLE)],
+                       [[t, CAST(0 AS DOUBLE)] for t in arr[2:]]),
+                   (acc, e) -> CASE
+                       WHEN e[1] - acc[1] >= {_RATE_LIMIT_GAP_S}
+                       THEN [e[1], acc[2] + 1] ELSE acc END) AS st
+        FROM s)
+    SELECT user_id, n_events, CAST(st[2] AS BIGINT) AS n_kept
+    FROM f
+    """,
+)
+def stream_rate_limit(spark, sf_dir):
+    """Per-key rate limiting (debounce): keep an event only if at least
+    6 hours have passed since the last KEPT event of the same user --
+    the notification-throttle / at-most-one-per-interval semantics. This
+    is NOT expressible with lag() or gaps-and-islands: whether an event
+    survives depends on the previously SURVIVING event, a data-dependent
+    recurrence -- so it uses the ordered-fold device (win-holt-winters):
+    fold the time-ordered epoch array with a [last_kept_ts, n_kept] LIST
+    accumulator (never a struct, DuckDB list_reduce aliasing). Epochs
+    are exact microsecond-resolution doubles (the ts-cast device) and
+    the keep test is a subtraction + compare on identical doubles, so
+    the kept count is bit-identical across engines. Events sharing an
+    exact timestamp fold to the same decision whatever their sort order
+    -- the fold reads only the timestamp value.
+
+    Scale: one shuffle on user_id; per-key state is the event-time array
+    (bounded by per-user activity). The TRUE streaming form keeps O(1)
+    state -- just [last_kept_ts, count] per key via
+    applyInPandasWithState: streaming/jobs.rate_limit_stream, parity
+    pinned bit-exact in tests/test_streaming.py; this batch form is its
+    oracle-checkable replay."""
+    e = views(spark, sf_dir).table("events")
+    ser = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.col("ts").cast("double"))).alias("arr"),
+        F.count("*").alias("n_events"),
+    )
+    arr = F.col("arr")
+    init = F.array(F.element_at(arr, 1), F.lit(1.0))
+    rest = F.slice(arr, 2, F.size(arr) - 1)
+
+    def step(acc, t):
+        return F.when(
+            t - F.element_at(acc, 1) >= F.lit(_RATE_LIMIT_GAP_S),
+            F.array(t, F.element_at(acc, 2) + 1),
+        ).otherwise(acc)
+
+    return ser.select(
+        "user_id",
+        "n_events",
+        F.element_at(F.aggregate(rest, init, step), 2)
+        .cast("long")
+        .alias("n_kept"),
+    )

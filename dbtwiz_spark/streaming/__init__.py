@@ -15,6 +15,7 @@ from dbtwiz_spark.streaming.jobs import (  # noqa: F401
     foreach_batch_overwrite,
     cusum_alarm_stream,
     holt_stream,
+    rate_limit_stream,
     running_user_totals_stream,
     sessionized_stream,
     stateful_dedup_stream,

@@ -446,3 +446,65 @@ def holt_stream(daily: DataFrame) -> DataFrame:
     return daily.groupBy("event_type").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def rate_limit_stream(events: DataFrame, gap_s: int | None = None) -> DataFrame:
+    """Online per-user rate limiter (stream-rate-limit, streaming form):
+    keep an event only if >= gap_s seconds have passed since the last
+    KEPT event of the same user. The batch entry replays the whole
+    per-user history through an ordered fold; this is the production
+    shape — O(1) per-key state (last kept epoch + counters) carried
+    across micro-batches via applyInPandasWithState, emitting the
+    running (n_events, n_kept) totals each batch (update mode; the final
+    emission is the batch entry's answer, parity pinned in
+    tests/test_streaming.py). Epochs are microsecond-exact doubles
+    derived the same way as the batch side's ts-cast (integer micros,
+    one divide), so keep decisions are bit-equal. Like every sequential
+    operator here, the contract is per-key in-order delivery across
+    batches, which the event-time source provides."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # the threshold comes from the BATCH entry's constant — a hand-copied
+    # literal here would silently diverge on a retune
+    from dbtwiz_spark.ops.streaming_batch import _RATE_LIMIT_GAP_S
+
+    gap_s = _RATE_LIMIT_GAP_S if gap_s is None else gap_s
+    # the -1e18 sentinel makes the first event's gap test trivially true,
+    # matching the batch fold's [first_ts, 1] initializer
+    _NEVER = -1.0e18
+
+    out_schema = "user_id long, n_events long, n_kept long"
+    state_schema = "last_ts double, n_kept long, n_events long"
+
+    def fn(key, pdfs, state):
+        if state.exists:
+            last_ts, n_kept, n_events = state.get
+        else:
+            last_ts, n_kept, n_events = _NEVER, 0, 0
+        parts = [pdf for pdf in pdfs]
+        df = pd.concat(parts, ignore_index=True) if parts else pd.DataFrame()
+        if len(df):
+            df = df.sort_values("ts")
+            # datetime64[ns] -> integer micros -> one divide: the exact
+            # sequence of Spark's timestamp->double cast (ns epochs
+            # exceed 2^53, so never convert ns directly)
+            micros = df["ts"].astype("int64") // 1000
+            for us in micros:
+                t = us / 1e6
+                if t - last_ts >= gap_s:
+                    last_ts = t
+                    n_kept += 1
+                n_events += 1
+        state.update((last_ts, n_kept, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n_events],
+                "n_kept": [n_kept],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -52,6 +52,8 @@ _SHARED_HELPERS = (
     "cap_shingle_df",
     "shingles",
     "_plan_sig",
+    "_cc_propagate",
+    "_artifact",
 )
 
 
@@ -59,8 +61,9 @@ def entry_hash(name: str) -> str:
     import dbtwiz_spark.ops.common as _common
     import dbtwiz_spark.ops.ext_llm as _ext_llm
     import dbtwiz_spark.ops.ext_pipeline as _ext_pipeline
+    import dbtwiz_spark.ops.graphs as _graphs
 
-    owners = (_common, _ext_llm, _ext_pipeline)
+    owners = (_common, _ext_llm, _ext_pipeline, _graphs)
 
     spec = CORPUS[name]
     src = inspect.getsource(spec.fn)

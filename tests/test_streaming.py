@@ -606,3 +606,53 @@ def test_holt_stream_matches_batch_entry(spark, tmp_path):
         for r in win_holt_winters(spark, SF_DIR).collect()
     }
     assert got == want, f"stream {got} != batch {want}"
+
+
+def test_rate_limit_stream_matches_batch_entry(spark, tmp_path):
+    """The O(1)-state streaming rate limiter must land on the batch
+    entry's exact per-user (n_events, n_kept): events replayed in three
+    ts-ordered waves; keep decisions compare microsecond-exact epoch
+    doubles derived identically on both paths."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from dbtwiz_spark.ops.streaming_batch import stream_rate_limit
+    from dbtwiz_spark.streaming import events_stream, rate_limit_stream
+
+    ev = Catalog(spark, SF_DIR).table("events")
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    lo, hi = ev.select(F.col("ts").cast("double").alias("t")).approxQuantile(
+        "t", [0.34, 0.67], 0.0
+    )
+    cuts = [None, lo, hi, None]
+    for i in range(3):
+        part = ev
+        if cuts[i] is not None:
+            part = part.filter(F.col("ts").cast("double") >= cuts[i])
+        if cuts[i + 1] is not None:
+            part = part.filter(F.col("ts").cast("double") < cuts[i + 1])
+        tmp = str(tmp_path / f"slice_{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "*.parquet"))[0]
+        shutil.copy(src, in_dir / f"{i:02d}.parquet")
+        time.sleep(1.1)
+    out = _run(
+        spark, rate_limit_stream(events_stream(spark, str(in_dir))), mode="update"
+    ).collect()
+    # update mode emits running totals each batch; the final emission per
+    # user (max n_events) is the answer
+    got = {}
+    for r in out:
+        if r.user_id not in got or r.n_events > got[r.user_id][0]:
+            got[r.user_id] = (r.n_events, r.n_kept)
+    want = {
+        r.user_id: (r.n_events, r.n_kept)
+        for r in stream_rate_limit(spark, SF_DIR).collect()
+    }
+    assert got == want, (
+        f"{len(got)} streamed vs {len(want)} batch users; "
+        f"first diffs: {[(u, got.get(u), want.get(u)) for u in sorted(set(want) ^ set(got) | {u for u in want if got.get(u) != want[u]})[:3]]}"
+    )
