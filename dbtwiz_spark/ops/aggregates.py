@@ -2912,7 +2912,8 @@ def agg_spearman_corr(spark, sf_dir):
         SELECT n.n_name,
                CAST(EXTRACT(year FROM o.o_orderdate) * 12
                     + EXTRACT(month FROM o.o_orderdate) AS BIGINT) AS mi,
-               CAST(SUM(o.o_totalprice) * 100 AS BIGINT) AS revc
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(28,6)) * 100)
+                    AS BIGINT) AS revc
         FROM orders o
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -2966,7 +2967,11 @@ def agg_kendall_tau(spark, sf_dir):
             .cast("long")
             .alias("mi"),
         )
-        .agg((F.sum("o_totalprice") * 100).cast("long").alias("revc"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+            .cast("long")
+            .alias("revc")
+        )
     )
     a, b = m.alias("a"), m.alias("b")
     p = (
@@ -3192,4 +3197,178 @@ def agg_mutual_information(spark, sf_dir):
         (dsum_q4("term") / F.col("n")).alias("mi_nats"),
     ).select(
         F.col("n").alias("n_docs"), "n_cells", "mi_nats"
+    )
+
+
+@register(
+    "agg-rfm-segmentation",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', DATE '1990-01-01',
+                              CAST(MAX(o_orderdate) AS DATE)) AS BIGINT)
+                   AS rec,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)) * 100)
+                    AS BIGINT) AS monc
+        FROM orders GROUP BY 1),
+    rk AS (
+        SELECT o_custkey, rec, freq, monc,
+               ROW_NUMBER() OVER (ORDER BY rec, o_custkey) AS rr,
+               ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS fr,
+               ROW_NUMBER() OVER (ORDER BY monc, o_custkey) AS mr,
+               COUNT(*) OVER () AS n
+        FROM cust),
+    seg AS (
+        SELECT CAST((rr - 1) * 5 // n + 1 AS BIGINT) AS r_q,
+               CAST((fr - 1) * 5 // n + 1 AS BIGINT) AS f_q,
+               CAST((mr - 1) * 5 // n + 1 AS BIGINT) AS m_q,
+               monc
+        FROM rk)
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(monc) AS BIGINT) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) / 100 AS avg_monetary
+    FROM seg GROUP BY 1, 2, 3
+    """,
+)
+def agg_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: every ordering customer lands in a
+    (recency, frequency, monetary) quintile cell -- the classic
+    marketing-analytics cube (5x5x5 max, sparse in practice) that
+    downstream campaign queries join against. Quintiles are the exact
+    global rank over a unique (dimension, custkey) order bucketed by
+    INTEGER floor-division (the ext-length-decile-mix device -- never
+    ntile, never a float divide), recency is exact integer days since
+    the epoch anchor, monetary is exact cents; the per-cell average
+    exits as two correctly-rounded divisions on exact integers in the
+    same order on both engines.
+
+    Scale: one partial-aggregated per-customer groupBy, then THREE
+    ``common.parallel_rank`` passes over the bounded customer aggregate
+    (range-partition + local row_number + broadcast offsets -- no
+    single-partition window even at 10^9 customers); the cell reduce is
+    partial-aggregated on a <=125-key space."""
+    from dbtwiz_spark.ops.common import parallel_rank
+
+    o = views(spark, sf_dir).table("orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(F.max("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("rec"),
+        F.count("*").alias("freq"),
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100).cast("long").alias("monc"),
+    )
+
+    # each axis ranks the FILE-BACKED base aggregate independently (the
+    # three rank tables then join back on the key): chaining rank calls
+    # would feed a persisted plan into _plan_sig, whose InMemoryRelation
+    # canonicalizes scale-independently with no input files — the
+    # cross-scale memo collision class (see _plan_sig)
+    def quint(dim, out):
+        r = parallel_rank(cust, [F.col(dim), F.col("o_custkey")])
+        return r.select(
+            "o_custkey",
+            (F.expr("div((_rank - 1) * 5, _n)") + 1).cast("long").alias(out),
+        )
+
+    seg = (
+        cust.join(quint("rec", "r_q"), "o_custkey")
+        .join(quint("freq", "f_q"), "o_custkey")
+        .join(quint("monc", "m_q"), "o_custkey")
+    )
+    return seg.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        (
+            F.sum("monc").cast("long").cast("double")
+            / F.count("*").cast("double")
+            / 100
+        ).alias("avg_monetary"),
+    )
+
+
+@register(
+    "agg-pythagorean-means",
+    oracle=f"""
+    WITH qc AS (
+        SELECT l_returnflag AS flag, CAST(l_quantity AS BIGINT) AS q,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2),
+    ser AS (
+        SELECT flag, CAST(SUM(c) AS BIGINT) AS n,
+               list([CAST(c AS DOUBLE), CAST(q AS DOUBLE)] ORDER BY q)
+                   AS arr,
+               {dsum_q4_sql('CAST(c AS DECIMAL(9,0))'
+                            ' * CAST(ln(CAST(q AS DOUBLE)) AS DECIMAL(28,4))')}
+                   / CAST(SUM(c) AS BIGINT) AS gln
+        FROM qc GROUP BY 1)
+    SELECT flag AS l_returnflag, n AS n_rows,
+           round(CAST(n AS DOUBLE) /
+                 list_reduce(
+                     list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)], arr),
+                     (acc, e) -> [acc[1] + e[1] / e[2], CAST(0 AS DOUBLE)]
+                 )[1], 6) AS hmean,
+           gln AS gmean_ln,
+           round(exp(gln), 6) AS gmean,
+           round(CAST((SELECT SUM(CAST(c AS DECIMAL(19,0))
+                                  * CAST(q AS DECIMAL(19,0)))
+                       FROM qc i WHERE i.flag = ser.flag) AS DOUBLE)
+                 / CAST(n AS DOUBLE), 6) AS amean
+    FROM ser
+    """,
+)
+def agg_pythagorean_means(spark, sf_dir):
+    """The three Pythagorean means of line quantity per return flag --
+    arithmetic, geometric (shipped both as exact mean-ln and as the
+    rounded mean itself), harmonic -- the summary triple a rate/ratio
+    dashboard needs (harmonic for rates, geometric for multiplicative
+    effects), pinned AM >= GM >= HM in tests. Quantity has <= 50
+    distinct integer values, so everything reduces over the tiny
+    (flag, q) count grid: the arithmetic mean is an exact integer
+    product sum over one divide; the geometric mean sums c * ln(q) on
+    the shared 1e-4 DECIMAL grid (occ/k device + dsum_q4 exit,
+    mean-ln unrounded; exp() is skewed ~ulps between engines so the
+    exponentiated mean rounds to 6 dp, the bm25 device); the harmonic
+    denominator folds c/q over the q-ORDERED 50-element array (the
+    ordered-fold device) -- identical IEEE sequence, bit-exact
+    unrounded divide... rounded to 6 dp only because the final n/sum
+    composes two correctly-rounded ops.
+
+    Scale: one partial-aggregated groupBy collapses the corpus to the
+    value grid; folds and logs run on <= 50 rows per group."""
+    li = views(spark, sf_dir).table("lineitem")
+    qc = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("q"),
+    ).agg(F.count("*").alias("c"))
+    ser = qc.groupBy("flag").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("q", "c"))),
+            lambda s: F.array(s["c"].cast("double"), s["q"].cast("double")),
+        ).alias("arr"),
+        (
+            dsum_q4(
+                F.col("c").cast("decimal(9,0)")
+                * F.log(F.col("q").cast("double")).cast("decimal(28,4)")
+            )
+            / F.sum("c").cast("long")
+        ).alias("gln"),
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("q").cast("decimal(19,0)")
+        ).alias("sq"),
+    )
+    hsum = F.aggregate(
+        F.col("arr"),
+        F.lit(0.0),
+        lambda acc, e: acc + F.element_at(e, 1) / F.element_at(e, 2),
+    )
+    return ser.select(
+        F.col("flag").alias("l_returnflag"),
+        F.col("n").alias("n_rows"),
+        F.round(F.col("n").cast("double") / hsum, 6).alias("hmean"),
+        F.col("gln").alias("gmean_ln"),
+        F.round(F.exp("gln"), 6).alias("gmean"),
+        F.round(F.col("sq").cast("double") / F.col("n").cast("double"), 6).alias(
+            "amean"
+        ),
     )

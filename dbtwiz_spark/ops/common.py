@@ -140,11 +140,30 @@ def _plan_sig(df, keys, *extra) -> tuple:
     ALSO erases file-source locations (measured: identical JSON for the
     same query over sf0.001 and sf0.01 dirs — a cross-scale sweep then
     served the wrong scale's cached ranks), so the input file set is
-    folded in explicitly."""
+    folded in explicitly.
+
+    A plan containing an InMemoryRelation (a persisted input) is NOT
+    memoizable: the cached subtree both swallows its file scan (empty
+    inputFiles) and canonicalizes scale-independently, so two scale
+    dirs' plans become indistinguishable (measured: a parallel_rank
+    output fed into a second parallel_rank collided across sf dirs and
+    served the wrong scale's 150-row rank table). Such plans get a
+    unique token — correctness over reuse. File-less but
+    self-describing leaves (range, LocalRelation) still memoize: their
+    parameters survive canonicalization."""
+    files: object = tuple(sorted(df.inputFiles()))
+    if not files:
+        # cache substitution happens AFTER analysis (withCachedData), so
+        # the analyzed plan still shows the original relation — only the
+        # optimized plan reveals the InMemoryRelation that swallowed the
+        # file scan
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        if "InMemoryRelation" in opt:
+            files = object()
     return (
         df.sparkSession,
         df._jdf.queryExecution().analyzed().canonicalized().toJSON(),
-        tuple(sorted(df.inputFiles())),
+        files,
         tuple(str(k) for k in keys),
         *extra,
     )

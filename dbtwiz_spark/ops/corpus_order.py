@@ -55,7 +55,8 @@ window): graph-minplus-distance, agg-cohen-d, ext-vocab-growth,
 join-interval-coalesce, agg-anova-oneway, agg-spearman-corr,
 ext-classify-naive-bayes, graph-connected-components, agg-kendall-tau,
 agg-tukey-fences, agg-mutual-information, ext-length-decile-mix,
-stream-rate-limit.
+stream-rate-limit, graph-degree-assortativity, agg-rfm-segmentation,
+agg-pythagorean-means.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode

@@ -86,6 +86,39 @@ def _pagerank_oracle() -> str:
     return sql
 
 
+def _pr_edges(spark, sf_dir, cat):
+    """Undirected customer-supplier edge list (both directions), the
+    shared base graph of graph-pagerank and graph-degree-assortativity
+    -- one artifact, built once per (session, sf_dir)."""
+
+    def _build_edges():
+        o, li = cat.table("orders"), cat.table("lineitem")
+        pairs = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            )
+            .distinct()
+        )
+        return pairs.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+    return _artifact(spark, sf_dir, "pr_edges", _build_edges)
+
+
+def _pr_deg(spark, sf_dir, edges):
+    return _artifact(
+        spark,
+        sf_dir,
+        "pr_deg",
+        lambda: edges.groupBy("src")
+        .agg(F.count("*").alias("degree"))
+        .withColumnRenamed("src", "node"),
+    )
+
+
 @register("graph-pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark, sf_dir):
     """PageRank (3 iterations, damping 0.85) over the undirected
@@ -111,30 +144,8 @@ def graph_pagerank(spark, sf_dir):
     production loops additionally checkpoint ranks every ~5 iterations
     to cut lineage — not needed at 3."""
     cat = views(spark, sf_dir)
-
-    def _build_edges():
-        o, li = cat.table("orders"), cat.table("lineitem")
-        pairs = (
-            o.join(li, o.o_orderkey == li.l_orderkey)
-            .select(
-                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-            )
-            .distinct()
-        )
-        return pairs.select(
-            F.col("c").alias("src"), F.col("s").alias("dst")
-        ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-
-    edges = _artifact(spark, sf_dir, "pr_edges", _build_edges)
-    deg = _artifact(
-        spark,
-        sf_dir,
-        "pr_deg",
-        lambda: edges.groupBy("src")
-        .agg(F.count("*").alias("degree"))
-        .withColumnRenamed("src", "node"),
-    )
+    edges = _pr_edges(spark, sf_dir, cat)
+    deg = _pr_deg(spark, sf_dir, edges)
     nn = deg.agg(F.count("*").alias("n"))
     base_expr = f"CAST({_SCALE * 15 // 100} AS BIGINT) div n"
     ranks = deg.crossJoin(F.broadcast(nn)).select(
@@ -596,4 +607,92 @@ def graph_connected_components(spark, sf_dir):
         F.sum(F.when(F.col("node") % 2 == 1, 1).otherwise(0))
         .cast("long")
         .alias("n_suppliers"),
+    )
+
+
+@register(
+    "graph-degree-assortativity",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM edges GROUP BY 1),
+    xy AS (
+        SELECT CAST(ds.degree AS DECIMAL(19,0)) AS x,
+               CAST(dd.degree AS DECIMAL(19,0)) AS y
+        FROM edges e
+        JOIN deg ds ON ds.node = e.src
+        JOIN deg dd ON dd.node = e.dst),
+    mo AS (
+        SELECT CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_edges,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS assortativity
+    FROM mo
+    """,
+)
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the purchase graph: the Pearson
+    correlation of (deg(src), deg(dst)) over the directed edge list --
+    Newman's mixing coefficient, THE one-number summary of whether hubs
+    attach to hubs (positive) or to leaves (negative; bipartite
+    commerce graphs are typically disassortative). Shares the SAME
+    persisted edge/degree artifacts as graph-pagerank (one build serves
+    both), and the numerics are the agg-spearman-corr device verbatim:
+    degrees are exact BIGINTs, all five moments accumulate in
+    DECIMAL(38,0) (int64 products would overflow past ~2e9 edges), and
+    the only doubles are the final scale-0 casts and the sqrt
+    composition, rounded to 6 dp; degenerate variance guarded NULL on
+    both engines (ANSI rule 5).
+
+    Scale: one degree aggregation + two hash joins of the edge list
+    against the broadcast-or-bucketed degree table, then a single
+    partial-aggregated moment reduce -- no window, no pair explosion
+    beyond the edge list itself."""
+    cat = views(spark, sf_dir)
+    edges = _pr_edges(spark, sf_dir, cat)
+    deg = _pr_deg(spark, sf_dir, edges)
+    ds = deg.select(F.col("node").alias("sn"), F.col("degree").alias("xd"))
+    dd = deg.select(F.col("node").alias("dn"), F.col("degree").alias("yd"))
+    xy = (
+        edges.join(ds, edges.src == ds.sn)
+        .join(dd, edges.dst == dd.dn)
+        .select(
+            F.col("xd").cast("decimal(19,0)").alias("x"),
+            F.col("yd").cast("decimal(19,0)").alias("y"),
+        )
+    )
+    mo = xy.agg(
+        F.count("*").cast("decimal(19,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return mo.select(
+        F.col("n").cast("bigint").alias("n_edges"),
+        F.when(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
+            F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
+        ).alias("assortativity"),
     )

@@ -323,3 +323,46 @@ def test_round7_block2_invariants(spark):
     assert sum(r.n_kept for r in rl) < sum(r.n_events for r in rl), (
         "the 6h throttle must actually drop events on this data"
     )
+
+
+def test_round7_block3_invariants(spark):
+    """Semantic invariants for the third round-7 block (degree
+    assortativity, RFM segmentation, Pythagorean means)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- assortativity: a correlation in [-1, 1]; the bipartite
+    # customer-supplier graph must be strongly DISassortative (customers
+    # of degree ~10 attach to supplier hubs of degree ~1000)
+    (ar,) = rows("graph-degree-assortativity")
+    assert -1.0 <= ar.assortativity <= 1.0
+    assert ar.assortativity < -0.5
+    assert ar.n_edges % 2 == 0, "undirected edge list holds both directions"
+
+    # --- RFM: cells partition the ordering customers; quintile marginals
+    # are balanced to within integer-division slack
+    rfm = rows("agg-rfm-segmentation")
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r.n_customers for r in rfm) == n_cust
+    from collections import defaultdict
+
+    for axis in ("r_q", "f_q", "m_q"):
+        marg = defaultdict(int)
+        for r in rfm:
+            marg[getattr(r, axis)] += r.n_customers
+        assert set(marg) <= set(range(1, 6))
+        lo, hi = n_cust // 5, n_cust // 5 + 1
+        assert all(lo <= v <= hi for v in marg.values()), (axis, dict(marg))
+
+    # --- Pythagorean means: AM >= GM >= HM (strict on non-constant data),
+    # and the shipped gmean must be exp(gmean_ln) to rounding
+    import math
+
+    pm = rows("agg-pythagorean-means")
+    assert len(pm) >= 2
+    for r in pm:
+        assert r.amean > r.gmean > r.hmean > 0
+        assert abs(r.gmean - math.exp(r.gmean_ln)) < 1e-6

@@ -155,3 +155,30 @@ def test_parallel_rank_memo_separates_scale_dirs(spark, tmp_path):
     assert _plan_sig(a, keys, 8) != _plan_sig(b, keys, 8)
     assert parallel_rank(a, keys).count() == 7
     assert parallel_rank(b, keys).count() == 19
+
+
+def test_parallel_rank_refuses_memo_on_persisted_input(spark, tmp_path):
+    """A parallel_rank whose INPUT contains a persisted subtree must not
+    be memoized at all: the InMemoryRelation swallows the file scan and
+    canonicalizes scale-independently, so two scale dirs' chained-rank
+    plans collide (caught live: an sf0.01 RFM sweep served sf0.001's
+    150-row rank table). Unique-token signatures trade reuse for
+    correctness on exactly this shape."""
+    from dbtwiz_spark.ops.common import _plan_sig
+
+    for i, n in enumerate((7, 19)):
+        spark.range(n).write.mode("overwrite").parquet(str(tmp_path / f"d{i}"))
+    keys = [F.col("id")]
+    a = spark.read.parquet(str(tmp_path / "d0")).persist()
+    b = spark.read.parquet(str(tmp_path / "d1")).persist()
+    try:
+        a.count(), b.count()  # materialize the InMemoryRelations
+        da = a.select((F.col("id") + 1).alias("id"))
+        db = b.select((F.col("id") + 1).alias("id"))
+        # without the guard these two sigs are EQUAL (no files, canonical
+        # InMemoryRelation) — the guard must separate them
+        assert _plan_sig(da, keys, 8) != _plan_sig(db, keys, 8)
+        # and even the SAME plan must not self-collide (no stale reuse)
+        assert _plan_sig(da, keys, 8) != _plan_sig(da, keys, 8)
+    finally:
+        a.unpersist(), b.unpersist()
