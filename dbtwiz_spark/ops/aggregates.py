@@ -3372,3 +3372,309 @@ def agg_pythagorean_means(spark, sf_dir):
             "amean"
         ),
     )
+
+
+@register(
+    "agg-retention-triangle",
+    oracle="""
+    WITH fm AS (
+        SELECT o_custkey,
+               CAST(MIN(EXTRACT(year FROM o_orderdate) * 12
+                        + EXTRACT(month FROM o_orderdate) - 1) AS BIGINT)
+                   AS cm
+        FROM orders GROUP BY 1),
+    act AS (
+        SELECT DISTINCT o.o_custkey, f.cm,
+               CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                    + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT) - f.cm
+                   AS offs
+        FROM orders o JOIN fm f ON f.o_custkey = o.o_custkey),
+    size_ AS (
+        SELECT cm, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM fm
+        GROUP BY 1)
+    SELECT CAST(a.cm // 12 AS BIGINT) AS cohort_year,
+           CAST(a.cm % 12 AS BIGINT) AS cohort_month0,
+           a.offs AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           s.cohort_users,
+           CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_users AS DOUBLE)
+               AS pct_retained
+    FROM act a JOIN size_ s ON s.cm = a.cm
+    GROUP BY 1, 2, 3, s.cohort_users
+    """,
+)
+def agg_retention_triangle(spark, sf_dir):
+    """The cohort retention triangle: customers grouped by first-order
+    month, and for each (cohort, months-since-first) cell the count and
+    fraction of the cohort that placed an order that month -- the
+    distinct-user companion to agg-cohort-ltv's revenue curves (product
+    analytics reads both off the same mart). Months are exact integer
+    month-indices (year*12+month, the agg-spearman-corr device -- never
+    months_between, whose fractional semantics differ across engines);
+    the retained fraction is one correctly-rounded int/int double
+    divide, shipped unrounded.
+
+    Scale: one per-customer min (partial-aggregated), one equi-join of
+    orders against the broadcast-or-shuffled cohort map, a DISTINCT on
+    (customer, cohort, offset) -- the dedup that bounds the cell counts
+    -- then a cells-sized reduce. No windows; cohort sizes join on the
+    ~months-cardinality key, skew-free."""
+    o = views(spark, sf_dir).table("orders")
+    # 0-based month index (month - 1): a 1-based index decodes December
+    # to month 0 of the FOLLOWING year in the div/mod split below
+    mi = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    fm = o.groupBy("o_custkey").agg(F.min(mi).alias("cm"))
+    act = (
+        o.join(fm, "o_custkey")
+        .select("o_custkey", "cm", (mi - F.col("cm")).alias("offs"))
+        .distinct()
+    )
+    size = fm.groupBy("cm").agg(F.count("*").alias("cohort_users"))
+    return (
+        act.join(size, "cm")
+        .groupBy(
+            F.expr("div(cm, 12)").alias("cohort_year"),
+            F.expr("cm % 12").alias("cohort_month0"),
+            F.col("offs").alias("month_offset"),
+            "cohort_users",
+        )
+        .agg(F.count("*").alias("n_active"))
+        .select(
+            "cohort_year",
+            "cohort_month0",
+            "month_offset",
+            "n_active",
+            "cohort_users",
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_users").cast("double")
+            ).alias("pct_retained"),
+        )
+    )
+
+
+@register(
+    "agg-hhi-concentration",
+    oracle="""
+    WITH rev AS (
+        SELECT n.n_name, s.s_suppkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6)) * 100)
+                    AS DECIMAL(19,0)) AS revc
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1, 2),
+    mo AS (
+        SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(revc) AS DECIMAL(38,0)) AS tot,
+               CAST(SUM(revc * revc) AS DECIMAL(38,0)) AS sumsq
+        FROM rev GROUP BY 1)
+    SELECT n_name, n_suppliers,
+           CASE WHEN tot > 0 THEN
+               round(CAST(sumsq AS DOUBLE)
+                     / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6)
+           END AS hhi
+    FROM mo
+    """,
+)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman market concentration per nation: the sum of
+    squared supplier revenue shares (1/n = perfect competition, 1.0 =
+    monopoly) -- the antitrust/marketplace-health metric. Shares never
+    materialize: HHI = sum(rev_i^2) / (sum(rev_i))^2 algebraically, so
+    both moments accumulate exactly -- revenue as DECIMAL cents, squares
+    in DECIMAL(38,0) (cents^2 passes 2^63 already at ~$1B per supplier;
+    int64 would overflow silently) -- and the only doubles are the two
+    final scale-0 casts, one multiply, one divide, rounded to 6 dp (the
+    graph-degree-assortativity exit). Zero-revenue markets guard NULL.
+
+    Scale: one (nation, supplier)-keyed partial-aggregated groupBy over
+    the fact stream (supplier/nation dims broadcast), then a
+    nations-sized reduce. No window, no share self-join."""
+    cat = views(spark, sf_dir)
+    li, s, n = cat.table("lineitem"), cat.table("supplier"), cat.table("nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)) * 100)
+            .cast("decimal(19,0)")
+            .alias("revc")
+        )
+    )
+    mo = rev.groupBy("n_name").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("revc").cast("decimal(38,0)").alias("tot"),
+        F.sum(F.col("revc") * F.col("revc")).cast("decimal(38,0)").alias("sumsq"),
+    )
+    return mo.select(
+        "n_name",
+        "n_suppliers",
+        F.when(
+            F.col("tot") > 0,
+            F.round(
+                F.col("sumsq").cast("double")
+                / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+                6,
+            ),
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "agg-pareto-share",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)) * 100)
+                    AS BIGINT) AS revc
+        FROM orders GROUP BY 1),
+    rk AS (
+        SELECT revc,
+               ROW_NUMBER() OVER (ORDER BY -revc, o_custkey) AS r,
+               COUNT(*) OVER () AS n,
+               CAST(SUM(revc) OVER () AS BIGINT) AS tot
+        FROM cust),
+    th AS (SELECT UNNEST([1, 5, 10, 20, 50]) AS p)
+    SELECT CAST(th.p AS BIGINT) AS top_pct,
+           CAST(MAX((rk.n * th.p + 99) // 100) AS BIGINT) AS n_top,
+           CAST(SUM(CASE WHEN rk.r <= (rk.n * th.p + 99) // 100
+                         THEN rk.revc ELSE 0 END) AS DOUBLE)
+               / CAST(MAX(rk.tot) AS DOUBLE) AS revenue_share
+    FROM rk, th GROUP BY 1
+    """,
+)
+def agg_pareto_share(spark, sf_dir):
+    """Pareto revenue concentration: the share of total revenue owned by
+    the top 1/5/10/20/50 % of customers -- the 80/20 readout that sits
+    next to agg-gini-concentration on every revenue dashboard (Gini is
+    the integral; these are the named points procurement actually asks
+    for). Customers rank by exact cents revenue DESC with a unique
+    custkey tiebreak via ``common.parallel_rank`` (range partition +
+    local row_number + broadcast offsets -- no single-partition window
+    over the customer table); each threshold's head size is exact
+    integer ceiling division, and the share is one correctly-rounded
+    BIGINT/BIGINT double divide, shipped unrounded.
+
+    Scale: one partial-aggregated per-customer groupBy, one rank pass,
+    then a 5-way conditional aggregation over the ranked table -- the
+    thresholds fan out as a broadcast literal array, never a self-join
+    per threshold."""
+    from dbtwiz_spark.ops.common import parallel_rank
+
+    o = views(spark, sf_dir).table("orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("long")
+        .alias("revc")
+    )
+    rk = parallel_rank(
+        cust.withColumn("_neg", -F.col("revc")), ["_neg", "o_custkey"]
+    )
+    tot = rk.agg(F.sum("revc").cast("long").alias("tot"))
+    th = F.explode(F.array(*[F.lit(p) for p in (1, 5, 10, 20, 50)])).alias("p")
+    fan = rk.crossJoin(F.broadcast(tot)).select(
+        "revc", "_rank", "_n", "tot", th
+    )
+    head = F.expr("div(_n * p + 99, 100)")
+    return (
+        fan.groupBy(F.col("p").cast("long").alias("top_pct"))
+        .agg(
+            F.max(head).alias("n_top"),
+            (
+                F.sum(F.when(F.col("_rank") <= head, F.col("revc")).otherwise(0))
+                .cast("long")
+                .cast("double")
+                / F.max("tot").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
+
+
+@register(
+    "agg-price-elasticity",
+    oracle="""
+    WITH pts AS (
+        SELECT p.p_brand,
+               CAST(ln(l.l_extendedprice / l.l_quantity)
+                    AS DECIMAL(18,4)) AS x,
+               CAST(ln(l.l_quantity) AS DECIMAL(18,4)) AS y
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity > 0),
+    m AS (
+        SELECT p_brand,
+               CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(18,4)) AS sx,
+               CAST(SUM(y) AS DECIMAL(18,4)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(25,8)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(25,8)) AS sxx
+        FROM pts GROUP BY 1)
+    SELECT p_brand, CAST(n AS BIGINT) AS n_obs,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS elasticity
+    FROM m
+    """,
+)
+def agg_price_elasticity(spark, sf_dir):
+    """Per-brand price elasticity of demand: the OLS slope of
+    ln(quantity) on ln(unit price) across line items -- the log-log
+    regression every pricing team runs (slope ~ -1 means revenue-neutral
+    price moves). Numerics compose two proven devices: each ln() lands
+    on the 1e-4 DECIMAL grid BEFORE any aggregation (JVM and libm ln
+    disagree by ~1e-13 absolute, so per-term truncation to a coarse grid
+    is the only order-independent exit -- the bigram-logprob lesson),
+    then the five regression moments accumulate EXACTLY over the
+    quantized values (moment widths sized so every cross product stays
+    inside the 38-digit cap in BOTH engines: n(12,0) x sxy(25,8) and
+    sx(18,4) x sy(18,4) -- DuckDB PROMOTES an overflowing decimal
+    product to double while Spark truncates, so width discipline is
+    correctness, not tuning) and the slope exits through one double
+    divide of two exact moments, rounded to 6 dp; degenerate variance
+    guards NULL (ANSI rule).
+
+    The unit price itself is a double divide of two identical parquet
+    doubles -- bit-identical across engines before the ln.
+
+    Scale: one fact-stream join against the broadcast part dim, one
+    partial-aggregated moment reduce per brand (25 keys); mergeable
+    moment vectors, single pass -- the agg-linear-regression shape with
+    the ln-grid front end."""
+    cat = views(spark, sf_dir)
+    li, p = cat.table("lineitem"), cat.table("part")
+    pts = (
+        li.filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+            .cast("decimal(18,4)")
+            .alias("x"),
+            F.log("l_quantity").cast("decimal(18,4)").alias("y"),
+        )
+    )
+    m = pts.groupBy("p_brand").agg(
+        F.count("*").cast("decimal(12,0)").alias("n"),
+        F.sum("x").cast("decimal(18,4)").alias("sx"),
+        F.sum("y").cast("decimal(18,4)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(25,8)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(25,8)").alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    den = n * F.col("sxx") - sx * sx
+    return m.select(
+        "p_brand",
+        n.cast("bigint").alias("n_obs"),
+        F.when(
+            den > 0,
+            F.round(
+                (n * F.col("sxy") - sx * sy).cast("double")
+                / den.cast("double"),
+                6,
+            ),
+        ).alias("elasticity"),
+    )

@@ -56,7 +56,10 @@ join-interval-coalesce, agg-anova-oneway, agg-spearman-corr,
 ext-classify-naive-bayes, graph-connected-components, agg-kendall-tau,
 agg-tukey-fences, agg-mutual-information, ext-length-decile-mix,
 stream-rate-limit, graph-degree-assortativity, agg-rfm-segmentation,
-agg-pythagorean-means.
+agg-pythagorean-means, agg-retention-triangle, agg-hhi-concentration,
+win-rsi-wilder, graph-k-core, stream-top-k-windowed, scan-profile-table,
+agg-pareto-share, agg-price-elasticity, ext-ngram-novelty,
+ext-perplexity-filter, graph-personalized-pagerank.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode

@@ -2368,3 +2368,194 @@ def ext_length_decile_mix(spark, sf_dir):
             "share"
         ),
     )
+
+
+def _novelty_gram_sql(n: int) -> str:
+    """Distinct n-gram sets of the train (hash<80) and test (hash>=90)
+    splits, mirroring ext_llm.shingles' construction exactly."""
+    joined = " || ' ' || ".join(f"a[i+{j}]" for j in range(n))
+    return f"""
+        SELECT split, gram FROM (
+            SELECT DISTINCT
+                   CASE WHEN {_hkey_sql('doc_id')} % 100 < 80 THEN 'train'
+                        WHEN {_hkey_sql('doc_id')} % 100 >= 90 THEN 'test'
+                   END AS split,
+                   unnest(list_transform(
+                       generate_series(1, len(a) - {n - 1}),
+                       i -> {joined})) AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS a
+                  FROM documents))
+        WHERE split IS NOT NULL"""
+
+
+@register(
+    "ext-ngram-novelty",
+    oracle=f"""
+    WITH g2 AS ({_novelty_gram_sql(2)}),
+    g3 AS ({_novelty_gram_sql(3)}),
+    g5 AS ({_novelty_gram_sql(5)}),
+    all_g AS (
+        SELECT 2 AS n, * FROM g2
+        UNION ALL SELECT 3, * FROM g3
+        UNION ALL SELECT 5, * FROM g5),
+    test_g AS (SELECT n, gram FROM all_g WHERE split = 'test'),
+    train_g AS (SELECT DISTINCT n, gram FROM all_g WHERE split = 'train'),
+    novel AS (
+        SELECT t.n, COUNT(*) AS n_test_grams,
+               SUM(CASE WHEN tr.gram IS NULL THEN 1 ELSE 0 END) AS n_novel
+        FROM test_g t LEFT JOIN train_g tr
+          ON tr.n = t.n AND tr.gram = t.gram
+        GROUP BY 1)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_test_grams AS BIGINT) AS n_test_grams,
+           CAST(n_novel AS BIGINT) AS n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_test_grams AS DOUBLE)
+               AS novelty_rate
+    FROM novel
+    """,
+)
+def ext_ngram_novelty(spark, sf_dir):
+    """N-gram novelty of the held-out split: for n in {2, 3, 5}, the
+    fraction of the test split's distinct n-grams never seen in the
+    train split -- the memorization/coverage curve (novelty rising with
+    n is the expected shape; a low 5-gram novelty flags train-test
+    leakage, the inverse of ext-decontaminate's gate). Splits are the
+    deterministic hash buckets of ext-split-train-eval, grams are
+    ext_llm.shingles' construction, and the rate is one exact int/int
+    double divide, unrounded.
+
+    Scale: per n one distinct over (split, gram) -- map-side explode,
+    one shuffle keyed by gram -- then a gram-keyed LEFT ANTI-shaped join
+    (spelled as left join + null count so the denominator rides along);
+    never a pairwise doc comparison. The three n values are independent
+    pipelines unioned at the 3-row summary, so a cluster runs them in
+    parallel stages."""
+    from dbtwiz_spark.ops.ext_llm import shingles
+
+    d = views(spark, sf_dir).table("documents")
+    bucket = _hkey(F.col("doc_id")) % 100
+    base = d.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket >= 90, "test"),
+    ).filter(F.col("split").isNotNull())
+    outs = []
+    for n in (2, 3, 5):
+        sh = shingles(base, n)
+        tagged = sh.join(
+            base.select("doc_id", "split"), "doc_id"
+        ).select("split", F.col("shingle").alias("gram"))
+        test_g = tagged.filter(F.col("split") == "test").select("gram").distinct()
+        train_g = (
+            tagged.filter(F.col("split") == "train").select("gram").distinct()
+        )
+        novel = test_g.join(
+            train_g.withColumnRenamed("gram", "tg"),
+            test_g.gram == F.col("tg"),
+            "left",
+        ).agg(
+            F.count("*").alias("n_test_grams"),
+            F.sum(F.col("tg").isNull().cast("long")).alias("n_novel"),
+        )
+        outs.append(
+            # the oracle's GROUP BY emits NO row for an n with zero test
+            # grams, while a global agg always emits one — filter the
+            # empty case out (also guards the 0-denominator divide,
+            # which ANSI Spark errors on where DuckDB returns NULL)
+            novel.filter(F.col("n_test_grams") > 0).select(
+                F.lit(n).cast("long").alias("n"),
+                "n_test_grams",
+                "n_novel",
+                (
+                    F.col("n_novel").cast("double")
+                    / F.col("n_test_grams").cast("double")
+                ).alias("novelty_rate"),
+            )
+        )
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+@register(
+    "ext-perplexity-filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM toks),
+    scored AS (
+        SELECT doc_id,
+               {dsum_q4_sql('ln(cnt / total)')} / COUNT(*) AS score
+        FROM toks JOIN vocab USING (tok), n
+        GROUP BY doc_id),
+    rk AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score, doc_id) AS r,
+               COUNT(*) OVER () AS nd
+        FROM scored),
+    gated AS (
+        SELECT d.lang, d.source, d.n_chars,
+               CASE WHEN (rk.r - 1) * 10 // rk.nd + 1 >= 3
+                    THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN rk ON rk.doc_id = d.doc_id)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(n_chars) AS DOUBLE) AS kept_char_share
+    FROM gated GROUP BY 1, 2
+    """,
+)
+def ext_perplexity_filter(spark, sf_dir):
+    """LM-quality gate: score every document by its mean unigram
+    log-probability (the ext-quality-unigram-logprob proxy for a KenLM
+    perplexity filter), drop the WORST two deciles corpus-wide, and
+    report the per-(lang, source) survival histogram -- the actual
+    CCNet-style curation step, not just the score. Deciles come from
+    the exact global rank over the unique (score, doc_id) order via
+    ``common.parallel_rank`` bucketed by integer floor-division (the
+    ext-length-decile-mix device); the score itself is bit-identical
+    across engines (1e-4 ln grid + scaled-BIGINT exit + one divide), so
+    the rank -- and therefore the gate -- is deterministic. The char
+    share is one exact BIGINT/BIGINT double divide, unrounded.
+
+    Scale: vocab join + per-doc reduce (the unigram entry's shape), one
+    rank pass over the per-DOC score table (corpus docs, not tokens),
+    one join back to the doc dims, one grouped reduce. The gate is a
+    threshold on a rank -- no per-decile self-joins."""
+    from dbtwiz_spark.ops.common import parallel_rank
+
+    d = views(spark, sf_dir).table("documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = toks.agg(F.count("*").cast("double").alias("total"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            (dsum_q4(F.log(F.col("cnt") / F.col("total"))) / F.count("*"))
+            .alias("score")
+        )
+    )
+    rk = parallel_rank(scored, ["score", "doc_id"])
+    gated = d.join(
+        rk.select(
+            "doc_id",
+            (F.expr("div((_rank - 1) * 10, _n)") + 1 >= 3)
+            .cast("long")
+            .alias("kept"),
+        ),
+        "doc_id",
+    )
+    return gated.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept").alias("n_kept"),
+        (
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0))
+            .cast("double")
+            / F.sum("n_chars").cast("double")
+        ).alias("kept_char_share"),
+    )

@@ -419,7 +419,7 @@ _MINPLUS_HOPS = 3
 
 
 def _minplus_oracle() -> str:
-    sql = """
+    sql = f"""
     WITH pairs AS (
         SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
                's' || CAST(l.l_suppkey AS VARCHAR) AS s,
@@ -695,4 +695,246 @@ def graph_degree_assortativity(spark, sf_dir):
             & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0),
             F.round(num / (F.sqrt(dx) * F.sqrt(dy)), 6),
         ).alias("assortativity"),
+    )
+
+
+_KCORE_K = 13
+_KCORE_ROUNDS = 4
+_KCORE_MIN_ORDERS = 2
+
+
+def _kcore_oracle() -> str:
+    sql = f"""
+    WITH pairs AS (
+        SELECT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+               's' || CAST(l.l_suppkey AS VARCHAR) AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT o.o_orderkey) >= {_KCORE_MIN_ORDERS}),
+    e0 AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs)
+    """
+    prev = "e0"
+    rounds = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+    d{i} AS (SELECT src AS node, COUNT(*) AS dg FROM {prev} GROUP BY 1),
+    k{i} AS (SELECT node FROM d{i} WHERE dg >= {_KCORE_K}),
+    e{i} AS (
+        SELECT e.src, e.dst FROM {prev} e
+        JOIN k{i} a ON e.src = a.node
+        JOIN k{i} b ON e.dst = b.node),
+    r{i} AS (
+        SELECT CAST({i} AS BIGINT) AS round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM k{i}
+                WHERE node LIKE 'c%') AS n_customers,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM k{i}
+                WHERE node LIKE 's%') AS n_suppliers,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e{i}) AS n_edges)
+        """
+        rounds.append(f"SELECT * FROM r{i}")
+        prev = f"e{i}"
+    return sql + "\n" + "\nUNION ALL\n".join(rounds)
+
+
+@register("graph-k-core", oracle=_kcore_oracle())
+def graph_k_core(spark, sf_dir):
+    """k-core decomposition by iterative peeling (k = 13, 4 rounds):
+    each round drops every node whose degree fell below k and the edges
+    touching it, reporting the per-round survivor counts by side and the
+    remaining directed edge count -- the standard graph-densification /
+    spam-filtering primitive (the dense core is where engagement lives).
+    The graph is the REPEAT-purchase customer-supplier graph (an edge
+    needs >= 2 distinct orders between the pair): the raw bipartite
+    graph's supplier side is so dense that any k peels exactly once and
+    stops, while thresholded degrees straddle k on both sides and the
+    peel genuinely cascades (204 -> 185 -> 141 -> 80 survivors at
+    sf0.01). FIXED round count, not converge-detect: both engines
+    execute the identical 4 peels, so the output is deterministic
+    whether or not the peel has stabilized, and the per-round trajectory
+    itself is the result (a converged or emptied graph just repeats its
+    counts -- zeros at scales whose thresholded degrees sit below k are
+    valid output, not failure). All counts are exact integers -- no
+    float surface at all.
+
+    Scale: each round is one degree aggregation plus two equi-joins of
+    the edge list against the shrinking survivor set -- the same
+    shuffle shape as graph-pagerank's hop, over its own persisted edge
+    artifact (built once per session x scale). Rounds are a Python
+    loop over lazy plans: 4 fixed iterations keep the lineage shallow;
+    production-depth peeling would checkpoint every ~5 rounds like the
+    pagerank docstring notes. The survivor join is a broadcast when the
+    core shrinks below the threshold -- AQE decides per round."""
+    cat = views(spark, sf_dir)
+
+    def _build_edges():
+        o, li = cat.table("orders"), cat.table("lineitem")
+        pairs = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                    "c"
+                ),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                    "s"
+                ),
+            )
+            .agg(F.countDistinct("o_orderkey").alias("no"))
+            .filter(F.col("no") >= _KCORE_MIN_ORDERS)
+            .select("c", "s")
+        )
+        return pairs.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+
+    edges = _artifact(spark, sf_dir, "kcore_edges", _build_edges)
+    per_round = []
+    for i in range(1, _KCORE_ROUNDS + 1):
+        deg = edges.groupBy("src").agg(F.count("*").alias("dg"))
+        keep = deg.filter(F.col("dg") >= _KCORE_K).select(
+            F.col("src").alias("node")
+        )
+
+        def _peel(e=edges, k=keep):
+            return (
+                e.join(k.withColumnRenamed("node", "src"), "src")
+                .join(k.select(F.col("node").alias("dst")), "dst")
+                .select("src", "dst")
+            )
+
+        # memoize each round's survivor edge set: the per-round count
+        # frames are all consumed in one union, and without this each
+        # round's rows re-derive every PRIOR round's degree-agg + joins
+        # (O(rounds^2) duplicate shuffles); the _artifact memo also
+        # serves repeat sweeps. Bind loop state via defaults — a bare
+        # closure would capture the final round's variables.
+        edges = _artifact(spark, sf_dir, f"kcore_e{i}", _peel)
+        nodes_row = keep.agg(
+            F.sum(F.col("node").startswith("c").cast("long")).alias(
+                "n_customers"
+            ),
+            F.sum(F.col("node").startswith("s").cast("long")).alias(
+                "n_suppliers"
+            ),
+        )
+        edges_row = edges.agg(F.count("*").alias("n_edges"))
+        per_round.append(
+            nodes_row.crossJoin(edges_row).select(
+                F.lit(i).cast("long").alias("round"),
+                F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+                F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+                "n_edges",
+            )
+        )
+    out = per_round[0]
+    for df in per_round[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+_PPR_SEEDS = ("s1", "s2", "s3", "s4", "s5")
+
+
+def _ppr_oracle() -> str:
+    seeds = ", ".join(f"'{s}'" for s in _PPR_SEEDS)
+    seed_init = _SCALE // len(_PPR_SEEDS)
+    seed_base = (_SCALE * 15 // 100) // len(_PPR_SEEDS)
+    base = f"CASE WHEN e.dst IN ({seeds}) THEN {seed_base} ELSE 0 END"
+    sql = f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs),
+    deg AS (SELECT src AS node, COUNT(*) AS degree FROM edges GROUP BY 1),
+    r0 AS (
+        SELECT node, degree,
+               CASE WHEN node IN ({seeds})
+                    THEN CAST({seed_init} AS BIGINT)
+                    ELSE CAST(0 AS BIGINT) END AS rank
+        FROM deg)
+    """
+    prev = "r0"
+    for i in range(1, _ITER + 1):
+        sql += f""",
+    r{i} AS (
+        SELECT e.dst AS node, d.degree,
+               {base} + ({_DAMP_NUM} * SUM(r.rank // r.degree))
+                   // {_DAMP_DEN} AS rank
+        FROM edges e
+        JOIN {prev} r ON e.src = r.node
+        JOIN deg d ON e.dst = d.node
+        GROUP BY e.dst, d.degree)
+        """
+        prev = f"r{i}"
+    sql += f"""
+    SELECT node, CAST(rank AS BIGINT) AS ppr_fp
+    FROM {prev} ORDER BY rank DESC, node LIMIT 20
+    """
+    return sql
+
+
+@register("graph-personalized-pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (3 iterations, damping 0.85, restart mass
+    pinned to a 5-supplier seed set): proximity TO THE SEEDS rather than
+    global centrality -- the recommendation / related-entities primitive
+    (rank customers and suppliers by relevance to this vendor group).
+    Same integer fixed-point device as graph-pagerank (BIGINT x 1e15
+    ranks, ``seed_base + (85 * sum(rank div degree)) div 100`` -- exact
+    in any engine and reduction order); the ONLY differences are the
+    initial vector (all mass split over the seeds) and the teleport term
+    (seeds only) -- non-seed nodes keep whatever flows to them, so mass
+    concentrates in the seeds' neighbourhood, and distant nodes decay
+    toward zero instead of sharing a uniform floor.
+
+    Scale: identical join/agg shape per hop as graph-pagerank over the
+    SAME persisted edge/degree artifacts (one build serves all graph
+    entries); the seed test is a broadcast-literal IN over 5 keys. A
+    1000-seed production restart vector would join a broadcast seed
+    table instead of inlining literals."""
+    cat = views(spark, sf_dir)
+    edges = _pr_edges(spark, sf_dir, cat)
+    deg = _pr_deg(spark, sf_dir, edges)
+    seeds = list(_PPR_SEEDS)
+    seed_init = _SCALE // len(seeds)
+    seed_base = (_SCALE * 15 // 100) // len(seeds)
+    ranks = deg.select(
+        "node",
+        "degree",
+        F.when(F.col("node").isin(seeds), F.lit(seed_init))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(_ITER):
+        contrib = edges.join(ranks, edges.src == ranks.node).select(
+            F.col("dst"), F.expr("rank div degree").alias("contrib")
+        )
+        base = (
+            F.when(F.col("node").isin(seeds), F.lit(seed_base))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .join(deg, contrib.dst == deg.node)
+            .select(
+                "node",
+                "degree",
+                (base + F.expr(f"({_DAMP_NUM} * s) div {_DAMP_DEN}")).alias(
+                    "rank"
+                ),
+            )
+        )
+    return (
+        ranks.select("node", F.col("rank").alias("ppr_fp"))
+        .orderBy(F.desc("ppr_fp"), "node")
+        .limit(20)
     )

@@ -160,3 +160,54 @@ def file_format_orc(spark, sf_dir):
     return back.groupBy("c_mktsegment").agg(
         F.count("*").alias("n"), dsum("c_acctbal", "total_bal")
     )
+
+
+def _profile_oracle() -> str:
+    cols = (
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in cols
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("scan-profile-table", oracle=_profile_oracle())
+def scan_profile_table(spark, sf_dir):
+    """Column-level table profile (null count + exact distinct count per
+    column) -- the inspection pass behind every warehouse catalog /
+    data-quality UI, and the reference's freshness/partition inspection
+    plane generalized to per-column stats. One row per column of
+    ``orders``, exact integers only.
+
+    Scale: a SINGLE scan computes all 12 aggregates at once (Spark
+    rewrites multiple COUNT(DISTINCT) into one expand + two-level
+    partial aggregation -- 6x fewer passes than the naive per-column
+    loop the oracle spells out), then `stack` unpivots the 1-row result
+    driver-side-free. Exact distinct at 100 TB is a real shuffle per
+    distinct column by design; the cheap estimate variant is
+    agg-approx-count-distinct."""
+    o = views(spark, sf_dir).table("orders")
+    cols = (
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    )
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+        )
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    one = o.agg(*aggs)
+    stack = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (col_name, n_nulls, n_distinct)"
+        )
+    )

@@ -614,3 +614,58 @@ def stream_rate_limit(spark, sf_dir):
         .cast("long")
         .alias("n_kept"),
     )
+
+
+@register(
+    "stream-top-k-windowed",
+    oracle="""
+    WITH wc AS (
+        SELECT date_trunc('day', ts)
+                 + (CAST(EXTRACT(hour FROM ts) AS INTEGER) // 6)
+                   * INTERVAL 6 HOUR AS win_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2),
+    rk AS (
+        SELECT win_start, event_type, n_events,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY win_start
+                   ORDER BY n_events DESC, event_type) AS BIGINT) AS rk
+        FROM wc)
+    SELECT win_start, event_type, n_events, rk FROM rk WHERE rk <= 3
+    """,
+)
+def stream_top_k_windowed(spark, sf_dir):
+    """Windowed top-k (the trending-topics pattern): per tumbling 6-hour
+    window, the 3 most frequent event types, ranked with a deterministic
+    tiebreak (count desc, then type asc -- ranks over a non-unique order
+    are engine-dependent otherwise). Batch form of the streaming
+    aggregate + per-trigger ranking job: a true stream computes the
+    windowed counts with a watermark and ranks inside foreachBatch
+    (ranking is not an incremental operator; the per-window count state
+    IS incremental, the top-k is a per-emit decoration -- same split as
+    stream-foreachbatch-sink).
+
+    Scale: one partial-aggregated (window, type) count -- the only
+    corpus-sized shuffle -- then a window ranking partitioned by
+    win_start over the bounded (windows x types) grid. Spark's
+    `F.window` assignment is epoch-floor arithmetic; 6 h divides a day,
+    so the oracle reproduces it with day-trunc + hour floor-division
+    (the stream-sliding-window device)."""
+    ev = views(spark, sf_dir).table("events")
+    wc = ev.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n_events"))
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("win_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+    )
+    return (
+        wc.select(
+            F.col("w.start").alias("win_start"), "event_type", "n_events"
+        )
+        .withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+    )

@@ -1375,3 +1375,137 @@ def win_holt_winters(spark, sf_dir):
         F.element_at(hw, 2).alias("trend"),
         (F.element_at(hw, 1) + F.element_at(hw, 2)).alias("forecast_1"),
     )
+
+
+@register(
+    "win-rsi-wilder",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)) * 100)
+                    AS BIGINT) AS revc
+        FROM orders GROUP BY 1, 2),
+    dd AS (
+        SELECT pri, day,
+               revc - LAG(revc) OVER (PARTITION BY pri ORDER BY day) AS d
+        FROM daily),
+    ser AS (
+        SELECT pri,
+               list(CAST(d AS DOUBLE) ORDER BY day) AS arr,
+               CAST(COUNT(d) AS BIGINT) AS n_deltas
+        FROM dd WHERE d IS NOT NULL GROUP BY 1),
+    init AS (
+        SELECT pri, n_deltas, arr,
+               list_reduce(
+                   list_prepend([CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)],
+                                [[v, CAST(0 AS DOUBLE)] for v in arr[1:14]]),
+                   (acc, e) -> [
+                       acc[1] + CASE WHEN e[1] > 0 THEN e[1]
+                                     ELSE CAST(0 AS DOUBLE) END,
+                       acc[2] + CASE WHEN e[1] < 0 THEN -e[1]
+                                     ELSE CAST(0 AS DOUBLE) END]) AS s14
+        FROM ser WHERE n_deltas >= 15),
+    fit AS (
+        SELECT pri, n_deltas,
+               list_reduce(
+                   list_prepend([s14[1] / 14, s14[2] / 14],
+                                [[v, CAST(0 AS DOUBLE)] for v in arr[15:]]),
+                   (acc, e) -> [
+                       (acc[1] * 13 + CASE WHEN e[1] > 0 THEN e[1]
+                                           ELSE CAST(0 AS DOUBLE) END) / 14,
+                       (acc[2] * 13 + CASE WHEN e[1] < 0 THEN -e[1]
+                                           ELSE CAST(0 AS DOUBLE) END) / 14])
+                   AS ag
+        FROM init)
+    SELECT pri AS o_orderpriority, n_deltas,
+           ag[1] AS avg_gain, ag[2] AS avg_loss,
+           CASE WHEN ag[2] > 0
+                THEN 100 - 100 / (1 + ag[1] / ag[2])
+                WHEN ag[1] > 0 THEN CAST(100 AS DOUBLE) END AS rsi
+    FROM fit
+    """,
+)
+def win_rsi_wilder(spark, sf_dir):
+    """Wilder's RSI(14) over each order priority's daily-revenue series
+    -- the momentum oscillator whose smoothing recurrence AG_t =
+    (13*AG_{t-1} + gain_t)/14 no window frame expresses (every value
+    depends on all history, the win-holt-winters class). Device: daily
+    deltas via one lag window on exact integer cents, then the ORDERED
+    FOLD -- seed with the mean of the first 14 gains/losses (Wilder's
+    init; integer-valued sums, one exact /14 each), fold the remaining
+    deltas through the recurrence. Both engines run the identical IEEE
+    sequence on identical integer-valued inputs, so avg gain/loss and
+    RSI = 100 - 100/(1+RS) ship BIT-IDENTICAL UNROUNDED; all-loss series
+    pin RSI=0 via the same arithmetic, all-gain series guard to exactly
+    100, flat series (both averages zero) to NULL on both engines.
+
+    Scale: the corpus-sized work is one partial-aggregated daily
+    groupBy; the lag window partitions by priority over day-bounded
+    rows, and the fold runs inside codegen over the bounded calendar
+    series per key (the win-autocorr bound)."""
+    o = views(spark, sf_dir).table("orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("long")
+        .alias("revc")
+    )
+    w = Window.partitionBy("pri").orderBy("day")
+    dd = daily.select(
+        "pri", "day", (F.col("revc") - F.lag("revc").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull())
+    ser = dd.groupBy("pri").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "d"))),
+            lambda s: s.d.cast("double"),
+        ).alias("arr"),
+        F.count("d").alias("n_deltas"),
+    ).filter(F.col("n_deltas") >= 15)
+
+    def gain(e):
+        return F.when(e > 0, e).otherwise(F.lit(0.0))
+
+    def loss(e):
+        return F.when(e < 0, -e).otherwise(F.lit(0.0))
+
+    # accumulator is a 2-element ARRAY [avg_gain, avg_loss] (fresh list
+    # per step -- the holt-winters anti-aliasing rule for DuckDB folds)
+    s14 = F.aggregate(
+        F.slice(F.col("arr"), 1, 14),
+        F.array(F.lit(0.0), F.lit(0.0)),
+        lambda acc, e: F.array(
+            F.element_at(acc, 1) + gain(e), F.element_at(acc, 2) + loss(e)
+        ),
+    )
+    init = ser.select(
+        "pri",
+        "n_deltas",
+        F.slice(F.col("arr"), 15, F.size("arr") - 14).alias("rest"),
+        F.array(
+            F.element_at(s14, 1) / 14, F.element_at(s14, 2) / 14
+        ).alias("seed"),
+    )
+    fit = init.select(
+        "pri",
+        "n_deltas",
+        F.aggregate(
+            F.col("rest"),
+            F.col("seed"),
+            lambda acc, e: F.array(
+                (F.element_at(acc, 1) * 13 + gain(e)) / 14,
+                (F.element_at(acc, 2) * 13 + loss(e)) / 14,
+            ),
+        ).alias("ag"),
+    )
+    ag, al = F.element_at("ag", 1), F.element_at("ag", 2)
+    return fit.select(
+        F.col("pri").alias("o_orderpriority"),
+        "n_deltas",
+        ag.alias("avg_gain"),
+        al.alias("avg_loss"),
+        F.when(al > 0, 100 - 100 / (1 + ag / al))
+        .when(ag > 0, F.lit(100.0))
+        .alias("rsi"),
+    )

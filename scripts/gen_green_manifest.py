@@ -53,6 +53,9 @@ _SHARED_HELPERS = (
     "shingles",
     "_plan_sig",
     "_cc_propagate",
+    "_pr_edges",
+    "_pr_deg",
+    "_copurchase_cs",
     "_artifact",
 )
 
