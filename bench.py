@@ -211,6 +211,18 @@ def q_triangle_count(cat):
     return graph_triangle_count(cat.spark, cat.sf_dir), "collect"
 
 
+def q_kcore(cat):
+    from dbtwiz_spark.ops.graphs import graph_k_core
+
+    return graph_k_core(cat.spark, cat.sf_dir), "collect"
+
+
+def q_perplexity_filter(cat):
+    from dbtwiz_spark.ops.ext_pipeline import ext_perplexity_filter
+
+    return ext_perplexity_filter(cat.spark, cat.sf_dir), "collect"
+
+
 def q_ks_test(cat):
     from dbtwiz_spark.ops.aggregates import agg_ks_test
 
@@ -250,6 +262,9 @@ EXTRA_QUERIES = {
     "q_survival_km": q_survival_km,
     "q_holt_winters": q_holt_winters,
     "q_bootstrap_ci": q_bootstrap_ci,
+    # round-7 continuation blocks
+    "q_kcore": q_kcore,
+    "q_perplexity_filter": q_perplexity_filter,
 }
 
 QUERIES = {

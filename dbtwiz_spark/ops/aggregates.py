@@ -3678,3 +3678,106 @@ def agg_price_elasticity(spark, sf_dir):
             ),
         ).alias("elasticity"),
     )
+
+
+@register(
+    "agg-runs-test",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)) * 100)
+                    AS BIGINT) AS revc
+        FROM orders GROUP BY 1, 2),
+    dd AS (
+        SELECT pri, day,
+               revc - LAG(revc) OVER (PARTITION BY pri ORDER BY day) AS d
+        FROM daily),
+    sg AS (
+        SELECT pri, day, CASE WHEN d > 0 THEN 1 ELSE -1 END AS s
+        FROM dd WHERE d IS NOT NULL AND d <> 0),
+    ch AS (
+        SELECT pri, s,
+               CASE WHEN LAG(s) OVER (PARTITION BY pri ORDER BY day)
+                         IS DISTINCT FROM s THEN 1 ELSE 0 END AS chg
+        FROM sg),
+    m AS (
+        SELECT pri, CAST(SUM(chg) AS BIGINT) AS runs,
+               CAST(COUNT(*) FILTER (WHERE s = 1) AS BIGINT) AS n_up,
+               CAST(COUNT(*) FILTER (WHERE s = -1) AS BIGINT) AS n_down
+        FROM ch GROUP BY 1)
+    SELECT pri AS o_orderpriority, runs, n_up, n_down,
+           CASE WHEN n_up > 0 AND n_down > 0 AND n_up + n_down > 1 THEN
+               (CAST(runs AS DOUBLE)
+                - (1 + 2 * CAST(n_up * n_down AS DOUBLE)
+                       / CAST(n_up + n_down AS DOUBLE)))
+               / sqrt((2 * CAST(n_up * n_down AS DOUBLE)
+                       / CAST(n_up + n_down AS DOUBLE))
+                      * (2 * CAST(n_up * n_down AS DOUBLE)
+                         / CAST(n_up + n_down AS DOUBLE) - 1)
+                      / CAST(n_up + n_down - 1 AS DOUBLE))
+           END AS z
+    FROM m
+    """,
+)
+def agg_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on each priority's daily-revenue
+    direction sequence: count the runs of consecutive up/down days and
+    standardize against the randomness null (too FEW runs = trending,
+    too MANY = mean-reverting oscillation) -- the classic
+    randomness-of-a-series check next to win-autocorr. The first
+    changed-sign row counts 1 via IS DISTINCT FROM against the NULL lag
+    (so runs = the true run count), n_up/n_down are exact integers, and
+    z composes the textbook mu = 1 + 2ab/n, sigma^2 = (mu-1)(mu-2)/(n-1)
+    entirely from exact int64->double conversions and correctly-rounded
+    IEEE ops on both engines -- shipped bit-identical UNROUNDED.
+    Zero-delta days are excluded (ties carry no direction); degenerate
+    one-sided series guard NULL.
+
+    Scale: one partial-aggregated daily groupBy, two lag windows over
+    calendar-bounded partitions, a 5-key reduce. No fold needed -- the
+    run count is order-local (a lag), not a recurrence."""
+    o = views(spark, sf_dir).table("orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100).cast("long").alias("revc")
+    )
+    w = Window.partitionBy("pri").orderBy("day")
+    dd = daily.select(
+        "pri", "day", (F.col("revc") - F.lag("revc").over(w)).alias("d")
+    ).filter(F.col("d").isNotNull() & (F.col("d") != 0))
+    sg = dd.select(
+        "pri", "day", F.when(F.col("d") > 0, 1).otherwise(-1).alias("s")
+    )
+    ch = sg.select(
+        "pri",
+        "s",
+        (~F.lag("s").over(w).eqNullSafe(F.col("s"))).cast("long").alias("chg"),
+    )
+    m = ch.groupBy("pri").agg(
+        F.sum("chg").alias("runs"),
+        F.sum((F.col("s") == 1).cast("long")).alias("n_up"),
+        F.sum((F.col("s") == -1).cast("long")).alias("n_down"),
+    )
+    # x = 2ab/n computed EXACTLY as in the oracle: integer product, ONE
+    # int->double conversion, one divide. (mu-1) recomputed as
+    # fl(fl(1+x)-1) would NOT equal x in IEEE — both engines must use x
+    # directly in the variance.
+    prod = (F.col("n_up") * F.col("n_down")).cast("double")
+    ntot = (F.col("n_up") + F.col("n_down")).cast("double")
+    x = 2 * prod / ntot
+    mu = 1 + x
+    var = x * (x - 1) / (F.col("n_up") + F.col("n_down") - 1).cast("double")
+    return m.select(
+        F.col("pri").alias("o_orderpriority"),
+        "runs",
+        "n_up",
+        "n_down",
+        F.when(
+            (F.col("n_up") > 0)
+            & (F.col("n_down") > 0)
+            & (F.col("n_up") + F.col("n_down") > 1),
+            (F.col("runs").cast("double") - mu) / F.sqrt(var),
+        ).alias("z"),
+    )

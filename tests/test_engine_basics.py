@@ -157,13 +157,17 @@ def test_parallel_rank_memo_separates_scale_dirs(spark, tmp_path):
     assert parallel_rank(b, keys).count() == 19
 
 
-def test_parallel_rank_refuses_memo_on_persisted_input(spark, tmp_path):
-    """A parallel_rank whose INPUT contains a persisted subtree must not
-    be memoized at all: the InMemoryRelation swallows the file scan and
-    canonicalizes scale-independently, so two scale dirs' chained-rank
-    plans collide (caught live: an sf0.01 RFM sweep served sf0.001's
-    150-row rank table). Unique-token signatures trade reuse for
-    correctness on exactly this shape."""
+def test_parallel_rank_memo_separates_persisted_inputs(spark, tmp_path):
+    """A parallel_rank whose INPUT contains a persisted subtree: the
+    InMemoryRelation swallows the file scan and canonicalizes
+    scale-independently, so two scale dirs' chained-rank plans collide
+    on the canonical JSON alone (caught live: an sf0.01 RFM sweep
+    served sf0.001's 150-row rank table). The signature must recover
+    the file provenance from the cached build subtree — separating
+    scales while staying STABLE for the same plan (a primed Catalog
+    puts an InMemoryRelation under every bench plan, so refusing
+    memoization wholesale re-leaked a persisted copy per call and cost
+    5x on win-rolling-corr)."""
     from dbtwiz_spark.ops.common import _plan_sig
 
     for i, n in enumerate((7, 19)):
@@ -175,10 +179,34 @@ def test_parallel_rank_refuses_memo_on_persisted_input(spark, tmp_path):
         a.count(), b.count()  # materialize the InMemoryRelations
         da = a.select((F.col("id") + 1).alias("id"))
         db = b.select((F.col("id") + 1).alias("id"))
-        # without the guard these two sigs are EQUAL (no files, canonical
-        # InMemoryRelation) — the guard must separate them
+        # without the provenance recovery these two sigs are EQUAL (no
+        # files, canonical InMemoryRelation) — they must separate
         assert _plan_sig(da, keys, 8) != _plan_sig(db, keys, 8)
-        # and even the SAME plan must not self-collide (no stale reuse)
-        assert _plan_sig(da, keys, 8) != _plan_sig(da, keys, 8)
+        # and the SAME plan must hit the same slot (memo reuse under a
+        # primed catalog / persisted artifacts)
+        assert _plan_sig(da, keys, 8) == _plan_sig(da, keys, 8)
     finally:
         a.unpersist(), b.unpersist()
+
+
+def test_plan_sig_refuses_memo_without_file_provenance(spark):
+    """A cached plan with NO recoverable file provenance (persisted
+    local data — nothing in the cached build subtree names a source)
+    cannot be distinguished from another same-schema cached input, so
+    it must fall back to a never-matching token: correctness over
+    reuse."""
+    from dbtwiz_spark.ops.common import _plan_sig
+
+    a = spark.createDataFrame([(i,) for i in range(7)], "id long").persist()
+    try:
+        a.count()
+        da = a.select((F.col("id") + 1).alias("id"))
+        if "InMemoryRelation" not in (
+            da._jdf.queryExecution().optimizedPlan().toString()
+        ):  # pragma: no cover - plan shape drifted; guard is moot then
+            return
+        assert _plan_sig(da, [F.col("id")], 8) != _plan_sig(
+            da, [F.col("id")], 8
+        )
+    finally:
+        a.unpersist()
