@@ -3781,3 +3781,70 @@ def agg_runs_test(spark, sf_dir):
             (F.col("runs").cast("double") - mu) / F.sqrt(var),
         ).alias("z"),
     )
+
+
+@register(
+    "agg-order-gap-distribution",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(date_diff('day',
+                    LAG(CAST(o_orderdate AS DATE)) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                    CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+        FROM orders),
+    b AS (
+        SELECT CASE WHEN gap = 0 THEN 0
+                    WHEN gap <= 7 THEN 1
+                    WHEN gap <= 30 THEN 2
+                    WHEN gap <= 90 THEN 3
+                    WHEN gap <= 365 THEN 4
+                    ELSE 5 END AS bucket,
+               gap
+        FROM gaps WHERE gap IS NOT NULL)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_days,
+           CAST(MAX(gap) AS BIGINT) AS max_days,
+           CAST(SUM(gap) AS BIGINT) AS total_days
+    FROM b GROUP BY 1
+    """,
+)
+def agg_order_gap_distribution(spark, sf_dir):
+    """Inter-purchase gap distribution: days between each customer's
+    consecutive orders, bucketed into the standard repeat-purchase bands
+    (same-day / week / month / quarter / year / dormant) -- the input to
+    every churn-definition debate ("inactive" = which band?). Gaps come
+    from one lag window over a unique (date, orderkey) order; buckets,
+    counts, and day sums are exact integers end to end -- no float
+    surface.
+
+    Scale: one shuffle on the customer key with calendar-bounded
+    partitions, then a 6-key partial-aggregated reduce. The histogram
+    never materializes per-customer state beyond the lag."""
+    o = views(spark, sf_dir).table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        )
+        .cast("long")
+        .alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    bucket = (
+        F.when(F.col("gap") == 0, 0)
+        .when(F.col("gap") <= 7, 1)
+        .when(F.col("gap") <= 30, 2)
+        .when(F.col("gap") <= 90, 3)
+        .when(F.col("gap") <= 365, 4)
+        .otherwise(5)
+    )
+    return gaps.groupBy(bucket.cast("long").alias("bucket")).agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap").alias("min_days"),
+        F.max("gap").alias("max_days"),
+        F.sum("gap").alias("total_days"),
+    )

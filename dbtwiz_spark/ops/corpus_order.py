@@ -59,7 +59,9 @@ stream-rate-limit, graph-degree-assortativity, agg-rfm-segmentation,
 agg-pythagorean-means, agg-retention-triangle, agg-hhi-concentration,
 win-rsi-wilder, graph-k-core, stream-top-k-windowed, scan-profile-table,
 agg-pareto-share, agg-price-elasticity, ext-ngram-novelty,
-ext-perplexity-filter, graph-personalized-pagerank.
+ext-perplexity-filter, graph-personalized-pagerank, agg-runs-test,
+win-bollinger-bands, join-star-schema, agg-order-gap-distribution,
+ext-split-leak-audit.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode

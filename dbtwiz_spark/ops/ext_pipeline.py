@@ -2559,3 +2559,90 @@ def ext_perplexity_filter(spark, sf_dir):
             / F.sum("n_chars").cast("double")
         ).alias("kept_char_share"),
     )
+
+
+@register(
+    "ext-split-leak-audit",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, string_split(text, ' ') AS a,
+               CASE WHEN {_hkey_sql('doc_id')} % 100 < 80 THEN 'train'
+                    WHEN {_hkey_sql('doc_id')} % 100 >= 90 THEN 'test'
+               END AS split
+        FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, split,
+               unnest(list_transform(generate_series(1, len(a) - 4),
+                      i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                           || a[i+3] || ' ' || a[i+4])) AS shingle
+        FROM arrs WHERE split IS NOT NULL),
+    train_sh AS (
+        SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+    test_docs AS (
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_shared
+        FROM sh s LEFT JOIN train_sh t ON t.shingle = s.shingle
+        WHERE s.split = 'test' GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_test_docs,
+           CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_contaminated_docs,
+           CAST(SUM(n_shared) AS BIGINT) AS shared_gram_hits,
+           CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS contamination_rate
+    FROM test_docs
+    """,
+)
+def ext_split_leak_audit(spark, sf_dir):
+    """Train/test leakage audit at the 5-gram level: how many test-split
+    documents share at least one 5-gram with the train split, and how
+    many of their grams are covered -- the gate an eval set must pass
+    before any benchmark number is trusted (ext-decontaminate REMOVES
+    contamination from training; this MEASURES the eval set's exposure,
+    the audit a pipeline runs on every refresh). Splits are the
+    deterministic hash buckets of ext-split-train-eval, grams are
+    ext_llm.shingles' construction, the rate is one exact int/int
+    double divide, unrounded. (Exact-verbatim leakage is the n_shared ==
+    n_grams extreme of the same measurement.)
+
+    Scale: one distinct per-doc shingle pass per split, a gram-keyed
+    LEFT join of the test grams against the train gram set (the
+    ext-decontaminate semi-join with the count kept), one per-doc
+    reduce, one 1-row summary. Never a doc-pair comparison."""
+    from dbtwiz_spark.ops.ext_llm import shingles
+
+    d = views(spark, sf_dir).table("documents")
+    bucket = _hkey(F.col("doc_id")) % 100
+    base = d.withColumn(
+        "split",
+        F.when(bucket < 80, "train").when(bucket >= 90, "test"),
+    ).filter(F.col("split").isNotNull())
+    sh = shingles(base, 5).join(base.select("doc_id", "split"), "doc_id")
+    train_sh = (
+        sh.filter(F.col("split") == "train").select("shingle").distinct()
+    )
+    test_docs = (
+        sh.filter(F.col("split") == "test")
+        .join(
+            train_sh.withColumnRenamed("shingle", "tsh"),
+            F.col("shingle") == F.col("tsh"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("tsh").isNotNull().cast("long")).alias("n_shared"),
+        )
+    )
+    return test_docs.agg(
+        F.count("*").alias("n_test_docs"),
+        F.sum((F.col("n_shared") > 0).cast("long")).alias(
+            "n_contaminated_docs"
+        ),
+        F.sum("n_shared").alias("shared_gram_hits"),
+        (
+            F.sum((F.col("n_shared") > 0).cast("long")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("contamination_rate"),
+    )

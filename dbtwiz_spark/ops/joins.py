@@ -966,3 +966,73 @@ def join_interval_coalesce(spark, sf_dir):
         F.count("*").alias("n_intervals"),
         F.sum(F.col("en") - F.col("st")).cast("bigint").alias("covered_us"),
     )
+
+
+@register(
+    "join-star-schema",
+    oracle="""
+    SELECT r.r_name, p.p_type,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))
+                         * CAST((100 - CAST(ROUND(l.l_discount * 100)
+                                            AS BIGINT))
+                                AS DECIMAL(28,6)))
+                     * 10000 AS BIGINT) AS DOUBLE) / 1000000 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def join_star_schema(spark, sf_dir):
+    """The full star-schema rollup: the fact stream joined through FIVE
+    dimensions (orders -> customer -> nation -> region, plus part) into
+    a (region, part type, year) revenue cube -- the canonical warehouse
+    mart query shape the reference's dbt models compile to
+    (fct_/dim_ marts, SURVEY §2.3/§2.4). Discounted revenue keeps the
+    discount EXACT by converting the <= 2-decimal fraction to an
+    integer percentage before the multiply (double l_discount * double
+    price would hash-diverge), accumulating in DECIMAL and exiting
+    through the scaled-BIGINT device.
+
+    Scale: the plan to insist on at 100 TB -- nation/region (25/5 rows
+    forever) are pinned broadcasts; customer and part broadcast at test
+    scale and AQE demotes them to shuffle joins when they outgrow the
+    threshold, so at any scale the fact stream moves through the
+    minimum of shuffles; orders-lineitem co-partition on the order
+    key. The
+    group-by cube is (regions x types x years) -- bounded output."""
+    cat = views(spark, sf_dir)
+    li, o, c = cat.table("lineitem"), cat.table("orders"), cat.table("customer")
+    n, r, p = cat.table("nation"), cat.table("region"), cat.table("part")
+    # ROUND before the integer cast on BOTH sides: Spark's double->long
+    # cast truncates while DuckDB's rounds to nearest, so a discount
+    # whose x100 repr lands just BELOW its integer (0.29*100 =
+    # 28.999999999999996) would silently diverge under a bare cast
+    disc_pct = (100 - F.round(F.col("l_discount") * 100).cast("long")).cast(
+        "decimal(28,6)"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(28,6)") * disc_pct
+    joined = (
+        li.join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), n.n_nationkey == c.c_nationkey)
+        .join(F.broadcast(r), r.r_regionkey == n.n_regionkey)
+        # no broadcast hint on part: it scales with SF (bigger than
+        # customer at every scale) — AQE broadcasts it while small and
+        # demotes it to a shuffle join when it outgrows the threshold;
+        # only the forever-tiny nation/region dims are pinned
+        .join(p, p.p_partkey == li.l_partkey)
+    )
+    return joined.groupBy(
+        "r_name", "p_type", F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        F.count("*").alias("n_lines"),
+        ((F.sum(rev) * 10000).cast("long").cast("double") / 1000000).alias(
+            "revenue"
+        ),
+    )

@@ -1509,3 +1509,112 @@ def win_rsi_wilder(spark, sf_dir):
         .when(ag > 0, F.lit(100.0))
         .alias("rsi"),
     )
+
+
+@register(
+    "win-bollinger-bands",
+    oracle="""
+    WITH base AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               CAST(l_extendedprice AS DECIMAL(12, 2)) AS y,
+               CAST(l_extendedprice AS DECIMAL(12, 2))
+                 * CAST(l_extendedprice AS DECIMAL(12, 2)) AS yy
+        FROM lineitem WHERE l_suppkey <= 25),
+    e AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, y,
+               COUNT(*) OVER f AS cnt,
+               CAST(SUM(y) OVER f AS DECIMAL(38, 6)) AS sy,
+               CAST(SUM(yy) OVER f AS DECIMAL(38, 6)) AS syy
+        FROM base
+        WINDOW f AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    c AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(y * 100 AS BIGINT) AS yi,
+               CAST(sy * 100 AS BIGINT) AS syi,
+               CAST(syy * 10000 AS BIGINT) AS syyi
+        FROM e WHERE cnt = 20),
+    d AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(yi AS DOUBLE) / 100 AS yv,
+               CAST(syi AS DOUBLE) / 2000 AS mean,
+               CAST(20 * syyi - syi * syi AS DOUBLE) AS vnum
+        FROM c)
+    SELECT l_suppkey, l_orderkey, l_linenumber, yv AS price, mean,
+           CASE WHEN vnum > 0 THEN
+               mean + 2 * (sqrt(vnum / 380) / 100) END AS upper_band,
+           CASE WHEN vnum > 0 THEN
+               mean - 2 * (sqrt(vnum / 380) / 100) END AS lower_band,
+           CASE WHEN vnum > 0 THEN
+               (yv - (mean - 2 * (sqrt(vnum / 380) / 100)))
+               / (4 * (sqrt(vnum / 380) / 100)) END AS pct_b
+    FROM d
+    """,
+)
+def win_bollinger_bands(spark, sf_dir):
+    """Bollinger bands over each supplier's last 20 shipment prices:
+    20-row rolling mean +/- 2 sample standard deviations plus %B (where
+    the current price sits inside the band -- the mean-reversion
+    signal). Numerics are the win-rolling-corr device verbatim: exact
+    DECIMAL frame sums of y and y*y, the combine moved to SCALED
+    BIGINTs (x100 / x10000, frame-bounded), and the variance numerator
+    20*Syy - Sy^2 computed in exact integer arithmetic; mean, sigma,
+    bands, and %B are then compositions of correctly-rounded IEEE ops
+    on exact integers (sigma = sqrt(vnum/(20*19))/100 -- the /380 folds
+    the n*(n-1) Bessel denominator and the scale correction in ONE
+    division each, the same literal sequence in both engines), shipped
+    BIT-IDENTICAL UNROUNDED. Degenerate zero-variance frames guard
+    NULL.
+
+    Scale: single shuffle on the supplier key, bounded 20-row frames --
+    identical shape to win-rolling-corr/-trend; the band math is
+    map-side."""
+    li = views(spark, sf_dir).table("lineitem").filter(F.col("l_suppkey") <= 25)
+    pd_ = F.col("l_extendedprice").cast("decimal(12,2)")
+    base = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        pd_.alias("y"),
+        (pd_ * pd_).alias("yy"),
+    )
+    f = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-19, 0)
+    )
+    e = base.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "y",
+        F.count("*").over(f).alias("cnt"),
+        F.sum("y").over(f).cast("decimal(38,6)").alias("sy"),
+        F.sum("yy").over(f).cast("decimal(38,6)").alias("syy"),
+    ).filter(F.col("cnt") == 20)
+    c = e.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("y") * 100).cast("long").alias("yi"),
+        (F.col("sy") * 100).cast("long").alias("syi"),
+        (F.col("syy") * 10000).cast("long").alias("syyi"),
+    )
+    yv = F.col("yi").cast("double") / 100
+    mean = F.col("syi").cast("double") / 2000
+    vnum = (20 * F.col("syyi") - F.col("syi") * F.col("syi")).cast("double")
+    sigma = F.sqrt(vnum / 380) / 100
+    return c.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        yv.alias("price"),
+        mean.alias("mean"),
+        F.when(vnum > 0, mean + 2 * sigma).alias("upper_band"),
+        F.when(vnum > 0, mean - 2 * sigma).alias("lower_band"),
+        F.when(vnum > 0, (yv - (mean - 2 * sigma)) / (4 * sigma)).alias(
+            "pct_b"
+        ),
+    )

@@ -513,3 +513,60 @@ def test_round7_block5_invariants(spark):
     head = [r.node for r in pp[:5]]
     assert set(head) == {"s1", "s2", "s3", "s4", "s5"}
     assert all(r.ppr_fp >= 0 for r in pp)
+
+
+def test_round7_block6_invariants(spark):
+    """Semantic invariants for the sixth round-7 block (runs test,
+    Bollinger bands, star-schema rollup, order-gap histogram, split
+    leak audit)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- runs test: run count bounded by changes+1 <= n, z finite-ish
+    for r in rows("agg-runs-test"):
+        n = r.n_up + r.n_down
+        assert 1 <= r.runs <= n
+        if r.z is not None:
+            assert abs(r.z) < 50
+
+    # --- Bollinger: band ordering, mean inside the band, %B consistent
+    bb = rows("win-bollinger-bands")
+    assert len(bb) > 100
+    for r in bb[:500]:
+        if r.upper_band is not None:
+            assert r.lower_band < r.mean < r.upper_band
+            # %B must invert to the SHIPPED price (an earlier form of
+            # this assertion cancelled pct_b out algebraically)
+            width = r.upper_band - r.lower_band
+            assert abs((r.lower_band + r.pct_b * width) - r.price) < 1e-6
+
+    # --- star schema: revenue cube totals must reconcile with the
+    # undimensioned fact aggregate (join fan-out would break this)
+    ss = rows("join-star-schema")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert sum(r.n_lines for r in ss) == li.count()
+    assert all(r.revenue > 0 for r in ss)
+
+    # --- order gaps: gap count = orders - customers (one lag NULL per
+    # customer); bucket ranges disjoint and ordered
+    og = sorted(rows("agg-order-gap-distribution"), key=lambda r: r.bucket)
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_orders = o.count()
+    n_cust = o.select("o_custkey").distinct().count()
+    assert sum(r.n_gaps for r in og) == n_orders - n_cust
+    for a, b in zip(og, og[1:]):
+        assert a.max_days < b.min_days
+    for r in og:
+        assert r.min_days <= r.max_days
+        assert r.n_gaps * r.min_days <= r.total_days <= r.n_gaps * r.max_days
+
+    # --- leak audit: counts nest; the synthetic corpus must actually
+    # carry SOME 5-gram contamination or the audit certifies nothing
+    (la,) = rows("ext-split-leak-audit")
+    assert 0 < la.n_contaminated_docs <= la.n_test_docs
+    assert la.shared_gram_hits >= la.n_contaminated_docs
+    assert abs(
+        la.contamination_rate - la.n_contaminated_docs / la.n_test_docs
+    ) < 1e-12
