@@ -360,3 +360,25 @@ def dsum_q4_sql(expr: str) -> str:
         f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,4))) * 10000 AS BIGINT) "
         "AS DOUBLE) / 10000"
     )
+
+
+def dsum_q8(col: Column | str, alias: str | None = None) -> Column:
+    """x1e8 sibling of ``dsum_q4`` for O(1)-magnitude terms (embedding
+    dot contributions): a finer grid than the LM entries need, exact by
+    the same scaled-BIGINT construction. Named per grid (the dsum_q4
+    rule) so an edit here cannot silently re-certify the 1e-4 entries
+    and the Spark/SQL halves cannot drift apart. BIGINT headroom is
+    ~9e18/1e8 of summed mass — shard the exit or coarsen the grid past
+    a 10^10-row O(1)-term reduction."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = (
+        F.sum(c.cast("decimal(28,8)")) * 100000000
+    ).cast("bigint").cast("double") / 100000000
+    return out.alias(alias) if alias else out
+
+
+def dsum_q8_sql(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(28,8))) * 100000000 "
+        "AS BIGINT) AS DOUBLE) / 100000000"
+    )

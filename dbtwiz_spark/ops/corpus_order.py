@@ -61,7 +61,8 @@ win-rsi-wilder, graph-k-core, stream-top-k-windowed, scan-profile-table,
 agg-pareto-share, agg-price-elasticity, ext-ngram-novelty,
 ext-perplexity-filter, graph-personalized-pagerank, agg-runs-test,
 win-bollinger-bands, join-star-schema, agg-order-gap-distribution,
-ext-split-leak-audit.
+ext-split-leak-audit, ext-embed-pca-power, udf-cogroup,
+agg-pk-uniqueness-audit.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode

@@ -23,7 +23,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from dbtwiz_spark.ops.common import views, davg, davg_sql, hkey_sql
+from dbtwiz_spark.ops.common import (
+    views, davg, davg_sql, hkey_sql, dsum_q8, dsum_q8_sql,
+)
 from dbtwiz_spark.ops.registry import register
 
 # ---------------------------------------------------------------------------
@@ -1762,3 +1764,123 @@ def ext_contrastive_pairs(spark, sf_dir):
             "jaccard",
         )
     )
+
+
+_PCA_ITER = 3
+_PCA_DIMS = 64
+
+
+def _pca_oracle() -> str:
+    """Unrolled 3-step power iteration; every device mirrors the Spark
+    side exactly: ordered per-row dot folds, per-dimension DECIMAL(28,8)
+    quantized sums exiting through x1e8 BIGINTs, ordered 64-term norm
+    folds."""
+    d = _PCA_DIMS
+    sql = f"""
+    WITH v0 AS (
+        SELECT list_transform(generate_series(1, {d}),
+                              i -> CAST(1 AS DOUBLE) / 8) AS arr)
+    """
+    prev = "v0"
+    for k in range(1, _PCA_ITER + 1):
+        sql += f""",
+    dot{k} AS (
+        SELECT e.vec_id, e.embedding,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, {d}),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * v.arr[i])),
+                   (a, x) -> a + x) AS dp
+        FROM embeddings e, {prev} v),
+    w{k} AS (
+        SELECT t.i - 1 AS dim,
+               {dsum_q8_sql('CAST(d.embedding[t.i] AS DOUBLE) * d.dp')} AS w
+        FROM dot{k} d CROSS JOIN generate_series(1, {d}) AS t(i)
+        GROUP BY 1),
+    n{k} AS (
+        SELECT list(w ORDER BY dim) AS warr,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                             list(w * w ORDER BY dim)),
+                                (a, x) -> a + x)) AS nrm
+        FROM w{k}),
+    v{k} AS (
+        SELECT list_transform(warr, x -> x / nrm) AS arr, nrm FROM n{k})
+    """
+        prev = f"v{k}"
+    return sql + f"""
+    SELECT t.i - 1 AS dim, v.arr[t.i] AS loading,
+           v.nrm AS eigenvalue_est
+    FROM {prev} v CROSS JOIN generate_series(1, {d}) AS t(i)
+    """
+
+
+@register("ext-embed-pca-power", oracle=_pca_oracle())
+def ext_embed_pca_power(spark, sf_dir):
+    """Dominant principal component of the embedding corpus by
+    matrix-free power iteration (3 steps from the exact 1/8-uniform
+    unit start -- 1/sqrt(64) is a power of two): v <- normalize(X^T X
+    v) computed as one pass per step, the linear-algebra primitive
+    under PCA whitening, spectral dedup, and embedding-drift monitors.
+    Per-row dot products fold the 64 terms IN ARRAY ORDER (zip_with +
+    ordered F.aggregate; identical IEEE sequence in both engines); the
+    per-dimension reduction -- the only cross-row, order-free sum --
+    quantizes each contribution to the 1e-8 DECIMAL grid and exits
+    through a x1e8 scaled BIGINT (the dsum device, grid sized to O(1)
+    terms); the 64-term norm folds in dimension order and the loading
+    divides are correctly rounded -- the component ships BIT-IDENTICAL
+    UNROUNDED, eigenvalue estimate = the final pre-normalization norm.
+    Fixed iteration count (not convergence-tested): both engines run
+    the identical 3 steps.
+
+    Scale: each step is one map-side dot pass + one posexplode shuffle
+    keyed by the 64 dimensions with partial aggregation -- the
+    wordcount shape; the 64-float vector rides along as a broadcast.
+    The x1e8 BIGINT exit carries ~1e19/1e8 of total mass headroom (a
+    10^10-row corpus at O(1) terms overflows it -- shard the exit or
+    coarsen the grid past that, noted here deliberately). Deeper
+    spectra (top-k components) run k sequential deflations of the same
+    pass."""
+    e = views(spark, sf_dir).table("embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", emb_d.alias("emb"))
+    v = None  # None encodes the exact 1/8-uniform start vector
+    for _ in range(_PCA_ITER):
+        if v is None:
+            dp = F.aggregate(
+                F.col("emb"), F.lit(0.0), lambda a, x: a + x * F.lit(0.125)
+            )
+            dotted = base.select("emb", dp.alias("dp"))
+        else:
+            dp = F.aggregate(
+                F.zip_with(F.col("emb"), F.col("arr"), lambda a, b: a * b),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            dotted = base.crossJoin(F.broadcast(v)).select(
+                "emb", dp.alias("dp")
+            )
+        terms = dotted.select(
+            "dp", F.posexplode("emb").alias("dim", "ev")
+        ).select("dim", (F.col("ev") * F.col("dp")).alias("t"))
+        w = terms.groupBy("dim").agg(dsum_q8("t", "w"))
+        n = w.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "w"))),
+                lambda s: s.w,
+            ).alias("warr")
+        ).select(
+            "warr",
+            F.sqrt(
+                F.aggregate(
+                    F.col("warr"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ).alias("nrm"),
+        )
+        v = n.select(
+            F.transform(F.col("warr"), lambda x: x / F.col("nrm")).alias(
+                "arr"
+            ),
+            "nrm",
+        )
+    return v.select(
+        F.posexplode("arr").alias("dim", "loading"), F.col("nrm")
+    ).select("dim", "loading", F.col("nrm").alias("eigenvalue_est"))

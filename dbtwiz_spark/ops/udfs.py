@@ -128,3 +128,93 @@ def macro_template(spark, sf_dir):
     oracle IS the rendered template, so the render itself is under test."""
     views(spark, sf_dir)
     return spark.sql(macros.render(_MACRO_SQL, **_MACRO_BINDINGS))
+
+
+@register(
+    "udf-cogroup",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)) * 100)
+                    AS BIGINT) AS revc
+        FROM orders GROUP BY 1),
+    l AS (
+        SELECT o.o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(li.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem li JOIN orders o ON o.o_orderkey = li.l_orderkey
+        GROUP BY 1)
+    SELECT o.o_custkey, o.n_orders,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           COALESCE(l.qty, 0) AS total_qty,
+           CAST(o.revc AS DOUBLE)
+               / CAST(COALESCE(l.n_lines, 0) + 1 AS DOUBLE) / 100
+               AS rev_per_line
+    FROM o LEFT JOIN l ON l.o_custkey = o.o_custkey
+    """,
+)
+def udf_cogroup(spark, sf_dir):
+    """Cogrouped-map pandas UDF (``groupBy().cogroup().applyInPandas``)
+    -- the fourth Python extension shape next to scalar/UDAF/UDTF: both
+    relations shuffle on the SAME key and each key's two pandas frames
+    arrive together in one Python call, the Arrow path for per-entity
+    reconciliation logic too imperative for SQL (here: order headers vs
+    their line stream, reduced to exact per-customer counts and an
+    exact-cents revenue-per-line ratio). Everything inside the UDF is
+    integer pandas arithmetic plus one correctly-rounded double divide,
+    so the oracle reproduces it as a plain aggregate-join -- proving
+    the cogroup path computes exactly what the declarative plan would,
+    the contract a user porting custom Python logic relies on.
+
+    Scale: one co-partitioned shuffle per side keyed on the customer
+    (the same exchange a join would pay), Arrow-batched transfer, and
+    per-key output of ONE row -- state is bounded by the widest single
+    key, never the corpus. Prefer built-in joins when SQL can express
+    the logic; this entry pins the escape hatch's semantics."""
+    cat = views(spark, sf_dir)
+    o = cat.table("orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    # alias the line side's key: both cogroup inputs descend from the
+    # SAME orders scan, and identical attribute ids trip the ambiguous
+    # self-join analyzer
+    okeys = cat.table("orders").select(
+        F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("ck")
+    )
+    li = (
+        cat.table("lineitem")
+        .join(okeys, F.col("l_orderkey") == F.col("ok"))
+        .select("ck", "l_quantity")
+    )
+
+    def merge(key, orders_pdf, lines_pdf):
+        import pandas as _pd
+
+        (ck,) = key
+        n_orders = len(orders_pdf)
+        # exact cents PER ROW before the sum (<= 2-decimal source, so
+        # each x100 rounds to its exact integer): summing the floats
+        # first would make exactness depend on the key's cardinality
+        # and pandas' summation algorithm
+        revc = int(
+            (orders_pdf["o_totalprice"] * 100).round().astype("int64").sum()
+        )
+        n_lines = len(lines_pdf)
+        qty = int(lines_pdf["l_quantity"].sum()) if n_lines else 0
+        return _pd.DataFrame(
+            {
+                "o_custkey": [ck],
+                "n_orders": [n_orders],
+                "n_lines": [n_lines],
+                "total_qty": [qty],
+                "rev_per_line": [revc / (n_lines + 1) / 100],
+            }
+        )
+
+    return (
+        o.groupBy("o_custkey")
+        .cogroup(li.groupBy("ck"))
+        .applyInPandas(
+            merge,
+            "o_custkey long, n_orders long, n_lines long, "
+            "total_qty long, rev_per_line double",
+        )
+    )

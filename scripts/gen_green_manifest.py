@@ -44,6 +44,8 @@ _SHARED_HELPERS = (
     "dsum_scaled",
     "dsum_q4_sql",
     "dsum_q4",
+    "dsum_q8_sql",
+    "dsum_q8",
     "davg_sql",
     "hkey_sql",
     "dsum",

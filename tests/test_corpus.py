@@ -570,3 +570,51 @@ def test_round7_block6_invariants(spark):
     assert abs(
         la.contamination_rate - la.n_contaminated_docs / la.n_test_docs
     ) < 1e-12
+
+
+def test_round7_block7_invariants(spark):
+    """Semantic invariants for the seventh round-7 block (PCA power
+    iteration, cogrouped-map UDF, PK uniqueness audit)."""
+    import math
+
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- PCA: unit-norm component, positive dominant eigenvalue, and
+    # the Rayleigh sanity bound lambda_max >= total_variance / dims
+    pca = rows("ext-embed-pca-power")
+    assert len(pca) == 64
+    norm = math.sqrt(sum(r.loading**2 for r in pca))
+    assert abs(norm - 1.0) < 1e-9
+    ev = pca[0].eigenvalue_est
+    assert ev > 0
+    assert all(r.eigenvalue_est == ev for r in pca)
+    # power iteration from a positive start on this data must actually
+    # move: the component cannot still be the uniform vector
+    assert max(abs(r.loading) for r in pca) > 1.5 / 8
+
+    # --- cogroup: per-customer counts reconcile with plain aggregates
+    cg = {r.o_custkey: r for r in rows("udf-cogroup")}
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert len(cg) == n_cust
+    assert sum(r.n_orders for r in cg.values()) == o.count()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    assert sum(r.n_lines for r in cg.values()) == li.count()
+
+    # --- PK audit: the real keys are clean; the synthetic lineitem's
+    # composite key is DELIBERATELY dirty data for the audit to catch
+    # (the generator reuses line numbers within an order), so a positive
+    # dup count there proves the audit detects violations
+    pk = {r.table_name: r for r in rows("agg-pk-uniqueness-audit")}
+    assert set(pk) == {"orders", "lineitem", "customer"}
+    for name in ("orders", "customer"):
+        r = pk[name]
+        assert r.n_dup_rows == 0, f"{name} PK violated"
+        assert r.n_keys == r.n_rows > 0
+    lr = pk["lineitem"]
+    assert lr.n_dup_rows == lr.n_rows - lr.n_keys > 0, (
+        "the audit must catch the dirty composite key in this data"
+    )
