@@ -2646,3 +2646,160 @@ def ext_split_leak_audit(spark, sf_dir):
             / F.count("*").cast("double")
         ).alias("contamination_rate"),
     )
+
+
+@register(
+    "agg-auc-roc",
+    oracle="""
+    WITH g AS (
+        SELECT n_chars AS v,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+               SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS nn
+        FROM documents GROUP BY 1),
+    r AS (
+        SELECT v, np, nn, np + nn AS t,
+               SUM(np + nn) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cum
+        FROM g),
+    s AS (
+        SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+               CAST(SUM(nn) AS BIGINT) AS n_neg,
+               CAST(SUM(CAST(np AS HUGEINT)
+                        * (2 * COALESCE(cum, 0) + t + 1)) AS BIGINT) AS rs2
+        FROM r)
+    SELECT n_pos, n_neg,
+           CAST(rs2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+    FROM s
+    """,
+)
+def agg_auc_roc(spark, sf_dir):
+    """ROC AUC of a score against a binary outcome (here: does document
+    length separate English from non-English?) via the exact rank-sum
+    identity AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) -- the
+    classifier-evaluation metric every curation-model loop reports,
+    computed WITHOUT sorting predictions: ranks come from the
+    distinct-value cumulative table (the agg-mann-whitney device; AUC
+    and U are the same statistic in different clothes), ties contribute
+    the exact average rank, and the DOUBLED rank sum stays integer all
+    the way (DECIMAL / HUGEINT accumulators), leaving the exact domain
+    through two single conversions and ONE divide -- bit-identical
+    unrounded.
+
+    Scale: one partial-aggregated groupBy on the score's value domain;
+    the cumulative window runs over the DISTINCT-VALUE table (a
+    continuous score would be quantized first, same shape). No
+    corpus-sized sort, no per-threshold sweep -- the rank identity IS
+    the integral."""
+    d = views(spark, sf_dir).table("documents")
+    g = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("np"),
+        F.sum((F.col("lang") != "en").cast("long")).alias("nn"),
+    )
+    t = F.col("np") + F.col("nn")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "np",
+        "nn",
+        t.alias("t"),
+        F.coalesce(F.sum(t).over(w), F.lit(0)).alias("cum"),
+    )
+    s = r.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum("nn").alias("n_neg"),
+        F.sum(
+            F.col("np").cast("decimal(28,0)")
+            * (2 * F.col("cum") + F.col("t") + 1).cast("decimal(28,0)")
+        )
+        .cast("long")
+        .alias("rs2"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        (
+            (F.col("rs2") - F.col("n_pos") * (F.col("n_pos") + 1)).cast(
+                "double"
+            )
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+@register(
+    "agg-calibration-ece",
+    oracle=f"""
+    WITH rk AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r,
+               COUNT(*) OVER () AS n
+        FROM documents),
+    b AS (
+        SELECT CAST((r - 1) * 10 // n + 1 AS BIGINT) AS bin,
+               CAST(r AS BIGINT) AS r, n,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        FROM rk)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r) AS BIGINT) AS rank_sum,
+           CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(r) AS BIGINT)
+               / CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+               AS mean_confidence,
+           CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS observed_rate,
+           CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+               * abs(CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     - CAST(SUM(r) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)
+                       / CAST(MAX(n) AS DOUBLE))
+               AS ece_term
+    FROM b GROUP BY 1
+    """,
+)
+def agg_calibration_ece(spark, sf_dir):
+    """Reliability diagram / expected-calibration-error bins: treat each
+    document's exact length-percentile (rank/N) as a predicted
+    probability of being English, bucket into 10 confidence bins, and
+    report per-bin confidence vs observed rate plus the bin's weighted
+    ECE contribution -- the calibration readout a curation-classifier
+    loop tracks next to AUC (a separable-but-miscalibrated score
+    misallocates every threshold decision). Percentiles are exact
+    global ranks over the unique (n_chars, doc_id) order via
+    ``common.parallel_rank``; bins are integer floor-division (the
+    decile device); every shipped number is exact-integer sums through
+    one or two correctly-rounded double divides, unrounded. Summing the
+    10 ece_term rows gives ECE; shipping per-bin terms keeps the
+    reduction engine-free.
+
+    Scale: one rank pass over the doc table + a 10-key reduce. The
+    oracle's global window is the semantic spec; the implementation
+    never funnels through one partition."""
+    from dbtwiz_spark.ops.common import parallel_rank
+
+    d = views(spark, sf_dir).table("documents")
+    rk = parallel_rank(
+        d.select("doc_id", "lang", "n_chars"), ["n_chars", "doc_id"]
+    )
+    b = rk.select(
+        (F.expr("div((_rank - 1) * 10, _n)") + 1).alias("bin"),
+        F.col("_rank").alias("r"),
+        F.col("_n").alias("n"),
+        (F.col("lang") == "en").cast("long").alias("pos"),
+    )
+    conf = (
+        F.sum("r").cast("long").cast("double")
+        / F.count("*").cast("double")
+        / F.max("n").cast("double")
+    )
+    acc = F.sum("pos").cast("double") / F.count("*").cast("double")
+    return b.groupBy(F.col("bin").cast("long").alias("bin")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("r").cast("long").alias("rank_sum"),
+        F.sum("pos").alias("n_pos"),
+        conf.alias("mean_confidence"),
+        acc.alias("observed_rate"),
+        (
+            F.count("*").cast("double") / F.max("n").cast("double")
+            * F.abs(acc - conf)
+        ).alias("ece_term"),
+    )

@@ -39,6 +39,48 @@ def windowed_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataF
     )
 
 
+def windowed_topk_stream(events: DataFrame, watermark: str = "1 day"):
+    """Windowed top-k as a stream: the per-window counts are the
+    INCREMENTAL half (watermarked update-mode aggregation, O(windows x
+    types) state); the top-3 ranking is NOT incremental -- it decorates
+    each emit inside foreachBatch, re-ranking only the windows present
+    in the micro-batch (batch twin: stream-top-k-windowed). Returns
+    (aggregate_df, sink_fn, results) -- wire with
+    ``writeStream.outputMode("update").foreachBatch(sink_fn)``."""
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+    counts: dict = {}
+    results: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        # update mode emits only the CHANGED (window, type) rows of each
+        # micro-batch — ranking the batch alone would rank a partial
+        # view. The sink therefore UPSERTS counts into its store (the
+        # role a key-value sink table plays in production) and re-ranks
+        # only the touched windows from the merged state; replays are
+        # idempotent because the upsert overwrites.
+        rows = batch_df.collect()
+        if not rows:
+            return
+        touched = set()
+        for row in rows:
+            counts.setdefault(row.win_start, {})[row.event_type] = (
+                row.n_events
+            )
+            touched.add(row.win_start)
+        for w in touched:
+            ranked = sorted(counts[w].items(), key=lambda kv: (-kv[1], kv[0]))
+            results[w] = {
+                i + 1: (t, n) for i, (t, n) in enumerate(ranked[:3])
+            }
+
+    return agg, sink, results
+
+
 def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (stream-session-window, streaming form)."""
     return (

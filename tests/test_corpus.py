@@ -618,3 +618,42 @@ def test_round7_block7_invariants(spark):
     assert lr.n_dup_rows == lr.n_rows - lr.n_keys > 0, (
         "the audit must catch the dirty composite key in this data"
     )
+
+
+def test_round7_block8_invariants(spark):
+    """Semantic invariants for the eighth round-7 block (AUC, ECE)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- AUC: proper probability; counts partition the corpus; the
+    # rank-sum identity must agree with a direct pairwise count
+    (auc,) = rows("agg-auc-roc")
+    assert 0.0 <= auc.auc <= 1.0
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    assert auc.n_pos + auc.n_neg == d.count()
+    import itertools
+
+    pairs = [(r.n_chars, r.lang == "en") for r in d.collect()]
+    pos = [v for v, p in pairs if p]
+    neg = [v for v, p in pairs if not p]
+    wins = sum(
+        1.0 if a > b else 0.5 if a == b else 0.0
+        for a, b in itertools.product(pos, neg)
+    )
+    assert abs(auc.auc - wins / (len(pos) * len(neg))) < 1e-12
+
+    # --- ECE: bins partition, confidences centered per decile,
+    # observed rates are proper fractions, terms reconcile
+    ece = sorted(rows("agg-calibration-ece"), key=lambda r: r.bin)
+    assert [r.bin for r in ece] == list(range(1, 11))
+    n = sum(r.n_docs for r in ece)
+    assert n == d.count()
+    for r in ece:
+        assert 0.0 <= r.observed_rate <= 1.0
+        assert 0.0 < r.mean_confidence <= 1.0
+        expect_term = r.n_docs / n * abs(r.observed_rate - r.mean_confidence)
+        assert abs(r.ece_term - expect_term) < 1e-12
+    for a, b in zip(ece, ece[1:]):
+        assert a.mean_confidence < b.mean_confidence

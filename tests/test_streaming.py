@@ -656,3 +656,52 @@ def test_rate_limit_stream_matches_batch_entry(spark, tmp_path):
         f"{len(got)} streamed vs {len(want)} batch users; "
         f"first diffs: {[(u, got.get(u), want.get(u)) for u in sorted(set(want) ^ set(got) | {u for u in want if got.get(u) != want[u]})[:3]]}"
     )
+
+
+def test_windowed_topk_stream_matches_batch(spark, source_dir):
+    """The streaming windowed top-k (update-mode counts + foreachBatch
+    ranking) must converge to the batch-mode corpus entry's answer for
+    every window it emitted — the incremental/decoration split pinned
+    end to end, including idempotent re-ranking when a window's counts
+    update across micro-batches."""
+    from dbtwiz_spark.streaming.jobs import (
+        events_stream,
+        windowed_topk_stream,
+    )
+
+    ev = events_stream(spark, source_dir)
+    agg, sink, results = windowed_topk_stream(ev)
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert results, "stream emitted no windows"
+
+    # the batch twin (stream-top-k-windowed) reads the catalog's events;
+    # rebuild the identical query over THIS source dir for an
+    # apples-to-apples check
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    wc = (
+        spark.read.parquet(source_dir)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("win_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+    )
+    expect: dict = {}
+    for row in wc.withColumn("rk", rk.cast("long")).filter(F.col("rk") <= 3).collect():
+        expect.setdefault(row.win_start, {})[row.rk] = (
+            row.event_type,
+            row.n_events,
+        )
+    for w, ranks in results.items():
+        assert ranks == expect[w], (w, ranks, expect.get(w))
