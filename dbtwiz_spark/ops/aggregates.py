@@ -13,7 +13,7 @@ from pyspark.sql.window import Window
 
 from dbtwiz_spark.ops.common import (
     views, dsum, davg, dsum_sql, davg_sql, dsum_scaled, dsum_q4,
-    dsum_q4_sql, DEC,
+    dsum_q4_sql, dsum_q8, dsum_q8_sql, DEC,
 )
 from dbtwiz_spark.ops.registry import register
 
@@ -3923,4 +3923,74 @@ def agg_pk_uniqueness_audit(spark, sf_dir):
         tag(o, "orders", "o_orderkey")
         .unionAll(tag(li, "lineitem", "l_orderkey,l_linenumber"))
         .unionAll(tag(c, "customer", "c_custkey"))
+    )
+
+
+@register(
+    "agg-forecast-backtest-mape",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+                   AS av
+        FROM events GROUP BY 1, 2),
+    fc AS (
+        SELECT event_type, day, av,
+               LAG(av, 7) OVER (PARTITION BY event_type ORDER BY day) AS fv
+        FROM daily),
+    sc AS (
+        SELECT event_type,
+               LEAST(CAST(abs(av - fv) AS DOUBLE) / CAST(av AS DOUBLE),
+                     CAST(10 AS DOUBLE)) AS ape,
+               2 * CAST(abs(av - fv) AS DOUBLE) / CAST(av + fv AS DOUBLE)
+                   AS sape
+        FROM fc WHERE fv IS NOT NULL AND av > 0 AND av + fv > 0)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           {dsum_q8_sql('ape')} / COUNT(*) AS mape,
+           {dsum_q8_sql('sape')} / COUNT(*) AS smape
+    FROM sc GROUP BY 1
+    """,
+)
+def agg_forecast_backtest_mape(spark, sf_dir):
+    """Forecast backtest: MAPE and sMAPE of the seasonal-naive forecast
+    (this weekday last week, the 7-step lag) against each event type's
+    realized daily totals -- the accuracy scoreboard any forecasting
+    rollout needs BEFORE replacing the naive baseline (if a model can't
+    beat lag-7, ship lag-7; companion to win-seasonal-baseline and
+    win-holt-winters). Daily totals are exact micro-units (x1e6 scaled
+    BIGINTs), so each day's APE is one-or-two correctly-rounded double
+    ops on exact integers -- bit-identical per term -- and the per-type
+    MEAN quantizes every term to the 1e-8 grid (dsum_q8) so the
+    reduction is order-independent across engines. APE is WINSORIZED at
+    10 (the standard MAPE fix: a near-zero actual after a normal day
+    yields an unbounded ratio -- which would also blow through
+    dsum_q8's BIGINT headroom); sMAPE is <= 2 by construction.
+    Zero-actual days are excluded on both sides (percentage error is
+    undefined there; sMAPE's denominator guard rides along).
+
+    Scale: one partial-aggregated daily groupBy, one lag window over
+    calendar-bounded partitions, a types-sized reduce."""
+    ev = views(spark, sf_dir).table("events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("value").cast(DEC)) * 1000000).cast("long").alias("av")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    fc = daily.select(
+        "event_type", "av", F.lag("av", 7).over(w).alias("fv")
+    ).filter(
+        F.col("fv").isNotNull() & (F.col("av") > 0)
+        & (F.col("av") + F.col("fv") > 0)
+    )
+    diff = F.abs(F.col("av") - F.col("fv")).cast("double")
+    sc = fc.select(
+        "event_type",
+        F.least(diff / F.col("av").cast("double"), F.lit(10.0)).alias("ape"),
+        (2 * diff / (F.col("av") + F.col("fv")).cast("double")).alias("sape"),
+    )
+    return sc.groupBy("event_type").agg(
+        F.count("*").alias("n_days_scored"),
+        (dsum_q8("ape") / F.count("*")).alias("mape"),
+        (dsum_q8("sape") / F.count("*")).alias("smape"),
     )

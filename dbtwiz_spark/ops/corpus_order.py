@@ -62,7 +62,9 @@ agg-pareto-share, agg-price-elasticity, ext-ngram-novelty,
 ext-perplexity-filter, graph-personalized-pagerank, agg-runs-test,
 win-bollinger-bands, join-star-schema, agg-order-gap-distribution,
 ext-split-leak-audit, ext-embed-pca-power, udf-cogroup,
-agg-pk-uniqueness-audit, agg-auc-roc, agg-calibration-ece.
+agg-pk-uniqueness-audit, agg-auc-roc, agg-calibration-ece,
+ext-source-similarity-matrix, agg-bounce-rate,
+agg-forecast-backtest-mape.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode

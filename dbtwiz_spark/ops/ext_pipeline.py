@@ -2803,3 +2803,87 @@ def agg_calibration_ece(spark, sf_dir):
             * F.abs(acc - conf)
         ).alias("ece_term"),
     )
+
+
+@register(
+    "ext-source-similarity-matrix",
+    oracle="""
+    WITH st AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+    sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2),
+    grid AS (
+        SELECT sa.source AS src_a, sb.source AS src_b,
+               sa.n AS n_a, sb.n AS n_b
+        FROM sz sa JOIN sz sb ON sa.source < sb.source)
+    SELECT g.src_a, g.src_b, COALESCE(i.n_common, 0) AS n_common,
+           g.n_a, g.n_b,
+           CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / CAST(g.n_a + g.n_b - COALESCE(i.n_common, 0) AS DOUBLE)
+               AS jaccard,
+           CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+               / CAST(CASE WHEN g.n_a < g.n_b THEN g.n_a ELSE g.n_b END
+                      AS DOUBLE) AS containment
+    FROM grid g
+    LEFT JOIN inter i ON i.src_a = g.src_a AND i.src_b = g.src_b
+    """,
+)
+def ext_source_similarity_matrix(spark, sf_dir):
+    """Pairwise vocabulary similarity between corpus sources: Jaccard
+    and min-containment of each source pair's distinct-token sets --
+    the domain-overlap matrix a mixture curator reads before setting
+    ext-mix-domains weights (two near-identical domains double-count
+    their mass) and the corpus-level cousin of graph-jaccard-neighbors.
+    Exact integers through two unrounded int/int divides.
+
+    Scale: the (source, token) DISTINCT bounds everything downstream by
+    vocabulary size, not corpus size; the pair intersection is a
+    token-keyed equi-join of that bounded table with itself (source
+    count is small, vocab is the long axis -- the join fans out per
+    token by #sources-containing, quadratic only in the TINY dimension;
+    the `<` guard halves it). Never doc-pairs, never a cross join of
+    corpora."""
+    d = views(spark, sf_dir).table("documents")
+    # cached: BOTH self-join sides and the size branch consume st — the
+    # tokenize+distinct is the expensive stage and would run 3x
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .cache()
+    )
+    sz = st.groupBy("source").agg(F.count("*").alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(b, (a.tok == b.tok_b) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    # full pair grid so zero-overlap pairs ship an EXPLICIT 0.0 rather
+    # than silently vanishing from the matrix
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    grid = sa.join(sb, F.col("src_a") < F.col("src_b"))
+    j = grid.join(inter, ["src_a", "src_b"], "left").withColumn(
+        "n_common", F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    return j.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+        ).alias("jaccard"),
+        (
+            F.col("n_common").cast("double")
+            / F.least("n_a", "n_b").cast("double")
+        ).alias("containment"),
+    )

@@ -12,6 +12,8 @@ transformations over readStream (tested in tests/test_streaming.py).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
 from dbtwiz_spark.ops.common import views, davg, davg_sql, dsum, dsum_sql
 from dbtwiz_spark.ops.registry import register
 
@@ -659,8 +661,6 @@ def stream_top_k_windowed(spark, sf_dir):
     wc = ev.groupBy(
         F.window("ts", "6 hours").alias("w"), "event_type"
     ).agg(F.count("*").alias("n_events"))
-    from pyspark.sql.window import Window
-
     rk = F.row_number().over(
         Window.partitionBy("win_start").orderBy(
             F.col("n_events").desc(), F.col("event_type")
@@ -672,4 +672,86 @@ def stream_top_k_windowed(spark, sf_dir):
         )
         .withColumn("rk", rk.cast("long"))
         .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "agg-bounce-rate",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    sess AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged),
+    per AS (
+        SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+           CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS events_per_session
+    FROM per
+    """,
+)
+def agg_bounce_rate(spark, sf_dir):
+    """Bounce rate over 30-minute-gap sessions: the share of sessions
+    containing exactly one event, plus mean session depth -- the
+    product-health headline read off the same sessionization the
+    stream-session-window entry materializes (lag-gap flag + running
+    cumsum = session ids, the gaps-and-islands device). Counts are
+    exact; the two ratios are single correctly-rounded int/int double
+    divides, unrounded.
+
+    Scale: two windows over ONE user-keyed exchange (flag then cumsum
+    reuse the sort), a per-session reduce, a 1-row summary. The true
+    streaming form is session_window aggregation with a watermark
+    (streaming/jobs.sessionized_stream) -- bounce classification is a
+    filter on its emitted session sizes."""
+    ev = views(spark, sf_dir).table("events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+                >= 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.select(
+        "user_id", F.sum("new_session").over(cum).alias("session_id")
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    bounces = F.sum((F.col("n_events") == 1).cast("long"))
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        (bounces.cast("double") / F.count("*").cast("double")).alias(
+            "bounce_rate"
+        ),
+        (
+            F.sum("n_events").cast("double") / F.count("*").cast("double")
+        ).alias("events_per_session"),
     )

@@ -657,3 +657,42 @@ def test_round7_block8_invariants(spark):
         assert abs(r.ece_term - expect_term) < 1e-12
     for a, b in zip(ece, ece[1:]):
         assert a.mean_confidence < b.mean_confidence
+
+
+def test_round7_block9_invariants(spark):
+    """Semantic invariants for the ninth round-7 block (source
+    similarity matrix, bounce rate, forecast backtest)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- similarity matrix: all unordered source pairs present once;
+    # jaccard <= containment <= 1; intersection bounded by set sizes
+    sm = rows("ext-source-similarity-matrix")
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_sources = d.select("source").distinct().count()
+    assert len(sm) == n_sources * (n_sources - 1) // 2
+    for r in sm:
+        assert r.src_a < r.src_b
+        assert 0 <= r.n_common <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.jaccard <= r.containment <= 1.0
+
+    # --- bounce rate: session accounting reconciles with the event
+    # count; rates proper
+    (br,) = rows("agg-bounce-rate")
+    assert 0 <= br.n_bounces <= br.n_sessions
+    assert 0.0 <= br.bounce_rate <= 1.0
+    assert br.events_per_session >= 1.0
+    ev_n = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert br.n_sessions <= ev_n
+    assert abs(br.events_per_session * br.n_sessions - ev_n) < 1e-6 * ev_n
+
+    # --- backtest: errors non-negative; sMAPE bounded by 2; scored-day
+    # count = days with both actual and 7-back actual
+    bt = rows("agg-forecast-backtest-mape")
+    assert len(bt) == 5
+    for r in bt:
+        assert r.n_days_scored > 10
+        assert 0.0 <= r.mape
+        assert 0.0 <= r.smape <= 2.0

@@ -795,6 +795,11 @@ UNPARTITIONED_WINDOW_OK = {
     "agg-chi-squared",
     "agg-cramers-v",
     "agg-benford-test",
+    # the Mann-Whitney distinct-value rank device: the cumulative window
+    # runs over the score's VALUE DOMAIN (n_chars here), never the
+    # corpus — a continuous score would be quantized first (documented
+    # in the entry)
+    "agg-auc-roc",
 }
 
 
