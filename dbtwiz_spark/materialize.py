@@ -691,6 +691,60 @@ class Warehouse:
         merged = survivors.unionByName(rebuilt, allowMissingColumns=True)
         self.insert_overwrite(name, merged, partition_by=date_column)
 
+    def scd2_invalidate_deletes(
+        self,
+        name: str,
+        snapshot_keys: DataFrame,
+        unique_key: str,
+        date_column: str,
+        as_of: str,
+    ) -> int:
+        """dbt snapshot ``invalidate_hard_deletes`` parity: close the OPEN
+        interval of every key absent from this run's source snapshot,
+        stamping ``valid_to = as_of`` and clearing ``is_current`` — a
+        record that vanished from the source is dead as of this run, not
+        current forever. Returns the number of intervals closed.
+
+        Scale shape: the gone-key set is (current rows) anti-join
+        (snapshot keys) — one shuffle bounded by the CURRENT interval
+        count, never the history; only partitions holding a closed row
+        are rewritten through the same partition-scoped overwrite as
+        ``scd2_apply``."""
+        current = self.read(name)
+        keys = snapshot_keys.select(unique_key).distinct()
+        # persisted: gone feeds the count, the closed rows, and both
+        # survivor branches' key sets — uncached it would rescan the
+        # table 4-5x per run (the _apply_key_rewrite precedent)
+        gone = (
+            current.filter(F.col("is_current"))
+            .join(keys, on=unique_key, how="left_anti")
+            .persist()
+        )
+        try:
+            n_closed = gone.count()
+            if n_closed == 0:
+                return 0
+            vt_type = current.schema["valid_to"].dataType
+            closed = gone.withColumn(
+                "valid_to", F.lit(as_of).cast(vt_type)
+            ).withColumn("is_current", F.lit(False))
+            affected_parts = closed.select(date_column).distinct()
+            in_parts = current.join(
+                F.broadcast(affected_parts), on=date_column, how="left_semi"
+            )
+            gone_keys = gone.select(unique_key)
+            keep_other = in_parts.join(
+                gone_keys, on=unique_key, how="left_anti"
+            )
+            keep_hist = in_parts.join(
+                gone_keys, on=unique_key, how="left_semi"
+            ).filter(~F.col("is_current"))
+            merged = keep_other.unionByName(keep_hist).unionByName(closed)
+            self.insert_overwrite(name, merged, partition_by=date_column)
+            return n_closed
+        finally:
+            gone.unpersist()
+
     # -- copy / delete (dbtwiz/integrations/bigquery.py:644-735,389-395) --
     def copy_table(self, src: str, dst: str) -> None:
         self.write_table(dst, self.read(src), snapshot=False)

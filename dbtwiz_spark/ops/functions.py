@@ -559,3 +559,41 @@ def func_from_json(spark, sf_dir):
         parsed["k"].alias("k_val"),
         parsed["_corrupt"].isNull().alias("parse_ok"),
     )
+
+
+@register(
+    "func-surrogate-key",
+    oracle="""
+    SELECT o_orderkey,
+           md5(COALESCE(CAST(o_custkey AS VARCHAR), '_null_') || '-'
+               || COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '_null_')
+               || '-'
+               || COALESCE(o_orderpriority, '_null_')) AS sk
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def func_surrogate_key(spark, sf_dir):
+    """dbt-utils ``generate_surrogate_key`` parity: the md5-of-
+    concatenated-columns hash key every dbt mart uses to mint stable
+    grain ids (the reference's models inherit the macro). NULLs map to
+    a sentinel BEFORE the concat — dbt's exact rule, because a bare
+    concat would collide (a, NULL) with (aNULL, NULL-less) and make two
+    different grains share a key; the '-' delimiter prevents
+    ('ab','c')/('a','bc') collisions. Dates format explicitly
+    ('yyyy-MM-dd' in Spark, strftime in DuckDB) — relying on each
+    engine's default date->string cast is a silent cross-engine
+    divergence. Output sampled (keyspace % 100) to keep the checked
+    surface bounded; the expression is the same map-side codegen at any
+    scale.
+
+    Scale: pure scan-fused expression — no shuffle, no UDF."""
+    o = views(spark, sf_dir).table("orders")
+    sentinel = F.lit("_null_")
+    parts = [
+        F.coalesce(F.col("o_custkey").cast("string"), sentinel),
+        F.coalesce(F.date_format("o_orderdate", "yyyy-MM-dd"), sentinel),
+        F.coalesce(F.col("o_orderpriority"), sentinel),
+    ]
+    return o.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", F.md5(F.concat_ws("-", *parts)).alias("sk")
+    )

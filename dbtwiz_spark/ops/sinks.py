@@ -370,3 +370,46 @@ def sink_cdc_apply(spark, sf_dir):
     )
     wh.apply_changes("accounts_cdc", changes, unique_key="c_custkey")
     return wh.read("accounts_cdc")
+
+
+@register(
+    "sink-scd2-hard-delete",
+    oracle="""
+    SELECT c_custkey,
+           '2024-01-01' AS valid_from,
+           CASE WHEN c_custkey % 10 = 0 THEN '2024-02-01' END AS valid_to,
+           c_custkey % 10 <> 0 AS is_current
+    FROM customer
+    """,
+)
+def sink_scd2_hard_delete(spark, sf_dir):
+    """SCD2 hard-delete invalidation (dbt snapshot
+    ``invalidate_hard_deletes``; the reference's scd2 models inherit dbt
+    snapshot semantics): after the initial snapshot, 10% of the keys
+    VANISH from the next source snapshot, and
+    ``materialize.scd2_invalidate_deletes`` closes exactly their open
+    intervals at the run date — a deleted upstream record must stop
+    being current, not live forever. The oracle states the end condition
+    declaratively; matching means the engine's anti-join + partition-
+    scoped rewrite equals the from-scratch truth. Re-running is a no-op
+    (already-closed keys aren't current, so the anti-join finds
+    nothing).
+
+    Scale: the gone-key detection is one anti-join bounded by CURRENT
+    intervals (never history); only partitions holding a closed row
+    rewrite."""
+    c = views(spark, sf_dir).table("customer")
+    wh = _wh(spark)
+    day1 = c.select(
+        "c_custkey",
+        F.lit("2024-01-01").alias("snap_date"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    wh.scd2_apply("cust_hist_hd", day1, "c_custkey", "snap_date")
+    still_there = c.filter(F.col("c_custkey") % 10 != 0).select("c_custkey")
+    wh.scd2_invalidate_deletes(
+        "cust_hist_hd", still_there, "c_custkey", "snap_date", "2024-02-01"
+    )
+    return wh.read("cust_hist_hd").select(
+        "c_custkey", "valid_from", "valid_to", "is_current"
+    )

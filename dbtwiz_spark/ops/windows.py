@@ -1618,3 +1618,81 @@ def win_bollinger_bands(spark, sf_dir):
             "pct_b"
         ),
     )
+
+
+@register(
+    "win-ohlc-bars",
+    oracle="""
+    WITH pticks AS (
+        SELECT o_orderpriority AS pri,
+               date_trunc('week', CAST(o_orderdate AS DATE)) AS wk,
+               o_orderdate, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS pc
+        FROM orders),
+    bars AS (
+        SELECT pri, wk, pc,
+               ROW_NUMBER() OVER (PARTITION BY pri, wk
+                                  ORDER BY o_orderdate, o_orderkey) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY pri, wk
+                                  ORDER BY o_orderdate DESC,
+                                           o_orderkey DESC) AS rn_d
+        FROM pticks)
+    SELECT pri AS o_orderpriority, CAST(wk AS TIMESTAMP) AS week_start,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN pc END) AS DOUBLE) / 100
+               AS open,
+           CAST(MAX(pc) AS DOUBLE) / 100 AS high,
+           CAST(MIN(pc) AS DOUBLE) / 100 AS low,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN pc END) AS DOUBLE) / 100
+               AS close
+    FROM bars GROUP BY 1, 2
+    """,
+)
+def win_ohlc_bars(spark, sf_dir):
+    """Weekly OHLC bars per order priority: open/high/low/close of the
+    order price stream -- THE time-series downsampling every
+    finance/monitoring dashboard draws, and the composite the
+    win-first-last device generalizes to (first/last need a unique
+    total tick order -- date + orderkey -- or open/close are
+    partition-placement-dependent). Prices are exact cents; each bar
+    value exits via one int->double conversion and one exact /100.
+    First/last materialize as conditional aggregates over ranked rows
+    (rank ascending = open, descending = close), so the whole bar
+    reduces in ONE grouped pass after the two rankings.
+
+    Scale: two row_number windows over the same (priority, week)
+    partitioning -- one exchange, reused sort -- then a partial-
+    aggregated reduce on the bounded bar grid."""
+    o = views(spark, sf_dir).table("orders")
+    pticks = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.date_trunc("week", F.col("o_orderdate").cast("date")).alias("wk"),
+        "o_orderdate",
+        "o_orderkey",
+        # ROUND before the cast: bare double->long truncates in Spark
+        # but rounds in DuckDB (the join-star-schema discount lesson)
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    wa = Window.partitionBy("pri", "wk").orderBy("o_orderdate", "o_orderkey")
+    wd = Window.partitionBy("pri", "wk").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    bars = pticks.select(
+        "pri",
+        "wk",
+        "pc",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return bars.groupBy(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("wk").cast("timestamp").alias("week_start"),
+    ).agg(
+        F.count("*").alias("n_ticks"),
+        (F.max(F.when(F.col("rn_a") == 1, F.col("pc"))).cast("double") / 100)
+        .alias("open"),
+        (F.max("pc").cast("double") / 100).alias("high"),
+        (F.min("pc").cast("double") / 100).alias("low"),
+        (F.max(F.when(F.col("rn_d") == 1, F.col("pc"))).cast("double") / 100)
+        .alias("close"),
+    )

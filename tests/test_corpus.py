@@ -696,3 +696,37 @@ def test_round7_block9_invariants(spark):
         assert r.n_days_scored > 10
         assert 0.0 <= r.mape
         assert 0.0 <= r.smape <= 2.0
+
+
+def test_round7_block10_invariants(spark):
+    """Semantic invariants for the tenth round-7 block (SCD2 hard
+    deletes, surrogate keys, OHLC bars)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- hard delete: exactly the vanished keys are closed, at the run
+    # date; survivors stay current
+    hd = rows("sink-scd2-hard-delete")
+    for r in hd:
+        if r.c_custkey % 10 == 0:
+            assert not r.is_current and r.valid_to == "2024-02-01"
+        else:
+            assert r.is_current and r.valid_to is None
+
+    # --- surrogate key: md5 hex, unique per sampled grain row
+    sk = rows("func-surrogate-key")
+    assert len({r.sk for r in sk}) == len(sk)
+    assert all(len(r.sk) == 32 for r in sk)
+
+    # --- OHLC: low <= open/close <= high; n_ticks positive; single-tick
+    # bars have all four equal
+    oh = rows("win-ohlc-bars")
+    assert len(oh) > 100
+    for r in oh:
+        assert r.low <= r.open <= r.high
+        assert r.low <= r.close <= r.high
+        assert r.n_ticks >= 1
+        if r.n_ticks == 1:
+            assert r.low == r.open == r.close == r.high

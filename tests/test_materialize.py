@@ -859,3 +859,42 @@ def test_incomplete_snapshot_slot_is_invisible(spark, wh):
     # commit makes it visible
     wh._commit_snapshot_dir(dst)
     assert wh.snapshots("tinc") == good + [ts]
+
+
+def test_scd2_invalidate_hard_deletes(spark, wh):
+    """dbt snapshot invalidate_hard_deletes: keys absent from the new
+    source snapshot get their OPEN interval closed at the run date;
+    history rows, surviving keys, and already-closed intervals are
+    untouched; the call is idempotent and reports the closed count."""
+    day1 = _df(
+        spark,
+        [(1, "alice", "2024-01-01"), (2, "bob", "2024-01-01"),
+         (3, "carol", "2024-01-01")],
+    )
+    wh.scd2_apply("dimhd", day1, unique_key="k", date_column="partitiondate")
+    day2 = _df(spark, [(1, "ALICE", "2024-01-02")])
+    wh.scd2_apply("dimhd", day2, unique_key="k", date_column="partitiondate")
+    # bob vanished from the source; alice + carol remain
+    still = _df(spark, [(1, "x", "y"), (3, "x", "y")]).select("k")
+    n = wh.scd2_invalidate_deletes(
+        "dimhd", still, unique_key="k", date_column="partitiondate",
+        as_of="2024-01-03",
+    )
+    assert n == 1
+    rows = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in wh.read("dimhd").collect()
+    }
+    assert (2, "bob", "2024-01-01", "2024-01-03", False) in rows
+    assert (1, "alice", "2024-01-01", "2024-01-02", False) in rows  # history
+    assert (1, "ALICE", "2024-01-02", None, True) in rows
+    assert (3, "carol", "2024-01-01", None, True) in rows
+    # idempotent: bob is no longer current, so nothing more closes
+    assert wh.scd2_invalidate_deletes(
+        "dimhd", still, unique_key="k", date_column="partitiondate",
+        as_of="2024-01-04",
+    ) == 0
+    assert (2, "bob", "2024-01-01", "2024-01-03", False) in {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in wh.read("dimhd").collect()
+    }
