@@ -3607,8 +3607,8 @@ def agg_pareto_share(spark, sf_dir):
     m AS (
         SELECT p_brand,
                CAST(COUNT(*) AS DECIMAL(12,0)) AS n,
-               CAST(SUM(x) AS DECIMAL(18,4)) AS sx,
-               CAST(SUM(y) AS DECIMAL(18,4)) AS sy,
+               CAST(SUM(x) AS DECIMAL(19,4)) AS sx,
+               CAST(SUM(y) AS DECIMAL(19,4)) AS sy,
                CAST(SUM(x * y) AS DECIMAL(25,8)) AS sxy,
                CAST(SUM(x * x) AS DECIMAL(25,8)) AS sxx
         FROM pts GROUP BY 1)
@@ -3631,7 +3631,7 @@ def agg_price_elasticity(spark, sf_dir):
     then the five regression moments accumulate EXACTLY over the
     quantized values (moment widths sized so every cross product stays
     inside the 38-digit cap in BOTH engines: n(12,0) x sxy(25,8) and
-    sx(18,4) x sy(18,4) -- DuckDB PROMOTES an overflowing decimal
+    sx(19,4) x sy(19,4) -- DuckDB PROMOTES an overflowing decimal
     product to double while Spark truncates, so width discipline is
     correctness, not tuning) and the slope exits through one double
     divide of two exact moments, rounded to 6 dp; degenerate variance
@@ -3659,8 +3659,12 @@ def agg_price_elasticity(spark, sf_dir):
     )
     m = pts.groupBy("p_brand").agg(
         F.count("*").cast("decimal(12,0)").alias("n"),
-        F.sum("x").cast("decimal(18,4)").alias("sx"),
-        F.sum("y").cast("decimal(18,4)").alias("sy"),
+        # width 19, not 18: DuckDB stores width<=18 decimals in int64
+        # and its sx*sx product path overflows int64 at sf0.1 scale
+        # (caught by the sf0.1 sweep); width 19 forces the int128 path
+        # in DuckDB while 19+19+1 still caps inside Spark's DECIMAL(38)
+        F.sum("x").cast("decimal(19,4)").alias("sx"),
+        F.sum("y").cast("decimal(19,4)").alias("sy"),
         F.sum(F.col("x") * F.col("y")).cast("decimal(25,8)").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).cast("decimal(25,8)").alias("sxx"),
     )
@@ -3993,4 +3997,100 @@ def agg_forecast_backtest_mape(spark, sf_dir):
         F.count("*").alias("n_days_scored"),
         (dsum_q8("ape") / F.count("*")).alias("mape"),
         (dsum_q8("sape") / F.count("*")).alias("smape"),
+    )
+
+
+@register(
+    "agg-growth-accounting",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT o_custkey,
+               CAST(EXTRACT(year FROM o_orderdate) * 12
+                    + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m
+        FROM orders),
+    lagd AS (
+        SELECT o_custkey, m,
+               LAG(m) OVER (PARTITION BY o_custkey ORDER BY m) AS prev_m
+        FROM act),
+    cls AS (
+        SELECT m,
+               CAST(SUM(CASE WHEN prev_m IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN prev_m = m - 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN prev_m IS NOT NULL AND prev_m < m - 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+        FROM lagd GROUP BY 1),
+    chur AS (
+        SELECT m + 1 AS m, CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM (
+            SELECT o_custkey, m,
+                   LEAD(m) OVER (PARTITION BY o_custkey ORDER BY m) AS nxt
+            FROM act)
+        WHERE nxt IS NULL OR nxt > m + 1
+        GROUP BY 1)
+    SELECT CAST(c.m // 12 AS BIGINT) AS year,
+           CAST(c.m % 12 AS BIGINT) AS month0,
+           c.n_new, c.n_retained, c.n_resurrected,
+           COALESCE(h.n_churned, 0) AS n_churned
+    FROM cls c LEFT JOIN chur h ON h.m = c.m
+    """,
+)
+def agg_growth_accounting(spark, sf_dir):
+    """Monthly growth accounting over the customer base: every active
+    customer-month classifies as NEW (first month ever), RETAINED
+    (active last month too), or RESURRECTED (active before, but not
+    last month), and each month reports how many of the previous
+    month's actives CHURNED out -- the MAU decomposition
+    (new + retained + resurrected = actives;
+    actives(t-1) - retained(t) = churned(t)) that product/finance
+    reviews read before any topline MAU number. Month indices are
+    0-based exact integers (the retention-triangle device); one lag and
+    one lead over the same per-customer ordering classify everything;
+    all outputs exact counts -- no float surface.
+
+    Scale: one DISTINCT on (customer, month) bounds the stream, two
+    windows share ONE customer-keyed exchange, and the reduce is
+    months-sized. The identity n_new+n_retained+n_resurrected = MAU is
+    pinned in tests."""
+    o = views(spark, sf_dir).table("orders")
+    mi = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    act = o.select("o_custkey", mi.alias("m")).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    lagd = act.select(
+        "m", F.lag("m").over(w).alias("prev_m"), F.lead("m").over(w).alias("nxt")
+    )
+    # explicit when/otherwise(0): a NULL prev_m makes the == comparison
+    # NULL, and a group whose rows are ALL null sums to NULL, not 0
+    # (bit the first-month row)
+    cls = lagd.groupBy("m").agg(
+        F.sum(F.col("prev_m").isNull().cast("long")).alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_m") == F.col("m") - 1, 1).otherwise(0)
+        ).alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_m").isNotNull()
+                & (F.col("prev_m") < F.col("m") - 1),
+                1,
+            ).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    chur = (
+        lagd.filter(F.col("nxt").isNull() | (F.col("nxt") > F.col("m") + 1))
+        .groupBy((F.col("m") + 1).alias("m"))
+        .agg(F.count("*").alias("n_churned"))
+    )
+    return (
+        cls.join(chur, "m", "left")
+        .select(
+            F.expr("div(m, 12)").alias("year"),
+            F.expr("m % 12").alias("month0"),
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
+        )
     )

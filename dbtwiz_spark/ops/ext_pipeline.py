@@ -2887,3 +2887,162 @@ def ext_source_similarity_matrix(spark, sf_dir):
             / F.least("n_a", "n_b").cast("double")
         ).alias("containment"),
     )
+
+
+@register(
+    "ext-curation-pipeline-e2e",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, source, n_chars, text,
+               string_split(text, ' ') AS a
+        FROM documents WHERE doc_id % 97 <> 0),
+    flags AS (
+        SELECT doc_id, lang, source, a,
+               len(a) >= 20 AND len(a) <= 100000
+                   AND n_chars // len(a) BETWEEN 3 AND 12 AS f1,
+               list_transform(generate_series(1, len(a) - 2),
+                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2]) AS g3
+        FROM base),
+    rep AS (
+        SELECT doc_id, lang, source, a, f1,
+               f1 AND 50 * len(list_distinct(g3)) >= 49 * len(g3) AS f2
+        FROM flags),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(generate_series(1, len(a) - 4),
+                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                        || a[i+3] || ' ' || a[i+4])) AS shingle
+        FROM base),
+    hot AS (
+        SELECT shingle FROM sh GROUP BY 1 HAVING COUNT(*) >= 3),
+    boiler AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN hot h USING (shingle)),
+    bench_sh AS (
+        SELECT DISTINCT unnest(list_transform(
+                   generate_series(1, len(a) - 4),
+                   i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2] || ' '
+                        || a[i+3] || ' ' || a[i+4])) AS shingle
+        FROM (SELECT string_split(text, ' ') AS a FROM documents
+              WHERE doc_id % 97 = 0)),
+    contam AS (
+        SELECT DISTINCT s.doc_id FROM sh s
+        JOIN bench_sh b ON b.shingle = s.shingle),
+    staged AS (
+        SELECT r.lang, r.source, r.f1, r.f2,
+               r.f2 AND bo.doc_id IS NULL AS f3,
+               r.f2 AND bo.doc_id IS NULL AND c.doc_id IS NULL AS f4
+        FROM rep r
+        LEFT JOIN boiler bo ON bo.doc_id = r.doc_id
+        LEFT JOIN contam c ON c.doc_id = r.doc_id)
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+           CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repetition,
+           CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+    FROM staged GROUP BY 1, 2
+    """,
+)
+def ext_curation_pipeline_e2e(spark, sf_dir):
+    """The composed curation pipeline, end to end in ONE plan: benchmark
+    docs carved out -> quality gate (word count + integer mean word
+    length, the gopher shape) -> repetition gate (distinct-3-gram ratio
+    via per-doc ARRAYS, map-side, thresholded by cross-multiplication
+    -- never a float ratio) -> boilerplate gate (drop docs containing
+    any 5-gram shared by >= 3 training docs, the hot-passage filter of
+    the dup-span device) -> 5-gram decontamination against the
+    benchmark set. Output: the per-(lang, source) survival funnel after
+    each gate -- the waterfall report every curation run publishes,
+    proving the operators COMPOSE (each gate is an existing corpus
+    entry's device; the pipeline is their conjunction, and every gate
+    fires on this corpus -- pinned in tests, a gate that never drops
+    certifies nothing).
+
+    Scale: gates 1-2 are scan-fused per-row array math; the boilerplate
+    df and decontamination are shingle-keyed joins (benchmark side
+    broadcasts; the hot set is tiny by construction -- df >= 3 passages
+    are the heavy tail); the funnel reduce is one partial-aggregated
+    groupBy. One corpus read feeds everything."""
+    from dbtwiz_spark.ops.ext_llm import shingles
+
+    d = views(spark, sf_dir).table("documents")
+    base = d.filter(F.col("doc_id") % 97 != 0)
+    toks = F.split("text", " ")
+    arr = F.col("a")
+    idx = F.sequence(F.lit(1), F.size(arr) - 2)
+    gen = F.when(F.size(arr) >= 3, idx).otherwise(
+        F.array().cast("array<int>")
+    )
+    g3 = F.transform(
+        gen,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(arr, i + j) for j in range(3)]
+        ),
+    )
+    flags = base.select(
+        "doc_id", "lang", "source", toks.alias("a"), "n_chars"
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        (
+            (F.size(arr) >= 20)
+            & (F.size(arr) <= 100000)
+            & (F.expr("div(n_chars, size(a))").between(3, 12))
+        ).alias("f1"),
+        g3.alias("g3"),
+    )
+    rep = flags.select(
+        "doc_id",
+        "lang",
+        "source",
+        "f1",
+        (
+            F.col("f1")
+            & (50 * F.size(F.array_distinct("g3")) >= 49 * F.size("g3"))
+        ).alias("f2"),
+    )
+    sh = shingles(base, 5)
+    hot = sh.groupBy("shingle").agg(F.count("*").alias("c")).filter(
+        F.col("c") >= 3
+    )
+    boiler = (
+        sh.join(hot.select("shingle"), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_boiler", F.lit(True))
+    )
+    bench_sh = shingles(d.filter(F.col("doc_id") % 97 == 0), 5).select(
+        "shingle"
+    ).distinct()
+    contam = (
+        sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    staged = (
+        rep.join(boiler, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .select(
+            "lang",
+            "source",
+            "f1",
+            "f2",
+            (F.col("f2") & F.col("is_boiler").isNull()).alias("f3"),
+            (
+                F.col("f2")
+                & F.col("is_boiler").isNull()
+                & F.col("contaminated").isNull()
+            ).alias("f4"),
+        )
+    )
+    return staged.groupBy("lang", "source").agg(
+        F.count("*").alias("n_in"),
+        F.sum(F.col("f1").cast("long")).alias("n_quality"),
+        F.sum(F.col("f2").cast("long")).alias("n_repetition"),
+        F.sum(F.col("f3").cast("long")).alias("n_boilerplate"),
+        F.sum(F.col("f4").cast("long")).alias("n_final"),
+    )

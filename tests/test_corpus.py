@@ -730,3 +730,45 @@ def test_round7_block10_invariants(spark):
         assert r.n_ticks >= 1
         if r.n_ticks == 1:
             assert r.low == r.open == r.close == r.high
+
+
+def test_round7_block11_invariants(spark):
+    """Semantic invariants for the eleventh round-7 block (growth
+    accounting, curation pipeline e2e)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- growth accounting: the MAU identity per month, and the flow
+    # balance actives(t-1) - retained(t) = churned(t)
+    ga = sorted(rows("agg-growth-accounting"), key=lambda r: (r.year, r.month0))
+    assert len(ga) > 24
+    mau_prev = None
+    for r in ga:
+        mau = r.n_new + r.n_retained + r.n_resurrected
+        assert mau > 0
+        if mau_prev is not None:
+            assert mau_prev - r.n_retained == r.n_churned, (r.year, r.month0)
+        mau_prev = mau
+    assert ga[0].n_retained == 0 and ga[0].n_resurrected == 0
+    assert ga[0].n_churned == 0
+
+    # --- curation funnel: monotone non-increasing through the gates,
+    # and EVERY gate must actually drop something on this corpus (a
+    # gate that never fires certifies nothing)
+    cp = rows("ext-curation-pipeline-e2e")
+    tot = {
+        k: sum(getattr(r, k) for r in cp)
+        for k in ("n_in", "n_quality", "n_repetition", "n_boilerplate",
+                  "n_final")
+    }
+    assert (
+        tot["n_in"] > tot["n_quality"] > tot["n_repetition"]
+        > tot["n_boilerplate"] > tot["n_final"] > 0
+    ), tot
+    for r in cp:
+        assert (
+            r.n_in >= r.n_quality >= r.n_repetition >= r.n_boilerplate
+            >= r.n_final >= 0
+        )
