@@ -65,7 +65,8 @@ ext-split-leak-audit, ext-embed-pca-power, udf-cogroup,
 agg-pk-uniqueness-audit, agg-auc-roc, agg-calibration-ece,
 ext-source-similarity-matrix, agg-bounce-rate,
 agg-forecast-backtest-mape, sink-scd2-hard-delete, func-surrogate-key,
-win-ohlc-bars, agg-growth-accounting, ext-curation-pipeline-e2e.
+win-ohlc-bars, agg-growth-accounting, ext-curation-pipeline-e2e,
+graph-hits, scan-snapshot-diff, func-column-masking.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dbtwiz_spark.ops.common import views
+from dbtwiz_spark.ops.common import views, hkey, hkey_sql
 from dbtwiz_spark.ops.registry import register
 
 
@@ -596,4 +596,50 @@ def func_surrogate_key(spark, sf_dir):
     ]
     return o.filter(F.col("o_orderkey") % 100 == 0).select(
         "o_orderkey", F.md5(F.concat_ws("-", *parts)).alias("sk")
+    )
+
+
+@register(
+    "func-column-masking",
+    oracle=f"""
+    SELECT c_custkey,
+           'cust_' || CAST({hkey_sql('c_custkey')} AS VARCHAR) AS pseudonym,
+           repeat('*', GREATEST(len(c_name) - 4, 0))
+               || substr(c_name, GREATEST(len(c_name) - 3, 1)) AS name_masked,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS balance_band
+    FROM customer WHERE c_custkey % 50 = 0
+    """,
+)
+def func_column_masking(spark, sf_dir):
+    """Column-level data masking for governed marts (the reference's
+    access/policy plane -- authorized-view semantics,
+    dbtwiz/model/create.py access_choices -- enforced at the DATA
+    level): deterministic pseudonymization via the engine's portable
+    Knuth hash (same entity -> same token across runs and tables, so
+    joins still work on masked data), format-preserving last-4
+    partial masking for display fields, and value banding for numeric
+    fields (the k-anonymity coarsening). Sampled keyspace keeps the
+    checked surface bounded; each mask is a scan-fused expression.
+
+    Scale: pure map-side codegen -- no shuffle, no UDF; the masked view
+    is a SELECT any engine pushes to the scan."""
+    c = views(spark, sf_dir).table("customer")
+    nlen = F.length("c_name")
+    return c.filter(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey",
+        F.concat(
+            F.lit("cust_"), hkey(F.col("c_custkey")).cast("string")
+        ).alias("pseudonym"),
+        F.concat(
+            F.expr("repeat('*', GREATEST(length(c_name) - 4, 0))"),
+            F.substring(
+                F.col("c_name"), F.greatest(nlen - 3, F.lit(1)), 4
+            ),
+        ).alias("name_masked"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("balance_band"),
     )

@@ -938,3 +938,139 @@ def graph_personalized_pagerank(spark, sf_dir):
         .orderBy(F.desc("ppr_fp"), "node")
         .limit(20)
     )
+
+
+_HSCALE = 1_000_000_000  # 10^9 fixed point: keeps EVERY HITS value in BIGINT
+
+
+def _hits_oracle() -> str:
+    sql = f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l.l_suppkey AS VARCHAR) AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    h0 AS (SELECT DISTINCT c AS node, CAST({_HSCALE} AS BIGINT) AS h
+           FROM pairs)
+    """
+    prev = "h0"
+    for i in range(1, _ITER + 1):
+        sql += f""",
+    ar{i} AS (
+        SELECT p.s AS node, CAST(SUM(h.h) AS BIGINT) AS a
+        FROM pairs p JOIN {prev} h ON h.node = p.c
+        GROUP BY 1),
+    an{i} AS (
+        SELECT node,
+               a // ((SELECT SUM(a) FROM ar{i}) // {_HSCALE}) AS a
+        FROM ar{i}),
+    hr{i} AS (
+        SELECT p.c AS node, CAST(SUM(a.a) AS BIGINT) AS h
+        FROM pairs p JOIN an{i} a ON a.node = p.s
+        GROUP BY 1),
+    h{i} AS (
+        SELECT node,
+               h // ((SELECT SUM(h) FROM hr{i}) // {_HSCALE}) AS h
+        FROM hr{i})
+        """
+        prev = f"h{i}"
+    return f"""{sql}
+    SELECT 'hub' AS side, node, CAST(h AS BIGINT) AS score_fp FROM (
+        SELECT node, h FROM h{_ITER} ORDER BY h DESC, node LIMIT 10)
+    UNION ALL
+    SELECT 'authority', node, CAST(a AS BIGINT) FROM (
+        SELECT node, a FROM an{_ITER} ORDER BY a DESC, node LIMIT 10)
+    """
+
+
+@register("graph-hits", oracle=_hits_oracle())
+def graph_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (3 iterations) over the directed
+    customer->supplier purchase graph: customers score as HUBS (they
+    point at good suppliers), suppliers as AUTHORITIES (pointed at by
+    good customers) -- the mutually-recursive centrality pair that
+    PageRank's single score can't express, and the fourth fixed-point
+    iteration in the graph family (after (+,x), (min,+1), (min,+)).
+    Determinism: ALL arithmetic is BIGINT on positive values -- the l1
+    normalization is the TWO-STEP integer divide score // (total //
+    1e9), never a decimal division (DECIMAL // rounds its last digit
+    differently across engines: measured off-by-one at 1e15 scale
+    before this formulation; BIGINT floor-div on positives is identical
+    everywhere). The 1e9 fixed point bounds every intermediate:
+    unnormalized mass <= pairs x 1e9 (~2.4e15 at sf0.1, int64-safe to
+    ~10^9 pairs -- wider graphs shard the normalizer, noted
+    deliberately). Top-10 per side with a node tiebreak.
+
+    Scale: each half-step is ONE equi-join of the pair list against the
+    current score vector plus a partial-aggregated groupBy -- the
+    pagerank hop shape on the SAME persisted distinct-pair artifact;
+    the normalizer is a broadcast 1-row aggregate. Deeper iteration
+    counts checkpoint like the pagerank docstring notes."""
+    cat = views(spark, sf_dir)
+
+    def _build_pairs():
+        o, li = cat.table("orders"), cat.table("lineitem")
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                    "c"
+                ),
+                F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                    "s"
+                ),
+            )
+            .distinct()
+        )
+
+    pairs = _artifact(spark, sf_dir, "hits_pairs", _build_pairs)
+    h = pairs.select(F.col("c").alias("node")).distinct().select(
+        "node", F.lit(_HSCALE).cast("long").alias("h")
+    )
+    a_norm = None
+    for i in range(1, _ITER + 1):
+        # memoize each half-step's raw scores: the normalizer consumes
+        # ar/hr TWICE (directly and through the 1-row total), so an
+        # unpersisted lineage doubles the logical plan every half-step
+        # (~4^iters copies for the analyzer to chew) — persistence keeps
+        # plan growth linear, the pagerank discipline
+        ar = _artifact(
+            spark,
+            sf_dir,
+            f"hits_ar{i}",
+            lambda p=pairs, hh=h: p.join(hh, p.c == hh.node)
+            .groupBy(F.col("s").alias("anode"))
+            .agg(F.sum("h").alias("a")),
+        )
+        asum = ar.agg(F.sum("a").alias("t"))
+        a_norm = ar.crossJoin(F.broadcast(asum)).select(
+            F.col("anode").alias("node"),
+            F.expr(f"a div (t div {_HSCALE})").alias("a"),
+        )
+        hr = _artifact(
+            spark,
+            sf_dir,
+            f"hits_hr{i}",
+            lambda p=pairs, an=a_norm: p.join(an, p.s == an.node)
+            .groupBy(F.col("c").alias("hnode"))
+            .agg(F.sum("a").alias("hh")),
+        )
+        hsum = hr.agg(F.sum("hh").alias("t"))
+        h = hr.crossJoin(F.broadcast(hsum)).select(
+            F.col("hnode").alias("node"),
+            F.expr(f"hh div (t div {_HSCALE})").alias("h"),
+        )
+    hubs = (
+        h.orderBy(F.desc("h"), "node")
+        .limit(10)
+        .select(F.lit("hub").alias("side"), "node", F.col("h").alias("score_fp"))
+    )
+    auths = (
+        a_norm.orderBy(F.desc("a"), "node")
+        .limit(10)
+        .select(
+            F.lit("authority").alias("side"),
+            "node",
+            F.col("a").alias("score_fp"),
+        )
+    )
+    return hubs.unionAll(auths)

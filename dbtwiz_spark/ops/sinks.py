@@ -413,3 +413,81 @@ def sink_scd2_hard_delete(spark, sf_dir):
     return wh.read("cust_hist_hd").select(
         "c_custkey", "valid_from", "valid_to", "is_current"
     )
+
+
+@register(
+    "scan-snapshot-diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT c_custkey, c_mktsegment FROM customer),
+    v2 AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'CHANGED'
+                    ELSE c_mktsegment END AS c_mktsegment
+        FROM customer WHERE c_custkey % 5 <> 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWSEG' FROM customer
+        WHERE c_custkey % 11 = 0)
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
+        SELECT 'added' AS change_type FROM v2
+        LEFT JOIN v1 USING (c_custkey) WHERE v1.c_custkey IS NULL
+        UNION ALL
+        SELECT 'removed' FROM v1
+        LEFT JOIN v2 USING (c_custkey) WHERE v2.c_custkey IS NULL
+        UNION ALL
+        SELECT 'changed' FROM v1 JOIN v2 USING (c_custkey)
+        WHERE v1.c_mktsegment <> v2.c_mktsegment
+        UNION ALL
+        SELECT 'unchanged' FROM v1 JOIN v2 USING (c_custkey)
+        WHERE v1.c_mktsegment = v2.c_mktsegment)
+    GROUP BY 1
+    """,
+)
+def scan_snapshot_diff(spark, sf_dir):
+    """Snapshot diff: classify every key across two table versions as
+    added / removed / changed / unchanged -- the audit a warehouse runs
+    after any backfill or migration ("what did that run actually
+    touch?"), and the read-side complement of sink-cdc-apply (CDC
+    *applies* a changelog; this RECOVERS one from two snapshots). The
+    engine path overwrites the table (auto-snapshotting v1), reads v1
+    back through the SAME time-travel decorator as scan-time-travel,
+    and full-outer-joins the two versions; the oracle states the diff
+    declaratively from the base data. All counts exact.
+
+    Scale: one full outer join keyed on the PK (co-partitioned if both
+    versions are bucketed), one 4-key reduce. The diff never
+    materializes row pairs beyond the join itself."""
+    c = views(spark, sf_dir).table("customer")
+    wh = _wh(spark)
+    v1 = c.select("c_custkey", "c_mktsegment")
+    v2 = (
+        c.filter(F.col("c_custkey") % 5 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("CHANGED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionAll(
+            c.filter(F.col("c_custkey") % 11 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+            )
+        )
+    )
+    wh.write_table("cust_snap_diff", v1, snapshot=False)
+    wh.write_table("cust_snap_diff", v2, snapshot=True)  # snapshots v1
+    old = wh.read_snapshot(
+        "cust_snap_diff", at_ms=int(time.time() * 1000)
+    ).select("c_custkey", F.col("c_mktsegment").alias("seg_old"))
+    new = wh.read("cust_snap_diff").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg_new")
+    )
+    diff = old.join(new, "c_custkey", "full_outer").select(
+        F.when(F.col("seg_old").isNull(), "added")
+        .when(F.col("seg_new").isNull(), "removed")
+        .when(F.col("seg_old") != F.col("seg_new"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    return diff.groupBy("change_type").agg(F.count("*").alias("n_rows"))

@@ -772,3 +772,53 @@ def test_round7_block11_invariants(spark):
             r.n_in >= r.n_quality >= r.n_repetition >= r.n_boilerplate
             >= r.n_final >= 0
         )
+
+
+def test_round7_block12_invariants(spark):
+    """Semantic invariants for the twelfth round-7 block (HITS,
+    snapshot diff, column masking)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- HITS: sides well-formed, hubs are customers / authorities are
+    # suppliers, scores positive and ~1e9-normalized at the head
+    ht = rows("graph-hits")
+    hubs = [r for r in ht if r.side == "hub"]
+    auths = [r for r in ht if r.side == "authority"]
+    assert len(hubs) == 10 and len(auths) == 10
+    assert all(r.node.startswith("c") for r in hubs)
+    assert all(r.node.startswith("s") for r in auths)
+    for rs in (hubs, auths):
+        scores = [r.score_fp for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+
+    # --- snapshot diff: the four classes partition both versions'
+    # keyspace with the constructed overlap counts
+    sd = {r.change_type: r.n_rows for r in rows("scan-snapshot-diff")}
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = c.count()
+    n_removed = c.filter("c_custkey % 5 = 0").count()
+    n_added = c.filter("c_custkey % 11 = 0").count()
+    assert sd["removed"] == n_removed
+    assert sd["added"] == n_added
+    assert sd["changed"] == c.filter(
+        "c_custkey % 5 <> 0 AND c_custkey % 7 = 0"
+    ).count()
+    assert (
+        sd["changed"] + sd["unchanged"] == n - n_removed
+    )
+
+    # --- masking: pseudonyms deterministic + collision-free on the
+    # sample; masked names keep only the last 4 chars visible
+    mk = rows("func-column-masking")
+    assert len({r.pseudonym for r in mk}) == len(mk)
+    again = {
+        r.c_custkey: r.pseudonym
+        for r in rows("func-column-masking")
+    }
+    for r in mk:
+        assert again[r.c_custkey] == r.pseudonym
+        assert set(r.name_masked[:-4]) <= {"*"}
