@@ -66,7 +66,8 @@ agg-pk-uniqueness-audit, agg-auc-roc, agg-calibration-ece,
 ext-source-similarity-matrix, agg-bounce-rate,
 agg-forecast-backtest-mape, sink-scd2-hard-delete, func-surrogate-key,
 win-ohlc-bars, agg-growth-accounting, ext-curation-pipeline-e2e,
-graph-hits, scan-snapshot-diff, func-column-masking.
+graph-hits, scan-snapshot-diff, func-column-masking,
+join-scd2-point-in-time, win-rolling-beta.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode

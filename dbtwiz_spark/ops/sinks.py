@@ -491,3 +491,82 @@ def scan_snapshot_diff(spark, sf_dir):
         .alias("change_type")
     )
     return diff.groupBy("change_type").agg(F.count("*").alias("n_rows"))
+
+
+@register(
+    "join-scd2-point-in-time",
+    oracle="""
+    WITH h AS (
+        SELECT c_custkey, '2024-01-01' AS snap_date, c_acctbal AS bal
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, '2024-02-01', c_acctbal + 50.0
+        FROM customer WHERE c_custkey % 10 = 0),
+    dim AS (
+        SELECT *, snap_date AS valid_from,
+               LEAD(snap_date) OVER (PARTITION BY c_custkey
+                                     ORDER BY snap_date) AS valid_to
+        FROM h),
+    probes AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 2 = 0 THEN '2024-01-15'
+                    ELSE '2024-02-15' END AS as_of
+        FROM customer)
+    SELECT p.c_custkey, p.as_of, d.bal,
+           d.valid_from AS version_from
+    FROM probes p JOIN dim d
+      ON d.c_custkey = p.c_custkey
+     AND d.valid_from <= p.as_of
+     AND (d.valid_to IS NULL OR p.as_of < d.valid_to)
+    """,
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time dimension lookup against an SCD2 table: each probe
+    (key, as-of date) joins to the ONE version whose validity interval
+    covers it -- THE query every SCD2 dimension exists to answer
+    ("what did this customer look like when the order shipped?"), and
+    the consumption side of sink-scd2's write path. The dim builds
+    through the REAL warehouse scd2 materialization, then the lookup is
+    an equi-join on the key plus the interval predicate -- never a
+    between-only range join (the key equi-join is what keeps it a hash
+    join with a residual filter at any scale). Dates are 'yyyy-MM-dd'
+    strings (lexicographic == chronological, the sink-scd2 convention);
+    every probe matches exactly one version, pinned in tests.
+
+    Scale: one co-keyed hash join; per-key version chains are short by
+    construction (SCD2 grain = change events), so the residual interval
+    filter touches a bounded set per probe."""
+    c = views(spark, sf_dir).table("customer")
+    wh = _wh(spark)
+    day1 = c.select(
+        "c_custkey",
+        F.lit("2024-01-01").alias("snap_date"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    wh.scd2_apply("cust_hist_pit", day1, "c_custkey", "snap_date")
+    day2 = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("2024-02-01").alias("snap_date"),
+        (F.col("c_acctbal") + 50.0).alias("bal"),
+    )
+    wh.scd2_apply("cust_hist_pit", day2, "c_custkey", "snap_date")
+    dim = wh.read("cust_hist_pit")
+    probes = c.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 2 == 0, "2024-01-15")
+        .otherwise("2024-02-15")
+        .alias("as_of"),
+    )
+    d = dim.select(
+        F.col("c_custkey").alias("dk"), "bal", "valid_from", "valid_to"
+    )
+    return (
+        probes.join(d, probes.c_custkey == d.dk)
+        .filter(
+            (F.col("valid_from") <= F.col("as_of"))
+            & (F.col("valid_to").isNull() | (F.col("as_of") < F.col("valid_to")))
+        )
+        .select(
+            "c_custkey", "as_of", "bal", F.col("valid_from").alias("version_from")
+        )
+    )

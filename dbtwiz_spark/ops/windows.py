@@ -1696,3 +1696,102 @@ def win_ohlc_bars(spark, sf_dir):
         (F.max(F.when(F.col("rn_d") == 1, F.col("pc"))).cast("double") / 100)
         .alias("close"),
     )
+
+
+@register(
+    "win-rolling-beta",
+    oracle="""
+    WITH base AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+               CAST(l_quantity AS DECIMAL(8, 2)) AS x,
+               CAST(l_extendedprice AS DECIMAL(12, 2)) AS y,
+               CAST(l_quantity AS DECIMAL(8, 2))
+                 * CAST(l_extendedprice AS DECIMAL(12, 2)) AS xy,
+               CAST(l_quantity AS DECIMAL(8, 2))
+                 * CAST(l_quantity AS DECIMAL(8, 2)) AS xx
+        FROM lineitem WHERE l_suppkey <= 25),
+    e AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               COUNT(*) OVER f AS cnt,
+               CAST(SUM(x) OVER f AS DECIMAL(38, 6)) AS sx,
+               CAST(SUM(y) OVER f AS DECIMAL(38, 6)) AS sy,
+               CAST(SUM(xy) OVER f AS DECIMAL(38, 6)) AS sxy,
+               CAST(SUM(xx) OVER f AS DECIMAL(38, 6)) AS sxx
+        FROM base
+        WINDOW f AS (PARTITION BY l_suppkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+    c AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(sx * 100 AS BIGINT) AS sxi,
+               CAST(sy * 100 AS BIGINT) AS syi,
+               CAST(sxy * 10000 AS BIGINT) AS sxyi,
+               CAST(sxx * 10000 AS BIGINT) AS sxxi
+        FROM e WHERE cnt = 10)
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CASE WHEN 10 * sxxi - sxi * sxi > 0 THEN
+               CAST(10 * sxyi - sxi * syi AS DOUBLE)
+               / CAST(10 * sxxi - sxi * sxi AS DOUBLE) END AS beta
+    FROM c
+    """,
+)
+def win_rolling_beta(spark, sf_dir):
+    """Rolling regression beta of extended price on quantity over each
+    supplier's last 10 shipments: the local price-per-unit slope a
+    pricing monitor tracks (rolling-corr says the co-movement's
+    STRENGTH; beta says its RATE). The win-rolling-corr device
+    verbatim: exact decimal frame sums moved to scaled BIGINTs, the
+    slope numerator/denominator 10*Sxy - SxSy / 10*Sxx - Sx^2 in exact
+    integer arithmetic (the x100/x10000 scale factors cancel in the
+    ratio up to the documented 100x -- beta here is cents-per-unit
+    x100, i.e. dollars-per-unit), and ONE double divide on two exact
+    int64->double conversions -- shipped bit-identical unrounded.
+    Degenerate variance guards NULL on both engines.
+
+    Scale: the single-shuffle bounded-frame shape of
+    win-rolling-corr/-trend/-bollinger."""
+    li = views(spark, sf_dir).table("lineitem").filter(F.col("l_suppkey") <= 25)
+    qd = F.col("l_quantity").cast("decimal(8,2)")
+    pd_ = F.col("l_extendedprice").cast("decimal(12,2)")
+    base = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        qd.alias("x"),
+        pd_.alias("y"),
+        (qd * pd_).alias("xy"),
+        (qd * qd).alias("xx"),
+    )
+    f = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, 0)
+    )
+    e = base.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count("*").over(f).alias("cnt"),
+        F.sum("x").over(f).cast("decimal(38,6)").alias("sx"),
+        F.sum("y").over(f).cast("decimal(38,6)").alias("sy"),
+        F.sum("xy").over(f).cast("decimal(38,6)").alias("sxy"),
+        F.sum("xx").over(f).cast("decimal(38,6)").alias("sxx"),
+    ).filter(F.col("cnt") == 10)
+    c = e.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("sx") * 100).cast("long").alias("sxi"),
+        (F.col("sy") * 100).cast("long").alias("syi"),
+        (F.col("sxy") * 10000).cast("long").alias("sxyi"),
+        (F.col("sxx") * 10000).cast("long").alias("sxxi"),
+    )
+    den = 10 * F.col("sxxi") - F.col("sxi") * F.col("sxi")
+    num = 10 * F.col("sxyi") - F.col("sxi") * F.col("syi")
+    return c.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(den > 0, num.cast("double") / den.cast("double")).alias("beta"),
+    )

@@ -822,3 +822,45 @@ def test_round7_block12_invariants(spark):
     for r in mk:
         assert again[r.c_custkey] == r.pseudonym
         assert set(r.name_masked[:-4]) <= {"*"}
+
+
+def test_round7_block13_invariants(spark):
+    """Semantic invariants for the thirteenth round-7 block (SCD2
+    point-in-time lookup, rolling beta)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- point-in-time: EVERY probe matches exactly one version; the
+    # version matched respects the as-of ordering
+    pit = rows("join-scd2-point-in-time")
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    assert len(pit) == c.count(), "each probe must match exactly one version"
+    from collections import Counter
+
+    assert max(Counter(r.c_custkey for r in pit).values()) == 1
+    for r in pit:
+        assert r.version_from <= r.as_of
+        if r.as_of == "2024-01-15":
+            assert r.version_from == "2024-01-01"
+
+    # --- rolling beta: agrees with rolling_corr's sign on shared frames
+    # (same moments, same sign structure), and a positive-variance frame
+    # yields finite beta
+    rb = {
+        (r.l_suppkey, r.l_orderkey, r.l_linenumber): r.beta
+        for r in rows("win-rolling-beta")
+    }
+    rc = {
+        (r.l_suppkey, r.l_orderkey, r.l_linenumber): r.rolling_corr
+        for r in rows("win-rolling-corr")
+    }
+    assert set(rb) == set(rc)
+    both = [
+        (b, c_) for b, c_ in ((rb[k], rc[k]) for k in rb)
+        if b is not None and c_ is not None
+    ]
+    assert len(both) > 100
+    for b, c_ in both:
+        assert (b > 0) == (c_ > 0) or b == 0 == c_
