@@ -897,3 +897,84 @@ def test_time_travel_history_matches_recorded_states(spark, tmp_path):
     mid = sorted(history)[2]
     wh.restore("t", mid)
     assert live() == history[mid], "restore did not reproduce the snapshot state"
+
+
+def test_scd2_invalidate_interleaved_matches_model(spark, tmp_path):
+    """Randomized (seeded) interleaving of scd2_apply and
+    scd2_invalidate_deletes vs the definitional model: an invalidate
+    closes the open interval of every key absent from its snapshot at
+    the run date; a later apply that RESTATES a key rebuilds its chain
+    (reopening it — the engine's documented rebuild semantics); exactly
+    one open interval per un-invalidated key."""
+    import random
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    rng = random.Random(71)
+    days = [f"2024-03-{d:02d}" for d in range(1, 7)]
+    hist: dict[tuple[int, str], str] = {}
+    closed_at: dict[int, str] = {}
+    wh = Warehouse(spark, str(tmp_path / "wh_scd2_inv_prop"))
+    # seed: every key gets an initial state
+    batch0 = [(k, f"init_{k}", days[0]) for k in range(8)]
+    for k, v, d in batch0:
+        hist[(k, d)] = v
+    wh.scd2_apply(
+        "dimi",
+        spark.createDataFrame(batch0, "k INT, v STRING, partitiondate STRING"),
+        unique_key="k",
+        date_column="partitiondate",
+    )
+    for round_i in range(5):
+        if rng.random() < 0.5:
+            batch = []
+            for k in rng.sample(range(8), 3):
+                d = rng.choice(days)
+                v = f"r{round_i}_{k}_{d}"
+                batch.append((k, v, d))
+                hist[(k, d)] = v
+                closed_at.pop(k, None)  # a rebuild reopens the chain
+            wh.scd2_apply(
+                "dimi",
+                spark.createDataFrame(
+                    batch, "k INT, v STRING, partitiondate STRING"
+                ),
+                unique_key="k",
+                date_column="partitiondate",
+            )
+        else:
+            survivors = rng.sample(range(8), 5)
+            as_of = f"2024-04-{10 + round_i:02d}"
+            n = wh.scd2_invalidate_deletes(
+                "dimi",
+                spark.createDataFrame([(k,) for k in survivors], "k INT"),
+                unique_key="k",
+                date_column="partitiondate",
+                as_of=as_of,
+            )
+            expect_closed = {
+                k
+                for k in range(8)
+                if k not in survivors and k not in closed_at
+            }
+            assert n == len(expect_closed), (round_i, n, expect_closed)
+            for k in expect_closed:
+                closed_at[k] = as_of
+        # reference model
+        want = set()
+        by_key: dict[int, list[str]] = {}
+        for (k, d) in hist:
+            by_key.setdefault(k, []).append(d)
+        for k, ds in by_key.items():
+            ds = sorted(set(ds))
+            for i, d in enumerate(ds):
+                nxt = ds[i + 1] if i + 1 < len(ds) else None
+                if nxt is None and k in closed_at:
+                    want.add((k, d, hist[(k, d)], d, closed_at[k], False))
+                else:
+                    want.add((k, d, hist[(k, d)], d, nxt, nxt is None))
+        got = {
+            (r.k, r.partitiondate, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in wh.read("dimi").collect()
+        }
+        assert got == want, f"diverged after round {round_i}"
