@@ -4094,3 +4094,120 @@ def agg_growth_accounting(spark, sf_dir):
             F.coalesce(F.col("n_churned"), F.lit(0)).alias("n_churned"),
         )
     )
+
+
+@register(
+    "agg-seasonality-strength",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS day,
+               CAST(EXTRACT(isodow FROM o_orderdate) AS BIGINT) AS dow,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6)) * 100)
+                    AS BIGINT) AS revc
+        FROM orders GROUP BY 1, 2, 3),
+    per_dow AS (
+        SELECT pri, dow, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(revc) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(CAST(revc AS DECIMAL(19,0))
+                        * CAST(revc AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                   AS ss
+        FROM daily GROUP BY 1, 2),
+    tot AS (
+        SELECT pri, CAST(SUM(n) AS BIGINT) AS n,
+               CAST(SUM(s) AS DECIMAL(38,0)) AS s,
+               CAST(SUM(ss) AS DECIMAL(38,0)) AS ss,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE) ORDER BY dow)),
+                   (a, x) -> a + x) AS grp_sq
+        FROM per_dow GROUP BY 1)
+    SELECT pri AS o_orderpriority, n AS n_days,
+           CASE WHEN CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                       / CAST(n AS DOUBLE) > 0 THEN
+               (grp_sq - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+               / (CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+           END AS seasonality_strength
+    FROM tot
+    """,
+)
+def agg_seasonality_strength(spark, sf_dir):
+    """Weekday-seasonality strength per priority: the share of daily
+    revenue variance EXPLAINED by day-of-week (between-group sum of
+    squares over total sum of squares -- the one-way ANOVA eta-squared,
+    repurposed as the 'is there a weekly cycle worth modeling' gate a
+    forecaster checks before win-seasonal-baseline). Moments accumulate
+    exactly (cents BIGINTs; squares through DECIMAL(19,0) products
+    inside the 38 cap); the seven per-weekday s^2/n terms are each
+    composed of correctly-rounded double ops on exact ints and then
+    summed by the ORDERED FOLD over the dow-sorted 7-array (a bare
+    7-term double sum is reduction-order-dependent, and the terms are
+    ~1e19 -- far past any scaled-BIGINT grid); the final ratio is one
+    double division, unrounded; zero-variance groups guard NULL.
+
+    Scale: one partial-aggregated daily groupBy, a 7x5-key reduce, a
+    5-key reduce. Between/total SS never touches the fact stream
+    twice."""
+    o = views(spark, sf_dir).table("orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek("o_orderdate").alias("dow_raw"),
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast(DEC)) * 100)
+        .cast("long")
+        .alias("revc")
+    )
+    # isodow (Mon=1..Sun=7) from Spark's dayofweek (Sun=1..Sat=7); the
+    # value only partitions groups, but keep it identical anyway
+    daily = daily.select(
+        "pri",
+        "day",
+        (((F.col("dow_raw") + 5) % 7) + 1).cast("long").alias("dow"),
+        "revc",
+    )
+    per_dow = daily.groupBy("pri", "dow").agg(
+        F.count("*").alias("n"),
+        F.sum("revc").cast("decimal(38,0)").alias("s"),
+        F.sum(
+            F.col("revc").cast("decimal(19,0)")
+            * F.col("revc").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("ss"),
+    )
+    # one shared unresolved expression serves both the per-dow fold term
+    # and the per-priority mean square (resolved against each consumer)
+    grp_term = (
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    tot = per_dow.groupBy("pri").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast("decimal(38,0)").alias("s"),
+        F.sum("ss").cast("decimal(38,0)").alias("ss"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dow", grp_term.alias("t")))
+                ),
+                lambda e: e.t,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("grp_sq"),
+    )
+    mean_sq = grp_term
+    tss = F.col("ss").cast("double") - mean_sq
+    return tot.select(
+        F.col("pri").alias("o_orderpriority"),
+        F.col("n").alias("n_days"),
+        F.when(tss > 0, (F.col("grp_sq") - mean_sq) / tss).alias(
+            "seasonality_strength"
+        ),
+    )

@@ -755,3 +755,90 @@ def agg_bounce_rate(spark, sf_dir):
             F.sum("n_events").cast("double") / F.count("*").cast("double")
         ).alias("events_per_session"),
     )
+
+
+@register(
+    "stream-gap-detect",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('day', MIN(ts)) AS lo,
+               date_trunc('day', MAX(ts)) + INTERVAL 1 DAY AS hi
+        FROM events),
+    grid AS (
+        SELECT event_type, t.win_start
+        FROM (SELECT DISTINCT event_type FROM events) e
+        CROSS JOIN (
+            SELECT unnest(generate_series(
+                       (SELECT lo FROM bounds),
+                       (SELECT hi FROM bounds) - INTERVAL 30 MINUTE,
+                       INTERVAL 30 MINUTE)) AS win_start) t),
+    seen AS (
+        SELECT DISTINCT event_type,
+               date_trunc('hour', ts)
+                 + (CAST(EXTRACT(minute FROM ts) AS INTEGER) // 30)
+                   * INTERVAL 30 MINUTE AS win_start
+        FROM events)
+    SELECT g.event_type, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN s.win_start IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gaps
+    FROM grid g LEFT JOIN seen s
+      ON s.event_type = g.event_type AND s.win_start = g.win_start
+    GROUP BY 1
+    """,
+)
+def stream_gap_detect(spark, sf_dir):
+    """Missing-data detection: for each event type, how many 30-minute
+    windows of the stream's span carried ZERO events -- the
+    pipeline-health monitor that catches a silent upstream outage (an
+    aggregate can't report a window it never saw; the DENSE grid is the
+    device). The calendar grid generates from the corpus bounds
+    (min/max ts -- deterministic; a wall-clock 'now' would not be), the
+    seen set is the tumbling-window assignment (30-minute grain so the
+    detector demonstrably FIRES at the certification scale),
+    and the gap count is a grid-keyed left anti shape. All exact
+    integers.
+
+    Scale: the grid is O(types x windows) -- bounded by calendar, not
+    corpus; the seen set is one DISTINCT over the windowed assignment;
+    the join keys on (type, window). In a true stream this is the
+    watermark-driven 'emit empty windows' pattern (flatMapGroupsWithState
+    emitting heartbeats); batch form audits retroactively."""
+    ev = views(spark, sf_dir).table("events")
+    bounds = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        (F.date_trunc("day", F.max("ts")) + F.expr("INTERVAL 1 DAY")).alias(
+            "hi"
+        ),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("lo"),
+                    F.col("hi") - F.expr("INTERVAL 30 MINUTE"),
+                    F.expr("INTERVAL 30 MINUTE"),
+                )
+            ).alias("win_start"),
+        )
+    )
+    seen = (
+        ev.select(
+            "event_type",
+            F.window("ts", "30 minutes").alias("w"),
+        )
+        .select("event_type", F.col("w.start").alias("win_start"))
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    return (
+        grid.join(seen, ["event_type", "win_start"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.col("present").isNull().cast("long")).alias("n_gaps"),
+        )
+    )

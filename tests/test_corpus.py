@@ -864,3 +864,39 @@ def test_round7_block13_invariants(spark):
     assert len(both) > 100
     for b, c_ in both:
         assert (b > 0) == (c_ > 0) or b == 0 == c_
+
+
+def test_round7_block14_invariants(spark):
+    """Semantic invariants for the fourteenth round-7 block
+    (seasonality strength, gap detection)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    def rows(name):
+        return CORPUS[name].fn(spark, SF_DIR).collect()
+
+    # --- seasonality strength: eta-squared lives in [0, 1]
+    ss = rows("agg-seasonality-strength")
+    assert len(ss) == 5
+    for r in ss:
+        if r.seasonality_strength is not None:
+            assert -1e-9 <= r.seasonality_strength <= 1.0 + 1e-9
+        assert r.n_days > 100
+
+    # --- gap detect: the grid is the full calendar span; gaps must
+    # actually exist on this corpus (the detector has to detect), and
+    # gaps + seen windows = grid
+    gd = rows("stream-gap-detect")
+    assert len(gd) == 5
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as F
+
+    for r in gd:
+        assert 0 < r.n_gaps < r.n_windows, r.event_type
+        seen = (
+            ev.filter(F.col("event_type") == r.event_type)
+            .select(F.window("ts", "30 minutes").alias("w"))
+            .select("w.start")
+            .distinct()
+            .count()
+        )
+        assert r.n_windows - r.n_gaps == seen, r.event_type
