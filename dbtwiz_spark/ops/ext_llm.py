@@ -1884,3 +1884,108 @@ def ext_embed_pca_power(spark, sf_dir):
     return v.select(
         F.posexplode("arr").alias("dim", "loading"), F.col("nrm")
     ).select("dim", "loading", F.col("nrm").alias("eigenvalue_est"))
+
+
+@register(
+    "ext-embed-centroid-inertia",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label, i AS dim,
+               CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)),
+    cent AS (
+        SELECT label, dim,
+               {dsum_q8_sql('v')} / COUNT(*) AS c
+        FROM ex GROUP BY 1, 2),
+    carr AS (
+        SELECT label, list(c ORDER BY dim) AS arr,
+               CAST(COUNT(*) AS BIGINT) AS dims
+        FROM cent GROUP BY 1),
+    dist AS (
+        SELECT e.vec_id, e.label,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   list_transform(generate_series(1, 64),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - c.arr[i])
+                            * (CAST(e.embedding[i] AS DOUBLE) - c.arr[i]))),
+                   (a, x) -> a + x) AS d2
+        FROM embeddings e JOIN carr c ON c.label = e.label),
+    agg AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               {dsum_q8_sql('d2')} AS inertia
+        FROM dist GROUP BY 1),
+    cn AS (
+        SELECT label,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                        list_transform(arr, x -> x * x)),
+                    (a, x) -> a + x)) AS centroid_norm
+        FROM carr)
+    SELECT a.label, a.n_vectors, a.inertia,
+           a.inertia / a.n_vectors AS mean_d2,
+           cn.centroid_norm
+    FROM agg a JOIN cn USING (label)
+    """,
+)
+def ext_embed_centroid_inertia(spark, sf_dir):
+    """Per-label embedding centroids with within-cluster inertia: the
+    k-means quality readout over the LABELED clusters (mean squared
+    distance to the class centroid, plus the centroid's norm) -- the
+    drift monitor an embedding pipeline tracks per class (inertia
+    creeping up = the encoder or the data moved) and the evaluation
+    half of the ext-ann-ivf index build. Centroid components are
+    1e-8-grid quantized per-dimension means (dsum_q8 / count -- two
+    correctly-rounded divides on exact operands, bit-identical);
+    each row's squared distance folds the 64 terms IN DIMENSION ORDER
+    against the broadcast centroid (identical IEEE sequence); the
+    per-label inertia sum re-enters the 1e-8 grid (d2 is O(10));
+    centroid norms fold in dimension order. Everything ships unrounded.
+
+    Scale: centroiding is the posexplode wordcount shape (one shuffle
+    keyed by (label, dim), partial-aggregated); the distance pass is
+    map-side against the broadcast (labels x 64) centroid table; the
+    inertia reduce keys on the label. One corpus read per pass, two
+    passes -- the unavoidable two-phase of any centroid statistic."""
+    e = views(spark, sf_dir).table("embeddings")
+    ex = e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("dim", "v"),
+    )
+    cent = ex.groupBy("label", "dim").agg(
+        (dsum_q8("v") / F.count("*")).alias("c")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s.c,
+        ).alias("arr")
+    )
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    d2 = F.aggregate(
+        F.zip_with(emb_d, F.col("arr"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    dist = e.join(F.broadcast(carr), "label").select("label", d2.alias("d2"))
+    agg = dist.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        dsum_q8("d2", "inertia"),
+    )
+    cn = carr.select(
+        "label",
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("arr"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ).alias("centroid_norm"),
+    )
+    return agg.join(cn, "label").select(
+        "label",
+        "n_vectors",
+        "inertia",
+        (F.col("inertia") / F.col("n_vectors")).alias("mean_d2"),
+        "centroid_norm",
+    )

@@ -900,3 +900,23 @@ def test_round7_block14_invariants(spark):
             .count()
         )
         assert r.n_windows - r.n_gaps == seen, r.event_type
+
+
+def test_round7_block15_invariants(spark):
+    """Semantic invariants for the final round-7 block (centroid
+    inertia)."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    ci = CORPUS["ext-embed-centroid-inertia"].fn(spark, SF_DIR).collect()
+    assert len(ci) == 10  # one row per label
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert sum(r.n_vectors for r in ci) == e.count()
+    for r in ci:
+        assert r.inertia >= 0
+        assert abs(r.mean_d2 - r.inertia / r.n_vectors) < 1e-12
+        assert r.centroid_norm >= 0
+    # labels must be SEPARABLE on this synthetic data: the spread of
+    # centroid norms across labels being zero would mean the centroids
+    # collapsed (a transform bug hash parity can't see)
+    norms = [r.centroid_norm for r in ci]
+    assert max(norms) > 0
