@@ -4211,3 +4211,94 @@ def agg_seasonality_strength(spark, sf_dir):
             "seasonality_strength"
         ),
     )
+
+
+@register(
+    "agg-new-vs-repeat-revenue",
+    oracle="""
+    WITH fo AS (
+        SELECT o_custkey, MIN(o_orderdate) AS first_dt
+        FROM orders GROUP BY 1),
+    cls AS (
+        SELECT CAST(EXTRACT(year FROM o.o_orderdate) * 12
+                    + EXTRACT(month FROM o.o_orderdate) - 1 AS BIGINT) AS m,
+               o.o_orderdate = f.first_dt
+                   AND o.o_orderkey = (
+                       SELECT MIN(o2.o_orderkey) FROM orders o2
+                       WHERE o2.o_custkey = o.o_custkey
+                         AND o2.o_orderdate = f.first_dt) AS is_first,
+               CAST(o.o_totalprice AS DECIMAL(28,6)) AS rev
+        FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey)
+    SELECT CAST(m // 12 AS BIGINT) AS year,
+           CAST(m % 12 AS BIGINT) AS month0,
+           CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first_orders,
+           CAST(SUM(CASE WHEN NOT is_first THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_orders,
+           CAST(CAST(SUM(CASE WHEN is_first THEN rev END) * 100 AS BIGINT)
+                AS DOUBLE) / 100 AS new_revenue,
+           CAST(CAST(COALESCE(SUM(CASE WHEN NOT is_first THEN rev END), 0)
+                     * 100 AS BIGINT) AS DOUBLE) / 100 AS repeat_revenue
+    FROM cls GROUP BY 1, 2
+    """,
+)
+def agg_new_vs_repeat_revenue(spark, sf_dir):
+    """Monthly revenue split by acquisition vs retention: each order
+    classifies as the customer's FIRST-EVER order (exactly one per
+    customer -- ties on the first date break by the minimum order key,
+    so multi-order first days don't double-count acquisition) or a
+    repeat -- the one chart that says whether growth is new logos or
+    the installed base, the revenue companion to agg-growth-accounting.
+    Month indices are 0-based exact integers; revenue stays DECIMAL to
+    the x100 BIGINT cents exit; repeat revenue coalesces 0 for months
+    with no repeats (a sum over an empty side is NULL in both engines,
+    but only when EVERY row misses -- explicit on both sides).
+
+    Scale: one per-customer min (partial-aggregated), the first-order
+    pick is a per-customer min over the first-date orders (the oracle
+    spells it as a correlated min; the engine computes it as one more
+    aggregate join -- never a correlated subquery per row), then a
+    months-sized reduce."""
+    o = views(spark, sf_dir).table("orders")
+    fo = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    first_key = (
+        o.join(fo, "o_custkey")
+        .filter(F.col("o_orderdate") == F.col("first_dt"))
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("first_key"))
+    )
+    mi = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    ).cast("long")
+    cls = (
+        o.join(first_key, "o_custkey")
+        .select(
+            mi.alias("m"),
+            (F.col("o_orderkey") == F.col("first_key")).alias("is_first"),
+            F.col("o_totalprice").cast(DEC).alias("rev"),
+        )
+    )
+    return cls.groupBy(
+        F.expr("div(m, 12)").alias("year"), F.expr("m % 12").alias("month0")
+    ).agg(
+        F.sum(F.col("is_first").cast("long")).alias("n_first_orders"),
+        F.sum((~F.col("is_first")).cast("long")).alias("n_repeat_orders"),
+        (
+            (F.sum(F.when(F.col("is_first"), F.col("rev"))) * 100)
+            .cast("long")
+            .cast("double")
+            / 100
+        ).alias("new_revenue"),
+        (
+            (
+                F.coalesce(
+                    F.sum(F.when(~F.col("is_first"), F.col("rev"))),
+                    F.lit(0).cast(DEC),
+                )
+                * 100
+            )
+            .cast("long")
+            .cast("double")
+            / 100
+        ).alias("repeat_revenue"),
+    )

@@ -68,7 +68,8 @@ agg-forecast-backtest-mape, sink-scd2-hard-delete, func-surrogate-key,
 win-ohlc-bars, agg-growth-accounting, ext-curation-pipeline-e2e,
 graph-hits, scan-snapshot-diff, func-column-masking,
 join-scd2-point-in-time, win-rolling-beta, agg-seasonality-strength,
-stream-gap-detect, ext-embed-centroid-inertia.
+stream-gap-detect, ext-embed-centroid-inertia,
+agg-new-vs-repeat-revenue.
 
 Still waiting after this round (all unchanged code with valid green
 rows): macro-template, udf-scalar/udaf/udtf, and the batch-mode

@@ -920,3 +920,20 @@ def test_round7_block15_invariants(spark):
     # collapsed (a transform bug hash parity can't see)
     norms = [r.centroid_norm for r in ci]
     assert max(norms) > 0
+
+
+def test_round7_block16_invariants(spark):
+    """Invariants for agg-new-vs-repeat-revenue: exactly one first
+    order per customer across all months; order counts reconcile."""
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    rs = CORPUS["agg-new-vs-repeat-revenue"].fn(spark, SF_DIR).collect()
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n_cust = o.select("o_custkey").distinct().count()
+    n_orders = o.count()
+    assert sum(r.n_first_orders for r in rs) == n_cust
+    assert sum(r.n_first_orders + r.n_repeat_orders for r in rs) == n_orders
+    for r in rs:
+        if r.new_revenue is not None:
+            assert r.new_revenue >= 0
+        assert r.repeat_revenue >= 0
