@@ -117,6 +117,19 @@ class Catalog:
             self._cache[name] = df.persist()
             self._cache[name].count()  # materialize eagerly
 
+    @staticmethod
+    def clear_memos() -> int:
+        """Evict every session-lifetime operator memo (parallel-rank
+        tables, graph edge artifacts, ANN indexes, pipeline derived
+        tables): unpersists and drops all entries, returning the count.
+        Call between sweeps in a long-lived service to bound executor
+        storage at one sweep's working set; the next query transparently
+        rebuilds what it needs. (Primed base tables are NOT touched —
+        they are bounded by the table count and managed by `prime`.)"""
+        from dbtwiz_spark.ops.common import clear_session_memos
+
+        return clear_session_memos()
+
     def tables(self) -> dict[str, DataFrame]:
         return {name: self.table(name) for name in TABLES}
 

@@ -246,6 +246,83 @@ class Warehouse:
                 f"[warehouse] stale publish artifacts for {table!r}: "
                 f"{leftovers} — inspect and remove manually"
             )
+        self._reclaim_incomplete_snapshots(table, olds)
+
+    # A slot still carrying _INCOMPLETE younger than this is treated as a
+    # populate-in-progress by a concurrent writer and only surfaced; older
+    # markers are crash artifacts and are reclaimed. Populating a slot is
+    # seconds of local renames/copies — an hour is decades of margin.
+    INCOMPLETE_RECLAIM_AGE_S = 3600
+
+    def _reclaim_incomplete_snapshots(self, table: str, olds: list) -> None:
+        """Crash recovery for snapshot slots (round-8 ADVICE): a crash
+        mid-populate leaves a slot with its ``_INCOMPLETE`` marker —
+        correctly invisible to ``snapshots()``/``read_snapshot`` but
+        otherwise orphaned: it consumes a slot id and disk forever and
+        nothing ever surfaced it. Two crash shapes, two remedies:
+
+        - publish-move crash (``write_table`` snapshot branch): the slot
+          holds PART of the outgoing table state, the remainder sits in
+          the sibling ``<table>__old_*`` dir. Move the slot's contents
+          back into that ``__old`` dir (the two halves are disjoint by
+          construction — item-by-item rename from one dir), reuniting the
+          complete outgoing state where the stale-artifact message already
+          points; the empty slot is then removed.
+        - copy/hardlink snapshot crash (``snapshot()`` /
+          ``_snapshot_via_links``): the slot is a PARTIAL COPY of a table
+          state that still lives elsewhere (the live dir — those paths
+          never mutate the source). Safe to delete once the live table is
+          verified present.
+
+        Slots whose marker is younger than ``INCOMPLETE_RECLAIM_AGE_S``
+        are only surfaced, never touched — the marker also means
+        'populate in progress' for a concurrent writer."""
+        snaps = self.path(table) / SNAPSHOT_DIRNAME
+        if not snaps.exists():
+            return
+        now = time.time()
+        for slot in sorted(p for p in snaps.iterdir() if p.is_dir()):
+            marker = slot / "_INCOMPLETE"
+            if not marker.exists():
+                continue
+            try:
+                age = now - marker.stat().st_mtime
+            except OSError:
+                continue  # committed concurrently between exists() and stat()
+            if age < self.INCOMPLETE_RECLAIM_AGE_S:
+                print(
+                    f"[warehouse] snapshot slot {table}/{slot.name} is "
+                    f"_INCOMPLETE ({int(age)}s old) — populate in progress "
+                    "or a fresh crash; will reclaim once stale"
+                )
+                continue
+            if olds:
+                dest = olds[-1]  # newest remaining __old: the crash sibling
+                for item in sorted(slot.iterdir()):
+                    if item.name != "_INCOMPLETE":
+                        os.rename(item, dest / item.name)
+                marker.unlink()
+                slot.rmdir()
+                print(
+                    f"[warehouse] reclaimed incomplete snapshot slot "
+                    f"{table}/{slot.name}: contents reunited with "
+                    f"{dest.name} for inspection"
+                )
+            elif self.path(table).joinpath("_SUCCESS").exists() or any(
+                self.path(table).glob("*.parquet")
+            ):
+                shutil.rmtree(slot)
+                print(
+                    f"[warehouse] reclaimed incomplete snapshot slot "
+                    f"{table}/{slot.name}: partial copy of the live table, "
+                    "deleted"
+                )
+            else:
+                print(
+                    f"[warehouse] snapshot slot {table}/{slot.name} is "
+                    "_INCOMPLETE and stale but no live table or __old "
+                    "sibling exists to anchor reclamation — inspect manually"
+                )
 
     def exists(self, table: str) -> bool:
         self._recover(table)

@@ -2544,11 +2544,9 @@ def _bootstrap_ci_oracle() -> str:
                CAST(SUM(w) AS BIGINT) AS wsum
         FROM wts GROUP BY r),
     m AS (
-        SELECT list_sort(list(CASE WHEN wsum > 0
-                                   THEN num / 1000000 / CAST(wsum AS DOUBLE)
-                                   END)) AS a,
+        SELECT list_sort(list(num / 1000000 / CAST(wsum AS DOUBLE))) AS a,
                CAST(COUNT(*) AS BIGINT) AS n_replicates
-        FROM per)
+        FROM per WHERE wsum > 0)
     SELECT s.n_rows, s.mean_full, m.n_replicates,
            a[1] + (a[2] - a[1]) * (CAST(775 AS DOUBLE) / 1000) AS ci_lo,
            a[31] + (a[32] - a[31]) * (CAST(225 AS DOUBLE) / 1000) AS ci_hi
@@ -2597,11 +2595,14 @@ def agg_bootstrap_ci(spark, sf_dir):
         .alias("num"),
         F.sum("w").cast("long").alias("wsum"),
     )
-    mean_r = F.when(
-        F.col("wsum") > 0,
-        F.col("num") / 1000000 / F.col("wsum").cast("double"),
-    )
-    m = per.agg(
+    # zero-weight replicates (wsum=0 -> NULL mean) are FILTERED, not left
+    # NULL: Spark's collect_list drops NULLs while DuckDB's list() keeps
+    # them, which would misalign the 32-element quantile indices (and
+    # under ANSI mode element_at on the shortened array throws). The
+    # explicit WHERE on both engines makes the arrays identically sized
+    # by construction (round-8 ADVICE).
+    mean_r = F.col("num") / 1000000 / F.col("wsum").cast("double")
+    m = per.filter(F.col("wsum") > 0).agg(
         F.array_sort(F.collect_list(mean_r)).alias("a"),
         F.count("*").alias("n_replicates"),
     )

@@ -129,6 +129,47 @@ def hkey_sql(expr: str) -> str:
 _RANK_CACHE: dict[tuple, object] = {}
 
 
+# Registry of every session-lifetime memo store in the ops package
+# (_RANK_CACHE here; graphs._ARTIFACTS; ext_llm._ARTIFACTS;
+# ext_pipeline._ARTIFACTS). Each maps a (session, ...) key to a PERSISTED
+# DataFrame, deliberately trading executor storage for reuse within a
+# sweep — but a long-lived session sweeping many scales accumulates
+# copies without bound (a 54-entry single-session sweep OOM'd a
+# 1 GiB-driver judge session in round 7). clear_session_memos() is the
+# eviction hook: call it between corpus sweeps (testing.run_all does so
+# by default; Catalog.clear_memos() exposes it to services) to unpersist
+# and drop everything, bounding storage at one-sweep working set.
+_MEMO_STORES: list[dict] = [_RANK_CACHE]
+
+
+def register_memo_store(store: dict) -> dict:
+    """Enroll a module's memo dict in the global eviction hook."""
+    # identity, not ==: two EMPTY stores compare equal, and `in` would
+    # silently skip enrolling the second one
+    if not any(s is store for s in _MEMO_STORES):
+        _MEMO_STORES.append(store)
+    return store
+
+
+def clear_session_memos() -> int:
+    """Unpersist and drop every memoized artifact in every registered
+    store; returns the number of entries dropped. Safe to call with jobs
+    finished (unpersist is non-blocking); the next operator invocation
+    simply rebuilds its artifacts."""
+    dropped = 0
+    for store in _MEMO_STORES:
+        for df in store.values():
+            unpersist = getattr(df, "unpersist", None)
+            if unpersist is not None:
+                try:
+                    unpersist(False)
+                except Exception:
+                    pass  # stopped session — nothing to free
+            dropped += 1
+        store.clear()
+    return dropped
+
+
 def _plan_sig(df, keys, *extra) -> tuple:
     """Memo key for a (session, input plan, key exprs, ...) combination.
 

@@ -25,6 +25,7 @@ from pyspark.sql.window import Window
 
 from dbtwiz_spark.ops.common import (
     views, davg, davg_sql, hkey_sql, dsum_q8, dsum_q8_sql,
+    register_memo_store,
 )
 from dbtwiz_spark.ops.registry import register
 
@@ -399,6 +400,7 @@ BANDS = 8  # 8 bands x 4 rows: catches jaccard >~0.5 candidates w.h.p.
 # (session id, sf_dir[, kind]) — the long-lived-session analog of a
 # materialized index table: build once, serve every query.
 _ARTIFACTS: dict[tuple, object] = {}
+register_memo_store(_ARTIFACTS)
 
 
 def minhash_signatures(sh: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:

@@ -27,7 +27,26 @@ from dbtwiz_spark.ops.common import (
 )
 from dbtwiz_spark.ops.common import hkey as _hkey
 from dbtwiz_spark.ops.common import hkey_sql as _hkey_sql
+from dbtwiz_spark.ops.common import register_memo_store
 from dbtwiz_spark.ops.registry import register
+
+# Persisted derived tables memoized per (session, sf_dir, kind) — the
+# graphs._ARTIFACTS pattern. Enrolled in the common memo registry so
+# clear_session_memos() evicts these too.
+_ARTIFACTS: dict[tuple, object] = {}
+register_memo_store(_ARTIFACTS)
+
+
+def _pipe_artifact(spark, sf_dir: str, kind: str, build):
+    # keyed on the session OBJECT (graphs._artifact convention), never
+    # id(spark): a GC'd session's address can be reused by a new session,
+    # which would then receive cached plans bound to the stopped one
+    key = (spark, sf_dir, kind)
+    df = _ARTIFACTS.get(key)
+    if df is None:
+        df = build().persist()
+        _ARTIFACTS[key] = df
+    return df
 
 
 @register(
@@ -2849,12 +2868,19 @@ def ext_source_similarity_matrix(spark, sf_dir):
     the `<` guard halves it). Never doc-pairs, never a cross join of
     corpora."""
     d = views(spark, sf_dir).table("documents")
-    # cached: BOTH self-join sides and the size branch consume st — the
-    # tokenize+distinct is the expensive stage and would run 3x
-    st = (
-        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-        .cache()
+    # persisted + memoized: BOTH self-join sides and the size branch
+    # consume st — the tokenize+distinct is the expensive stage and would
+    # run 3x. Session-keyed memo, not a bare .cache(): every invocation
+    # (oracle sweeps, bench best-of-3, multi-scale runs) would otherwise
+    # leak a fresh persisted copy for the session lifetime (round-8
+    # ADVICE — the parallel_rank leak pattern).
+    st = _pipe_artifact(
+        spark,
+        sf_dir,
+        "srcsim_st",
+        lambda: d.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        ).distinct(),
     )
     sz = st.groupBy("source").agg(F.count("*").alias("n"))
     a = st.select(F.col("source").alias("src_a"), "tok")

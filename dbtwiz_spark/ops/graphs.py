@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dbtwiz_spark.ops.common import views
+from dbtwiz_spark.ops.common import register_memo_store, views
 from dbtwiz_spark.ops.registry import register
 
 _SCALE = 1_000_000_000_000_000  # 10^15 fixed-point scale
@@ -35,6 +35,7 @@ _DAMP_NUM, _DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
 # cached. On a cluster the same role is played by a checkpointed/
 # materialized edge table.
 _ARTIFACTS: dict[tuple, object] = {}
+register_memo_store(_ARTIFACTS)
 
 
 def _artifact(spark, sf_dir: str, kind: str, build):

@@ -58,6 +58,7 @@ _SHARED_HELPERS = (
     "_pr_edges",
     "_pr_deg",
     "_copurchase_cs",
+    "_pipe_artifact",
     "_artifact",
 )
 

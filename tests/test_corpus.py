@@ -937,3 +937,79 @@ def test_round7_block16_invariants(spark):
         if r.new_revenue is not None:
             assert r.new_revenue >= 0
         assert r.repeat_revenue >= 0
+
+
+def test_round8_bootstrap_ci_zero_weight_replicate_alignment(spark):
+    """Round-8 ADVICE: a zero-weight replicate (wsum=0, NULL mean) is
+    dropped by Spark's collect_list but kept as NULL by DuckDB's list(),
+    misaligning the quantile indices (and under ANSI mode element_at on
+    the shortened array throws). The fix filters wsum=0 rows explicitly
+    on BOTH engines before the list is built, making the arrays
+    identically sized by construction. This replays the degenerate
+    per-replicate frame directly — the shape the shipped testdata can
+    essentially never produce (it needs every row of a replicate drawing
+    Poisson weight 0)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    per = spark.createDataFrame(
+        [(1, 10_000_000.0, 2), (2, 0.0, 0), (3, 36_000_000.0, 3)],
+        "r int, num double, wsum long",
+    )
+    # the fixed Spark-side pipeline (mirrors agg_bootstrap_ci)
+    mean_r = F.col("num") / 1000000 / F.col("wsum").cast("double")
+    got = (
+        per.filter(F.col("wsum") > 0)
+        .agg(F.array_sort(F.collect_list(mean_r)).alias("a"))
+        .first()
+        .a
+    )
+    # the fixed oracle-side pipeline
+    con = duckdb.connect()
+    con.execute("CREATE TABLE per AS SELECT * FROM (VALUES (1, 10000000.0, 2), (2, 0.0, 0), (3, 36000000.0, 3)) t(r, num, wsum)")
+    want = con.execute(
+        "SELECT list_sort(list(num / 1000000 / CAST(wsum AS DOUBLE))) "
+        "FROM per WHERE wsum > 0"
+    ).fetchone()[0]
+    assert got == want == [5.0, 12.0]
+    # and the UNFIXED oracle shape really does diverge: DuckDB keeps the
+    # NULL (array length 3), Spark's collect_list drops it (length 2)
+    unfixed = con.execute(
+        "SELECT list_sort(list(CASE WHEN wsum > 0 "
+        "THEN num / 1000000 / CAST(wsum AS DOUBLE) END)) FROM per"
+    ).fetchone()[0]
+    con.close()
+    assert len(unfixed) == 3 and len(got) == 2
+    # the shipped entry's two sides both carry the filter
+    import inspect
+
+    from dbtwiz_spark.ops import CORPUS
+
+    spec = CORPUS["agg-bootstrap-ci"]
+    assert 'F.col("wsum") > 0' in inspect.getsource(spec.fn)
+    assert "WHERE wsum > 0" in spec.oracle
+
+
+def test_round8_source_similarity_memoizes_token_table(spark):
+    """Round-8 ADVICE: ext-source-similarity-matrix used a bare .cache()
+    on its (source, token) distinct table — every invocation (oracle
+    sweeps, bench best-of-3) leaked a fresh persisted copy for the
+    session lifetime. Now routed through the session-keyed _pipe_artifact
+    memo: repeated invocations share ONE persisted table."""
+    from dbtwiz_spark.ops import CORPUS, ext_pipeline
+    from tests.conftest import SF_DIR
+
+    ext_pipeline._ARTIFACTS.clear()
+    fn = CORPUS["ext-source-similarity-matrix"].fn
+    n1 = fn(spark, SF_DIR).count()
+    assert len(ext_pipeline._ARTIFACTS) == 1
+    n2 = fn(spark, SF_DIR).count()
+    assert n1 == n2
+    assert len(ext_pipeline._ARTIFACTS) == 1, "second call must hit the memo"
+    (st,) = ext_pipeline._ARTIFACTS.values()
+    assert st.storageLevel.useMemory or st.storageLevel.useDisk
+    from dbtwiz_spark.ops.common import clear_session_memos
+
+    clear_session_memos()
+    assert not ext_pipeline._ARTIFACTS

@@ -210,3 +210,75 @@ def test_plan_sig_refuses_memo_without_file_provenance(spark):
         )
     finally:
         a.unpersist()
+
+
+def test_clear_session_memos_evicts_every_registered_store(spark):
+    """The eviction hook (round-8 ADVICE / VERDICT r7 item 5): one call
+    unpersists and drops everything in every enrolled memo store — rank
+    tables, graph edge artifacts, ANN indexes, pipeline derived tables —
+    so a long-lived session sweeping many scales is bounded by one
+    sweep's working set, not session lifetime."""
+    from dbtwiz_spark.catalog import Catalog
+    from dbtwiz_spark.ops import ext_llm, ext_pipeline, graphs
+    from dbtwiz_spark.ops.common import (
+        _RANK_CACHE,
+        clear_session_memos,
+        parallel_rank,
+    )
+
+    df = spark.range(50).withColumn("k", F.col("id") % 3)
+    ranked = parallel_rank(df, [F.col("k"), F.col("id")])
+    assert ranked.count() == 50
+    built = graphs._artifact(
+        spark, "memo-test", "edges", lambda: spark.range(5).withColumn("d", F.lit(1))
+    )
+    assert built.count() == 5
+    piped = ext_pipeline._pipe_artifact(
+        spark, "memo-test", "st", lambda: spark.range(7)
+    )
+    assert piped.count() == 7
+    ext_llm._ARTIFACTS[(spark, "memo-test", "sig")] = spark.range(3).persist()
+    assert len(_RANK_CACHE) >= 1
+    assert built.storageLevel.useMemory or built.storageLevel.useDisk
+
+    dropped = clear_session_memos()
+    assert dropped >= 4
+    assert not _RANK_CACHE
+    assert not graphs._ARTIFACTS
+    assert not ext_pipeline._ARTIFACTS
+    assert not ext_llm._ARTIFACTS
+    assert not (built.storageLevel.useMemory or built.storageLevel.useDisk)
+    # next call transparently rebuilds
+    rebuilt = graphs._artifact(
+        spark, "memo-test", "edges", lambda: spark.range(5).withColumn("d", F.lit(1))
+    )
+    assert rebuilt.count() == 5
+    # Catalog surface returns the drop count too
+    assert Catalog.clear_memos() >= 1
+    assert not graphs._ARTIFACTS
+
+
+def test_register_memo_store_enrolls_by_identity(spark):
+    """Two EMPTY dicts compare ==; enrollment must be identity-based or
+    the second module's store is silently skipped and never evicted."""
+    from dbtwiz_spark.ops.common import (
+        _MEMO_STORES,
+        clear_session_memos,
+        register_memo_store,
+    )
+
+    a: dict = {}
+    b: dict = {}
+    register_memo_store(a)
+    register_memo_store(b)
+    register_memo_store(a)  # idempotent
+    try:
+        assert sum(1 for s in _MEMO_STORES if s is a) == 1
+        assert sum(1 for s in _MEMO_STORES if s is b) == 1
+        a["x"] = spark.range(2).persist()
+        b["y"] = spark.range(2).persist()
+        assert clear_session_memos() >= 2
+        assert not a and not b
+    finally:
+        _MEMO_STORES.remove(a)
+        _MEMO_STORES.remove(b)

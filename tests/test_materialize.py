@@ -861,6 +861,69 @@ def test_incomplete_snapshot_slot_is_invisible(spark, wh):
     assert wh.snapshots("tinc") == good + [ts]
 
 
+def test_fresh_incomplete_slot_survives_recover(spark, wh, capsys):
+    """A YOUNG _INCOMPLETE slot is a populate-in-progress (concurrent
+    writer) — _recover must surface it but never touch it."""
+    wh.write_table("tfr", _df(spark, [(1, "v", "d")]))
+    ts, dst = wh._claim_snapshot_dir("tfr")
+    (dst / "part-00000.parquet").write_text("mid-populate")
+    assert wh.exists("tfr")  # exists() drives _recover
+    assert dst.exists() and (dst / "_INCOMPLETE").exists()
+    assert "populate in progress" in capsys.readouterr().out
+
+
+def test_stale_incomplete_copy_slot_is_deleted(spark, wh, capsys):
+    """Crash artifact of the copy/hardlink snapshot path: the slot is a
+    partial copy of the still-live table — reclaimed (deleted) once the
+    marker is stale and the live table is verified present."""
+    wh.write_table("tst", _df(spark, [(1, "v", "d")]))
+    ts, dst = wh._claim_snapshot_dir("tst")
+    (dst / "part-00000.parquet").write_text("partial copy")
+    wh.INCOMPLETE_RECLAIM_AGE_S = 0
+    assert wh.exists("tst")
+    assert not dst.exists(), "stale partial-copy slot must be reclaimed"
+    assert "partial copy of the live table" in capsys.readouterr().out
+    # live table untouched, committed snapshot history untouched
+    assert wh.read("tst").count() == 1
+
+
+def test_stale_incomplete_publish_slot_reunites_with_old_dir(spark, wh, capsys):
+    """Crash artifact of the write_table publish-move: half the outgoing
+    state sits in the slot, half in the sibling __old dir. Reclamation
+    moves the slot's contents back into __old (the complete outgoing
+    state, where the stale-artifact message already points) and removes
+    the orphaned slot — no snapshot id or disk is consumed forever."""
+    wh.write_table("tpu", _df(spark, [(1, "v1", "d")]))
+    # simulate the crash: claimed slot holds one moved item, the remainder
+    # stays in <table>__old_<ts>
+    ts, dst = wh._claim_snapshot_dir("tpu")
+    (dst / "part-moved.parquet").write_text("half in slot")
+    old = wh.path("tpu").parent / "tpu__old_99"
+    old.mkdir()
+    (old / "part-left.parquet").write_text("half in old")
+    wh.INCOMPLETE_RECLAIM_AGE_S = 0
+    assert wh.exists("tpu")
+    assert not dst.exists(), "orphaned publish slot must be reclaimed"
+    assert (old / "part-left.parquet").exists()
+    assert (old / "part-moved.parquet").exists(), "halves must be reunited"
+    out = capsys.readouterr().out
+    assert "reunited" in out
+    # the committed live table still reads fine
+    assert wh.read("tpu").count() == 1
+
+
+def test_committed_slots_untouched_by_reclaim(spark, wh):
+    """Reclamation only ever touches slots still carrying _INCOMPLETE —
+    committed snapshot history survives a reclaim pass verbatim."""
+    wh.write_table("tcm", _df(spark, [(1, "v1", "d")]))
+    wh.write_table("tcm", _df(spark, [(2, "v2", "d")]))  # snapshots v1
+    good = wh.snapshots("tcm")
+    wh.INCOMPLETE_RECLAIM_AGE_S = 0
+    assert wh.exists("tcm")
+    assert wh.snapshots("tcm") == good
+    assert wh.read_snapshot("tcm", good[0]).first().v == "v1"
+
+
 def test_scd2_invalidate_hard_deletes(spark, wh):
     """dbt snapshot invalidate_hard_deletes: keys absent from the new
     source snapshot get their OPEN interval closed at the run date;
