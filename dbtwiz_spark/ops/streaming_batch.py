@@ -647,9 +647,11 @@ def stream_top_k_windowed(spark, sf_dir):
     IS incremental, the top-k is a per-emit decoration -- same split as
     stream-foreachbatch-sink). The TRUE streaming form is
     streaming/jobs.windowed_topk_stream (update-mode watermarked counts
-    + a foreachBatch sink that upserts per-(window,type) state and
-    re-ranks touched windows) — batch/stream agreement pinned across a
-    multi-slice replay in tests/test_streaming.py.
+    + a foreachBatch sink that MERGEs per-(window,type) state into a
+    persisted counts table and re-ranks touched windows into a topk
+    table — state in storage, never the driver) — batch/stream
+    agreement pinned across a multi-slice replay in
+    tests/test_streaming.py.
 
     Scale: one partial-aggregated (window, type) count -- the only
     corpus-sized shuffle -- then a window ranking partitioned by

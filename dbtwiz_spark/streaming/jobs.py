@@ -39,46 +39,85 @@ def windowed_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataF
     )
 
 
-def windowed_topk_stream(events: DataFrame, watermark: str = "1 day"):
+def windowed_topk_stream(
+    events: DataFrame,
+    warehouse: Warehouse,
+    counts_table: str = "stream_topk_counts",
+    topk_table: str = "stream_topk",
+    watermark: str = "1 day",
+    k: int = 3,
+):
     """Windowed top-k as a stream: the per-window counts are the
     INCREMENTAL half (watermarked update-mode aggregation, O(windows x
-    types) state); the top-3 ranking is NOT incremental -- it decorates
+    types) state); the top-k ranking is NOT incremental -- it decorates
     each emit inside foreachBatch, re-ranking only the windows present
     in the micro-batch (batch twin: stream-top-k-windowed). Returns
-    (aggregate_df, sink_fn, results) -- wire with
-    ``writeStream.outputMode("update").foreachBatch(sink_fn)``."""
+    (aggregate_df, sink_fn) -- wire with
+    ``writeStream.outputMode("update").foreachBatch(sink_fn)``; current
+    rankings live in ``warehouse.read(topk_table)`` as
+    (win_start, rank, event_type, n_events) rows.
+
+    State lives in PERSISTED TABLES, never the driver: update mode emits
+    only the CHANGED (window, type) rows of each micro-batch, and
+    ranking the batch alone would rank a partial view -- so the sink
+    MERGEs the batch's counts into ``counts_table`` (the key-value store
+    the near-dedup sink's signature table plays for its family), then
+    re-ranks ONLY the touched windows from the merged store into
+    ``topk_table``. Both merges key on the natural composite key and
+    are partition-scoped on the window's date, so per-batch cost is
+    O(touched windows), not O(history); replays overwrite the same keys
+    (idempotent). A window's entry set never shrinks (counts only grow
+    and types only appear), so rank rows are overwritten in place and
+    none go stale."""
+    from pyspark.sql.window import Window
+
     agg = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
         .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
     )
-    counts: dict = {}
-    results: dict = {}
+
+    def _keyed(df: DataFrame, *key_cols: str) -> DataFrame:
+        key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+        return df.withColumn("_key", key).withColumn(
+            "partitiondate", F.date_format("win_start", "yyyy-MM-dd")
+        )
+
+    def _upsert(table: str, df: DataFrame) -> None:
+        if warehouse.exists(table):
+            warehouse.merge(table, df, "_key", "partitiondate")
+        else:
+            warehouse.write_table(
+                table, df, partition_by="partitiondate", snapshot=False
+            )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        # update mode emits only the CHANGED (window, type) rows of each
-        # micro-batch — ranking the batch alone would rank a partial
-        # view. The sink therefore UPSERTS counts into its store (the
-        # role a key-value sink table plays in production) and re-ranks
-        # only the touched windows from the merged state; replays are
-        # idempotent because the upsert overwrites.
-        rows = batch_df.collect()
-        if not rows:
+        if batch_df.isEmpty():
             return
-        touched = set()
-        for row in rows:
-            counts.setdefault(row.win_start, {})[row.event_type] = (
-                row.n_events
+        upd = _keyed(batch_df, "win_start", "event_type")
+        _upsert(counts_table, upd)
+        # re-rank only the touched windows from the MERGED store; the
+        # per-window window spec is bounded by the type cardinality
+        touched = upd.select("win_start").distinct()
+        merged = warehouse.read(counts_table).join(
+            F.broadcast(touched), "win_start", "left_semi"
+        )
+        rk = F.row_number().over(
+            Window.partitionBy("win_start").orderBy(
+                F.col("n_events").desc(), "event_type"
             )
-            touched.add(row.win_start)
-        for w in touched:
-            ranked = sorted(counts[w].items(), key=lambda kv: (-kv[1], kv[0]))
-            results[w] = {
-                i + 1: (t, n) for i, (t, n) in enumerate(ranked[:3])
-            }
+        )
+        ranked = _keyed(
+            merged.withColumn("rank", rk.cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("win_start", "rank", "event_type", "n_events"),
+            "win_start",
+            "rank",
+        )
+        _upsert(topk_table, ranked)
 
-    return agg, sink, results
+    return agg, sink
 
 
 def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:

@@ -658,26 +658,41 @@ def test_rate_limit_stream_matches_batch_entry(spark, tmp_path):
     )
 
 
-def test_windowed_topk_stream_matches_batch(spark, source_dir):
+def test_windowed_topk_stream_matches_batch(spark, source_dir, tmp_path):
     """The streaming windowed top-k (update-mode counts + foreachBatch
     ranking) must converge to the batch-mode corpus entry's answer for
     every window it emitted — the incremental/decoration split pinned
     end to end, including idempotent re-ranking when a window's counts
-    update across micro-batches."""
+    update across micro-batches. State lives in PERSISTED warehouse
+    tables (the near-dedup signature-store pattern), never a driver-side
+    dict — the rankings are read back from the topk table, and a full
+    replay of the stream leaves them unchanged."""
+    from dbtwiz_spark.materialize import Warehouse
     from dbtwiz_spark.streaming.jobs import (
         events_stream,
         windowed_topk_stream,
     )
 
-    ev = events_stream(spark, source_dir)
-    agg, sink, results = windowed_topk_stream(ev)
-    q = (
-        agg.writeStream.outputMode("update")
-        .foreachBatch(sink)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+
+    def run_stream():
+        agg, sink = windowed_topk_stream(events_stream(spark, source_dir), wh)
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def read_results():
+        out: dict = {}
+        for r in wh.read("stream_topk").collect():
+            out.setdefault(r.win_start, {})[r.rank] = (r.event_type, r.n_events)
+        return out
+
+    run_stream()
+    results = read_results()
     assert results, "stream emitted no windows"
 
     # the batch twin (stream-top-k-windowed) reads the catalog's events;
@@ -705,3 +720,7 @@ def test_windowed_topk_stream_matches_batch(spark, source_dir):
         )
     for w, ranks in results.items():
         assert ranks == expect[w], (w, ranks, expect.get(w))
+    # full replay (fresh query, fresh streaming state, same tables):
+    # merges overwrite the same keys, so the stored rankings are stable
+    run_stream()
+    assert read_results() == results
