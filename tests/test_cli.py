@@ -1985,3 +1985,124 @@ def test_build_retry_failed_reruns_error_and_skipped(tmp_path, capsys):
     assert main(["build", "--project", str(proj), "--warehouse", wh,
                  "--retry-failed"]) == 0
     assert "nothing to retry" in capsys.readouterr().out
+
+
+def test_full_loop_work_modified_backfill_kill_retry(spark, tmp_path, capsys):
+    """End-to-end orchestration loop (VERDICT r7 item 7): mutate a model
+    in a git-tracked project, build it via --work, rebuild it plus
+    downstream via state:modified+, then backfill with a chunk that DIES
+    mid-run and finish the job with --retry. Pins the orchestration
+    plane the way the corpus pins operators: the pieces are unit-tested
+    individually, this is the composed workflow a user actually runs."""
+    import subprocess
+
+    import yaml
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    proj = tmp_path / "projloop"
+    (proj / "models").mkdir(parents=True)
+    (proj / "project.yml").write_text("name: loop\n")
+    (proj / "sources.yml").write_text(
+        "sources:\n"
+        f"  - name: customer\n    path: {SF_DIR}/customer.parquet\n"
+        f"  - name: orders\n    path: {SF_DIR}/orders.parquet\n"
+    )
+    (proj / "models" / "stg_customer.sql").write_text(
+        "SELECT c_custkey, c_nationkey, c_acctbal "
+        "FROM {{ source('raw', 'customer') }} WHERE c_acctbal > 0"
+    )
+    (proj / "models" / "stg_customer.yml").write_text("materialized: table\n")
+    (proj / "models" / "mrt_balance.sql").write_text(
+        "SELECT c_nationkey, SUM(c_acctbal) AS total_bal "
+        "FROM {{ ref('stg_customer') }} GROUP BY c_nationkey"
+    )
+    (proj / "models" / "mrt_balance.yml").write_text("materialized: table\n")
+    # the backfill target carries a BOMB: jinja emits invalid SQL for the
+    # chunk starting 1995-01-11 — the deterministic stand-in for a worker
+    # killed mid-chunk (the journal sees an error either way)
+    bombed_sql = (
+        "{% if var('data_interval_start', '') == '1995-01-11' %}"
+        "CHUNK_KILLED(\n{% endif %}"
+        "SELECT CAST(o_orderdate AS DATE) AS partitiondate, COUNT(*) AS n "
+        "FROM {{ source('raw', 'orders') }} "
+        "WHERE o_orderdate >= {{ interval_start() }} "
+        "AND o_orderdate < {{ interval_end() }} GROUP BY 1"
+    )
+    (proj / "models" / "daily_orders.sql").write_text(bombed_sql)
+    (proj / "models" / "daily_orders.yml").write_text(
+        yaml.safe_dump({
+            "materialized": "incremental",
+            "incremental_strategy": "insert_overwrite",
+            "partition_by": "partitiondate",
+        })
+    )
+    subprocess.run(["git", "init", "-q"], cwd=proj, check=True)
+    subprocess.run(["git", "add", "-A"], cwd=proj, check=True)
+    subprocess.run(["git", "-c", "user.email=t@t", "-c", "user.name=t",
+                    "commit", "-qm", "init"], cwd=proj, check=True)
+    wh = str(proj / "wh")
+
+    # baseline: build the non-interval models, save the state fingerprints
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--select", "+mrt_balance"]) == 0
+    state_file = str(tmp_path / "loop_state.json")
+    assert main(["manifest", "--project", str(proj),
+                 "--save-state", state_file]) == 0
+    capsys.readouterr()
+
+    # 1. mutate the staging model; --work picks up exactly the git change
+    (proj / "models" / "stg_customer.sql").write_text(
+        "SELECT c_custkey, c_nationkey, c_acctbal "
+        "FROM {{ source('raw', 'customer') }} WHERE c_acctbal > 100"
+    )
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--work"]) == 0
+    out = capsys.readouterr().out
+    assert "building locally changed models: stg_customer" in out
+    assert "mrt_balance" not in out, "--work must not build unchanged models"
+
+    # 2. state:modified+ vs the pre-mutation fingerprints rebuilds the
+    # changed model AND its downstream, leaving the bombed model alone
+    assert main(["build", "--project", str(proj), "--warehouse", wh,
+                 "--select", "state:modified+", "--state", state_file]) == 0
+    out = capsys.readouterr().out
+    assert "stg_customer" in out and "mrt_balance" in out
+    assert "daily_orders" not in out
+
+    # 3. backfill January in 10-day chunks: chunk 2 dies, serial mode
+    # stops there (self-dependent models must not skip an interval) —
+    # chunk 1 succeeded, chunks 3-4 were never attempted
+    journal = str(tmp_path / "loop_journal.json")
+    rc = main(["backfill", "--project", str(proj), "--warehouse", wh,
+               "--select", "daily_orders", "--first", "1995-01-01",
+               "--last", "1995-01-31", "--batch-days", "10",
+               "--journal", journal])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert out.count("success") == 1 and "error" in out
+    from dbtwiz_spark.backfill import BackfillJournal
+
+    statuses = BackfillJournal(journal).load()
+    assert sum("success" in str(v) for v in statuses.values()) == 1
+    built = Warehouse(spark, wh).read("daily_orders")
+    assert all(str(r.partitiondate) <= "1995-01-10"
+               for r in built.select("partitiondate").collect())
+
+    # 4. fix the model (the crash is resolved), retry: ONLY the failed +
+    # never-attempted chunks run — re-running chunk 1 would double-write
+    (proj / "models" / "daily_orders.sql").write_text(
+        bombed_sql.replace("CHUNK_KILLED(\n", ""))
+    assert main(["backfill", "--project", str(proj), "--warehouse", wh,
+                 "--select", "daily_orders", "--retry",
+                 "--first", "1995-01-01", "--last", "1995-01-31",
+                 "--batch-days", "10", "--journal", journal]) == 0
+    out = capsys.readouterr().out
+    assert "1995-01-01" not in out, "--retry must not re-run the good chunk"
+    assert out.count("success") == 3
+    # the finished table covers the whole window, journal is all green
+    days = sorted(str(r.partitiondate) for r in
+                  Warehouse(spark, wh).read("daily_orders").collect())
+    assert days[0].startswith("1995-01-0") and days[-1] >= "1995-01-21"
+    assert all("success" in str(v)
+               for v in BackfillJournal(journal).load().values())
