@@ -306,6 +306,17 @@ def main() -> None:
     # cost than of two. Every run executes the full plan end-to-end.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+    def run_once(build) -> None:
+        """One full end-to-end execution of a query — the SINGLE place
+        that maps a query's action kind to its terminal action, shared
+        by warm_up and time_query so the warmed path can never drift
+        from the timed one."""
+        df, action = build(cat)
+        if action == "collect":
+            df.collect()
+        elif action != "done":  # "done": build ran its own action
+            df.write.format("noop").mode("overwrite").save()
+
     def warm_up(build) -> None:
         """One untimed execution before the timed runs: pays the one-time
         costs a long-lived session amortizes away — plan analysis,
@@ -317,11 +328,7 @@ def main() -> None:
         q_dedup_near_lsh 0.645 median); with it, best AND median both
         measure the steady state, so a median that moves is a real
         plan change, not first-touch pollution."""
-        df, action = build(cat)
-        if action == "collect":
-            df.collect()
-        elif action != "done":
-            df.write.format("noop").mode("overwrite").save()
+        run_once(build)
 
     def time_query(build) -> tuple[float, float]:
         """(best, median) of N full end-to-end executions, all warm
@@ -333,11 +340,7 @@ def main() -> None:
         samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            df, action = build(cat)
-            if action == "collect":
-                df.collect()
-            elif action != "done":  # "done": build ran its own action
-                df.write.format("noop").mode("overwrite").save()
+            run_once(build)
             samples.append(time.perf_counter() - t0)
         return round(min(samples), 3), round(statistics.median(samples), 3)
 

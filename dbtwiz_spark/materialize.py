@@ -276,7 +276,12 @@ class Warehouse:
 
         Slots whose marker is younger than ``INCOMPLETE_RECLAIM_AGE_S``
         are only surfaced, never touched — the marker also means
-        'populate in progress' for a concurrent writer."""
+        'populate in progress' for a concurrent writer. Reclamation is
+        strictly best-effort: any slot whose shape doesn't match a known
+        crash signature (or whose filesystem moves fail) is surfaced for
+        manual inspection, never raised out of ``_recover`` — recovery
+        running on every ``exists()``/``read()`` must not brick the
+        table over an unreclaimable artifact."""
         snaps = self.path(table) / SNAPSHOT_DIRNAME
         if not snaps.exists():
             return
@@ -296,11 +301,42 @@ class Warehouse:
                     "or a fresh crash; will reclaim once stale"
                 )
                 continue
-            if olds:
-                dest = olds[-1]  # newest remaining __old: the crash sibling
-                for item in sorted(slot.iterdir()):
-                    if item.name != "_INCOMPLETE":
-                        os.rename(item, dest / item.name)
+            try:
+                self._reclaim_one_slot(table, slot, marker, olds)
+            except OSError as e:
+                # a half-reclaimed slot keeps its _INCOMPLETE marker, so
+                # it stays invisible to snapshots() and this pass retries/
+                # surfaces it next time — never propagate out of _recover
+                print(
+                    f"[warehouse] could not reclaim snapshot slot "
+                    f"{table}/{slot.name} ({e}) — inspect manually"
+                )
+
+    def _has_live_data(self, table: str) -> bool:
+        """The exists() data check without its _recover side effect (the
+        reclaim pass runs INSIDE _recover): _SUCCESS marker, root parquet
+        files, or hive partition dirs."""
+        p = self.path(table)
+        return (
+            p.joinpath("_SUCCESS").exists()
+            or any(p.glob("*.parquet"))
+            or any(p.glob("*=*"))
+        )
+
+    def _reclaim_one_slot(self, table, slot, marker, olds: list) -> None:
+        items = [p for p in sorted(slot.iterdir()) if p.name != "_INCOMPLETE"]
+        # publish-move crash signature: an __old sibling holds the
+        # REMAINDER of the outgoing state, so the two item sets are
+        # DISJOINT (item-by-item rename from one dir). A name collision
+        # means the slot is NOT that __old's missing half (e.g. a
+        # copy-crash slot next to an unrelated leftover __old) — falling
+        # through to rename-over would raise ENOTEMPTY on directories
+        # and corrupt the inspection copy on files.
+        if olds:
+            dest = olds[-1]  # newest remaining __old: the crash sibling
+            if not any((dest / p.name).exists() for p in items):
+                for item in items:
+                    os.rename(item, dest / item.name)
                 marker.unlink()
                 slot.rmdir()
                 print(
@@ -308,27 +344,27 @@ class Warehouse:
                     f"{table}/{slot.name}: contents reunited with "
                     f"{dest.name} for inspection"
                 )
-            elif self.path(table).joinpath("_SUCCESS").exists() or any(
-                self.path(table).glob("*.parquet")
-            ):
-                shutil.rmtree(slot)
-                print(
-                    f"[warehouse] reclaimed incomplete snapshot slot "
-                    f"{table}/{slot.name}: partial copy of the live table, "
-                    "deleted"
-                )
-            else:
-                print(
-                    f"[warehouse] snapshot slot {table}/{slot.name} is "
-                    "_INCOMPLETE and stale but no live table or __old "
-                    "sibling exists to anchor reclamation — inspect manually"
-                )
+                return
+        if self._has_live_data(table):
+            # copy/hardlink snapshot crash: the slot is a partial copy of
+            # the (verified present) live table — safe to delete
+            shutil.rmtree(slot)
+            print(
+                f"[warehouse] reclaimed incomplete snapshot slot "
+                f"{table}/{slot.name}: partial copy of the live table, "
+                "deleted"
+            )
+        else:
+            print(
+                f"[warehouse] snapshot slot {table}/{slot.name} is "
+                "_INCOMPLETE and stale but matches no known crash shape "
+                "(no live table; no disjoint __old sibling) — inspect "
+                "manually"
+            )
 
     def exists(self, table: str) -> bool:
         self._recover(table)
-        return self.path(table).joinpath("_SUCCESS").exists() or any(
-            self.path(table).glob("*.parquet")
-        ) or any(self.path(table).glob("*=*"))
+        return self._has_live_data(table)
 
     # -- schema sidecar --------------------------------------------------
     # Every write path stores the table's unified schema in _schema.json so

@@ -155,7 +155,17 @@ def clear_session_memos() -> int:
     """Unpersist and drop every memoized artifact in every registered
     store; returns the number of entries dropped. Safe to call with jobs
     finished (unpersist is non-blocking); the next operator invocation
-    simply rebuilds its artifacts."""
+    simply rebuilds its artifacts.
+
+    A LAZY DataFrame built before the clear stays CORRECT if executed
+    after it — just slower (the artifact subtree recomputes). The one
+    sharp edge is parallel_rank/parallel_prefix_sum, whose offset join
+    is only valid when both consuming branches see the same physical
+    range boundaries: with the persist evicted, Spark's ReuseExchange
+    dedupes the two identical rangepartitioning subtrees into ONE
+    shuffle within the execution, so the boundaries still agree
+    (pinned by test_rank_output_correct_after_memo_eviction, which
+    asserts a dense unique 1..n rank set post-eviction)."""
     dropped = 0
     for store in _MEMO_STORES:
         for df in store.values():

@@ -98,10 +98,15 @@ def windowed_topk_stream(
         upd = _keyed(batch_df, "win_start", "event_type")
         _upsert(counts_table, upd)
         # re-rank only the touched windows from the MERGED store; the
-        # per-window window spec is bounded by the type cardinality
-        touched = upd.select("win_start").distinct()
+        # per-window window spec is bounded by the type cardinality.
+        # The semi-join carries the PARTITION column too: joining on
+        # win_start alone would scan every partitiondate of the counts
+        # table each micro-batch (per-batch cost growing with history);
+        # with partitiondate in the join key, dynamic partition pruning
+        # restricts the scan to the touched days — O(touched windows).
+        touched = upd.select("win_start", "partitiondate").distinct()
         merged = warehouse.read(counts_table).join(
-            F.broadcast(touched), "win_start", "left_semi"
+            F.broadcast(touched), ["win_start", "partitiondate"], "left_semi"
         )
         rk = F.row_number().over(
             Window.partitionBy("win_start").orderBy(

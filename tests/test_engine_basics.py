@@ -282,3 +282,32 @@ def test_register_memo_store_enrolls_by_identity(spark):
     finally:
         _MEMO_STORES.remove(a)
         _MEMO_STORES.remove(b)
+
+
+def test_rank_output_correct_after_memo_eviction(spark):
+    """Review fix (round 8): a lazy parallel_rank output retained across
+    clear_session_memos() must stay CORRECT when executed afterwards.
+    The offset join is only valid if the counts branch and the output
+    branch see identical physical range boundaries — the persist
+    guaranteed that; post-eviction, ReuseExchange dedupes the two
+    identical rangepartitioning subtrees into one shuffle, so the
+    boundaries still agree. Pinned as the output invariant (dense,
+    unique 1..n) rather than the plan detail."""
+    from dbtwiz_spark.ops.common import clear_session_memos, parallel_rank
+
+    for trial in range(3):
+        df = spark.range(50_000).withColumn(
+            "k", (F.col("id") * 2654435761 + trial) % 999983
+        )
+        ranked = parallel_rank(df, [F.col("k"), F.col("id")], n_parts=8)
+        clear_session_memos()  # evict BEFORE the first execution
+        got = ranked.agg(
+            F.count("*").alias("n"),
+            F.min("_rank").alias("lo"),
+            F.max("_rank").alias("hi"),
+            F.countDistinct("_rank").alias("d"),
+            F.max("_n").alias("ntot"),
+        ).first()
+        assert (got.n, got.lo, got.hi, got.d, got.ntot) == (
+            50_000, 1, 50_000, 50_000, 50_000,
+        ), got

@@ -912,6 +912,39 @@ def test_stale_incomplete_publish_slot_reunites_with_old_dir(spark, wh, capsys):
     assert wh.read("tpu").count() == 1
 
 
+def test_reclaim_collision_with_unrelated_old_dir_never_raises(spark, wh, capsys):
+    """Review fix: a stale copy-crash slot next to an UNRELATED leftover
+    __old dir shares item names with it (both mirror the live table's
+    layout). The reunite branch must detect the collision — renaming a
+    directory onto an existing non-empty one raises ENOTEMPTY, and that
+    exception escaping _recover would brick exists()/read() for the
+    table forever. With a live table verified present, the colliding
+    slot is classified as a partial copy and deleted instead."""
+    import os
+
+    wh.write_table("tcol", _df(spark, [(1, "v", "2024-01-01")]),
+                   partition_by="partitiondate")
+    # unrelated leftover __old mirroring the live partition layout
+    old = wh.path("tcol").parent / "tcol__old_111"
+    (old / "partitiondate=2024-01-01").mkdir(parents=True)
+    (old / "partitiondate=2024-01-01" / "zz.parquet").write_text("old half")
+    # stale copy-crash slot with the SAME partition dir name
+    ts, dst = wh._claim_snapshot_dir("tcol")
+    (dst / "partitiondate=2024-01-01").mkdir()
+    (dst / "partitiondate=2024-01-01" / "aa.parquet").write_text("partial")
+    wh.INCOMPLETE_RECLAIM_AGE_S = 0
+    assert wh.exists("tcol")  # must not raise
+    assert not dst.exists(), "colliding slot is a partial copy — deleted"
+    # the unrelated __old inspection copy is untouched
+    assert (old / "partitiondate=2024-01-01" / "zz.parquet").read_text() == "old half"
+    assert "partial copy of the live table" in capsys.readouterr().out
+    assert wh.read("tcol").count() == 1
+
+    # and when nothing anchors reclamation (no live data dir at all), the
+    # pass surfaces the slot instead of guessing
+    os.rename(old, wh.path("tcol").parent / "inspected")  # tidy
+
+
 def test_committed_slots_untouched_by_reclaim(spark, wh):
     """Reclamation only ever touches slots still carrying _INCOMPLETE —
     committed snapshot history survives a reclaim pass verbatim."""
