@@ -248,11 +248,69 @@ class Warehouse:
             )
         self._reclaim_incomplete_snapshots(table, olds)
 
-    # A slot still carrying _INCOMPLETE younger than this is treated as a
-    # populate-in-progress by a concurrent writer and only surfaced; older
-    # markers are crash artifacts and are reclaimed. Populating a slot is
-    # seconds of local renames/copies — an hour is decades of margin.
+    # A slot still showing WRITE ACTIVITY younger than this is treated as
+    # a populate-in-progress by a concurrent writer and only surfaced;
+    # older slots are crash artifacts and are reclaimed. Activity is the
+    # newest DIRECTORY mtime inside the slot tree (plus the marker, which
+    # populate loops re-touch per item) — NOT the marker's claim-time
+    # mtime alone: snapshot() copytrees O(data), so a legitimate
+    # in-progress snapshot of a large table can outlive any fixed claim
+    # age, but every file it lands keeps refreshing its parent dir's
+    # mtime (round-9 ADVICE: the claim-age heuristic let a >1h populate
+    # be rmtree'd out from under the copier).
     INCOMPLETE_RECLAIM_AGE_S = 3600
+
+    @staticmethod
+    def _slot_activity_mtime(slot: Path, marker: Path) -> float:
+        """Newest write-activity timestamp for a claimed snapshot slot:
+        max over the marker, the slot dir itself, and every directory in
+        the slot tree. Directory mtimes are the reliable signal — file
+        mtimes are PRESERVED by copy2/copytree/rename (an in-flight copy
+        of year-old parquet lands year-old file mtimes), but landing any
+        entry updates its parent directory's mtime. O(dirs), and only
+        runs when an _INCOMPLETE marker is present at all."""
+        newest = 0.0
+        for p in (marker, slot):
+            try:
+                newest = max(newest, p.stat().st_mtime)
+            except OSError:
+                pass
+        for root, _dirs, _files in os.walk(slot):
+            try:
+                newest = max(newest, os.stat(root).st_mtime)
+            except OSError:
+                continue
+        return newest
+
+    @staticmethod
+    def _rmtree_slot(slot: Path, marker: Path) -> None:
+        """Delete a crashed slot with the _INCOMPLETE marker LAST: a bare
+        shutil.rmtree removes entries in scan order and can drop the
+        marker before the payload, so a crash mid-delete would leave an
+        unmarked NON-empty slot that snapshots() serves as a committed
+        snapshot of garbage. Marker-last ordering keeps the slot
+        invisible at every intermediate state (pinned by the reclaim
+        crash-injection property test)."""
+        for p in slot.iterdir():
+            if p == marker:
+                continue
+            if p.is_dir():
+                shutil.rmtree(p)
+            else:
+                p.unlink()
+        marker.unlink()
+        slot.rmdir()
+
+    @staticmethod
+    def _touch_marker(dst: Path) -> None:
+        """Refresh the _INCOMPLETE marker's mtime mid-populate (utime, not
+        touch — the marker's CONTENT records the claim's crash signature
+        and must survive). Best-effort: a failed utime only narrows the
+        staleness margin, never the populate itself."""
+        try:
+            os.utime(dst / "_INCOMPLETE")
+        except OSError:
+            pass
 
     def _reclaim_incomplete_snapshots(self, table: str, olds: list) -> None:
         """Crash recovery for snapshot slots (round-8 ADVICE): a crash
@@ -263,19 +321,28 @@ class Warehouse:
 
         - publish-move crash (``write_table`` snapshot branch): the slot
           holds PART of the outgoing table state, the remainder sits in
-          the sibling ``<table>__old_*`` dir. Move the slot's contents
-          back into that ``__old`` dir (the two halves are disjoint by
-          construction — item-by-item rename from one dir), reuniting the
-          complete outgoing state where the stale-artifact message already
-          points; the empty slot is then removed.
+          the sibling ``<table>__old_*`` dir. The marker RECORDS that
+          sibling's name at claim time (``publish-move:<name>``), so
+          reclaim reunites the slot's contents with exactly that dir
+          (the two halves are disjoint by construction — item-by-item
+          rename from one dir) and never guesses by position: round-9
+          ADVICE showed disjointness-vs-the-newest-``__old`` misfiles
+          the slot when an UNRELATED newer ``__old`` coexists with the
+          true crash sibling.
         - copy/hardlink snapshot crash (``snapshot()`` /
-          ``_snapshot_via_links``): the slot is a PARTIAL COPY of a table
-          state that still lives elsewhere (the live dir — those paths
-          never mutate the source). Safe to delete once the live table is
-          verified present.
+          ``_snapshot_via_links``): the marker records ``copy`` — the
+          slot is a PARTIAL COPY of a table state that still lives
+          elsewhere (the live dir — those paths never mutate the
+          source). Safe to delete once the live table is verified
+          present.
+        - legacy empty marker (pre-signature claims): ambiguous. Deleted
+          only when NO ``__old`` sibling exists (then it cannot be a
+          publish-move half) and the live table is present; otherwise
+          surfaced for manual inspection.
 
-        Slots whose marker is younger than ``INCOMPLETE_RECLAIM_AGE_S``
-        are only surfaced, never touched — the marker also means
+        Slots whose write activity (``_slot_activity_mtime``) is younger
+        than ``INCOMPLETE_RECLAIM_AGE_S`` are only surfaced, never
+        touched — the marker also means
         'populate in progress' for a concurrent writer. Reclamation is
         strictly best-effort: any slot whose shape doesn't match a known
         crash signature (or whose filesystem moves fail) is surfaced for
@@ -289,11 +356,29 @@ class Warehouse:
         for slot in sorted(p for p in snaps.iterdir() if p.is_dir()):
             marker = slot / "_INCOMPLETE"
             if not marker.exists():
+                # an EMPTY unmarked slot is a crash husk (claim died
+                # before its marker write, or reclaim died between the
+                # marker unlink and this rmdir) — snapshots() already
+                # refuses to serve it; drop it once stale so it stops
+                # consuming a slot id forever
+                try:
+                    if (
+                        not any(slot.iterdir())
+                        and now - slot.stat().st_mtime
+                        >= self.INCOMPLETE_RECLAIM_AGE_S
+                    ):
+                        slot.rmdir()
+                        print(
+                            f"[warehouse] removed empty crashed snapshot "
+                            f"slot {table}/{slot.name}"
+                        )
+                except OSError:
+                    pass  # concurrent claim/populate raced us — leave it
                 continue
-            try:
-                age = now - marker.stat().st_mtime
-            except OSError:
+            activity = self._slot_activity_mtime(slot, marker)
+            if activity == 0.0:
                 continue  # committed concurrently between exists() and stat()
+            age = now - activity
             if age < self.INCOMPLETE_RECLAIM_AGE_S:
                 print(
                     f"[warehouse] snapshot slot {table}/{slot.name} is "
@@ -325,41 +410,81 @@ class Warehouse:
 
     def _reclaim_one_slot(self, table, slot, marker, olds: list) -> None:
         items = [p for p in sorted(slot.iterdir()) if p.name != "_INCOMPLETE"]
-        # publish-move crash signature: an __old sibling holds the
-        # REMAINDER of the outgoing state, so the two item sets are
-        # DISJOINT (item-by-item rename from one dir). A name collision
-        # means the slot is NOT that __old's missing half (e.g. a
-        # copy-crash slot next to an unrelated leftover __old) — falling
-        # through to rename-over would raise ENOTEMPTY on directories
-        # and corrupt the inspection copy on files.
-        if olds:
-            dest = olds[-1]  # newest remaining __old: the crash sibling
-            if not any((dest / p.name).exists() for p in items):
-                for item in items:
-                    os.rename(item, dest / item.name)
-                marker.unlink()
-                slot.rmdir()
+        try:
+            signature = marker.read_text().strip()
+        except OSError:
+            signature = ""
+        if signature.startswith("publish-move:"):
+            # the claim recorded EXACTLY which __old sibling holds the
+            # remainder of the outgoing state — reunite with that dir and
+            # no other (round-9 ADVICE: positional newest-__old guessing
+            # misfiles the slot when unrelated __old dirs coexist). The
+            # two halves are disjoint by construction (item-by-item
+            # rename out of one dir); a collision means the slot is not
+            # what its marker claims, so surface instead of moving.
+            origin = signature.split(":", 1)[1]
+            dest = next((o for o in olds if o.name == origin), None)
+            if dest is None:
                 print(
-                    f"[warehouse] reclaimed incomplete snapshot slot "
-                    f"{table}/{slot.name}: contents reunited with "
-                    f"{dest.name} for inspection"
+                    f"[warehouse] snapshot slot {table}/{slot.name} is a "
+                    f"stale publish-move crash half but its recorded "
+                    f"sibling {origin!r} is gone — inspect manually"
                 )
                 return
-        if self._has_live_data(table):
-            # copy/hardlink snapshot crash: the slot is a partial copy of
-            # the (verified present) live table — safe to delete
-            shutil.rmtree(slot)
+            if any((dest / p.name).exists() for p in items):
+                print(
+                    f"[warehouse] snapshot slot {table}/{slot.name} "
+                    f"collides with its recorded sibling {dest.name} — "
+                    "inspect manually"
+                )
+                return
+            for item in items:
+                os.rename(item, dest / item.name)
+            marker.unlink()
+            slot.rmdir()
             print(
                 f"[warehouse] reclaimed incomplete snapshot slot "
-                f"{table}/{slot.name}: partial copy of the live table, "
-                "deleted"
+                f"{table}/{slot.name}: contents reunited with "
+                f"{dest.name} for inspection"
+            )
+            return
+        if signature == "copy":
+            # copy/hardlink snapshot crash: the slot is a partial copy of
+            # a state that still lives in the live dir — safe to delete
+            # once the live table is verified present, regardless of any
+            # unrelated __old siblings.
+            if self._has_live_data(table):
+                self._rmtree_slot(slot, marker)
+                print(
+                    f"[warehouse] reclaimed incomplete snapshot slot "
+                    f"{table}/{slot.name}: partial copy of the live "
+                    "table, deleted"
+                )
+            else:
+                print(
+                    f"[warehouse] snapshot slot {table}/{slot.name} is a "
+                    "stale partial copy but no live table exists — "
+                    "inspect manually"
+                )
+            return
+        # legacy empty marker (claims made before the signature was
+        # recorded): a publish-move half and a copy-crash slot are
+        # indistinguishable, so delete only when no __old sibling exists
+        # at all (then it CANNOT be a publish-move half — write_table
+        # crashes always leave the sibling) and the live table is present.
+        if not olds and self._has_live_data(table):
+            self._rmtree_slot(slot, marker)
+            print(
+                f"[warehouse] reclaimed incomplete snapshot slot "
+                f"{table}/{slot.name}: unsigned partial copy of the live "
+                "table (no __old siblings), deleted"
             )
         else:
             print(
                 f"[warehouse] snapshot slot {table}/{slot.name} is "
-                "_INCOMPLETE and stale but matches no known crash shape "
-                "(no live table; no disjoint __old sibling) — inspect "
-                "manually"
+                "_INCOMPLETE and stale but its crash shape is ambiguous "
+                "(unsigned marker with __old siblings, or no live table) "
+                "— inspect manually"
             )
 
     def exists(self, table: str) -> bool:
@@ -518,9 +643,12 @@ class Warehouse:
                 # snapshot (the remainder stays in the __old dir, which
                 # _recover surfaces; the live table is already in place,
                 # so no data is unreachable).
-                _ts_snap, dst = self._claim_snapshot_dir(name)
+                _ts_snap, dst = self._claim_snapshot_dir(
+                    name, origin=old.name
+                )
                 for item in sorted(old.iterdir()):
                     os.rename(item, dst / item.name)
+                    self._touch_marker(dst)
                 self._commit_snapshot_dir(dst)
                 os.rmdir(old)
             else:
@@ -912,7 +1040,9 @@ class Warehouse:
             ts = existing[-1] + 1
         return ts
 
-    def _claim_snapshot_dir(self, name: str) -> tuple[int, Path]:
+    def _claim_snapshot_dir(
+        self, name: str, origin: str | None = None
+    ) -> tuple[int, Path]:
         """Atomically claim a fresh snapshot slot: ``mkdir`` is the claim
         (atomic on POSIX), and a lost race bumps the id instead of
         corrupting the neighbour — the read-then-act allocation in
@@ -924,7 +1054,15 @@ class Warehouse:
         populating a directory is never atomic (hardlink walk, file copy,
         item-by-item publish move), and without the marker a crash or a
         concurrent reader mid-populate would make ``snapshots()`` serve a
-        half-written state as a valid snapshot."""
+        half-written state as a valid snapshot.
+
+        The marker's CONTENT records the claim's crash signature for
+        ``_reclaim_one_slot``: ``publish-move:<__old dir name>`` when the
+        slot will be populated by moving an outgoing table state out of
+        that exact sibling (``origin``), ``copy`` when it will be
+        populated by copying/hardlinking a state that keeps living in the
+        live dir — so recovery reunites a crashed move with the RIGHT
+        sibling and can safely delete a crashed copy (round-9 ADVICE)."""
         ts = self._next_snapshot_ts(name)
         root = self.path(name) / SNAPSHOT_DIRNAME
         root.mkdir(parents=True, exist_ok=True)
@@ -932,7 +1070,9 @@ class Warehouse:
             dst = root / str(ts)
             try:
                 dst.mkdir()
-                (dst / "_INCOMPLETE").touch()
+                (dst / "_INCOMPLETE").write_text(
+                    f"publish-move:{origin}" if origin else "copy"
+                )
                 return ts, dst
             except FileExistsError:
                 ts += 1
@@ -950,6 +1090,7 @@ class Warehouse:
         (see insert_overwrite). Returns the snapshot epoch-ms id."""
         ts, dst = self._claim_snapshot_dir(name)
         src = self.path(name)
+        linked = 0
         for root, dirs, files in os.walk(src):
             rel = Path(root).relative_to(src)
             if SNAPSHOT_DIRNAME in rel.parts:
@@ -959,6 +1100,9 @@ class Warehouse:
                 out = dst / rel / f
                 out.parent.mkdir(parents=True, exist_ok=True)
                 os.link(Path(root) / f, out)
+                linked += 1
+                if linked % 256 == 0:
+                    self._touch_marker(dst)
         self._commit_snapshot_dir(dst)
         return ts
 
@@ -973,6 +1117,11 @@ class Warehouse:
                     shutil.copytree(p, dst / p.name)
                 else:
                     shutil.copy2(p, dst / p.name)
+                # keep the in-progress claim visibly alive for concurrent
+                # recover passes (the marker mtime joins directory mtimes
+                # in _slot_activity_mtime; within one huge copytree item
+                # the tree's own dir mtimes carry the signal)
+                self._touch_marker(dst)
         self._commit_snapshot_dir(dst)
         return ts
 
@@ -981,11 +1130,18 @@ class Warehouse:
         if not d.exists():
             return []
         # a slot still carrying its _INCOMPLETE marker is mid-populate
-        # (or a crash artifact): never a readable snapshot
+        # (or a crash artifact): never a readable snapshot. An EMPTY
+        # unmarked slot is equally unreadable: it is either a claim that
+        # crashed between mkdir and the marker write, or a reclaim that
+        # crashed between the marker unlink and the slot rmdir — a
+        # committed snapshot always carries the table's files (write
+        # paths always produce at least _SUCCESS/parquet), so emptiness
+        # is a reliable exclusion, not a heuristic (pinned by the
+        # reclaim crash-injection property test).
         return sorted(
             int(p.name)
             for p in d.iterdir()
-            if not (p / "_INCOMPLETE").exists()
+            if not (p / "_INCOMPLETE").exists() and any(p.iterdir())
         )
 
     def read_snapshot(self, name: str, at_ms: int) -> DataFrame:

@@ -2548,8 +2548,12 @@ def _bootstrap_ci_oracle() -> str:
                CAST(COUNT(*) AS BIGINT) AS n_replicates
         FROM per WHERE wsum > 0)
     SELECT s.n_rows, s.mean_full, m.n_replicates,
-           a[1] + (a[2] - a[1]) * (CAST(775 AS DOUBLE) / 1000) AS ci_lo,
-           a[31] + (a[32] - a[31]) * (CAST(225 AS DOUBLE) / 1000) AS ci_hi
+           CASE WHEN m.n_replicates = 32 THEN
+               a[1] + (a[2] - a[1]) * (CAST(775 AS DOUBLE) / 1000)
+           END AS ci_lo,
+           CASE WHEN m.n_replicates = 32 THEN
+               a[31] + (a[32] - a[31]) * (CAST(225 AS DOUBLE) / 1000)
+           END AS ci_hi
     FROM m, (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                     {davg_sql('o_totalprice')} AS mean_full FROM orders) s
     """
@@ -2612,17 +2616,26 @@ def agg_bootstrap_ci(spark, sf_dir):
     a = F.col("a")
     frac_lo = F.lit(775).cast("double") / 1000
     frac_hi = F.lit(225).cast("double") / 1000
+    # the interpolation hard-indexes elements 1/2/31/32: if ANY replicate
+    # drew all-zero Poisson weights (astronomically unlikely but exactly
+    # the case the wsum>0 filter handles), element_at(a, 32) would THROW
+    # under Spark ANSI while DuckDB's a[32] returns NULL — so both
+    # engines guard on the full replicate count and return NULL ci
+    # bounds in the degenerate case (round-9 ADVICE)
+    full = F.col("n_replicates") == 32
     return m.crossJoin(F.broadcast(s)).select(
         "n_rows",
         "mean_full",
         "n_replicates",
-        (
+        F.when(
+            full,
             F.element_at(a, 1)
-            + (F.element_at(a, 2) - F.element_at(a, 1)) * frac_lo
+            + (F.element_at(a, 2) - F.element_at(a, 1)) * frac_lo,
         ).alias("ci_lo"),
-        (
+        F.when(
+            full,
             F.element_at(a, 31)
-            + (F.element_at(a, 32) - F.element_at(a, 31)) * frac_hi
+            + (F.element_at(a, 32) - F.element_at(a, 31)) * frac_hi,
         ).alias("ci_hi"),
     )
 

@@ -165,7 +165,19 @@ def clear_session_memos() -> int:
     dedupes the two identical rangepartitioning subtrees into ONE
     shuffle within the execution, so the boundaries still agree
     (pinned by test_rank_output_correct_after_memo_eviction, which
-    asserts a dense unique 1..n rank set post-eviction)."""
+    asserts a dense unique 1..n rank set post-eviction). That contract
+    holds only while spark.sql.exchange.reuse is on, so it is pinned
+    HERE on the active session (not just in the get_spark factory —
+    driver-created sessions never pass through it), making eviction
+    itself re-assert the invariant the eviction relies on (round-9
+    ADVICE: reuse=false would let two independent boundary samplings
+    silently produce duplicate/missing ranks)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        try:
+            active.conf.set("spark.sql.exchange.reuse", "true")
+        except Exception:
+            pass  # stopped session — nothing left to protect
     dropped = 0
     for store in _MEMO_STORES:
         for df in store.values():

@@ -7,114 +7,112 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-8 window (positions 0-49) — the certification catch-up round
-(VERDICT r7 item 1): 49 of the 54 entries that accumulated after the
-round-7 window filled and therefore have ZERO driver evidence (all
-local-oracle green at sf0.001/0.01; the round-7 judge additionally
-swept all 54 at sf0.01 — 54/54 pass), plus one re-entry:
+Round-9 window (positions 0-49) — the full-certification round
+(VERDICT r8 items 1-2). After round 8's catch-up window went 50/50
+green, exactly 5 entries have never been in a driver window; they go
+first, then the window recycles the OLDEST remaining green rows so no
+certification coasts on ancient evidence:
 
-* 0-13 — the structurally riskiest first (the judge's front-load list):
-  the graph family (connected-components, k-core, hits, assortativity,
-  minplus-distance, personalized-pagerank), the SCD2 pair
-  (sink-scd2-hard-delete, join-scd2-point-in-time), scan-snapshot-diff
-  (time-travel diff over the snapshot store), ext-classify-naive-bayes,
-  udf-cogroup (the cogrouped-applyInPandas boundary), scan-profile-table,
-  ext-curation-pipeline-e2e (longest derivation chain), join-star-schema.
-* 14-48 — the remaining never-checked entries: the statistics family
-  (anova-oneway, spearman, kendall, tukey-fences, cohen-d, runs-test,
-  mutual-information, auc-roc, calibration-ece), business analytics
-  (rfm, retention-triangle, hhi, growth-accounting, price-elasticity,
-  bounce-rate, new-vs-repeat-revenue, seasonality-strength,
-  order-gap-distribution, forecast-backtest-mape, pk-uniqueness-audit),
-  finance/TS windows (rsi-wilder, bollinger-bands, rolling-beta), the
-  streaming batch forms (rate-limit, gap-detect, top-k-windowed), and
-  the LLM-pipeline tail (vocab-growth, length-decile-mix, ngram-novelty,
-  perplexity-filter, split-leak-audit, embed-pca-power,
-  embed-centroid-inertia, source-similarity-matrix — whose .cache()
-  leak was fixed this round, so its fresh code gets certified directly),
-  plus join-interval-coalesce.
-* 49 — agg-bootstrap-ci re-enters: round-8 ADVICE alignment of the
-  zero-weight-replicate NULL handling (WHERE wsum > 0 before
-  list()/collect_list on BOTH engines) changed its implementation and
-  oracle, so the green-manifest guard requires driver re-certification.
+* 0-4 — the last 5 never-driver-certified entries (deferred from the
+  round-8 window as the structurally simplest of the 54-entry backlog;
+  judge-verified at sf0.01 in both r7 and r8, and green in the repo's
+  own parametrized oracle sweep): agg-pythagorean-means,
+  agg-pareto-share, win-ohlc-bars, func-surrogate-key,
+  func-column-masking. Green rows here = 286/286 driver-certified.
+* 5 — agg-bootstrap-ci re-enters: the round-8 ADVICE hardening (ci
+  bounds guarded on n_replicates = 32 so Spark/DuckDB agree — NULL,
+  not ANSI element_at error — in the all-replicates-degenerate case)
+  changed its implementation and oracle, so the green-manifest guard
+  requires driver re-certification of the new code.
+* 6-42 — the r2/r3-era tail, oldest green row first (VERDICT r7 item 3
+  carried through r8 item 2: after r9 no green row should predate r4):
+  file-format-orc (r2, the single oldest row), then the 36 entries
+  whose newest green is r3 — the macro/UDF family (macro-template,
+  udf-scalar, udaf, udtf), core query shapes (limit, top-k,
+  win-qualify, sort-custom-key), the set family, the 13 function
+  families, the 6 batch-form streaming entries, agg-approx-count-
+  distinct, and the r3-era ext entries (decontaminate, dedup-exact,
+  sample-stratified, sim-cosine-topk).
+* 43-49 — the start of the r4-era recycle, oldest-first continues with
+  the structurally riskiest r4 rows (sketch merges, skew handling, the
+  range join, global sort, running windows): agg-hll-sketch-merge,
+  agg-heavy-hitters, agg-quantile-digest, agg-salted-skew, join-range,
+  sort-global, win-running-agg. The remaining 39 r4-era entries queue
+  for the round-10 window together with the 13 memo-backed entries
+  that must re-certify when `_plan_sig` grows file size+mtime
+  components (VERDICT r8 item 8 — deliberately deferred to r10 where
+  the window has capacity; doing it in r9 would evict 12 tail slots).
 
-Deferred to round 9 (the 5 structurally simplest of the 54 — single
-scan + map-side expression shapes, each judge-verified at sf0.01 and
-green in the repo's own parametrized oracle sweep): agg-pythagorean-means,
-agg-pareto-share, func-surrogate-key, func-column-masking, win-ohlc-bars.
-Front-load these five in the round-9 window, then cycle the oldest
-remaining r3-era rows (macro-template, udf-scalar/udaf/udtf, file
-formats, core filter/function/set/sort families) so no green row is
-older than r6 by round 9 (VERDICT r7 item 3).
-
-Round-8 additions policy: corpus growth is FROZEN this round (VERDICT r7
-item 2 — the uncertified backlog must shrink faster than it grows); any
-entry added mid-round must be listed here under "added AFTER the
-round-8 window filled" for round-9 front-loading.
+Round-9 additions policy: corpus growth stays FROZEN (VERDICT r8 item 7
+— certification caught up to authorship in r8; the freeze is what made
+that possible). Any entry added mid-round must be listed here under
+"added AFTER the round-9 window filled" for round-10 front-loading.
 """
 
 
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # structurally riskiest first — graphs, SCD2, the Python cogroup
-    # boundary, the longest derivation chains
-    "graph-connected-components",
-    "graph-k-core",
-    "graph-hits",
-    "graph-degree-assortativity",
-    "graph-minplus-distance",
-    "graph-personalized-pagerank",
-    "sink-scd2-hard-delete",
-    "join-scd2-point-in-time",
-    "scan-snapshot-diff",
-    "ext-classify-naive-bayes",
-    "udf-cogroup",
-    "scan-profile-table",
-    "ext-curation-pipeline-e2e",
-    "join-star-schema",
-    # statistics aggregates
-    "agg-anova-oneway",
-    "agg-spearman-corr",
-    "agg-kendall-tau",
-    "agg-tukey-fences",
-    "agg-cohen-d",
-    "agg-runs-test",
-    "agg-mutual-information",
-    "agg-auc-roc",
-    "agg-calibration-ece",
-    # business analytics
-    "agg-rfm-segmentation",
-    "agg-retention-triangle",
-    "agg-hhi-concentration",
-    "agg-growth-accounting",
-    "agg-price-elasticity",
-    "agg-bounce-rate",
-    "agg-new-vs-repeat-revenue",
-    "agg-seasonality-strength",
-    "agg-order-gap-distribution",
-    "agg-forecast-backtest-mape",
-    "agg-pk-uniqueness-audit",
-    # finance / time-series windows
-    "win-rsi-wilder",
-    "win-bollinger-bands",
-    "win-rolling-beta",
-    # streaming batch forms
-    "stream-rate-limit",
-    "stream-gap-detect",
-    "stream-top-k-windowed",
-    # LLM-pipeline tail
-    "ext-vocab-growth",
-    "ext-length-decile-mix",
-    "ext-ngram-novelty",
-    "ext-perplexity-filter",
-    "ext-split-leak-audit",
-    "ext-embed-pca-power",
-    "ext-embed-centroid-inertia",
-    "ext-source-similarity-matrix",
-    "join-interval-coalesce",
-    # re-entry: zero-weight-replicate NULL alignment changed fn + oracle
+    # the last 5 never-driver-certified entries
+    "agg-pythagorean-means",
+    "agg-pareto-share",
+    "win-ohlc-bars",
+    "func-surrogate-key",
+    "func-column-masking",
+    # re-entry: degenerate-replicate NULL guard changed fn + oracle
     "agg-bootstrap-ci",
+    # oldest green row in the corpus (r2)
+    "file-format-orc",
+    # r3-era tail: macro / UDF boundary
+    "macro-template",
+    "udf-scalar",
+    "udaf",
+    "udtf",
+    # r3-era core query shapes
+    "limit",
+    "top-k",
+    "win-qualify",
+    "sort-custom-key",
+    # r3-era set operations
+    "set-union-all",
+    "set-union-distinct",
+    "set-intersect",
+    "set-except",
+    # r3-era function families
+    "func-array",
+    "func-bitwise",
+    "func-cast",
+    "func-conditional",
+    "func-datetime",
+    "func-generate-date-array",
+    "func-generate-series",
+    "func-hash",
+    "func-json",
+    "func-map",
+    "func-math",
+    "func-string",
+    "func-struct",
+    # r3-era streaming batch forms
+    "stream-tumbling-window",
+    "stream-sliding-window",
+    "stream-session-window",
+    "stream-watermark-late",
+    "stream-stateful-dedup",
+    "stream-foreachbatch-sink",
+    # r3-era remainder
+    "agg-approx-count-distinct",
+    "ext-decontaminate",
+    "ext-dedup-exact",
+    "ext-sample-stratified",
+    "ext-sim-cosine-topk",
+    # r4-era recycle begins: riskiest first
+    "agg-hll-sketch-merge",
+    "agg-heavy-hitters",
+    "agg-quantile-digest",
+    "agg-salted-skew",
+    "join-range",
+    "sort-global",
+    "win-running-agg",
 )
 
 

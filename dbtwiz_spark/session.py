@@ -107,6 +107,14 @@ def _apply_runtime_confs(spark: SparkSession, shuffle_partitions: int | None) ->
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+    # Exchange reuse is a CORRECTNESS pin, not a tuning choice: after
+    # clear_session_memos() evicts the parallel_rank/parallel_prefix_sum
+    # persist, a lazy pre-eviction DataFrame's offset join is only valid
+    # because ReuseExchange dedupes its two identical repartitionByRange
+    # subtrees into ONE shuffle (same physical range boundaries for both
+    # consumers). With reuse disabled, two independent boundary samplings
+    # could silently produce duplicate/missing ranks (round-9 ADVICE).
+    spark.conf.set("spark.sql.exchange.reuse", "true")
     # Partition columns keep their written type on read-back: a model that
     # writes partitiondate as STRING must not see it come back as DATE after
     # an incremental append (schema drift breaks unionByName at scale).

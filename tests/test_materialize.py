@@ -894,9 +894,10 @@ def test_stale_incomplete_publish_slot_reunites_with_old_dir(spark, wh, capsys):
     state, where the stale-artifact message already points) and removes
     the orphaned slot — no snapshot id or disk is consumed forever."""
     wh.write_table("tpu", _df(spark, [(1, "v1", "d")]))
-    # simulate the crash: claimed slot holds one moved item, the remainder
-    # stays in <table>__old_<ts>
-    ts, dst = wh._claim_snapshot_dir("tpu")
+    # simulate the crash: claimed slot (recording its origin sibling, as
+    # write_table's publish branch does) holds one moved item, the
+    # remainder stays in <table>__old_<ts>
+    ts, dst = wh._claim_snapshot_dir("tpu", origin="tpu__old_99")
     (dst / "part-moved.parquet").write_text("half in slot")
     old = wh.path("tpu").parent / "tpu__old_99"
     old.mkdir()
@@ -943,6 +944,125 @@ def test_reclaim_collision_with_unrelated_old_dir_never_raises(spark, wh, capsys
     # and when nothing anchors reclamation (no live data dir at all), the
     # pass surfaces the slot instead of guessing
     os.rename(old, wh.path("tcol").parent / "inspected")  # tidy
+
+
+def test_reclaim_reunites_with_recorded_origin_not_newest_old(spark, wh, capsys):
+    """Round-9 ADVICE scenario: a publish-move crash slot coexists with a
+    NEWER unrelated __old dir. Positional newest-__old matching would
+    either mingle the slot into the wrong inspection dir (disjoint
+    names) or misclassify it as a partial copy and delete half the
+    outgoing state (colliding names). The marker's recorded origin must
+    route the contents to the true, OLDER sibling."""
+    wh.write_table("tor", _df(spark, [(1, "v1", "d")]))
+    ts, dst = wh._claim_snapshot_dir("tor", origin="tor__old_100")
+    (dst / "part-moved.parquet").write_text("half in slot")
+    origin = wh.path("tor").parent / "tor__old_100"
+    origin.mkdir()
+    (origin / "part-left.parquet").write_text("half in origin")
+    # NEWER unrelated __old with disjoint names — the trap dir
+    trap = wh.path("tor").parent / "tor__old_999"
+    trap.mkdir()
+    (trap / "unrelated.parquet").write_text("unrelated state")
+    wh.INCOMPLETE_RECLAIM_AGE_S = 0
+    assert wh.exists("tor")
+    assert not dst.exists(), "slot must be reclaimed"
+    assert (origin / "part-moved.parquet").exists(), (
+        "contents must reunite with the RECORDED origin, not the newest __old"
+    )
+    assert (origin / "part-left.parquet").exists()
+    assert list(trap.iterdir()) == [trap / "unrelated.parquet"], (
+        "the unrelated newer __old must be untouched"
+    )
+    assert "reunited with tor__old_100" in capsys.readouterr().out
+
+
+def test_reclaim_surfaces_slot_when_recorded_origin_gone(spark, wh, capsys):
+    """A publish-move slot whose recorded sibling no longer exists matches
+    no safe remedy — surfaced for manual inspection, never moved into an
+    unrelated dir and never deleted."""
+    wh.write_table("tgo", _df(spark, [(1, "v1", "d")]))
+    ts, dst = wh._claim_snapshot_dir("tgo", origin="tgo__old_5")
+    (dst / "part-moved.parquet").write_text("orphaned half")
+    other = wh.path("tgo").parent / "tgo__old_777"
+    other.mkdir()
+    (other / "x.parquet").write_text("unrelated")
+    wh.INCOMPLETE_RECLAIM_AGE_S = 0
+    assert wh.exists("tgo")
+    assert dst.exists() and (dst / "part-moved.parquet").exists()
+    assert list(other.iterdir()) == [other / "x.parquet"]
+    assert "recorded sibling" in capsys.readouterr().out
+
+
+def test_reclaim_surfaces_legacy_slot_next_to_old_dirs(spark, wh, capsys):
+    """A pre-signature (empty-marker) slot next to ANY __old sibling is
+    ambiguous — publish-move half and copy crash are indistinguishable —
+    so it is surfaced, never moved or deleted (the conservative close of
+    the round-9 ADVICE hole). Without siblings and with live data it is
+    provably a partial copy and is deleted."""
+    wh.write_table("tlg", _df(spark, [(1, "v1", "d")]))
+    ts, dst = wh._claim_snapshot_dir("tlg")
+    (dst / "_INCOMPLETE").write_text("")  # legacy claim: no signature
+    (dst / "part.parquet").write_text("ambiguous half")
+    old = wh.path("tlg").parent / "tlg__old_42"
+    old.mkdir()
+    (old / "y.parquet").write_text("maybe the remainder")
+    wh.INCOMPLETE_RECLAIM_AGE_S = 0
+    assert wh.exists("tlg")
+    assert dst.exists() and (dst / "part.parquet").exists()
+    assert list(old.iterdir()) == [old / "y.parquet"]
+    assert "ambiguous" in capsys.readouterr().out
+    # remove the sibling: now provably a partial copy -> deleted
+    (old / "y.parquet").unlink()
+    old.rmdir()
+    assert wh.exists("tlg")
+    assert not dst.exists()
+
+
+def test_active_populate_not_reclaimed_by_stale_marker(spark, wh, capsys):
+    """Round-9 ADVICE: staleness must track slot WRITE ACTIVITY, not the
+    marker's claim-time mtime — a >1h copytree of a big table keeps
+    landing files (fresh parent-dir mtimes) while its marker mtime never
+    moves. A slot whose marker is ancient but whose tree shows fresh
+    activity must survive the reclaim pass."""
+    import os as _os
+
+    wh.write_table("tact", _df(spark, [(1, "v1", "d")]))
+    ts, dst = wh._claim_snapshot_dir("tact")
+    ancient = 1_000_000.0
+    _os.utime(dst / "_INCOMPLETE", (ancient, ancient))
+    # in-flight copy: a fresh directory entry just landed
+    sub = dst / "partitiondate=d"
+    sub.mkdir()
+    (sub / "part-0.parquet").write_text("still copying")
+    wh.INCOMPLETE_RECLAIM_AGE_S = 3600
+    assert wh.exists("tact")
+    assert dst.exists() and (dst / "_INCOMPLETE").exists(), (
+        "fresh write activity must shield the slot from reclamation"
+    )
+    assert "populate in progress" in capsys.readouterr().out
+
+
+def test_stale_empty_unmarked_slot_invisible_and_removed(spark, wh, capsys):
+    """A claim that died between mkdir and its marker write (or a reclaim
+    that died between marker unlink and rmdir) leaves an empty unmarked
+    slot: snapshots() must never serve it as a committed snapshot, and a
+    stale one is dropped by the reclaim pass."""
+    wh.write_table("tem", _df(spark, [(1, "v1", "d")]))
+    wh.write_table("tem", _df(spark, [(2, "v2", "d")]))  # snapshots v1
+    good = wh.snapshots("tem")
+    husk = wh.path("tem") / "_snapshots" / str(good[-1] + 50)
+    husk.mkdir()
+    assert wh.snapshots("tem") == good, "empty unmarked slot must be invisible"
+    wh.INCOMPLETE_RECLAIM_AGE_S = 0
+    assert wh.exists("tem")
+    assert not husk.exists(), "stale empty husk must be removed"
+    assert "empty crashed snapshot slot" in capsys.readouterr().out
+    # a FRESH empty dir (a concurrent claim pre-marker) survives
+    wh.INCOMPLETE_RECLAIM_AGE_S = 3600
+    husk2 = wh.path("tem") / "_snapshots" / str(good[-1] + 60)
+    husk2.mkdir()
+    assert wh.exists("tem")
+    assert husk2.exists()
 
 
 def test_committed_slots_untouched_by_reclaim(spark, wh):
@@ -994,3 +1114,39 @@ def test_scd2_invalidate_hard_deletes(spark, wh):
         (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
         for r in wh.read("dimhd").collect()
     }
+
+
+def test_expire_snapshots_gc_keeps_time_travel_on_survivors(spark, wh):
+    """Snapshot GC parity with the reference's 7-day restore window
+    (dbtwiz/admin/restore.py:63-70): expiring snapshots past the window
+    must leave scan-time-travel AND snapshot-diff fully working on the
+    survivors — GC removes history, never the ability to use what
+    remains (VERDICT r8 item 6)."""
+    for i, v in enumerate(["v1", "v2", "v3", "v4"]):
+        wh.write_table("tgc", _df(spark, [(i, v, "d")]))
+    snaps = wh.snapshots("tgc")  # v1, v2, v3 states parked by overwrites
+    assert len(snaps) == 3
+    sroot = wh.path("tgc") / "_snapshots"
+    # age the two oldest past the restore window (ids are epoch-ms)
+    aged = []
+    for s in snaps[:2]:
+        old_id = s - 8 * 86_400_000
+        (sroot / str(s)).rename(sroot / str(old_id))
+        aged.append(old_id)
+    assert wh.expire_snapshots("tgc") == 2
+    survivors = wh.snapshots("tgc")
+    assert survivors == [snaps[2]], "in-window snapshot must survive GC"
+    # scan-time-travel still works on the survivor: latest <= now is v3
+    assert (
+        wh.read_snapshot("tgc", at_ms=int(time.time() * 1000)).first().v
+        == "v3"
+    )
+    # snapshot-diff across survivor vs live still works post-GC
+    old_rows = {r.v for r in wh.read_snapshot("tgc", survivors[0]).collect()}
+    new_rows = {r.v for r in wh.read("tgc").collect()}
+    assert old_rows == {"v3"} and new_rows == {"v4"}
+    # the expired ids are unreachable: outside the window by construction
+    with pytest.raises(ValueError):
+        wh.read_snapshot("tgc", aged[0])
+    # GC is idempotent
+    assert wh.expire_snapshots("tgc") == 0

@@ -978,3 +978,174 @@ def test_scd2_invalidate_interleaved_matches_model(spark, tmp_path):
             for r in wh.read("dimi").collect()
         }
         assert got == want, f"diverged after round {round_i}"
+
+
+def test_reclaim_crash_at_every_fs_point_loses_no_state(spark, tmp_path):
+    """Fault injection over _reclaim_one_slot (round-9 ADVICE hardening):
+    every filesystem mutation in a reclaim pass (os.rename item moves,
+    the marker unlink inside Path.unlink, the slot/husk rmdir, and the
+    unlinks/rmdirs inside shutil.rmtree) is crashed once at each call
+    index, for every slot signature (publish-move with a decoy newer
+    __old, copy crash, legacy unsigned, empty husk). After a second,
+    uninjected recovery pass the invariants of the r5 merge-bug method
+    hold against a dict model of the payload:
+
+    - publish-move payloads are CONSERVED: every half ends up in the
+      recorded origin dir (never the decoy), or is still awaiting a
+      retry inside the still-marked slot;
+    - inspection copies (__old dirs) and the live table are byte-stable;
+    - snapshots() NEVER serves a crashed slot (marker present or empty);
+    - committed snapshot history survives verbatim.
+    """
+    import os
+
+    from dbtwiz_spark.materialize import Warehouse
+
+    def build(root, scenario):
+        wh = Warehouse(spark, str(root))
+        df = spark.createDataFrame(
+            [(1, "live", "d")], "k INT, v STRING, partitiondate STRING"
+        )
+        wh.write_table("t", df)
+        wh.write_table("t", df)  # commits one real snapshot of state 1
+        wh.INCOMPLETE_RECLAIM_AGE_S = 0
+        committed = wh.snapshots("t")
+        assert len(committed) == 1
+        parent = wh.path("t").parent
+        payload = {}  # relative location -> content, per the dict model
+        if scenario == "publish-move":
+            ts, dst = wh._claim_snapshot_dir("t", origin="t__old_100")
+            (dst / "half_a.parquet").write_text("half_a")
+            origin = parent / "t__old_100"
+            origin.mkdir()
+            (origin / "half_b.parquet").write_text("half_b")
+            decoy = parent / "t__old_900"
+            decoy.mkdir()
+            (decoy / "decoy.parquet").write_text("decoy")
+            payload = {"half_a": "half_a", "half_b": "half_b"}
+        elif scenario == "copy":
+            ts, dst = wh._claim_snapshot_dir("t")
+            (dst / "partial.parquet").write_text("partial")
+        elif scenario == "legacy-sibling":
+            ts, dst = wh._claim_snapshot_dir("t")
+            (dst / "_INCOMPLETE").write_text("")
+            (dst / "amb.parquet").write_text("amb")
+            sib = parent / "t__old_300"
+            sib.mkdir()
+            (sib / "sib.parquet").write_text("sib")
+        elif scenario == "husk":
+            husk = wh.path("t") / "_snapshots" / str(committed[-1] + 50)
+            husk.mkdir()
+        return wh, committed
+
+    def check_invariants(root, scenario, committed):
+        wh = Warehouse(spark, str(root))
+        wh.INCOMPLETE_RECLAIM_AGE_S = 0
+        wh._recover("t")  # second pass, uninjected: must converge
+        parent = wh.path("t").parent
+        # live table byte-stable
+        assert {(r.k, r.v) for r in wh.read("t").collect()} == {(1, "live")}
+        # committed history survives and nothing crashed got served
+        assert wh.snapshots("t") == committed, scenario
+        if scenario == "publish-move":
+            origin = parent / "t__old_100"
+            decoy = parent / "t__old_900"
+            assert [p.name for p in sorted(decoy.iterdir())] == [
+                "decoy.parquet"
+            ], "decoy __old must never gain or lose items"
+            # payload conservation: each half is in the origin, or still
+            # in a slot that KEPT its marker (retry-able), never lost
+            located = {}
+            for name in ("half_a.parquet", "half_b.parquet"):
+                if (origin / name).exists():
+                    located[name] = "origin"
+            for slot in (wh.path("t") / "_snapshots").iterdir():
+                if (slot / "_INCOMPLETE").exists():
+                    for name in ("half_a.parquet", "half_b.parquet"):
+                        if (slot / name).exists():
+                            located.setdefault(name, "slot")
+            assert set(located) == {"half_a.parquet", "half_b.parquet"}, (
+                f"publish-move payload lost: {located}"
+            )
+        elif scenario == "legacy-sibling":
+            sib = parent / "t__old_300"
+            assert (sib / "sib.parquet").read_text() == "sib"
+
+    for scenario in ("publish-move", "copy", "legacy-sibling", "husk"):
+        # dry run counts the fs-mutation call points of one reclaim pass
+        root = tmp_path / f"dry_{scenario}"
+        wh, committed = build(root, scenario)
+        calls = {"n": 0}
+        real = {
+            "rename": os.rename,
+            "unlink": os.unlink,
+            "rmdir": os.rmdir,
+        }
+
+        def counting(fn):
+            def wrapped(*a, **k):
+                calls["n"] += 1
+                return fn(*a, **k)
+
+            return wrapped
+
+        os.rename, os.unlink, os.rmdir = (
+            counting(real["rename"]),
+            counting(real["unlink"]),
+            counting(real["rmdir"]),
+        )
+        try:
+            wh._recover("t")
+        finally:
+            os.rename, os.unlink, os.rmdir = (
+                real["rename"],
+                real["unlink"],
+                real["rmdir"],
+            )
+        total = calls["n"]
+        if scenario == "legacy-sibling":
+            # ambiguous slots are surfaced, never touched — zero fs
+            # mutations IS the property being pinned
+            assert total == 0, (
+                f"legacy-sibling must be surfaced untouched, saw {total} "
+                "fs mutations"
+            )
+        else:
+            assert total >= 1, f"{scenario}: reclaim made no fs mutations"
+        check_invariants(root, scenario, committed)
+
+        class Killed(Exception):
+            pass
+
+        for point in range(1, total + 1):
+            root = tmp_path / f"{scenario}_{point}"
+            wh, committed = build(root, scenario)
+            calls = {"n": 0}
+
+            def injecting(fn):
+                def wrapped(*a, **k):
+                    calls["n"] += 1
+                    if calls["n"] == point:
+                        raise Killed(f"{scenario}@{point}")
+                    return fn(*a, **k)
+
+                return wrapped
+
+            os.rename, os.unlink, os.rmdir = (
+                injecting(real["rename"]),
+                injecting(real["unlink"]),
+                injecting(real["rmdir"]),
+            )
+            try:
+                wh._recover("t")
+                crashed = False
+            except Killed:
+                crashed = True
+            finally:
+                os.rename, os.unlink, os.rmdir = (
+                    real["rename"],
+                    real["unlink"],
+                    real["rmdir"],
+                )
+            assert crashed, f"{scenario}: injection at {point} did not fire"
+            check_invariants(root, scenario, committed)
