@@ -298,7 +298,22 @@ def _calibrate(spark, runs: int = 3) -> float:
     `headline_total / calibration` is attributable to PLANS while
     movement in `calibration` alone is the VM. This turns the host-drift
     argument (r7→r8 burned judge time proving +23% wasn't a regression)
-    into a recorded number."""
+    into a recorded number.
+
+    The confs the probe's plan depends on are PINNED for its duration
+    (and restored after): the probe runs inside the bench's repo-tuned
+    session, so a future round changing the session's shuffle
+    partitioning or AQE settings would otherwise move `calibration` for
+    repo-internal reasons and corrupt exactly the drift attribution the
+    probe exists for (review find)."""
+    pinned = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
 
     def once() -> float:
         t0 = time.perf_counter()
@@ -310,8 +325,15 @@ def _calibrate(spark, runs: int = 3) -> float:
         )
         return time.perf_counter() - t0
 
-    once()  # warm-up: codegen compile, first-touch scheduling
-    return round(min(once() for _ in range(runs)), 3)
+    try:
+        once()  # warm-up: codegen compile, first-touch scheduling
+        return round(min(once() for _ in range(runs)), 3)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def main() -> None:

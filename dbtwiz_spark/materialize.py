@@ -263,23 +263,37 @@ class Warehouse:
     @staticmethod
     def _slot_activity_mtime(slot: Path, marker: Path) -> float:
         """Newest write-activity timestamp for a claimed snapshot slot:
-        max over the marker, the slot dir itself, and every directory in
-        the slot tree. Directory mtimes are the reliable signal — file
-        mtimes are PRESERVED by copy2/copytree/rename (an in-flight copy
-        of year-old parquet lands year-old file mtimes), but landing any
-        entry updates its parent directory's mtime. O(dirs), and only
-        runs when an _INCOMPLETE marker is present at all."""
+        max of mtime AND ctime over the marker and every entry in the
+        slot tree (os.walk yields the slot dir itself as its first
+        root). Three signals cover every populate shape:
+
+        - directory mtimes move on every entry creation/rename into them
+          (file mtimes alone mislead: copy2/copytree/rename PRESERVE the
+          source's year-old mtimes);
+        - an in-flight write to ONE huge file keeps that file's mtime
+          fresh for the whole copy, so even a single multi-hour copy2
+          never looks stale (review find: per-entry granularity alone
+          re-opened the >1h-populate hole one level down);
+        - ctimes are bumped by the very copystat() that resets mtimes
+          old at the end of each copytree subtree, so 'recently touched'
+          survives attribute restoration; on a genuinely crashed slot
+          every ctime dates from the crash and goes stale together.
+
+        O(entries), and only runs when an _INCOMPLETE marker is present
+        at all."""
         newest = 0.0
-        for p in (marker, slot):
-            try:
-                newest = max(newest, p.stat().st_mtime)
-            except OSError:
-                pass
-        for root, _dirs, _files in os.walk(slot):
-            try:
-                newest = max(newest, os.stat(root).st_mtime)
-            except OSError:
-                continue
+        try:
+            st = marker.stat()
+            newest = max(newest, st.st_mtime, st.st_ctime)
+        except OSError:
+            pass
+        for root, _dirs, files in os.walk(slot):
+            for name in ("", *files):
+                try:
+                    st = os.stat(os.path.join(root, name) if name else root)
+                except OSError:
+                    continue
+                newest = max(newest, st.st_mtime, st.st_ctime)
         return newest
 
     @staticmethod
@@ -1137,12 +1151,19 @@ class Warehouse:
         # committed snapshot always carries the table's files (write
         # paths always produce at least _SUCCESS/parquet), so emptiness
         # is a reliable exclusion, not a heuristic (pinned by the
-        # reclaim crash-injection property test).
-        return sorted(
-            int(p.name)
-            for p in d.iterdir()
-            if not (p / "_INCOMPLETE").exists() and any(p.iterdir())
-        )
+        # reclaim crash-injection property test). The per-slot checks
+        # tolerate a slot VANISHING between the listing and the stat (a
+        # concurrent process's reclaim pass removing a husk): a gone
+        # slot is excluded, never an exception out of every read path.
+        out = []
+        for p in d.iterdir():
+            try:
+                if (p / "_INCOMPLETE").exists() or not any(p.iterdir()):
+                    continue
+            except OSError:
+                continue  # slot removed by a concurrent reclaim
+            out.append(int(p.name))
+        return sorted(out)
 
     def read_snapshot(self, name: str, at_ms: int) -> DataFrame:
         """Read the latest snapshot ≤ at_ms, enforcing the 7-day window
