@@ -462,6 +462,16 @@ class Warehouse:
                 f"{dest.name} for inspection"
             )
             return
+        if signature == "expire":
+            # a GC delete that crashed mid-teardown: the expire decision
+            # was already taken, finish it — no live-data precondition
+            # (the snapshot being removed was history, not live state)
+            self._rmtree_slot(slot, marker)
+            print(
+                f"[warehouse] finished interrupted snapshot expiry "
+                f"{table}/{slot.name}"
+            )
+            return
         if signature == "copy":
             # copy/hardlink snapshot crash: the slot is a partial copy of
             # a state that still lives in the live dir — safe to delete
@@ -1198,11 +1208,22 @@ class Warehouse:
         self.write_table(name, snap, partition_by=partition_by)
 
     def expire_snapshots(self, name: str, older_than_days: int = TIME_TRAVEL_WINDOW_DAYS) -> int:
+        """GC snapshots past the restore window. Deletion re-enters the
+        _INCOMPLETE marker discipline: the slot is MARKED (signature
+        ``expire``) before any file is removed and deleted marker-last
+        (``_rmtree_slot``), so a crash mid-delete leaves an invisible
+        slot that the next recovery pass finishes off — a bare rmtree
+        would leave a partially-deleted snapshot still listable as
+        committed (the same hole _reclaim_one_slot closes for populate
+        crashes, on the teardown side)."""
         cutoff = int(time.time() * 1000) - older_than_days * 86_400_000
         n = 0
         for s in self.snapshots(name):
             if s < cutoff:
-                shutil.rmtree(self.path(name) / SNAPSHOT_DIRNAME / str(s))
+                slot = self.path(name) / SNAPSHOT_DIRNAME / str(s)
+                marker = slot / "_INCOMPLETE"
+                marker.write_text("expire")
+                self._rmtree_slot(slot, marker)
                 n += 1
         return n
 

@@ -1150,3 +1150,81 @@ def test_expire_snapshots_gc_keeps_time_travel_on_survivors(spark, wh):
         wh.read_snapshot("tgc", aged[0])
     # GC is idempotent
     assert wh.expire_snapshots("tgc") == 0
+
+
+def test_expire_crash_mid_delete_is_invisible_and_finished(spark, wh):
+    """Fault injection over expire_snapshots' teardown: the slot is
+    marked before any delete and the marker goes last, so at EVERY crash
+    point the half-deleted snapshot is invisible to snapshots()/
+    read_snapshot, and the next recovery pass finishes the expiry."""
+    import os
+
+    def build(tag):
+        t = f"tex{tag}"
+        wh.write_table(t, _df(spark, [(1, "v1", "d")]))
+        wh.write_table(t, _df(spark, [(2, "v2", "d")]))  # snapshots v1
+        snaps = wh.snapshots(t)
+        assert len(snaps) == 1
+        sroot = wh.path(t) / "_snapshots"
+        old_id = snaps[0] - 8 * 86_400_000
+        (sroot / str(snaps[0])).rename(sroot / str(old_id))
+        return t
+
+    # dry run: count fs mutations of one expiry
+    t = build("dry")
+    calls = {"n": 0}
+    real = {"unlink": os.unlink, "rmdir": os.rmdir}
+
+    def counting(fn):
+        def wrapped(*a, **k):
+            calls["n"] += 1
+            return fn(*a, **k)
+
+        return wrapped
+
+    os.unlink, os.rmdir = counting(real["unlink"]), counting(real["rmdir"])
+    try:
+        assert wh.expire_snapshots(t) == 1
+    finally:
+        os.unlink, os.rmdir = real["unlink"], real["rmdir"]
+    total = calls["n"]
+    assert total >= 2  # at least payload + marker + rmdir
+
+    class Killed(Exception):
+        pass
+
+    for point in range(1, total + 1):
+        t = build(f"p{point}")
+        calls = {"n": 0}
+
+        def injecting(fn):
+            def wrapped(*a, **k):
+                calls["n"] += 1
+                if calls["n"] == point:
+                    raise Killed()
+                return fn(*a, **k)
+
+            return wrapped
+
+        os.unlink, os.rmdir = injecting(real["unlink"]), injecting(real["rmdir"])
+        try:
+            wh.expire_snapshots(t)
+            crashed = False
+        except Killed:
+            crashed = True
+        finally:
+            os.unlink, os.rmdir = real["unlink"], real["rmdir"]
+        assert crashed, f"injection at {point} did not fire"
+        # the half-deleted snapshot is never listable
+        assert wh.snapshots(t) == [], f"point {point}: crashed slot served"
+        # recovery finishes the expiry (exists() drives _recover)
+        wh.INCOMPLETE_RECLAIM_AGE_S = 0
+        assert wh.exists(t)
+        leftover = [
+            p
+            for p in (wh.path(t) / "_snapshots").iterdir()
+            if p.is_dir() and any(p.iterdir())
+        ]
+        assert leftover == [], f"point {point}: {leftover}"
+        assert wh.read(t).first().v == "v2"
+        wh.INCOMPLETE_RECLAIM_AGE_S = 3600
