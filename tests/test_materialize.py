@@ -1228,3 +1228,80 @@ def test_expire_crash_mid_delete_is_invisible_and_finished(spark, wh):
         assert leftover == [], f"point {point}: {leftover}"
         assert wh.read(t).first().v == "v2"
         wh.INCOMPLETE_RECLAIM_AGE_S = 3600
+
+
+def test_concurrent_claim_commit_list_recover_stress(spark, wh):
+    """Thread-interleaving stress over the snapshot-slot lifecycle (pure
+    filesystem — no Spark jobs): one thread claims/populates/commits
+    slots, one hammers _recover, one hammers snapshots(). Invariants:
+    no call ever raises, a listed slot is NEVER empty or mid-populate,
+    and every committed slot survives (recover must not eat live work).
+    This pins the races the reclaim code reasons about — the mkdir claim,
+    marker-before-content visibility, and the listing's tolerance of
+    concurrently vanishing slots — under real interleavings."""
+    import threading
+
+    t = "tstress"
+    live = wh.path(t)
+    live.mkdir(parents=True)
+    (live / "_SUCCESS").write_text("")
+    (live / "part-0.parquet").write_text("live data")
+
+    errors: list = []
+    committed: list[int] = []
+    stop = threading.Event()
+
+    def claimer():
+        try:
+            for i in range(150):
+                ts, dst = wh._claim_snapshot_dir(t)
+                (dst / "part-0.parquet").write_text(f"snap {i}")
+                wh._commit_snapshot_dir(dst)
+                committed.append(ts)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("claimer", e))
+        finally:
+            stop.set()
+
+    def recoverer():
+        while not stop.is_set():
+            try:
+                wh._recover(t)
+            except Exception as e:  # noqa: BLE001
+                errors.append(("recover", e))
+                return
+
+    def lister():
+        while not stop.is_set():
+            try:
+                for s in wh.snapshots(t):
+                    slot = live / "_snapshots" / str(s)
+                    try:
+                        entries = {p.name for p in slot.iterdir()}
+                    except OSError:
+                        continue  # fully vanished between list and check: fine
+                    if "_INCOMPLETE" in entries:
+                        errors.append(("lister", f"slot {s} listed while marked"))
+                        return
+                    if not entries:
+                        errors.append(("lister", f"slot {s} listed while empty"))
+                        return
+            except Exception as e:  # noqa: BLE001
+                errors.append(("lister", e))
+                return
+
+    threads = [
+        threading.Thread(target=claimer),
+        threading.Thread(target=recoverer),
+        threading.Thread(target=lister),
+        threading.Thread(target=lister),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    assert not errors, errors[:3]
+    # every committed slot survived the concurrent recover passes
+    final = set(wh.snapshots(t))
+    missing = [s for s in committed if s not in final]
+    assert not missing, f"recover ate committed slots: {missing[:5]}"
