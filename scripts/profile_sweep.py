@@ -28,13 +28,24 @@ def main() -> None:
     for i, name in enumerate(CORPUS):
         t0 = time.time()
         try:
+            # split timing: the Spark side executes inside CORPUS[name].fn
+            # + toPandas; everything after is oracle + compare. Timing the
+            # Spark action separately makes a slow entry attributable
+            # (engine plan vs DuckDB oracle) instead of one opaque number.
+            t_spark0 = time.time()
+            CORPUS[name].fn(spark, sf_dir).toPandas()
+            spark_s = time.time() - t_spark0
             res = compare_entry(spark, name, sf_dir, con)
             ok, detail = res.ok, res.detail
         except Exception as e:  # noqa: BLE001
             ok, detail = False, f"EXC {type(e).__name__}: {e}"
+            spark_s = float("nan")
         dt = time.time() - t0
-        rows.append({"i": i, "name": name, "sec": round(dt, 3), "ok": ok, "detail": detail[:120]})
-        print(f"{i:3d} {name:32s} {dt:7.2f}s ok={ok} {detail[:80]}", flush=True)
+        rows.append({"i": i, "name": name, "sec": round(dt, 3),
+                     "spark_sec": round(spark_s, 3), "ok": ok,
+                     "detail": detail[:120]})
+        print(f"{i:3d} {name:32s} {dt:7.2f}s (spark {spark_s:6.2f}s) "
+              f"ok={ok} {detail[:80]}", flush=True)
     total = time.time() - t_start
     print(f"\nTOTAL {total:.1f}s for {len(rows)} entries")
     rows.sort(key=lambda r: -r["sec"])
@@ -42,6 +53,12 @@ def main() -> None:
     for r in rows[:15]:
         print(f"  {r['sec']:7.2f}s  {r['name']}")
     Path("/tmp/sweep_profile.json").write_text(json.dumps(rows, indent=1))
+    # bound session storage like testing.run_all does: a profiling session
+    # that sweeps several scales would otherwise accumulate persisted
+    # artifact memos without bound
+    from dbtwiz_spark.ops.common import clear_session_memos
+
+    clear_session_memos()
 
 
 if __name__ == "__main__":
