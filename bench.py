@@ -223,6 +223,18 @@ def q_perplexity_filter(cat):
     return ext_perplexity_filter(cat.spark, cat.sf_dir), "collect"
 
 
+def q_connected_components(cat):
+    from dbtwiz_spark.ops.graphs import graph_connected_components
+
+    return graph_connected_components(cat.spark, cat.sf_dir), "collect"
+
+
+def q_hits(cat):
+    from dbtwiz_spark.ops.graphs import graph_hits
+
+    return graph_hits(cat.spark, cat.sf_dir), "collect"
+
+
 def q_ks_test(cat):
     from dbtwiz_spark.ops.aggregates import agg_ks_test
 
@@ -265,6 +277,11 @@ EXTRA_QUERIES = {
     # round-7 continuation blocks
     "q_kcore": q_kcore,
     "q_perplexity_filter": q_perplexity_filter,
+    # round-9: the two plans rewritten by lineage truncation (CC 46 s ->
+    # 3 s cold / 0.14 s warm, HITS 16 s -> 0.4 s warm at sf0.1) — traced
+    # so a regression of the plan-growth fix is visible per round
+    "q_connected_components": q_connected_components,
+    "q_hits": q_hits,
 }
 
 QUERIES = {

@@ -33,15 +33,21 @@ certification coasts on ancient evidence:
   families, the 6 batch-form streaming entries, agg-approx-count-
   distinct, and the r3-era ext entries (decontaminate, dedup-exact,
   sample-stratified, sim-cosine-topk).
-* 43-49 — the start of the r4-era recycle, oldest-first continues with
+* 43-47 — the start of the r4-era recycle, oldest-first continues with
   the structurally riskiest r4 rows (sketch merges, skew handling, the
-  range join, global sort, running windows): agg-hll-sketch-merge,
-  agg-heavy-hitters, agg-quantile-digest, agg-salted-skew, join-range,
-  sort-global, win-running-agg. The remaining 39 r4-era entries queue
-  for the round-10 window together with the 13 memo-backed entries
-  that must re-certify when `_plan_sig` grows file size+mtime
-  components (VERDICT r8 item 8 — deliberately deferred to r10 where
-  the window has capacity; doing it in r9 would evict 12 tail slots).
+  range join): agg-hll-sketch-merge, agg-heavy-hitters,
+  agg-quantile-digest, agg-salted-skew, join-range.
+* 48-49 — graph-connected-components and graph-hits re-enter: round-9
+  lineage-truncation (localCheckpoint per propagation round / HITS
+  half-step) rewrote the engine's two worst plans (CC 46 s → 3.2 s,
+  HITS 16 s → ~1 s warm at sf0.1 — the untruncated logical plan doubled
+  per round and the driver spent the time PLANNING), so the
+  green-manifest guard requires re-certification. The displaced
+  sort-global and win-running-agg, the remaining 39 r4-era entries, and
+  the 13 memo-backed entries that must re-certify when `_plan_sig`
+  grows file size+mtime components (VERDICT r8 item 8 — deliberately
+  deferred; doing it in r9 would evict 12 tail slots) all queue for the
+  round-10 window.
 
 Round-9 additions policy: corpus growth stays FROZEN (VERDICT r8 item 7
 — certification caught up to authorship in r8; the freeze is what made
@@ -111,8 +117,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg-quantile-digest",
     "agg-salted-skew",
     "join-range",
-    "sort-global",
-    "win-running-agg",
+    # re-entries: per-round/half-step lineage truncation (localCheckpoint)
+    # rewrote the two worst plans in the engine (CC 46 s -> 3 s, HITS
+    # 16 s -> ~1 s warm at sf0.1), so the green-manifest guard requires
+    # driver re-certification of the new code; they take the last two
+    # r4-recycle slots (sort-global / win-running-agg queue for r10)
+    "graph-connected-components",
+    "graph-hits",
 )
 
 

