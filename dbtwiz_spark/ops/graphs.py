@@ -50,6 +50,24 @@ def _artifact(spark, sf_dir: str, kind: str, build):
     return df
 
 
+def _artifact_raw(spark, sf_dir: str, kind: str, build):
+    """Memo-only ``_artifact`` variant for builders whose result is
+    ALREADY materialized and lineage-truncated (``localCheckpoint``):
+    stacking ``persist()`` on top would store every table twice —
+    checkpoint blocks AND a columnar cache copy that fills on first use
+    (review find on the HITS half-steps: double block-manager footprint
+    per (session, scale), exactly the headroom the memo-eviction work
+    bought back). Same session-object keying and eviction enrollment as
+    ``_artifact``; ``clear_session_memos`` drops the dict ref and the
+    checkpoint blocks free on GC."""
+    key = (spark, sf_dir, kind)
+    df = _ARTIFACTS.get(key)
+    if df is None:
+        df = build()
+        _ARTIFACTS[key] = df
+    return df
+
+
 def _pagerank_oracle() -> str:
     base = f"({_SCALE * 15 // 100} // nn.n)"
     sql = f"""
@@ -621,7 +639,7 @@ def graph_connected_components(spark, sf_dir):
         ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
 
     edges = _artifact(spark, sf_dir, "cc_edges", _build_cc_edges)
-    lbl = _artifact(
+    lbl = _artifact_raw(
         spark, sf_dir, "cc_labels", lambda: _cc_propagate(edges, _CC_ROUNDS)
     )
     return lbl.groupBy(F.col("lbl").alias("component")).agg(
@@ -1063,7 +1081,7 @@ def graph_hits(spark, sf_dir):
         # 163 MB physical plan at sf0.1; truncation cut the warm run to
         # ~1 s. Cluster deployments would use reliable checkpoint() for
         # the same plan-growth bound (pagerank docstring note).
-        ar = _artifact(
+        ar = _artifact_raw(
             spark,
             sf_dir,
             f"hits_ar{i}",
@@ -1077,7 +1095,7 @@ def graph_hits(spark, sf_dir):
             F.col("anode").alias("node"),
             F.expr(f"a div (t div {_HSCALE})").alias("a"),
         )
-        hr = _artifact(
+        hr = _artifact_raw(
             spark,
             sf_dir,
             f"hits_hr{i}",

@@ -79,9 +79,21 @@ def _norm_cell(v):
     return v
 
 
-def compare_entry(spark, name: str, sf_dir: str, con=None) -> CompareResult:
+def compare_entry(
+    spark, name: str, sf_dir: str, con=None, timings: dict | None = None
+) -> CompareResult:
+    """Driver-gate mirror: Spark result vs DuckDB oracle. Pass a dict as
+    ``timings`` to receive ``{"spark_s": ..., "oracle_s": ...}`` — timed
+    around the single execution each side gets (profiling must not run
+    the plan twice; that misattributes a full Spark execution to the
+    oracle side and doubles sweep wall-clock)."""
+    import time as _time
+
     spec = CORPUS[name]
+    t0 = _time.time()
     sdf = spec.fn(spark, sf_dir).toPandas()
+    if timings is not None:
+        timings["spark_s"] = _time.time() - t0
     if spec.oracle is None:
         ok = len(sdf) >= 0
         return CompareResult(name, ok, "rows-only", len(sdf), -1)
@@ -89,7 +101,10 @@ def compare_entry(spark, name: str, sf_dir: str, con=None) -> CompareResult:
     if own_con:
         con = duckdb_con(sf_dir)
     try:
+        t0 = _time.time()
         odf = con.execute(spec.oracle).df()
+        if timings is not None:
+            timings["oracle_s"] = _time.time() - t0
     finally:
         if own_con:
             con.close()

@@ -60,6 +60,10 @@ _SHARED_HELPERS = (
     "_copurchase_cs",
     "_pipe_artifact",
     "_artifact",
+    # appended LAST deliberately: tuple order feeds the hash part order,
+    # so appending keeps every existing entry's hash stable while new
+    # referencers (_artifact_raw users) gain the extra part
+    "_artifact_raw",
 )
 
 

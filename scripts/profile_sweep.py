@@ -27,24 +27,26 @@ def main() -> None:
     rows = []
     for i, name in enumerate(CORPUS):
         t0 = time.time()
+        # split timing comes from INSIDE compare_entry (one execution per
+        # side — a separate timed pre-run would execute every Spark plan
+        # twice, misattributing a full execution to the oracle side and
+        # doubling the sweep wall-clock), so each side's number survives
+        # even when the OTHER side raises.
+        timings: dict = {}
         try:
-            # split timing: the Spark side executes inside CORPUS[name].fn
-            # + toPandas; everything after is oracle + compare. Timing the
-            # Spark action separately makes a slow entry attributable
-            # (engine plan vs DuckDB oracle) instead of one opaque number.
-            t_spark0 = time.time()
-            CORPUS[name].fn(spark, sf_dir).toPandas()
-            spark_s = time.time() - t_spark0
-            res = compare_entry(spark, name, sf_dir, con)
+            res = compare_entry(spark, name, sf_dir, con, timings=timings)
             ok, detail = res.ok, res.detail
         except Exception as e:  # noqa: BLE001
             ok, detail = False, f"EXC {type(e).__name__}: {e}"
-            spark_s = float("nan")
         dt = time.time() - t0
+        spark_s = timings.get("spark_s")
+        oracle_s = timings.get("oracle_s")
         rows.append({"i": i, "name": name, "sec": round(dt, 3),
-                     "spark_sec": round(spark_s, 3), "ok": ok,
-                     "detail": detail[:120]})
-        print(f"{i:3d} {name:32s} {dt:7.2f}s (spark {spark_s:6.2f}s) "
+                     "spark_sec": None if spark_s is None else round(spark_s, 3),
+                     "oracle_sec": None if oracle_s is None else round(oracle_s, 3),
+                     "ok": ok, "detail": detail[:120]})
+        spark_disp = "  n/a " if spark_s is None else f"{spark_s:6.2f}"
+        print(f"{i:3d} {name:32s} {dt:7.2f}s (spark {spark_disp}s) "
               f"ok={ok} {detail[:80]}", flush=True)
     total = time.time() - t_start
     print(f"\nTOTAL {total:.1f}s for {len(rows)} entries")

@@ -1152,13 +1152,11 @@ def test_expire_snapshots_gc_keeps_time_travel_on_survivors(spark, wh):
     assert wh.expire_snapshots("tgc") == 0
 
 
-def test_expire_crash_mid_delete_is_invisible_and_finished(spark, wh):
+def test_expire_crash_mid_delete_is_invisible_and_finished(spark, wh, fs_faults):
     """Fault injection over expire_snapshots' teardown: the slot is
     marked before any delete and the marker goes last, so at EVERY crash
     point the half-deleted snapshot is invisible to snapshots()/
     read_snapshot, and the next recovery pass finishes the expiry."""
-    import os
-
     def build(tag):
         t = f"tex{tag}"
         wh.write_table(t, _df(spark, [(1, "v1", "d")]))
@@ -1170,50 +1168,24 @@ def test_expire_crash_mid_delete_is_invisible_and_finished(spark, wh):
         (sroot / str(snaps[0])).rename(sroot / str(old_id))
         return t
 
-    # dry run: count fs mutations of one expiry
+    # dry run: count fs mutations of one expiry (shared harness)
     t = build("dry")
-    calls = {"n": 0}
-    real = {"unlink": os.unlink, "rmdir": os.rmdir}
-
-    def counting(fn):
-        def wrapped(*a, **k):
-            calls["n"] += 1
-            return fn(*a, **k)
-
-        return wrapped
-
-    os.unlink, os.rmdir = counting(real["unlink"]), counting(real["rmdir"])
-    try:
+    inj = fs_faults(fn_names=("unlink", "rmdir"))
+    with inj:
         assert wh.expire_snapshots(t) == 1
-    finally:
-        os.unlink, os.rmdir = real["unlink"], real["rmdir"]
-    total = calls["n"]
+    total = inj.calls
     assert total >= 2  # at least payload + marker + rmdir
-
-    class Killed(Exception):
-        pass
 
     for point in range(1, total + 1):
         t = build(f"p{point}")
-        calls = {"n": 0}
-
-        def injecting(fn):
-            def wrapped(*a, **k):
-                calls["n"] += 1
-                if calls["n"] == point:
-                    raise Killed()
-                return fn(*a, **k)
-
-            return wrapped
-
-        os.unlink, os.rmdir = injecting(real["unlink"]), injecting(real["rmdir"])
-        try:
-            wh.expire_snapshots(t)
-            crashed = False
-        except Killed:
-            crashed = True
-        finally:
-            os.unlink, os.rmdir = real["unlink"], real["rmdir"]
+        inj = fs_faults(fn_names=("unlink", "rmdir"))
+        inj.point = point
+        crashed = False
+        with inj:
+            try:
+                wh.expire_snapshots(t)
+            except fs_faults.Killed:
+                crashed = True
         assert crashed, f"injection at {point} did not fire"
         # the half-deleted snapshot is never listable
         assert wh.snapshots(t) == [], f"point {point}: crashed slot served"
@@ -1300,6 +1272,9 @@ def test_concurrent_claim_commit_list_recover_stress(spark, wh):
         th.start()
     for th in threads:
         th.join(timeout=120)
+    # a hang in claim/recover/list is exactly the bug class this test
+    # exists to catch — a timed-out join must FAIL, not pass vacuously
+    assert not any(th.is_alive() for th in threads), "stress threads hung"
     assert not errors, errors[:3]
     # every committed slot survived the concurrent recover passes
     final = set(wh.snapshots(t))

@@ -980,7 +980,7 @@ def test_scd2_invalidate_interleaved_matches_model(spark, tmp_path):
         assert got == want, f"diverged after round {round_i}"
 
 
-def test_reclaim_crash_at_every_fs_point_loses_no_state(spark, tmp_path):
+def test_reclaim_crash_at_every_fs_point_loses_no_state(spark, tmp_path, fs_faults):
     """Fault injection over _reclaim_one_slot (round-9 ADVICE hardening):
     every filesystem mutation in a reclaim pass (os.rename item moves,
     the marker unlink inside Path.unlink, the slot/husk rmdir, and the
@@ -997,8 +997,6 @@ def test_reclaim_crash_at_every_fs_point_loses_no_state(spark, tmp_path):
     - snapshots() NEVER serves a crashed slot (marker present or empty);
     - committed snapshot history survives verbatim.
     """
-    import os
-
     from dbtwiz_spark.materialize import Warehouse
 
     def build(root, scenario):
@@ -1073,36 +1071,14 @@ def test_reclaim_crash_at_every_fs_point_loses_no_state(spark, tmp_path):
 
     for scenario in ("publish-move", "copy", "legacy-sibling", "husk"):
         # dry run counts the fs-mutation call points of one reclaim pass
+        # (shared conftest harness — one implementation of the
+        # patch/count/inject machinery across the crash tests)
         root = tmp_path / f"dry_{scenario}"
         wh, committed = build(root, scenario)
-        calls = {"n": 0}
-        real = {
-            "rename": os.rename,
-            "unlink": os.unlink,
-            "rmdir": os.rmdir,
-        }
-
-        def counting(fn):
-            def wrapped(*a, **k):
-                calls["n"] += 1
-                return fn(*a, **k)
-
-            return wrapped
-
-        os.rename, os.unlink, os.rmdir = (
-            counting(real["rename"]),
-            counting(real["unlink"]),
-            counting(real["rmdir"]),
-        )
-        try:
+        inj = fs_faults()
+        with inj:
             wh._recover("t")
-        finally:
-            os.rename, os.unlink, os.rmdir = (
-                real["rename"],
-                real["unlink"],
-                real["rmdir"],
-            )
-        total = calls["n"]
+        total = inj.calls
         if scenario == "legacy-sibling":
             # ambiguous slots are surfaced, never touched — zero fs
             # mutations IS the property being pinned
@@ -1114,38 +1090,16 @@ def test_reclaim_crash_at_every_fs_point_loses_no_state(spark, tmp_path):
             assert total >= 1, f"{scenario}: reclaim made no fs mutations"
         check_invariants(root, scenario, committed)
 
-        class Killed(Exception):
-            pass
-
         for point in range(1, total + 1):
             root = tmp_path / f"{scenario}_{point}"
             wh, committed = build(root, scenario)
-            calls = {"n": 0}
-
-            def injecting(fn):
-                def wrapped(*a, **k):
-                    calls["n"] += 1
-                    if calls["n"] == point:
-                        raise Killed(f"{scenario}@{point}")
-                    return fn(*a, **k)
-
-                return wrapped
-
-            os.rename, os.unlink, os.rmdir = (
-                injecting(real["rename"]),
-                injecting(real["unlink"]),
-                injecting(real["rmdir"]),
-            )
-            try:
-                wh._recover("t")
-                crashed = False
-            except Killed:
-                crashed = True
-            finally:
-                os.rename, os.unlink, os.rmdir = (
-                    real["rename"],
-                    real["unlink"],
-                    real["rmdir"],
-                )
+            inj = fs_faults()
+            inj.point = point
+            crashed = False
+            with inj:
+                try:
+                    wh._recover("t")
+                except fs_faults.Killed:
+                    crashed = True
             assert crashed, f"{scenario}: injection at {point} did not fire"
             check_invariants(root, scenario, committed)
