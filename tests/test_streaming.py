@@ -724,3 +724,78 @@ def test_windowed_topk_stream_matches_batch(spark, source_dir, tmp_path):
     # merges overwrite the same keys, so the stored rankings are stable
     run_stream()
     assert read_results() == results
+
+
+def test_windowed_topk_stream_restart_with_checkpoint(spark, source_dir, tmp_path):
+    """Production shape of the MERGE-state top-k: a CHECKPOINTED query is
+    stopped mid-stream and a fresh query object restarts from the same
+    checkpoint — the streaming agg state resumes (update-mode totals keep
+    counting across the restart, never reset), the second run processes
+    only the files the first never saw, and the merged counts/topk tables
+    converge to the batch answer. Without the checkpoint a restart would
+    re-emit partial totals and the MERGE would regress stored counts."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from dbtwiz_spark.materialize import Warehouse
+    from dbtwiz_spark.streaming.jobs import events_stream, windowed_topk_stream
+
+    files = sorted(Path(source_dir).glob("*.parquet"))
+    assert len(files) >= 2, "need at least two micro-batch files"
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_topk_restart")
+    wh = Warehouse(spark, str(tmp_path / "wh_restart"))
+
+    def run_once():
+        agg, sink = windowed_topk_stream(events_stream(spark, str(in_dir)), wh)
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    half = len(files) // 2
+    for f in files[:half]:
+        shutil.copy(f, in_dir / f.name)
+    run_once()
+    mid_counts = {r._key: r.n_events for r in wh.read("stream_topk_counts").collect()}
+    assert mid_counts, "first leg emitted nothing"
+    for f in files[half:]:
+        shutil.copy(f, in_dir / f.name)
+    run_once()  # fresh query object, same checkpoint: state resumes
+
+    # counts never regressed across the restart
+    final_counts = {r._key: r.n_events for r in wh.read("stream_topk_counts").collect()}
+    regressed = {
+        k: (v, final_counts.get(k))
+        for k, v in mid_counts.items()
+        if final_counts.get(k, 0) < v
+    }
+    assert not regressed, f"restart regressed merged counts: {regressed}"
+
+    # and the topk table equals the batch twin over the full file set
+    got: dict = {}
+    for r in wh.read("stream_topk").collect():
+        got.setdefault(r.win_start, {})[r.rank] = (r.event_type, r.n_events)
+    wc = (
+        spark.read.parquet(str(in_dir))
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("win_start").orderBy(F.col("n_events").desc(), "event_type")
+    )
+    want: dict = {}
+    for r in wc.withColumn("rank", rk).filter(F.col("rank") <= 3).collect():
+        want.setdefault(r.win_start, {})[r.rank] = (r.event_type, r.n_events)
+    assert set(got) == set(want)
+    for w in want:
+        assert got[w] == want[w], f"window {w}: {got[w]} != {want[w]}"
