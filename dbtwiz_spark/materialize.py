@@ -1165,13 +1165,20 @@ class Warehouse:
         # tolerate a slot VANISHING between the listing and the stat (a
         # concurrent process's reclaim pass removing a husk): a gone
         # slot is excluded, never an exception out of every read path.
+        # ONE listing per slot, checked for both marker and emptiness:
+        # separate exists()/iterdir() reads race a concurrent claim —
+        # marker-absent evaluated pre-claim, emptiness evaluated after
+        # the marker landed reads "non-empty unmarked" and serves a
+        # mid-claim slot as committed (caught by the concurrency stress
+        # test under load).
         out = []
         for p in d.iterdir():
             try:
-                if (p / "_INCOMPLETE").exists() or not any(p.iterdir()):
-                    continue
+                entries = list(p.iterdir())
             except OSError:
                 continue  # slot removed by a concurrent reclaim
+            if not entries or any(e.name == "_INCOMPLETE" for e in entries):
+                continue
             out.append(int(p.name))
         return sorted(out)
 

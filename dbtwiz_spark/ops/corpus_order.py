@@ -47,11 +47,14 @@ certification coasts on ancient evidence:
   the 13 memo-backed entries that must re-certify when `_plan_sig`
   grows file size+mtime components (VERDICT r8 item 8 — deliberately
   deferred; doing it in r9 would evict 12 tail slots) all queue for the
-  round-10 window — along with graph-k-core, graph-pagerank and
-  graph-personalized-pagerank if they receive the same per-iteration
-  lineage truncation (each ~2.2-2.6 s warm at sf0.1, measured round 9;
-  execution-bound, so the win is smaller than CC/HITS — take it when
-  windowing them is free, not at the cost of r4-tail slots).
+  round-10 window — along with graph-k-core, graph-pagerank,
+  graph-personalized-pagerank and ext-dedup-cluster if they receive the
+  same per-iteration lineage truncation (the graphs each ~2.2-2.6 s
+  warm at sf0.1, measured round 9; execution-bound, so the win is
+  smaller than CC/HITS; dedup-cluster persists+counts per round so
+  execution is linear but its analyzer cost still grows with round
+  count — take these when windowing them is free, not at the cost of
+  r4-tail slots).
 
 Round-9 additions policy: corpus growth stays FROZEN (VERDICT r8 item 7
 — certification caught up to authorship in r8; the freeze is what made
