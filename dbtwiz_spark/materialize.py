@@ -234,12 +234,29 @@ class Warehouse:
         olds = sorted(parent.glob(f"{table}__old_*"))
         if olds and not target.exists():
             newest = olds.pop()
-            newest.rename(target)
-            self.spark.catalog.refreshByPath(str(target))
-            print(
-                f"[warehouse] recovered {table!r} from interrupted publish: "
-                f"restored {newest.name} to the live path"
-            )
+            try:
+                newest.rename(target)
+                self.spark.catalog.refreshByPath(str(target))
+                print(
+                    f"[warehouse] recovered {table!r} from interrupted "
+                    f"publish: restored {newest.name} to the live path"
+                )
+            except OSError:
+                # recovery runs on EVERY exists()/read(): two concurrent
+                # readers can both see the missing live dir and race the
+                # restore rename — the loser's rename fails (source gone
+                # or destination present) and must not crash the read
+                # path. Benign iff the live dir exists now (the winner
+                # restored it, or a concurrent publish landed); otherwise
+                # surface the artifact and leave the data where it is —
+                # a missing table is recoverable, a raise out of exists()
+                # is not.
+                if not target.exists():
+                    olds.append(newest)
+                    print(
+                        f"[warehouse] could not restore {newest.name} to "
+                        f"the live path for {table!r} — inspect manually"
+                    )
         leftovers = [p.name for p in olds + sorted(parent.glob(f"{table}__tmp_*"))]
         if leftovers:
             print(

@@ -1280,3 +1280,51 @@ def test_concurrent_claim_commit_list_recover_stress(spark, wh):
     final = set(wh.snapshots(t))
     missing = [s for s in committed if s not in final]
     assert not missing, f"recover ate committed slots: {missing[:5]}"
+
+
+def test_recover_restore_race_loser_is_benign(spark, wh):
+    """Two concurrent readers can both see a missing live dir and race
+    the __old restore rename; the loser's rename must not raise out of
+    exists()/read() — it re-checks and proceeds when the winner already
+    restored, and surfaces (never deletes, never raises) when the
+    restore genuinely failed."""
+    import os
+
+    wh.write_table("trr", _df(spark, [(1, "v1", "d")]))
+    parent = wh.path("trr").parent
+    # crash shape: live dir renamed aside, publish never completed
+    os.rename(wh.path("trr"), parent / "trr__old_7")
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def losing_rename(src, dst, *a, **k):
+        # simulate the race: the WINNER restores the dir between the
+        # loser's exists()-check and its rename, so the loser's rename
+        # finds the source gone and the destination present
+        calls["n"] += 1
+        real_rename(src, dst, *a, **k)
+        raise OSError("simulated lost restore race")
+
+    os.rename = losing_rename
+    try:
+        assert wh.exists("trr"), "loser must see the winner's restore"
+    finally:
+        os.rename = real_rename
+    assert calls["n"] == 1
+    assert wh.read("trr").first().v == "v1"
+
+    # restore genuinely failing (target still missing): surfaced, no raise
+    os.rename(wh.path("trr"), parent / "trr__old_8")
+
+    def failing_rename(src, dst, *a, **k):
+        raise OSError("disk said no")
+
+    os.rename = failing_rename
+    try:
+        assert not wh.exists("trr")  # missing but NOT an exception
+    finally:
+        os.rename = real_rename
+    assert (parent / "trr__old_8").exists(), "data must stay where it is"
+    assert wh.exists("trr")  # next recover (working fs) restores it
+    assert wh.read("trr").first().v == "v1"
