@@ -556,21 +556,29 @@ class Warehouse:
                 ]
             )
         p = self.path(table) / SCHEMA_FILENAME
-        if p.exists():
-            # break hardlinks: zero-copy snapshots link this file, and an
-            # in-place truncate would rewrite the snapshot's copy too
-            p.unlink()
-        p.write_text(schema.json())
+        # write-temp + atomic os.replace: a bare unlink+write_text gave
+        # a concurrent reader two crash windows (no sidecar at all, or a
+        # TRUNCATED json mid-write); replace also breaks hardlinks, so
+        # zero-copy snapshots that link this file keep their old copy
+        # (the new inode replaces the directory entry, never the data)
+        tmp = p.with_name(SCHEMA_FILENAME + ".tmp")
+        tmp.write_text(schema.json())
+        os.replace(tmp, p)
 
     def _stored_schema(self, table: str):
         p = self.path(table) / SCHEMA_FILENAME
-        if p.exists():
-            import json as _json
+        import json as _json
 
-            from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructType
 
-            return StructType.fromJson(_json.loads(p.read_text()))
-        return None
+        try:
+            text = p.read_text()
+        except OSError:
+            # no sidecar (external writer), or it vanished between the
+            # caller's intent and this read — fall back to the
+            # mergeSchema path rather than raising out of read()
+            return None
+        return StructType.fromJson(_json.loads(text))
 
     def read(self, table: str) -> DataFrame:
         if table in self.views:

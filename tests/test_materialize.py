@@ -1328,3 +1328,47 @@ def test_recover_restore_race_loser_is_benign(spark, wh):
     assert (parent / "trr__old_8").exists(), "data must stay where it is"
     assert wh.exists("trr")  # next recover (working fs) restores it
     assert wh.read("trr").first().v == "v1"
+
+
+def test_schema_sidecar_atomic_and_reader_tolerant(spark, wh):
+    """The schema sidecar is rewritten via temp+atomic-replace: a
+    concurrent reader can never see a truncated json, snapshots that
+    hardlinked the old sidecar keep their copy, and a reader whose
+    read_text fails falls back to mergeSchema instead of raising."""
+    import os
+
+    wh.write_table("tsc", _df(spark, [(1, "a", "d")]))
+    p = wh.path("tsc") / "_schema.json"
+    old_inode = p.stat().st_ino
+    old_text = p.read_text()
+    # hardlink like a zero-copy snapshot would (outside the live dir —
+    # the publish swap replaces the live dir wholesale)
+    link = wh.path("tsc").parent / "schema_linked.json"
+    os.link(p, link)
+    # schema evolution rewrites the sidecar
+    wh.write_table(
+        "tsc",
+        spark.createDataFrame(
+            [(2, "b", "d", 1.5)], "k INT, v STRING, partitiondate STRING, s DOUBLE"
+        ),
+    )
+    assert link.stat().st_ino == old_inode, "hardlinked copy must keep old inode"
+    assert link.read_text() == old_text, "linked copy must keep old content"
+    assert p.stat().st_ino != old_inode, "live sidecar must be a new inode"
+    assert "s" in [f.name for f in wh.read("tsc").schema.fields]
+    assert not (wh.path("tsc") / "_schema.json.tmp").exists()
+    # reader tolerance: a failing read_text degrades to mergeSchema
+    from pathlib import Path as _P
+
+    real = _P.read_text
+
+    def failing(self, *a, **k):
+        if self.name == "_schema.json":
+            raise OSError("transient")
+        return real(self, *a, **k)
+
+    _P.read_text = failing
+    try:
+        assert wh.read("tsc").count() == 1  # mergeSchema fallback path
+    finally:
+        _P.read_text = real
