@@ -131,9 +131,12 @@ class TableProperties:
         return json.loads(p.read_text()) if p.exists() else {}
 
     def set(self, table: str, props: dict) -> None:
+        from dbtwiz_spark.fsutil import atomic_write_text
+
         merged = self.get(table) | props
-        self._path(table).parent.mkdir(parents=True, exist_ok=True)
-        self._path(table).write_text(json.dumps(merged, indent=1, sort_keys=True))
+        atomic_write_text(
+            self._path(table), json.dumps(merged, indent=1, sort_keys=True)
+        )
 
 
 def sync_descriptions(

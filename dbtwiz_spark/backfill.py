@@ -169,8 +169,9 @@ class BackfillJournal:
             "status": status,
             "ts": _time.time(),
         }
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-        self.path.write_text(json.dumps(j, indent=1))
+        from dbtwiz_spark.fsutil import atomic_write_text
+
+        atomic_write_text(self.path, json.dumps(j, indent=1))
 
     def failed_chunks(self) -> list[tuple[date, date]]:
         out = []

@@ -1,0 +1,25 @@
+"""Small filesystem helpers shared by the orchestration plane."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+
+def atomic_write_text(path: Path | str, text: str) -> None:
+    """Replace ``path``'s content atomically (write temp sibling, then
+    ``os.replace``). Every journal/state file the engine keeps —
+    backfill journal, ``--last`` replay state, per-model results,
+    manifest fingerprints, table properties — is read back by a LATER
+    process to decide what work to redo or skip; a worker killed mid
+    ``write_text`` would leave truncated JSON that bricks that decision.
+    With replace, a reader sees the complete old or the complete new
+    state, never a prefix. The temp name carries the pid so two
+    concurrent writers (parallel backfill workers) cannot collide on
+    the staging file; last-replace-wins on the target, which is the
+    whole-file-registry semantic these stores already have."""
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_name(f"{p.name}.tmp.{os.getpid()}")
+    tmp.write_text(text)
+    os.replace(tmp, p)

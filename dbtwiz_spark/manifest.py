@@ -203,7 +203,9 @@ class Manifest:
         return {n: m.fingerprint() for n, m in self.models.items()}
 
     def save_state(self, path: str | Path) -> None:
-        Path(path).write_text(json.dumps(self.fingerprints(), indent=1))
+        from dbtwiz_spark.fsutil import atomic_write_text
+
+        atomic_write_text(path, json.dumps(self.fingerprints(), indent=1))
 
     @staticmethod
     def load_state(path: str | Path) -> dict[str, str]:
