@@ -887,3 +887,39 @@ def test_fail_fast_stops_scheduling_in_both_modes(spark, tmp_path):
     assert res["ff_bad"] == "error"
     assert set(res) == {"ff_a", "ff_bad", "ff_c", "ff_d"}
     assert all(s in ("success", "error", "skipped") for s in res.values())
+
+
+def test_atomic_write_text_crash_leaves_old_state(tmp_path, fs_faults):
+    """A worker killed at ANY fs mutation inside atomic_write_text must
+    leave the target either complete-old or complete-new — never
+    truncated, never missing — and staging temps must not accumulate
+    as the target (readers glob only the exact name)."""
+    import json
+
+    from dbtwiz_spark.fsutil import atomic_write_text
+
+    target = tmp_path / "journal.json"
+    atomic_write_text(target, json.dumps({"v": 1}))
+    assert json.loads(target.read_text()) == {"v": 1}
+
+    inj = fs_faults(fn_names=("rename", "replace"))
+    with inj:
+        atomic_write_text(target, json.dumps({"v": 2}))
+    total = inj.calls
+    assert total >= 1
+    for point in range(1, total + 1):
+        atomic_write_text(target, json.dumps({"v": 1}))
+        inj = fs_faults(fn_names=("rename", "replace"))
+        inj.point = point
+        crashed = False
+        with inj:
+            try:
+                atomic_write_text(target, json.dumps({"v": 99}))
+            except fs_faults.Killed:
+                crashed = True
+        assert crashed
+        # old state fully intact (the replace never happened)
+        assert json.loads(target.read_text()) == {"v": 1}, f"point {point}"
+    # and a successful write lands the new state
+    atomic_write_text(target, json.dumps({"v": 3}))
+    assert json.loads(target.read_text()) == {"v": 3}
