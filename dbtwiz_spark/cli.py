@@ -206,9 +206,9 @@ def cmd_build(args) -> int:
         # was actually built). A --last replay never re-saves: one-off
         # flags added alongside --last (e.g. a single --full-refresh)
         # must not become sticky for every future --last run.
-        from dbtwiz_spark.fsutil import atomic_write_text as _awt
+        from dbtwiz_spark.fsutil import atomic_write_text
 
-        _awt(last_file, _json.dumps({
+        atomic_write_text(last_file, _json.dumps({
             "select": args.select,
             "exclude": getattr(args, "exclude", None),
             "upstream": getattr(args, "upstream", False),
@@ -234,9 +234,9 @@ def cmd_build(args) -> int:
     # per-model statuses persist for `build --retry-failed` (dbt retry):
     # written on every build so the retry basis is always the latest run
     results_file = _Path(args.project) / ".dbtwiz_spark" / "last_results.json"
-    from dbtwiz_spark.fsutil import atomic_write_text as _awt2
+    from dbtwiz_spark.fsutil import atomic_write_text
 
-    _awt2(results_file, _json.dumps(
+    atomic_write_text(results_file, _json.dumps(
         {r.model: r.status for r in results}, indent=1, sort_keys=True))
     return 0 if all(r.status != "error" for r in results) else 1
 

@@ -21,5 +21,23 @@ def atomic_write_text(path: Path | str, text: str) -> None:
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     tmp = p.with_name(f"{p.name}.tmp.{os.getpid()}")
-    tmp.write_text(text)
+    # fsync the temp's DATA before the rename: without it a journaling
+    # fs (ext4 and friends) may commit the rename before the data
+    # blocks land, so a power loss would resurface the prefix-torn file
+    # the replace exists to prevent — process kills alone don't need
+    # this, whole-system crashes do. These are small json state files;
+    # one fsync is noise next to the work they journal.
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, p)
+    # best-effort directory fsync so the rename itself survives a crash
+    try:
+        dfd = os.open(p.parent, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass  # not supported on this fs/platform — rename still atomic

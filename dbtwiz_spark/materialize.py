@@ -251,7 +251,12 @@ class Warehouse:
                 # surface the artifact and leave the data where it is —
                 # a missing table is recoverable, a raise out of exists()
                 # is not.
-                if not target.exists():
+                if target.exists():
+                    # the winner restored (or republished) the path from
+                    # ANOTHER process/session: drop this session's cached
+                    # leaf-file listing too, same as the success path
+                    self.spark.catalog.refreshByPath(str(target))
+                else:
                     olds.append(newest)
                     print(
                         f"[warehouse] could not restore {newest.name} to "
@@ -555,15 +560,16 @@ class Warehouse:
                     for f in schema.fields
                 ]
             )
-        p = self.path(table) / SCHEMA_FILENAME
-        # write-temp + atomic os.replace: a bare unlink+write_text gave
-        # a concurrent reader two crash windows (no sidecar at all, or a
-        # TRUNCATED json mid-write); replace also breaks hardlinks, so
+        from dbtwiz_spark.fsutil import atomic_write_text
+
+        # atomic replace (pid-suffixed temp): a bare unlink+write_text
+        # gave a concurrent reader two crash windows (no sidecar at all,
+        # or a TRUNCATED json mid-write), and a FIXED temp name would let
+        # two concurrent publishers of the same table truncate each
+        # other's staging file. replace also breaks hardlinks, so
         # zero-copy snapshots that link this file keep their old copy
         # (the new inode replaces the directory entry, never the data)
-        tmp = p.with_name(SCHEMA_FILENAME + ".tmp")
-        tmp.write_text(schema.json())
-        os.replace(tmp, p)
+        atomic_write_text(self.path(table) / SCHEMA_FILENAME, schema.json())
 
     def _stored_schema(self, table: str):
         p = self.path(table) / SCHEMA_FILENAME
@@ -573,12 +579,14 @@ class Warehouse:
 
         try:
             text = p.read_text()
-        except OSError:
-            # no sidecar (external writer), or it vanished between the
-            # caller's intent and this read — fall back to the
-            # mergeSchema path rather than raising out of read()
+            return StructType.fromJson(_json.loads(text))
+        except (OSError, ValueError):
+            # no sidecar (external writer), it vanished between the
+            # caller's intent and this read, or a pre-atomic-write crash
+            # left truncated json (ValueError covers JSONDecodeError) —
+            # fall back to the mergeSchema path rather than raising out
+            # of read(); the next write self-heals the sidecar
             return None
-        return StructType.fromJson(_json.loads(text))
 
     def read(self, table: str) -> DataFrame:
         if table in self.views:
