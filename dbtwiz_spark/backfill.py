@@ -146,9 +146,17 @@ class BackfillJournal:
         self.path = Path(self.path)
 
     def load(self) -> dict:
-        if self.path.exists():
+        """Journal rows, or {} when the file is missing OR unreadable: a
+        journal truncated by a pre-atomic-write crash must cost a redo
+        of idempotent chunks, never brick the whole backfill command."""
+        try:
             return json.loads(self.path.read_text())
-        return {}
+        except OSError:
+            return {}
+        except ValueError:
+            print(f"[backfill] journal {self.path} is corrupt — "
+                  "starting a fresh journal (chunks will be re-verified)")
+            return {}
 
     def record(self, chunk: tuple[date, date], status: str) -> None:
         import time as _time

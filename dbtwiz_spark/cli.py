@@ -107,7 +107,15 @@ def cmd_build(args) -> int:
             print("no previous selection recorded (missing "
                   f"{last_file}); run a build with --select first")
             return 1
-        saved = _json.loads(last_file.read_text())
+        try:
+            saved = _json.loads(last_file.read_text())
+        except ValueError:
+            # a pre-atomic-write crash could leave truncated json; the
+            # remedy is the same as a missing file, said plainly instead
+            # of a traceback
+            print(f"previous selection record {last_file} is corrupt; "
+                  "run a build with --select first")
+            return 1
         args.select, args.exclude = saved["select"], saved.get("exclude")
         # replay the graph/refresh flags too: `build --select a -u` then
         # `build --last` must rebuild a+upstream, not just 'a' (the
@@ -131,7 +139,12 @@ def cmd_build(args) -> int:
             print("no previous run recorded (missing "
                   f"{results_file}); run a build first")
             return 1
-        prior = _json.loads(results_file.read_text())
+        try:
+            prior = _json.loads(results_file.read_text())
+        except ValueError:
+            print(f"previous run record {results_file} is corrupt; "
+                  "run a build first")
+            return 1
         failed = sorted(m for m, s in prior.items() if s in ("error", "skipped"))
         if not failed:
             print("nothing to retry: previous run had no errors")

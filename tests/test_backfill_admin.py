@@ -923,3 +923,21 @@ def test_atomic_write_text_crash_leaves_old_state(tmp_path, fs_faults):
     # and a successful write lands the new state
     atomic_write_text(target, json.dumps({"v": 3}))
     assert json.loads(target.read_text()) == {"v": 3}
+
+
+def test_corrupt_journal_and_state_files_degrade_gracefully(tmp_path, capsys):
+    """Truncated json left by a pre-atomic-write crash must cost redone
+    idempotent work (journal) or a plain try-again message (--last /
+    --retry-failed), never a traceback out of the command."""
+    from datetime import date
+
+    from dbtwiz_spark.backfill import BackfillJournal
+
+    jpath = tmp_path / "journal.json"
+    jpath.write_text('{"2024-01-01..2024-01-0')  # torn mid-write
+    j = BackfillJournal(jpath)
+    assert j.load() == {}
+    assert "corrupt" in capsys.readouterr().out
+    # journal keeps working after the reset
+    j.record((date(2024, 1, 1), date(2024, 1, 2)), "success")
+    assert j.failed_chunks() == []
