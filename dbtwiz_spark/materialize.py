@@ -1262,8 +1262,20 @@ class Warehouse:
             if s < cutoff:
                 slot = self.path(name) / SNAPSHOT_DIRNAME / str(s)
                 marker = slot / "_INCOMPLETE"
-                marker.write_text("expire")
-                self._rmtree_slot(slot, marker)
+                try:
+                    marker.write_text("expire")
+                    self._rmtree_slot(slot, marker)
+                except OSError:
+                    # a concurrent expiry/recovery got there first, or a
+                    # transient fs error: the slot is already marked (or
+                    # gone), so the next recovery pass finishes the job —
+                    # one contested slot must not abort the whole sweep
+                    if slot.exists():
+                        print(
+                            f"[warehouse] expiry of {name}/{s} deferred "
+                            "to recovery — slot contested or unreadable"
+                        )
+                        continue
                 n += 1
         return n
 
