@@ -127,8 +127,10 @@ class TableProperties:
         return Path(self.warehouse.root) / f"{table}.properties.json"
 
     def get(self, table: str) -> dict:
-        p = self._path(table)
-        return json.loads(p.read_text()) if p.exists() else {}
+        from dbtwiz_spark.fsutil import read_json_state
+
+        # torn properties degrade to {} (descriptions re-sync next run)
+        return read_json_state(self._path(table), "properties")
 
     def set(self, table: str, props: dict) -> None:
         from dbtwiz_spark.fsutil import atomic_write_text

@@ -145,17 +145,34 @@ class BackfillJournal:
         # the CLI hands in a plain string; everything below needs Path
         self.path = Path(self.path)
 
-    def load(self) -> dict:
-        """Journal rows, or {} when the file is missing OR unreadable: a
-        journal truncated by a pre-atomic-write crash must cost a redo
-        of idempotent chunks, never brick the whole backfill command."""
+    def load(self, strict: bool = False) -> dict:
+        """Journal rows; {} when the file is missing. A torn/unreadable
+        journal (pre-atomic-write crash, permissions) degrades to {}
+        WITH a printed warning on the tolerant path — a normal run only
+        loses the redo-skip optimization — but ``strict=True`` raises
+        instead: retry-only mode derives its ENTIRE work list from the
+        journal, and reading a torn file as "nothing to retry" would
+        exit 0 on a retry that silently never happened (the exact
+        failure the orphan check below guards against)."""
         try:
             return json.loads(self.path.read_text())
-        except OSError:
+        except FileNotFoundError:
+            return {}
+        except OSError as e:
+            if strict:
+                raise
+            print(f"[backfill] journal {self.path} unreadable ({e}) — "
+                  "treating as empty (chunk statuses lost)")
             return {}
         except ValueError:
+            if strict:
+                raise ValueError(
+                    f"journal {self.path} is corrupt — cannot derive the "
+                    "retry work list; restore it or re-run without "
+                    "--retry"
+                ) from None
             print(f"[backfill] journal {self.path} is corrupt — "
-                  "starting a fresh journal (chunks will be re-verified)")
+                  "starting a fresh journal (chunk statuses lost)")
             return {}
 
     def record(self, chunk: tuple[date, date], status: str) -> None:
@@ -267,7 +284,7 @@ def run_backfill(
             if not p.exists():
                 continue
             mtime = p.stat().st_mtime
-            for k, v in BackfillJournal(p).load().items():
+            for k, v in BackfillJournal(p).load(strict=True).items():
                 s = _row_status(v)
                 rank = (_row_ts(v, mtime), s == "success")
                 if k not in best or rank >= (best[k][0], best[k][1]):

@@ -41,3 +41,24 @@ def atomic_write_text(path: Path | str, text: str) -> None:
             os.close(dfd)
     except OSError:
         pass  # not supported on this fs/platform — rename still atomic
+
+
+def read_json_state(path: Path | str, label: str) -> dict:
+    """Read a json state file with the tolerant semantics every engine
+    state store shares: missing file → ``{}`` silently (fresh start);
+    torn or unreadable file → ``{}`` with a printed warning naming the
+    store, because these files are REDO-SKIP optimizations (table
+    properties, fingerprint state) whose loss costs recomputation, never
+    correctness. Stores whose content IS the work list (the backfill
+    retry journal) must not use this — they need the strict/raising
+    path so a torn file cannot read as "nothing to do"."""
+    import json
+
+    p = Path(path)
+    try:
+        return json.loads(p.read_text())
+    except FileNotFoundError:
+        return {}
+    except (OSError, ValueError) as e:
+        print(f"[{label}] state file {p} unreadable ({e}) — treating as empty")
+        return {}

@@ -209,5 +209,8 @@ class Manifest:
 
     @staticmethod
     def load_state(path: str | Path) -> dict[str, str]:
-        p = Path(path)
-        return json.loads(p.read_text()) if p.exists() else {}
+        from dbtwiz_spark.fsutil import read_json_state
+
+        # torn state degrades to {} (everything reads as modified — a
+        # rebuild, never a brick or a silent skip)
+        return read_json_state(path, "state")

@@ -1266,16 +1266,25 @@ class Warehouse:
                     marker.write_text("expire")
                     self._rmtree_slot(slot, marker)
                 except OSError:
-                    # a concurrent expiry/recovery got there first, or a
-                    # transient fs error: the slot is already marked (or
-                    # gone), so the next recovery pass finishes the job —
-                    # one contested slot must not abort the whole sweep
-                    if slot.exists():
+                    # one contested/unreadable slot must not abort the
+                    # whole sweep — but say truthfully who finishes it:
+                    # recovery only acts on MARKED slots, so a failed
+                    # marker write leaves the retry to the next sweep;
+                    # and a slot another sweep already deleted is not
+                    # ours to count
+                    if not slot.exists():
+                        continue  # concurrent sweep expired it — not ours
+                    if marker.exists():
                         print(
                             f"[warehouse] expiry of {name}/{s} deferred "
-                            "to recovery — slot contested or unreadable"
+                            "to recovery — slot contested mid-delete"
                         )
-                        continue
+                    else:
+                        print(
+                            f"[warehouse] could not mark {name}/{s} for "
+                            "expiry — will retry on the next sweep"
+                        )
+                    continue
                 n += 1
         return n
 

@@ -941,3 +941,50 @@ def test_corrupt_journal_and_state_files_degrade_gracefully(tmp_path, capsys):
     # journal keeps working after the reset
     j.record((date(2024, 1, 1), date(2024, 1, 2)), "success")
     assert j.failed_chunks() == []
+
+
+def test_corrupt_retry_journal_fails_loudly(tmp_path):
+    """Retry-only mode derives its ENTIRE work list from the journal:
+    a torn journal must raise, never read as 'nothing to retry' and
+    exit clean (the silent-no-op regression the tolerant load opened)."""
+    import pytest as _pytest
+
+    from dbtwiz_spark.backfill import BackfillJournal
+
+    jpath = tmp_path / "j.json"
+    jpath.write_text('{"2024-01-01..2024-01-0')
+    j = BackfillJournal(jpath)
+    assert j.load() == {}  # tolerant path: warn + empty
+    with _pytest.raises(ValueError, match="retry work list"):
+        j.load(strict=True)
+
+
+def test_corrupt_cli_state_files_return_error_not_traceback(tmp_path, capsys):
+    """--last and --retry-failed print the try-again message and exit 1
+    on torn state files — same remedy as missing, said plainly."""
+    import argparse
+
+    from dbtwiz_spark.cli import cmd_build
+
+    proj = tmp_path / "proj"
+    (proj / ".dbtwiz_spark").mkdir(parents=True)
+    (proj / "models").mkdir()
+    (proj / "project.yml").write_text("name: p\n")
+    (proj / ".dbtwiz_spark" / "last_select.json").write_text('{"select": "a', )
+    (proj / ".dbtwiz_spark" / "last_results.json").write_text('{"m": "err', )
+
+    def args(**kw):
+        ns = argparse.Namespace(
+            project=str(proj), warehouse=str(tmp_path / "wh"), select=None,
+            exclude=None, threads=1, full_refresh=False, fail_fast=False,
+            upstream=False, downstream=False, state=None, last=False,
+            retry_failed=False, work=False, target=None, vars=None,
+        )
+        for k, v in kw.items():
+            setattr(ns, k, v)
+        return ns
+
+    assert cmd_build(args(last=True)) == 1
+    assert "corrupt" in capsys.readouterr().out
+    assert cmd_build(args(retry_failed=True)) == 1
+    assert "corrupt" in capsys.readouterr().out
