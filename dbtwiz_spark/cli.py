@@ -1042,7 +1042,9 @@ def cmd_model_validate(args) -> int:
                  "description": keep_desc.get(col, "")}
                 for col, dt in actual.items()
             ]
-            sidecar.write_text(_yaml.safe_dump(raw, sort_keys=False))
+            from dbtwiz_spark.fsutil import atomic_write_text
+
+            atomic_write_text(sidecar, _yaml.safe_dump(raw, sort_keys=False))
             print(f"  fixed {sidecar.name}")
     return rc
 

@@ -100,9 +100,10 @@ def move_model(
                 rewritten.append(sql_path.stem)
 
     if safe:
-        old_sql.write_text(
+        atomic_write_text(
+            old_sql,
             "-- moved to " + new_name + " (kept as a pass-through view)\n"
-            "SELECT * FROM {{ ref('" + new_name + "') }}\n"
+            "SELECT * FROM {{ ref('" + new_name + "') }}\n",
         )
         # The stub must materialize as a view, but the rest of the sidecar
         # (column descriptions, data tests, ...) still applies to the
