@@ -157,11 +157,28 @@ class Warehouse:
 
     def _load_views_file(self) -> dict[str, str]:
         vf = Path(self.root) / "_views.json"
-        if not vf.exists():
-            return {}
         import json as _json
 
-        return _json.loads(vf.read_text())
+        try:
+            return _json.loads(vf.read_text())
+        except FileNotFoundError:
+            return {}
+        except (OSError, ValueError):
+            # the registry holds the ONLY copy of each view's SQL, so a
+            # torn file (pre-atomic-write crash) can neither brick every
+            # command (raising) nor be silently discarded (data loss).
+            # Park it aside for manual recovery and start empty — loudly.
+            parked = vf.with_name(f"_views.json.corrupt.{os.getpid()}")
+            try:
+                os.replace(vf, parked)
+            except OSError:
+                parked = vf  # couldn't move it; at least name it
+            print(
+                f"[warehouse] view registry {vf} is unreadable — parked "
+                f"at {parked} for manual recovery; starting an empty "
+                "registry (view definitions may need re-creating)"
+            )
+            return {}
 
     def _persist_views(self) -> None:
         """Write the view registry: disk is authoritative for names this

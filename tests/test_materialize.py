@@ -1372,3 +1372,27 @@ def test_schema_sidecar_atomic_and_reader_tolerant(spark, wh):
         assert wh.read("tsc").count() == 1  # mergeSchema fallback path
     finally:
         _P.read_text = real
+
+
+def test_corrupt_view_registry_parked_not_bricked(spark, tmp_path, capsys):
+    """A torn _views.json can neither raise out of every command nor be
+    silently discarded (it holds the only copy of each view's SQL): it
+    is parked aside for manual recovery, loudly, and the warehouse
+    starts with an empty registry."""
+    root = tmp_path / "whv"
+    root.mkdir()
+    (root / "_views.json").write_text('{"v1": "SELECT 1')  # torn mid-write
+    wh = Warehouse(spark, str(root))
+    assert wh.views == {}
+    out = capsys.readouterr().out
+    assert "parked" in out
+    parked = list(root.glob("_views.json.corrupt.*"))
+    assert len(parked) == 1
+    assert parked[0].read_text() == '{"v1": "SELECT 1'
+    # the warehouse works: a new view registers and persists cleanly
+    wh.create_view("v2", "SELECT 2 AS x")
+    wh.write_table(
+        "t", spark.createDataFrame([(1,)], "k INT")
+    )  # triggers a registry persist via _unview bookkeeping
+    wh2 = Warehouse(spark, str(root))
+    assert "v2" in wh2.views
