@@ -1042,9 +1042,9 @@ def cmd_model_validate(args) -> int:
                  "description": keep_desc.get(col, "")}
                 for col, dt in actual.items()
             ]
-            from dbtwiz_spark.fsutil import atomic_write_text
+            from dbtwiz_spark.fsutil import atomic_rewrite_text
 
-            atomic_write_text(sidecar, _yaml.safe_dump(raw, sort_keys=False))
+            atomic_rewrite_text(sidecar, _yaml.safe_dump(raw, sort_keys=False))
             print(f"  fixed {sidecar.name}")
     return rc
 

@@ -62,3 +62,26 @@ def read_json_state(path: Path | str, label: str) -> dict:
     except (OSError, ValueError) as e:
         print(f"[{label}] state file {p} unreadable ({e}) — treating as empty")
         return {}
+
+
+def atomic_rewrite_text(path: Path | str, text: str) -> None:
+    """Atomic tmp+replace for USER source files (model .sql/.yml): never
+    leaves a truncated file, RESOLVES symlinks first (the rewrite must
+    land in the linked target — a bare replace would sever the link and
+    orphan the real source), preserves the file's mode (a plain temp
+    would reset group-writable sources to umask default), and skips
+    ``atomic_write_text``'s fsyncs — git-tracked sources need
+    never-truncated, not power-loss durability, and two fsyncs per file
+    across a ref-rewrite loop over hundreds of models is real latency."""
+    p = Path(path)
+    real = p.resolve() if p.exists() else p
+    mode = None
+    try:
+        mode = real.stat().st_mode
+    except OSError:
+        pass
+    tmp = real.with_name(f"{real.name}.tmp.{os.getpid()}")
+    tmp.write_text(text)
+    if mode is not None:
+        os.chmod(tmp, mode)
+    os.replace(tmp, real)

@@ -160,23 +160,42 @@ class Warehouse:
         import json as _json
 
         try:
-            return _json.loads(vf.read_text())
+            text = vf.read_text()
         except FileNotFoundError:
             return {}
-        except (OSError, ValueError):
-            # the registry holds the ONLY copy of each view's SQL, so a
-            # torn file (pre-atomic-write crash) can neither brick every
-            # command (raising) nor be silently discarded (data loss).
-            # Park it aside for manual recovery and start empty — loudly.
-            parked = vf.with_name(f"_views.json.corrupt.{os.getpid()}")
+        # any OTHER OSError (EMFILE, EIO, permissions) propagates: the
+        # file may be perfectly valid, and treating a transient read
+        # failure as corruption would let the next _persist_views rewrite
+        # the registry WITHOUT those views — destroying the only copy of
+        # their SQL over a hiccup (review find)
+        try:
+            return _json.loads(text)
+        except ValueError as e:
+            # genuinely torn content (pre-atomic-write crash): it holds
+            # the ONLY copy of each view's SQL, so it can neither brick
+            # every command (raising) nor be silently discarded. We
+            # already hold the bytes — park a COPY under a unique name
+            # (time+pid: a bare pid recycles across reboots and would
+            # clobber an earlier incident's parked file) and start empty,
+            # loudly. If even the copy cannot be written, raise: losing
+            # the content silently is the one unacceptable outcome.
+            parked = vf.with_name(
+                f"_views.json.corrupt.{time.time_ns()}.{os.getpid()}"
+            )
+            from dbtwiz_spark.fsutil import atomic_write_text
+
+            atomic_write_text(parked, text)
             try:
-                os.replace(vf, parked)
+                # the parked copy is durable — clear the torn original so
+                # every subsequent command doesn't park another copy
+                vf.unlink()
             except OSError:
-                parked = vf  # couldn't move it; at least name it
+                pass  # next load parks a fresh copy; annoying, not unsafe
             print(
-                f"[warehouse] view registry {vf} is unreadable — parked "
-                f"at {parked} for manual recovery; starting an empty "
-                "registry (view definitions may need re-creating)"
+                f"[warehouse] view registry {vf} is corrupt ({e}) — "
+                f"content parked at {parked} for manual recovery; "
+                "starting an empty registry (view definitions may need "
+                "re-creating)"
             )
             return {}
 

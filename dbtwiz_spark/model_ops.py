@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pathlib import Path
 
 from dbtwiz_spark.macros import extract_refs
-from dbtwiz_spark.fsutil import atomic_write_text
+from dbtwiz_spark.fsutil import atomic_rewrite_text
 
 # ---------------------------------------------------------------------------
 # model move
@@ -84,9 +84,9 @@ def move_model(
     if new_sql.exists():
         raise FileExistsError(f"model {new_name!r} already exists at {new_sql}")
 
-    atomic_write_text(new_sql, old_sql.read_text())
+    atomic_rewrite_text(new_sql, old_sql.read_text())
     if old_yml.exists():
-        atomic_write_text(new_sql.with_suffix(".yml"), old_yml.read_text())
+        atomic_rewrite_text(new_sql.with_suffix(".yml"), old_yml.read_text())
 
     rewritten: list[str] = []
     if update_references:
@@ -96,11 +96,11 @@ def move_model(
                 continue
             text = sql_path.read_text()
             if old_name in extract_refs(text):
-                atomic_write_text(sql_path, pat.sub(r"\g<1>" + new_name + r"\g<2>", text))
+                atomic_rewrite_text(sql_path, pat.sub(r"\g<1>" + new_name + r"\g<2>", text))
                 rewritten.append(sql_path.stem)
 
     if safe:
-        atomic_write_text(
+        atomic_rewrite_text(
             old_sql,
             "-- moved to " + new_name + " (kept as a pass-through view)\n"
             "SELECT * FROM {{ ref('" + new_name + "') }}\n",
@@ -121,7 +121,7 @@ def move_model(
             if cfg.pop(k, None) is not None
         )
         cfg["materialized"] = "view"
-        atomic_write_text(old_yml, yaml.safe_dump(cfg, sort_keys=False))
+        atomic_rewrite_text(old_yml, yaml.safe_dump(cfg, sort_keys=False))
         if dropped:
             print(
                 f"[move] {old_name}: dropped table-materialization config "
@@ -342,7 +342,7 @@ def fix_project(
         original = sql_path.read_text()
         fixed = fix_sql(original)
         if fixed != original:
-            atomic_write_text(sql_path, fixed)
+            atomic_rewrite_text(sql_path, fixed)
             changed.append(sql_path.stem)
     return changed
 
@@ -445,7 +445,7 @@ def convert_sql_refs(
     new_sql = _FROM_JOIN_RE.sub(repl, sql)
     changed = new_sql != sql
     if changed and write:
-        atomic_write_text(sql_path, new_sql)
+        atomic_rewrite_text(sql_path, new_sql)
     return ConvertResult(
         path=sql_path, replaced=replaced, unresolved=unresolved, changed=changed
     )

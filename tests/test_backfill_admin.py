@@ -988,3 +988,30 @@ def test_corrupt_cli_state_files_return_error_not_traceback(tmp_path, capsys):
     assert "corrupt" in capsys.readouterr().out
     assert cmd_build(args(retry_failed=True)) == 1
     assert "corrupt" in capsys.readouterr().out
+
+
+def test_atomic_rewrite_preserves_symlinks_and_mode(tmp_path):
+    """User-source rewrites must follow symlinks (land in the linked
+    target, never sever the link) and keep the file's mode."""
+    import os
+
+    from dbtwiz_spark.fsutil import atomic_rewrite_text
+
+    real = tmp_path / "shared" / "foo.sql"
+    real.parent.mkdir()
+    real.write_text("select 1\n")
+    os.chmod(real, 0o664)
+    link = tmp_path / "models_foo.sql"
+    link.symlink_to(real)
+
+    atomic_rewrite_text(link, "SELECT 1\n")
+    assert link.is_symlink(), "rewrite must not sever the symlink"
+    assert real.read_text() == "SELECT 1\n", "content lands in the target"
+    assert (real.stat().st_mode & 0o777) == 0o664, "mode preserved"
+    # plain files keep their mode too
+    plain = tmp_path / "plain.sql"
+    plain.write_text("x")
+    os.chmod(plain, 0o640)
+    atomic_rewrite_text(plain, "y")
+    assert plain.read_text() == "y"
+    assert (plain.stat().st_mode & 0o777) == 0o640

@@ -1389,6 +1389,12 @@ def test_corrupt_view_registry_parked_not_bricked(spark, tmp_path, capsys):
     parked = list(root.glob("_views.json.corrupt.*"))
     assert len(parked) == 1
     assert parked[0].read_text() == '{"v1": "SELECT 1'
+    assert not (root / "_views.json").exists(), (
+        "torn original must be cleared once the copy is parked"
+    )
+    # a SECOND open does not park another copy
+    Warehouse(spark, str(root))
+    assert len(list(root.glob("_views.json.corrupt.*"))) == 1
     # the warehouse works: a new view registers and persists cleanly
     wh.create_view("v2", "SELECT 2 AS x")
     wh.write_table(
