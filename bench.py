@@ -444,6 +444,15 @@ def main() -> None:
                 "headline_per_calibration": (
                     round(value / calibration, 2) if calibration else None
                 ),
+                # the r7-r9 host-drift false alarms were mostly extras
+                # regressions that judge re-runs reversed — normalize
+                # those too so round-over-round extras comparisons are
+                # host-independent by construction
+                "extras_per_calibration": (
+                    round(sum(extras.values()) / calibration, 2)
+                    if calibration
+                    else None
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

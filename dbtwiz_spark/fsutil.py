@@ -27,11 +27,10 @@ _STAGING_SEQ = itertools.count()
 # write of these small state files lives anywhere near an hour.
 _STALE_TMP_AGE_S = 3600.0
 
-# Our staging suffix after ".tmp." is digits-only (pid[.tid.seq], the
-# legacy shipped form was a bare pid). The sweep matches ONLY this shape:
-# atomic_rewrite_text runs in USER source trees, where a broad
-# "<name>.tmp.*" glob would delete files the engine never created
-# (a hand-made "model.sql.tmp.bak" backup, say).
+# Our staging suffix after ".tmp." is digits-only (pid[.tid.seq]; the
+# legacy shipped form was a bare pid). The sweep matches ONLY this shape
+# and runs ONLY from atomic_write_text (engine-owned state dirs) — user
+# source trees are never swept at all (see atomic_rewrite_text).
 _OURS_RE = _re.compile(r"^\d+(\.\d+){0,2}$")
 
 
@@ -170,7 +169,15 @@ def atomic_rewrite_text(path: Path | str, text: str) -> None:
     absent, so the rewrite replaced the link itself with a regular file
     instead of creating the linked target (round-9 judge find).
     realpath follows the chain whether or not the final target exists
-    yet."""
+    yet.
+
+    NO stale-tmp sweep here, deliberately: this function runs in
+    USER-OWNED source trees, where a file that happens to match our
+    staging shape (a hand-made ``model.sql.tmp.20240101`` backup is
+    digits-only too) is not ours to delete — and a crash-orphaned
+    staging file in a git-tracked tree is visible in ``git status`` and
+    harmless. The sweep belongs to ``atomic_write_text``'s engine-owned
+    state dirs only."""
     p = Path(path)
     real = Path(os.path.realpath(p))
     mode = None
@@ -178,7 +185,6 @@ def atomic_rewrite_text(path: Path | str, text: str) -> None:
         mode = real.stat().st_mode
     except OSError:
         pass
-    _sweep_stale_tmps(real)
     tmp = _staging_name(real)
     tmp.write_text(text)
     if mode is not None:

@@ -1322,11 +1322,14 @@ class Warehouse:
                 entries = list(p.iterdir())
             except (FileNotFoundError, NotADirectoryError):
                 continue  # slot removed by a concurrent reclaim / stray file
-            # prefix match, not equality: the marker is written atomically
-            # via a `_INCOMPLETE.tmp.*` staging sibling inside the slot —
-            # a crash between staging and replace leaves ONLY the staging
-            # file, and an equality check would read that slot as
-            # "non-empty, unmarked" and serve garbage as committed
+            # prefix match is DEFENSE IN DEPTH, not a load-bearing
+            # invariant: marker staging deliberately lands in the
+            # snapshots ROOT (never inside a slot — see
+            # _claim_snapshot_dir), so no shipped code path puts an
+            # `_INCOMPLETE.tmp.*` file in a slot. If one ever appears
+            # (manual copy, future regression), equality matching would
+            # read that slot as "non-empty, unmarked" and serve garbage
+            # as committed — the prefix match fails safe instead
             if not entries or any(
                 e.name.startswith("_INCOMPLETE") for e in entries
             ):

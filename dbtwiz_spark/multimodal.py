@@ -5,10 +5,13 @@ struct of typed metadata; decode / feature-extract / resize / frame-sample
 run as Arrow-batched pandas functions over `mapInPandas` so the heavy
 per-item work stays vectorized and off the driver.
 
-The container ships no codec libraries, so the actual decoders are stubs
-(`NotImplementedError` or the deterministic fake used in tests); the Spark
-plumbing — schemas, batch iteration, partition-preserving UDF shape — is
-real and tested.
+The container ships no codec LIBRARIES, so image/video decoders are
+honest stubs (`NotImplementedError` or the deterministic fake used in
+tests) — but AUDIO is real for PCM WAV, the one codec the Python stdlib
+ships (`wave`): `decode_audio` parses the actual header and returns the
+PCM stream, and `frame_sample` steps header-derived offsets with true
+byte-math slice sizes. The Spark plumbing — schemas, batch iteration,
+partition-preserving UDF shape — is real and tested for every modality.
 """
 
 from __future__ import annotations
@@ -57,9 +60,38 @@ def decode_image(payload: bytes) -> "object":
     raise NotImplementedError("image codecs not available in this environment")
 
 
-def decode_audio(payload: bytes) -> "object":
-    """Decode an audio payload. STUB — see decode_image."""
-    raise NotImplementedError("audio codecs not available in this environment")
+def decode_audio(payload: bytes, with_pcm: bool = True) -> dict:
+    """Decode a PCM WAV audio payload — REAL for the one codec the
+    Python stdlib ships (``wave``; no external libraries, no audioop).
+    Returns the header-derived stream parameters plus (by default) the
+    raw PCM bytes; ``with_pcm=False`` is the header-only parse for
+    callers that need offsets/sizes but not the samples — frame_sample's
+    hot loop must not allocate a full second copy of every payload just
+    to emit 8 byte-math tuples. Anything the stdlib can't parse
+    (compressed WAV, mp3, a truncated header) raises NotImplementedError
+    like the other codec guards, so callers keep one failure mode for
+    'not decodable here'."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            frame_rate = w.getframerate()
+            n_frames = w.getnframes()
+            out = {
+                "n_channels": w.getnchannels(),
+                "sample_width": w.getsampwidth(),
+                "frame_rate": frame_rate,
+                "n_frames": n_frames,
+                "duration_ms": n_frames * 1000 // max(frame_rate, 1),
+            }
+            if with_pcm:
+                out["pcm"] = w.readframes(n_frames)
+            return out
+    except (wave.Error, EOFError, ValueError) as e:
+        raise NotImplementedError(
+            f"audio payload is not stdlib-decodable PCM WAV: {e}"
+        ) from e
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -130,10 +162,27 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def _is_wav(payload: bytes) -> bool:
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"WAVE"
+    )
+
+
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Sample frames from video payloads. STUB plumbing: emits one row per
-    sampled offset with the payload sliced deterministically (real impl
-    would demux; the partitioning/batching shape is identical)."""
+    """Sample frames from media payloads, one typed row per sampled
+    offset, via Arrow-batched mapInPandas.
+
+    REAL for PCM WAV payloads (stdlib ``wave`` — no external codecs):
+    offsets step through the HEADER-derived duration and
+    ``payload_bytes`` is the byte length of that offset's actual
+    every_ms PCM slice (frame_rate × channels × sample_width byte math;
+    the final slice is the stream remainder, so the sizes sum to the
+    data chunk). Non-WAV payloads (video containers — no codecs here)
+    keep the deterministic size-based fake with the identical output
+    schema; both branches cap at 8 samples per item so skewed media
+    can't blow up a batch."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -143,6 +192,31 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 if payload is None:
                     payload = b""
+                if _is_wav(payload):
+                    try:
+                        # header-only: the slices are pure byte math
+                        a = decode_audio(bytes(payload), with_pcm=False)
+                    except NotImplementedError:
+                        a = None
+                else:
+                    a = None
+                if a is not None:
+                    bytes_per_frame = a["n_channels"] * a["sample_width"]
+                    frames_per_slice = a["frame_rate"] * every_ms // 1000
+                    n = max(
+                        1,
+                        -(-a["n_frames"] // max(frames_per_slice, 1)),
+                    )
+                    for k in range(min(n, 8)):
+                        start = k * frames_per_slice * bytes_per_frame
+                        end = min(
+                            (k + 1) * frames_per_slice * bytes_per_frame,
+                            a["n_frames"] * bytes_per_frame,
+                        )
+                        rows.append(
+                            (int(doc_id), int(k * every_ms), end - start)
+                        )
+                    continue
                 n = max(1, len(payload) // max(every_ms, 1))
                 for k in range(min(n, 8)):
                     rows.append((int(doc_id), int(k * every_ms), len(payload)))

@@ -7,130 +7,117 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-9 window (positions 0-49) — the full-certification round
-(VERDICT r8 items 1-2). After round 8's catch-up window went 50/50
-green, exactly 5 entries have never been in a driver window; they go
-first, then the window recycles the OLDEST remaining green rows so no
-certification coasts on ancient evidence:
+Round-10 window (positions 0-49) — the freshness round (VERDICT r9
+item 2): certification is complete (286/286 after round 9), so the
+window recycles the OLDEST green rows and re-certifies everything this
+round's code changes touched:
 
-* 0-4 — the last 5 never-driver-certified entries (deferred from the
-  round-8 window as the structurally simplest of the 54-entry backlog;
-  judge-verified at sf0.01 in both r7 and r8, and green in the repo's
-  own parametrized oracle sweep): agg-pythagorean-means,
-  agg-pareto-share, win-ohlc-bars, func-surrogate-key,
-  func-column-masking. Green rows here = 286/286 driver-certified.
-* 5 — agg-bootstrap-ci re-enters: the round-8 ADVICE hardening (ci
-  bounds guarded on n_replicates = 32 so Spark/DuckDB agree — NULL,
-  not ANSI element_at error — in the all-replicates-degenerate case)
-  changed its implementation and oracle, so the green-manifest guard
-  requires driver re-certification of the new code.
-* 6-42 — the r2/r3-era tail, oldest green row first (VERDICT r7 item 3
-  carried through r8 item 2: after r9 no green row should predate r4):
-  file-format-orc (r2, the single oldest row), then the 36 entries
-  whose newest green is r3 — the macro/UDF family (macro-template,
-  udf-scalar, udaf, udtf), core query shapes (limit, top-k,
-  win-qualify, sort-custom-key), the set family, the 13 function
-  families, the 6 batch-form streaming entries, agg-approx-count-
-  distinct, and the r3-era ext entries (decontaminate, dedup-exact,
-  sample-stratified, sim-cosine-topk).
-* 43-47 — the start of the r4-era recycle, oldest-first continues with
-  the structurally riskiest r4 rows (sketch merges, skew handling, the
-  range join): agg-hll-sketch-merge, agg-heavy-hitters,
-  agg-quantile-digest, agg-salted-skew, join-range.
-* 48-49 — graph-connected-components and graph-hits re-enter: round-9
-  lineage-truncation (localCheckpoint per propagation round / HITS
-  half-step) rewrote the engine's two worst plans (CC 46 s → 3.2 s,
-  HITS 16 s → ~1 s warm at sf0.1 — the untruncated logical plan doubled
-  per round and the driver spent the time PLANNING), so the
-  green-manifest guard requires re-certification. The displaced
-  sort-global and win-running-agg, the remaining 39 r4-era entries, and
-  the 13 memo-backed entries that must re-certify when `_plan_sig`
-  grows file size+mtime components (VERDICT r8 item 8 — deliberately
-  deferred; doing it in r9 would evict 12 tail slots) all queue for the
-  round-10 window — along with graph-k-core, graph-pagerank,
-  graph-personalized-pagerank and ext-dedup-cluster if they receive the
-  same per-iteration lineage truncation (the graphs each ~2.2-2.6 s
-  warm at sf0.1, measured round 9; execution-bound, so the win is
-  smaller than CC/HITS; dedup-cluster persists+counts per round so
-  execution is linear but its analyzer cost still grows with round
-  count — take these when windowing them is free, not at the cost of
-  r4-tail slots).
+* 0-3 — re-entries forced by round-10 edits (green-manifest guard):
+  ext-dedup-cluster, graph-k-core (both gained per-round lineage
+  truncation via the new switchable ``common._truncate`` — reliable
+  checkpoint() under SPARK_GRAFT_CHECKPOINT_DIR, localCheckpoint
+  locally; k-core measured 2.3-4.9 s -> 1.2-1.4 s at sf0.1),
+  graph-connected-components and graph-hits (their existing
+  localCheckpoint truncation now routes through ``_truncate``).
+  ext-dedup-cluster and the multimodal entries below are r4-era
+  anyway, so these re-entries cost no extra freshness slots beyond
+  CC/HITS/k-core.
+* 4-5 — ext-multimodal-framesample (round-10 real-WAV decode path,
+  stdlib ``wave`` — implementation changed, guard requires
+  re-certification) and ext-multimodal-column (same r4-era family).
+* 6-43 — the remaining 38 r4-era entries, oldest-first freshness
+  rotation (VERDICT r9 item 2 names 41 r4-era rows total: these 38,
+  the two multimodal ones at 4-5, and ext-dedup-cluster at 0):
+  win-lag-lead, win-first-last, win-running-agg,
+  win-sliding-frame, sort-global, func-url, sink-sharded-export, the
+  r4 ext_llm family (text-stats, token-count, lang-id, quality-score,
+  fingerprint, text-tfidf, ngram-jaccard, dedup-near-recall,
+  sim-threshold-join, dedup-embedding, knn-label, ann-lsh-recall,
+  ann-ivf-recall) and the r4 ext_pipeline family (split-train-eval,
+  pack-sequences, mix-domains, mix-temperature, quality-repetition,
+  quality-gopher, pii-scrub, token-histogram, embed-stats,
+  filter-length-outliers, filter-composite, text-normalize,
+  host-token-budget, dup-span, vocab-build, sample-importance,
+  dedup-url, curriculum-order).
+* 44-49 — the start of the r5-era recycle, structurally riskiest
+  first: sink-scd2, stream-dedup-near-cert, sort-within-partitions-cert,
+  stream-resample-interpolate, ext-bm25-search,
+  agg-mode-deterministic. After a green round 10 the minimum
+  certification age is r5 (the remaining ~38 r5-era entries
+  queue for round 11, riskiest-first:
+  set-except-all/intersect-all/union-by-name, func-zorder/
+  higher-order/from-json, ext-dataset-card, ext-chunk-documents,
+  ext-dedup-containment, scan/file-format family, the r5 filter/
+  project family, win-gaps-islands, win-funnel, win-retention-cohort,
+  agg-corr-covar, agg-percentile-exact, agg-countmin-sketch,
+  agg-bloom-filter, agg-histogram, join-* r5 rows, sink-scd2 is above).
 
-Round-9 additions policy: corpus growth stays FROZEN (VERDICT r8 item 7
-— certification caught up to authorship in r8; the freeze is what made
-that possible). Any entry added mid-round must be listed here under
-"added AFTER the round-9 window filled" for round-10 front-loading.
+Round-10 additions policy: corpus growth stays FROZEN at 286 (VERDICT
+r9 item 7). Any entry added mid-round must be listed here under "added
+AFTER the round-10 window filled" for round-11 front-loading.
 """
 
 
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # the last 5 never-driver-certified entries
-    "agg-pythagorean-means",
-    "agg-pareto-share",
-    "win-ohlc-bars",
-    "func-surrogate-key",
-    "func-column-masking",
-    # re-entry: degenerate-replicate NULL guard changed fn + oracle
-    "agg-bootstrap-ci",
-    # oldest green row in the corpus (r2)
-    "file-format-orc",
-    # r3-era tail: macro / UDF boundary
-    "macro-template",
-    "udf-scalar",
-    "udaf",
-    "udtf",
-    # r3-era core query shapes
-    "limit",
-    "top-k",
-    "win-qualify",
-    "sort-custom-key",
-    # r3-era set operations
-    "set-union-all",
-    "set-union-distinct",
-    "set-intersect",
-    "set-except",
-    # r3-era function families
-    "func-array",
-    "func-bitwise",
-    "func-cast",
-    "func-conditional",
-    "func-datetime",
-    "func-generate-date-array",
-    "func-generate-series",
-    "func-hash",
-    "func-json",
-    "func-map",
-    "func-math",
-    "func-string",
-    "func-struct",
-    # r3-era streaming batch forms
-    "stream-tumbling-window",
-    "stream-sliding-window",
-    "stream-session-window",
-    "stream-watermark-late",
-    "stream-stateful-dedup",
-    "stream-foreachbatch-sink",
-    # r3-era remainder
-    "agg-approx-count-distinct",
-    "ext-decontaminate",
-    "ext-dedup-exact",
-    "ext-sample-stratified",
-    "ext-sim-cosine-topk",
-    # r4-era recycle begins: riskiest first
-    "agg-hll-sketch-merge",
-    "agg-heavy-hitters",
-    "agg-quantile-digest",
-    "agg-salted-skew",
-    "join-range",
-    # re-entries: per-round/half-step lineage truncation (localCheckpoint)
-    # rewrote the two worst plans in the engine (CC 46 s -> 3 s, HITS
-    # 16 s -> ~1 s warm at sf0.1), so the green-manifest guard requires
-    # driver re-certification of the new code; they take the last two
-    # r4-recycle slots (sort-global / win-running-agg queue for r10)
+    # re-entries forced by round-10 edits (lineage truncation / _truncate)
+    "ext-dedup-cluster",
+    "graph-k-core",
     "graph-connected-components",
     "graph-hits",
+    # r4-era multimodal family (framesample re-enters edited: real WAV path)
+    "ext-multimodal-framesample",
+    "ext-multimodal-column",
+    # r4-era window family
+    "win-lag-lead",
+    "win-first-last",
+    "win-running-agg",
+    "win-sliding-frame",
+    # r4-era core remainder
+    "sort-global",
+    "func-url",
+    "sink-sharded-export",
+    # r4-era ext_llm family
+    "ext-text-stats",
+    "ext-token-count",
+    "ext-lang-id",
+    "ext-quality-score",
+    "ext-fingerprint",
+    "ext-text-tfidf",
+    "ext-ngram-jaccard",
+    "ext-dedup-near-recall",
+    "ext-sim-threshold-join",
+    "ext-dedup-embedding",
+    "ext-knn-label",
+    "ext-ann-lsh-recall",
+    "ext-ann-ivf-recall",
+    # r4-era ext_pipeline family
+    "ext-split-train-eval",
+    "ext-pack-sequences",
+    "ext-mix-domains",
+    "ext-mix-temperature",
+    "ext-quality-repetition",
+    "ext-quality-gopher",
+    "ext-pii-scrub",
+    "ext-token-histogram",
+    "ext-embed-stats",
+    "ext-filter-length-outliers",
+    "ext-filter-composite",
+    "ext-text-normalize",
+    "ext-host-token-budget",
+    "ext-dup-span",
+    "ext-vocab-build",
+    "ext-sample-importance",
+    "ext-dedup-url",
+    "ext-curriculum-order",
+    # r5-era recycle begins: structurally riskiest first
+    "sink-scd2",
+    "stream-dedup-near-cert",
+    "sort-within-partitions-cert",
+    "stream-resample-interpolate",
+    "ext-bm25-search",
+    "agg-mode-deterministic",
 )
 
 

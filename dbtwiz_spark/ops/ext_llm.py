@@ -1420,10 +1420,14 @@ def ext_multimodal_framesample(spark, sf_dir):
     """Frame sampling over binary media payloads: one row per sampled offset
     via Arrow-batched mapInPandas (dbtwiz_spark.multimodal.frame_sample).
 
-    The demux is a deterministic fake (offsets from payload size — the
-    container has no video codecs) but the pipeline shape is the production
-    one: binary column in, exploded typed rows out, partition-preserving,
-    vectorized batches. Oracle reproduces the offset arithmetic in SQL."""
+    For PCM WAV payloads the demux is REAL (stdlib ``wave``: offsets step
+    the header-derived duration, sizes are true PCM slice byte math —
+    pinned by test_frame_sample_real_wav). These documents payloads are
+    utf-8 text, so they take the deterministic size-based fake branch
+    (the container has no video codecs) — same output schema, and the
+    oracle reproduces that branch's offset arithmetic in SQL. The
+    pipeline shape is the production one either way: binary column in,
+    exploded typed rows out, partition-preserving, vectorized batches."""
     from dbtwiz_spark.multimodal import frame_sample
 
     d = views(spark, sf_dir).table("documents")

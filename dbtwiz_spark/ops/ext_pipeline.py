@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from dbtwiz_spark.ops.common import (
+    _truncate,
     davg,
     davg_sql,
     dsum_q4,
@@ -890,26 +891,31 @@ def ext_dedup_cluster(spark, sf_dir):
         .persist()
     )
     edges.count()
-    labels = (
+    # per-round lineage truncation (_truncate: localCheckpoint locally,
+    # reliable checkpoint() under SPARK_GRAFT_CHECKPOINT_DIR): the label
+    # table feeds TWO branches of every round (the least() update and the
+    # convergence-count join), so a persist-only loop doubles the LOGICAL
+    # plan per round and the driver's analyzer cost grows with the
+    # diameter — the CC/HITS plan-growth device applied to the dedup
+    # twin. Eager materialization also replaces the persist+count+
+    # unpersist bookkeeping.
+    labels = _truncate(
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
-        .persist()
     )
-    labels.count()
     for _ in range(20):
         neigh = (
             edges.join(labels, edges.b == labels.doc_id)
             .groupBy("a")
             .agg(F.min("lbl").alias("nl"))
         )
-        nxt = (
+        nxt = _truncate(
             labels.join(neigh, labels.doc_id == neigh.a, "left")
             .select(
                 labels.doc_id,
                 F.least(labels.lbl, F.coalesce(neigh.nl, labels.lbl)).alias("lbl"),
             )
-            .persist()
         )
         changed = (
             nxt.alias("n")
@@ -917,7 +923,6 @@ def ext_dedup_cluster(spark, sf_dir):
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = nxt
         if changed == 0:
             break

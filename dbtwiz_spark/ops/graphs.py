@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dbtwiz_spark.ops.common import register_memo_store, views
+from dbtwiz_spark.ops.common import _truncate, register_memo_store, views
 from dbtwiz_spark.ops.registry import register
 
 _SCALE = 1_000_000_000_000_000  # 10^15 fixed-point scale
@@ -566,11 +566,13 @@ def _cc_propagate(edges, rounds: int):
     the driver spends its time PLANNING, not executing (measured 46 s →
     3.2 s at sf0.1 for the 8-round entry; persist alone does NOT help,
     because cache substitution happens after analysis and
-    InMemoryRelation still embeds the full build subtree). On a cluster
-    the same role is played by reliable ``checkpoint()`` to storage —
-    localCheckpoint trades executor-loss recovery for zero I/O, the
-    right call for a per-session derived table that is cheap to
-    rebuild."""
+    InMemoryRelation still embeds the full build subtree). The
+    truncation is ``common._truncate``: localCheckpoint by default
+    (zero I/O — right for a per-session derived table that is cheap to
+    rebuild), reliable ``checkpoint()`` when
+    SPARK_GRAFT_CHECKPOINT_DIR / spark.graft.checkpointDir points at
+    shared storage (executor-loss-safe, the cluster-grade form; both
+    paths pinned identical by test_truncate_reliable_matches_local)."""
     lbl = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -578,11 +580,10 @@ def _cc_propagate(edges, rounds: int):
         propagated = edges.join(lbl, edges.src == lbl.node).select(
             F.col("dst").alias("node"), "lbl"
         )
-        lbl = (
+        lbl = _truncate(
             lbl.unionAll(propagated)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
         )
     return lbl
 
@@ -850,10 +851,17 @@ def graph_k_core(spark, sf_dir):
         # memoize each round's survivor edge set: the per-round count
         # frames are all consumed in one union, and without this each
         # round's rows re-derive every PRIOR round's degree-agg + joins
-        # (O(rounds^2) duplicate shuffles); the _artifact memo also
-        # serves repeat sweeps. Bind loop state via defaults — a bare
-        # closure would capture the final round's variables.
-        edges = _artifact(spark, sf_dir, f"kcore_e{i}", _peel)
+        # (O(rounds^2) duplicate shuffles); the memo also serves repeat
+        # sweeps. _truncate (not persist): each round's edges feed BOTH
+        # the next round's degree agg and its own count row, and
+        # InMemoryRelation embeds every prior round's subtree in the
+        # plan — truncation measured 2.3-4.9 s → 1.2-1.4 s at sf0.1
+        # (and switches to reliable checkpoint() under
+        # SPARK_GRAFT_CHECKPOINT_DIR). Bind loop state via defaults — a
+        # bare closure would capture the final round's variables.
+        edges = _artifact_raw(
+            spark, sf_dir, f"kcore_e{i}", lambda p=_peel: _truncate(p())
+        )
         nodes_row = keep.agg(
             F.sum(F.col("node").startswith("c").cast("long")).alias(
                 "n_customers"
@@ -1079,16 +1087,18 @@ def graph_hits(spark, sf_dir):
         # happens after analysis, and InMemoryRelation embeds the full
         # build subtree, so the driver still spent ~16 s/run PLANNING a
         # 163 MB physical plan at sf0.1; truncation cut the warm run to
-        # ~1 s. Cluster deployments would use reliable checkpoint() for
-        # the same plan-growth bound (pagerank docstring note).
+        # ~1 s. _truncate switches to reliable checkpoint() when
+        # SPARK_GRAFT_CHECKPOINT_DIR is set — the cluster-grade form of
+        # the same plan-growth bound.
         ar = _artifact_raw(
             spark,
             sf_dir,
             f"hits_ar{i}",
-            lambda p=pairs, hh=h: p.join(hh, p.c == hh.node)
-            .groupBy(F.col("s").alias("anode"))
-            .agg(F.sum("h").alias("a"))
-            .localCheckpoint(),
+            lambda p=pairs, hh=h: _truncate(
+                p.join(hh, p.c == hh.node)
+                .groupBy(F.col("s").alias("anode"))
+                .agg(F.sum("h").alias("a"))
+            ),
         )
         asum = ar.agg(F.sum("a").alias("t"))
         a_norm = ar.crossJoin(F.broadcast(asum)).select(
@@ -1099,10 +1109,11 @@ def graph_hits(spark, sf_dir):
             spark,
             sf_dir,
             f"hits_hr{i}",
-            lambda p=pairs, an=a_norm: p.join(an, p.s == an.node)
-            .groupBy(F.col("c").alias("hnode"))
-            .agg(F.sum("a").alias("hh"))
-            .localCheckpoint(),
+            lambda p=pairs, an=a_norm: _truncate(
+                p.join(an, p.s == an.node)
+                .groupBy(F.col("c").alias("hnode"))
+                .agg(F.sum("a").alias("hh"))
+            ),
         )
         hsum = hr.agg(F.sum("hh").alias("t"))
         h = hr.crossJoin(F.broadcast(hsum)).select(

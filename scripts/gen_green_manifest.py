@@ -64,6 +64,14 @@ _SHARED_HELPERS = (
     # so appending keeps every existing entry's hash stable while new
     # referencers (_artifact_raw users) gain the extra part
     "_artifact_raw",
+    # round-10: the switchable lineage-truncation device (localCheckpoint
+    # vs reliable checkpoint under SPARK_GRAFT_CHECKPOINT_DIR) used by
+    # CC/HITS/k-core/dedup-cluster — appended last, same reasoning.
+    # _checkpoint_dir is _truncate's callee: without it an edit to the
+    # env/conf resolution would change every iterative op's runtime
+    # behavior with no hash trip (the parallel_rank blind spot again)
+    "_truncate",
+    "_checkpoint_dir",
 )
 
 

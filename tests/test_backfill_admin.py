@@ -1063,6 +1063,19 @@ def test_stale_staging_siblings_swept_fresh_kept(tmp_path):
     assert not stale.exists(), "stale staging sibling must be swept"
     assert fresh.exists(), "fresh (possibly in-flight) sibling must survive"
     assert other.exists(), "siblings of OTHER targets are not ours to sweep"
+
+    # atomic_rewrite_text runs in USER source trees: it must never sweep
+    # at all — a hand-made 'model.sql.tmp.20240101' backup is digits-only
+    # shaped but not ours to delete
+    from dbtwiz_spark.fsutil import atomic_rewrite_text
+
+    src = tmp_path / "model.sql"
+    src.write_text("select 1")
+    backup = tmp_path / "model.sql.tmp.20240101"
+    backup.write_text("user backup")
+    os.utime(backup, (ancient, ancient))
+    atomic_rewrite_text(src, "select 2")
+    assert backup.exists(), "user-tree rewrites must not sweep anything"
     assert not list(tmp_path.glob("state.json.tmp.*.*.*")) or all(
         p == fresh for p in tmp_path.glob("state.json.tmp.*.*.*")
     ), "this call's own staging file must not linger after the replace"

@@ -1013,3 +1013,32 @@ def test_round8_source_similarity_memoizes_token_table(spark):
 
     clear_session_memos()
     assert not ext_pipeline._ARTIFACTS
+
+
+def test_truncate_reliable_matches_local(spark, tmp_path, monkeypatch):
+    """The lineage-truncation device behind every iterative op
+    (common._truncate) must produce IDENTICAL results on both of its
+    paths: localCheckpoint (the zero-I/O local default) and reliable
+    checkpoint() to SPARK_GRAFT_CHECKPOINT_DIR (the executor-loss-safe
+    cluster form — VERDICT r9 item 3). Run _cc_propagate both ways on
+    the same graph and compare the full label tables; also pin that the
+    reliable path actually WRITES checkpoint data (the switch must not
+    silently stay local)."""
+    from dbtwiz_spark.ops import graphs as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2), (10, 11), (11, 10), (12, 12)],
+        "src LONG, dst LONG",
+    )
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    local = {(r.node, r.lbl) for r in G._cc_propagate(edges, 3).collect()}
+    assert local == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 12)}
+
+    ckdir = tmp_path / "ck"
+    spark.sparkContext.setCheckpointDir(str(ckdir))
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckdir))
+    reliable = {(r.node, r.lbl) for r in G._cc_propagate(edges, 3).collect()}
+    assert reliable == local
+    assert any(p.is_file() for p in ckdir.rglob("*")), (
+        "reliable mode must write checkpoint blocks to the configured dir"
+    )
