@@ -1103,3 +1103,224 @@ def test_reclaim_crash_at_every_fs_point_loses_no_state(spark, tmp_path, fs_faul
                     crashed = True
             assert crashed, f"{scenario}: injection at {point} did not fire"
             check_invariants(root, scenario, committed)
+
+
+def test_marker_write_crash_at_every_fs_point(spark, tmp_path, fs_faults):
+    """Fault injection over the round-10 ATOMIC marker protocol: the
+    _INCOMPLETE signature is staged in the snapshots ROOT and published
+    into the slot by os.replace (claim) — and expire_snapshots marks the
+    same way before tearing down. Crash once at every fs mutation point
+    (replace/rename/unlink/rmdir) of a claim and of an expiry sweep and
+    assert, per the r5 method's dict-model invariants:
+
+    - snapshots() NEVER lists a slot that is not a complete committed
+      snapshot (no garbage id, no half-deleted slot, no staging stray);
+    - every snapshot still listed after an expiry crash is byte-complete
+      (the marker-first teardown keeps partial deletes invisible);
+    - no staging file ever lands INSIDE a slot (the commit protocol
+      reads slot content — in-root strays are the design);
+    - an uninjected retry (recovery pass / second sweep) converges: the
+      claim husk is reclaimed, the expiry finishes.
+    """
+    from dbtwiz_spark.materialize import SNAPSHOT_DIRNAME, Warehouse
+
+    df1 = spark.createDataFrame(
+        [(1, "s1", "d")], "k INT, v STRING, partitiondate STRING"
+    )
+    df2 = spark.createDataFrame(
+        [(2, "s2", "d")], "k INT, v STRING, partitiondate STRING"
+    )
+
+    def build(root):
+        wh = Warehouse(spark, str(root))
+        wh.write_table("t", df1)
+        wh.write_table("t", df2)  # snapshot of state 1 commits
+        wh.INCOMPLETE_RECLAIM_AGE_S = 0
+        return wh
+
+    def assert_no_in_slot_staging(wh):
+        snaps = wh.path("t") / SNAPSHOT_DIRNAME
+        for slot in (p for p in snaps.iterdir() if p.is_dir()):
+            strays = [
+                e.name
+                for e in slot.iterdir()
+                if e.name.startswith("_INCOMPLETE.tmp.")
+            ]
+            assert not strays, f"staging leaked into slot {slot.name}: {strays}"
+
+    def assert_listed_are_complete(wh, full_content):
+        for s in wh.snapshots("t"):
+            slot = wh.path("t") / SNAPSHOT_DIRNAME / str(s)
+            names = {p.name for p in slot.rglob("*") if p.is_file()}
+            assert names == full_content[s], (
+                f"snapshot {s} served incomplete: {names} != {full_content[s]}"
+            )
+
+    # ---- claim protocol ----
+    root = tmp_path / "claim_dry"
+    wh = build(root)
+    committed = wh.snapshots("t")
+    full = {
+        s: {
+            p.name
+            for p in (wh.path("t") / SNAPSHOT_DIRNAME / str(s)).rglob("*")
+            if p.is_file()
+        }
+        for s in committed
+    }
+    inj = fs_faults(fn_names=("replace", "rename", "unlink", "rmdir"))
+    with inj:
+        wh._claim_snapshot_dir("t")
+    total = inj.calls
+    assert total >= 1, "claim must publish its marker via a replace"
+    for point in range(1, total + 1):
+        root = tmp_path / f"claim_{point}"
+        wh = build(root)
+        committed = wh.snapshots("t")
+        inj = fs_faults(fn_names=("replace", "rename", "unlink", "rmdir"))
+        inj.point = point
+        crashed = False
+        with inj:
+            try:
+                wh._claim_snapshot_dir("t")
+            except fs_faults.Killed:
+                crashed = True
+        assert crashed
+        assert wh.snapshots("t") == committed, (
+            f"claim crash at point {point} leaked a slot into snapshots()"
+        )
+        assert_no_in_slot_staging(wh)
+        wh2 = Warehouse(spark, str(root))
+        wh2.INCOMPLETE_RECLAIM_AGE_S = 0
+        wh2._recover("t")  # retry pass reclaims the husk / stray
+        assert wh2.snapshots("t") == committed
+        snaps = wh2.path("t") / SNAPSHOT_DIRNAME
+        husks = [
+            p.name
+            for p in snaps.iterdir()
+            if p.is_dir() and not any(p.iterdir())
+        ]
+        assert not husks, f"empty claim husk survived recovery: {husks}"
+
+    # ---- expiry protocol ----
+    root = tmp_path / "expire_dry"
+    wh = build(root)
+    committed = wh.snapshots("t")
+    inj = fs_faults(fn_names=("replace", "rename", "unlink", "rmdir"))
+    with inj:
+        assert wh.expire_snapshots("t", older_than_days=0) == 1
+    total = inj.calls
+    assert total >= 3, "expiry = marker replace + teardown unlinks + rmdir"
+    for point in range(1, total + 1):
+        root = tmp_path / f"expire_{point}"
+        wh = build(root)
+        committed = wh.snapshots("t")
+        full = {
+            s: {
+                p.name
+                for p in (wh.path("t") / SNAPSHOT_DIRNAME / str(s)).rglob("*")
+                if p.is_file()
+            }
+            for s in committed
+        }
+        inj = fs_faults(fn_names=("replace", "rename", "unlink", "rmdir"))
+        inj.point = point
+        crashed = False
+        with inj:
+            try:
+                wh.expire_snapshots("t", older_than_days=0)
+            except fs_faults.Killed:
+                crashed = True
+        assert crashed
+        # whatever is still listed must be COMPLETE — a half-deleted
+        # snapshot must never be served
+        assert set(wh.snapshots("t")) <= set(committed)
+        assert_listed_are_complete(wh, full)
+        assert_no_in_slot_staging(wh)
+        # live table unaffected by any expiry crash
+        assert {r.v for r in wh.read("t").collect()} == {"s2"}
+        # retry converges: recovery finishes a marked teardown, a second
+        # sweep finishes an unmarked one
+        wh2 = Warehouse(spark, str(root))
+        wh2.INCOMPLETE_RECLAIM_AGE_S = 0
+        wh2._recover("t")
+        wh2.expire_snapshots("t", older_than_days=0)
+        wh2._recover("t")
+        assert wh2.snapshots("t") == [], (
+            f"expiry crash at point {point} never converged"
+        )
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("record"),
+                st.integers(min_value=0, max_value=5),
+                st.sampled_from(["success", "error: boom", "pending"]),
+            ),
+            st.tuples(st.just("tear")),
+            st.tuples(st.just("reopen")),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_journal_tear_property_vs_dict_model(tmp_path_factory, ops):
+    """Randomized record/tear/reopen sequences vs a dict model (the r5
+    property method applied to the round-10 torn-journal fix): after any
+    interleaving of writes, mid-run tears, and process restarts
+    (reopen = fresh BackfillJournal instance = fresh mirror), the
+    journal on disk must equal the model — every row the CURRENT
+    instance wrote since the last tear survives a tear-then-record
+    (mirror re-seed), rows from BEFORE a reopen survive only if written
+    to disk after the last tear (their loss is parked, never silent),
+    and failed_chunks derives exactly the model's non-success rows."""
+    import json as _json
+    from datetime import date, timedelta
+
+    from dbtwiz_spark.backfill import BackfillJournal
+
+    tmp = tmp_path_factory.mktemp("jprop")
+    jpath = tmp / "journal.json"
+    j = BackfillJournal(jpath)
+
+    base = date(2024, 1, 1)
+    chunk = lambda i: (base + timedelta(days=2 * i), base + timedelta(days=2 * i + 1))
+    key = lambda i: f"{chunk(i)[0]}..{chunk(i)[1]}"
+
+    disk: dict | None = {}  # None = torn bytes on disk
+    mirror: dict = {}
+    expected_parks = 0
+
+    for op in ops:
+        if op[0] == "record":
+            _, i, status = op
+            if disk is None:
+                expected_parks += 1
+                disk = dict(mirror)  # re-seed: this instance's rows
+            disk[key(i)] = status
+            mirror[key(i)] = status
+            j.record(chunk(i), status)
+        elif op[0] == "tear":
+            jpath.write_text('{"2024-01-01..2024-01-02": {"status": "er')
+            disk = None
+        else:  # reopen — new process: fresh mirror, same disk
+            j = BackfillJournal(jpath)
+            mirror = {}
+
+    parked = list(tmp.glob("journal.json.corrupt.*"))
+    assert len(parked) == expected_parks, (
+        f"every tear followed by a record parks exactly once: "
+        f"{len(parked)} != {expected_parks}"
+    )
+    if disk is None:
+        return  # final state torn: strict load raises (pinned elsewhere)
+    on_disk = _json.loads(jpath.read_text()) if jpath.exists() else {}
+    got = {k: v["status"] if isinstance(v, dict) else v for k, v in on_disk.items()}
+    assert got == disk, f"journal diverged from model: {got} != {disk}"
+    want_failed = sorted(k for k, s in disk.items() if s != "success")
+    assert sorted(
+        f"{a}..{b}" for a, b in j.failed_chunks()
+    ) == want_failed
