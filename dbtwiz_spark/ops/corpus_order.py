@@ -12,20 +12,22 @@ item 2): certification is complete (286/286 after round 9), so the
 window recycles the OLDEST green rows and re-certifies everything this
 round's code changes touched:
 
-* 0-3 — re-entries forced by round-10 edits (green-manifest guard):
+* 0-4 — re-entries forced by round-10 edits (green-manifest guard):
   ext-dedup-cluster, graph-k-core (both gained per-round lineage
   truncation via the new switchable ``common._truncate`` — reliable
   checkpoint() under SPARK_GRAFT_CHECKPOINT_DIR, localCheckpoint
   locally; k-core measured 2.3-4.9 s -> 1.2-1.4 s at sf0.1),
   graph-connected-components and graph-hits (their existing
-  localCheckpoint truncation now routes through ``_truncate``).
-  ext-dedup-cluster and the multimodal entries below are r4-era
-  anyway, so these re-entries cost no extra freshness slots beyond
-  CC/HITS/k-core.
-* 4-5 — ext-multimodal-framesample (round-10 real-WAV decode path,
+  localCheckpoint truncation now routes through ``_truncate``), and
+  graph-pagerank (converged rank table memoized per session x scale,
+  the CC label-table pattern — repeat sweeps pay only the top-20
+  sort). ext-dedup-cluster and the multimodal entries below are
+  r4-era anyway, so these re-entries cost no extra freshness slots
+  beyond CC/HITS/k-core/pagerank.
+* 5-6 — ext-multimodal-framesample (round-10 real-WAV decode path,
   stdlib ``wave`` — implementation changed, guard requires
   re-certification) and ext-multimodal-column (same r4-era family).
-* 6-43 — the remaining 38 r4-era entries, oldest-first freshness
+* 7-44 — the remaining 38 r4-era entries, oldest-first freshness
   rotation (VERDICT r9 item 2 names 41 r4-era rows total: these 38,
   the two multimodal ones at 4-5, and ext-dedup-cluster at 0):
   win-lag-lead, win-first-last, win-running-agg,
@@ -39,18 +41,23 @@ round's code changes touched:
   filter-length-outliers, filter-composite, text-normalize,
   host-token-budget, dup-span, vocab-build, sample-importance,
   dedup-url, curriculum-order).
-* 44-49 — the start of the r5-era recycle, structurally riskiest
+* 45-49 — the start of the r5-era recycle, structurally riskiest
   first: sink-scd2, stream-dedup-near-cert, sort-within-partitions-cert,
-  stream-resample-interpolate, ext-bm25-search,
-  agg-mode-deterministic. After a green round 10 the minimum
-  certification age is r5 (the remaining ~38 r5-era entries
-  queue for round 11, riskiest-first:
+  stream-resample-interpolate, ext-bm25-search. After a green round 10
+  the minimum certification age is r5 (the remaining ~39 r5-era
+  entries queue for round 11, riskiest-first: agg-mode-deterministic
+  (displaced by the pagerank re-entry),
   set-except-all/intersect-all/union-by-name, func-zorder/
   higher-order/from-json, ext-dataset-card, ext-chunk-documents,
   ext-dedup-containment, scan/file-format family, the r5 filter/
   project family, win-gaps-islands, win-funnel, win-retention-cohort,
   agg-corr-covar, agg-percentile-exact, agg-countmin-sketch,
   agg-bloom-filter, agg-histogram, join-* r5 rows, sink-scd2 is above).
+
+Also still queued from round 8 (item 8, deferred twice for window
+budget): the `_plan_sig` file size+mtime hardening, which re-windows
+the 13 memo-backed entries when it lands — schedule it in a round
+whose forced re-entries are few.
 
 Round-10 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r9 item 7). Any entry added mid-round must be listed here under "added
@@ -61,11 +68,13 @@ AFTER the round-10 window filled" for round-11 front-loading.
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # re-entries forced by round-10 edits (lineage truncation / _truncate)
+    # re-entries forced by round-10 edits (lineage truncation / _truncate;
+    # pagerank: converged rank table memoized like the CC label table)
     "ext-dedup-cluster",
     "graph-k-core",
     "graph-connected-components",
     "graph-hits",
+    "graph-pagerank",
     # r4-era multimodal family (framesample re-enters edited: real WAV path)
     "ext-multimodal-framesample",
     "ext-multimodal-column",
@@ -117,7 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sort-within-partitions-cert",
     "stream-resample-interpolate",
     "ext-bm25-search",
-    "agg-mode-deterministic",
 )
 
 
