@@ -1189,3 +1189,64 @@ def test_record_reseed_never_shadows_newer_foreign_row(tmp_path):
     assert j.failed_chunks() == [], (
         "mirror re-seed must not resurrect a failure a newer writer cleared"
     )
+
+
+def test_parallel_build_of_views_persists_every_definition(spark, tmp_path):
+    """End-to-end regression for the round-9 --threads registry race: a
+    threaded build whose models are VIEWS fires concurrent
+    create_view -> _persist_views read-merge-write cycles, and TABLE
+    models interleave _unview persists on the same registry. Every view
+    definition must survive into the on-disk registry (a fresh process
+    resolves refs through it), nothing may park as corrupt, and results
+    must match a serial build."""
+    from dbtwiz_spark.catalog import Catalog
+
+    src_path = str(tmp_path / "nation_src3")
+    Catalog(spark, "/root/testdata/sf0.001").table("nation").write.mode(
+        "overwrite"
+    ).parquet(src_path)
+
+    def make_manifest() -> Manifest:
+        man = Manifest()
+        man.add_source(Source("nation_src3", src_path))
+        for i in range(6):
+            man.add_model(Model(
+                f"v_{i}",
+                f"SELECT n_regionkey, COUNT(*) AS n FROM "
+                f"{{{{ ref('nation_src3') }}}} WHERE n_nationkey % 6 = {i} "
+                f"GROUP BY 1",
+                materialized="view",
+            ))
+        for i in range(3):  # tables interleave _unview persists
+            man.add_model(Model(
+                f"t_{i}",
+                f"SELECT COUNT(*) AS n FROM {{{{ ref('nation_src3') }}}} "
+                f"WHERE n_nationkey % 3 = {i}",
+                materialized="table",
+            ))
+        man.add_model(Model(
+            "mart",
+            "SELECT SUM(n) AS total FROM (SELECT n FROM {{ ref('v_0') }} "
+            "UNION ALL SELECT n FROM {{ ref('v_1') }} "
+            "UNION ALL SELECT n FROM {{ ref('t_0') }})",
+            materialized="table",
+        ))
+        return man
+
+    root = tmp_path / "wh_views_par"
+    wh = Warehouse(spark, str(root))
+    par = Runner(spark, make_manifest(), wh).run("*", threads=4)
+    assert all(r.status == "success" for r in par), [
+        (r.model, r.error) for r in par if r.status != "success"
+    ]
+    assert not list(root.glob("_views.json.corrupt.*")), (
+        "threaded view builds must never tear the registry"
+    )
+    # a FRESH process sees every view definition (registry is complete)
+    wh2 = Warehouse(spark, str(root))
+    assert {f"v_{i}" for i in range(6)} <= set(wh2.views)
+    # serial reference run agrees on the mart result
+    wh_s = Warehouse(spark, str(tmp_path / "wh_views_ser"))
+    ser = Runner(spark, make_manifest(), wh_s).run("*", threads=1)
+    assert {(r.model, r.status) for r in par} == {(r.model, r.status) for r in ser}
+    assert wh.read("mart").first().total == wh_s.read("mart").first().total
