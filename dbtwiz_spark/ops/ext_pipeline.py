@@ -875,22 +875,21 @@ def ext_dedup_cluster(spark, sf_dir):
     """
     from dbtwiz_spark.ops.ext_llm import ext_ngram_jaccard
 
-    pairs = (
+    # materialize the DIRECTED pair table once (_truncate), THEN mirror
+    # it: a union whose two branches each embed the pair query executes
+    # the whole upstream shingle similarity join TWICE (the branches'
+    # projections differ, so no exchange reuse) — measured ~1 extra
+    # upstream execution per sweep. The mirrored union over the
+    # truncated table is two local scans, and every propagation round
+    # joins it without recomputing the upstream join.
+    pairs = _truncate(
         ext_ngram_jaccard(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
-    edges = (
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        )
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        # persisted AND force-materialized: every propagation round joins
-        # edges, and without the cache each round would recompute the whole
-        # upstream shingle similarity join — the dominant cost at scale
-        .persist()
-    )
-    edges.count()
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     # per-round lineage truncation (_truncate: localCheckpoint locally,
     # reliable checkpoint() under SPARK_GRAFT_CHECKPOINT_DIR): the label
     # table feeds TWO branches of every round (the least() update and the

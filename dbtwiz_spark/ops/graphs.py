@@ -636,7 +636,15 @@ def graph_connected_components(spark, sf_dir):
 
     def _build_cc_edges():
         o, li = cat.table("orders"), cat.table("lineitem")
-        pairs = (
+        # materialize the DIRECTED pair table once (_truncate), THEN
+        # mirror it: a union whose branches each embed the pair query
+        # executes the orders x lineitem join TWICE — the branches'
+        # projections differ and Spark's exchange reuse does not fire
+        # (verified on the executed plan: 0 ReusedExchange, 2 joins).
+        # The mirrored union over the truncated table is two local
+        # scans, so the memo (_artifact_raw, no extra persist — the
+        # checkpoint blocks ARE the storage) holds a flat cheap plan.
+        pairs = _truncate(
             o.join(li, o.o_orderkey == li.l_orderkey)
             .filter(
                 (F.col("l_suppkey") <= 50)
@@ -654,7 +662,7 @@ def graph_connected_components(spark, sf_dir):
             F.col("c").alias("src"), F.col("s").alias("dst")
         ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
 
-    edges = _artifact(spark, sf_dir, "cc_edges", _build_cc_edges)
+    edges = _artifact_raw(spark, sf_dir, "cc_edges", _build_cc_edges)
     lbl = _artifact_raw(
         spark, sf_dir, "cc_labels", lambda: _cc_propagate(edges, _CC_ROUNDS)
     )
@@ -830,7 +838,10 @@ def graph_k_core(spark, sf_dir):
 
     def _build_edges():
         o, li = cat.table("orders"), cat.table("lineitem")
-        pairs = (
+        # pairs truncated BEFORE the mirror union — same double-execution
+        # fix as the cc_edges builder (no exchange reuse across the union
+        # branches), memoized without an extra persist on top
+        pairs = _truncate(
             o.join(li, o.o_orderkey == li.l_orderkey)
             .groupBy(
                 F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
@@ -848,7 +859,7 @@ def graph_k_core(spark, sf_dir):
             F.col("c").alias("src"), F.col("s").alias("dst")
         ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
 
-    edges = _artifact(spark, sf_dir, "kcore_edges", _build_edges)
+    edges = _artifact_raw(spark, sf_dir, "kcore_edges", _build_edges)
     per_round = []
     for i in range(1, _KCORE_ROUNDS + 1):
         deg = edges.groupBy("src").agg(F.count("*").alias("dg"))
