@@ -57,7 +57,14 @@ round's code changes touched:
 Also still queued from round 8 (item 8, deferred twice for window
 budget): the `_plan_sig` file size+mtime hardening, which re-windows
 the 13 memo-backed entries when it lands — schedule it in a round
-whose forced re-entries are few.
+whose forced re-entries are few. New round-10 deferral, same reason:
+the pairs-first mirror-union fix (materialize the directed pair table
+once — the round-10 cc_edges/kcore_edges/dedup-cluster device) also
+applies to `_pr_edges` (shared by pagerank/ppr/assortativity —
+editing it re-windows ppr + assortativity) and to the bfs/minplus/
+assortativity edge builders; each saves ~1 s of one-time artifact
+build per session. Take them in round 11 alongside their freshness
+slots.
 
 Round-10 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r9 item 7). Any entry added mid-round must be listed here under "added
