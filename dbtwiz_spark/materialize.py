@@ -1162,12 +1162,20 @@ class Warehouse:
             # rollback: remove the partial/incorrect copy; src is untouched
             self.delete_table(dst)
             raise
-        # swap: drop the old data, leave a view at the old name. The view
-        # SQL reads the TARGET PATH directly, so each read re-resolves the
-        # file listing — a temp view over read(dst) would pin today's file
-        # index and break the old name on the first subsequent write to dst.
-        shutil.rmtree(self.path(src), ignore_errors=True)
+        # swap: leave a view at the old name, THEN drop the old data. The
+        # view SQL reads the TARGET PATH directly, so each read
+        # re-resolves the file listing — a temp view over read(dst) would
+        # pin today's file index and break the old name on the first
+        # subsequent write to dst. View-first ordering: read() consults
+        # views before table dirs, so the name serves the new data the
+        # instant the view registers, and a crash anywhere in the swap
+        # leaves the old name WORKING (worst case: a stale src dir that
+        # `admin orphaned` surfaces as disk to reclaim). rmtree-first had
+        # a crash window where the name was simply gone — data deleted,
+        # view never created, readers down with no self-heal (round-10
+        # crash-injection find).
         self.create_view(src, f"SELECT * FROM parquet.`{self.path(dst)}`")
+        shutil.rmtree(self.path(src), ignore_errors=True)
 
     def delete_table(self, name: str) -> None:
         shutil.rmtree(self.path(name), ignore_errors=True)

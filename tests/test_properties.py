@@ -1324,3 +1324,58 @@ def test_journal_tear_property_vs_dict_model(tmp_path_factory, ops):
     assert sorted(
         f"{a}..{b}" for a, b in j.failed_chunks()
     ) == want_failed
+
+
+def test_migrate_crash_at_every_fs_point_name_never_breaks(
+    spark, tmp_path, fs_faults
+):
+    """Fault injection over migrate_table's whole protocol (copy,
+    verify, view-then-rmtree swap): at EVERY fs mutation crash point the
+    OLD NAME must still read — either the original table or the
+    replacement view — and the data must be reachable under src or dst.
+    This is the invariant the round-10 reorder bought: rmtree-first had
+    a window where src was deleted but the view not yet created, taking
+    the name down with no self-heal."""
+    from dbtwiz_spark.materialize import Warehouse
+
+    def build(root):
+        wh = Warehouse(spark, str(root))
+        wh.write_table(
+            "legacy_m",
+            spark.createDataFrame(
+                [(1, "a", "d"), (2, "b", "d")],
+                "k INT, v STRING, partitiondate STRING",
+            ),
+        )
+        return wh
+
+    root = tmp_path / "dry"
+    wh = build(root)
+    inj = fs_faults(fn_names=("replace", "rename", "unlink", "rmdir"))
+    with inj:
+        wh.migrate_table("legacy_m", "modern_m")
+    total = inj.calls
+    assert total >= 2, "migration must exercise publish + swap mutations"
+    assert {r.k for r in wh.read("legacy_m").collect()} == {1, 2}
+
+    for point in range(1, total + 1):
+        root = tmp_path / f"p{point}"
+        wh = build(root)
+        inj = fs_faults(fn_names=("replace", "rename", "unlink", "rmdir"))
+        inj.point = point
+        crashed = False
+        try:
+            with inj:
+                try:
+                    wh.migrate_table("legacy_m", "modern_m")
+                except fs_faults.Killed:
+                    crashed = True
+        except fs_faults.Killed:
+            crashed = True
+        assert crashed, f"injection at {point} did not fire"
+        # a FRESH process must still read the old name — table or view
+        wh2 = Warehouse(spark, str(root))
+        got = {r.k for r in wh2.read("legacy_m").collect()}
+        assert got == {1, 2}, (
+            f"crash at fs point {point} broke the migrated name: {got}"
+        )
