@@ -67,7 +67,10 @@ def _sweep_stale_tmps(target: Path, staging_dir: Path | None = None) -> None:
 
 
 def atomic_write_text(
-    path: Path | str, text: str, staging_dir: Path | str | None = None
+    path: Path | str,
+    text: str,
+    staging_dir: Path | str | None = None,
+    create_parents: bool = True,
 ) -> None:
     """Replace ``path``'s content atomically (write temp sibling, then
     ``os.replace``). Every journal/state file the engine keeps —
@@ -88,9 +91,18 @@ def atomic_write_text(
     sibling would change the directory's MEANING — the snapshot
     ``_INCOMPLETE`` markers live in slot dirs whose emptiness/content is
     itself the commit protocol, so their staging files park one level up
-    among the slots, where a stray is an ignorable non-dir file."""
+    among the slots, where a stray is an ignorable non-dir file.
+
+    ``create_parents=False`` is for writers whose target directory's
+    EXISTENCE is itself protocol state: the expire-time marker write
+    must fail (FileNotFoundError out of the replace) when a concurrent
+    sweep already deleted the slot — the default mkdir would silently
+    RESURRECT the deleted slot, write a marker into it, and let the
+    caller double-count the expiry (round-10 review find). A failed
+    replace unlinks its own staging file so nothing is orphaned."""
     p = Path(path)
-    p.parent.mkdir(parents=True, exist_ok=True)
+    if create_parents:
+        p.parent.mkdir(parents=True, exist_ok=True)
     sdir = Path(staging_dir) if staging_dir is not None else None
     _sweep_stale_tmps(p, sdir)
     tmp = _staging_name(p, sdir)
@@ -104,7 +116,14 @@ def atomic_write_text(
         f.write(text)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, p)
+    try:
+        os.replace(tmp, p)
+    except OSError:
+        try:
+            os.unlink(tmp)  # don't orphan our own staging on failure
+        except OSError:
+            pass
+        raise
     # best-effort directory fsync so the rename itself survives a crash
     try:
         dfd = os.open(p.parent, os.O_RDONLY)

@@ -226,6 +226,8 @@ class Warehouse:
 
         from dbtwiz_spark.fsutil import atomic_write_text
 
+        from dbtwiz_spark.fsutil import _sweep_stale_tmps
+
         with self._views_lock:
             stored = self._load_views_file()
             stored.update(self._pending_views)
@@ -233,6 +235,11 @@ class Warehouse:
                 stored.pop(name, None)
             self.views = stored
             vf = Path(self.root) / "_views.json"
+            # pre-round-10 registry staging was named `_views.tmp.<pid>`
+            # (prefix differs from the target), so the write's own sweep
+            # of `_views.json.tmp.*` never matches those legacy crash
+            # orphans — sweep them explicitly, same age/shape gates
+            _sweep_stale_tmps(Path(self.root) / "_views")
             atomic_write_text(vf, _json.dumps(stored, indent=1, sort_keys=True))
             self._pending_views.clear()
             self._dropped_views.clear()
@@ -565,6 +572,15 @@ class Warehouse:
                 return
             for item in items:
                 os.rename(item, dest / item.name)
+            # remove claim machinery marker-LAST, strays first: a stray
+            # `_INCOMPLETE.tmp.*` left behind would fail the rmdir AFTER
+            # the marker unlink, leaving an unmarked non-empty slot that
+            # neither the husk branch (not empty) nor this branch (no
+            # marker) ever touches again — a zombie slot id with zero
+            # surfacing (round-10 review find)
+            for stray in slot.iterdir():
+                if stray != marker and stray.name.startswith("_INCOMPLETE"):
+                    stray.unlink()
             marker.unlink()
             slot.rmdir()
             print(
@@ -1399,10 +1415,20 @@ class Warehouse:
                     # finish the expiry. Staged in the snapshots root —
                     # a crash-orphaned staging file INSIDE this committed
                     # slot would make snapshots() hide it forever (it
-                    # reads any `_INCOMPLETE*` entry as a claim marker)
+                    # reads any `_INCOMPLETE*` entry as a claim marker).
+                    # create_parents=False: the slot's existence is the
+                    # protocol — a concurrent sweep deleting it between
+                    # our listing and this write must surface as the
+                    # FileNotFoundError the guard below expects, not be
+                    # silently resurrected by a mkdir
                     from dbtwiz_spark.fsutil import atomic_write_text
 
-                    atomic_write_text(marker, "expire", staging_dir=slot.parent)
+                    atomic_write_text(
+                        marker,
+                        "expire",
+                        staging_dir=slot.parent,
+                        create_parents=False,
+                    )
                     self._rmtree_slot(slot, marker)
                 except OSError:
                     # one contested/unreadable slot must not abort the

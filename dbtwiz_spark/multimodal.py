@@ -202,11 +202,15 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     a = None
                 if a is not None:
                     bytes_per_frame = a["n_channels"] * a["sample_width"]
-                    frames_per_slice = a["frame_rate"] * every_ms // 1000
-                    n = max(
-                        1,
-                        -(-a["n_frames"] // max(frames_per_slice, 1)),
+                    # clamp ONCE and use everywhere: every_ms=0 or a
+                    # degenerate frame rate would otherwise zero the
+                    # slice byte-math while n still clamps to >=1 frame,
+                    # emitting rows that claim 0 bytes for a stream with
+                    # data (the non-WAV branch guards the same input)
+                    frames_per_slice = max(
+                        a["frame_rate"] * every_ms // 1000, 1
                     )
+                    n = max(1, -(-a["n_frames"] // frames_per_slice))
                     for k in range(min(n, 8)):
                         start = k * frames_per_slice * bytes_per_frame
                         end = min(

@@ -29,7 +29,7 @@ round's code changes touched:
   re-certification) and ext-multimodal-column (same r4-era family).
 * 7-44 — the remaining 38 r4-era entries, oldest-first freshness
   rotation (VERDICT r9 item 2 names 41 r4-era rows total: these 38,
-  the two multimodal ones at 4-5, and ext-dedup-cluster at 0):
+  the two multimodal ones at 5-6, and ext-dedup-cluster at 0):
   win-lag-lead, win-first-last, win-running-agg,
   win-sliding-frame, sort-global, func-url, sink-sharded-export, the
   r4 ext_llm family (text-stats, token-count, lang-id, quality-score,

@@ -50,6 +50,19 @@ def _pipe_artifact(spark, sf_dir: str, kind: str, build):
     return df
 
 
+def _pipe_artifact_raw(spark, sf_dir: str, kind: str, build):
+    """Memo-only ``_pipe_artifact`` variant for builders whose result is
+    ALREADY materialized and lineage-truncated (graphs._artifact_raw
+    convention): stacking persist() on a checkpointed table would store
+    it twice. Same session-object keying and eviction enrollment."""
+    key = (spark, sf_dir, kind)
+    df = _ARTIFACTS.get(key)
+    if df is None:
+        df = build()
+        _ARTIFACTS[key] = df
+    return df
+
+
 @register(
     "ext-sample-stratified",
     oracle=f"""
@@ -875,56 +888,71 @@ def ext_dedup_cluster(spark, sf_dir):
     """
     from dbtwiz_spark.ops.ext_llm import ext_ngram_jaccard
 
-    # materialize the DIRECTED pair table once (_truncate), THEN mirror
-    # it: a union whose two branches each embed the pair query executes
-    # the whole upstream shingle similarity join TWICE (the branches'
-    # projections differ, so no exchange reuse) — measured ~1 extra
-    # upstream execution per sweep. The mirrored union over the
-    # truncated table is two local scans, and every propagation round
-    # joins it without recomputing the upstream join.
-    pairs = _truncate(
-        ext_ngram_jaccard(spark, sf_dir)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-    )
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    # per-round lineage truncation (_truncate: localCheckpoint locally,
-    # reliable checkpoint() under SPARK_GRAFT_CHECKPOINT_DIR): the label
-    # table feeds TWO branches of every round (the least() update and the
-    # convergence-count join), so a persist-only loop doubles the LOGICAL
-    # plan per round and the driver's analyzer cost grows with the
-    # diameter — the CC/HITS plan-growth device applied to the dedup
-    # twin. Eager materialization also replaces the persist+count+
-    # unpersist bookkeeping.
-    labels = _truncate(
-        edges.select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
-    )
-    for _ in range(20):
-        neigh = (
-            edges.join(labels, edges.b == labels.doc_id)
-            .groupBy("a")
-            .agg(F.min("lbl").alias("nl"))
+    def _build_converged_labels():
+        # materialize the DIRECTED pair table once (_truncate), THEN
+        # mirror it: a union whose two branches each embed the pair query
+        # executes the whole upstream shingle similarity join TWICE (the
+        # branches' projections differ, so no exchange reuse) — measured
+        # ~1 extra upstream execution per sweep. The mirrored union over
+        # the truncated table is two local scans, and every propagation
+        # round joins it without recomputing the upstream join.
+        pairs = _truncate(
+            ext_ngram_jaccard(spark, sf_dir)
+            .filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b")
         )
-        nxt = _truncate(
-            labels.join(neigh, labels.doc_id == neigh.a, "left")
-            .select(
-                labels.doc_id,
-                F.least(labels.lbl, F.coalesce(neigh.nl, labels.lbl)).alias("lbl"),
+        edges = pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
             )
+        ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        # per-round lineage truncation (_truncate: localCheckpoint
+        # locally, reliable checkpoint() under SPARK_GRAFT_CHECKPOINT_DIR):
+        # the label table feeds TWO branches of every round (the least()
+        # update and the convergence-count join), so a persist-only loop
+        # doubles the LOGICAL plan per round and the driver's analyzer
+        # cost grows with the diameter — the CC/HITS plan-growth device
+        # applied to the dedup twin. Eager materialization also replaces
+        # the persist+count+unpersist bookkeeping.
+        labels = _truncate(
+            edges.select(F.col("a").alias("doc_id"))
+            .distinct()
+            .withColumn("lbl", F.col("doc_id"))
         )
-        changed = (
-            nxt.alias("n")
-            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = nxt
-        if changed == 0:
-            break
+        for _ in range(20):
+            neigh = (
+                edges.join(labels, edges.b == labels.doc_id)
+                .groupBy("a")
+                .agg(F.min("lbl").alias("nl"))
+            )
+            nxt = _truncate(
+                labels.join(neigh, labels.doc_id == neigh.a, "left")
+                .select(
+                    labels.doc_id,
+                    F.least(
+                        labels.lbl, F.coalesce(neigh.nl, labels.lbl)
+                    ).alias("lbl"),
+                )
+            )
+            changed = (
+                nxt.alias("n")
+                .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            )
+            labels = nxt
+            if changed == 0:
+                break
+        return labels
+
+    # memoize the CONVERGED label table per (session x scale) — the CC
+    # label-table pattern: repeat sweeps pay only the keep rollup, and
+    # under SPARK_GRAFT_CHECKPOINT_DIR the per-call checkpoint files
+    # (Spark never deletes them) stop accumulating across repeat
+    # invocations in one session (round-10 review find)
+    labels = _pipe_artifact_raw(
+        spark, sf_dir, "dedup_cluster_labels", _build_converged_labels
+    )
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),

@@ -371,3 +371,13 @@ def test_frame_sample_real_wav(spark):
     # non-WAV fake branch unchanged: whole-payload size at each offset
     assert rows[(2, 0)] == rows[(2, 100)] == rows[(2, 200)] == 350
     assert (2, 300) not in rows
+
+    # degenerate rate: frame_rate*every_ms < 1000 clamps to 1 frame per
+    # slice — every emitted row must still claim REAL bytes, never 0
+    slow = _make_wav(2000, frame_rate=4)  # 8 frames total, 16 bytes PCM
+    df2 = spark.createDataFrame([(3, bytearray(slow))], "doc_id LONG, payload BINARY")
+    got = frame_sample(df2, every_ms=100).collect()
+    assert len(got) == 8  # capped at 8 one-frame slices
+    assert all(r.payload_bytes == 2 for r in got), (
+        "clamped slices are 1 frame = 2 bytes each, never zero"
+    )

@@ -1561,3 +1561,89 @@ def test_slot_activity_freshness_early_exit(spark, wh, tmp_path):
     assert got == pytest.approx(expected), (
         "default call must walk the full tree for the true maximum"
     )
+
+
+def test_legacy_views_staging_orphans_swept(spark, tmp_path):
+    """Pre-round-10 registry staging was `_views.tmp.<pid>` — a prefix
+    the target-keyed sweep (`_views.json.tmp.*`) never matches. The
+    persist path must sweep those legacy crash orphans explicitly; a
+    fresh one (in-flight concurrent writer) survives."""
+    import os as _os
+    import time as _time
+
+    root = tmp_path / "whl"
+    root.mkdir()
+    stale = root / "_views.tmp.4242"
+    stale.write_text('{"half": ')
+    ancient = _time.time() - 7200
+    _os.utime(stale, (ancient, ancient))
+    fresh = root / "_views.tmp.4343"
+    fresh.write_text("{}")
+    user_file = root / "_views.tmp.notes"  # not digits-only: never ours
+    user_file.write_text("keep me")
+    _os.utime(user_file, (ancient, ancient))
+
+    wh = Warehouse(spark, str(root))
+    wh.create_view("v", "SELECT 1 AS x")
+    assert not stale.exists(), "legacy stale staging orphan must be swept"
+    assert fresh.exists(), "fresh staging sibling is a concurrent writer's"
+    assert user_file.exists(), "non-digit suffixes are not ours to delete"
+
+
+def test_expire_marker_write_never_resurrects_deleted_slot(spark, wh):
+    """A concurrent sweep can delete a slot between this sweep's
+    snapshots() listing and its marker write: the write must FAIL (slot
+    existence is protocol state), never mkdir the slot back to life and
+    double-count the expiry (round-10 review find)."""
+    import shutil as _shutil
+
+    from dbtwiz_spark.materialize import SNAPSHOT_DIRNAME
+
+    wh.write_table("tex", _df(spark, [(1, "a", "d")]))
+    wh.write_table("tex", _df(spark, [(2, "b", "d")]))
+    snaps = wh.snapshots("tex")
+    assert len(snaps) == 1
+
+    real_list = type(wh).snapshots
+
+    def listing_then_delete(self, name):
+        out = real_list(self, name)
+        # simulate the concurrent sweep landing right after the listing
+        for s in out:
+            _shutil.rmtree(self.path(name) / SNAPSHOT_DIRNAME / str(s))
+        return out
+
+    type(wh).snapshots = listing_then_delete
+    try:
+        n = wh.expire_snapshots("tex", older_than_days=0)
+    finally:
+        type(wh).snapshots = real_list
+    assert n == 0, "an already-gone slot is not ours to count"
+    gone = wh.path("tex") / SNAPSHOT_DIRNAME / str(snaps[0])
+    assert not gone.exists(), "marker write must not resurrect the slot"
+    assert not list(
+        (wh.path("tex") / SNAPSHOT_DIRNAME).glob("_INCOMPLETE.tmp.*")
+    ), "failed replace must clean its own staging file"
+
+
+def test_publish_move_reclaim_clears_stray_staging(spark, wh):
+    """A stray `_INCOMPLETE.tmp.*` inside a stale publish-move slot
+    (defense-in-depth case) must not zombie the slot: reclaim deletes
+    claim machinery marker-last and the rmdir succeeds."""
+    import os as _os
+
+    wh.write_table("tzm", _df(spark, [(1, "a", "d")]))
+    wh.INCOMPLETE_RECLAIM_AGE_S = 0
+    parent = wh.path("tzm").parent
+    ts, dst = wh._claim_snapshot_dir("tzm", origin="tzm__old_7")
+    (dst / "half.parquet").write_text("half")
+    (dst / "_INCOMPLETE.tmp.9.9.9").write_text("stray")
+    origin = parent / "tzm__old_7"
+    origin.mkdir()
+    ancient = 0
+    for p in (dst / "_INCOMPLETE", dst / "half.parquet",
+              dst / "_INCOMPLETE.tmp.9.9.9", dst):
+        _os.utime(p, (ancient, ancient))
+    wh._recover("tzm")
+    assert not dst.exists(), "slot with stray staging must still reclaim"
+    assert (origin / "half.parquet").exists(), "payload reunited"
