@@ -63,8 +63,11 @@ once — the round-10 cc_edges/kcore_edges/dedup-cluster device) also
 applies to `_pr_edges` (shared by pagerank/ppr/assortativity —
 editing it re-windows ppr + assortativity) and to the bfs/minplus/
 assortativity edge builders; each saves ~1 s of one-time artifact
-build per session. Take them in round 11 alongside their freshness
-slots.
+build per session. graph-bfs-hops and graph-minplus-distance also
+have the CC-shaped two-branch round (dist feeds the union AND the
+expansion join), so their loops qualify for per-round `_truncate`
+when they re-window. Take all of these in round 11 alongside their
+freshness slots.
 
 Round-10 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r9 item 7). Any entry added mid-round must be listed here under "added
