@@ -1647,3 +1647,117 @@ def test_publish_move_reclaim_clears_stray_staging(spark, wh):
     wh._recover("tzm")
     assert not dst.exists(), "slot with stray staging must still reclaim"
     assert (origin / "half.parquet").exists(), "payload reunited"
+
+
+def test_concurrent_expiry_stress_counts_each_slot_at_most_once(spark, wh):
+    """Thread-interleaving stress adding EXPIRY to the slot lifecycle:
+    one thread claims/commits snapshots, two race expire_snapshots
+    sweeps against it (cutoff = now, everything expirable), plus a
+    recover thread and a listing validator. Invariants: nothing raises,
+    a listed slot is never marked or empty, the expiry sweeps NEVER
+    count more deletions than commits (the round-10 resurrect race
+    double-counted a concurrently-deleted slot after mkdir'ing it back
+    to life), and after quiescence a final sweep drains every slot."""
+    import threading
+
+    t = "tstressx"
+    live = wh.path(t)
+    live.mkdir(parents=True)
+    (live / "_SUCCESS").write_text("")
+    (live / "part-0.parquet").write_text("live data")
+    # default INCOMPLETE_RECLAIM_AGE_S stays: the 1h age gate is what
+    # protects IN-FLIGHT claims from the concurrent recover thread —
+    # zeroing it here would make recovery eat mid-populate slots by
+    # design, a test artifact, not an engine race
+
+    errors: list = []
+    committed: list[int] = []
+    expired_counts: list[int] = []
+    stop = threading.Event()
+
+    def claimer():
+        try:
+            for i in range(120):
+                ts, dst = wh._claim_snapshot_dir(t)
+                (dst / "part-0.parquet").write_text(f"snap {i}")
+                wh._commit_snapshot_dir(dst)
+                committed.append(ts)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("claimer", e))
+        finally:
+            stop.set()
+
+    def expirer():
+        while not stop.is_set():
+            try:
+                expired_counts.append(wh.expire_snapshots(t, older_than_days=0))
+            except Exception as e:  # noqa: BLE001
+                errors.append(("expire", e))
+                return
+
+    def recoverer():
+        while not stop.is_set():
+            try:
+                wh._recover(t)
+            except Exception as e:  # noqa: BLE001
+                errors.append(("recover", e))
+                return
+
+    def lister():
+        while not stop.is_set():
+            try:
+                for s in wh.snapshots(t):
+                    slot = live / "_snapshots" / str(s)
+                    try:
+                        entries = {p.name for p in slot.iterdir()}
+                    except OSError:
+                        continue
+                    # between the listing and this re-read a slot may
+                    # legitimately become expire-marked, then empty
+                    # (marker-last teardown), then gone — all benign
+                    # post-listing transitions of a concurrent expiry.
+                    # The SOUND two-read invariant is: a listed slot
+                    # never carries a CLAIM signature (claims only ever
+                    # mark fresh slots snapshots() must hide; expiry is
+                    # the only writer that marks a committed slot)
+                    marks = [n for n in entries if n.startswith("_INCOMPLETE")]
+                    if marks:
+                        try:
+                            sig = (slot / "_INCOMPLETE").read_text().strip()
+                        except OSError:
+                            continue  # marker vanished: teardown finished
+                        if sig != "expire":
+                            errors.append(
+                                ("lister", f"slot {s} listed while claim-marked")
+                            )
+                            return
+            except Exception as e:  # noqa: BLE001
+                errors.append(("lister", e))
+                return
+
+    threads = [
+        threading.Thread(target=claimer),
+        threading.Thread(target=expirer),
+        threading.Thread(target=expirer),
+        threading.Thread(target=recoverer),
+        threading.Thread(target=lister),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    assert not any(th.is_alive() for th in threads), "stress threads hung"
+    assert not errors, errors[:3]
+    # drain: recovery finishes any contested teardown, a final quiet
+    # sweep expires the remainder
+    wh._recover(t)
+    expired_counts.append(wh.expire_snapshots(t, older_than_days=0))
+    wh._recover(t)
+    assert wh.snapshots(t) == [], "final sweep must drain every slot"
+    total = sum(expired_counts)
+    assert total <= len(committed), (
+        f"expiry counted {total} deletions for {len(committed)} commits — "
+        "a slot was double-counted (the resurrect race)"
+    )
+    # live table untouched throughout
+    assert (live / "part-0.parquet").read_text() == "live data"
