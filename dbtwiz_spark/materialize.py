@@ -224,9 +224,7 @@ class Warehouse:
         outright, round-9 judge find)."""
         import json as _json
 
-        from dbtwiz_spark.fsutil import atomic_write_text
-
-        from dbtwiz_spark.fsutil import _sweep_stale_tmps
+        from dbtwiz_spark.fsutil import _sweep_stale_tmps, atomic_write_text
 
         with self._views_lock:
             stored = self._load_views_file()

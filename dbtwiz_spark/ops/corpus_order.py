@@ -66,8 +66,13 @@ assortativity edge builders; each saves ~1 s of one-time artifact
 build per session. graph-bfs-hops and graph-minplus-distance also
 have the CC-shaped two-branch round (dist feeds the union AND the
 expansion join), so their loops qualify for per-round `_truncate`
-when they re-window. Take all of these in round 11 alongside their
-freshness slots.
+when they re-window. Also r11: consolidate the four near-identical
+memo helpers (`graphs._artifact`/`_artifact_raw`,
+`ext_pipeline._pipe_artifact`/`_pipe_artifact_raw`) into a shared
+store-parameterized pair in ops/common.py — `_pipe_artifact` is a
+hash-pinned shared helper, so the refactor re-windows its green
+referencers (ext-source-similarity-matrix). Take all of these in
+round 11 alongside their freshness slots.
 
 Round-10 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r9 item 7). Any entry added mid-round must be listed here under "added
