@@ -897,6 +897,30 @@ def test_time_travel_history_matches_recorded_states(spark, tmp_path):
     mid = sorted(history)[2]
     wh.restore("t", mid)
     assert live() == history[mid], "restore did not reproduce the snapshot state"
+    # expiry endgame: the restore itself snapshotted the pre-restore
+    # state, so the listing is history + that one; expiring everything
+    # must count each listed slot exactly once, leave the LIVE state
+    # untouched, and make every historical read fail loudly (never serve
+    # a half-deleted era)
+    state = live()
+    listed = wh.snapshots("t")
+    assert set(history) <= set(listed)
+    n = wh.expire_snapshots("t", older_than_days=0)
+    assert n == len(listed), f"expired {n} of {len(listed)} listed slots"
+    assert wh.snapshots("t") == []
+    assert live() == state, "expiry must never touch the live table"
+    import pytest as _pytest
+
+    for sid in history:
+        with _pytest.raises(ValueError, match="no snapshot"):
+            wh.read_snapshot("t", sid)
+    # the table keeps working: a fresh snapshot starts a new history
+    sid2 = wh.snapshot("t")
+    assert wh.snapshots("t") == [sid2]
+    got = {
+        r.k: (r.v, r.partitiondate) for r in wh.read_snapshot("t", sid2).collect()
+    }
+    assert got == state
 
 
 def test_scd2_invalidate_interleaved_matches_model(spark, tmp_path):
