@@ -7,140 +7,133 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-10 window (positions 0-49) — the freshness round (VERDICT r9
-item 2): certification is complete (286/286 after round 9), so the
-window recycles the OLDEST green rows and re-certifies everything this
-round's code changes touched:
+Round-11 window (positions 0-49) — freshness completion (VERDICT r10
+items 2 and 8) plus the round-11 graph edits (item 4). The 50 slots are
+fully determined; the arithmetic below is why items 3 and 5 defer:
 
-* 0-4 — re-entries forced by round-10 edits (green-manifest guard):
-  ext-dedup-cluster, graph-k-core (both gained per-round lineage
-  truncation via the new switchable ``common._truncate`` — reliable
-  checkpoint() under SPARK_GRAFT_CHECKPOINT_DIR, localCheckpoint
-  locally; k-core measured 2.3-4.9 s -> 1.2-1.4 s at sf0.1),
-  graph-connected-components and graph-hits (their existing
-  localCheckpoint truncation now routes through ``_truncate``), and
-  graph-pagerank (converged rank table memoized per session x scale,
-  the CC label-table pattern — repeat sweeps pay only the top-20
-  sort). ext-dedup-cluster and the multimodal entries below are
-  r4-era anyway, so these re-entries cost no extra freshness slots
-  beyond CC/HITS/k-core/pagerank.
-* 5-6 — ext-multimodal-framesample (round-10 real-WAV decode path,
-  stdlib ``wave`` — implementation changed, guard requires
-  re-certification) and ext-multimodal-column (same r4-era family).
-* 7-44 — the remaining 38 r4-era entries, oldest-first freshness
-  rotation (VERDICT r9 item 2 names 41 r4-era rows total: these 38,
-  the two multimodal ones at 5-6, and ext-dedup-cluster at 0):
-  win-lag-lead, win-first-last, win-running-agg,
-  win-sliding-frame, sort-global, func-url, sink-sharded-export, the
-  r4 ext_llm family (text-stats, token-count, lang-id, quality-score,
-  fingerprint, text-tfidf, ngram-jaccard, dedup-near-recall,
-  sim-threshold-join, dedup-embedding, knn-label, ann-lsh-recall,
-  ann-ivf-recall) and the r4 ext_pipeline family (split-train-eval,
-  pack-sequences, mix-domains, mix-temperature, quality-repetition,
-  quality-gopher, pii-scrub, token-histogram, embed-stats,
-  filter-length-outliers, filter-composite, text-normalize,
-  host-token-budget, dup-span, vocab-build, sample-importance,
-  dedup-url, curriculum-order).
-* 45-49 — the start of the r5-era recycle, structurally riskiest
-  first: sink-scd2, stream-dedup-near-cert, sort-within-partitions-cert,
-  stream-resample-interpolate, ext-bm25-search. After a green round 10
-  the minimum certification age is r5 (the remaining ~39 r5-era
-  entries queue for round 11, riskiest-first: agg-mode-deterministic
-  (displaced by the pagerank re-entry),
-  set-except-all/intersect-all/union-by-name, func-zorder/
-  higher-order/from-json, ext-dataset-card, ext-chunk-documents,
-  ext-dedup-containment, scan/file-format family, the r5 filter/
-  project family, win-gaps-islands, win-funnel, win-retention-cohort,
-  agg-corr-covar, agg-percentile-exact, agg-countmin-sketch,
-  agg-bloom-filter, agg-histogram, join-* r5 rows, sink-scd2 is above).
+* 0-4 — re-entries forced by round-11 edits (green-manifest guard):
+  graph-bfs-hops and graph-minplus-distance (their two-branch round
+  state — dist feeds the union AND the expansion join, the CC
+  plan-doubling shape — now routes through ``common._truncate`` per
+  round, their edge builders are pairs-first, and their converged
+  distance tables are memoized per session x scale, the CC
+  label-table pattern; pinned by
+  test_plans.test_round11_bfs_minplus_truncated_and_pairs_first), and
+  graph-pagerank / graph-personalized-pagerank /
+  graph-degree-assortativity (forced by the shared ``_pr_edges``
+  builder going pairs-first: the directed pair table is materialized
+  once via ``_truncate``, then mirrored — the union-branch duplicate
+  execution of the orders x lineitem join is gone, and the memo is
+  ``_artifact_raw``, no persist stacked on checkpoint blocks).
+* 5-10 — the 6 rows-only entries (VERDICT r10 item 8; last driver
+  rows r3-r5): sort-within-partitions, stream-dedup-near,
+  ext-dedup-near, ext-dedup-simhash, ext-ann-lsh-bucket, ext-ann-ivf.
+  They cost no oracle budget (``no_oracle``) and keep the rows-only
+  paths exercising under the current Spark build; their hash-green
+  certificates (…-recall / …-cert entries) stay certified separately.
+* 11-49 — ALL 39 r5-era hash-greens (VERDICT r10 item 2; ages
+  recomputed from the CORRECTNESS_r* history this round: r5 x 39 is
+  the complete oldest cohort), riskiest-first: agg-mode-deterministic,
+  the set family, func-zorder/higher-order/from-json, the r5 ext_llm/
+  ext_pipeline entries (dataset-card, chunk-documents,
+  dedup-containment, dedup-simhash-recall), the r5 window family
+  (win-gaps-islands re-enters EDITED — its docstring no longer points
+  at a non-public notes directory, the r10 verdict's one weak mark),
+  the r5 aggregate sketches, then the scan/file-format, filter/project
+  and join families. After a green round 11 the minimum hash-green
+  age is r6 (cohorts recomputed from CORRECTNESS_r01..r10 + a green
+  r11: r6 x 49, r7 x 47, r8 x 43, r9 x 48, r10 x 49, r11 x 50 = 286;
+  the r7/r8/r10 cohorts shrink because this window re-certifies five
+  graph entries whose latest greens were r7-r10).
 
-Also still queued from round 8 (item 8, deferred twice for window
-budget): the `_plan_sig` file size+mtime hardening, which re-windows
-the 13 memo-backed entries when it lands — schedule it in a round
-whose forced re-entries are few. New round-10 deferral, same reason:
-the pairs-first mirror-union fix (materialize the directed pair table
-once — the round-10 cc_edges/kcore_edges/dedup-cluster device) also
-applies to `_pr_edges` (shared by pagerank/ppr/assortativity —
-editing it re-windows ppr + assortativity) and to the bfs/minplus/
-assortativity edge builders; each saves ~1 s of one-time artifact
-build per session. graph-bfs-hops and graph-minplus-distance also
-have the CC-shaped two-branch round (dist feeds the union AND the
-expansion join), so their loops qualify for per-round `_truncate`
-when they re-window. Also r11: consolidate the four near-identical
-memo helpers (`graphs._artifact`/`_artifact_raw`,
-`ext_pipeline._pipe_artifact`/`_pipe_artifact_raw`) into a shared
-store-parameterized pair in ops/common.py — `_pipe_artifact` is a
-hash-pinned shared helper, so the refactor re-windows its green
-referencers (ext-source-similarity-matrix). Take all of these in
-round 11 alongside their freshness slots.
+Why items 3 and 5 defer to round 12 (window arithmetic, not choice):
+the ``_plan_sig`` size+mtime hardening re-windows its 13 memo-backed
+green referencers (agg-calibration-ece, agg-gini-concentration,
+agg-ks-test, agg-pareto-share, agg-rfm-segmentation, agg-spearman-corr,
+agg-survival-km, ext-contrastive-pairs, ext-length-decile-mix,
+ext-perplexity-filter, ext-source-similarity-matrix, ext-vocab-growth,
+win-percent) and the memo-helper consolidation
+(``graphs._artifact``/``_artifact_raw`` +
+``ext_pipeline._pipe_artifact``/``_pipe_artifact_raw`` -> one shared
+store-parameterized pair in ops/common.py) re-windows the 12 greens
+whose closure names ``_artifact``/``_pipe_artifact`` (all graph entries
++ ext-dedup-cluster + ext-source-similarity-matrix); union 24, overlap
+{ext-source-similarity-matrix}. 39 r5 + 6 rows-only + 24 = 69 > 50:
+landing either this round would leave r5-era entries stale and break
+item 2's done-criterion (minimum age >= r6). Round 12 takes BOTH
+(their unions share the graph re-entries with nothing else pending):
+24 forced + 26 of the 49 r6-era greens fill that window; the r6
+remainder follows in r13.
 
-Round-10 additions policy: corpus growth stays FROZEN at 286 (VERDICT
-r9 item 7). Any entry added mid-round must be listed here under "added
-AFTER the round-10 window filled" for round-11 front-loading.
+Round-11 additions policy: corpus growth stays FROZEN at 286 (VERDICT
+r10 item 9). Any entry added mid-round must be listed here under
+"added AFTER the round-11 window filled" for round-12 front-loading.
 """
 
 
 from __future__ import annotations
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # re-entries forced by round-10 edits (lineage truncation / _truncate;
-    # pagerank: converged rank table memoized like the CC label table)
-    "ext-dedup-cluster",
-    "graph-k-core",
-    "graph-connected-components",
-    "graph-hits",
+    # re-entries forced by round-11 edits (pairs-first _pr_edges;
+    # per-round _truncate + converged-distance memo in bfs/minplus)
+    "graph-bfs-hops",
+    "graph-minplus-distance",
     "graph-pagerank",
-    # r4-era multimodal family (framesample re-enters edited: real WAV path)
-    "ext-multimodal-framesample",
-    "ext-multimodal-column",
-    # r4-era window family
-    "win-lag-lead",
-    "win-first-last",
-    "win-running-agg",
-    "win-sliding-frame",
-    # r4-era core remainder
-    "sort-global",
-    "func-url",
-    "sink-sharded-export",
-    # r4-era ext_llm family
-    "ext-text-stats",
-    "ext-token-count",
-    "ext-lang-id",
-    "ext-quality-score",
-    "ext-fingerprint",
-    "ext-text-tfidf",
-    "ext-ngram-jaccard",
-    "ext-dedup-near-recall",
-    "ext-sim-threshold-join",
-    "ext-dedup-embedding",
-    "ext-knn-label",
-    "ext-ann-lsh-recall",
-    "ext-ann-ivf-recall",
-    # r4-era ext_pipeline family
-    "ext-split-train-eval",
-    "ext-pack-sequences",
-    "ext-mix-domains",
-    "ext-mix-temperature",
-    "ext-quality-repetition",
-    "ext-quality-gopher",
-    "ext-pii-scrub",
-    "ext-token-histogram",
-    "ext-embed-stats",
-    "ext-filter-length-outliers",
-    "ext-filter-composite",
-    "ext-text-normalize",
-    "ext-host-token-budget",
-    "ext-dup-span",
-    "ext-vocab-build",
-    "ext-sample-importance",
-    "ext-dedup-url",
-    "ext-curriculum-order",
-    # r5-era recycle begins: structurally riskiest first
-    "sink-scd2",
-    "stream-dedup-near-cert",
-    "sort-within-partitions-cert",
-    "stream-resample-interpolate",
-    "ext-bm25-search",
+    "graph-personalized-pagerank",
+    "graph-degree-assortativity",
+    # rows-only entries (last driver rows r3-r5; no oracle budget)
+    "sort-within-partitions",
+    "stream-dedup-near",
+    "ext-dedup-near",
+    "ext-dedup-simhash",
+    "ext-ann-lsh-bucket",
+    "ext-ann-ivf",
+    # r5-era recycle, riskiest-first: stateful/structural entries
+    "agg-mode-deterministic",
+    "set-except-all",
+    "set-intersect-all",
+    "set-union-by-name",
+    "func-zorder",
+    "func-higher-order",
+    "func-from-json",
+    "ext-dataset-card",
+    "ext-chunk-documents",
+    "ext-dedup-containment",
+    "ext-dedup-simhash-recall",
+    # r5-era window family (win-gaps-islands re-enters edited:
+    # docstring leak removed — the r10 verdict's one weak mark)
+    "win-gaps-islands",
+    "win-funnel",
+    "win-retention-cohort",
+    # r5-era aggregate sketches
+    "agg-corr-covar",
+    "agg-percentile-exact",
+    "agg-countmin-sketch",
+    "agg-bloom-filter",
+    "agg-histogram",
+    # r5-era scan / file-format family
+    "scan-table",
+    "scan-view",
+    "file-format-parquet",
+    "file-format-csv",
+    "file-format-json",
+    # r5-era filter / project family
+    "project-star",
+    "filter-predicate",
+    "filter-like",
+    "filter-in",
+    "filter-between",
+    "filter-null",
+    "filter-partition-required",
+    "filter-exists-correlated",
+    # r5-era join family
+    "join-inner-equi",
+    "join-left-outer",
+    "join-right-outer",
+    "join-full-outer",
+    "join-broadcast",
+    "join-null-safe",
+    "join-bucketed",
 )
 
 

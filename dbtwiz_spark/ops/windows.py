@@ -274,8 +274,9 @@ def win_gaps_islands(spark, sf_dir):
     window on user_id, the island groupBy on (user_id, anchor) — every
     key contains user_id, so the work is embarrassingly parallel across
     users at 100 TB and no single key concentrates a partition.
-    Dates stringify for the cross-engine hash (DateType pandas
-    representations diverge; see .claude verify notes)."""
+    Dates stringify for the cross-engine hash: Spark's Arrow path yields
+    datetime.date while DuckDB's pandas path yields datetime64[ns], so the
+    same calendar day would hash differently as a native value."""
     ev = views(spark, sf_dir).table("events")
     days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     w = Window.partitionBy("user_id").orderBy("d")

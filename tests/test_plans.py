@@ -832,3 +832,52 @@ def test_every_corpus_plan_is_scale_clean(spark):
         f"unjustified unpartitioned windows: {global_window} — either fix "
         "the plan or document the bound and extend UNPARTITIONED_WINDOW_OK"
     )
+
+
+def test_round11_bfs_minplus_truncated_and_pairs_first(spark):
+    """Round-11 (VERDICT r10 item 4): the BFS / min-plus round state and
+    the shared mirror-union edge builders route through common._truncate.
+
+    Pins three properties the oracle hash can't see:
+    1. pairs-first edge builders — pr_edges / bfs_edges / minplus_edges
+       memoize a mirror over a TRUNCATED pair table, so the artifact's
+       plan is a union of two flat scans with NO join (a union whose
+       branches each embed the pair query executes the orders x
+       lineitem join twice; exchange reuse does not fire across union
+       branches).
+    2. per-round truncation — the converged distance tables are flat
+       memoized scans (no join, no iteration tower in the plan), and the
+       loop source itself routes each round through _truncate (the
+       two-branch plan-doubling CC had).
+    3. memoization — a second invocation returns the same artifact
+       object and identical rows (the CC label-table pattern)."""
+    import inspect
+
+    from dbtwiz_spark.ops import graphs as G
+    from dbtwiz_spark.ops.common import views
+    from dbtwiz_spark.ops.registry import CORPUS
+
+    for fn in (G.graph_bfs_hops, G.graph_minplus_distance):
+        src = inspect.getsource(fn)
+        loop = src[src.index("for _ in range") :]
+        assert "_truncate(" in loop, f"{fn.__name__} round state untruncated"
+
+    bfs = CORPUS["graph-bfs-hops"].fn(spark, SF_DIR)
+    mp = CORPUS["graph-minplus-distance"].fn(spark, SF_DIR)
+    G._pr_edges(spark, SF_DIR, views(spark, SF_DIR))
+    for kind in ("bfs_edges", "minplus_edges", "pr_edges"):
+        eplan = _formatted(G._ARTIFACTS[(spark, SF_DIR, kind)])
+        assert "Join" not in eplan, f"{kind} re-embeds the pair join"
+        assert "Union" in eplan, f"{kind} lost the mirror union"
+
+    for name, df in (("graph-bfs-hops", bfs), ("graph-minplus-distance", mp)):
+        plan = _formatted(df)
+        assert "Join" not in plan, f"{name} plan re-embeds the hop joins"
+
+    dist_obj = G._ARTIFACTS[(spark, SF_DIR, "minplus_dist")]
+    rows1 = {tuple(r) for r in mp.collect()}
+    mp2 = CORPUS["graph-minplus-distance"].fn(spark, SF_DIR)
+    assert G._ARTIFACTS[(spark, SF_DIR, "minplus_dist")] is dist_obj, (
+        "second call must hit the converged-distance memo"
+    )
+    assert {tuple(r) for r in mp2.collect()} == rows1
