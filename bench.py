@@ -235,6 +235,18 @@ def q_hits(cat):
     return graph_hits(cat.spark, cat.sf_dir), "collect"
 
 
+def q_bfs_hops(cat):
+    from dbtwiz_spark.ops.graphs import graph_bfs_hops
+
+    return graph_bfs_hops(cat.spark, cat.sf_dir), "collect"
+
+
+def q_minplus_distance(cat):
+    from dbtwiz_spark.ops.graphs import graph_minplus_distance
+
+    return graph_minplus_distance(cat.spark, cat.sf_dir), "collect"
+
+
 def q_ks_test(cat):
     from dbtwiz_spark.ops.aggregates import agg_ks_test
 
@@ -282,6 +294,11 @@ EXTRA_QUERIES = {
     # so a regression of the plan-growth fix is visible per round
     "q_connected_components": q_connected_components,
     "q_hits": q_hits,
+    # round-11: the two plans rewritten by per-round truncation +
+    # converged-distance memoization (the CC device) — traced so a
+    # regression of the two-branch plan-growth fix is visible per round
+    "q_bfs_hops": q_bfs_hops,
+    "q_minplus_distance": q_minplus_distance,
 }
 
 QUERIES = {
@@ -315,22 +332,7 @@ def _calibrate(spark, runs: int = 3) -> float:
     `headline_total / calibration` is attributable to PLANS while
     movement in `calibration` alone is the VM. This turns the host-drift
     argument (r7→r8 burned judge time proving +23% wasn't a regression)
-    into a recorded number.
-
-    The confs the probe's plan depends on are PINNED for its duration
-    (and restored after): the probe runs inside the bench's repo-tuned
-    session, so a future round changing the session's shuffle
-    partitioning or AQE settings would otherwise move `calibration` for
-    repo-internal reasons and corrupt exactly the drift attribution the
-    probe exists for (review find)."""
-    pinned = {
-        "spark.sql.shuffle.partitions": "32",
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    }
-    saved = {k: spark.conf.get(k, None) for k in pinned}
-    for k, v in pinned.items():
-        spark.conf.set(k, v)
+    into a recorded number. Conf pinning: see _probe_best_of."""
 
     def once() -> float:
         t0 = time.perf_counter()
@@ -342,6 +344,24 @@ def _calibrate(spark, runs: int = 3) -> float:
         )
         return time.perf_counter() - t0
 
+    return _probe_best_of(spark, runs, once)
+
+
+def _probe_best_of(spark, runs: int, once) -> float:
+    """Shared probe harness: pin the confs the probes' plans depend on
+    (the probes run inside the bench's repo-tuned session, so a future
+    round changing shuffle partitioning or AQE would otherwise move the
+    calibration numbers for repo-internal reasons and corrupt the drift
+    attribution they exist for), one untimed warm-up, best-of-N, restore
+    the confs."""
+    pinned = {
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in pinned}
+    for k, v in pinned.items():
+        spark.conf.set(k, v)
     try:
         once()  # warm-up: codegen compile, first-touch scheduling
         return round(min(once() for _ in range(runs)), 3)
@@ -351,6 +371,36 @@ def _calibrate(spark, runs: int = 3) -> float:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _calibrate_spark(spark, runs: int = 3) -> float:
+    """Spark-overhead companion probe (VERDICT r10 item 6). Where
+    ``_calibrate`` is dominated by codegen/CPU throughput (a 50M-row
+    hash aggregation), this probe is dominated by the fixed per-job
+    Spark machinery — task scheduling, shuffle setup, result fetch,
+    driver round-trips — on a deliberately tiny input: 64k rows spread
+    over 64 tasks through one shuffle, so per-task compute is
+    negligible and the time is almost purely JVM/scheduler overhead.
+
+    Why two probes: the r9→r10 drift reading whipsawed
+    (headline_per_calibration 17.8 → 25.9 while every absolute time
+    FELL) because a faster host sped the CPU-bound probe ~40% but the
+    JVM/shuffle-bound queries only ~12% — one probe measures probe
+    affinity, not engine drift. With one probe per regime, a headline
+    move that BOTH normalizations agree on is the engine; one they
+    disagree on is host affinity and adjudicates as noise."""
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 65_536, 1, 64)
+            .groupBy((F.col("id") % 997).alias("k"))
+            .count()
+            .collect()
+        )
+        return time.perf_counter() - t0
+
+    return _probe_best_of(spark, runs, once)
 
 
 def main() -> None:
@@ -423,6 +473,7 @@ def main() -> None:
         extras[name], extras_median[name] = time_query(build)
 
     calibration = _calibrate(spark, runs)
+    calibration_spark = _calibrate_spark(spark, runs)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     value = round(sum(timings.values()), 3)
@@ -451,6 +502,21 @@ def main() -> None:
                 "extras_per_calibration": (
                     round(sum(extras.values()) / calibration, 2)
                     if calibration
+                    else None
+                ),
+                # companion probe in the OTHER cost regime (fixed Spark
+                # job overhead, negligible CPU): drift that both
+                # normalizations agree on is the engine; disagreement is
+                # host affinity (see _calibrate_spark)
+                "calibration_spark": calibration_spark,
+                "headline_per_calibration_spark": (
+                    round(value / calibration_spark, 2)
+                    if calibration_spark
+                    else None
+                ),
+                "extras_per_calibration_spark": (
+                    round(sum(extras.values()) / calibration_spark, 2)
+                    if calibration_spark
                     else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

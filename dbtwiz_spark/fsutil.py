@@ -54,7 +54,13 @@ def _sweep_stale_tmps(target: Path, staging_dir: Path | None = None) -> None:
     now = time.time()
     prefix = f"{target.name}.tmp."
     try:
-        for sib in (staging_dir or target.parent).glob(f"{target.name}.tmp.*"):
+        # startswith, not glob: a target name containing glob
+        # metacharacters ([ ] ? *) interpolated into a pattern silently
+        # matches nothing (stale siblings never swept) or the wrong
+        # siblings (prefix-length slicing misaligned) — round-10 ADVICE
+        for sib in (staging_dir or target.parent).iterdir():
+            if not sib.name.startswith(prefix):
+                continue
             if not _OURS_RE.match(sib.name[len(prefix):]):
                 continue  # not our staging shape — never ours to delete
             try:

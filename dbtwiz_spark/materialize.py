@@ -501,10 +501,17 @@ class Warehouse:
                 continue  # committed concurrently between exists() and stat()
             age = now - activity
             if age < self.INCOMPLETE_RECLAIM_AGE_S:
+                # no age number here: the fresh verdict early-exits the
+                # activity walk on the FIRST timestamp past the threshold,
+                # not the true maximum, so a printed age could overstate a
+                # fresh slot's idle time (round-10 ADVICE — verdict
+                # correct, message was not)
                 print(
                     f"[warehouse] snapshot slot {table}/{slot.name} is "
-                    f"_INCOMPLETE ({int(age)}s old) — populate in progress "
-                    "or a fresh crash; will reclaim once stale"
+                    f"_INCOMPLETE with write activity newer than the "
+                    f"{self.INCOMPLETE_RECLAIM_AGE_S}s reclaim age — "
+                    "populate in progress or a fresh crash; will reclaim "
+                    "once stale"
                 )
                 continue
             try:

@@ -455,7 +455,18 @@ def ext_dedup_near(spark, sf_dir):
     the exact shingle-intersection Jaccard, so false positives cost but
     never corrupt. Engine-specific hashes make this rows-only for the
     oracle; tests/test_ext_llm.py checks recall against ext-ngram-jaccard.
-    """
+
+    At-scale switch (100 TB): this implementation CARRIES each doc's
+    shingle set through the band explode so verification is a local
+    array_intersect on the joined pair — optimal while sets are small
+    (bench corpus: tens of shingles/doc), but at web scale the carried
+    set multiplies band-shuffle bytes by the document text size. The
+    alternative is candidates-rejoin-shingles: band-join on (band, sig)
+    carrying ONLY doc ids, dedupe candidate pairs, then join the pair
+    table back to the per-doc shingle table twice to verify. Crossover:
+    carry wins while avg_shingle_bytes x n_bands < 2 x (pair join cost);
+    with 8 bands and >~1 KB of shingles/doc the rejoin variant shuffles
+    less. See SCALING.md "Near-dedup" for the full trade."""
     d = views(spark, sf_dir).table("documents")
     # One aggregation produces the whole per-doc record: minhash signature +
     # the shingle set itself. The signature table is doc-granular (bounded by

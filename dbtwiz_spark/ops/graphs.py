@@ -760,7 +760,8 @@ def graph_degree_assortativity(spark, sf_dir):
     attach to hubs (positive) or to leaves (negative; bipartite
     commerce graphs are typically disassortative). Shares the SAME
     memoized edge/degree artifacts as graph-pagerank (one build serves
-    both; edges checkpoint-backed, degrees persisted), and the numerics are the agg-spearman-corr device verbatim:
+    both; edges checkpoint-backed, degrees persisted), and the
+    numerics are the agg-spearman-corr device verbatim:
     degrees are exact BIGINTs, all five moments accumulate in
     DECIMAL(38,0) (int64 products would overflow past ~2e9 edges), and
     the only doubles are the final scale-0 casts and the sqrt
@@ -1012,7 +1013,8 @@ def graph_personalized_pagerank(spark, sf_dir):
 
     Scale: identical join/agg shape per hop as graph-pagerank over the
     SAME memoized edge/degree artifacts (one build serves all graph
-    entries; edges checkpoint-backed, degrees persisted); the seed test is a broadcast-literal IN over 5 keys. A
+    entries; edges checkpoint-backed, degrees persisted); the seed
+    test is a broadcast-literal IN over 5 keys. A
     1000-seed production restart vector would join a broadcast seed
     table instead of inlining literals."""
     cat = views(spark, sf_dir)

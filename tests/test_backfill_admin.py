@@ -1081,6 +1081,37 @@ def test_stale_staging_siblings_swept_fresh_kept(tmp_path):
     ), "this call's own staging file must not linger after the replace"
 
 
+def test_stale_staging_swept_for_glob_metachar_target_names(tmp_path):
+    """Round-10 ADVICE: the sweep used to interpolate target.name into a
+    glob pattern, so a target whose name contains glob metacharacters
+    ([ ] ? *) silently matched nothing and its stale staging siblings
+    were never swept (and a '?' name could have matched the WRONG
+    sibling, misaligning the prefix-length slice). The sweep now
+    iterates the dir and prefix-matches with startswith."""
+    import os
+    import time
+
+    from dbtwiz_spark.fsutil import atomic_write_text
+
+    ancient = time.time() - 7200
+    for name in ("part=[a]", "q?x", "star*tab"):
+        target = tmp_path / name
+        stale = tmp_path / f"{name}.tmp.424242"
+        stale.write_text("abandoned")
+        os.utime(stale, (ancient, ancient))
+        # a near-miss neighbour a '?'-glob would have wrongly matched
+        near = tmp_path / f"q1x.tmp.424242" if "?" in name else None
+        if near is not None:
+            near.write_text("other target's staging")
+            os.utime(near, (ancient, ancient))
+        atomic_write_text(target, "v")
+        assert target.read_text() == "v"
+        assert not stale.exists(), f"stale sibling of {name!r} must be swept"
+        if near is not None:
+            assert near.exists(), "a different target's sibling is not ours"
+            near.unlink()
+
+
 def test_atomic_write_staging_names_unique_per_call(tmp_path):
     """Two concurrent writers of one target must never share a staging
     name (the round-9 '--threads tears _views.json' hole): hold the
