@@ -381,3 +381,28 @@ def test_frame_sample_real_wav(spark):
     assert all(r.payload_bytes == 2 for r in got), (
         "clamped slices are 1 frame = 2 bytes each, never zero"
     )
+
+
+def test_bench_probe_pins_and_restores_confs(spark):
+    """The bench calibration probes run inside the repo-tuned session;
+    _probe_best_of must pin the confs their plans depend on for the
+    probe's duration and restore the caller's values after (round-11:
+    the pin/restore moved from _calibrate into the shared harness when
+    the Spark-overhead companion probe landed — this pins the contract
+    for both)."""
+    import bench
+
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    seen: list[str] = []
+
+    def once() -> float:
+        seen.append(spark.conf.get("spark.sql.shuffle.partitions"))
+        return 0.01
+
+    best = bench._probe_best_of(spark, 2, once)
+    assert best == 0.01
+    assert seen == ["32", "32", "32"], "probe must run under pinned confs"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "7", (
+        "caller's conf must be restored after the probe"
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
