@@ -392,17 +392,23 @@ def test_bench_probe_pins_and_restores_confs(spark):
     for both)."""
     import bench
 
-    spark.conf.set("spark.sql.shuffle.partitions", "7")
-    seen: list[str] = []
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        seen: list[str] = []
 
-    def once() -> float:
-        seen.append(spark.conf.get("spark.sql.shuffle.partitions"))
-        return 0.01
+        def once() -> float:
+            seen.append(spark.conf.get("spark.sql.shuffle.partitions"))
+            return 0.01
 
-    best = bench._probe_best_of(spark, 2, once)
-    assert best == 0.01
-    assert seen == ["32", "32", "32"], "probe must run under pinned confs"
-    assert spark.conf.get("spark.sql.shuffle.partitions") == "7", (
-        "caller's conf must be restored after the probe"
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", "32")
+        best = bench._probe_best_of(spark, 2, once)
+        assert best == 0.01
+        assert seen == ["32", "32", "32"], "probe must run under pinned confs"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "7", (
+            "caller's conf must be restored after the probe"
+        )
+    finally:
+        # restore the conftest-configured value for the SHARED session —
+        # leaving '7' (assert failure) or a hardcoded guess would run
+        # every later test under the wrong shuffle partitioning
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
