@@ -456,17 +456,23 @@ def ext_dedup_near(spark, sf_dir):
     never corrupt. Engine-specific hashes make this rows-only for the
     oracle; tests/test_ext_llm.py checks recall against ext-ngram-jaccard.
 
-    At-scale switch (100 TB): this implementation CARRIES each doc's
-    shingle set through the band explode so verification is a local
-    array_intersect on the joined pair — optimal while sets are small
-    (bench corpus: tens of shingles/doc), but at web scale the carried
-    set multiplies band-shuffle bytes by the document text size. The
-    alternative is candidates-rejoin-shingles: band-join on (band, sig)
-    carrying ONLY doc ids, dedupe candidate pairs, then join the pair
-    table back to the per-doc shingle table twice to verify. Crossover:
-    carry wins while avg_shingle_bytes x n_bands < 2 x (pair join cost);
-    with 8 bands and >~1 KB of shingles/doc the rejoin variant shuffles
-    less. See SCALING.md "Near-dedup" for the full trade."""
+    At-scale switch (100 TB): the band join itself carries ONLY doc ids
+    (the explode is (doc_id, band, sig)); the heavyweight is the
+    VERIFICATION, which by default joins each side's full shingle set —
+    a wide array column — onto every candidate pair and intersects
+    locally (array_intersect). Each doc's set is shuffled once per
+    candidate pair touching it: optimal while sets are small (bench
+    corpus: tens of shingles/doc) and candidate fan-out is low, but at
+    web scale a hub document's multi-KB set rides every one of its
+    pairs. The switch — spark.graft.dedupVerify=rejoin (or
+    SPARK_GRAFT_DEDUP_VERIFY=rejoin) — verifies at SHINGLE level
+    instead: candidates equi-join the capped (doc_id, shingle) table on
+    both sides and a partial-aggregated count computes the intersection
+    (the _NGRAM_JACCARD shape), so the shuffle is narrow shingle rows,
+    never wide arrays. Both paths produce IDENTICAL pairs (parity-
+    pinned by tests/test_ext_llm.py); crossover is roughly where
+    avg_set_bytes x candidate_fanout exceeds the two shingle-level
+    joins. See SCALING.md "Near-dedup" for the full trade."""
     d = views(spark, sf_dir).table("documents")
     # One aggregation produces the whole per-doc record: minhash signature +
     # the shingle set itself. The signature table is doc-granular (bounded by
@@ -511,8 +517,64 @@ def ext_dedup_near(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification of candidates only: set intersection on the carried
-    # shingle sets (no shingle-level join, no second pass over the corpus)
+    import os as _os
+
+    mode = _os.environ.get("SPARK_GRAFT_DEDUP_VERIFY") or spark.conf.get(
+        "spark.graft.dedupVerify", "carry"
+    )
+    if mode not in ("carry", "rejoin"):
+        # fail loudly: silently falling back to the carry path would run
+        # the wide-array verification on exactly the job whose operator
+        # tried to switch it off — the OOM the setting exists to prevent
+        raise ValueError(
+            f"spark.graft.dedupVerify/SPARK_GRAFT_DEDUP_VERIFY must be "
+            f"'carry' or 'rejoin', got {mode!r}"
+        )
+    if mode == "rejoin":
+        # shingle-level verification (the 100 TB switch): candidates
+        # equi-join the capped (doc_id, shingle) table on both sides and
+        # a partial-aggregated count computes the intersection — narrow
+        # shingle rows through the shuffle, never wide set arrays. The
+        # shingle table explodes from the SAME persisted per-doc
+        # artifact, so both paths verify in the identical (capped)
+        # shingle universe and no second corpus pass runs. Candidates
+        # with an empty intersection drop out of the inner join; they
+        # fail the jaccard >= 0.4 filter either way.
+        sh_rows = per_doc.select("doc_id", F.explode("shset").alias("shingle"))
+        inter_tbl = (
+            candidates.join(
+                sh_rows.select(
+                    F.col("doc_id").alias("doc_a"), "shingle"
+                ),
+                "doc_a",
+            )
+            .join(
+                sh_rows.select(
+                    F.col("doc_id").alias("doc_b"), "shingle"
+                ),
+                ["doc_b", "shingle"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        na = per_doc.select(
+            F.col("doc_id").alias("doc_a"), F.size("shset").alias("na")
+        )
+        nb = per_doc.select(
+            F.col("doc_id").alias("doc_b"), F.size("shset").alias("nb")
+        )
+        jac = F.col("inter").cast("double") / (
+            F.col("na") + F.col("nb") - F.col("inter")
+        )
+        return (
+            inter_tbl.join(na, "doc_a")
+            .join(nb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= 0.4)
+        )
+    # default: exact verification on the carried shingle sets — set
+    # intersection is local to each joined pair (no shingle-level join,
+    # no second pass over the corpus); optimal for small sets
     sets_a = per_doc.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sa"))
     sets_b = per_doc.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
