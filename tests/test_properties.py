@@ -1403,3 +1403,51 @@ def test_migrate_crash_at_every_fs_point_name_never_breaks(
         assert got == {1, 2}, (
             f"crash at fs point {point} broke the migrated name: {got}"
         )
+
+
+_fs_name_chars = st.characters(
+    blacklist_characters="/\x00", blacklist_categories=("Cs",)
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    name=st.text(_fs_name_chars, min_size=1, max_size=40).filter(
+        lambda s: s not in (".", "..") and not s.endswith(".tmp")
+    ),
+    suffix=st.sampled_from(["12345", "999.888.7", "0", "1.2"]),
+)
+def test_stale_tmp_sweep_exact_for_arbitrary_target_names(
+    tmp_path_factory, name, suffix
+):
+    """For ANY filesystem-legal target name — glob metacharacters,
+    unicode, dots, spaces — a write to the target sweeps exactly the
+    stale digits-suffixed staging siblings of THAT target: the stale
+    sibling dies, a fresh sibling survives, a stale sibling of a
+    DIFFERENT target survives, and the target's content is the write's
+    payload. The round-10 glob interpolation failed the 'dies' leg for
+    metacharacter names and could misalign the prefix slice for '?'
+    names; startswith matching is name-agnostic by construction."""
+    import os
+    import time as _time
+
+    from dbtwiz_spark.fsutil import atomic_write_text
+
+    d = tmp_path_factory.mktemp("sweep")
+    ancient = _time.time() - 7200
+    target = d / name
+    stale = d / f"{name}.tmp.{suffix}"
+    stale.write_text("abandoned")
+    os.utime(stale, (ancient, ancient))
+    fresh = d / f"{name}.tmp.111.222.3"
+    fresh.write_text("in-flight")
+    other = d / f"OTHER-{name}.tmp.{suffix}"
+    other.write_text("not ours")
+    os.utime(other, (ancient, ancient))
+
+    atomic_write_text(target, "payload")
+
+    assert target.read_text() == "payload"
+    assert not stale.exists(), f"stale sibling of {name!r} not swept"
+    assert fresh.exists(), "fresh in-flight sibling must survive"
+    assert other.exists(), "another target's sibling is not ours to sweep"
