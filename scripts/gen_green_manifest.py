@@ -8,6 +8,16 @@ it must re-enter corpus_order.DRIVER_WINDOW so the driver re-certifies it —
 no entry may coast on a CORRECTNESS row earned by code that no longer exists
 (the round-2 ``win-percent`` failure mode).
 
+The helper closure covers OPS-MODULE helpers (common/ext_llm/
+ext_pipeline/graphs attributes named in _SHARED_HELPERS). The warehouse
+plane (materialize.py, fsutil.py) — which the sink entries and
+stream-dedup-near-cert exercise end-to-end but never inline — is pinned
+separately at FILE level into scripts/plane_manifest.json: an edit to
+either file re-windows every green entry whose certification runs
+through Warehouse, closing the blind spot where a behavioral
+materialize.py change could coast on sink rows earned by the old write
+path (tests/test_corpus_order.py::test_warehouse_plane_unchanged_or_windowed).
+
 Run after each round's CORRECTNESS_r{N}.json lands:
     python scripts/gen_green_manifest.py
 """
@@ -142,6 +152,24 @@ def green_entries() -> set[str]:
     return green
 
 
+# The write/snapshot plane the sink entries certify THROUGH rather than
+# inline: their op functions call Warehouse methods, so the entry-source
+# hash above never sees a materialize.py edit. File-level pins close
+# that gap. fsutil.py is materialize's atomicity/staging callee — same
+# reasoning as _checkpoint_dir under _truncate in _SHARED_HELPERS.
+PLANE_FILES = (
+    "dbtwiz_spark/materialize.py",
+    "dbtwiz_spark/fsutil.py",
+)
+
+
+def plane_hashes() -> dict[str, str]:
+    return {
+        rel: hashlib.sha256((REPO / rel).read_bytes()).hexdigest()
+        for rel in PLANE_FILES
+    }
+
+
 def main() -> None:
     manifest = {
         name: entry_hash(name)
@@ -151,6 +179,11 @@ def main() -> None:
     out = REPO / "scripts" / "green_manifest.json"
     out.write_text(json.dumps(manifest, indent=1) + "\n")
     print(f"{len(manifest)} green entries pinned -> {out}")
+    plane_out = REPO / "scripts" / "plane_manifest.json"
+    plane_out.write_text(
+        json.dumps({"warehouse": plane_hashes()}, indent=1) + "\n"
+    )
+    print(f"{len(PLANE_FILES)} warehouse-plane files pinned -> {plane_out}")
 
 
 if __name__ == "__main__":

@@ -59,3 +59,47 @@ def test_green_entries_unchanged_or_in_window():
         f"(driver would keep certifying the old code): {stale} — either put "
         "them in corpus_order.DRIVER_WINDOW or revert"
     )
+
+
+def test_warehouse_plane_unchanged_or_windowed():
+    """The sink entries (and stream-dedup-near-cert) certify THROUGH
+    Warehouse: their op functions call materialize.py methods whose
+    source never appears in the entry hash, so a behavioral write-path
+    edit would coast on green rows earned by the old code — the
+    round-2 win-percent failure mode, one indirection deeper. The plane
+    manifest pins materialize.py + fsutil.py at file level; an edit
+    requires every green Warehouse-certified entry to re-enter the
+    window (and the pin to be regenerated with the green manifest)."""
+    import inspect
+
+    from scripts.gen_green_manifest import PLANE_FILES, plane_hashes
+
+    plane_path = REPO / "scripts" / "plane_manifest.json"
+    pinned = json.loads(plane_path.read_text())["warehouse"]
+    assert set(pinned) == set(PLANE_FILES), (
+        "plane manifest out of sync with PLANE_FILES — rerun "
+        "scripts/gen_green_manifest.py"
+    )
+    changed = [rel for rel, h in plane_hashes().items() if pinned[rel] != h]
+    if not changed:
+        return
+    green = set(
+        json.loads((REPO / "scripts" / "green_manifest.json").read_text())
+    )
+    affected = [
+        name
+        for name, spec in CORPUS.items()
+        if name in green
+        and (
+            spec.fn.__module__ == "dbtwiz_spark.ops.sinks"
+            or "Warehouse" in inspect.getsource(spec.fn)
+        )
+    ]
+    assert affected, "Warehouse-certified entry derivation came up empty"
+    missing = [e for e in affected if e not in DRIVER_WINDOW]
+    assert not missing, (
+        f"warehouse plane changed ({changed}) but these green entries "
+        f"certify through it and sit outside the window: {missing} — put "
+        "them in corpus_order.DRIVER_WINDOW (and regenerate the manifests) "
+        "or revert the plane edit"
+    )
