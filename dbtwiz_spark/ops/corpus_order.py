@@ -65,6 +65,23 @@ item 2's done-criterion (minimum age >= r6). Round 12 takes BOTH
 24 forced + 26 of the 49 r6-era greens fill that window; the r6
 remainder follows in r13.
 
+Also queued for round 12 — cert-coupling in the green-manifest guard:
+a certificate entry (ext-dedup-near-recall, ext-dedup-simhash-recall,
+ext-ann-lsh-recall, ext-ann-ivf-recall, stream-dedup-near-cert,
+sort-within-partitions-cert) invokes its certified op at runtime, but
+the op's source is not in the cert's entry hash, so an op edit forces
+the OP back into the window without forcing its CERT — the cert's
+driver row keeps certifying recall/parity measured against the old op
+(round-11 instance: the ext-dedup-near rejoin switch re-windowed
+ext-dedup-near but not ext-dedup-near-recall; the pytest sweep still
+re-runs the cert every session, so the exposure is driver-row
+freshness, not correctness). Fix shape: a CERT_OF mapping consumed by
+gen_green_manifest (fold the certified op's source into the cert hash),
+landing WITH round 12's rotation since it re-windows the cert entries
+of any op edited that round. The warehouse-plane file pin
+(scripts/plane_manifest.json, landed r11) already covers the analogous
+sink-entry indirection.
+
 Round-11 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r10 item 9). Any entry added mid-round must be listed here under
 "added AFTER the round-11 window filled" for round-12 front-loading.
