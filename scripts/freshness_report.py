@@ -1,0 +1,114 @@
+"""Certification-freshness report for window-rotation planning.
+
+Each driver round re-certifies only the first 50 ``queries()`` entries
+(the DRIVER_WINDOW), so every other entry's newest CORRECTNESS row ages
+by one round. The verdicts track this by hand ("r5 x 39 is the complete
+oldest cohort"); this script computes it from the CORRECTNESS_r*.json
+history so a rotation plan starts from the actual cohorts, not a
+recollection of them.
+
+Green semantics match scripts/gen_green_manifest.py exactly:
+- oracle-carrying entries are green ONLY on hash_match;
+- rows-only entries (spec.oracle is None) are green when the driver
+  RECORDED a rows-only check (err == "no_oracle" with spark_rows).
+
+Usage:
+    python scripts/freshness_report.py            # cohort histogram + plan aid
+    python scripts/freshness_report.py --json     # machine-readable
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from dbtwiz_spark.ops import CORPUS  # noqa: E402
+from dbtwiz_spark.ops.corpus_order import DRIVER_WINDOW  # noqa: E402
+
+
+def _row_green(name: str, row: dict) -> bool:
+    spec = CORPUS.get(name)
+    if row.get("hash_match"):
+        return True
+    return (
+        row.get("err") == "no_oracle"
+        and row.get("spark_rows") is not None
+        and spec is not None
+        and spec.oracle is None
+    )
+
+
+def latest_green_rounds() -> dict[str, int | None]:
+    """Entry -> newest round with a green driver row (None: never green)."""
+    latest: dict[str, int | None] = {name: None for name in CORPUS}
+    for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        rnd = int(m.group(1))
+        for name, row in json.loads(path.read_text()).items():
+            if name in latest and _row_green(name, row):
+                cur = latest[name]
+                latest[name] = rnd if cur is None else max(cur, rnd)
+    return latest
+
+
+def main() -> None:
+    latest = latest_green_rounds()
+    as_json = "--json" in sys.argv
+
+    cohorts: dict[int | None, list[str]] = {}
+    for name, rnd in latest.items():
+        cohorts.setdefault(rnd, []).append(name)
+
+    # assume a green current round for window members: the plan aid asks
+    # "after THIS window goes green, what is the oldest cohort and which
+    # of its entries are NOT already being re-certified?"
+    rounds = [r for r in cohorts if r is not None]
+    this_round = (max(rounds) if rounds else 0) + 1
+    projected = {
+        name: (this_round if name in DRIVER_WINDOW else rnd)
+        for name, rnd in latest.items()
+    }
+    proj_rounds = sorted({r for r in projected.values() if r is not None})
+    oldest = proj_rounds[0] if proj_rounds else None
+    next_candidates = sorted(
+        name
+        for name, rnd in projected.items()
+        if rnd == oldest and name not in DRIVER_WINDOW
+    )
+
+    if as_json:
+        print(
+            json.dumps(
+                {
+                    "latest_green_round": latest,
+                    "window_round": this_round,
+                    "projected_oldest_cohort": oldest,
+                    "next_window_candidates": next_candidates,
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
+        return
+
+    print(f"corpus entries: {len(latest)}  window: {len(DRIVER_WINDOW)}")
+    for rnd in sorted(cohorts, key=lambda r: (r is None, r)):
+        names = cohorts[rnd]
+        label = f"r{rnd}" if rnd is not None else "never-green"
+        in_win = sum(1 for n in names if n in DRIVER_WINDOW)
+        print(f"  {label:>11}: {len(names):3d} entries ({in_win} in window)")
+    print(
+        f"\nprojected after a green r{this_round} window: oldest cohort r{oldest}, "
+        f"{len(next_candidates)} entries to front-load next round:"
+    )
+    for name in next_candidates:
+        print(f"  {name}")
+
+
+if __name__ == "__main__":
+    main()

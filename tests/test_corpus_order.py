@@ -103,3 +103,32 @@ def test_warehouse_plane_unchanged_or_windowed():
         "them in corpus_order.DRIVER_WINDOW (and regenerate the manifests) "
         "or revert the plane edit"
     )
+
+
+def test_freshness_report_agrees_with_green_manifest_semantics():
+    """scripts/freshness_report.py is the rotation-planning aid; its green
+    semantics must stay byte-for-byte those of gen_green_manifest (the
+    guard's), or a rotation planned off the report would window the wrong
+    cohort. Pins: every corpus entry has a green driver row (the 286/286
+    certification), the entry sets agree across both scripts, and the
+    projected next-round candidates never overlap the current window."""
+    from scripts.freshness_report import latest_green_rounds
+    from scripts.gen_green_manifest import green_entries
+
+    latest = latest_green_rounds()
+    assert set(latest) == set(CORPUS)
+    never = sorted(n for n, r in latest.items() if r is None)
+    assert not never, f"entries with no green driver row: {never}"
+    assert {n for n, r in latest.items() if r is not None} == {
+        n for n in green_entries() if n in CORPUS
+    }
+    oldest = min(r for r in latest.values() if r is not None)
+    stale_outside = [
+        n
+        for n, r in latest.items()
+        if r == oldest and n not in DRIVER_WINDOW
+    ]
+    assert not stale_outside, (
+        f"oldest cohort (r{oldest}) entries outside the window — the "
+        f"rotation should front-load them: {stale_outside}"
+    )
