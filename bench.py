@@ -295,8 +295,12 @@ EXTRA_QUERIES = {
     "q_connected_components": q_connected_components,
     "q_hits": q_hits,
     # round-11: the two plans rewritten by per-round truncation +
-    # converged-distance memoization (the CC device) — traced so a
-    # regression of the two-branch plan-growth fix is visible per round
+    # converged-distance memoization (the CC device). NOTE the timed
+    # samples are memo HITS — the untimed warm-up pays the iterative
+    # build (the q_pagerank policy), so these trace the warm steady
+    # state; the plan-shape guard itself (no join tower, loop routed
+    # through _truncate) lives in test_plans.py::
+    # test_round11_bfs_minplus_truncated_and_pairs_first, not here
     "q_bfs_hops": q_bfs_hops,
     "q_minplus_distance": q_minplus_distance,
 }

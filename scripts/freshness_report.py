@@ -7,8 +7,11 @@ oldest cohort"); this script computes it from the CORRECTNESS_r*.json
 history so a rotation plan starts from the actual cohorts, not a
 recollection of them.
 
-Green semantics match scripts/gen_green_manifest.py exactly:
-- oracle-carrying entries are green ONLY on hash_match;
+Green semantics ARE scripts/gen_green_manifest.py's — the row-level
+predicate (``row_green``) is imported, not reimplemented, so the
+planner can never drift from the guard:
+- oracle-carrying entries are green ONLY on hash_match (and never on a
+  row recording a non-"no_oracle" err);
 - rows-only entries (spec.oracle is None) are green when the driver
   RECORDED a rows-only check (err == "no_oracle" with spark_rows).
 
@@ -29,18 +32,7 @@ sys.path.insert(0, str(REPO))
 
 from dbtwiz_spark.ops import CORPUS  # noqa: E402
 from dbtwiz_spark.ops.corpus_order import DRIVER_WINDOW  # noqa: E402
-
-
-def _row_green(name: str, row: dict) -> bool:
-    spec = CORPUS.get(name)
-    if row.get("hash_match"):
-        return True
-    return (
-        row.get("err") == "no_oracle"
-        and row.get("spark_rows") is not None
-        and spec is not None
-        and spec.oracle is None
-    )
+from scripts.gen_green_manifest import row_green as _row_green  # noqa: E402
 
 
 def latest_green_rounds() -> dict[str, int | None]:
@@ -48,6 +40,8 @@ def latest_green_rounds() -> dict[str, int | None]:
     latest: dict[str, int | None] = {name: None for name in CORPUS}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if m is None:
+            continue  # e.g. a CORRECTNESS_r10_backup.json stray
         rnd = int(m.group(1))
         for name, row in json.loads(path.read_text()).items():
             if name in latest and _row_green(name, row):

@@ -123,31 +123,39 @@ def entry_hash(name: str) -> str:
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 
+def row_green(name: str, row: dict) -> bool:
+    """THE green predicate for a single driver CORRECTNESS row — shared
+    with scripts/freshness_report.py so the rotation planner can never
+    drift from the guard (review find: a reimplementation there dropped
+    the err gate, so a hypothetical err='timeout' row carrying a stale
+    hash_match would have counted green for planning but not pinning)."""
+    if row.get("err") and row["err"] != "no_oracle":
+        return False
+    # an oracle-carrying entry is green ONLY on a value-hash match;
+    # rows_match suffices solely for rows-only entries (no oracle) —
+    # counting rows_match for oracle entries would pin value-hash
+    # FAILURES (e.g. the r3 HUGEINT mismatches) as certified green
+    spec = CORPUS.get(name)
+    if row.get("hash_match"):
+        return True
+    # rows-only green requires the driver row to have been RECORDED as a
+    # rows-only check (err == "no_oracle"), not just the current spec to
+    # lack an oracle — otherwise removing a failing entry's oracle would
+    # retroactively certify its old hash-FAILED rows
+    return (
+        row.get("err") == "no_oracle"
+        and row.get("spark_rows") is not None
+        and spec is not None
+        and spec.oracle is None
+    )
+
+
 def green_entries() -> set[str]:
     green: set[str] = set()
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         data = json.loads(path.read_text())
         for name, row in data.items():
-            if row.get("err") and row["err"] != "no_oracle":
-                continue
-            # an oracle-carrying entry is green ONLY on a value-hash match;
-            # rows_match suffices solely for rows-only entries (no oracle) —
-            # counting rows_match for oracle entries would pin value-hash
-            # FAILURES (e.g. the r3 HUGEINT mismatches) as certified green
-            spec = CORPUS.get(name)
-            if row.get("hash_match"):
-                green.add(name)
-            elif (
-                row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
-                and spec is not None
-                and spec.oracle is None
-            ):
-                # rows-only green requires the driver row to have been
-                # RECORDED as a rows-only check (err == "no_oracle"), not
-                # just the current spec to lack an oracle — otherwise
-                # removing a failing entry's oracle would retroactively
-                # certify its old hash-FAILED rows
+            if row_green(name, row):
                 green.add(name)
     return green
 
