@@ -31,6 +31,7 @@ _SHIPPED = (
     "__spark_entry__.py",
     "README.md",
     "SCALING.md",
+    "CERTIFICATION.md",
     "CORPUS.md",
     "FIXTURES.md",
     "pyproject.toml",
