@@ -5,13 +5,18 @@ struct of typed metadata; decode / feature-extract / resize / frame-sample
 run as Arrow-batched pandas functions over `mapInPandas` so the heavy
 per-item work stays vectorized and off the driver.
 
-The container ships no codec LIBRARIES, so image/video decoders are
-honest stubs (`NotImplementedError` or the deterministic fake used in
-tests) — but AUDIO is real for PCM WAV, the one codec the Python stdlib
-ships (`wave`): `decode_audio` parses the actual header and returns the
-PCM stream, and `frame_sample` steps header-derived offsets with true
-byte-math slice sizes. The Spark plumbing — schemas, batch iteration,
-partition-preserving UDF shape — is real and tested for every modality.
+The container ships no codec LIBRARIES, so the decode line is drawn at
+what pure byte math can reach — and everything on the reachable side is
+REAL: audio for PCM WAV (stdlib `wave`: `decode_audio` parses the
+actual header and returns the PCM stream; `frame_sample` steps
+header-derived offsets with true byte-math slice sizes), images for
+uncompressed BMP (BI_RGB 24/32 bpp) and binary PPM (`decode_image`
+normalizes row order/channel order/padding; `resize_images` does a
+vectorized nearest-neighbor resample and re-encodes). Compressed
+formats (PNG/JPEG/mp3/video) raise `NotImplementedError` — on a real
+cluster those branches swap in PIL/ffmpeg inside the same batch loop.
+The Spark plumbing — schemas, batch iteration, partition-preserving UDF
+shape — is real and tested for every modality.
 """
 
 from __future__ import annotations
@@ -51,13 +56,128 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload. STUB: no codec libraries in this container.
+def decode_image(payload: bytes) -> dict:
+    """Decode an image payload — REAL for the two formats whose decode
+    is pure byte math (no codec libraries needed): uncompressed BMP
+    (BITMAPINFOHEADER, BI_RGB, 24/32 bpp) and binary PPM (P6, maxval
+    ≤ 255). Returns ``{"width", "height", "n_channels", "pixels"}``
+    with pixels as top-down row-major RGB(A) bytes — BMP's bottom-up row
+    order and BGR channel order and 4-byte row padding are normalized
+    here, so callers never see container quirks.
 
-    On a real cluster this is `PIL.Image.open(io.BytesIO(payload))` inside
-    the same mapInPandas batch loop.
-    """
-    raise NotImplementedError("image codecs not available in this environment")
+    Compressed formats (PNG/JPEG/…) raise NotImplementedError like the
+    other codec guards — on a real cluster that branch is
+    `PIL.Image.open(io.BytesIO(payload))` inside the same mapInPandas
+    batch loop. One failure mode ('not decodable here') either way."""
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    raise NotImplementedError(
+        "image payload is not byte-math-decodable (uncompressed BMP / "
+        "binary PPM); compressed codecs are not available in this "
+        "environment"
+    )
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    import struct
+
+    import numpy as np
+
+    try:
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        # height is signed: negative means top-down row order
+        dib_size, width, height_raw = struct.unpack_from("<Iii", payload, 14)
+        bpp, compression = struct.unpack_from("<HI", payload, 28)
+        if dib_size < 40:
+            raise ValueError(f"unsupported DIB header size {dib_size}")
+        if compression != 0 or bpp not in (24, 32):
+            raise ValueError(
+                f"only BI_RGB 24/32 bpp supported (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        height = abs(height_raw)
+        n_channels = bpp // 8
+        row_stride = (width * n_channels + 3) & ~3  # rows pad to 4 bytes
+        end = data_offset + row_stride * height
+        if width <= 0 or height == 0 or len(payload) < end:
+            raise ValueError("pixel data shorter than header claims")
+        rows = np.frombuffer(payload, np.uint8, row_stride * height, data_offset)
+        px = rows.reshape(height, row_stride)[:, : width * n_channels]
+        px = px.reshape(height, width, n_channels)
+        if height_raw > 0:
+            px = px[::-1]  # bottom-up file order -> top-down
+        # BGR(A) -> RGB(A)
+        px = px[..., [2, 1, 0, 3][:n_channels]]
+        return {
+            "width": width,
+            "height": height,
+            "n_channels": n_channels,
+            "pixels": np.ascontiguousarray(px).tobytes(),
+        }
+    except (struct.error, ValueError) as e:
+        raise NotImplementedError(f"BMP payload not decodable: {e}") from e
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """Binary PPM (P6): 'P6' then whitespace-separated width/height/
+    maxval tokens ('#' comment lines legal), one whitespace byte, then
+    width*height RGB triples."""
+    try:
+        pos = 2
+        tokens: list[int] = []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace byte after maxval
+        width, height, maxval = tokens
+        if not (0 < maxval <= 255) or width <= 0 or height <= 0:
+            raise ValueError(f"unsupported PPM dimensions/maxval {tokens}")
+        need = width * height * 3
+        pixels = payload[pos : pos + need]
+        if len(pixels) < need:
+            raise ValueError("pixel data shorter than header claims")
+        return {
+            "width": width,
+            "height": height,
+            "n_channels": 3,
+            "pixels": bytes(pixels),
+        }
+    except (ValueError, IndexError) as e:
+        raise NotImplementedError(f"PPM payload not decodable: {e}") from e
+
+
+def encode_bmp(width: int, height: int, pixels: bytes, n_channels: int = 3) -> bytes:
+    """Encode top-down row-major RGB(A) bytes as an uncompressed 24-bit
+    BI_RGB BMP (alpha dropped) — the inverse of _decode_bmp, so resized
+    payloads stay round-trippable through decode_image."""
+    import struct
+
+    import numpy as np
+
+    px = np.frombuffer(pixels, np.uint8).reshape(height, width, n_channels)
+    rgb = px[..., :3][..., ::-1]  # RGB(A) -> BGR, drop alpha
+    row_stride = (width * 3 + 3) & ~3
+    rows = np.zeros((height, row_stride), np.uint8)
+    rows[:, : width * 3] = rgb.reshape(height, width * 3)
+    data = rows[::-1].tobytes()  # top-down -> bottom-up file order
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return header + data
 
 
 def decode_audio(payload: bytes, with_pcm: bool = True) -> dict:
@@ -124,15 +244,33 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
+def _resize_nearest(img: dict, width: int, height: int) -> bytes:
+    """Nearest-neighbor resample via numpy index arrays (vectorized —
+    no per-pixel Python), re-encoded as 24-bit BMP."""
+    import numpy as np
+
+    px = np.frombuffer(img["pixels"], np.uint8).reshape(
+        img["height"], img["width"], img["n_channels"]
+    )
+    ys = (np.arange(height) * img["height"]) // height
+    xs = (np.arange(width) * img["width"]) // width
+    out = px[ys][:, xs]
+    return encode_bmp(width, height, out.tobytes(), img["n_channels"])
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize image payloads via Arrow-batched mapInPandas.
 
     Input: (doc_id: long, payload: binary, meta: MEDIA_META_SCHEMA struct).
-    Output: same shape with meta.width/height rewritten. The pixel work is a
-    deterministic fake (payload passthrough — a real cluster calls
-    PIL `Image.resize` in the same batch loop; codecs are absent here); the
-    Spark-side plumbing — struct column through Arrow, schema-stable output,
-    partition-preserving map — is the real contract."""
+    Output: same shape with meta.width/height rewritten. REAL for
+    byte-math-decodable payloads (uncompressed BMP / binary PPM — see
+    decode_image): nearest-neighbor resample through vectorized numpy
+    index arrays, re-encoded as 24-bit BMP. Payloads needing an absent
+    codec (PNG/JPEG) pass through unchanged with only the meta rewrite —
+    a real cluster swaps that branch for PIL `Image.resize` in the same
+    batch loop. The Spark-side plumbing — struct column through Arrow,
+    schema-stable output, partition-preserving map — is identical on
+    both branches."""
 
     out_schema = StructType(
         [
@@ -145,6 +283,16 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
+        def one(payload):
+            if payload is None:
+                return payload
+            try:
+                return _resize_nearest(
+                    decode_image(bytes(payload)), width, height
+                )
+            except NotImplementedError:
+                return payload  # codec absent here: passthrough branch
+
         for pdf in it:
             meta = [
                 {
@@ -156,7 +304,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 for m in pdf["meta"]
             ]
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "payload": pdf["payload"], "meta": meta}
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(one),
+                    "meta": meta,
+                }
             )
 
     return df.mapInPandas(batches, out_schema)

@@ -9,14 +9,14 @@ no entry may coast on a CORRECTNESS row earned by code that no longer exists
 (the round-2 ``win-percent`` failure mode).
 
 The helper closure covers OPS-MODULE helpers (common/ext_llm/
-ext_pipeline/graphs attributes named in _SHARED_HELPERS). The warehouse
-plane (materialize.py, fsutil.py) — which the sink entries and
-stream-dedup-near-cert exercise end-to-end but never inline — is pinned
-separately at FILE level into scripts/plane_manifest.json: an edit to
-either file re-windows every green entry whose certification runs
-through Warehouse, closing the blind spot where a behavioral
-materialize.py change could coast on sink rows earned by the old write
-path (tests/test_corpus_order.py::test_warehouse_plane_unchanged_or_windowed).
+ext_pipeline/graphs attributes named in _SHARED_HELPERS). Engine planes
+that entries certify THROUGH but never inline (warehouse:
+materialize.py + fsutil.py for the sink entries; multimodal:
+multimodal.py for the ext-multimodal-* entries) are pinned separately
+at FILE level into scripts/plane_manifest.json: a plane edit re-windows
+every green entry certifying through it, closing the blind spot where a
+behavioral change there could coast on rows earned by the old code
+(tests/test_corpus_order.py::test_planes_unchanged_or_windowed).
 
 Run after each round's CORRECTNESS_r{N}.json lands:
     python scripts/gen_green_manifest.py
@@ -160,21 +160,30 @@ def green_entries() -> set[str]:
     return green
 
 
-# The write/snapshot plane the sink entries certify THROUGH rather than
-# inline: their op functions call Warehouse methods, so the entry-source
-# hash above never sees a materialize.py edit. File-level pins close
-# that gap. fsutil.py is materialize's atomicity/staging callee — same
-# reasoning as _checkpoint_dir under _truncate in _SHARED_HELPERS.
-PLANE_FILES = (
-    "dbtwiz_spark/materialize.py",
-    "dbtwiz_spark/fsutil.py",
-)
+# Planes: engine modules that entries certify THROUGH rather than
+# inline — the op function calls into them, so the entry-source hash
+# above never sees their edits. File-level pins close that gap:
+# - warehouse: sink entries (+ stream-dedup-near-cert) call Warehouse
+#   methods in materialize.py; fsutil.py is its atomicity/staging
+#   callee — same reasoning as _checkpoint_dir under _truncate in
+#   _SHARED_HELPERS.
+# - multimodal: the two ext-multimodal-* entries call
+#   extract_features/frame_sample in multimodal.py.
+# The guard test derives each plane's affected entries dynamically
+# (tests/test_corpus_order.py::test_planes_unchanged_or_windowed).
+PLANES: dict[str, tuple[str, ...]] = {
+    "warehouse": (
+        "dbtwiz_spark/materialize.py",
+        "dbtwiz_spark/fsutil.py",
+    ),
+    "multimodal": ("dbtwiz_spark/multimodal.py",),
+}
 
 
-def plane_hashes() -> dict[str, str]:
+def plane_hashes(plane: str) -> dict[str, str]:
     return {
         rel: hashlib.sha256((REPO / rel).read_bytes()).hexdigest()
-        for rel in PLANE_FILES
+        for rel in PLANES[plane]
     }
 
 
@@ -189,9 +198,13 @@ def main() -> None:
     print(f"{len(manifest)} green entries pinned -> {out}")
     plane_out = REPO / "scripts" / "plane_manifest.json"
     plane_out.write_text(
-        json.dumps({"warehouse": plane_hashes()}, indent=1) + "\n"
+        json.dumps(
+            {plane: plane_hashes(plane) for plane in PLANES}, indent=1
+        )
+        + "\n"
     )
-    print(f"{len(PLANE_FILES)} warehouse-plane files pinned -> {plane_out}")
+    n = sum(len(files) for files in PLANES.values())
+    print(f"{n} plane files pinned ({', '.join(PLANES)}) -> {plane_out}")
 
 
 if __name__ == "__main__":

@@ -61,56 +61,75 @@ def test_green_entries_unchanged_or_in_window():
     )
 
 
-def test_warehouse_plane_unchanged_or_windowed():
-    """The sink entries (and stream-dedup-near-cert) certify THROUGH
-    Warehouse: their op functions call materialize.py methods whose
-    source never appears in the entry hash, so a behavioral write-path
-    edit would coast on green rows earned by the old code — the
-    round-2 win-percent failure mode, one indirection deeper. The plane
-    manifest pins materialize.py + fsutil.py at file level; an edit
-    requires every green Warehouse-certified entry to re-enter the
-    window (and the pin to be regenerated with the green manifest).
+# Which green entries certify THROUGH each pinned plane: predicates over
+# (module, op source). Over-inclusion is safe (extra re-window), missing
+# a referencer is not — keep these as broad as the plane's import shape.
+_PLANE_AFFECTED = {
+    "warehouse": lambda mod, src: (
+        mod == "dbtwiz_spark.ops.sinks" or "Warehouse" in src
+    ),
+    "multimodal": lambda mod, src: "multimodal" in src,
+}
 
-    Bootstrap caveat (stated, not hidden): the pin was first generated
-    at round-11 HEAD, AFTER that round's own fsutil sweep rewrite — so
-    the guard governs edits from round 12 on, and the round-11 rewrite
-    itself is covered by the staging-sweep property test
-    (tests/test_properties.py) and the materialize suite rather than a
-    sink re-window. The sink entries rotate back through the window on
-    their normal freshness schedule (r7-r10 cohort)."""
+
+def test_planes_unchanged_or_windowed():
+    """Entries that certify THROUGH an engine plane (sink entries and
+    stream-dedup-near-cert through materialize.Warehouse + fsutil; the
+    ext-multimodal-* entries through multimodal.py) call code whose
+    source never appears in their entry hash, so a behavioral plane edit
+    would coast on green rows earned by the old code — the round-2
+    win-percent failure mode, one indirection deeper. The plane manifest
+    pins those files at file level; an edit requires every green entry
+    certifying through the plane to re-enter the window (and the pin to
+    be regenerated with the green manifest).
+
+    Bootstrap caveat (stated, not hidden): each pin is first generated
+    at the HEAD of the round that introduces it (warehouse + multimodal:
+    round 11), AFTER that round's own edits to the plane — so the guard
+    governs edits from the next round on, and the introducing round's
+    edits are covered by the plane's direct test suite (staging-sweep
+    property tests, the materialize suite, the decode round-trip tests)
+    rather than a re-window. The entries rotate back through the window
+    on their normal freshness schedule."""
     import inspect
 
-    from scripts.gen_green_manifest import PLANE_FILES, plane_hashes
+    from scripts.gen_green_manifest import PLANES, plane_hashes
 
-    plane_path = REPO / "scripts" / "plane_manifest.json"
-    pinned = json.loads(plane_path.read_text())["warehouse"]
-    assert set(pinned) == set(PLANE_FILES), (
-        "plane manifest out of sync with PLANE_FILES — rerun "
-        "scripts/gen_green_manifest.py"
+    pinned_all = json.loads(
+        (REPO / "scripts" / "plane_manifest.json").read_text()
     )
-    changed = [rel for rel, h in plane_hashes().items() if pinned[rel] != h]
-    if not changed:
-        return
+    assert set(pinned_all) == set(PLANES) and set(_PLANE_AFFECTED) == set(
+        PLANES
+    ), "plane manifest / predicates out of sync with PLANES — rerun gen"
     green = set(
         json.loads((REPO / "scripts" / "green_manifest.json").read_text())
     )
-    affected = [
-        name
-        for name, spec in CORPUS.items()
-        if name in green
-        and (
-            spec.fn.__module__ == "dbtwiz_spark.ops.sinks"
-            or "Warehouse" in inspect.getsource(spec.fn)
+    for plane, files in PLANES.items():
+        pinned = pinned_all[plane]
+        assert set(pinned) == set(files), (
+            f"{plane} pin out of sync — rerun scripts/gen_green_manifest.py"
         )
-    ]
-    assert affected, "Warehouse-certified entry derivation came up empty"
-    missing = [e for e in affected if e not in DRIVER_WINDOW]
-    assert not missing, (
-        f"warehouse plane changed ({changed}) but these green entries "
-        f"certify through it and sit outside the window: {missing} — put "
-        "them in corpus_order.DRIVER_WINDOW (and regenerate the manifests) "
-        "or revert the plane edit"
-    )
+        changed = [
+            rel for rel, h in plane_hashes(plane).items() if pinned[rel] != h
+        ]
+        if not changed:
+            continue
+        affected = [
+            name
+            for name, spec in CORPUS.items()
+            if name in green
+            and _PLANE_AFFECTED[plane](
+                spec.fn.__module__, inspect.getsource(spec.fn)
+            )
+        ]
+        assert affected, f"{plane} affected-entry derivation came up empty"
+        missing = [e for e in affected if e not in DRIVER_WINDOW]
+        assert not missing, (
+            f"{plane} plane changed ({changed}) but these green entries "
+            f"certify through it and sit outside the window: {missing} — "
+            "put them in corpus_order.DRIVER_WINDOW (and regenerate the "
+            "manifests) or revert the plane edit"
+        )
 
 
 def test_freshness_report_agrees_with_green_manifest_semantics():

@@ -412,3 +412,119 @@ def test_bench_probe_pins_and_restores_confs(spark):
         # leaving '7' (assert failure) or a hardcoded guess would run
         # every later test under the wrong shuffle partitioning
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def _hand_bmp(width, height, topdown_rgb_rows, bpp=24, topdown=False):
+    """Reference BMP builder, independent of multimodal.encode_bmp: BGR
+    channel order, 4-byte row padding, bottom-up unless topdown."""
+    import struct
+
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3
+    rows = []
+    for row in topdown_rgb_rows:
+        raw = bytearray()
+        for px in row:
+            r, g, b = px[:3]
+            raw += bytes([b, g, r] + list(px[3:]))
+        raw += b"\x00" * (stride - len(raw))
+        rows.append(bytes(raw))
+    if not topdown:
+        rows = rows[::-1]
+    data = b"".join(rows)
+    h = height if not topdown else -height
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, h, 1, bpp, 0, len(data), 0, 0, 0, 0)
+        + data
+    )
+
+
+def test_decode_bmp_normalizes_container_quirks():
+    """decode_image must hide BMP's bottom-up row order, BGR channel
+    order and 4-byte row padding: a 3x2 24-bit file (9-byte rows padded
+    to 12) decodes to top-down row-major RGB."""
+    from dbtwiz_spark.multimodal import decode_image
+
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    img = decode_image(_hand_bmp(3, 2, rows))
+    assert (img["width"], img["height"], img["n_channels"]) == (3, 2, 3)
+    expect = bytes(c for row in rows for px in row for c in px)
+    assert img["pixels"] == expect
+
+
+def test_decode_bmp_32bpp_topdown_keeps_alpha():
+    from dbtwiz_spark.multimodal import decode_image
+
+    rows = [
+        [(1, 2, 3, 200), (4, 5, 6, 201)],
+        [(7, 8, 9, 202), (10, 11, 12, 203)],
+    ]
+    img = decode_image(_hand_bmp(2, 2, rows, bpp=32, topdown=True))
+    assert img["n_channels"] == 4
+    expect = bytes(c for row in rows for px in row for c in px)
+    assert img["pixels"] == expect
+
+
+def test_decode_ppm_with_comment():
+    from dbtwiz_spark.multimodal import decode_image
+
+    payload = b"P6\n# a comment\n2 1\n255\n" + bytes([9, 8, 7, 6, 5, 4])
+    img = decode_image(payload)
+    assert (img["width"], img["height"], img["n_channels"]) == (2, 1, 3)
+    assert img["pixels"] == bytes([9, 8, 7, 6, 5, 4])
+
+
+def test_encode_bmp_roundtrips_through_decode():
+    from dbtwiz_spark.multimodal import decode_image, encode_bmp
+
+    pixels = bytes(range(3 * 5 * 3))  # 5x3 RGB, non-padded-width case
+    out = decode_image(encode_bmp(5, 3, pixels))
+    assert (out["width"], out["height"], out["pixels"]) == (5, 3, pixels)
+
+
+def test_undecodable_image_payloads_raise_not_implemented():
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    for payload in (
+        b"\x89PNG\r\n\x1a\n",          # compressed format: codec absent
+        b"BM" + b"\x00" * 20,           # truncated BMP header
+        _hand_bmp(2, 2, [[(0, 0, 0)] * 2] * 2)[:-3],  # short pixel data
+        b"P6\n2 2\n65535\n" + b"\x00" * 24,  # 2-byte samples unsupported
+    ):
+        with _pytest.raises(NotImplementedError):
+            decode_image(payload)
+
+
+def test_resize_images_real_path_for_decodable_payloads(spark):
+    """Nearest-neighbor 4x4 -> 2x2 must pick one pixel per quadrant; the
+    output payload is a decodable 24-bit BMP. Non-decodable payloads in
+    the same batch keep the passthrough branch (meta rewrite only)."""
+    from dbtwiz_spark.multimodal import decode_image, resize_images
+
+    quads = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    rows = [
+        [quads[0]] * 2 + [quads[1]] * 2,
+        [quads[0]] * 2 + [quads[1]] * 2,
+        [quads[2]] * 2 + [quads[3]] * 2,
+        [quads[2]] * 2 + [quads[3]] * 2,
+    ]
+    bmp = _hand_bmp(4, 4, rows)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), ("image/bmp", 4, 4, None)),
+         (2, bytearray(b"not-an-image"), ("image/png", 9, 9, None))],
+        "doc_id LONG, payload BINARY, "
+        "meta STRUCT<media_type STRING, width INT, height INT, duration_ms LONG>",
+    )
+    out = {r.doc_id: r for r in resize_images(df, 2, 2).collect()}
+    resized = decode_image(bytes(out[1].payload))
+    assert (resized["width"], resized["height"]) == (2, 2)
+    assert resized["pixels"] == bytes(c for q in quads for c in q)
+    assert out[1].meta.width == 2 and out[1].meta.height == 2
+    assert bytes(out[2].payload) == b"not-an-image"
+    assert out[2].meta.width == 2
