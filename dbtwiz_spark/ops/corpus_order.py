@@ -78,9 +78,9 @@ re-runs the cert every session, so the exposure is driver-row
 freshness, not correctness). Fix shape: a CERT_OF mapping consumed by
 gen_green_manifest (fold the certified op's source into the cert hash),
 landing WITH round 12's rotation since it re-windows the cert entries
-of any op edited that round. The warehouse-plane file pin
-(scripts/plane_manifest.json, landed r11) already covers the analogous
-sink-entry indirection.
+of any op edited that round. The plane file pins
+(scripts/plane_manifest.json, landed r11: warehouse + multimodal)
+already cover the analogous module-level indirections.
 
 Round-11 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r10 item 9). Any entry added mid-round must be listed here under
