@@ -1451,3 +1451,62 @@ def test_stale_tmp_sweep_exact_for_arbitrary_target_names(
     assert not stale.exists(), f"stale sibling of {name!r} not swept"
     assert fresh.exists(), "fresh in-flight sibling must survive"
     assert other.exists(), "another target's sibling is not ours to sweep"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    width=st.integers(1, 17),
+    height=st.integers(1, 17),
+    n_channels=st.sampled_from([3, 4]),
+    data=st.data(),
+)
+def test_bmp_encode_decode_roundtrip_any_geometry(width, height, n_channels, data):
+    """encode_bmp -> decode_image is the identity on the RGB planes for
+    ANY geometry — widths that hit every 4-byte row-padding residue (the
+    classic BMP corruption point), 1-pixel edges, RGBA inputs (alpha is
+    documented as dropped by the 24-bit encoder)."""
+    from dbtwiz_spark.multimodal import decode_image, encode_bmp
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=width * height * n_channels,
+                max_size=width * height * n_channels,
+            )
+        )
+    )
+    out = decode_image(encode_bmp(width, height, pixels, n_channels))
+    assert (out["width"], out["height"], out["n_channels"]) == (
+        width,
+        height,
+        3,
+    )
+    if n_channels == 3:
+        assert out["pixels"] == pixels
+    else:  # alpha plane dropped, RGB preserved
+        rgb = bytes(
+            b
+            for i in range(0, len(pixels), 4)
+            for b in pixels[i : i + 3]
+        )
+        assert out["pixels"] == rgb
+
+
+@settings(max_examples=40, deadline=None)
+@given(width=st.integers(1, 9), height=st.integers(1, 9), data=st.data())
+def test_ppm_decode_any_geometry(width, height, data):
+    from dbtwiz_spark.multimodal import decode_image
+
+    pixels = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=width * height * 3,
+                max_size=width * height * 3,
+            )
+        )
+    )
+    payload = f"P6\n{width} {height}\n255\n".encode() + pixels
+    out = decode_image(payload)
+    assert (out["width"], out["height"], out["pixels"]) == (width, height, pixels)
