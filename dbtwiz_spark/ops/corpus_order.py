@@ -82,6 +82,13 @@ of any op edited that round. The plane file pins
 (scripts/plane_manifest.json, landed r11: warehouse + multimodal)
 already cover the analogous module-level indirections.
 
+Optional round-12 rider (only if the window budget allows after the 24
+forced + cert-coupling re-entries): with decode_image now real for
+byte-math formats (BMP/PPM, landed r11), extract_features could emit
+real width/height for decodable payloads — a multimodal-plane edit, so
+it re-windows ext-multimodal-column and ext-multimodal-framesample (2
+slots) and needs its oracle extended for the new columns.
+
 Round-11 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r10 item 9). Any entry added mid-round must be listed here under
 "added AFTER the round-11 window filled" for round-12 front-loading.
