@@ -52,27 +52,38 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("payload_bytes", LongType()),
         StructField("first_byte", IntegerType()),
+        # real decoded geometry for byte-math-decodable image payloads
+        # (BMP/PPM), NULL otherwise — surfaced as plan-level columns so
+        # min-resolution gates and aspect-ratio buckets are ordinary
+        # Catalyst filters, not a second decode pass
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
     ]
 )
 
 
-def decode_image(payload: bytes) -> dict:
+def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
     """Decode an image payload — REAL for the two formats whose decode
     is pure byte math (no codec libraries needed): uncompressed BMP
     (BITMAPINFOHEADER, BI_RGB, 24/32 bpp) and binary PPM (P6, maxval
     ≤ 255). Returns ``{"width", "height", "n_channels", "pixels"}``
     with pixels as top-down row-major RGB(A) bytes — BMP's bottom-up row
     order and BGR channel order and 4-byte row padding are normalized
-    here, so callers never see container quirks.
+    here, so callers never see container quirks. ``with_pixels=False``
+    is the header-only parse (the ``decode_audio``/``with_pcm``
+    convention): full validation — including the pixel-data length
+    check — but no pixel buffer materialized, for callers that need
+    geometry only (``extract_features``' width/height columns must not
+    copy every image's pixels just to read two header ints).
 
     Compressed formats (PNG/JPEG/…) raise NotImplementedError like the
     other codec guards — on a real cluster that branch is
     `PIL.Image.open(io.BytesIO(payload))` inside the same mapInPandas
     batch loop. One failure mode ('not decodable here') either way."""
     if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+        return _decode_bmp(payload, with_pixels)
     if payload[:2] == b"P6":
-        return _decode_ppm(payload)
+        return _decode_ppm(payload, with_pixels)
     raise NotImplementedError(
         "image payload is not byte-math-decodable (uncompressed BMP / "
         "binary PPM); compressed codecs are not available in this "
@@ -80,7 +91,7 @@ def decode_image(payload: bytes) -> dict:
     )
 
 
-def _decode_bmp(payload: bytes) -> dict:
+def _decode_bmp(payload: bytes, with_pixels: bool = True) -> dict:
     import struct
 
     import numpy as np
@@ -105,6 +116,9 @@ def _decode_bmp(payload: bytes) -> dict:
         end = data_offset + row_stride * height
         if width <= 0 or height == 0 or len(payload) < end:
             raise ValueError("pixel data shorter than header claims")
+        out = {"width": width, "height": height, "n_channels": n_channels}
+        if not with_pixels:
+            return out
         rows = np.frombuffer(payload, np.uint8, row_stride * height, data_offset)
         px = rows.reshape(height, row_stride)[:, : width * n_channels]
         px = px.reshape(height, width, n_channels)
@@ -112,17 +126,13 @@ def _decode_bmp(payload: bytes) -> dict:
             px = px[::-1]  # bottom-up file order -> top-down
         # BGR(A) -> RGB(A)
         px = px[..., [2, 1, 0, 3][:n_channels]]
-        return {
-            "width": width,
-            "height": height,
-            "n_channels": n_channels,
-            "pixels": np.ascontiguousarray(px).tobytes(),
-        }
+        out["pixels"] = np.ascontiguousarray(px).tobytes()
+        return out
     except (struct.error, ValueError) as e:
         raise NotImplementedError(f"BMP payload not decodable: {e}") from e
 
 
-def _decode_ppm(payload: bytes) -> dict:
+def _decode_ppm(payload: bytes, with_pixels: bool = True) -> dict:
     """Binary PPM (P6): 'P6' then whitespace-separated width/height/
     maxval tokens ('#' comment lines legal), one whitespace byte, then
     width*height RGB triples."""
@@ -145,15 +155,12 @@ def _decode_ppm(payload: bytes) -> dict:
         if not (0 < maxval <= 255) or width <= 0 or height <= 0:
             raise ValueError(f"unsupported PPM dimensions/maxval {tokens}")
         need = width * height * 3
-        pixels = payload[pos : pos + need]
-        if len(pixels) < need:
+        if len(payload) - pos < need:
             raise ValueError("pixel data shorter than header claims")
-        return {
-            "width": width,
-            "height": height,
-            "n_channels": 3,
-            "pixels": bytes(pixels),
-        }
+        out = {"width": width, "height": height, "n_channels": 3}
+        if with_pixels:
+            out["pixels"] = bytes(payload[pos : pos + need])
+        return out
     except (ValueError, IndexError) as e:
         raise NotImplementedError(f"PPM payload not decodable: {e}") from e
 
@@ -218,9 +225,12 @@ def extract_features(df: DataFrame) -> DataFrame:
     """Feature-extract over binary payloads via Arrow-batched mapInPandas.
 
     Input: (doc_id: long, payload: binary). Output: FEATURE_SCHEMA.
-    Deterministic fake 'decode': byte length + first byte — stands in for
-    real embedding/thumbnail extraction while exercising the exact
-    Spark-side shape (Arrow transfer, per-batch pandas work, stable schema).
+    Byte length + first byte are computed for every payload; width/height
+    are the REAL decoded geometry for byte-math-decodable images (BMP/PPM
+    — a header-only ``decode_image(with_pixels=False)`` parse, so no
+    pixel buffer is copied just to read two header ints) and NULL for
+    everything else. The Spark-side shape (Arrow transfer, per-batch
+    pandas work, stable schema) is the production one either way.
     """
     assert isinstance(df.schema["payload"].dataType, BinaryType)
 
@@ -228,16 +238,29 @@ def extract_features(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in it:
-            # NULL payloads are legal (BinaryType is nullable): treat as empty
+            nbytes, first, widths, heights = [], [], [], []
+            for b in pdf["payload"]:
+                # NULL payloads are legal (BinaryType is nullable):
+                # treat as empty
+                b = bytes(b) if b is not None else b""
+                nbytes.append(len(b))
+                first.append(b[0] if b else -1)
+                w = h = None
+                if b[:2] in (b"BM", b"P6"):
+                    try:
+                        img = decode_image(b, with_pixels=False)
+                        w, h = img["width"], img["height"]
+                    except NotImplementedError:
+                        pass  # sniffed like an image, doesn't parse: NULL
+                widths.append(w)
+                heights.append(h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload_bytes": pdf["payload"]
-                    .map(lambda b: len(b) if b is not None else 0)
-                    .astype("int64"),
-                    "first_byte": pdf["payload"]
-                    .map(lambda b: b[0] if b is not None and len(b) else -1)
-                    .astype("int32"),
+                    "payload_bytes": pd.array(nbytes, dtype="int64"),
+                    "first_byte": pd.array(first, dtype="int32"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
                 }
             )
 
@@ -262,7 +285,9 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize image payloads via Arrow-batched mapInPandas.
 
     Input: (doc_id: long, payload: binary, meta: MEDIA_META_SCHEMA struct).
-    Output: same shape with meta.width/height rewritten. REAL for
+    Output: same shape with meta.width/height rewritten (and, on the
+    real-resize branch, meta.media_type rewritten to image/bmp — the
+    re-encoded payload's actual format). REAL for
     byte-math-decodable payloads (uncompressed BMP / binary PPM — see
     decode_image): nearest-neighbor resample through vectorized numpy
     index arrays, re-encoded as 24-bit BMP. Payloads needing an absent
@@ -283,32 +308,34 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
-        def one(payload):
-            if payload is None:
-                return payload
-            try:
-                return _resize_nearest(
-                    decode_image(bytes(payload)), width, height
-                )
-            except NotImplementedError:
-                return payload  # codec absent here: passthrough branch
-
         for pdf in it:
-            meta = [
-                {
-                    "media_type": (m or {}).get("media_type"),
-                    "width": width,
-                    "height": height,
-                    "duration_ms": (m or {}).get("duration_ms"),
-                }
-                for m in pdf["meta"]
-            ]
+            payloads, metas = [], []
+            for b, m in zip(pdf["payload"], pdf["meta"]):
+                m = m or {}
+                media_type = m.get("media_type")
+                if b is not None:
+                    try:
+                        b = _resize_nearest(
+                            decode_image(bytes(b)), width, height
+                        )
+                        # the payload was RE-ENCODED as 24-bit BMP: the
+                        # metadata must say so, whatever format came in
+                        # (a resized PPM labeled image/ppm would lie to
+                        # every metadata consumer downstream)
+                        media_type = "image/bmp"
+                    except NotImplementedError:
+                        pass  # codec absent here: passthrough branch
+                payloads.append(b)
+                metas.append(
+                    {
+                        "media_type": media_type,
+                        "width": width,
+                        "height": height,
+                        "duration_ms": m.get("duration_ms"),
+                    }
+                )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": pdf["payload"].map(one),
-                    "meta": meta,
-                }
+                {"doc_id": pdf["doc_id"], "payload": payloads, "meta": metas}
             )
 
     return df.mapInPandas(batches, out_schema)

@@ -1454,7 +1454,9 @@ def ext_ann_ivf_recall(spark, sf_dir):
     "ext-multimodal-column",
     oracle="""
     SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
-           ascii(substr(text, 1, 1)) AS first_byte
+           ascii(substr(text, 1, 1)) AS first_byte,
+           CAST(NULL AS INTEGER) AS width,
+           CAST(NULL AS INTEGER) AS height
     FROM documents
     """,
 )
@@ -1466,7 +1468,10 @@ def ext_multimodal_column(spark, sf_dir):
     image/audio codecs — see dbtwiz_spark.multimodal for the decode stubs);
     the *Spark-side shape* is the real thing: BinaryType column, mapInPandas
     over Arrow batches, typed output schema. Features (byte length, first
-    byte) are deterministic so the entry stays oracle-checkable.
+    byte) are deterministic so the entry stays oracle-checkable; the
+    width/height columns carry REAL decoded geometry for BMP/PPM payloads
+    (header-only byte-math parse — pinned by the multimodal unit tests)
+    and are NULL for these text payloads, which the oracle mirrors.
     """
     from dbtwiz_spark.multimodal import extract_features
 
