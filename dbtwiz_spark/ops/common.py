@@ -151,6 +151,43 @@ def register_memo_store(store: dict) -> dict:
     return store
 
 
+def memo_artifact(store: dict, spark, sf_dir: str, kind: str, build):
+    """Session-lifetime memo for persisted derived tables (edge lists,
+    degree tables, tf-idf stats), parameterized on the owning module's
+    ``store`` dict — ONE implementation behind the graphs/ext_pipeline
+    ``_artifact``/``_pipe_artifact`` wrappers, which existed as verbatim
+    twins since their extraction (round-12 consolidation; each module
+    keeps its own store so eviction diagnostics stay per-module).
+
+    Keyed on the session OBJECT, never ``id(spark)``: a GC'd session's
+    address can be reused by a new session, which would then receive
+    cached plans bound to the stopped one. The store must be enrolled in
+    ``register_memo_store`` by its owner so ``clear_session_memos``
+    evicts it."""
+    key = (spark, sf_dir, kind)
+    df = store.get(key)
+    if df is None:
+        df = build().persist()
+        store[key] = df
+    return df
+
+
+def memo_artifact_raw(store: dict, spark, sf_dir: str, kind: str, build):
+    """Memo-only ``memo_artifact`` variant for builders whose result is
+    ALREADY materialized and lineage-truncated (``_truncate``): stacking
+    ``persist()`` on top would store every table twice — checkpoint
+    blocks AND a columnar cache copy that fills on first use (review
+    find on the HITS half-steps: double block-manager footprint per
+    (session, scale)). Same session-object keying; eviction drops the
+    dict ref and the checkpoint blocks free on GC."""
+    key = (spark, sf_dir, kind)
+    df = store.get(key)
+    if df is None:
+        df = build()
+        store[key] = df
+    return df
+
+
 def clear_session_memos() -> int:
     """Unpersist and drop every memoized artifact in every registered
     store; returns the number of entries dropped. Safe to call with jobs
@@ -180,7 +217,10 @@ def clear_session_memos() -> int:
             pass  # stopped session — nothing left to protect
     dropped = 0
     for store in _MEMO_STORES:
-        for df in store.values():
+        for val in store.values():
+            # _RANK_CACHE values are (stats, df) generation pairs
+            # (_memo_generation); artifact stores hold bare DataFrames
+            df = val[-1] if isinstance(val, tuple) else val
             unpersist = getattr(df, "unpersist", None)
             if unpersist is not None:
                 try:
@@ -244,7 +284,20 @@ def _truncate(df):
 
 
 def _plan_sig(df, keys, *extra) -> tuple:
-    """Memo key for a (session, input plan, key exprs, ...) combination.
+    """Memo key for a (session, input plan, key exprs, ...) combination,
+    returned as a ``(base, stats)`` PAIR: ``base`` identifies the plan
+    (session, canonicalized plan, file uris, key exprs, extras) and
+    ``stats`` carries each backing file's (size, mtime_ns) — the
+    GENERATION of those uris. Consumers key their memo on ``base`` and
+    compare ``stats`` on every hit (``_memo_generation``): same base +
+    same stats is a safe reuse; same base + different stats means the
+    files were overwritten in place, and the superseded artifact must be
+    EVICTED, not shadowed — Spark's CacheManager dedupes ``persist()``
+    by canonicalized plan, so a still-cached stale generation would be
+    silently resurrected under the rebuilt DataFrame (measured: an
+    in-place pyarrow rewrite of a fixed-name parquet kept serving the
+    old 5 rows through a brand-new read until the old persist was
+    dropped).
 
     The canonicalized plan normalizes exprIds (two independently built but
     identical plans hit the same slot); serialized via toJSON(), NOT
@@ -275,9 +328,27 @@ def _plan_sig(df, keys, *extra) -> tuple:
     across invocations (no exprIds). A cached plan with NO recoverable
     file provenance falls back to a unique token — correctness over
     reuse. File-less but self-describing leaves (range, LocalRelation)
-    still memoize: their parameters survive canonicalization."""
-    files: object = tuple(sorted(df.inputFiles()))
-    if not files:
+    still memoize: their parameters survive canonicalization.
+
+    The stats half (round-12 hardening, deferred since round 9): size
+    alone is not enough (a same-length rewrite is one flipped value
+    away), so mtime_ns rides along; a stat failure (remote fs, file
+    vanished mid-plan) degrades that file to (None, None) — two
+    unstattable generations then compare equal, exactly the uri-only
+    exposure this closes for every STATTABLE file."""
+    import os as _os
+
+    def _stat(u: str):
+        p = u[5:] if u.startswith("file:") else u
+        try:
+            st = _os.stat(p)
+            return (st.st_size, st.st_mtime_ns)
+        except OSError:
+            return (None, None)
+
+    uris = tuple(sorted(df.inputFiles()))
+    files: object = uris
+    if not uris:
         # cache substitution happens AFTER analysis (withCachedData), so
         # the analyzed plan still shows the original relation — only the
         # optimized plan reveals the InMemoryRelation that swallowed the
@@ -289,16 +360,40 @@ def _plan_sig(df, keys, *extra) -> tuple:
             uris = tuple(sorted(set(_re.findall(r"file:[^\s,\]\)}]+", opt))))
             if uris:
                 nodes = tuple(_re.findall(r"(?m)^[\s+:|-]*([A-Za-z]+)", opt))
+                # same staleness exposure as the direct-scan path: the
+                # cached build subtree's files can be rewritten in place
                 files = (uris, nodes)
             else:
                 files = object()
-    return (
+    base = (
         df.sparkSession,
         df._jdf.queryExecution().analyzed().canonicalized().toJSON(),
         files,
         tuple(str(k) for k in keys),
         *extra,
     )
+    return (base, tuple(_stat(u) for u in uris))
+
+
+def _memo_generation(store: dict, sig: tuple, build):
+    """Serve ``build()``'s persisted result memoized under ``sig``'s base
+    key, evicting a SUPERSEDED GENERATION on stats mismatch (see
+    _plan_sig): the stale DataFrame is unpersisted BEFORE the rebuild so
+    Spark's CacheManager cannot dedupe the new persist() onto the old
+    generation's cached buffers. Store values are (stats, df) pairs;
+    clear_session_memos understands both shapes."""
+    base, stats = sig
+    hit = store.get(base)
+    if hit is not None:
+        if hit[0] == stats:
+            return hit[1]
+        try:
+            hit[1].unpersist(False)
+        except Exception:
+            pass  # stopped session — nothing cached to resurrect
+    df = build().persist()
+    store[base] = (stats, df)
+    return df
 
 
 def parallel_rank(df, keys, n_parts: int = 8):
@@ -323,19 +418,16 @@ def parallel_rank(df, keys, n_parts: int = 8):
     WindowExec)."""
     from pyspark.sql.window import Window
 
-    sig = _plan_sig(df, keys, n_parts)
-    local = _RANK_CACHE.get(sig)
-    if local is None:
+    def _build_local():
         parts = df.repartitionByRange(n_parts, *keys)
-        local = (
-            parts.withColumn("_pid", F.spark_partition_id())
-            .withColumn(
-                "_rn",
-                F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)),
-            )
-            .persist()
+        return parts.withColumn("_pid", F.spark_partition_id()).withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_pid").orderBy(*keys)),
         )
-        _RANK_CACHE[sig] = local
+
+    local = _memo_generation(
+        _RANK_CACHE, _plan_sig(df, keys, n_parts), _build_local
+    )
     counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     carr = counts.agg(
         F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("arr")
@@ -382,20 +474,21 @@ def parallel_prefix_sum(df, keys, cols, n_parts: int = 8):
     # physical range boundaries — two independent instantiations of
     # repartitionByRange may sample different boundaries. The persist also
     # halves the wall-clock (the parallel_rank measurement).
-    sig = _plan_sig(df, keys, tuple(cols), n_parts)
-    local = _RANK_CACHE.get(sig)
-    if local is None:
+    def _build_local():
         parts = df.repartitionByRange(n_parts, *keys)
         w = (
             Window.partitionBy("_pid")
             .orderBy(*keys)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        local = parts.withColumn("_pid", F.spark_partition_id())
+        out = parts.withColumn("_pid", F.spark_partition_id())
         for c in cols:
-            local = local.withColumn(f"_cum_{c}", F.sum(c).over(w))
-        local = local.persist()
-        _RANK_CACHE[sig] = local
+            out = out.withColumn(f"_cum_{c}", F.sum(c).over(w))
+        return out
+
+    local = _memo_generation(
+        _RANK_CACHE, _plan_sig(df, keys, tuple(cols), n_parts), _build_local
+    )
     totals = local.groupBy("_pid").agg(
         *[F.sum(c).cast("long").alias(f"_t_{c}") for c in cols]
     )

@@ -28,7 +28,11 @@ from dbtwiz_spark.ops.common import (
 )
 from dbtwiz_spark.ops.common import hkey as _hkey
 from dbtwiz_spark.ops.common import hkey_sql as _hkey_sql
-from dbtwiz_spark.ops.common import register_memo_store
+from dbtwiz_spark.ops.common import (
+    memo_artifact,
+    memo_artifact_raw,
+    register_memo_store,
+)
 from dbtwiz_spark.ops.registry import register
 
 # Persisted derived tables memoized per (session, sf_dir, kind) — the
@@ -39,28 +43,16 @@ register_memo_store(_ARTIFACTS)
 
 
 def _pipe_artifact(spark, sf_dir: str, kind: str, build):
-    # keyed on the session OBJECT (graphs._artifact convention), never
-    # id(spark): a GC'd session's address can be reused by a new session,
-    # which would then receive cached plans bound to the stopped one
-    key = (spark, sf_dir, kind)
-    df = _ARTIFACTS.get(key)
-    if df is None:
-        df = build().persist()
-        _ARTIFACTS[key] = df
-    return df
+    # store-bound alias of common.memo_artifact (round-12 consolidation
+    # of the graphs/ext_pipeline twins); semantics documented there
+    return memo_artifact(_ARTIFACTS, spark, sf_dir, kind, build)
 
 
 def _pipe_artifact_raw(spark, sf_dir: str, kind: str, build):
-    """Memo-only ``_pipe_artifact`` variant for builders whose result is
-    ALREADY materialized and lineage-truncated (graphs._artifact_raw
-    convention): stacking persist() on a checkpointed table would store
-    it twice. Same session-object keying and eviction enrollment."""
-    key = (spark, sf_dir, kind)
-    df = _ARTIFACTS.get(key)
-    if df is None:
-        df = build()
-        _ARTIFACTS[key] = df
-    return df
+    # memo-only variant for already-checkpointed builders — stacking
+    # persist() on checkpoint blocks would double-store; see
+    # common.memo_artifact_raw
+    return memo_artifact_raw(_ARTIFACTS, spark, sf_dir, kind, build)
 
 
 @register(

@@ -20,7 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from dbtwiz_spark.ops.common import _truncate, register_memo_store, views
+from dbtwiz_spark.ops.common import (
+    _truncate,
+    memo_artifact,
+    memo_artifact_raw,
+    register_memo_store,
+    views,
+)
 from dbtwiz_spark.ops.registry import register
 
 _SCALE = 1_000_000_000_000_000  # 10^15 fixed-point scale
@@ -39,33 +45,16 @@ register_memo_store(_ARTIFACTS)
 
 
 def _artifact(spark, sf_dir: str, kind: str, build):
-    # keyed on the session OBJECT (ext_llm._ARTIFACTS convention), never
-    # id(spark): a GC'd session's address can be reused by a new session,
-    # which would then receive cached plans bound to the stopped one
-    key = (spark, sf_dir, kind)
-    df = _ARTIFACTS.get(key)
-    if df is None:
-        df = build().persist()
-        _ARTIFACTS[key] = df
-    return df
+    # store-bound alias of common.memo_artifact (round-12 consolidation
+    # of the graphs/ext_pipeline twins); semantics documented there
+    return memo_artifact(_ARTIFACTS, spark, sf_dir, kind, build)
 
 
 def _artifact_raw(spark, sf_dir: str, kind: str, build):
-    """Memo-only ``_artifact`` variant for builders whose result is
-    ALREADY materialized and lineage-truncated (``localCheckpoint``):
-    stacking ``persist()`` on top would store every table twice —
-    checkpoint blocks AND a columnar cache copy that fills on first use
-    (review find on the HITS half-steps: double block-manager footprint
-    per (session, scale), exactly the headroom the memo-eviction work
-    bought back). Same session-object keying and eviction enrollment as
-    ``_artifact``; ``clear_session_memos`` drops the dict ref and the
-    checkpoint blocks free on GC."""
-    key = (spark, sf_dir, kind)
-    df = _ARTIFACTS.get(key)
-    if df is None:
-        df = build()
-        _ARTIFACTS[key] = df
-    return df
+    # memo-only variant for already-checkpointed builders — stacking
+    # persist() on checkpoint blocks would double-store; see
+    # common.memo_artifact_raw
+    return memo_artifact_raw(_ARTIFACTS, spark, sf_dir, kind, build)
 
 
 def _pagerank_oracle() -> str:
