@@ -56,8 +56,58 @@ def test_multimodal_feature_extraction(spark, catalog):
     feats = extract_features(payloads)
     row = feats.orderBy("doc_id").first()
     assert row.payload_bytes > 0 and 0 <= row.first_byte < 256
+    # text payloads are not byte-math-decodable images: geometry is NULL
+    assert row.width is None and row.height is None
     frames = frame_sample(payloads.limit(5), every_ms=100)
     assert frames.count() >= 5
+
+
+def test_extract_features_real_geometry_for_decodable_images(spark):
+    """extract_features surfaces REAL decoded width/height for BMP/PPM
+    payloads (header-only parse) as plan-level columns, NULL for
+    payloads that merely sniff like an image but don't parse — a
+    min-resolution gate is then an ordinary Catalyst filter."""
+    from dbtwiz_spark.multimodal import extract_features
+
+    bmp = _hand_bmp(3, 2, [[(1, 2, 3)] * 3] * 2)
+    ppm = b"P6\n4 5\n255\n" + bytes(4 * 5 * 3)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(bmp)),
+            (2, bytearray(ppm)),
+            (3, bytearray(b"BM\x00\x01")),  # sniffs BMP, truncated
+            (4, bytearray(b"plain text")),
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    out = {r.doc_id: r for r in extract_features(df).collect()}
+    assert (out[1].width, out[1].height) == (3, 2)
+    assert (out[2].width, out[2].height) == (4, 5)
+    assert out[3].width is None and out[3].height is None
+    assert out[4].width is None and out[4].height is None
+    gated = extract_features(df).filter("width >= 4 AND height >= 4")
+    assert [r.doc_id for r in gated.collect()] == [2]
+
+
+def test_decode_image_header_only_parse():
+    """with_pixels=False returns geometry without materializing the
+    pixel buffer, but keeps FULL validation — a payload whose pixel
+    data is shorter than the header claims must still raise."""
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    bmp = _hand_bmp(3, 2, [[(9, 9, 9)] * 3] * 2)
+    img = decode_image(bmp, with_pixels=False)
+    assert (img["width"], img["height"], img["n_channels"]) == (3, 2, 3)
+    assert "pixels" not in img
+    ppm = b"P6\n2 1\n255\n" + bytes(6)
+    img = decode_image(ppm, with_pixels=False)
+    assert (img["width"], img["height"]) == (2, 1)
+    assert "pixels" not in img
+    for truncated in (bmp[:-3], ppm[:-3]):
+        with _pytest.raises(NotImplementedError):
+            decode_image(truncated, with_pixels=False)
 
 
 def test_multimodal_decode_stubs_raise(spark):
@@ -155,6 +205,37 @@ def test_parallel_rank_memo_separates_scale_dirs(spark, tmp_path):
     assert _plan_sig(a, keys, 8) != _plan_sig(b, keys, 8)
     assert parallel_rank(a, keys).count() == 7
     assert parallel_rank(b, keys).count() == 19
+
+
+def test_plan_sig_changes_on_in_place_file_overwrite(spark, tmp_path):
+    """Round-12 hardening (deferred since r9): a backing file OVERWRITTEN
+    IN PLACE — same uri, new rows, the standard re-run-writer rewrite —
+    keeps the uri set identical, so a uri-only memo key would keep
+    serving the superseded artifact for the session lifetime. The key
+    folds in (size, mtime_ns) per file; end-to-end, parallel_rank must
+    serve the NEW rows after the rewrite, not the memoized old ranks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbtwiz_spark.ops.common import _plan_sig, parallel_rank
+
+    path = str(tmp_path / "fixed-name.parquet")
+    pq.write_table(pa.table({"id": list(range(5))}), path)
+    keys = [F.col("id")]
+    df1 = spark.read.parquet(path)
+    base1, stats1 = _plan_sig(df1, keys, 8)
+    assert parallel_rank(df1, keys).count() == 5
+    # rewrite IN PLACE: same filename, different contents
+    pq.write_table(pa.table({"id": list(range(9))}), path)
+    df2 = spark.read.parquet(path)
+    base2, stats2 = _plan_sig(df2, keys, 8)
+    # same base (identical uri set and canonical plan) — this is exactly
+    # the collision a uri-only key can't see; the stats must separate it
+    assert base1 == base2
+    assert stats1 != stats2
+    got = parallel_rank(df2, keys)
+    assert got.count() == 9
+    assert sorted(r._rank for r in got.collect()) == list(range(1, 10))
 
 
 def test_parallel_rank_memo_separates_persisted_inputs(spark, tmp_path):
@@ -515,9 +596,11 @@ def test_resize_images_real_path_for_decodable_payloads(spark):
         [quads[2]] * 2 + [quads[3]] * 2,
     ]
     bmp = _hand_bmp(4, 4, rows)
+    ppm = b"P6\n1 1\n255\n" + bytes([7, 8, 9])
     df = spark.createDataFrame(
         [(1, bytearray(bmp), ("image/bmp", 4, 4, None)),
-         (2, bytearray(b"not-an-image"), ("image/png", 9, 9, None))],
+         (2, bytearray(b"not-an-image"), ("image/png", 9, 9, None)),
+         (3, bytearray(ppm), ("image/ppm", 1, 1, None))],
         "doc_id LONG, payload BINARY, "
         "meta STRUCT<media_type STRING, width INT, height INT, duration_ms LONG>",
     )
@@ -528,3 +611,10 @@ def test_resize_images_real_path_for_decodable_payloads(spark):
     assert out[1].meta.width == 2 and out[1].meta.height == 2
     assert bytes(out[2].payload) == b"not-an-image"
     assert out[2].meta.width == 2
+    # passthrough branch keeps the incoming media_type (payload unchanged)
+    assert out[2].meta.media_type == "image/png"
+    # real-resize branch RE-ENCODES as 24-bit BMP: metadata must agree
+    # with the payload's actual format, whatever format came in
+    assert out[3].meta.media_type == "image/bmp"
+    assert decode_image(bytes(out[3].payload))["width"] == 2
+    assert out[1].meta.media_type == "image/bmp"
