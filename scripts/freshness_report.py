@@ -35,14 +35,22 @@ from dbtwiz_spark.ops.corpus_order import DRIVER_WINDOW  # noqa: E402
 from scripts.gen_green_manifest import row_green as _row_green  # noqa: E402
 
 
-def latest_green_rounds() -> dict[str, int | None]:
-    """Entry -> newest round with a green driver row (None: never green)."""
+def latest_green_rounds(before: int | None = None) -> dict[str, int | None]:
+    """Entry -> newest round with a green driver row (None: never green).
+
+    ``before`` bounds the history to rounds STRICTLY below it — the
+    freshness test passes ``corpus_order.WINDOW_ROUND`` so its cohort
+    computation sees exactly the history the window was planned against,
+    and the driver dropping the CURRENT round's CORRECTNESS file cannot
+    shift the oldest cohort mid-round (the r11 judge-time red)."""
     latest: dict[str, int | None] = {name: None for name in CORPUS}
     for path in sorted(REPO.glob("CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
         if m is None:
             continue  # e.g. a CORRECTNESS_r10_backup.json stray
         rnd = int(m.group(1))
+        if before is not None and rnd >= before:
+            continue
         for name, row in json.loads(path.read_text()).items():
             if name in latest and _row_green(name, row):
                 cur = latest[name]

@@ -82,10 +82,49 @@ _SHARED_HELPERS = (
     # behavior with no hash trip (the parallel_rank blind spot again)
     "_truncate",
     "_checkpoint_dir",
+    # round-12: the store-parameterized memo pair in ops/common.py that
+    # the graphs/ext_pipeline _artifact/_pipe_artifact wrappers now
+    # delegate to — appended last (hash-stability rule); without these,
+    # an edit to the shared implementation would change every memoized
+    # artifact's runtime behavior with no hash trip. "memo_artifact" is
+    # a substring of "memo_artifact_raw": over-inclusion only ever
+    # forces a re-window.
+    "memo_artifact",
+    "memo_artifact_raw",
+    # round-12: the generation-evicting memo lookup behind parallel_rank /
+    # parallel_prefix_sum (the _plan_sig size+mtime hardening's consumer)
+    "_memo_generation",
 )
 
+# Certificate coupling (round 12, closing the corpus_order.py:72-86
+# hole): a certificate entry invokes its certified op at RUNTIME — the
+# recall/parity it measures is a property of that op's current code —
+# but the op's source never appeared in the cert's entry hash, so an op
+# edit forced the OP back into the driver window without forcing its
+# CERT, leaving the cert's green row certifying recall measured against
+# the superseded op (round-11 instance: the ext-dedup-near rejoin switch
+# re-windowed ext-dedup-near but not ext-dedup-near-recall). Folding the
+# certified op's FULL entry hash (source + oracle + helper closure) into
+# the cert's hash makes any change that re-windows the op re-window its
+# certificate too. tests/test_corpus_order.py pins the mapping's
+# coverage (every rows-only entry has a cert here) and the coupling
+# (the op hash is a real input to the cert hash).
+CERT_OF = {
+    "ext-dedup-near-recall": "ext-dedup-near",
+    "ext-dedup-simhash-recall": "ext-dedup-simhash",
+    "ext-ann-lsh-recall": "ext-ann-lsh-bucket",
+    "ext-ann-ivf-recall": "ext-ann-ivf",
+    "stream-dedup-near-cert": "stream-dedup-near",
+    "sort-within-partitions-cert": "sort-within-partitions",
+}
 
-def entry_hash(name: str) -> str:
+
+def entry_hash(name: str, _cert_op_hash: str | None = None) -> str:
+    """sha256 over the entry's implementation source, oracle SQL, the
+    transitive _SHARED_HELPERS closure, and — for certificate entries —
+    the certified op's own entry hash (CERT_OF coupling). ``_cert_op_hash``
+    overrides that last part so the coupling itself is unit-testable
+    without editing source files on disk."""
     import dbtwiz_spark.ops.common as _common
     import dbtwiz_spark.ops.ext_llm as _ext_llm
     import dbtwiz_spark.ops.ext_pipeline as _ext_pipeline
@@ -120,6 +159,14 @@ def entry_hash(name: str) -> str:
     for helper in _SHARED_HELPERS:
         if helper in included:
             parts.append(included[helper])
+    certified_op = CERT_OF.get(name)
+    if certified_op is not None:
+        parts.append("---certified-op---")
+        parts.append(
+            _cert_op_hash
+            if _cert_op_hash is not None
+            else entry_hash(certified_op)
+        )
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 
