@@ -216,6 +216,16 @@ def green_entries() -> set[str]:
 #   _SHARED_HELPERS.
 # - multimodal: the two ext-multimodal-* entries call
 #   extract_features/frame_sample in multimodal.py.
+# - core (round 12): EVERY entry certifies through Catalog (table
+#   loading, the events-ts normalization, view registration) and the
+#   session factory's conf set (AQE, shuffle partitioning, ANSI mode) —
+#   a behavioral edit to either would shift every certified query's
+#   semantics or plan with no hash trip anywhere. Affected set = all
+#   green entries, so an edit here cannot fit one 50-slot window: the
+#   guard going red forces the edit to be staged across rounds or
+#   consciously re-certified — which is the correct cost of changing
+#   the semantics floor under 286 certifications. Pin bootstrapped at
+#   round-12 HEAD (the standing caveat: governs edits from r13 on).
 # The guard test derives each plane's affected entries dynamically
 # (tests/test_corpus_order.py::test_planes_unchanged_or_windowed).
 PLANES: dict[str, tuple[str, ...]] = {
@@ -224,6 +234,10 @@ PLANES: dict[str, tuple[str, ...]] = {
         "dbtwiz_spark/fsutil.py",
     ),
     "multimodal": ("dbtwiz_spark/multimodal.py",),
+    "core": (
+        "dbtwiz_spark/catalog.py",
+        "dbtwiz_spark/session.py",
+    ),
 }
 
 

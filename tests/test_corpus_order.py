@@ -107,6 +107,9 @@ _PLANE_AFFECTED = {
         mod == "dbtwiz_spark.ops.sinks" or "Warehouse" in src
     ),
     "multimodal": lambda mod, src: "multimodal" in src,
+    # every entry loads its tables through Catalog/views and runs under
+    # the session factory's confs — a core edit invalidates everything
+    "core": lambda mod, src: True,
 }
 
 
