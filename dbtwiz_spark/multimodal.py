@@ -6,16 +6,20 @@ run as Arrow-batched pandas functions over `mapInPandas` so the heavy
 per-item work stays vectorized and off the driver.
 
 The container ships no codec LIBRARIES, so the decode line is drawn at
-what pure byte math can reach — and everything on the reachable side is
-REAL: audio for PCM WAV (stdlib `wave`: `decode_audio` parses the
-actual header and returns the PCM stream; `frame_sample` steps
-header-derived offsets with true byte-math slice sizes), images for
-uncompressed BMP (BI_RGB 24/32 bpp) and binary PPM (`decode_image`
-normalizes row order/channel order/padding; `resize_images` does a
-vectorized nearest-neighbor resample and re-encodes). Compressed
-formats (PNG/JPEG/mp3/video) raise `NotImplementedError` — on a real
-cluster those branches swap in PIL/ffmpeg inside the same batch loop.
-The Spark plumbing — schemas, batch iteration, partition-preserving UDF
+what the stdlib plus byte math can reach — and everything on the
+reachable side is REAL: audio for PCM WAV (stdlib `wave`:
+`decode_audio` parses the actual header and returns the PCM stream;
+`frame_sample` steps header-derived offsets with true byte-math slice
+sizes), images for uncompressed BMP (BI_RGB 24/32 bpp), binary PPM,
+and — round 12 — 8-bit non-interlaced PNG (stdlib `zlib` inflate +
+per-row filter reconstruction in `_png_unfilter`; gray/palette/alpha
+color types normalized to the same RGB(A) contract). `decode_image`
+normalizes row order/channel order/padding so callers never see
+container quirks; `resize_images` does a vectorized nearest-neighbor
+resample and re-encodes. Codecs that genuinely need external libraries
+(JPEG/GIF/mp3/video) raise `NotImplementedError` — on a real cluster
+those branches swap in PIL/ffmpeg inside the same batch loop. The
+Spark plumbing — schemas, batch iteration, partition-preserving UDF
 shape — is real and tested for every modality.
 """
 
@@ -53,7 +57,7 @@ FEATURE_SCHEMA = StructType(
         StructField("payload_bytes", LongType()),
         StructField("first_byte", IntegerType()),
         # real decoded geometry for byte-math-decodable image payloads
-        # (BMP/PPM), NULL otherwise — surfaced as plan-level columns so
+        # (BMP/PPM/PNG), NULL otherwise — surfaced as plan-level columns so
         # min-resolution gates and aspect-ratio buckets are ordinary
         # Catalyst filters, not a second decode pass
         StructField("width", IntegerType()),
@@ -63,10 +67,10 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
-    """Decode an image payload — REAL for the two formats whose decode
-    is pure byte math (no codec libraries needed): uncompressed BMP
-    (BITMAPINFOHEADER, BI_RGB, 24/32 bpp) and binary PPM (P6, maxval
-    ≤ 255). Returns ``{"width", "height", "n_channels", "pixels"}``
+    """Decode an image payload — REAL for every format the stdlib plus
+    byte math can reach (no codec libraries needed): uncompressed BMP
+    (BITMAPINFOHEADER, BI_RGB, 24/32 bpp), binary PPM (P6, maxval
+    ≤ 255), and 8-bit non-interlaced PNG. Returns ``{"width", "height", "n_channels", "pixels"}``
     with pixels as top-down row-major RGB(A) bytes — BMP's bottom-up row
     order and BGR channel order and 4-byte row padding are normalized
     here, so callers never see container quirks. ``with_pixels=False``
@@ -76,18 +80,24 @@ def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
     geometry only (``extract_features``' width/height columns must not
     copy every image's pixels just to read two header ints).
 
-    Compressed formats (PNG/JPEG/…) raise NotImplementedError like the
-    other codec guards — on a real cluster that branch is
+    PNG is decoded for real too (round 12): its only compression is
+    zlib, which the Python stdlib ships, and the per-row filters are
+    byte math — see _decode_png for the supported profile (8-bit,
+    non-interlaced, gray/RGB/palette/alpha). Remaining compressed
+    formats (JPEG/GIF/…) raise NotImplementedError like the other codec
+    guards — on a real cluster that branch is
     `PIL.Image.open(io.BytesIO(payload))` inside the same mapInPandas
     batch loop. One failure mode ('not decodable here') either way."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload, with_pixels)
     if payload[:2] == b"P6":
         return _decode_ppm(payload, with_pixels)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload, with_pixels)
     raise NotImplementedError(
-        "image payload is not byte-math-decodable (uncompressed BMP / "
-        "binary PPM); compressed codecs are not available in this "
-        "environment"
+        "image payload is not decodable here (uncompressed BMP, binary "
+        "PPM, 8-bit non-interlaced PNG); other compressed codecs are "
+        "not available in this environment"
     )
 
 
@@ -165,6 +175,147 @@ def _decode_ppm(payload: bytes, with_pixels: bool = True) -> dict:
         raise NotImplementedError(f"PPM payload not decodable: {e}") from e
 
 
+def _png_unfilter(raw, bpp: int):
+    """Undo PNG per-row filters (types 0-4). ``raw`` is the decompressed
+    stream reshaped to (height, 1 + stride): filter byte, then the
+    filtered row. Sub (1) is a running byte-sum along x with period bpp
+    — a vectorized cumsum per channel offset; Up (2) is a vectorized
+    add of the prior reconstructed row; Average (3) and Paeth (4) are
+    sequential in x by definition (each pixel needs the just-
+    reconstructed left neighbor through a nonlinear predictor), so they
+    fall back to a per-pixel loop — at cluster scale that branch is
+    where PIL/libpng replaces this reference implementation, inside the
+    same batch loop."""
+    import numpy as np
+
+    height, w1 = raw.shape
+    stride = w1 - 1
+    recon = np.zeros((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(height):
+        f = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub: cumulative byte-sum per channel offset
+            cur = np.cumsum(
+                line.reshape(stride // bpp, bpp), axis=0, dtype=np.int64
+            ).reshape(stride)
+        elif f == 2:  # Up
+            cur = line + prev
+        elif f == 3:  # Average
+            cur = line
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG row filter {f}")
+        cur = (cur & 0xFF).astype(np.uint8)
+        recon[y] = cur
+        prev = cur.astype(np.int32)
+    return recon
+
+
+def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
+    """PNG decode without codec libraries (round 12): PNG's only
+    compression is zlib — in the Python stdlib — and everything else is
+    chunk walking plus per-row filter byte math (_png_unfilter).
+    Supported profile: 8-bit samples, non-interlaced, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); gray and
+    palette normalize to RGB and alpha is preserved, so callers see the
+    same top-down row-major RGB(A) contract as BMP/PPM. 16-bit and
+    Adam7-interlaced files raise NotImplementedError (the codec-guard
+    failure mode); chunk CRCs are not verified (decode-side tolerance —
+    a corrupt stream still fails structurally via zlib/size checks).
+    Header-only (``with_pixels=False``) walks the full chunk structure
+    (valid IHDR, well-formed chunk lengths, IDAT present) but skips the
+    decompression and filter passes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    try:
+        pos = 8
+        width = height = None
+        bit_depth = color_type = None
+        palette = None
+        idat: list[bytes] = []
+        while pos + 8 <= len(payload):
+            length, ctype = struct.unpack_from(">I4s", payload, pos)
+            data = payload[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                raise ValueError("truncated chunk")
+            pos += 12 + length  # length + type + data + CRC
+            if ctype == b"IHDR":
+                (
+                    width,
+                    height,
+                    bit_depth,
+                    color_type,
+                    comp,
+                    filt,
+                    interlace,
+                ) = struct.unpack(">IIBBBBB", data)
+                if comp != 0 or filt != 0:
+                    raise ValueError("nonstandard compression/filter method")
+                if bit_depth != 8 or interlace != 0:
+                    raise ValueError("only 8-bit non-interlaced supported")
+                if color_type not in (0, 2, 3, 4, 6):
+                    raise ValueError(f"unknown color type {color_type}")
+            elif ctype == b"PLTE":
+                if length % 3 != 0:
+                    raise ValueError("malformed palette")
+                palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+        if width is None or width <= 0 or height <= 0:
+            raise ValueError("missing/invalid IHDR")
+        if not idat:
+            raise ValueError("no IDAT data")
+        channels_in = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        n_channels = {0: 3, 2: 3, 3: 3, 4: 4, 6: 4}[color_type]
+        out = {"width": width, "height": height, "n_channels": n_channels}
+        if not with_pixels:
+            return out
+        raw = zlib.decompress(b"".join(idat))
+        stride = width * channels_in
+        if len(raw) != (stride + 1) * height:
+            raise ValueError("decompressed size mismatch")
+        rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+        px = _png_unfilter(rows, channels_in).reshape(
+            height, width, channels_in
+        )
+        if color_type == 3:
+            if palette is None:
+                raise ValueError("palette image without PLTE")
+            if int(px.max(initial=0)) >= len(palette):
+                raise ValueError("palette index out of range")
+            px = palette[px[:, :, 0]]
+        elif color_type == 0:
+            px = np.repeat(px, 3, axis=2)
+        elif color_type == 4:
+            px = np.concatenate(
+                [np.repeat(px[:, :, :1], 3, axis=2), px[:, :, 1:]], axis=2
+            )
+        out["pixels"] = np.ascontiguousarray(px).tobytes()
+        return out
+    except (struct.error, ValueError, zlib.error, IndexError) as e:
+        raise NotImplementedError(f"PNG payload not decodable: {e}") from e
+
+
 def encode_bmp(width: int, height: int, pixels: bytes, n_channels: int = 3) -> bytes:
     """Encode top-down row-major RGB(A) bytes as an uncompressed 24-bit
     BI_RGB BMP (alpha dropped) — the inverse of _decode_bmp, so resized
@@ -226,7 +377,7 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     Input: (doc_id: long, payload: binary). Output: FEATURE_SCHEMA.
     Byte length + first byte are computed for every payload; width/height
-    are the REAL decoded geometry for byte-math-decodable images (BMP/PPM
+    are the REAL decoded geometry for decodable images (BMP/PPM/PNG
     — a header-only ``decode_image(with_pixels=False)`` parse, so no
     pixel buffer is copied just to read two header ints) and NULL for
     everything else. The Spark-side shape (Arrow transfer, per-batch
@@ -246,7 +397,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                 nbytes.append(len(b))
                 first.append(b[0] if b else -1)
                 w = h = None
-                if b[:2] in (b"BM", b"P6"):
+                if b[:2] in (b"BM", b"P6") or b[:8] == b"\x89PNG\r\n\x1a\n":
                     try:
                         img = decode_image(b, with_pixels=False)
                         w, h = img["width"], img["height"]
@@ -287,11 +438,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     Input: (doc_id: long, payload: binary, meta: MEDIA_META_SCHEMA struct).
     Output: same shape with meta.width/height rewritten (and, on the
     real-resize branch, meta.media_type rewritten to image/bmp — the
-    re-encoded payload's actual format). REAL for
-    byte-math-decodable payloads (uncompressed BMP / binary PPM — see
+    re-encoded payload's actual format). REAL for decodable payloads
+    (uncompressed BMP / binary PPM / 8-bit non-interlaced PNG — see
     decode_image): nearest-neighbor resample through vectorized numpy
     index arrays, re-encoded as 24-bit BMP. Payloads needing an absent
-    codec (PNG/JPEG) pass through unchanged with only the meta rewrite —
+    codec (JPEG/GIF) pass through unchanged with only the meta rewrite —
     a real cluster swaps that branch for PIL `Image.resize` in the same
     batch loop. The Spark-side plumbing — struct column through Arrow,
     schema-stable output, partition-preserving map — is identical on

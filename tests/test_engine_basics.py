@@ -582,6 +582,172 @@ def test_undecodable_image_payloads_raise_not_implemented():
             decode_image(payload)
 
 
+def _hand_png(width, height, pixels, color_type=2, filters=None, palette=None):
+    """Minimal PNG writer for decoder tests: 8-bit, non-interlaced, one
+    IDAT, caller-chosen per-row filter types (FORWARD-filtered here so
+    the decoder must actually reconstruct)."""
+    import struct
+    import zlib
+
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * bpp
+    filters = filters or [0] * height
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        f = filters[y]
+        raw.append(f)
+        for x in range(stride):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (row[x] - a) & 0xFF
+            elif f == 2:
+                v = (row[x] - b) & 0xFF
+            elif f == 3:
+                v = (row[x] - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (row[x] - pr) & 0xFF
+            raw.append(v)
+        prev = row
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_decode_png_all_filters_roundtrip():
+    """An RGB PNG whose five rows use all five filter types (forward-
+    filtered by the test writer) must reconstruct the original pixels
+    exactly — Sub/Up/Average/Paeth reconstruction is the part byte
+    inspection can't fake."""
+    from dbtwiz_spark.multimodal import decode_image
+
+    width, height = 4, 5
+    pixels = bytes((x * 37 + y * 11 + c * 5) & 0xFF
+                   for y in range(height) for x in range(width) for c in range(3))
+    payload = _hand_png(width, height, pixels, filters=[0, 1, 2, 3, 4])
+    img = decode_image(payload)
+    assert (img["width"], img["height"], img["n_channels"]) == (4, 5, 3)
+    assert img["pixels"] == pixels
+    hdr = decode_image(payload, with_pixels=False)
+    assert (hdr["width"], hdr["height"]) == (4, 5) and "pixels" not in hdr
+
+
+def test_decode_png_color_types_normalize_to_rgba_contract():
+    from dbtwiz_spark.multimodal import decode_image
+
+    # gray -> RGB
+    g = bytes([10, 200, 30, 40])
+    img = decode_image(_hand_png(2, 2, g, color_type=0, filters=[4, 2]))
+    assert img["n_channels"] == 3
+    assert img["pixels"] == bytes(v for v in g for _ in range(3))
+    # gray+alpha -> RGBA
+    ga = bytes([10, 255, 200, 128])
+    img = decode_image(_hand_png(2, 1, ga, color_type=4, filters=[1]))
+    assert img["n_channels"] == 4
+    assert img["pixels"] == bytes([10, 10, 10, 255, 200, 200, 200, 128])
+    # RGBA passes through with alpha preserved
+    rgba = bytes(range(16))
+    img = decode_image(_hand_png(2, 2, rgba, color_type=6, filters=[3, 4]))
+    assert img["n_channels"] == 4 and img["pixels"] == rgba
+    # palette -> RGB through PLTE
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    idx = bytes([2, 0, 1, 2])
+    img = decode_image(
+        _hand_png(2, 2, idx, color_type=3, filters=[0, 1], palette=pal)
+    )
+    assert img["n_channels"] == 3
+    assert img["pixels"] == bytes(
+        [0, 0, 255, 255, 0, 0, 0, 255, 0, 0, 0, 255]
+    )
+
+
+def test_decode_png_unsupported_profiles_raise():
+    import struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    def ihdr_png(bit_depth=8, interlace=0):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", _zlib.crc32(ctype + data))
+            )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, bit_depth, 2, 0, 0, interlace))
+            + chunk(b"IDAT", _zlib.compress(b"\x00\x01\x02\x03"))
+            + chunk(b"IEND", b"")
+        )
+
+    with _pytest.raises(NotImplementedError):  # 16-bit samples
+        decode_image(ihdr_png(bit_depth=16))
+    with _pytest.raises(NotImplementedError):  # Adam7 interlace
+        decode_image(ihdr_png(interlace=1))
+    with _pytest.raises(NotImplementedError):  # truncated inside IDAT
+        decode_image(_hand_png(2, 2, bytes(12))[:-24])
+    # bare signature (no chunks) stays the canonical guard case
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_png_payloads_flow_through_features_and_resize(spark):
+    """The decodable-PNG path through the Spark surface: geometry in
+    extract_features, REAL resize (re-encoded BMP + media_type rewrite)
+    in resize_images."""
+    from dbtwiz_spark.multimodal import (
+        decode_image,
+        extract_features,
+        resize_images,
+    )
+
+    quads = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 0)]
+    rows = [
+        [quads[0]] * 2 + [quads[1]] * 2,
+        [quads[0]] * 2 + [quads[1]] * 2,
+        [quads[2]] * 2 + [quads[3]] * 2,
+        [quads[2]] * 2 + [quads[3]] * 2,
+    ]
+    pixels = bytes(c for r in rows for px in r for c in px)
+    png = _hand_png(4, 4, pixels, filters=[4, 3, 2, 1])
+    feats = extract_features(
+        spark.createDataFrame([(1, bytearray(png))], "doc_id LONG, payload BINARY")
+    ).collect()[0]
+    assert (feats.width, feats.height) == (4, 4)
+    df = spark.createDataFrame(
+        [(1, bytearray(png), ("image/png", 4, 4, None))],
+        "doc_id LONG, payload BINARY, "
+        "meta STRUCT<media_type STRING, width INT, height INT, duration_ms LONG>",
+    )
+    out = resize_images(df, 2, 2).collect()[0]
+    assert out.meta.media_type == "image/bmp"
+    resized = decode_image(bytes(out.payload))
+    assert (resized["width"], resized["height"]) == (2, 2)
+    assert resized["pixels"] == bytes(c for q in quads for c in q)
+
+
 def test_resize_images_real_path_for_decodable_payloads(spark):
     """Nearest-neighbor 4x4 -> 2x2 must pick one pixel per quadrant; the
     output payload is a decodable 24-bit BMP. Non-decodable payloads in

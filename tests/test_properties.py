@@ -1494,6 +1494,48 @@ def test_bmp_encode_decode_roundtrip_any_geometry(width, height, n_channels, dat
 
 
 @settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(1, 9),
+    height=st.integers(1, 9),
+    color_type=st.sampled_from([0, 2, 4, 6]),
+    data=st.data(),
+)
+def test_png_decode_any_geometry_any_filters(width, height, color_type, data):
+    """The pure-stdlib PNG decoder reconstructs ANY 8-bit non-interlaced
+    image exactly, for every per-row filter combination the encoder can
+    emit (the forward filter in the test writer is independent code, so
+    agreement is evidence of correctness, not shared bugs) and every
+    supported color type's normalization to the RGB(A) contract."""
+    from tests.test_engine_basics import _hand_png
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    n = width * height * bpp
+    pixels = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=height, max_size=height)
+    )
+    out = decode_image(_hand_png(width, height, pixels, color_type, filters))
+    assert (out["width"], out["height"]) == (width, height)
+    if color_type == 2:
+        expect = pixels
+    elif color_type == 6:
+        expect = pixels
+    elif color_type == 0:
+        expect = bytes(v for v in pixels for _ in range(3))
+    else:  # gray + alpha
+        expect = bytes(
+            b
+            for i in range(0, n, 2)
+            for b in (pixels[i], pixels[i], pixels[i], pixels[i + 1])
+        )
+    assert out["pixels"] == expect
+
+
+@settings(max_examples=40, deadline=None)
 @given(width=st.integers(1, 9), height=st.integers(1, 9), data=st.data())
 def test_ppm_decode_any_geometry(width, height, data):
     from dbtwiz_spark.multimodal import decode_image
