@@ -13,11 +13,13 @@ reachable side is REAL: audio for PCM WAV (stdlib `wave`:
 sizes), images for uncompressed BMP (BI_RGB 24/32 bpp), binary PPM,
 and — round 12 — 8-bit non-interlaced PNG (stdlib `zlib` inflate +
 per-row filter reconstruction in `_png_unfilter`; gray/palette/alpha
-color types normalized to the same RGB(A) contract). `decode_image`
+color types normalized to the same RGB(A) contract) plus GIF first
+frames (`_gif_lzw` table reconstruction; interlace and transparency
+honored). `decode_image`
 normalizes row order/channel order/padding so callers never see
 container quirks; `resize_images` does a vectorized nearest-neighbor
 resample and re-encodes. Codecs that genuinely need external libraries
-(JPEG/GIF/mp3/video) raise `NotImplementedError` — on a real cluster
+(JPEG/mp3/video) raise `NotImplementedError` — on a real cluster
 those branches swap in PIL/ffmpeg inside the same batch loop. The
 Spark plumbing — schemas, batch iteration, partition-preserving UDF
 shape — is real and tested for every modality.
@@ -57,7 +59,7 @@ FEATURE_SCHEMA = StructType(
         StructField("payload_bytes", LongType()),
         StructField("first_byte", IntegerType()),
         # real decoded geometry for byte-math-decodable image payloads
-        # (BMP/PPM/PNG), NULL otherwise — surfaced as plan-level columns so
+        # (BMP/PPM/PNG/GIF), NULL otherwise — surfaced as plan-level columns so
         # min-resolution gates and aspect-ratio buckets are ordinary
         # Catalyst filters, not a second decode pass
         StructField("width", IntegerType()),
@@ -83,8 +85,9 @@ def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
     PNG is decoded for real too (round 12): its only compression is
     zlib, which the Python stdlib ships, and the per-row filters are
     byte math — see _decode_png for the supported profile (8-bit,
-    non-interlaced, gray/RGB/palette/alpha). Remaining compressed
-    formats (JPEG/GIF/…) raise NotImplementedError like the other codec
+    non-interlaced, gray/RGB/palette/alpha), as are GIF first frames
+    (_decode_gif). Remaining compressed formats (JPEG/…) raise
+    NotImplementedError like the other codec
     guards — on a real cluster that branch is
     `PIL.Image.open(io.BytesIO(payload))` inside the same mapInPandas
     batch loop. One failure mode ('not decodable here') either way."""
@@ -94,10 +97,12 @@ def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
         return _decode_ppm(payload, with_pixels)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload, with_pixels)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload, with_pixels)
     raise NotImplementedError(
         "image payload is not decodable here (uncompressed BMP, binary "
-        "PPM, 8-bit non-interlaced PNG); other compressed codecs are "
-        "not available in this environment"
+        "PPM, 8-bit non-interlaced PNG, GIF); other compressed codecs "
+        "are not available in this environment"
     )
 
 
@@ -316,6 +321,162 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
         raise NotImplementedError(f"PNG payload not decodable: {e}") from e
 
 
+def _gif_lzw(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/END codes,
+    code size growing 3..12 bits as the dictionary fills, deferred-clear
+    tolerated: a full dictionary stops growing until the next CLEAR).
+    Pure Python over the concatenated image sub-blocks — the reference
+    path; libpil replaces it at cluster scale."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError(f"LZW code {code} before any literal")
+        elif code in table:
+            entry = table[code]
+            if next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+        else:
+            if code != next_code:
+                raise ValueError(f"LZW code {code} out of sequence")
+            entry = prev + prev[:1]
+            if next_code < 4096:
+                table[next_code] = entry
+                next_code += 1
+        out += entry
+        prev = entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return bytes(out)
+
+
+#: GIF interlace passes: (first row, row step) in file order
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(payload: bytes, with_pixels: bool = True) -> dict:
+    """GIF decode without codec libraries (round 12): LZW is ~50 lines
+    of table reconstruction (_gif_lzw) and the rest is block walking.
+    Decodes the FIRST image frame against its own rectangle (no
+    multi-frame background composition — a training-data pipeline wants
+    one representative raster, and the frame geometry is what it
+    reports), honoring global/local color tables and 4-pass interlace
+    row order. A Graphic Control Extension transparency index upgrades
+    the output to RGBA with alpha 0 at transparent pixels; otherwise
+    RGB — the same contract as the other decoders. Malformed streams
+    raise NotImplementedError (the codec-guard failure mode)."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("bad GIF signature")
+        flags = payload[10]
+        pos = 13
+        palette = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(
+                -1, 3
+            )
+            pos += 3 * n
+        transparent = None
+        while True:
+            block = payload[pos]
+            if block == 0x3B:  # trailer before any image
+                raise ValueError("no image descriptor")
+            if block == 0x21:  # extension: label, then sub-blocks
+                label = payload[pos + 1]
+                pos += 2
+                first_sub = None
+                while (size := payload[pos]) != 0:
+                    if first_sub is None:
+                        first_sub = payload[pos + 1 : pos + 1 + size]
+                    pos += 1 + size
+                pos += 1
+                if label == 0xF9 and first_sub and first_sub[0] & 1:
+                    transparent = first_sub[3]
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unknown block 0x{block:02x}")
+            break
+        _, _, width, height = struct.unpack_from("<HHHH", payload, pos + 1)
+        iflags = payload[pos + 9]
+        pos += 10
+        if iflags & 0x80:  # local color table wins for this frame
+            n = 2 << (iflags & 7)
+            palette = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(
+                -1, 3
+            )
+            pos += 3 * n
+        if width <= 0 or height <= 0:
+            raise ValueError("empty frame")
+        if palette is None:
+            raise ValueError("no color table")
+        out = {
+            "width": width,
+            "height": height,
+            "n_channels": 3 if transparent is None else 4,
+        }
+        if not with_pixels:
+            return out
+        min_code_size = payload[pos]
+        pos += 1
+        if not 2 <= min_code_size <= 8:
+            raise ValueError(f"bad LZW min code size {min_code_size}")
+        data = bytearray()
+        while (size := payload[pos]) != 0:
+            data += payload[pos + 1 : pos + 1 + size]
+            pos += 1 + size
+        idx = np.frombuffer(
+            _gif_lzw(min_code_size, bytes(data)), np.uint8
+        )[: width * height]
+        if len(idx) < width * height:
+            raise ValueError("LZW stream shorter than frame")
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        rows = idx.reshape(height, width)
+        if iflags & 0x40:  # interlaced: undo the 4-pass row order
+            deinterlaced = np.empty_like(rows)
+            src = 0
+            for first, step in _GIF_INTERLACE:
+                for y in range(first, height, step):
+                    deinterlaced[y] = rows[src]
+                    src += 1
+            rows = deinterlaced
+        px = palette[rows]
+        if transparent is not None:
+            alpha = np.where(rows == transparent, 0, 255).astype(np.uint8)
+            px = np.concatenate([px, alpha[:, :, None]], axis=2)
+        out["pixels"] = np.ascontiguousarray(px).tobytes()
+        return out
+    except (struct.error, ValueError, IndexError) as e:
+        raise NotImplementedError(f"GIF payload not decodable: {e}") from e
+
+
 def encode_bmp(width: int, height: int, pixels: bytes, n_channels: int = 3) -> bytes:
     """Encode top-down row-major RGB(A) bytes as an uncompressed 24-bit
     BI_RGB BMP (alpha dropped) — the inverse of _decode_bmp, so resized
@@ -377,7 +538,7 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     Input: (doc_id: long, payload: binary). Output: FEATURE_SCHEMA.
     Byte length + first byte are computed for every payload; width/height
-    are the REAL decoded geometry for decodable images (BMP/PPM/PNG
+    are the REAL decoded geometry for decodable images (BMP/PPM/PNG/GIF
     — a header-only ``decode_image(with_pixels=False)`` parse, so no
     pixel buffer is copied just to read two header ints) and NULL for
     everything else. The Spark-side shape (Arrow transfer, per-batch
@@ -397,7 +558,11 @@ def extract_features(df: DataFrame) -> DataFrame:
                 nbytes.append(len(b))
                 first.append(b[0] if b else -1)
                 w = h = None
-                if b[:2] in (b"BM", b"P6") or b[:8] == b"\x89PNG\r\n\x1a\n":
+                if (
+                    b[:2] in (b"BM", b"P6")
+                    or b[:8] == b"\x89PNG\r\n\x1a\n"
+                    or b[:6] in (b"GIF87a", b"GIF89a")
+                ):
                     try:
                         img = decode_image(b, with_pixels=False)
                         w, h = img["width"], img["height"]
@@ -439,10 +604,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     Output: same shape with meta.width/height rewritten (and, on the
     real-resize branch, meta.media_type rewritten to image/bmp — the
     re-encoded payload's actual format). REAL for decodable payloads
-    (uncompressed BMP / binary PPM / 8-bit non-interlaced PNG — see
+    (uncompressed BMP / binary PPM / 8-bit non-interlaced PNG / GIF — see
     decode_image): nearest-neighbor resample through vectorized numpy
     index arrays, re-encoded as 24-bit BMP. Payloads needing an absent
-    codec (JPEG/GIF) pass through unchanged with only the meta rewrite —
+    codec (JPEG) pass through unchanged with only the meta rewrite —
     a real cluster swaps that branch for PIL `Image.resize` in the same
     batch loop. The Spark-side plumbing — struct column through Arrow,
     schema-stable output, partition-preserving map — is identical on

@@ -713,6 +713,182 @@ def test_decode_png_unsupported_profiles_raise():
         decode_image(b"\x89PNG\r\n\x1a\n")
 
 
+class _BitPacker:
+    """LSB-first GIF code packer."""
+
+    def __init__(self):
+        self.bits = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code, size):
+        self.bits |= code << self.nbits
+        self.nbits += size
+        while self.nbits >= 8:
+            self.out.append(self.bits & 0xFF)
+            self.bits >>= 8
+            self.nbits -= 8
+
+    def done(self):
+        if self.nbits:
+            self.out.append(self.bits & 0xFF)
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(min_code_size, indices):
+    """Forward LZW with a CLEAR emitted just before the decoder's code
+    size would have to grow — the dictionary still builds (and the
+    KwKwK case can occur) but every code fits min_code_size+1 bits, so
+    the encoder never has to mirror the decoder's growth timing. The
+    growth timing itself is pinned by the hand-traced vector test."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    pk = _BitPacker()
+
+    def reset():
+        pk.put(clear, code_size)
+        return {bytes([i]): i for i in range(clear)}, end + 1
+
+    table, next_code = reset()
+    w = b""
+    for k in indices:
+        wk = w + bytes([k])
+        if wk in table:
+            w = wk
+            continue
+        pk.put(table[w], code_size)
+        table[wk] = next_code
+        next_code += 1
+        w = bytes([k])
+        if next_code >= (1 << code_size) - 1:
+            if w:
+                pk.put(table[w], code_size)
+                w = b""
+            table, next_code = reset()
+    if w:
+        pk.put(table[w], code_size)
+    pk.put(end, code_size)
+    return pk.done()
+
+
+def _hand_gif(width, height, indices, palette, min_code_size=2,
+              interlace=False, transparent=None, local_palette=False):
+    import struct
+
+    pal = bytes(palette)
+    n = 2
+    while (1 << n) * 3 < len(pal):
+        n += 1
+    pal = pal + bytes((1 << n) * 3 - len(pal))
+    gflags = (0x80 | (n - 1)) if not local_palette else 0
+    out = b"GIF89a" + struct.pack("<HHBBB", width, height, gflags, 0, 0)
+    if not local_palette:
+        out += pal
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 1, 0, 0, transparent, 0])
+    iflags = (0x40 if interlace else 0) | (0x80 | (n - 1) if local_palette else 0)
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + bytes([iflags])
+    if local_palette:
+        out += pal
+    data = _gif_lzw_encode(min_code_size, indices)
+    out += bytes([min_code_size])
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00\x3b"
+
+
+def test_decode_gif_roundtrip_palette_and_transparency():
+    from dbtwiz_spark.multimodal import decode_image
+
+    palette = [255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9]
+    idx = [0, 1, 2, 3, 2, 1, 0, 0, 3, 1, 2, 2]
+    img = decode_image(_hand_gif(4, 3, idx, palette))
+    assert (img["width"], img["height"], img["n_channels"]) == (4, 3, 3)
+    assert img["pixels"] == bytes(
+        b for i in idx for b in palette[3 * i : 3 * i + 3]
+    )
+    # transparency upgrades to RGBA with alpha 0 at the transparent index
+    img = decode_image(_hand_gif(4, 3, idx, palette, transparent=2))
+    assert img["n_channels"] == 4
+    expect = bytes(
+        b
+        for i in idx
+        for b in palette[3 * i : 3 * i + 3] + [0 if i == 2 else 255]
+    )
+    assert img["pixels"] == expect
+    # header-only
+    hdr = decode_image(_hand_gif(4, 3, idx, palette), with_pixels=False)
+    assert (hdr["width"], hdr["height"]) == (4, 3) and "pixels" not in hdr
+
+
+def test_decode_gif_interlace_and_local_palette():
+    from dbtwiz_spark.multimodal import decode_image
+
+    palette = [10, 10, 10, 200, 200, 200]
+    height, width = 9, 2
+    idx = [(y % 2) for y in range(height) for _ in range(width)]
+    # file rows in interlace order: passes 0,8 / 4 / 2,6 / 1,3,5,7
+    order = [0, 8, 4, 2, 6, 1, 3, 5, 7]
+    file_idx = [v for y in order for v in idx[y * width : (y + 1) * width]]
+    img = decode_image(
+        _hand_gif(width, height, file_idx, palette, min_code_size=2,
+                  interlace=True, local_palette=True)
+    )
+    assert (img["width"], img["height"]) == (width, height)
+    assert img["pixels"] == bytes(
+        b for v in idx for b in palette[3 * v : 3 * v + 3]
+    )
+
+
+def test_gif_lzw_code_size_growth_vector():
+    """Hand-traced reference vector pinning the growth timing the
+    in-test encoder deliberately avoids: with min_code_size=2, after the
+    dictionary reaches code 8 the NEXT code is read at 4 bits. Stream
+    [CLEAR,0,1,6,2,END] decodes to indices 0,1,0,1,2 with code 2 read
+    in 4 bits (per the GIF spec's table-build order: 6 is defined by the
+    time it is referenced, and its consumption both emits '01' and
+    widens the code size)."""
+    from dbtwiz_spark.multimodal import _gif_lzw
+
+    pk = _BitPacker()
+    for code, size in ((4, 3), (0, 3), (1, 3), (6, 3), (2, 4), (5, 4)):
+        pk.put(code, size)
+    assert _gif_lzw(2, pk.done()) == bytes([0, 1, 0, 1, 2])
+
+
+def test_gif_lzw_kwkwk_case():
+    """The code==next_code special case (entry referenced before it is
+    in the table): stream [CLEAR,0,6,END] must decode 0,0,0 — code 6 is
+    prev+prev[0]."""
+    from dbtwiz_spark.multimodal import _gif_lzw
+
+    pk = _BitPacker()
+    for code, size in ((4, 3), (0, 3), (6, 3), (5, 3)):
+        pk.put(code, size)
+    assert _gif_lzw(2, pk.done()) == bytes([0, 0, 0])
+
+
+def test_decode_gif_malformed_raises():
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    palette = [1, 2, 3, 4, 5, 6]
+    good = _hand_gif(2, 2, [0, 1, 1, 0], palette)
+    for payload in (
+        b"GIF89a",                      # bare signature
+        good[:-10],                     # truncated inside image data
+        good.replace(b"\x2c", b"\x7e", 1),  # unknown block type
+        # index 5 is a legal LZW literal at min_code_size=3 but beyond
+        # the 2-entry palette
+        _hand_gif(2, 2, [0, 1, 5, 0], palette, min_code_size=3),
+    ):
+        with _pytest.raises(NotImplementedError):
+            decode_image(payload)
+
+
 def test_png_payloads_flow_through_features_and_resize(spark):
     """The decodable-PNG path through the Spark surface: geometry in
     extract_features, REAL resize (re-encoded BMP + media_type rewrite)

@@ -1536,6 +1536,46 @@ def test_png_decode_any_geometry_any_filters(width, height, color_type, data):
 
 
 @settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(1, 9),
+    height=st.integers(1, 9),
+    ncolors=st.integers(2, 8),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_gif_decode_any_geometry(width, height, ncolors, interlace, data):
+    """GIF LZW + palette + optional 4-pass interlace reconstructs any
+    index raster exactly (encoder in the test is independent code)."""
+    from tests.test_engine_basics import _hand_gif
+
+    from dbtwiz_spark.multimodal import _GIF_INTERLACE, decode_image
+
+    n = width * height
+    idx = data.draw(
+        st.lists(st.integers(0, ncolors - 1), min_size=n, max_size=n)
+    )
+    palette = data.draw(
+        st.lists(st.integers(0, 255), min_size=3 * ncolors, max_size=3 * ncolors)
+    )
+    mcs = max(2, (ncolors - 1).bit_length())
+    if interlace:
+        order = [
+            y for first, step in _GIF_INTERLACE for y in range(first, height, step)
+        ]
+        file_idx = [v for y in order for v in idx[y * width : (y + 1) * width]]
+    else:
+        file_idx = idx
+    img = decode_image(
+        _hand_gif(width, height, file_idx, palette, min_code_size=mcs,
+                  interlace=interlace)
+    )
+    assert (img["width"], img["height"], img["n_channels"]) == (width, height, 3)
+    assert img["pixels"] == bytes(
+        b for v in idx for b in palette[3 * v : 3 * v + 3]
+    )
+
+
+@settings(max_examples=40, deadline=None)
 @given(width=st.integers(1, 9), height=st.integers(1, 9), data=st.data())
 def test_ppm_decode_any_geometry(width, height, data):
     from dbtwiz_spark.multimodal import decode_image
