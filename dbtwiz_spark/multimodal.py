@@ -15,11 +15,13 @@ and — round 12 — 8-bit non-interlaced PNG (stdlib `zlib` inflate +
 per-row filter reconstruction in `_png_unfilter`; gray/palette/alpha
 color types normalized to the same RGB(A) contract) plus GIF first
 frames (`_gif_lzw` table reconstruction; interlace and transparency
-honored). `decode_image`
+honored) and baseline JPEG (`_decode_jpeg`: Huffman + matrix-multiply
+IDCT + JFIF color math — a reference decoder; libjpeg replaces it at
+scale). `decode_image`
 normalizes row order/channel order/padding so callers never see
 container quirks; `resize_images` does a vectorized nearest-neighbor
 resample and re-encodes. Codecs that genuinely need external libraries
-(JPEG/mp3/video) raise `NotImplementedError` — on a real cluster
+(video demux/mp3) raise `NotImplementedError` — on a real cluster
 those branches swap in PIL/ffmpeg inside the same batch loop. The
 Spark plumbing — schemas, batch iteration, partition-preserving UDF
 shape — is real and tested for every modality.
@@ -59,7 +61,7 @@ FEATURE_SCHEMA = StructType(
         StructField("payload_bytes", LongType()),
         StructField("first_byte", IntegerType()),
         # real decoded geometry for byte-math-decodable image payloads
-        # (BMP/PPM/PNG/GIF), NULL otherwise — surfaced as plan-level columns so
+        # (BMP/PPM/PNG/GIF/JPEG), NULL otherwise — surfaced as plan-level columns so
         # min-resolution gates and aspect-ratio buckets are ordinary
         # Catalyst filters, not a second decode pass
         StructField("width", IntegerType()),
@@ -86,9 +88,8 @@ def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
     zlib, which the Python stdlib ships, and the per-row filters are
     byte math — see _decode_png for the supported profile (8-bit,
     non-interlaced, gray/RGB/palette/alpha), as are GIF first frames
-    (_decode_gif). Remaining compressed formats (JPEG/…) raise
-    NotImplementedError like the other codec
-    guards — on a real cluster that branch is
+    (_decode_gif) and baseline JPEG (_decode_jpeg). Remaining formats
+    raise NotImplementedError like the other codec guards — on a real cluster that branch is
     `PIL.Image.open(io.BytesIO(payload))` inside the same mapInPandas
     batch loop. One failure mode ('not decodable here') either way."""
     if payload[:2] == b"BM":
@@ -99,10 +100,12 @@ def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
         return _decode_png(payload, with_pixels)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload, with_pixels)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload, with_pixels)
     raise NotImplementedError(
         "image payload is not decodable here (uncompressed BMP, binary "
-        "PPM, 8-bit non-interlaced PNG, GIF); other compressed codecs "
-        "are not available in this environment"
+        "PPM, 8-bit non-interlaced PNG, GIF, baseline JPEG); remaining "
+        "codecs are not available in this environment"
     )
 
 
@@ -477,6 +480,292 @@ def _decode_gif(payload: bytes, with_pixels: bool = True) -> dict:
         raise NotImplementedError(f"GIF payload not decodable: {e}") from e
 
 
+#: JPEG zigzag scan order as (row, col) pairs: diagonals of increasing
+#: row+col, odd diagonals walked row-increasing, even row-decreasing —
+#: the standard order (prefix pinned by test_jpeg_zigzag_prefix).
+_JPEG_ZIGZAG: tuple[tuple[int, int], ...] = tuple(
+    (i, s - i) if s % 2 else (s - i, i)
+    for s in range(15)
+    for i in (range(max(0, s - 7), min(s, 7) + 1))
+)
+
+
+def _jpeg_idct_matrix():
+    """Orthonormal 8x8 DCT-II basis: A[u,x] = c(u) cos((2x+1)uπ/16)/2.
+    Spatial block = A.T @ coeffs @ A."""
+    import math
+
+    import numpy as np
+
+    a = np.zeros((8, 8))
+    for u in range(8):
+        c = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            a[u, x] = c * math.cos((2 * x + 1) * u * math.pi / 16)
+    return a
+
+
+class _JpegBits:
+    """MSB-first entropy-coded-segment bit reader: un-stuffs 0xFF00 and
+    stops at any other marker (the caller handles RSTn)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("entropy data exhausted")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2  # stuffed literal 0xFF
+            else:
+                raise ValueError("marker inside entropy segment")
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.nbits += 8
+
+    def take(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.bits >> self.nbits) & ((1 << n) - 1)
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+    def align_to_marker(self):
+        """Drop padding bits and consume an expected RSTn marker."""
+        self.bits = 0
+        self.nbits = 0
+        d = self.data
+        if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("missing restart marker")
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.take(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(t: int, s: int) -> int:
+    """JPEG coefficient 'extend': an s-bit magnitude pattern to the
+    signed value (F.12 in the spec)."""
+    if s == 0:
+        return 0
+    return t if t >= (1 << (s - 1)) else t - (1 << s) + 1
+
+
+def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
+    """Canonical Huffman: (length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
+    """Baseline JPEG (SOF0/SOF1, Huffman, 8-bit) decoded with numpy
+    byte math (round 12): Huffman decode of the MCU stream, dequantize,
+    inverse zigzag, one orthonormal 8x8 matrix-multiply IDCT per block,
+    sampling-factor upsample by replication, JFIF YCbCr→RGB. Restart
+    intervals honored; progressive (SOF2), arithmetic coding and 12-bit
+    precision raise NotImplementedError — the codec-guard failure mode.
+    A reference decoder, not a fast one (the entropy decode is a
+    per-symbol Python loop): at cluster scale PIL/libjpeg-turbo replaces
+    it inside the same batch loop; here it makes the format REAL for
+    the plumbing, geometry and resize paths."""
+    import struct
+
+    import numpy as np
+
+    try:
+        if payload[:2] != b"\xff\xd8":
+            raise ValueError("bad JPEG signature")
+        pos = 2
+        qt: dict[int, "np.ndarray"] = {}
+        huff_dc: dict[int, dict] = {}
+        huff_ac: dict[int, dict] = {}
+        frame = None
+        restart_interval = 0
+        while True:
+            if payload[pos] != 0xFF:
+                raise ValueError("expected marker")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                raise ValueError("no scan data")
+            (length,) = struct.unpack_from(">H", payload, pos)
+            seg = payload[pos + 2 : pos + length]
+            pos += length
+            if marker == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    i += 1
+                    if pq:  # 16-bit table
+                        vals = np.frombuffer(seg, ">u2", 64, i)
+                        i += 128
+                    else:
+                        vals = np.frombuffer(seg, np.uint8, 64, i)
+                        i += 64
+                    qt[tq] = vals.astype(np.int32)
+                continue
+            if marker == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    counts = seg[i + 1 : i + 17]
+                    n = sum(counts)
+                    symbols = seg[i + 17 : i + 17 + n]
+                    (huff_ac if tc else huff_dc)[th] = _jpeg_huff_table(
+                        counts, symbols
+                    )
+                    i += 17 + n
+                continue
+            if marker in (0xC0, 0xC1):  # baseline / extended sequential
+                prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+                if prec != 8:
+                    raise ValueError(f"{prec}-bit precision unsupported")
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                    comps.append((cid, samp >> 4, samp & 15, tq))
+                frame = (w, h, comps)
+                continue
+            if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                          0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    f"non-baseline frame type 0x{marker:02x} unsupported"
+                )
+            if marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack_from(">H", seg, 0)
+                continue
+            if marker == 0xDA:  # SOS: entropy data follows
+                if frame is None:
+                    raise ValueError("SOS before SOF")
+                ns = seg[0]
+                scan = {}
+                for c in range(ns):
+                    cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                    scan[cid] = (tabs >> 4, tabs & 15)
+                break
+            # APPn, COM, anything else: skipped via its length
+        width, height, comps = frame
+        if width <= 0 or height <= 0:
+            raise ValueError("empty frame")
+        out = {
+            "width": width,
+            "height": height,
+            "n_channels": 3,
+        }
+        if not with_pixels:
+            return out
+        max_h = max(c[1] for c in comps)
+        max_v = max(c[2] for c in comps)
+        mcus_x = -(-width // (8 * max_h))
+        mcus_y = -(-height // (8 * max_v))
+        a = _jpeg_idct_matrix()
+        zz_rows = np.array([r for r, _ in _JPEG_ZIGZAG])
+        zz_cols = np.array([c for _, c in _JPEG_ZIGZAG])
+        planes = {
+            cid: np.zeros((mcus_y * 8 * max_v, mcus_x * 8 * max_h))
+            for cid, _, _, _ in comps
+        }
+        bits = _JpegBits(payload, pos)
+        pred = {cid: 0 for cid, _, _, _ in comps}
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and (
+                    mcu_count % restart_interval == 0
+                ):
+                    bits.align_to_marker()
+                    pred = {cid: 0 for cid in pred}
+                mcu_count += 1
+                for cid, ch, cv, tq in comps:
+                    dc_t, ac_t = scan[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            coeff = np.zeros(64, np.int64)
+                            s = bits.huff(huff_dc[dc_t])
+                            pred[cid] += _jpeg_extend(bits.take(s), s)
+                            coeff[0] = pred[cid]
+                            k = 1
+                            while k < 64:
+                                rs = bits.huff(huff_ac[ac_t])
+                                run, size = rs >> 4, rs & 15
+                                if size == 0:
+                                    if run == 15:  # ZRL
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run overflow")
+                                coeff[k] = _jpeg_extend(
+                                    bits.take(size), size
+                                )
+                                k += 1
+                            coeff *= qt[tq]
+                            block = np.zeros((8, 8))
+                            block[zz_rows, zz_cols] = coeff
+                            spatial = a.T @ block @ a + 128.0
+                            # this block covers an (8*max_v/cv) square
+                            # of the full-res plane: replicate
+                            ry = 8 * max_v // cv
+                            rx = 8 * max_h // ch
+                            up = np.repeat(
+                                np.repeat(spatial, ry // 8, 0), rx // 8, 1
+                            )
+                            y0 = my * 8 * max_v + by * ry
+                            x0 = mx * 8 * max_h + bx * rx
+                            planes[cid][y0 : y0 + ry, x0 : x0 + rx] = up
+        crops = [
+            np.clip(planes[cid][:height, :width], 0, 255)
+            for cid, _, _, _ in comps
+        ]
+        if len(comps) == 1:
+            rgb = np.repeat(crops[0][:, :, None], 3, axis=2)
+        elif len(comps) == 3:
+            y, cb, cr = crops
+            rgb = np.stack(
+                [
+                    y + 1.402 * (cr - 128),
+                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+                    y + 1.772 * (cb - 128),
+                ],
+                axis=2,
+            )
+        else:
+            raise ValueError(f"{len(comps)}-component JPEG unsupported")
+        out["pixels"] = (
+            np.clip(rgb + 0.5, 0, 255).astype(np.uint8).tobytes()
+        )
+        return out
+    except (struct.error, ValueError, IndexError, KeyError) as e:
+        raise NotImplementedError(f"JPEG payload not decodable: {e}") from e
+
+
 def encode_bmp(width: int, height: int, pixels: bytes, n_channels: int = 3) -> bytes:
     """Encode top-down row-major RGB(A) bytes as an uncompressed 24-bit
     BI_RGB BMP (alpha dropped) — the inverse of _decode_bmp, so resized
@@ -538,8 +827,8 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     Input: (doc_id: long, payload: binary). Output: FEATURE_SCHEMA.
     Byte length + first byte are computed for every payload; width/height
-    are the REAL decoded geometry for decodable images (BMP/PPM/PNG/GIF
-    — a header-only ``decode_image(with_pixels=False)`` parse, so no
+    are the REAL decoded geometry for decodable images (BMP/PPM/PNG/
+    GIF/JPEG — a header-only ``decode_image(with_pixels=False)`` parse, so no
     pixel buffer is copied just to read two header ints) and NULL for
     everything else. The Spark-side shape (Arrow transfer, per-batch
     pandas work, stable schema) is the production one either way.
@@ -562,6 +851,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     b[:2] in (b"BM", b"P6")
                     or b[:8] == b"\x89PNG\r\n\x1a\n"
                     or b[:6] in (b"GIF87a", b"GIF89a")
+                    or b[:2] == b"\xff\xd8"
                 ):
                     try:
                         img = decode_image(b, with_pixels=False)
@@ -604,10 +894,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     Output: same shape with meta.width/height rewritten (and, on the
     real-resize branch, meta.media_type rewritten to image/bmp — the
     re-encoded payload's actual format). REAL for decodable payloads
-    (uncompressed BMP / binary PPM / 8-bit non-interlaced PNG / GIF — see
+    (uncompressed BMP / binary PPM / PNG / GIF / baseline JPEG — see
     decode_image): nearest-neighbor resample through vectorized numpy
     index arrays, re-encoded as 24-bit BMP. Payloads needing an absent
-    codec (JPEG) pass through unchanged with only the meta rewrite —
+    codec pass through unchanged with only the meta rewrite —
     a real cluster swaps that branch for PIL `Image.resize` in the same
     batch loop. The Spark-side plumbing — struct column through Arrow,
     schema-stable output, partition-preserving map — is identical on

@@ -889,6 +889,305 @@ def test_decode_gif_malformed_raises():
             decode_image(payload)
 
 
+class _JpegBitWriter:
+    """MSB-first JPEG entropy writer with 0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.bits = 0
+        self.n = 0
+
+    def put(self, val, size):
+        if size == 0:
+            return
+        self.bits = (self.bits << size) | (val & ((1 << size) - 1))
+        self.n += size
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.bits >> self.n) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0)
+            self.bits &= (1 << self.n) - 1
+
+    def pad_align(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)
+
+    def raw_marker(self, m):
+        self.pad_align()
+        self.buf += bytes([0xFF, m])
+
+
+def _jpeg_zigzag_test():
+    # independently built: walk diagonals, reversing every other one
+    order = []
+    for s in range(15):
+        diag = [(r, s - r) for r in range(8) if 0 <= s - r < 8]
+        order.extend(diag if s % 2 else diag[::-1])
+    return order
+
+
+def _hand_jpeg(planes, width, height, restart_interval=0):
+    """Baseline JPEG encoder for decoder tests: quantization all-ones
+    (near-lossless), one shared DC and one shared AC Huffman table with
+    every symbol at a canonical 8-bit code. ``planes`` is a list of
+    (2d int array, (h_samp, v_samp))."""
+    import struct
+
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import _jpeg_idct_matrix
+
+    a = _jpeg_idct_matrix()
+    zz = _jpeg_zigzag_test()
+    max_h = max(h for _, (h, _) in planes)
+    max_v = max(v for _, (_, v) in planes)
+    mcus_x = -(-width // (8 * max_h))
+    mcus_y = -(-height // (8 * max_v))
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    def bits_of(v, s):
+        return v if v >= 0 else v + (1 << s) - 1
+
+    # pass 1: per-block symbol streams
+    mcu_tokens = []  # list per MCU of (dc_sym, dc_bits, [(ac_sym, bits, size)])
+    preds = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and (my * mcus_x + mx) and (
+                (my * mcus_x + mx) % restart_interval == 0
+            ):
+                preds = [0] * len(planes)
+            for ci, (plane, (ch, cv)) in enumerate(planes):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8].astype(float)
+                        coeff = a @ (block - 128.0) @ a.T
+                        q = np.rint(coeff).astype(int)
+                        scan = [int(q[r, c]) for r, c in zz]
+                        dc_diff = scan[0] - preds[ci]
+                        preds[ci] = scan[0]
+                        s = category(dc_diff)
+                        ac = []
+                        run = 0
+                        last_nz = max(
+                            (k for k in range(1, 64) if scan[k]), default=0
+                        )
+                        for k in range(1, last_nz + 1):
+                            if scan[k] == 0:
+                                run += 1
+                                if run == 16:
+                                    ac.append((0xF0, 0, 0))
+                                    run = 0
+                                continue
+                            sz = category(scan[k])
+                            ac.append(
+                                ((run << 4) | sz, bits_of(scan[k], sz), sz)
+                            )
+                            run = 0
+                        if last_nz < 63:
+                            ac.append((0x00, 0, 0))  # EOB
+                        mcu_tokens.append(
+                            (s, bits_of(dc_diff, s), ac)
+                        )
+    dc_syms = sorted({t[0] for t in mcu_tokens})
+    ac_syms = sorted({sym for t in mcu_tokens for sym, _, _ in t[2]})
+
+    def huff_spec(symbols):
+        counts = [0] * 16
+        counts[7] = len(symbols)
+        code = {sym: i for i, sym in enumerate(symbols)}
+        return bytes(counts) + bytes(symbols), code
+
+    dc_spec, dc_code = huff_spec(dc_syms)
+    ac_spec, ac_code = huff_spec(ac_syms)
+
+    w = _JpegBitWriter()
+    blocks_per_mcu = sum(ch * cv for _, (ch, cv) in planes)
+    ti = iter(mcu_tokens)
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            w.raw_marker(0xD0 + ((m // restart_interval - 1) % 8))
+        for _ in range(blocks_per_mcu):
+            s, dbits, ac = next(ti)
+            w.put(dc_code[s], 8)
+            w.put(dbits, s)
+            for sym, bits, sz in ac:
+                w.put(ac_code[sym], 8)
+                w.put(bits, sz)
+    w.pad_align()
+    entropy = bytes(w.buf)
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # DQT: all ones
+    sof = struct.pack(">BHHB", 8, height, width, len(planes))
+    for ci, (_, (ch, cv)) in enumerate(planes):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + dc_spec)       # DC class, id 0
+    out += seg(0xC4, bytes([0x10]) + ac_spec)       # AC class, id 0
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    return out + entropy + b"\xff\xd9"
+
+
+def _jpeg_planes_from_rgb(rgb):
+    """Full-resolution (4:4:4) JFIF YCbCr planes from an RGB array."""
+    import numpy as np
+
+    r, g, b = (rgb[:, :, i].astype(float) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    return [np.rint(p) for p in (y, cb, cr)]
+
+
+def _pad8(plane):
+    import numpy as np
+
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    out = np.zeros((ph, pw))
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]  # edge-replicate padding
+    out[:, w:] = out[:, w - 1 : w]
+    return out
+
+
+def test_jpeg_zigzag_prefix():
+    """Anchor both zigzag constructions to the spec's known order."""
+    from dbtwiz_spark.multimodal import _JPEG_ZIGZAG
+
+    spec_prefix = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1),
+                   (0, 2), (0, 3), (1, 2), (2, 1), (3, 0)]
+    assert list(_JPEG_ZIGZAG[:10]) == spec_prefix
+    assert _jpeg_zigzag_test()[:10] == spec_prefix
+    assert len(set(_JPEG_ZIGZAG)) == 64
+    assert list(_JPEG_ZIGZAG) == _jpeg_zigzag_test()
+
+
+def test_decode_jpeg_grayscale_gradient():
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    h, w = 11, 16
+    plane = np.fromfunction(lambda y, x: 30 + 9 * x + 5 * y, (h, w))
+    payload = _hand_jpeg([(_pad8(plane), (1, 1))], w, h)
+    img = decode_image(payload)
+    assert (img["width"], img["height"], img["n_channels"]) == (w, h, 3)
+    got = np.frombuffer(img["pixels"], np.uint8).reshape(h, w, 3)
+    # quant table is all-ones: only DCT-coefficient rounding error remains
+    assert np.abs(got[:, :, 0].astype(float) - plane).max() <= 3
+    # grayscale replicates across channels
+    assert (got[:, :, 0] == got[:, :, 1]).all()
+    hdr = decode_image(payload, with_pixels=False)
+    assert (hdr["width"], hdr["height"]) == (w, h) and "pixels" not in hdr
+
+
+def test_decode_jpeg_color_444_roundtrip():
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    h, w = 10, 13
+    rgb = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            rgb[y, x] = (40 + 6 * x, 200 - 8 * y, 60 + 4 * x + 3 * y)
+    planes = [(_pad8(p), (1, 1)) for p in _jpeg_planes_from_rgb(rgb)]
+    img = decode_image(_hand_jpeg(planes, w, h))
+    got = np.frombuffer(img["pixels"], np.uint8).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 6
+
+
+def test_decode_jpeg_420_subsampling_flat():
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    h = w = 16
+    rgb = np.full((h, w, 3), 0, np.uint8)
+    rgb[:, :] = (100, 150, 200)
+    y, cb, cr = _jpeg_planes_from_rgb(rgb)
+    planes = [
+        (_pad8(y), (2, 2)),
+        (_pad8(cb[::2, ::2]), (1, 1)),
+        (_pad8(cr[::2, ::2]), (1, 1)),
+    ]
+    img = decode_image(_hand_jpeg(planes, w, h))
+    got = np.frombuffer(img["pixels"], np.uint8).reshape(h, w, 3)
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_decode_jpeg_restart_markers():
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    h, w = 8, 32  # 4 MCUs, restart after every one
+    plane = np.fromfunction(lambda y, x: 20 + 7 * x, (h, w))
+    payload = _hand_jpeg([(plane, (1, 1))], w, h, restart_interval=1)
+    assert b"\xff\xd0" in payload or b"\xff\xd1" in payload
+    got = np.frombuffer(decode_image(payload)["pixels"], np.uint8)
+    got = got.reshape(h, w, 3)[:, :, 0]
+    assert np.abs(got.astype(float) - plane).max() <= 3
+
+
+def test_decode_jpeg_unsupported_profiles_raise():
+    import numpy as np
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    plane = np.full((8, 8), 99)
+    good = _hand_jpeg([(plane, (1, 1))], 8, 8)
+    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    for payload in (progressive, good[:-20], b"\xff\xd8\xff\xd9"):
+        with _pytest.raises(NotImplementedError):
+            decode_image(payload)
+
+
+def test_jpeg_payloads_flow_through_features_and_resize(spark):
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import (
+        decode_image,
+        extract_features,
+        resize_images,
+    )
+
+    plane = np.full((8, 16), 128)
+    jpg = _hand_jpeg([(plane, (1, 1))], 16, 8)
+    feats = extract_features(
+        spark.createDataFrame([(1, bytearray(jpg))], "doc_id LONG, payload BINARY")
+    ).collect()[0]
+    assert (feats.width, feats.height) == (16, 8)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg), ("image/jpeg", 16, 8, None))],
+        "doc_id LONG, payload BINARY, "
+        "meta STRUCT<media_type STRING, width INT, height INT, duration_ms LONG>",
+    )
+    out = resize_images(df, 4, 4).collect()[0]
+    assert out.meta.media_type == "image/bmp"
+    assert decode_image(bytes(out.payload))["width"] == 4
+
+
 def test_png_payloads_flow_through_features_and_resize(spark):
     """The decodable-PNG path through the Spark surface: geometry in
     extract_features, REAL resize (re-encoded BMP + media_type rewrite)

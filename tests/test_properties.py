@@ -1575,6 +1575,33 @@ def test_gif_decode_any_geometry(width, height, ncolors, interlace, data):
     )
 
 
+@settings(max_examples=25, deadline=None)
+@given(
+    width=st.integers(1, 20),
+    height=st.integers(1, 20),
+    data=st.data(),
+)
+def test_jpeg_grayscale_decode_any_geometry(width, height, data):
+    """Arbitrary random rasters (worst case for the DCT) survive the
+    encode(all-ones quant) -> decode round trip within the analytic
+    coefficient-rounding bound: per-coefficient error <= 0.5, so spatial
+    error <= 0.5 * (sum_u |a_u(x)|)^2 < 5 for the orthonormal basis."""
+    import numpy as np
+
+    from tests.test_engine_basics import _hand_jpeg, _pad8
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    n = width * height
+    vals = data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    plane = np.array(vals, float).reshape(height, width)
+    img = decode_image(_hand_jpeg([(_pad8(plane), (1, 1))], width, height))
+    got = np.frombuffer(img["pixels"], np.uint8).reshape(height, width, 3)
+    assert (img["width"], img["height"]) == (width, height)
+    # clamp the expectation the way the decoder clamps its output
+    assert np.abs(got[:, :, 0].astype(float) - plane).max() <= 5
+
+
 @settings(max_examples=40, deadline=None)
 @given(width=st.integers(1, 9), height=st.integers(1, 9), data=st.data())
 def test_ppm_decode_any_geometry(width, height, data):
