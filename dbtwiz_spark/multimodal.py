@@ -20,8 +20,9 @@ IDCT + JFIF color math — a reference decoder; libjpeg replaces it at
 scale). `decode_image`
 normalizes row order/channel order/padding so callers never see
 container quirks; `resize_images` does a vectorized nearest-neighbor
-resample and re-encodes. Codecs that genuinely need external libraries
-(video demux/mp3) raise `NotImplementedError` — on a real cluster
+resample and re-encodes. MP4 containers DEMUX for real too (`parse_mp4`: box-tree walk, track
+geometry, stts/stsz sample tables — no codec involved); only the
+compressed SAMPLE decode (H.264/mp3) raises `NotImplementedError` — on a real cluster
 those branches swap in PIL/ffmpeg inside the same batch loop. The
 Spark plumbing — schemas, batch iteration, partition-preserving UDF
 shape — is real and tested for every modality.
@@ -858,6 +859,12 @@ def extract_features(df: DataFrame) -> DataFrame:
                         w, h = img["width"], img["height"]
                     except NotImplementedError:
                         pass  # sniffed like an image, doesn't parse: NULL
+                elif _is_mp4(b):
+                    try:
+                        m = parse_mp4(b)  # demux: tkhd geometry, no codec
+                        w, h = m["width"], m["height"]
+                    except NotImplementedError:
+                        pass
                 widths.append(w)
                 heights.append(h)
             yield pd.DataFrame(
@@ -947,6 +954,137 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     return df.mapInPandas(batches, out_schema)
 
 
+def _is_mp4(payload: bytes) -> bool:
+    return len(payload) >= 12 and payload[4:8] == b"ftyp"
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Walk ISO-BMFF boxes in data[start:end]: yields (type, body_start,
+    box_end), handling 64-bit largesize and size-0 (to-end) boxes."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack_from(">I4s", data, pos)
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"bad box size in {btype!r}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """MP4 / ISO-BMFF DEMUX — container structure, not codec decode
+    (round 12): the box tree is pure byte math, so track geometry,
+    duration and the sample tables are REAL without any video codec.
+    Returns movie duration_ms (mvhd), the first visual track's
+    width/height (tkhd 16.16 fixed point), its media timescale (mdhd)
+    and its sample timing/size tables (stts as (count, delta) pairs,
+    stsz sizes) — everything frame_sample needs to step true
+    per-sample offsets. The compressed sample payloads themselves stay
+    opaque (H.264 etc. are codec-library territory). Malformed
+    structures raise NotImplementedError like the codec guards."""
+    import struct
+
+    try:
+        if not _is_mp4(payload):
+            raise ValueError("no ftyp box")
+        end = len(payload)
+        out: dict = {
+            "width": None,
+            "height": None,
+            "duration_ms": None,
+            "media_timescale": None,
+            "stts": None,
+            "sample_sizes": None,
+            "sample_count": None,
+        }
+
+        def parse_trak(s, e):
+            trak: dict = {}
+            for btype, bs, be in _mp4_boxes(payload, s, e):
+                if btype == b"tkhd":
+                    ver = payload[bs]
+                    off = bs + (4 + 32 if ver else 4 + 20) + 16 + 36
+                    w, h = struct.unpack_from(">II", payload, off)
+                    trak["width"], trak["height"] = w >> 16, h >> 16
+                elif btype == b"mdia":
+                    for mt, ms_, me in _mp4_boxes(payload, bs, be):
+                        if mt == b"mdhd":
+                            ver = payload[ms_]
+                            off = ms_ + (4 + 16 if ver else 4 + 8)
+                            (trak["timescale"],) = struct.unpack_from(
+                                ">I", payload, off
+                            )
+                        elif mt == b"minf":
+                            for nt, ns, ne in _mp4_boxes(payload, ms_, me):
+                                if nt == b"stbl":
+                                    parse_stbl(ns, ne, trak)
+            return trak
+
+        def parse_stbl(s, e, trak):
+            for btype, bs, be in _mp4_boxes(payload, s, e):
+                if btype == b"stts":
+                    (n,) = struct.unpack_from(">I", payload, bs + 4)
+                    trak["stts"] = [
+                        struct.unpack_from(">II", payload, bs + 8 + 8 * i)
+                        for i in range(n)
+                    ]
+                elif btype == b"stsz":
+                    fixed, n = struct.unpack_from(">II", payload, bs + 4)
+                    trak["sample_count"] = n
+                    trak["sample_sizes"] = (
+                        None
+                        if fixed
+                        else [
+                            struct.unpack_from(
+                                ">I", payload, bs + 12 + 4 * i
+                            )[0]
+                            for i in range(n)
+                        ]
+                    )
+                    trak["fixed_size"] = fixed
+
+        for btype, bs, be in _mp4_boxes(payload, 0, end):
+            if btype != b"moov":
+                continue
+            tracks = []
+            for mt, ms_, me in _mp4_boxes(payload, bs, be):
+                if mt == b"mvhd":
+                    ver = payload[ms_]
+                    off = ms_ + (4 + 16 if ver else 4 + 8)
+                    (tscale,) = struct.unpack_from(">I", payload, off)
+                    dur = (
+                        struct.unpack_from(">Q", payload, off + 4)[0]
+                        if ver
+                        else struct.unpack_from(">I", payload, off + 4)[0]
+                    )
+                    out["duration_ms"] = dur * 1000 // max(tscale, 1)
+                elif mt == b"trak":
+                    tracks.append(parse_trak(ms_, me))
+            visual = next(
+                (t for t in tracks if t.get("width")), None
+            ) or (tracks[0] if tracks else None)
+            if visual is None:
+                raise ValueError("moov has no trak")
+            out["width"] = visual.get("width") or None
+            out["height"] = visual.get("height") or None
+            out["media_timescale"] = visual.get("timescale")
+            out["stts"] = visual.get("stts")
+            out["sample_sizes"] = visual.get("sample_sizes")
+            out["sample_count"] = visual.get("sample_count")
+            out["fixed_size"] = visual.get("fixed_size")
+            return out
+        raise ValueError("no moov box")
+    except (struct.error, ValueError, IndexError) as e:
+        raise NotImplementedError(f"MP4 payload not demuxable: {e}") from e
+
+
 def _is_wav(payload: bytes) -> bool:
     return (
         len(payload) >= 12
@@ -964,10 +1102,12 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     ``payload_bytes`` is the byte length of that offset's actual
     every_ms PCM slice (frame_rate × channels × sample_width byte math;
     the final slice is the stream remainder, so the sizes sum to the
-    data chunk). Non-WAV payloads (video containers — no codecs here)
-    keep the deterministic size-based fake with the identical output
-    schema; both branches cap at 8 samples per item so skewed media
-    can't blow up a batch."""
+    data chunk). REAL for MP4 containers too (round 12): parse_mp4
+    demuxes the box tree — no codec needed — and each every_ms step
+    reports the true byte size of the sample covering that instant per
+    the track's stts/stsz tables. Other payloads keep the deterministic
+    size-based fake with the identical output schema; every branch caps
+    at 8 samples per item so skewed media can't blow up a batch."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1006,6 +1146,42 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                             (int(doc_id), int(k * every_ms), end - start)
                         )
                     continue
+                if _is_mp4(payload):
+                    try:
+                        m = parse_mp4(bytes(payload))
+                    except NotImplementedError:
+                        m = None
+                    if (
+                        m is not None
+                        and m.get("stts")
+                        and m.get("media_timescale")
+                        and m.get("sample_count")
+                    ):
+                        # REAL demux sampling: walk the stts timeline and
+                        # report each every_ms step's sample byte size
+                        ts = m["media_timescale"]
+                        total = sum(c * d for c, d in m["stts"])
+                        dur_ms = total * 1000 // max(ts, 1)
+                        n = max(1, -(-dur_ms // max(every_ms, 1)))
+                        for k in range(min(n, 8)):
+                            t = k * max(every_ms, 1) * ts // 1000
+                            idx, acc = 0, 0
+                            for count, delta in m["stts"]:
+                                span = count * delta
+                                if acc + span > t:
+                                    idx += (t - acc) // max(delta, 1)
+                                    break
+                                acc += span
+                                idx += count
+                            idx = min(idx, m["sample_count"] - 1)
+                            size = (
+                                m["fixed_size"]
+                                or m["sample_sizes"][idx]
+                            )
+                            rows.append(
+                                (int(doc_id), int(k * every_ms), int(size))
+                            )
+                        continue
                 n = max(1, len(payload) // max(every_ms, 1))
                 for k in range(min(n, 8)):
                     rows.append((int(doc_id), int(k * every_ms), len(payload)))

@@ -1188,6 +1188,132 @@ def test_jpeg_payloads_flow_through_features_and_resize(spark):
     assert decode_image(bytes(out.payload))["width"] == 4
 
 
+def _box(btype, *payloads):
+    import struct
+
+    body = b"".join(payloads)
+    return struct.pack(">I", 8 + len(body)) + btype + body
+
+
+def _hand_mp4(width=640, height=360, timescale=1000, deltas=(100,) * 10,
+              sizes=None, fixed=0):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd, trak(tkhd, mdia(mdhd,
+    minf(stbl(stts, stsz))))). deltas: per-sample durations in media
+    units (collapsed to stts runs); sizes: per-sample byte sizes."""
+    import struct
+
+    runs = []
+    for d in deltas:
+        if runs and runs[-1][1] == d:
+            runs[-1][0] += 1
+        else:
+            runs.append([1, d])
+    stts = struct.pack(">II", 0, len(runs)) + b"".join(
+        struct.pack(">II", c, d) for c, d in runs
+    )
+    n = len(deltas)
+    if fixed:
+        stsz = struct.pack(">III", 0, fixed, n)
+    else:
+        sizes = sizes or [1000 + 7 * i for i in range(n)]
+        stsz = struct.pack(">III", 0, 0, n) + b"".join(
+            struct.pack(">I", s) for s in sizes
+        )
+    total = sum(deltas)
+    mvhd = struct.pack(">IIIII", 0, 0, 0, timescale, total) + bytes(80)
+    tkhd = (
+        struct.pack(">IIIIII", 0, 0, 0, 1, 0, total)
+        + bytes(16 + 36)
+        + struct.pack(">II", width << 16, height << 16)
+    )
+    mdhd = struct.pack(">IIIII", 0, 0, 0, timescale, total) + bytes(4)
+    stbl = _box(b"stbl", _box(b"stts", stts), _box(b"stsz", stsz))
+    mdia = _box(b"mdia", _box(b"mdhd", mdhd), _box(b"minf", stbl))
+    trak = _box(b"trak", _box(b"tkhd", tkhd), mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd), trak)
+    return _box(b"ftyp", b"isom\x00\x00\x00\x00isom") + moov
+
+
+def test_parse_mp4_demux():
+    from dbtwiz_spark.multimodal import parse_mp4
+
+    sizes = [500, 600, 700, 800]
+    m = parse_mp4(_hand_mp4(width=1280, height=720, timescale=600,
+                            deltas=(60, 60, 120, 120), sizes=sizes))
+    assert (m["width"], m["height"]) == (1280, 720)
+    assert m["media_timescale"] == 600
+    assert m["duration_ms"] == 360 * 1000 // 600
+    assert m["sample_sizes"] == sizes
+    assert sum(c * d for c, d in m["stts"]) == 360
+
+
+def test_parse_mp4_malformed_raises():
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import parse_mp4
+
+    good = _hand_mp4()
+    for payload in (
+        b"\x00\x00\x00\x08ftyp",            # ftyp only, no moov
+        good[:40],                            # truncated inside moov
+        good.replace(b"moov", b"mvoo", 1),   # moov renamed away
+    ):
+        with _pytest.raises(NotImplementedError):
+            parse_mp4(payload)
+
+
+def test_frame_sample_real_mp4_demux(spark):
+    """MP4 payloads sample through the REAL stts/stsz tables: each
+    100 ms step reports the byte size of the sample covering that
+    instant (timescale 1000, one sample per 100 ms here, so step k maps
+    to sample k)."""
+    from dbtwiz_spark.multimodal import frame_sample
+
+    sizes = [111, 222, 333, 444, 555]
+    mp4 = _hand_mp4(timescale=1000, deltas=(100,) * 5, sizes=sizes)
+    df = spark.createDataFrame(
+        [(7, bytearray(mp4))], "doc_id LONG, payload BINARY"
+    )
+    rows = sorted(
+        (r.offset_ms, r.payload_bytes)
+        for r in frame_sample(df, every_ms=100).collect()
+    )
+    assert rows == [(100 * k, sizes[k]) for k in range(5)]
+
+
+def test_frame_sample_mp4_uneven_deltas_and_fixed_sizes(spark):
+    from dbtwiz_spark.multimodal import frame_sample
+
+    # 2 samples of 300ms then 3 of 100ms (timescale 1000): step times
+    # 0,200,400 land on samples 0,0,1 at every_ms=200
+    mp4 = _hand_mp4(timescale=1000, deltas=(300, 300, 100, 100, 100),
+                    sizes=[10, 20, 30, 40, 50])
+    df = spark.createDataFrame([(1, bytearray(mp4))],
+                               "doc_id LONG, payload BINARY")
+    rows = sorted((r.offset_ms, r.payload_bytes)
+                  for r in frame_sample(df, every_ms=200).collect())
+    assert rows[:3] == [(0, 10), (200, 10), (400, 20)]
+    # fixed-size samples (stsz sample_size != 0)
+    mp4f = _hand_mp4(timescale=1000, deltas=(100,) * 3, fixed=999)
+    df = spark.createDataFrame([(2, bytearray(mp4f))],
+                               "doc_id LONG, payload BINARY")
+    got = {r.payload_bytes for r in frame_sample(df, every_ms=100).collect()}
+    assert got == {999}
+
+
+def test_extract_features_mp4_geometry(spark):
+    from dbtwiz_spark.multimodal import extract_features
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_hand_mp4(width=320, height=240))),
+         (2, bytearray(b"\x00\x00\x00\x08ftypz"))],  # sniffs mp4, malformed
+        "doc_id LONG, payload BINARY",
+    )
+    out = {r.doc_id: r for r in extract_features(df).collect()}
+    assert (out[1].width, out[1].height) == (320, 240)
+    assert out[2].width is None
+
+
 def test_png_payloads_flow_through_features_and_resize(spark):
     """The decodable-PNG path through the Spark surface: geometry in
     extract_features, REAL resize (re-encoded BMP + media_type rewrite)
