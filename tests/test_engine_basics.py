@@ -1301,6 +1301,20 @@ def test_frame_sample_mp4_uneven_deltas_and_fixed_sizes(spark):
     assert got == {999}
 
 
+def test_frame_sample_malformed_mp4_falls_back(spark):
+    """A payload that sniffs as MP4 but does not parse must take the
+    deterministic size-based branch, not fail the batch — the parked-
+    payload discipline of the other codec paths."""
+    from dbtwiz_spark.multimodal import frame_sample
+
+    junk = b"\x00\x00\x00\x08ftyp" + b"x" * 250
+    df = spark.createDataFrame([(3, bytearray(junk))],
+                               "doc_id LONG, payload BINARY")
+    rows = sorted((r.offset_ms, r.payload_bytes)
+                  for r in frame_sample(df, every_ms=100).collect())
+    assert rows == [(0, len(junk)), (100, len(junk))]
+
+
 def test_extract_features_mp4_geometry(spark):
     from dbtwiz_spark.multimodal import extract_features
 
