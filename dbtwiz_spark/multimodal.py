@@ -767,6 +767,43 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
         raise NotImplementedError(f"JPEG payload not decodable: {e}") from e
 
 
+def encode_png(
+    width: int, height: int, pixels: bytes, n_channels: int = 3
+) -> bytes:
+    """Encode top-down row-major RGB(A)/gray bytes as a non-interlaced
+    8-bit PNG (filter type 0 rows, stdlib zlib) — the alpha-capable
+    inverse of _decode_png, used by resize_images to keep the alpha
+    plane that a 24-bit BMP re-encode would drop. Round-trips through
+    decode_image exactly (lossless)."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[n_channels]
+    stride = width * n_channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride]
+        for y in range(height)
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0),
+        )
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_bmp(width: int, height: int, pixels: bytes, n_channels: int = 3) -> bytes:
     """Encode top-down row-major RGB(A) bytes as an uncompressed 24-bit
     BI_RGB BMP (alpha dropped) — the inverse of _decode_bmp, so resized
@@ -880,9 +917,12 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(batches, FEATURE_SCHEMA)
 
 
-def _resize_nearest(img: dict, width: int, height: int) -> bytes:
+def _resize_nearest(img: dict, width: int, height: int) -> tuple[bytes, str]:
     """Nearest-neighbor resample via numpy index arrays (vectorized —
-    no per-pixel Python), re-encoded as 24-bit BMP."""
+    no per-pixel Python). Returns (payload, media_type): opaque images
+    re-encode as 24-bit BMP; images WITH an alpha plane re-encode as
+    RGBA PNG instead (round 12) — a BMP re-encode would silently drop
+    transparency."""
     import numpy as np
 
     px = np.frombuffer(img["pixels"], np.uint8).reshape(
@@ -891,7 +931,12 @@ def _resize_nearest(img: dict, width: int, height: int) -> bytes:
     ys = (np.arange(height) * img["height"]) // height
     xs = (np.arange(width) * img["width"]) // width
     out = px[ys][:, xs]
-    return encode_bmp(width, height, out.tobytes(), img["n_channels"])
+    if img["n_channels"] == 4:
+        return encode_png(width, height, out.tobytes(), 4), "image/png"
+    return (
+        encode_bmp(width, height, out.tobytes(), img["n_channels"]),
+        "image/bmp",
+    )
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -899,11 +944,13 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
 
     Input: (doc_id: long, payload: binary, meta: MEDIA_META_SCHEMA struct).
     Output: same shape with meta.width/height rewritten (and, on the
-    real-resize branch, meta.media_type rewritten to image/bmp — the
-    re-encoded payload's actual format). REAL for decodable payloads
+    real-resize branch, meta.media_type rewritten to the re-encoded
+    payload's actual format). REAL for decodable payloads
     (uncompressed BMP / binary PPM / PNG / GIF / baseline JPEG — see
     decode_image): nearest-neighbor resample through vectorized numpy
-    index arrays, re-encoded as 24-bit BMP. Payloads needing an absent
+    index arrays, re-encoded as 24-bit BMP — or as RGBA PNG when the
+    decoded image carries an alpha plane, so transparency survives the
+    resize. Payloads needing an absent
     codec pass through unchanged with only the meta rewrite —
     a real cluster swaps that branch for PIL `Image.resize` in the same
     batch loop. The Spark-side plumbing — struct column through Arrow,
@@ -928,14 +975,14 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 media_type = m.get("media_type")
                 if b is not None:
                     try:
-                        b = _resize_nearest(
+                        # the payload is RE-ENCODED (BMP, or PNG when an
+                        # alpha plane must survive): the metadata must
+                        # say so, whatever format came in — a resized
+                        # PPM labeled image/ppm would lie to every
+                        # metadata consumer downstream
+                        b, media_type = _resize_nearest(
                             decode_image(bytes(b)), width, height
                         )
-                        # the payload was RE-ENCODED as 24-bit BMP: the
-                        # metadata must say so, whatever format came in
-                        # (a resized PPM labeled image/ppm would lie to
-                        # every metadata consumer downstream)
-                        media_type = "image/bmp"
                     except NotImplementedError:
                         pass  # codec absent here: passthrough branch
                 payloads.append(b)

@@ -1363,6 +1363,39 @@ def test_png_payloads_flow_through_features_and_resize(spark):
     assert resized["pixels"] == bytes(c for q in quads for c in q)
 
 
+def test_resize_preserves_alpha_via_png(spark):
+    """An RGBA input must re-encode as PNG (not 24-bit BMP, which would
+    silently drop the alpha plane), media_type rewritten to match, and
+    the resized alpha values must be the nearest-neighbor originals."""
+    from dbtwiz_spark.multimodal import decode_image, resize_images
+
+    # 2x2 RGBA PNG with distinct alphas per quadrant
+    rgba = bytes([255, 0, 0, 10, 0, 255, 0, 20,
+                  0, 0, 255, 30, 255, 255, 0, 40])
+    png = _hand_png(2, 2, rgba, color_type=6)
+    df = spark.createDataFrame(
+        [(1, bytearray(png), ("image/png", 2, 2, None))],
+        "doc_id LONG, payload BINARY, "
+        "meta STRUCT<media_type STRING, width INT, height INT, duration_ms LONG>",
+    )
+    out = resize_images(df, 1, 1).collect()[0]
+    assert out.meta.media_type == "image/png"
+    resized = decode_image(bytes(out.payload))
+    assert resized["n_channels"] == 4
+    assert resized["pixels"] == bytes([255, 0, 0, 10])  # top-left survives
+
+
+def test_encode_png_roundtrips_rgb_and_rgba():
+    from dbtwiz_spark.multimodal import decode_image, encode_png
+
+    rgb = bytes(range(5 * 3 * 3))
+    out = decode_image(encode_png(5, 3, rgb, 3))
+    assert (out["width"], out["height"], out["pixels"]) == (5, 3, rgb)
+    rgba = bytes(range(2 * 2 * 4))
+    out = decode_image(encode_png(2, 2, rgba, 4))
+    assert (out["n_channels"], out["pixels"]) == (4, rgba)
+
+
 def test_resize_images_real_path_for_decodable_payloads(spark):
     """Nearest-neighbor 4x4 -> 2x2 must pick one pixel per quadrant; the
     output payload is a decodable 24-bit BMP. Non-decodable payloads in
