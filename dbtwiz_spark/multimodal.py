@@ -17,12 +17,13 @@ color types normalized to the same RGB(A) contract) plus GIF first
 frames (`_gif_lzw` table reconstruction; interlace and transparency
 honored) and baseline JPEG (`_decode_jpeg`: Huffman + matrix-multiply
 IDCT + JFIF color math — a reference decoder; libjpeg replaces it at
-scale). `decode_image`
-normalizes row order/channel order/padding so callers never see
-container quirks; `resize_images` does a vectorized nearest-neighbor
-resample and re-encodes. MP4 containers DEMUX for real too (`parse_mp4`: box-tree walk, track
-geometry, stts/stsz sample tables — no codec involved); only the
-compressed SAMPLE decode (H.264/mp3) raises `NotImplementedError` — on a real cluster
+scale). `decode_image` normalizes row order/channel order/padding so
+callers never see container quirks; `resize_images` does a vectorized
+nearest-neighbor resample and re-encodes (BMP, or alpha-preserving PNG
+via `encode_png`). MP4 containers DEMUX for real too (`parse_mp4`:
+box-tree walk, track geometry, stts/stsz sample tables — no codec
+involved). Only the compressed SAMPLE decodes (H.264/mp3) raise
+`NotImplementedError` — on a real cluster
 those branches swap in PIL/ffmpeg inside the same batch loop. The
 Spark plumbing — schemas, batch iteration, partition-preserving UDF
 shape — is real and tested for every modality.
@@ -72,25 +73,25 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
-    """Decode an image payload — REAL for every format the stdlib plus
-    byte math can reach (no codec libraries needed): uncompressed BMP
-    (BITMAPINFOHEADER, BI_RGB, 24/32 bpp), binary PPM (P6, maxval
-    ≤ 255), and 8-bit non-interlaced PNG. Returns ``{"width", "height", "n_channels", "pixels"}``
-    with pixels as top-down row-major RGB(A) bytes — BMP's bottom-up row
-    order and BGR channel order and 4-byte row padding are normalized
-    here, so callers never see container quirks. ``with_pixels=False``
-    is the header-only parse (the ``decode_audio``/``with_pcm``
-    convention): full validation — including the pixel-data length
-    check — but no pixel buffer materialized, for callers that need
-    geometry only (``extract_features``' width/height columns must not
-    copy every image's pixels just to read two header ints).
+    """Decode an image payload — REAL, with no codec library, for:
+    uncompressed BMP (BITMAPINFOHEADER, BI_RGB, 24/32 bpp), binary PPM
+    (P6, maxval ≤ 255), 8-bit non-interlaced PNG (_decode_png: stdlib
+    zlib + per-row filter math), GIF first frames (_decode_gif:
+    pure-Python LZW), and baseline JPEG (_decode_jpeg: Huffman +
+    matrix-multiply IDCT). Returns ``{"width", "height", "n_channels",
+    "pixels"}`` with pixels as top-down row-major RGB(A) bytes —
+    container quirks (BMP's bottom-up BGR padded rows, PNG/GIF palette
+    and gray forms, JPEG subsampling) are normalized here, so callers
+    see one contract.
 
-    PNG is decoded for real too (round 12): its only compression is
-    zlib, which the Python stdlib ships, and the per-row filters are
-    byte math — see _decode_png for the supported profile (8-bit,
-    non-interlaced, gray/RGB/palette/alpha), as are GIF first frames
-    (_decode_gif) and baseline JPEG (_decode_jpeg). Remaining formats
-    raise NotImplementedError like the other codec guards — on a real cluster that branch is
+    ``with_pixels=False`` is the header-only parse (the
+    ``decode_audio``/``with_pcm`` convention): structural validation
+    without materializing or decompressing the pixel buffer, for
+    callers that need geometry only (``extract_features``' width/height
+    columns must not decode every image just to read two header ints).
+
+    Anything else raises NotImplementedError like the other codec
+    guards — on a real cluster that branch is
     `PIL.Image.open(io.BytesIO(payload))` inside the same mapInPandas
     batch loop. One failure mode ('not decodable here') either way."""
     if payload[:2] == b"BM":
