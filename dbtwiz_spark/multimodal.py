@@ -15,9 +15,11 @@ and — round 12 — 8-bit non-interlaced PNG (stdlib `zlib` inflate +
 per-row filter reconstruction in `_png_unfilter`; gray/palette/alpha
 color types normalized to the same RGB(A) contract) plus GIF first
 frames (`_gif_lzw` table reconstruction; interlace and transparency
-honored) and baseline JPEG (`_decode_jpeg`: Huffman + matrix-multiply
-IDCT + JFIF color math — a reference decoder; libjpeg replaces it at
-scale). `decode_image` normalizes row order/channel order/padding so
+honored) and baseline + progressive JPEG (`_decode_jpeg`: Huffman,
+spectral-selection/successive-approximation scans, matrix-multiply
+IDCT + JFIF color math — a reference decoder; an opportunistic PIL
+fast path takes over where Pillow is installed, see `_pil`).
+`decode_image` normalizes row order/channel order/padding so
 callers never see container quirks; `resize_images` does a vectorized
 nearest-neighbor resample and re-encodes (BMP, or alpha-preserving PNG
 via `encode_png`). MP4 containers DEMUX for real too (`parse_mp4`:
@@ -62,14 +64,90 @@ FEATURE_SCHEMA = StructType(
         StructField("doc_id", LongType()),
         StructField("payload_bytes", LongType()),
         StructField("first_byte", IntegerType()),
-        # real decoded geometry for byte-math-decodable image payloads
-        # (BMP/PPM/PNG/GIF/JPEG), NULL otherwise — surfaced as plan-level columns so
+        # real decoded geometry, NULL where not applicable. The full
+        # dispatch: BMP/PPM/PNG/GIF/JPEG header parses plus MP4 demux
+        # geometry (tkhd). Surfaced as plan-level columns so
         # min-resolution gates and aspect-ratio buckets are ordinary
         # Catalyst filters, not a second decode pass
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        # header-derived media duration (round 13): WAV byte math and
+        # MP4 mvhd, NULL for images/text — mixture/budget operators can
+        # gate on media length at plan level the same way the geometry
+        # rider enabled resolution gates
+        StructField("duration_ms", LongType()),
     ]
 )
+
+
+#: tri-state PIL probe: False = not probed yet, None = absent/disabled
+_PIL_IMAGE: object = False
+
+
+def _pil():
+    """Opportunistic PIL import, probed once per process (round 13 —
+    the in-code production note made real): executors that ship Pillow
+    get libjpeg/libpng-speed decodes through the SAME decode_image
+    contract; this container has no PIL, so the pure decoders are what
+    the tests exercise. SPARK_GRAFT_NO_PIL=1 forces the pure path even
+    where PIL exists (the parity test uses it to compare both)."""
+    global _PIL_IMAGE
+    if _PIL_IMAGE is False:
+        import os
+
+        if os.environ.get("SPARK_GRAFT_NO_PIL"):
+            _PIL_IMAGE = None
+        else:
+            try:
+                from PIL import Image as _img
+
+                _PIL_IMAGE = _img
+            except Exception:
+                _PIL_IMAGE = None
+    return _PIL_IMAGE
+
+
+def _decode_pil(image_mod, payload: bytes) -> dict:
+    """PIL-backed decode normalized to decode_image's exact contract:
+    top-down row-major RGB bytes, RGBA when the source carries
+    transparency (an alpha band, a palette transparency index, or a
+    PNG tRNS color key — PIL's convert() does not apply the key form
+    for L/RGB modes, so that case is normalized here the same way the
+    pure decoder does it). Pinned against the pure decoders by
+    test_pil_parity_with_pure_decoders wherever PIL is installed."""
+    import io
+
+    import numpy as np
+
+    with image_mod.open(io.BytesIO(payload)) as im:
+        im.load()
+        transparency = im.info.get("transparency")
+        if im.mode in ("L", "RGB") and transparency is not None:
+            rgb = np.asarray(im.convert("RGB"))
+            if im.mode == "L":
+                key = np.array([transparency & 0xFF] * 3, np.uint8)
+            else:
+                key = np.array([v & 0xFF for v in transparency], np.uint8)
+            alpha = np.where(
+                (rgb == key).all(axis=2), 0, 255
+            ).astype(np.uint8)
+            px = np.concatenate([rgb, alpha[:, :, None]], axis=2)
+            return {
+                "width": im.width,
+                "height": im.height,
+                "n_channels": 4,
+                "pixels": np.ascontiguousarray(px).tobytes(),
+            }
+        has_alpha = "A" in im.getbands() or (
+            im.mode == "P" and transparency is not None
+        )
+        conv = im.convert("RGBA" if has_alpha else "RGB")
+        return {
+            "width": conv.width,
+            "height": conv.height,
+            "n_channels": 4 if has_alpha else 3,
+            "pixels": conv.tobytes(),
+        }
 
 
 def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
@@ -77,8 +155,9 @@ def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
     uncompressed BMP (BITMAPINFOHEADER, BI_RGB, 24/32 bpp), binary PPM
     (P6, maxval ≤ 255), 8-bit non-interlaced PNG (_decode_png: stdlib
     zlib + per-row filter math), GIF first frames (_decode_gif:
-    pure-Python LZW), and baseline JPEG (_decode_jpeg: Huffman +
-    matrix-multiply IDCT). Returns ``{"width", "height", "n_channels",
+    pure-Python LZW), and baseline AND progressive JPEG (_decode_jpeg:
+    Huffman + successive approximation + matrix-multiply IDCT). Returns
+    ``{"width", "height", "n_channels",
     "pixels"}`` with pixels as top-down row-major RGB(A) bytes —
     container quirks (BMP's bottom-up BGR padded rows, PNG/GIF palette
     and gray forms, JPEG subsampling) are normalized here, so callers
@@ -90,24 +169,40 @@ def decode_image(payload: bytes, with_pixels: bool = True) -> dict:
     callers that need geometry only (``extract_features``' width/height
     columns must not decode every image just to read two header ints).
 
+    When Pillow is installed (cluster deployments), full decodes of
+    PNG/GIF/JPEG payloads take the PIL fast path (_decode_pil — same
+    output contract, libjpeg speed, and coverage of the variants the
+    pure decoders guard on, e.g. Adam7 PNG); any PIL failure falls back
+    to the pure decoders, and header-only parses always stay pure (two
+    header ints never justify a full pixel decode). BMP/PPM stay pure
+    everywhere — they are already trivial byte math.
+
     Anything else raises NotImplementedError like the other codec
-    guards — on a real cluster that branch is
-    `PIL.Image.open(io.BytesIO(payload))` inside the same mapInPandas
-    batch loop. One failure mode ('not decodable here') either way."""
+    guards. One failure mode ('not decodable here') either way."""
     if payload[:2] == b"BM":
         return _decode_bmp(payload, with_pixels)
     if payload[:2] == b"P6":
         return _decode_ppm(payload, with_pixels)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+    is_png = payload[:8] == b"\x89PNG\r\n\x1a\n"
+    is_gif = payload[:6] in (b"GIF87a", b"GIF89a")
+    is_jpeg = payload[:2] == b"\xff\xd8"
+    if with_pixels and (is_png or is_gif or is_jpeg):
+        image_mod = _pil()
+        if image_mod is not None:
+            try:
+                return _decode_pil(image_mod, payload)
+            except Exception:
+                pass  # fall back to the pure decoders below
+    if is_png:
         return _decode_png(payload, with_pixels)
-    if payload[:6] in (b"GIF87a", b"GIF89a"):
+    if is_gif:
         return _decode_gif(payload, with_pixels)
-    if payload[:2] == b"\xff\xd8":
+    if is_jpeg:
         return _decode_jpeg(payload, with_pixels)
     raise NotImplementedError(
         "image payload is not decodable here (uncompressed BMP, binary "
-        "PPM, 8-bit non-interlaced PNG, GIF, baseline JPEG); remaining "
-        "codecs are not available in this environment"
+        "PPM, 8-bit non-interlaced PNG, GIF, baseline+progressive "
+        "JPEG); remaining codecs are not available in this environment"
     )
 
 
@@ -243,13 +338,22 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
     Supported profile: 8-bit samples, non-interlaced, color types 0
     (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); gray and
     palette normalize to RGB and alpha is preserved, so callers see the
-    same top-down row-major RGB(A) contract as BMP/PPM. 16-bit and
-    Adam7-interlaced files raise NotImplementedError (the codec-guard
-    failure mode); chunk CRCs are not verified (decode-side tolerance —
-    a corrupt stream still fails structurally via zlib/size checks).
-    Header-only (``with_pixels=False``) walks the full chunk structure
-    (valid IHDR, well-formed chunk lengths, IDAT present) but skips the
-    decompression and filter passes."""
+    same top-down row-major RGB(A) contract as BMP/PPM. A tRNS chunk on
+    types 0/2/3 upgrades the output to RGBA (round 13 — previously the
+    alpha plane was silently dropped, violating the decode-for-real-or-
+    raise contract). 16-bit and Adam7-interlaced files raise
+    NotImplementedError (the codec-guard failure mode); chunk CRCs are
+    not verified (decode-side tolerance — a corrupt stream still fails
+    structurally via zlib/size checks). Header-only
+    (``with_pixels=False``) walks the full chunk structure (valid IHDR,
+    well-formed chunk lengths, IDAT present) but skips the decompression
+    and filter passes.
+
+    The inflate is BOUNDED to the geometry the header claims
+    (decompressobj + max_length, round 13): untrusted training-data
+    payloads include decompression bombs, and an unbounded
+    zlib.decompress of a small crafted IDAT can expand ~1000x and OOM
+    an executor before the size check ever runs."""
     import struct
     import zlib
 
@@ -260,6 +364,7 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
         width = height = None
         bit_depth = color_type = None
         palette = None
+        trns = None
         idat: list[bytes] = []
         while pos + 8 <= len(payload):
             length, ctype = struct.unpack_from(">I4s", payload, pos)
@@ -287,6 +392,8 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
                 if length % 3 != 0:
                     raise ValueError("malformed palette")
                 palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+            elif ctype == b"tRNS":
+                trns = data
             elif ctype == b"IDAT":
                 idat.append(data)
             elif ctype == b"IEND":
@@ -295,43 +402,82 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
             raise ValueError("missing/invalid IHDR")
         if not idat:
             raise ValueError("no IDAT data")
+        if color_type in (4, 6):
+            trns = None  # spec forbids tRNS alongside a real alpha channel
         channels_in = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-        n_channels = {0: 3, 2: 3, 3: 3, 4: 4, 6: 4}[color_type]
+        n_channels = 4 if trns is not None else (
+            {0: 3, 2: 3, 3: 3, 4: 4, 6: 4}[color_type]
+        )
         out = {"width": width, "height": height, "n_channels": n_channels}
         if not with_pixels:
             return out
-        raw = zlib.decompress(b"".join(idat))
         stride = width * channels_in
-        if len(raw) != (stride + 1) * height:
+        expected = (stride + 1) * height
+        # bounded inflate: a crafted IDAT must not expand past what the
+        # declared geometry can hold (decompression-bomb guard)
+        dec = zlib.decompressobj()
+        raw = dec.decompress(b"".join(idat), expected)
+        if len(raw) != expected or dec.unconsumed_tail or dec.flush():
             raise ValueError("decompressed size mismatch")
         rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
         px = _png_unfilter(rows, channels_in).reshape(
             height, width, channels_in
         )
+        alpha = None
         if color_type == 3:
             if palette is None:
                 raise ValueError("palette image without PLTE")
             if int(px.max(initial=0)) >= len(palette):
                 raise ValueError("palette index out of range")
-            px = palette[px[:, :, 0]]
+            idx = px[:, :, 0]
+            if trns is not None:
+                # tRNS maps palette index -> alpha; absent entries opaque
+                lut = np.full(len(palette), 255, np.uint8)
+                lut[: min(len(trns), len(palette))] = np.frombuffer(
+                    trns[: len(palette)], np.uint8
+                )
+                alpha = lut[idx]
+            px = palette[idx]
         elif color_type == 0:
+            if trns is not None:
+                if len(trns) < 2:
+                    raise ValueError("malformed tRNS")
+                key = struct.unpack(">H", trns[:2])[0] & 0xFF
+                alpha = np.where(px[:, :, 0] == key, 0, 255).astype(np.uint8)
             px = np.repeat(px, 3, axis=2)
+        elif color_type == 2:
+            if trns is not None:
+                if len(trns) < 6:
+                    raise ValueError("malformed tRNS")
+                key = np.array(
+                    [v & 0xFF for v in struct.unpack(">HHH", trns[:6])],
+                    np.uint8,
+                )
+                alpha = np.where(
+                    (px == key).all(axis=2), 0, 255
+                ).astype(np.uint8)
         elif color_type == 4:
             px = np.concatenate(
                 [np.repeat(px[:, :, :1], 3, axis=2), px[:, :, 1:]], axis=2
             )
+        if alpha is not None:
+            px = np.concatenate([px, alpha[:, :, None]], axis=2)
         out["pixels"] = np.ascontiguousarray(px).tobytes()
         return out
     except (struct.error, ValueError, zlib.error, IndexError) as e:
         raise NotImplementedError(f"PNG payload not decodable: {e}") from e
 
 
-def _gif_lzw(min_code_size: int, data: bytes) -> bytes:
+def _gif_lzw(min_code_size: int, data: bytes, max_out: int | None = None) -> bytes:
     """GIF-variant LZW decode (LSB-first bit packing, CLEAR/END codes,
     code size growing 3..12 bits as the dictionary fills, deferred-clear
     tolerated: a full dictionary stops growing until the next CLEAR).
     Pure Python over the concatenated image sub-blocks — the reference
-    path; libpil replaces it at cluster scale."""
+    path; libpil replaces it at cluster scale. ``max_out`` bounds the
+    output to what the frame geometry can hold (decompression-bomb
+    guard, round 13): LZW expands up to ~4000x, so an unbounded decode
+    of a small crafted stream could OOM an executor before the caller's
+    size check runs — decode stops as soon as the cap is reached."""
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
@@ -342,6 +488,8 @@ def _gif_lzw(min_code_size: int, data: bytes) -> bytes:
     bitpos = 0
     total_bits = len(data) * 8
     while bitpos + code_size <= total_bits:
+        if max_out is not None and len(out) >= max_out:
+            break
         byte_i = bitpos >> 3
         window = int.from_bytes(data[byte_i : byte_i + 3], "little")
         code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
@@ -457,7 +605,8 @@ def _decode_gif(payload: bytes, with_pixels: bool = True) -> dict:
             data += payload[pos + 1 : pos + 1 + size]
             pos += 1 + size
         idx = np.frombuffer(
-            _gif_lzw(min_code_size, bytes(data)), np.uint8
+            _gif_lzw(min_code_size, bytes(data), max_out=width * height),
+            np.uint8,
         )[: width * height]
         if len(idx) < width * height:
             raise ValueError("LZW stream shorter than frame")
@@ -583,17 +732,100 @@ def _jpeg_huff_table(counts: bytes, symbols: bytes) -> dict:
     return table
 
 
+def _jpeg_ac_first(bits, actab, coef, ss, se, al, eobrun) -> int:
+    """One block's AC coefficients, first successive-approximation pass
+    (Ah == 0) — ALSO the baseline AC path (baseline is the degenerate
+    ss=1, se=63, al=0 first pass: its EOB is the run-length-0 EOBRUN).
+    Returns the updated EOBRUN (whole following blocks skipped)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = bits.huff(actab)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += bits.take(run)
+            break  # EOB: rest of this block stays zero
+        k += run
+        if k > se:
+            raise ValueError("AC run overflow")
+        coef[k] = _jpeg_extend(bits.take(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _jpeg_ac_refine(bits, actab, coef, ss, se, al, eobrun) -> int:
+    """One block's AC refinement pass (Ah = Al + 1): newly nonzero
+    coefficients arrive as ±1<<Al after a run of ZERO-HISTORY positions;
+    every nonzero-history position passed contributes one correction bit
+    (1 = set bit Al of the magnitude). An EOB symbol switches the rest of
+    the block — and EOBRUN-1 following blocks — to correction-bits-only
+    (spec T.81 G.1.2.3; structure mirrors the figure G.7 flow)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = bits.huff(actab)
+            run, size = rs >> 4, rs & 15
+            val = 0
+            if size:
+                if size != 1:
+                    raise ValueError("bad AC refinement size")
+                val = p1 if bits.take(1) else m1
+            elif run != 15:
+                eobrun = 1 << run
+                if run:
+                    eobrun += bits.take(run)
+                break  # rest handled by the correction-bit tail below
+            # advance over `run` still-zero coefficients (16 for ZRL),
+            # appending correction bits to already-nonzero ones passed
+            while k <= se:
+                if coef[k]:
+                    if bits.take(1) and not (coef[k] & p1):
+                        coef[k] += p1 if coef[k] > 0 else m1
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement run overflow")
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # correction bits for the remaining nonzeroes
+            if coef[k]:
+                if bits.take(1) and not (coef[k] & p1):
+                    coef[k] += p1 if coef[k] > 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
-    """Baseline JPEG (SOF0/SOF1, Huffman, 8-bit) decoded with numpy
-    byte math (round 12): Huffman decode of the MCU stream, dequantize,
-    inverse zigzag, one orthonormal 8x8 matrix-multiply IDCT per block,
+    """Huffman JPEG decoded with numpy byte math: baseline/extended
+    sequential (SOF0/SOF1) since round 12 and PROGRESSIVE (SOF2) since
+    round 13 — the variant a real web-crawl corpus hits first. One scan
+    engine covers both: every scan's entropy data lands in per-component
+    COEFFICIENT BUFFERS (spectral selection Ss..Se, successive
+    approximation Ah/Al with EOBRUN and correction bits — see
+    _jpeg_ac_first/_jpeg_ac_refine; a baseline scan is the degenerate
+    0..63 first pass), then ONE vectorized finish: dequantize, inverse
+    zigzag, batched 8x8 matrix IDCT over all blocks at once (einsum),
     sampling-factor upsample by replication, JFIF YCbCr→RGB. Restart
-    intervals honored; progressive (SOF2), arithmetic coding and 12-bit
-    precision raise NotImplementedError — the codec-guard failure mode.
-    A reference decoder, not a fast one (the entropy decode is a
+    intervals honored in both forms; arithmetic coding, lossless and
+    hierarchical frames (SOF3/5..15 except 2), and 12-bit precision
+    raise NotImplementedError — the codec-guard failure mode. A
+    reference decoder, not a fast one (the entropy decode is a
     per-symbol Python loop): at cluster scale PIL/libjpeg-turbo replaces
-    it inside the same batch loop; here it makes the format REAL for
-    the plumbing, geometry and resize paths."""
+    it inside the same batch loop (see decode_image's PIL fast path)."""
     import struct
 
     import numpy as np
@@ -607,6 +839,9 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
         huff_ac: dict[int, dict] = {}
         frame = None
         restart_interval = 0
+        coeffs: dict[int, "np.ndarray"] = {}
+        geom: dict[int, tuple] = {}
+        saw_scan = False
         while True:
             if payload[pos] != 0xFF:
                 raise ValueError("expected marker")
@@ -614,8 +849,10 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
             pos += 2
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue
-            if marker == 0xD9:  # EOI before SOS
-                raise ValueError("no scan data")
+            if marker == 0xD9:  # EOI
+                if not saw_scan:
+                    raise ValueError("no scan data")
+                break
             (length,) = struct.unpack_from(">H", payload, pos)
             seg = payload[pos + 2 : pos + length]
             pos += length
@@ -632,7 +869,7 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
                         i += 64
                     qt[tq] = vals.astype(np.int32)
                 continue
-            if marker == 0xC4:  # DHT
+            if marker == 0xC4:  # DHT (progressive files redefine between scans)
                 i = 0
                 while i < len(seg):
                     tc, th = seg[i] >> 4, seg[i] & 15
@@ -644,112 +881,99 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
                     )
                     i += 17 + n
                 continue
-            if marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if marker in (0xC0, 0xC1, 0xC2):  # sequential or progressive
                 prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
                 if prec != 8:
                     raise ValueError(f"{prec}-bit precision unsupported")
+                if w <= 0 or h <= 0:
+                    raise ValueError("empty frame")
+                # validated BEFORE any header-only return so the two
+                # modes agree on what is decodable (a 4-component CMYK
+                # file must not report geometry it cannot deliver)
+                if nc not in (1, 3):
+                    raise ValueError(f"{nc}-component JPEG unsupported")
                 comps = []
                 for c in range(nc):
                     cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                     comps.append((cid, samp >> 4, samp & 15, tq))
                 frame = (w, h, comps)
                 continue
-            if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                           0xCD, 0xCE, 0xCF):
                 raise ValueError(
-                    f"non-baseline frame type 0x{marker:02x} unsupported"
+                    f"unsupported frame type 0x{marker:02x}"
                 )
             if marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack_from(">H", seg, 0)
                 continue
-            if marker == 0xDA:  # SOS: entropy data follows
+            if marker == 0xDA:  # SOS
                 if frame is None:
                     raise ValueError("SOS before SOF")
+                if not with_pixels:
+                    # header-only: frame is validated, scan data exists
+                    w, h, _ = frame
+                    return {"width": w, "height": h, "n_channels": 3}
+                if not coeffs:
+                    width, height, comps = frame
+                    max_h = max(c[1] for c in comps)
+                    max_v = max(c[2] for c in comps)
+                    if any(max_h % c[1] or max_v % c[2] for c in comps):
+                        raise ValueError("non-integer sampling ratio")
+                    mcus_x = -(-width // (8 * max_h))
+                    mcus_y = -(-height // (8 * max_v))
+                    for cid, ch, cv, _ in comps:
+                        # buffers are MCU-padded; non-interleaved scans
+                        # code only the component's own ceil(dim/8) grid
+                        comp_w = -(-width * ch // max_h)
+                        comp_h = -(-height * cv // max_v)
+                        coeffs[cid] = np.zeros(
+                            (mcus_y * cv, mcus_x * ch, 64), np.int32
+                        )
+                        geom[cid] = (-(-comp_h // 8), -(-comp_w // 8))
                 ns = seg[0]
-                scan = {}
+                scan_comps = []
                 for c in range(ns):
                     cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                    scan[cid] = (tabs >> 4, tabs & 15)
-                break
-            # APPn, COM, anything else: skipped via its length
+                    scan_comps.append((cid, tabs >> 4, tabs & 15))
+                ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
+                ah, al = ahl >> 4, ahl & 15
+                if not (0 <= ss <= se <= 63):
+                    raise ValueError("bad spectral selection")
+                pos = _jpeg_decode_scan(
+                    payload, pos, frame, scan_comps, (ss, se, ah, al),
+                    huff_dc, huff_ac, coeffs, geom,
+                    (mcus_x, mcus_y, max_h, max_v), restart_interval,
+                )
+                saw_scan = True
+                continue
+            # APPn, COM, DNL, anything else: skipped via its length
+        # --- finish: dequantize + batched IDCT + upsample + color ---
         width, height, comps = frame
-        if width <= 0 or height <= 0:
-            raise ValueError("empty frame")
-        out = {
-            "width": width,
-            "height": height,
-            "n_channels": 3,
-        }
-        if not with_pixels:
-            return out
-        max_h = max(c[1] for c in comps)
-        max_v = max(c[2] for c in comps)
-        mcus_x = -(-width // (8 * max_h))
-        mcus_y = -(-height // (8 * max_v))
-        a = _jpeg_idct_matrix()
         zz_rows = np.array([r for r, _ in _JPEG_ZIGZAG])
         zz_cols = np.array([c for _, c in _JPEG_ZIGZAG])
-        planes = {
-            cid: np.zeros((mcus_y * 8 * max_v, mcus_x * 8 * max_h))
-            for cid, _, _, _ in comps
-        }
-        bits = _JpegBits(payload, pos)
-        pred = {cid: 0 for cid, _, _, _ in comps}
-        mcu_count = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_count and (
-                    mcu_count % restart_interval == 0
-                ):
-                    bits.align_to_marker()
-                    pred = {cid: 0 for cid in pred}
-                mcu_count += 1
-                for cid, ch, cv, tq in comps:
-                    dc_t, ac_t = scan[cid]
-                    for by in range(cv):
-                        for bx in range(ch):
-                            coeff = np.zeros(64, np.int64)
-                            s = bits.huff(huff_dc[dc_t])
-                            pred[cid] += _jpeg_extend(bits.take(s), s)
-                            coeff[0] = pred[cid]
-                            k = 1
-                            while k < 64:
-                                rs = bits.huff(huff_ac[ac_t])
-                                run, size = rs >> 4, rs & 15
-                                if size == 0:
-                                    if run == 15:  # ZRL
-                                        k += 16
-                                        continue
-                                    break  # EOB
-                                k += run
-                                if k > 63:
-                                    raise ValueError("AC run overflow")
-                                coeff[k] = _jpeg_extend(
-                                    bits.take(size), size
-                                )
-                                k += 1
-                            coeff *= qt[tq]
-                            block = np.zeros((8, 8))
-                            block[zz_rows, zz_cols] = coeff
-                            spatial = a.T @ block @ a + 128.0
-                            # this block covers an (8*max_v/cv) square
-                            # of the full-res plane: replicate
-                            ry = 8 * max_v // cv
-                            rx = 8 * max_h // ch
-                            up = np.repeat(
-                                np.repeat(spatial, ry // 8, 0), rx // 8, 1
-                            )
-                            y0 = my * 8 * max_v + by * ry
-                            x0 = mx * 8 * max_h + bx * rx
-                            planes[cid][y0 : y0 + ry, x0 : x0 + rx] = up
-        crops = [
-            np.clip(planes[cid][:height, :width], 0, 255)
-            for cid, _, _, _ in comps
-        ]
+        a = _jpeg_idct_matrix()
+        planes = []
+        for cid, ch, cv, tq in comps:
+            buf = coeffs[cid]
+            by, bx = buf.shape[:2]
+            deq = buf.reshape(-1, 64).astype(np.float64) * qt[tq]
+            blocks = np.zeros((deq.shape[0], 8, 8))
+            blocks[:, zz_rows, zz_cols] = deq
+            # spatial[x,y] = sum_uv a[u,x] * block[u,v] * a[v,y]
+            spatial = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + 128.0
+            plane = (
+                spatial.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)
+            )
+            plane = np.repeat(
+                np.repeat(plane, max_v // cv, 0), max_h // ch, 1
+            )
+            planes.append(np.clip(plane[:height, :width], 0, 255))
         if len(comps) == 1:
-            rgb = np.repeat(crops[0][:, :, None], 3, axis=2)
-        elif len(comps) == 3:
-            y, cb, cr = crops
+            rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
+        else:
+            y, cb, cr = planes
             rgb = np.stack(
                 [
                     y + 1.402 * (cr - 128),
@@ -758,14 +982,85 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
                 ],
                 axis=2,
             )
-        else:
-            raise ValueError(f"{len(comps)}-component JPEG unsupported")
-        out["pixels"] = (
-            np.clip(rgb + 0.5, 0, 255).astype(np.uint8).tobytes()
-        )
-        return out
+        return {
+            "width": width,
+            "height": height,
+            "n_channels": 3,
+            "pixels": np.clip(rgb + 0.5, 0, 255).astype(np.uint8).tobytes(),
+        }
     except (struct.error, ValueError, IndexError, KeyError) as e:
         raise NotImplementedError(f"JPEG payload not decodable: {e}") from e
+
+
+def _jpeg_decode_scan(
+    payload, pos, frame, scan_comps, band, huff_dc, huff_ac,
+    coeffs, geom, grid, restart_interval,
+):
+    """Decode ONE scan's entropy data into the coefficient buffers and
+    return the position of the next marker. Interleaved scans (ns > 1)
+    walk the MCU grid; single-component scans walk that component's own
+    block grid row-major (T.81 A.2.3). Progressive constraints (DC-only
+    scans interleave, AC scans are single-component, refinement scans
+    sit on a prior pass's coefficients) fall out of the band arithmetic
+    rather than being special-cased."""
+    ss, se, ah, al = band
+    mcus_x, mcus_y, max_h, max_v = grid
+    _, _, comps = frame
+    samp = {cid: (ch, cv) for cid, ch, cv, _ in comps}
+    bits = _JpegBits(payload, pos)
+    pred = {cid: 0 for cid, _, _ in scan_comps}
+    eobrun = 0
+
+    def block(cid, dc_t, ac_t, row, col):
+        nonlocal eobrun
+        coef = coeffs[cid][row, col]
+        if ss == 0:
+            if ah == 0:
+                s = bits.huff(huff_dc[dc_t])
+                pred[cid] += _jpeg_extend(bits.take(s), s)
+                coef[0] = pred[cid] << al
+            elif bits.take(1):
+                coef[0] |= 1 << al
+        if se >= 1:
+            fn = _jpeg_ac_first if ah == 0 else _jpeg_ac_refine
+            eobrun = fn(bits, huff_ac[ac_t], coef, max(ss, 1), se, al, eobrun)
+
+    if len(scan_comps) > 1:  # interleaved: MCU order
+        units = mcus_x * mcus_y
+    else:
+        cid = scan_comps[0][0]
+        bh, bw = geom[cid]
+        units = bh * bw
+    done = 0
+    while done < units:
+        if restart_interval and done and done % restart_interval == 0:
+            bits.align_to_marker()
+            pred = {c: 0 for c in pred}
+            eobrun = 0
+        if len(scan_comps) > 1:
+            my, mx = divmod(done, mcus_x)
+            for cid, dc_t, ac_t in scan_comps:
+                ch, cv = samp[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        block(cid, dc_t, ac_t, my * cv + by, mx * ch + bx)
+        else:
+            cid, dc_t, ac_t = scan_comps[0]
+            row, col = divmod(done, bw)
+            block(cid, dc_t, ac_t, row, col)
+        done += 1
+    # skip any padding bits / unconsumed restart markers to the next
+    # real marker (the caller resumes the marker walk there)
+    p = bits.pos
+    while p + 1 < len(payload):
+        if (
+            payload[p] == 0xFF
+            and payload[p + 1] not in (0x00, 0xFF)
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            break
+        p += 1
+    return p
 
 
 def encode_png(
@@ -867,10 +1162,13 @@ def extract_features(df: DataFrame) -> DataFrame:
     Input: (doc_id: long, payload: binary). Output: FEATURE_SCHEMA.
     Byte length + first byte are computed for every payload; width/height
     are the REAL decoded geometry for decodable images (BMP/PPM/PNG/
-    GIF/JPEG — a header-only ``decode_image(with_pixels=False)`` parse, so no
-    pixel buffer is copied just to read two header ints) and NULL for
-    everything else. The Spark-side shape (Arrow transfer, per-batch
-    pandas work, stable schema) is the production one either way.
+    GIF/JPEG — a header-only ``decode_image(with_pixels=False)`` parse,
+    so no pixel buffer is copied just to read two header ints) and for
+    MP4 containers (``parse_mp4`` demux, tkhd), NULL for everything
+    else; duration_ms is the header-derived media duration for WAV
+    (byte math) and MP4 (mvhd), NULL elsewhere. The Spark-side shape
+    (Arrow transfer, per-batch pandas work, stable schema) is the
+    production one either way.
     """
     assert isinstance(df.schema["payload"].dataType, BinaryType)
 
@@ -878,14 +1176,14 @@ def extract_features(df: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in it:
-            nbytes, first, widths, heights = [], [], [], []
+            nbytes, first, widths, heights, durations = [], [], [], [], []
             for b in pdf["payload"]:
                 # NULL payloads are legal (BinaryType is nullable):
                 # treat as empty
                 b = bytes(b) if b is not None else b""
                 nbytes.append(len(b))
                 first.append(b[0] if b else -1)
-                w = h = None
+                w = h = dur = None
                 if (
                     b[:2] in (b"BM", b"P6")
                     or b[:8] == b"\x89PNG\r\n\x1a\n"
@@ -899,12 +1197,19 @@ def extract_features(df: DataFrame) -> DataFrame:
                         pass  # sniffed like an image, doesn't parse: NULL
                 elif _is_mp4(b):
                     try:
-                        m = parse_mp4(b)  # demux: tkhd geometry, no codec
+                        m = parse_mp4(b)  # demux: tkhd/mvhd, no codec
                         w, h = m["width"], m["height"]
+                        dur = m["duration_ms"]
+                    except NotImplementedError:
+                        pass
+                elif _is_wav(b):
+                    try:
+                        dur = decode_audio(b, with_pcm=False)["duration_ms"]
                     except NotImplementedError:
                         pass
                 widths.append(w)
                 heights.append(h)
+                durations.append(dur)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -912,6 +1217,7 @@ def extract_features(df: DataFrame) -> DataFrame:
                     "first_byte": pd.array(first, dtype="int32"),
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
+                    "duration_ms": pd.array(durations, dtype="Int64"),
                 }
             )
 

@@ -339,7 +339,22 @@ def _plan_sig(df, keys, *extra) -> tuple:
     import os as _os
 
     def _stat(u: str):
-        p = u[5:] if u.startswith("file:") else u
+        # Spark's inputFiles()/plan URIs percent-encode spaces and
+        # specials — un-decoded they always stat-fail to (None, None)
+        # and two generations of those files compare EQUAL, silently
+        # reopening the in-place-overwrite hole for exactly those paths
+        # (round-12 ADVICE). urlparse also handles file://host/ forms:
+        # a non-local authority can't be stat'd here, so it degrades to
+        # the documented (None, None) mode instead of stat'ing a wrong
+        # same-named local path.
+        p = u
+        if u.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            parsed = urlparse(u)
+            if parsed.netloc not in ("", "localhost"):
+                return (None, None)
+            p = unquote(parsed.path)
         try:
             st = _os.stat(p)
             return (st.st_size, st.st_mtime_ns)

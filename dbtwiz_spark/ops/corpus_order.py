@@ -7,60 +7,49 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-12 window (positions 0-49) — the deferred-debt round (VERDICT r11
-items 1-8). Forced re-entries first, then the r6-era freshness recycle:
+Round-13 window (positions 0-49) — the freshness round (VERDICT r12
+item 1: clear the r6 cohort). Oldest cohort first, then this round's
+forced re-entries, then the riskiest of the next-oldest cohort:
 
-* 0-12 — the 13 ``_plan_sig`` referencers (VERDICT r11 item 3, landed:
-  the memo key now carries per-file (size, mtime_ns) stats and
-  ``parallel_rank``/``parallel_prefix_sum`` route through the
-  generation-evicting ``_memo_generation`` lookup — an in-place file
-  rewrite rebuilds instead of serving the superseded artifact, and the
-  superseded persist is dropped so Spark's CacheManager cannot
-  resurrect it; pinned by
-  test_plan_sig_changes_on_in_place_file_overwrite).
-* 13-23 — the 11 further ``_artifact``/``_pipe_artifact`` closure
-  entries (VERDICT r11 item 4, landed: the graphs/ext_pipeline twins
-  now delegate to ONE store-parameterized ``memo_artifact``/
-  ``memo_artifact_raw`` pair in ops/common.py; no behavior change).
-  ext-source-similarity-matrix sits in both forced sets (the predicted
-  overlap), so 13 + 11 = the 24-entry union.
-* 24-29 — the 6 certificate entries, forced by the ``CERT_OF``
-  cert-coupling fix (VERDICT r11 item 5, landed in
-  scripts/gen_green_manifest.py): each certificate's entry hash now
-  folds in its certified op's FULL entry hash, so the coupling's
-  introduction re-hashes — and re-windows — every certificate once.
-* 30-31 — ext-multimodal-column / ext-multimodal-framesample, forced
-  by the multimodal PLANE edit (VERDICT r11 item 6 + ADVICE r11:
-  extract_features now emits real decoded width/height for BMP/PPM
-  payloads via a header-only parse, and resize_images rewrites
-  meta.media_type to image/bmp on the real-resize branch).
-* 32-49 — 18 of the 49 r6-era hash-greens, riskiest-first (write-plane
-  and streaming first, then the structural joins, multi-stage ext
-  entries, sketch/stat aggregates, window recursions). The r6
-  REMAINDER (31 entries) is listed in ``OLDEST_DEFERRED`` below and
-  fronts the r13 window — deferring part of the oldest cohort is the
-  planned outcome of 32 forced slots, not drift, and the freshness
-  test now checks window ∪ deferral covers the cohort exactly.
+* 0-30 — the ENTIRE r6 cohort (the 31 ``OLDEST_DEFERRED`` entries
+  queued by the r12 rotation, verbatim). With these green, the minimum
+  hash-green age rises r6 → r7 for the first time.
+* 31-43 — the 13 ``_plan_sig`` referencers, forced by the round-13
+  ``_stat`` URL-decode fix (r12 ADVICE: percent-encoded file URIs
+  always stat-failed to (None, None), so two generations of a
+  space-in-the-name file compared equal — the in-place-overwrite hole
+  reopened for exactly those paths; pinned by
+  test_plan_sig_stats_survive_percent_encoded_paths). The extras-bench
+  A/B the verdict ordered for this same code path adjudicated HOST
+  (BENCHLOG.md round-13 entry), so this is the only memo-path edit.
+* 44-45 — ext-multimodal-column / ext-multimodal-framesample, forced
+  by the multimodal PLANE edit (progressive JPEG decode, PNG
+  tRNS→RGBA, bounded inflate/LZW, PIL fast path, duration_ms feature
+  rider; ext-multimodal-column's own oracle also changed for the new
+  column).
+* 46-49 — the 4 riskiest r7-era greens (verdict ranking: write-plane
+  and multi-stage streaming before stat aggregates): sink-merge,
+  sink-insert-overwrite, scan-time-travel, stream-cusum-online.
 
-``WINDOW_ROUND`` pins the round this window was planned FOR (VERDICT
-r11 item 1, the round's one weak mark): the freshness test computes
-cohorts from ``CORRECTNESS_r{N}`` files with N < WINDOW_ROUND only, so
-the tree stays green when the driver drops THIS round's results —
-previously the new file shifted the oldest cohort mid-round and
-tests/test_corpus_order.py:158 went red at judge time, every round.
-Bumping the pin is part of each rotation (a deliberate, reviewable
-act); a stale pin cannot coast, because a window planned against a
-newer history will not cover the stale pin's oldest cohort.
+``WINDOW_ROUND`` pins the round this window was planned FOR: the
+freshness test computes cohorts from ``CORRECTNESS_r{N}`` files with
+N < WINDOW_ROUND only, so the tree stays green when the driver drops
+THIS round's results (the r11 weak mark, fixed in r12). Bumping the pin
+is part of each rotation; a stale pin cannot coast, because a window
+planned against a newer history will not cover the stale pin's oldest
+cohort.
 
-Projected cohorts after a green r12 (from the r01-r11 history + this
-window): r6 x 31, r7 x 44, r8 x 38, r9 x 45, r10 x 44, r11 x 34,
-r12 x 50 — minimum age stays r6; r13 fronts the 31-entry remainder
-plus the r7 cohort's riskiest.
+Projected cohorts after a green r13 (from the r01-r12 history + this
+window): r7 x 36, r8 x 36, r9 x 47, r10 x 38, r11 x 44, r12 x 35,
+r13 x 50. The r14 window therefore fronts the 36-entry r7 remainder
+(the r7 cohort minus the four windowed here) with ~14 free slots for
+the riskiest r8 greens, barring forced re-entries — named now so the
+rotation stays reviewable (the practice VERDICT r12 item 7 asked to
+keep).
 
-Round-12 additions policy: corpus growth stays FROZEN at 286 (VERDICT
-r10 item 9, reaffirmed r11 item 8). Any entry added mid-round must be
-listed here under "added AFTER the round-12 window filled" for round-13
-front-loading.
+Round-13 additions policy: corpus growth stays FROZEN at 286 (VERDICT
+r12 item 8). Any entry added mid-round must be listed here under
+"added AFTER the round-13 window filled" for round-14 front-loading.
 """
 
 
@@ -70,79 +59,10 @@ from __future__ import annotations
 # CORRECTNESS_r* history of rounds STRICTLY BELOW this. The freshness
 # test scopes its cohort computation the same way, so the driver dropping
 # CORRECTNESS_r{WINDOW_ROUND}.json never flips the tree red mid-round.
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # _plan_sig size+mtime hardening: the 13 memo-backed referencers
-    "agg-calibration-ece",
-    "agg-gini-concentration",
-    "agg-ks-test",
-    "agg-pareto-share",
-    "agg-rfm-segmentation",
-    "agg-spearman-corr",
-    "agg-survival-km",
-    "ext-contrastive-pairs",
-    "ext-length-decile-mix",
-    "ext-perplexity-filter",
-    "ext-source-similarity-matrix",  # also in the _artifact closure set
-    "ext-vocab-growth",
-    "win-percent",
-    # memo-helper consolidation: the _artifact/_pipe_artifact closures
-    "ext-dedup-cluster",
-    "graph-bfs-hops",
-    "graph-connected-components",
-    "graph-degree-assortativity",
-    "graph-hits",
-    "graph-jaccard-neighbors",
-    "graph-k-core",
-    "graph-minplus-distance",
-    "graph-pagerank",
-    "graph-personalized-pagerank",
-    "graph-triangle-count",
-    # CERT_OF coupling: every certificate re-hashes once
-    "ext-dedup-near-recall",
-    "ext-dedup-simhash-recall",
-    "ext-ann-lsh-recall",
-    "ext-ann-ivf-recall",
-    "stream-dedup-near-cert",
-    "sort-within-partitions-cert",
-    # multimodal plane edit (width/height rider + media_type fix)
-    "ext-multimodal-column",
-    "ext-multimodal-framesample",
-    # r6-era recycle, riskiest-first: write-plane / streaming
-    "sink-cdc-apply",
-    "stream-join-interval",
-    # r6-era structural joins
-    "join-asof",
-    "join-asof-nearest",
-    "join-interval-overlap",
-    "join-self-dag",
-    # r6-era multi-stage ext entries
-    "ext-ngram-pmi",
-    "ext-rank-fusion",
-    "ext-mask-tokens",
-    "ext-dedup-paragraph",
-    "ext-split-drift",
-    "ext-embed-quantize",
-    # r6-era sketch / stat aggregates
-    "agg-kmv-intersect",
-    "agg-linear-regression",
-    "agg-ab-test",
-    "agg-chi-squared",
-    "agg-weighted-median",
-    # r6-era window recursion
-    "win-ema",
-)
-
-# The oldest (r6) cohort entries deliberately NOT in this window: 32 of
-# the 50 slots are forced re-certifications (the four landed r11-verdict
-# items above), leaving 18 for the 49-entry cohort. These 31 front the
-# r13 window. The freshness test enforces that every oldest-cohort entry
-# is either in DRIVER_WINDOW or named here, that this list never
-# overlaps the window, and that deferral only happens under a FULL
-# window — so a stale entry can never be silently dropped from the
-# rotation, only explicitly queued.
-OLDEST_DEFERRED: tuple[str, ...] = (
+    # the complete r6 cohort (r12's OLDEST_DEFERRED, queued then, due now)
     "agg-approx-quantile",
     "agg-array-agg",
     "agg-avg",
@@ -174,7 +94,36 @@ OLDEST_DEFERRED: tuple[str, ...] = (
     "win-rank",
     "win-row-number",
     "win-zscore-anomaly",
+    # _plan_sig URL-decode fix: the 13 memo-backed referencers re-enter
+    "agg-calibration-ece",
+    "agg-gini-concentration",
+    "agg-ks-test",
+    "agg-pareto-share",
+    "agg-rfm-segmentation",
+    "agg-spearman-corr",
+    "agg-survival-km",
+    "ext-contrastive-pairs",
+    "ext-length-decile-mix",
+    "ext-perplexity-filter",
+    "ext-source-similarity-matrix",
+    "ext-vocab-growth",
+    "win-percent",
+    # multimodal plane edit (progressive JPEG, tRNS, bomb guards, PIL
+    # fast path, duration_ms rider + its oracle change)
+    "ext-multimodal-column",
+    "ext-multimodal-framesample",
+    # r7-era recycle, riskiest-first: write-plane / streaming
+    "sink-merge",
+    "sink-insert-overwrite",
+    "scan-time-travel",
+    "stream-cusum-online",
 )
+
+# No oldest-cohort entry is deferred this round: all 31 r6 entries sit
+# in the window above (the r12 plan, executed). The freshness test
+# requires this list to name exactly the oldest-cohort entries NOT in
+# the window — which is none.
+OLDEST_DEFERRED: tuple[str, ...] = ()
 
 
 def reorder(corpus: dict) -> None:

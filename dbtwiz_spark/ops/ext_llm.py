@@ -1456,7 +1456,8 @@ def ext_ann_ivf_recall(spark, sf_dir):
     SELECT doc_id, octet_length(encode(text)) AS payload_bytes,
            ascii(substr(text, 1, 1)) AS first_byte,
            CAST(NULL AS INTEGER) AS width,
-           CAST(NULL AS INTEGER) AS height
+           CAST(NULL AS INTEGER) AS height,
+           CAST(NULL AS BIGINT) AS duration_ms
     FROM documents
     """,
 )
@@ -1464,14 +1465,15 @@ def ext_multimodal_column(spark, sf_dir):
     """Multimodal plumbing: opaque binary payload column processed by an
     Arrow-batched mapInPandas feature extractor.
 
-    The payload here is the utf-8 encoding of `text` (the container has no
-    image/audio codecs — see dbtwiz_spark.multimodal for the decode stubs);
-    the *Spark-side shape* is the real thing: BinaryType column, mapInPandas
-    over Arrow batches, typed output schema. Features (byte length, first
-    byte) are deterministic so the entry stays oracle-checkable; the
-    width/height columns carry REAL decoded geometry for BMP/PPM payloads
-    (header-only byte-math parse — pinned by the multimodal unit tests)
-    and are NULL for these text payloads, which the oracle mirrors.
+    The payload here is the utf-8 encoding of `text`; the *Spark-side
+    shape* is the real thing: BinaryType column, mapInPandas over Arrow
+    batches, typed output schema. Features (byte length, first byte) are
+    deterministic so the entry stays oracle-checkable; width/height carry
+    REAL decoded geometry for the full image/container dispatch —
+    BMP/PPM/PNG/GIF/JPEG header-only parses plus MP4 tkhd demux — and
+    duration_ms the header-derived WAV/MP4 media duration (round 13;
+    all pinned by the multimodal unit tests). Both are NULL for these
+    text payloads, which the oracle mirrors.
     """
     from dbtwiz_spark.multimodal import extract_features
 

@@ -26,7 +26,11 @@ CERTIFICATES = {
 }
 
 
-def main() -> None:
+def render() -> str:
+    """The full CORPUS.md text from the live registry — exposed as a
+    function (round 13) so tests/test_corpus.py can pin the committed
+    doc against it: 63 of 286 line refs shipped stale in round 12
+    because regeneration was a convention, not a guard."""
     missing = [
         n
         for pair in CERTIFICATES.items()
@@ -70,8 +74,12 @@ def main() -> None:
         else:
             check = f"rows-only, certified by `{CERTIFICATES[name]}`"
         lines.append(f"| {i} | `{name}` | {check} | `{loc}` | {summary} |")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
     Path(__file__).resolve().parent.parent.joinpath("CORPUS.md").write_text(
-        "\n".join(lines) + "\n"
+        render()
     )
     print(f"wrote CORPUS.md with {len(CORPUS)} entries")
 

@@ -58,6 +58,25 @@ def test_every_corpus_entry_is_documented():
     assert not undocumented, f"undocumented corpus entries: {undocumented}"
 
 
+def test_corpus_md_matches_registry():
+    """The committed CORPUS.md must be byte-identical to what the
+    generator renders from the live registry — the same drift = red
+    mechanism as the green manifest (round-13 guard: 63 of 286 line
+    refs shipped stale in round 12 because regeneration was a
+    convention, not a test). Fix a failure with
+    `python scripts/gen_corpus_md.py`."""
+    from pathlib import Path
+
+    from scripts.gen_corpus_md import render
+
+    committed = Path(__file__).resolve().parent.parent.joinpath(
+        "CORPUS.md"
+    ).read_text()
+    assert committed == render(), (
+        "CORPUS.md is stale — rerun scripts/gen_corpus_md.py"
+    )
+
+
 def test_cohort_ltv_agrees_on_multi_month_cohorts(spark, tmp_path):
     """Regression for a DuckDB silent-correlation bug: the LTV oracle's
     cohort-size CTE referenced a nonexistent column, which DuckDB bound

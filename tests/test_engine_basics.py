@@ -89,6 +89,103 @@ def test_extract_features_real_geometry_for_decodable_images(spark):
     assert [r.doc_id for r in gated.collect()] == [2]
 
 
+def test_extract_features_duration_for_media_payloads(spark):
+    """duration_ms (round 13): header-derived media duration for WAV
+    (byte math) and MP4 (mvhd), NULL for images/text — so a max-length
+    media gate is a plan-level Catalyst filter, like the geometry
+    rider. The oracle for the text-payload corpus entry mirrors the
+    NULLs."""
+    from dbtwiz_spark.multimodal import extract_features
+
+    wav = _make_wav(250)  # 250 ms @ 8 kHz mono 16-bit
+    mp4 = _hand_mp4()  # 10 x 100 media units @ timescale 1000 = 1000 ms
+    bmp = _hand_bmp(3, 2, [[(1, 2, 3)] * 3] * 2)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(wav)),
+            (2, bytearray(mp4)),
+            (3, bytearray(bmp)),
+            (4, bytearray(b"plain text")),
+        ],
+        "doc_id LONG, payload BINARY",
+    )
+    out = {r.doc_id: r for r in extract_features(df).collect()}
+    assert out[1].duration_ms == 250
+    assert out[1].width is None and out[1].height is None
+    assert out[2].duration_ms == 1000
+    assert (out[2].width, out[2].height) == (640, 360)
+    assert out[3].duration_ms is None  # image: geometry only
+    assert (out[3].width, out[3].height) == (3, 2)
+    assert out[4].duration_ms is None
+    gated = extract_features(df).filter("duration_ms <= 500")
+    assert [r.doc_id for r in gated.collect()] == [1]
+
+
+def test_pil_parity_with_pure_decoders():
+    """Where Pillow IS installed (cluster deployments), the PIL fast
+    path must agree with the pure decoders: exactly for the lossless
+    formats (PNG including tRNS forms, GIF including transparency), and
+    on geometry/channel-count with a small pixel tolerance for JPEG
+    (libjpeg's fixed-point IDCT vs our float matrix IDCT). Skips
+    cleanly when PIL is absent — this container exercises the pure
+    fallback everywhere else."""
+    import pytest as _pytest
+
+    image_mod = _pytest.importorskip("PIL.Image")
+
+    import numpy as np
+
+    import dbtwiz_spark.multimodal as mm
+
+    def pure(payload):
+        old = mm._PIL_IMAGE
+        mm._PIL_IMAGE = None
+        try:
+            return mm.decode_image(payload)
+        finally:
+            mm._PIL_IMAGE = old
+
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    lossless = [
+        _hand_png(
+            4,
+            5,
+            bytes(
+                (x * 37 + y * 11 + c * 5) & 0xFF
+                for y in range(5)
+                for x in range(4)
+                for c in range(3)
+            ),
+            filters=[0, 1, 2, 3, 4],
+        ),
+        _hand_png(2, 2, bytes([2, 0, 1, 2]), color_type=3, palette=pal,
+                  trns=[0, 128]),
+        _hand_png(2, 2, bytes(range(16)), color_type=6),
+        _hand_gif(2, 2, [0, 1, 1, 0], pal[:6]),
+        _hand_gif(2, 2, [0, 1, 1, 0], pal[:6], transparent=1),
+    ]
+    for payload in lossless:
+        a, b = pure(payload), mm._decode_pil(image_mod, payload)
+        assert (a["width"], a["height"], a["n_channels"]) == (
+            b["width"], b["height"], b["n_channels"],
+        )
+        assert a["pixels"] == b["pixels"]
+
+    import numpy as _np
+
+    rgb = _np.random.default_rng(3).integers(0, 256, (10, 20, 3))
+    jpg = _hand_jpeg(
+        [(_pad8(p), (1, 1)) for p in _jpeg_planes_from_rgb(rgb)], 20, 10
+    )
+    a, b = pure(jpg), mm._decode_pil(image_mod, jpg)
+    assert (a["width"], a["height"], a["n_channels"]) == (
+        b["width"], b["height"], b["n_channels"],
+    )
+    pa = np.frombuffer(a["pixels"], np.uint8).astype(int)
+    pb = np.frombuffer(b["pixels"], np.uint8).astype(int)
+    assert np.abs(pa - pb).max() <= 8  # IDCT implementation tolerance
+
+
 def test_decode_image_header_only_parse():
     """with_pixels=False returns geometry without materializing the
     pixel buffer, but keeps FULL validation — a payload whose pixel
@@ -236,6 +333,37 @@ def test_plan_sig_changes_on_in_place_file_overwrite(spark, tmp_path):
     got = parallel_rank(df2, keys)
     assert got.count() == 9
     assert sorted(r._rank for r in got.collect()) == list(range(1, 10))
+
+
+def test_plan_sig_stats_survive_percent_encoded_paths(spark, tmp_path):
+    """Spark's inputFiles() percent-encodes spaces and specials in file
+    URIs; un-decoded, os.stat fails and every such file degrades to the
+    (None, None) unstattable mode — two GENERATIONS of a
+    space-in-the-name parquet then compare equal, silently reopening
+    the in-place-overwrite hole the r12 hardening closed (round-12
+    ADVICE). The stats must be real for such paths, and an in-place
+    rewrite must flip them."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dbtwiz_spark.ops.common import _plan_sig
+
+    d = tmp_path / "scale dir 0.01"
+    d.mkdir()
+    path = str(d / "part one.parquet")
+    pq.write_table(pa.table({"id": list(range(5))}), path)
+    keys = [F.col("id")]
+    df1 = spark.read.parquet(path)
+    assert any("%20" in u for u in df1.inputFiles()), (
+        "fixture no longer exercises percent-encoding"
+    )
+    base1, stats1 = _plan_sig(df1, keys, 8)
+    assert all(s != (None, None) for s in stats1), (
+        f"percent-encoded uri stat-failed: {stats1}"
+    )
+    pq.write_table(pa.table({"id": list(range(9))}), path)
+    base2, stats2 = _plan_sig(spark.read.parquet(path), keys, 8)
+    assert base1 == base2 and stats1 != stats2
 
 
 def test_parallel_rank_memo_separates_persisted_inputs(spark, tmp_path):
@@ -582,7 +710,8 @@ def test_undecodable_image_payloads_raise_not_implemented():
             decode_image(payload)
 
 
-def _hand_png(width, height, pixels, color_type=2, filters=None, palette=None):
+def _hand_png(width, height, pixels, color_type=2, filters=None, palette=None,
+              trns=None):
     """Minimal PNG writer for decoder tests: 8-bit, non-interlaced, one
     IDAT, caller-chosen per-row filter types (FORWARD-filtered here so
     the decoder must actually reconstruct)."""
@@ -631,6 +760,8 @@ def _hand_png(width, height, pixels, color_type=2, filters=None, palette=None):
     )
     if palette is not None:
         out += chunk(b"PLTE", bytes(palette))
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
     return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
 
 
@@ -711,6 +842,110 @@ def test_decode_png_unsupported_profiles_raise():
     # bare signature (no chunks) stays the canonical guard case
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_png_trns_upgrades_to_rgba():
+    """A tRNS chunk on palette/gray/RGB types must surface as a real
+    alpha plane (r12 ADVICE: it was silently ignored, so a transparent
+    PNG decoded opaque and a resize re-encoded it alpha-less)."""
+    import struct
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    # palette: per-index alpha, absent entries opaque
+    pal = [255, 0, 0, 0, 255, 0, 0, 0, 255]
+    idx = bytes([2, 0, 1, 2])
+    img = decode_image(
+        _hand_png(2, 2, idx, color_type=3, palette=pal, trns=[0, 128])
+    )
+    assert img["n_channels"] == 4
+    assert img["pixels"] == bytes(
+        [0, 0, 255, 255, 255, 0, 0, 0, 0, 255, 0, 128, 0, 0, 255, 255]
+    )
+    # header-only agrees on the channel count (same chunk walk)
+    hdr = decode_image(
+        _hand_png(2, 2, idx, color_type=3, palette=pal, trns=[0, 128]),
+        with_pixels=False,
+    )
+    assert hdr["n_channels"] == 4
+    # gray: 16-bit sample key, matching pixels transparent
+    g = bytes([10, 200, 30, 10])
+    img = decode_image(
+        _hand_png(2, 2, g, color_type=0, trns=struct.pack(">H", 10))
+    )
+    assert img["n_channels"] == 4
+    assert img["pixels"] == bytes(
+        [10, 10, 10, 0, 200, 200, 200, 255, 30, 30, 30, 255, 10, 10, 10, 0]
+    )
+    # RGB: color key
+    rgb = bytes([5, 6, 7, 9, 9, 9])
+    img = decode_image(
+        _hand_png(2, 1, rgb, color_type=2, trns=struct.pack(">HHH", 9, 9, 9))
+    )
+    assert img["n_channels"] == 4
+    assert img["pixels"] == bytes([5, 6, 7, 255, 9, 9, 9, 0])
+    # alpha survives a resize (the PNG re-encode branch)
+    from dbtwiz_spark.multimodal import _resize_nearest
+
+    payload, media_type = _resize_nearest(
+        decode_image(
+            _hand_png(2, 2, idx, color_type=3, palette=pal, trns=[0, 128])
+        ),
+        4,
+        4,
+    )
+    assert media_type == "image/png"
+    assert decode_image(payload)["n_channels"] == 4
+
+
+def test_decode_png_bounded_inflate_rejects_bombs():
+    """A crafted IDAT that inflates past the declared geometry must fail
+    WITHOUT materializing the expansion (r12 ADVICE: unbounded
+    zlib.decompress of a ~100KB bomb would allocate ~100MB per payload
+    before the size check). The 1x1 gray header admits 4 bytes; the
+    stream holds 100MB of zeros."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(100 * 1024 * 1024), 9))
+        + chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 150_000  # the bomb itself is small on the wire
+    import tracemalloc
+
+    tracemalloc.start()
+    with _pytest.raises(NotImplementedError):
+        decode_image(bomb)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 10 * 1024 * 1024, f"inflate not bounded: peak {peak}"
+
+
+def test_gif_lzw_output_cap():
+    """_gif_lzw must stop emitting once max_out is reached — a crafted
+    stream can otherwise expand ~4000x before the caller's size slice."""
+    from dbtwiz_spark.multimodal import _gif_lzw
+
+    pk = _BitPacker()
+    for _ in range(2000):  # (CLEAR,0,0)*: stays at 3-bit codes forever
+        pk.put(4, 3)
+        pk.put(0, 3)
+        pk.put(0, 3)
+    out = _gif_lzw(2, pk.done(), max_out=7)
+    assert 7 <= len(out) <= 8  # stops within one entry of the cap
 
 
 class _BitPacker:
@@ -1157,10 +1392,337 @@ def test_decode_jpeg_unsupported_profiles_raise():
 
     plane = np.full((8, 8), 99)
     good = _hand_jpeg([(plane, (1, 1))], 8, 8)
-    progressive = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    for payload in (progressive, good[:-20], b"\xff\xd8\xff\xd9"):
+    # SOF2 no longer raises: round 13 decodes progressive for real. A
+    # relabeled baseline stream (one 0..63 Ah=Al=0 scan — spec-illegal
+    # under SOF2 but unambiguous) decodes through the same scan engine.
+    relabeled = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_image(relabeled)["pixels"] == decode_image(good)["pixels"]
+    lossless = good.replace(b"\xff\xc0", b"\xff\xc3", 1)
+    # 4-component (Adobe CMYK shape) must fail the HEADER parse too, so
+    # header-only and full decode agree on what is decodable (r12 ADVICE)
+    cmyk = bytearray(good)
+    sof_at = cmyk.index(b"\xff\xc0")
+    cmyk[sof_at + 9] = 4  # component count in the SOF segment
+    for payload in (lossless, bytes(cmyk), good[:-20], b"\xff\xd8\xff\xd9"):
         with _pytest.raises(NotImplementedError):
             decode_image(payload)
+    # the header-only parse must reject the same PROFILE (frame types,
+    # component counts) as the full decode — entropy-level truncation is
+    # out of its scope by design (it stops at SOS)
+    for payload in (lossless, bytes(cmyk), b"\xff\xd8\xff\xd9"):
+        with _pytest.raises(NotImplementedError):
+            decode_image(payload, with_pixels=False)
+
+
+def _prog_refine_block(vals, ss, se, al, ops):
+    """One block's AC refinement symbols/bits (mirror of
+    multimodal._jpeg_ac_refine): newly-nonzero coefficients (|v|>>al == 1)
+    arrive as (zero-history-run, 1) symbols with a sign bit; every
+    nonzero-history position the decoder passes contributes one
+    correction bit (bit ``al`` of |v|) positionally AFTER the symbol and
+    sign; a trailing EOB (run 1) covers the rest of the block."""
+    t = {k: abs(vals[k]) >> al for k in range(ss, se + 1)}
+    k = ss
+    while k <= se:
+        run, nxt = 0, None
+        for j in range(k, se + 1):
+            if t[j] == 1:
+                nxt = j
+                break
+            if t[j] == 0:
+                run += 1
+        if nxt is None:
+            ops.append(("sym", 0x00))  # EOB, run 1: correction-bit tail
+            for j in range(k, se + 1):
+                if t[j] > 1:
+                    ops.append(("bits", (abs(vals[j]) >> al) & 1, 1))
+            return
+        while run > 15:
+            ops.append(("sym", 0xF0))  # ZRL: 16 zero-history skips, with
+            zeros = 0                  # interleaved correction bits
+            while True:
+                if t[k] == 0:
+                    zeros += 1
+                    if zeros == 16:
+                        k += 1
+                        break
+                elif t[k] > 1:
+                    ops.append(("bits", (abs(vals[k]) >> al) & 1, 1))
+                k += 1
+            run -= 16
+        ops.append(("sym", (run << 4) | 1))
+        ops.append(("bits", 1 if vals[nxt] > 0 else 0, 1))
+        for j in range(k, nxt):
+            if t[j] > 1:
+                ops.append(("bits", (abs(vals[j]) >> al) & 1, 1))
+        k = nxt + 1
+
+
+def _hand_jpeg_progressive(planes, width, height):
+    """Progressive (SOF2) JPEG encoder for decoder tests — all-ones
+    quantization, per-scan Huffman tables at canonical 8-bit codes (the
+    _hand_jpeg conventions), scan script:
+      1. DC first, interleaved, Al=1
+      2. per component: AC first Ss=1..5, Al=1 (spectral split)
+      3. per component: AC first Ss=6..63, Al=1 (cross-block EOBRUN)
+      4. per component: AC refine Ss=1..63, Ah=1 -> Al=0
+      5. DC refine, interleaved, Ah=1 -> Al=0 (raw bits, no table)
+    so spectral selection, successive approximation, EOBRUN and the
+    refinement correction-bit flow are all on the wire. ``planes`` as in
+    _hand_jpeg: (2d array sized to the MCU-padded component grid,
+    (h_samp, v_samp)) per component."""
+    import struct
+
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import _jpeg_idct_matrix
+
+    a = _jpeg_idct_matrix()
+    zz = _jpeg_zigzag_test()
+    max_h = max(h for _, (h, _) in planes)
+    max_v = max(v for _, (_, v) in planes)
+    mcus_x = -(-width // (8 * max_h))
+    mcus_y = -(-height // (8 * max_v))
+
+    def category(v):
+        return int(abs(v)).bit_length()
+
+    def bits_of(v, s):
+        return v if v >= 0 else v + (1 << s) - 1
+
+    # per component: MCU-padded zigzag coefficient grid
+    coefs = []
+    for plane, (ch, cv) in planes:
+        by, bx = mcus_y * cv, mcus_x * ch
+        grid = np.zeros((by, bx, 64), np.int64)
+        for r in range(by):
+            for c in range(bx):
+                block = plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8]
+                q = np.rint(a @ (block.astype(float) - 128.0) @ a.T)
+                grid[r, c] = [int(q[i, j]) for i, j in zz]
+        coefs.append(grid)
+
+    def dc_first_ops(al):
+        ops = []
+        preds = [0] * len(planes)
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_, (ch, cv)) in enumerate(planes):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            v0 = int(coefs[ci][my * cv + by, mx * ch + bx, 0])
+                            v0 >>= al  # DC point transform: arithmetic shift
+                            diff = v0 - preds[ci]
+                            preds[ci] = v0
+                            s = category(diff)
+                            ops.append(("sym", s))
+                            ops.append(("bits", bits_of(diff, s), s))
+        return ops
+
+    def dc_refine_ops(al):
+        ops = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (_, (ch, cv)) in enumerate(planes):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            v0 = int(coefs[ci][my * cv + by, mx * ch + bx, 0])
+                            ops.append(("bits", (v0 >> al) & 1, 1))
+        return ops
+
+    def ac_first_ops(ci, ss, se, al):
+        _, (ch, cv) = planes[ci]
+        comp_w = -(-width * ch // max_h)
+        comp_h = -(-height * cv // max_v)
+        bh, bw = -(-comp_h // 8), -(-comp_w // 8)
+        ops = []
+        eob_pending = 0
+
+        def flush():
+            nonlocal eob_pending
+            if eob_pending:
+                r = eob_pending.bit_length() - 1
+                ops.append(("sym", r << 4))
+                if r:
+                    ops.append(("bits", eob_pending - (1 << r), r))
+                eob_pending = 0
+
+        for row in range(bh):
+            for col in range(bw):
+                vals = coefs[ci][row, col]
+                nz = [
+                    (k, int(vals[k]))
+                    for k in range(ss, se + 1)
+                    if abs(int(vals[k])) >> al
+                ]
+                if not nz:
+                    eob_pending += 1
+                    continue
+                flush()
+                k = ss
+                for pos, v in nz:
+                    run = pos - k
+                    while run > 15:
+                        ops.append(("sym", 0xF0))
+                        run -= 16
+                    m = abs(v) >> al
+                    s = m.bit_length()
+                    ops.append(("sym", (run << 4) | s))
+                    ops.append(("bits", bits_of(m if v > 0 else -m, s), s))
+                    k = pos + 1
+                if k <= se:
+                    eob_pending = 1
+        flush()
+        return ops
+
+    def ac_refine_ops(ci, ss, se, al):
+        _, (ch, cv) = planes[ci]
+        comp_w = -(-width * ch // max_h)
+        comp_h = -(-height * cv // max_v)
+        bh, bw = -(-comp_h // 8), -(-comp_w // 8)
+        ops = []
+        for row in range(bh):
+            for col in range(bw):
+                _prog_refine_block(
+                    [int(v) for v in coefs[ci][row, col]], ss, se, al, ops
+                )
+        return ops
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(data) + 2) + data
+
+    def huff_spec(symbols):
+        counts = [0] * 16
+        counts[7] = len(symbols)
+        return bytes(counts) + bytes(symbols), {
+            sym: i for i, sym in enumerate(symbols)
+        }
+
+    def emit_scan(ops, comp_ids, ss, se, ah, al, tc):
+        """DHT (exact symbol set, class ``tc``) + SOS + entropy bytes."""
+        syms = sorted({op[1] for op in ops if op[0] == "sym"})
+        chunk = b""
+        if syms:
+            spec, code = huff_spec(syms)
+            chunk += seg(0xC4, bytes([(tc << 4) | 0]) + spec)
+        else:
+            code = {}
+        w = _JpegBitWriter()
+        for op in ops:
+            if op[0] == "sym":
+                w.put(code[op[1]], 8)
+            else:
+                w.put(op[1], op[2])
+        w.pad_align()
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return chunk + seg(0xDA, sos) + bytes(w.buf)
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = struct.pack(">BHHB", 8, height, width, len(planes))
+    for ci, (_, (ch, cv)) in enumerate(planes):
+        sof += bytes([ci + 1, (ch << 4) | cv, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    all_ids = [ci + 1 for ci in range(len(planes))]
+    out += emit_scan(dc_first_ops(1), all_ids, 0, 0, 0, 1, tc=0)
+    for ci in range(len(planes)):
+        out += emit_scan(ac_first_ops(ci, 1, 5, 1), [ci + 1], 1, 5, 0, 1, 1)
+    for ci in range(len(planes)):
+        out += emit_scan(ac_first_ops(ci, 6, 63, 1), [ci + 1], 6, 63, 0, 1, 1)
+    for ci in range(len(planes)):
+        out += emit_scan(ac_refine_ops(ci, 1, 63, 0), [ci + 1], 1, 63, 1, 0, 1)
+    out += emit_scan(dc_refine_ops(0), all_ids, 0, 0, 1, 0, tc=0)
+    return out + b"\xff\xd9"
+
+
+def test_decode_jpeg_progressive_matches_baseline_grayscale():
+    """Progressive and baseline encodings of the same plane must decode
+    to IDENTICAL pixels: all-ones quantization plus complete successive-
+    approximation passes reconstruct the exact same coefficients."""
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    w, h = 16, 12
+    plane = _pad8(
+        np.add.outer(np.arange(h) * 9 % 251, np.arange(w) * 17 % 251) % 256
+    )
+    base = decode_image(_hand_jpeg([(plane, (1, 1))], w, h))
+    prog = decode_image(_hand_jpeg_progressive([(plane, (1, 1))], w, h))
+    assert (prog["width"], prog["height"]) == (w, h)
+    assert prog["pixels"] == base["pixels"]
+    # header-only agrees (geometry without entropy decode)
+    hdr = decode_image(
+        _hand_jpeg_progressive([(plane, (1, 1))], w, h), with_pixels=False
+    )
+    assert (hdr["width"], hdr["height"], hdr["n_channels"]) == (w, h, 3)
+
+
+def test_decode_jpeg_progressive_matches_baseline_color_444():
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    w, h = 20, 10
+    rgb = rng.integers(0, 256, (h, w, 3))
+    planes = [(_pad8(p), (1, 1)) for p in _jpeg_planes_from_rgb(rgb)]
+    base = decode_image(_hand_jpeg(planes, w, h))
+    prog = decode_image(_hand_jpeg_progressive(planes, w, h))
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_decode_jpeg_progressive_420_subsampled():
+    """4:2:0 progressive: the interleaved DC scan walks multi-block MCUs
+    while the per-component AC scans walk each component's OWN
+    (subsampled, ceil/8) block grid — the two geometries the spec makes
+    disagree. Odd frame dims exercise the MCU padding."""
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    w, h = 33, 17
+    y = _pad16(np.add.outer(np.arange(h) * 5, np.arange(w) * 3) % 256)
+    cb = _pad8(np.full((-(-h // 2), -(-w // 2)), 90))
+    cr = _pad8(np.full((-(-h // 2), -(-w // 2)), 170))
+    planes = [(y, (2, 2)), (cb, (1, 1)), (cr, (1, 1))]
+    base = decode_image(_hand_jpeg(planes, w, h))
+    prog = decode_image(_hand_jpeg_progressive(planes, w, h))
+    assert (prog["width"], prog["height"]) == (w, h)
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_decode_jpeg_progressive_eobrun_spans_blocks():
+    """A mostly-flat image: in the 6..63 spectral band nearly every
+    block is empty, so the encoder emits one EOBRUN covering many whole
+    blocks — the decoder's block-skipping EOBRUN path, which no
+    per-block stream exercises."""
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    w = h = 32  # 16 blocks, one textured
+    plane = np.full((h, w), 120)
+    plane[8:16, 8:16] = (np.arange(64).reshape(8, 8) * 3) % 256
+    base = decode_image(_hand_jpeg([(plane, (1, 1))], w, h))
+    prog_bytes = _hand_jpeg_progressive([(plane, (1, 1))], w, h)
+    prog = decode_image(prog_bytes)
+    assert prog["pixels"] == base["pixels"]
+
+
+def _pad16(plane):
+    import numpy as np
+
+    h, w = plane.shape
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    out = np.zeros((ph, pw))
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:, w:] = out[:, w - 1 : w]
+    return out
 
 
 def test_jpeg_payloads_flow_through_features_and_resize(spark):
