@@ -11,9 +11,10 @@ reachable side is REAL: audio for PCM WAV (stdlib `wave`:
 `decode_audio` parses the actual header and returns the PCM stream;
 `frame_sample` steps header-derived offsets with true byte-math slice
 sizes), images for uncompressed BMP (BI_RGB 24/32 bpp), binary PPM,
-and — round 12 — 8-bit non-interlaced PNG (stdlib `zlib` inflate +
-per-row filter reconstruction in `_png_unfilter`; gray/palette/alpha
-color types normalized to the same RGB(A) contract) plus GIF first
+and 8/16-bit PNG in non-interlaced and Adam7 forms (stdlib `zlib`
+inflate — bounded to the declared geometry — + per-row filter
+reconstruction in `_png_unfilter`; gray/palette/alpha/tRNS color
+types normalized to the same RGB(A) contract) plus GIF first
 frames (`_gif_lzw` table reconstruction; interlace and transparency
 honored) and baseline + progressive JPEG (`_decode_jpeg`: Huffman,
 spectral-selection/successive-approximation scans, matrix-multiply
@@ -335,19 +336,22 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
     """PNG decode without codec libraries (round 12): PNG's only
     compression is zlib — in the Python stdlib — and everything else is
     chunk walking plus per-row filter byte math (_png_unfilter).
-    Supported profile: 8-bit samples, non-interlaced, color types 0
-    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); gray and
-    palette normalize to RGB and alpha is preserved, so callers see the
-    same top-down row-major RGB(A) contract as BMP/PPM. A tRNS chunk on
+    Supported profile: 8-bit AND 16-bit samples (16-bit downconverts by
+    high byte — the libpng strip_16 convention), non-interlaced AND
+    Adam7-interlaced (round 13: seven independently-filtered sub-images
+    scattered back by the pass geometry), color types 0 (gray), 2
+    (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); gray and palette
+    normalize to RGB and alpha is preserved, so callers see the same
+    top-down row-major RGB(A) contract as BMP/PPM. A tRNS chunk on
     types 0/2/3 upgrades the output to RGBA (round 13 — previously the
     alpha plane was silently dropped, violating the decode-for-real-or-
-    raise contract). 16-bit and Adam7-interlaced files raise
-    NotImplementedError (the codec-guard failure mode); chunk CRCs are
-    not verified (decode-side tolerance — a corrupt stream still fails
-    structurally via zlib/size checks). Header-only
-    (``with_pixels=False``) walks the full chunk structure (valid IHDR,
-    well-formed chunk lengths, IDAT present) but skips the decompression
-    and filter passes.
+    raise contract), with color keys compared at source precision.
+    Sub-8-bit depths raise NotImplementedError (the codec-guard failure
+    mode); chunk CRCs are not verified (decode-side tolerance — a
+    corrupt stream still fails structurally via zlib/size checks).
+    Header-only (``with_pixels=False``) walks the full chunk structure
+    (valid IHDR, well-formed chunk lengths, IDAT present) but skips the
+    decompression and filter passes.
 
     The inflate is BOUNDED to the geometry the header claims
     (decompressobj + max_length, round 13): untrusted training-data
@@ -384,10 +388,15 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
                 ) = struct.unpack(">IIBBBBB", data)
                 if comp != 0 or filt != 0:
                     raise ValueError("nonstandard compression/filter method")
-                if bit_depth != 8 or interlace != 0:
-                    raise ValueError("only 8-bit non-interlaced supported")
+                if bit_depth not in (8, 16) or interlace not in (0, 1):
+                    raise ValueError(
+                        f"bit depth {bit_depth} / interlace {interlace} "
+                        "unsupported (8/16-bit, none/Adam7)"
+                    )
                 if color_type not in (0, 2, 3, 4, 6):
                     raise ValueError(f"unknown color type {color_type}")
+                if bit_depth == 16 and color_type == 3:
+                    raise ValueError("16-bit palette is not legal PNG")
             elif ctype == b"PLTE":
                 if length % 3 != 0:
                     raise ValueError("malformed palette")
@@ -411,17 +420,53 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
         out = {"width": width, "height": height, "n_channels": n_channels}
         if not with_pixels:
             return out
-        stride = width * channels_in
-        expected = (stride + 1) * height
+        sample_bytes = bit_depth // 8
+        bpp = channels_in * sample_bytes
+        if interlace:
+            # Adam7 (round 13): 7 independently-filtered sub-images,
+            # (x0, y0, dx, dy) per pass; empty passes are absent
+            sections = [
+                (x0, y0, dx, dy, pw, ph)
+                for x0, y0, dx, dy in (
+                    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+                )
+                for pw in [max(0, -(-(width - x0) // dx))]
+                for ph in [max(0, -(-(height - y0) // dy))]
+                if pw and ph
+            ]
+        else:
+            sections = [(0, 0, 1, 1, width, height)]
+        expected = sum(ph * (1 + pw * bpp) for *_, pw, ph in sections)
         # bounded inflate: a crafted IDAT must not expand past what the
         # declared geometry can hold (decompression-bomb guard)
         dec = zlib.decompressobj()
         raw = dec.decompress(b"".join(idat), expected)
         if len(raw) != expected or dec.unconsumed_tail or dec.flush():
             raise ValueError("decompressed size mismatch")
-        rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
-        px = _png_unfilter(rows, channels_in).reshape(
-            height, width, channels_in
+        # full-precision sample plane (uint16 for 16-bit files) so tRNS
+        # color keys compare at source precision before downconversion
+        full = np.zeros(
+            (height, width, channels_in),
+            np.uint16 if sample_bytes == 2 else np.uint8,
+        )
+        off = 0
+        for x0, y0, dx, dy, pw, ph in sections:
+            stride = pw * bpp
+            rows = np.frombuffer(
+                raw, np.uint8, ph * (stride + 1), off
+            ).reshape(ph, stride + 1)
+            off += ph * (stride + 1)
+            rec = _png_unfilter(rows, bpp)
+            if sample_bytes == 2:
+                s = rec.reshape(ph, pw, channels_in, 2).astype(np.uint16)
+                vals = (s[..., 0] << 8) | s[..., 1]
+            else:
+                vals = rec.reshape(ph, pw, channels_in)
+            full[y0::dy, x0::dx] = vals
+        # 16-bit downconversion: high byte (libpng strip_16 convention)
+        px = (
+            (full >> 8).astype(np.uint8) if sample_bytes == 2 else full
         )
         alpha = None
         if color_type == 3:
@@ -442,19 +487,20 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
             if trns is not None:
                 if len(trns) < 2:
                     raise ValueError("malformed tRNS")
-                key = struct.unpack(">H", trns[:2])[0] & 0xFF
-                alpha = np.where(px[:, :, 0] == key, 0, 255).astype(np.uint8)
+                # color key compares at SOURCE precision (16-bit files
+                # match the full sample, not the downconverted byte)
+                key = struct.unpack(">H", trns[:2])[0]
+                alpha = np.where(
+                    full[:, :, 0] == key, 0, 255
+                ).astype(np.uint8)
             px = np.repeat(px, 3, axis=2)
         elif color_type == 2:
             if trns is not None:
                 if len(trns) < 6:
                     raise ValueError("malformed tRNS")
-                key = np.array(
-                    [v & 0xFF for v in struct.unpack(">HHH", trns[:6])],
-                    np.uint8,
-                )
+                key = np.array(struct.unpack(">HHH", trns[:6]), np.uint16)
                 alpha = np.where(
-                    (px == key).all(axis=2), 0, 255
+                    (full == key).all(axis=2), 0, 255
                 ).astype(np.uint8)
         elif color_type == 4:
             px = np.concatenate(
@@ -1195,6 +1241,15 @@ def extract_features(df: DataFrame) -> DataFrame:
                         w, h = img["width"], img["height"]
                     except NotImplementedError:
                         pass  # sniffed like an image, doesn't parse: NULL
+                    if b[:6] in (b"GIF87a", b"GIF89a"):
+                        try:
+                            frames = _gif_frames(b)
+                            # an ANIMATION has a real duration; a static
+                            # GIF is an image and stays NULL
+                            if len(frames) >= 2:
+                                dur = sum(d for d, _ in frames)
+                        except NotImplementedError:
+                            pass
                 elif _is_mp4(b):
                     try:
                         m = parse_mp4(b)  # demux: tkhd/mvhd, no codec
@@ -1439,6 +1494,64 @@ def parse_mp4(payload: bytes) -> dict:
         raise NotImplementedError(f"MP4 payload not demuxable: {e}") from e
 
 
+def _gif_frames(payload: bytes) -> list:
+    """Animated-GIF DEMUX (round 13): walk the block stream WITHOUT
+    LZW-decoding and return one (delay_ms, frame_bytes) per image frame
+    — delay from each frame's preceding Graphic Control Extension
+    (centiseconds), frame_bytes the encoded byte span from its image
+    descriptor through its data terminator (descriptor + local color
+    table + LZW sub-blocks). This is the GIF analogue of parse_mp4's
+    stts/stsz tables: frame_sample can step real per-frame timings and
+    sizes for animations, and extract_features can report a real
+    duration, all in pure byte math. Malformed streams raise
+    NotImplementedError like the codec guards."""
+    try:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("bad GIF signature")
+        flags = payload[10]
+        pos = 13
+        if flags & 0x80:
+            pos += 3 * (2 << (flags & 7))  # global color table
+        frames: list = []
+        delay_ms = 0
+        while pos < len(payload):
+            block = payload[pos]
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension
+                label = payload[pos + 1]
+                pos += 2
+                first_sub = None
+                while (size := payload[pos]) != 0:
+                    if first_sub is None:
+                        first_sub = payload[pos + 1 : pos + 1 + size]
+                    pos += 1 + size
+                pos += 1
+                if label == 0xF9 and first_sub and len(first_sub) >= 3:
+                    delay_ms = (
+                        int.from_bytes(first_sub[1:3], "little") * 10
+                    )
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unknown block 0x{block:02x}")
+            start = pos
+            iflags = payload[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 7))  # local color table
+            pos += 1  # LZW min code size
+            while (size := payload[pos]) != 0:
+                pos += 1 + size
+            pos += 1
+            frames.append((delay_ms, pos - start))
+            delay_ms = 0  # a GCE governs exactly one following frame
+        if not frames:
+            raise ValueError("no image frames")
+        return frames
+    except (ValueError, IndexError) as e:
+        raise NotImplementedError(f"GIF payload not demuxable: {e}") from e
+
+
 def _is_wav(payload: bytes) -> bool:
     return (
         len(payload) >= 12
@@ -1459,7 +1572,12 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     data chunk). REAL for MP4 containers too (round 12): parse_mp4
     demuxes the box tree — no codec needed — and each every_ms step
     reports the true byte size of the sample covering that instant per
-    the track's stts/stsz tables. Other payloads keep the deterministic
+    the track's stts/stsz tables. REAL for ANIMATED GIFs as well
+    (round 13): _gif_frames walks the block stream without decoding and
+    each step reports the encoded byte size of the frame covering that
+    instant on the Graphic-Control delay timeline (static or zero-delay
+    GIFs fall through to the fake branch — no timeline to sample).
+    Other payloads keep the deterministic
     size-based fake with the identical output schema; every branch caps
     at 8 samples per item so skewed media can't blow up a batch."""
 
@@ -1500,6 +1618,32 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                             (int(doc_id), int(k * every_ms), end - start)
                         )
                     continue
+                if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    try:
+                        frames = _gif_frames(bytes(payload))
+                    except NotImplementedError:
+                        frames = None
+                    total = (
+                        sum(d for d, _ in frames) if frames else 0
+                    )
+                    if frames is not None and total > 0:
+                        # REAL animation sampling: each every_ms step
+                        # reports the encoded byte size of the frame
+                        # covering that instant on the delay timeline
+                        n = max(1, -(-total // max(every_ms, 1)))
+                        for k in range(min(n, 8)):
+                            t = k * max(every_ms, 1)
+                            acc, size = 0, frames[-1][1]
+                            for d, s in frames:
+                                if acc + d > t:
+                                    size = s
+                                    break
+                                acc += d
+                            rows.append(
+                                (int(doc_id), int(k * every_ms), int(size))
+                            )
+                        continue
+                    # static / zero-delay GIF: fake branch below
                 if _is_mp4(payload):
                     try:
                         m = parse_mp4(bytes(payload))

@@ -163,6 +163,11 @@ def test_pil_parity_with_pure_decoders():
         _hand_png(2, 2, bytes(range(16)), color_type=6),
         _hand_gif(2, 2, [0, 1, 1, 0], pal[:6]),
         _hand_gif(2, 2, [0, 1, 1, 0], pal[:6], transparent=1),
+        # round-13 forms: Adam7 interlace (PIL deinterlaces identically)
+        _np_png(
+            np.arange(9 * 5 * 3, dtype=np.uint8).reshape(5, 9, 3) * 3 % 256,
+            interlace=1,
+        ),
     ]
     for payload in lossless:
         a, b = pure(payload), mm._decode_pil(image_mod, payload)
@@ -833,15 +838,122 @@ def test_decode_png_unsupported_profiles_raise():
             + chunk(b"IEND", b"")
         )
 
-    with _pytest.raises(NotImplementedError):  # 16-bit samples
+    # 16-bit and Adam7 are SUPPORTED since round 13 — the 16-bit case
+    # here still raises, but structurally (the 4-byte IDAT is short for
+    # a 1x1 16-bit RGB row); Adam7 on a 1x1 is pass 1 alone and decodes
+    with _pytest.raises(NotImplementedError):
         decode_image(ihdr_png(bit_depth=16))
-    with _pytest.raises(NotImplementedError):  # Adam7 interlace
-        decode_image(ihdr_png(interlace=1))
+    assert decode_image(ihdr_png(interlace=1))["pixels"] == bytes([1, 2, 3])
+    with _pytest.raises(NotImplementedError):  # sub-8-bit depth
+        decode_image(ihdr_png(bit_depth=4))
+    with _pytest.raises(NotImplementedError):  # unknown interlace method
+        decode_image(ihdr_png(interlace=2))
     with _pytest.raises(NotImplementedError):  # truncated inside IDAT
         decode_image(_hand_png(2, 2, bytes(12))[:-24])
     # bare signature (no chunks) stays the canonical guard case
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def _np_png(arr, interlace=0, color_type=2, trns=None):
+    """PNG writer over a numpy (h, w, channels) array — uint8 or uint16
+    (big-endian samples), optional Adam7 interlace (each pass emitted as
+    its own filter-0 sub-image in pass order), for the round-13 decoder
+    paths the byte-list _hand_png writer can't reach."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = arr.shape
+    bit_depth = 16 if arr.dtype == np.uint16 else 8
+    passes = (
+        ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        if interlace
+        else ((0, 0, 1, 1),)
+    )
+    raw = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw.append(0)  # filter type 0
+            raw += (
+                row.astype(">u2").tobytes()
+                if bit_depth == 16
+                else row.astype(np.uint8).tobytes()
+            )
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR",
+        struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, interlace),
+    )
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(trns))
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_decode_png_adam7_interlaced():
+    """Adam7 (round 13): the seven sub-images must scatter back to the
+    exact original raster across geometries that exercise empty passes
+    (1x1: pass 1 only), partial passes (3x2, 5x5) and all-seven (9x10).
+    The interlaced and non-interlaced encodings of the same array must
+    decode identically."""
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    rng = np.random.default_rng(11)
+    for w, h in ((1, 1), (3, 2), (5, 5), (9, 10), (8, 8)):
+        arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        flat = decode_image(_np_png(arr))
+        woven = decode_image(_np_png(arr, interlace=1))
+        assert (woven["width"], woven["height"]) == (w, h)
+        assert woven["pixels"] == flat["pixels"] == arr.tobytes()
+    # RGBA survives interlace too (4-channel pass strides)
+    arr = rng.integers(0, 256, (6, 7, 4)).astype(np.uint8)
+    img = decode_image(_np_png(arr, interlace=1, color_type=6))
+    assert img["n_channels"] == 4 and img["pixels"] == arr.tobytes()
+
+
+def test_decode_png_16bit_high_byte_and_trns_precision():
+    """16-bit PNGs downconvert by HIGH byte (libpng strip_16), and a
+    tRNS color key must compare at SOURCE precision: two samples that
+    share a high byte but differ in the low byte must get different
+    alpha."""
+    import struct
+
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    arr = np.array(
+        [[[0x1234, 0x0000, 0xFFFF], [0x1200, 0x0000, 0xFFFF]]], np.uint16
+    )
+    img = decode_image(_np_png(arr))
+    assert img["n_channels"] == 3
+    assert img["pixels"] == bytes([0x12, 0x00, 0xFF, 0x12, 0x00, 0xFF])
+    keyed = decode_image(
+        _np_png(arr, trns=struct.pack(">HHH", 0x1234, 0x0000, 0xFFFF))
+    )
+    assert keyed["n_channels"] == 4
+    # only the exact-16-bit match is transparent, not the high-byte twin
+    assert keyed["pixels"] == bytes(
+        [0x12, 0x00, 0xFF, 0, 0x12, 0x00, 0xFF, 255]
+    )
+    # 16-bit + Adam7 compose
+    rng = np.random.default_rng(5)
+    arr = (rng.integers(0, 1 << 16, (5, 9, 3))).astype(np.uint16)
+    woven = decode_image(_np_png(arr, interlace=1))
+    assert woven["pixels"] == (arr >> 8).astype(np.uint8).tobytes()
 
 
 def test_decode_png_trns_upgrades_to_rgba():
@@ -1032,6 +1144,113 @@ def _hand_gif(width, height, indices, palette, min_code_size=2,
         chunk = data[i : i + 255]
         out += bytes([len(chunk)]) + chunk
     return out + b"\x00\x3b"
+
+
+def _animate_gif(width, height, palette, frames, min_code_size=2):
+    """Multi-frame GIF89a: one Graphic Control Extension (delay in
+    centiseconds) + image block per frame."""
+    import struct
+
+    pal = bytes(palette)
+    n = 2
+    while (1 << n) * 3 < len(pal):
+        n += 1
+    pal = pal + bytes((1 << n) * 3 - len(pal))
+    out = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0x80 | (n - 1), 0, 0)
+        + pal
+    )
+    for delay_cs, indices in frames:
+        out += bytes([0x21, 0xF9, 4, 0]) + struct.pack("<H", delay_cs)
+        out += bytes([0, 0])
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0, min_code_size])
+        data = _gif_lzw_encode(min_code_size, indices)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return out + b"\x3b"
+
+
+def test_gif_frames_demux_animation():
+    """_gif_frames: per-frame (delay_ms, encoded_bytes) from pure block
+    walking — the GIF analogue of parse_mp4's sample tables."""
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import _gif_frames
+
+    pal = [255, 0, 0, 0, 255, 0]
+    gif = _animate_gif(
+        2, 2, pal, [(50, [0, 1, 1, 0]), (30, [1, 0, 0, 1]), (20, [0, 0, 1, 1])]
+    )
+    frames = _gif_frames(gif)
+    assert [d for d, _ in frames] == [500, 300, 200]
+    # each frame span: 10 (descriptor) + 1 (min code size) + sub-blocks
+    # + 1 (terminator); all three frames encode 4 indices identically
+    sizes = {s for _, s in frames}
+    assert len(sizes) == 1 and sizes.pop() > 12
+    # single-frame _hand_gif output demuxes to one frame, delay 0
+    single = _gif_frames(_hand_gif(2, 2, [0, 1, 1, 0], pal))
+    assert len(single) == 1 and single[0][0] == 0
+    with _pytest.raises(NotImplementedError):
+        _gif_frames(b"GIF89a")  # bare signature
+    with _pytest.raises(NotImplementedError):
+        _gif_frames(gif[:-8])  # truncated inside the last frame
+
+
+def test_frame_sample_animated_gif_timeline(spark):
+    """frame_sample over an animated GIF: every_ms steps report the
+    encoded byte size of the frame covering that instant on the delay
+    timeline; a static GIF has no timeline and takes the fake branch."""
+    from dbtwiz_spark.multimodal import _gif_frames, frame_sample
+
+    pal = [255, 0, 0, 0, 255, 0]
+    anim = _animate_gif(
+        2,
+        2,
+        pal,
+        [
+            (50, [0, 1, 1, 0]),  # 500 ms
+            (30, [1, 0, 0, 1]),  # 300 ms
+            (20, [0, 0, 1, 1]),  # 200 ms -> total 1000 ms
+        ],
+    )
+    sizes = [s for _, s in _gif_frames(anim)]
+    static = _hand_gif(2, 2, [0, 1, 1, 0], pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(static))],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {
+        (r.doc_id, r.offset_ms): r.payload_bytes
+        for r in frame_sample(df, every_ms=400).collect()
+    }
+    # t=0 -> frame 1; t=400 (inside [0,500)) -> frame 1; t=800 (inside
+    # [800,1000)) -> frame 3
+    assert rows[(1, 0)] == sizes[0]
+    assert rows[(1, 400)] == sizes[0]
+    assert rows[(1, 800)] == sizes[2]
+    assert (1, 1200) not in rows, "offsets must stop at the timeline end"
+    # static GIF: deterministic size-based fake branch
+    assert rows[(2, 0)] == len(static)
+
+
+def test_extract_features_animated_gif_duration(spark):
+    from dbtwiz_spark.multimodal import extract_features
+
+    pal = [255, 0, 0, 0, 255, 0]
+    anim = _animate_gif(2, 2, pal, [(50, [0, 1, 1, 0]), (25, [1, 0, 0, 1])])
+    static = _hand_gif(2, 2, [0, 1, 1, 0], pal)
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(static))],
+        "doc_id LONG, payload BINARY",
+    )
+    out = {r.doc_id: r for r in extract_features(df).collect()}
+    assert out[1].duration_ms == 750  # an animation has a real duration
+    assert (out[1].width, out[1].height) == (2, 2)
+    assert out[2].duration_ms is None  # a static GIF is an image
 
 
 def test_decode_gif_roundtrip_palette_and_transparency():

@@ -1535,6 +1535,81 @@ def test_png_decode_any_geometry_any_filters(width, height, color_type, data):
     assert out["pixels"] == expect
 
 
+@settings(max_examples=15, deadline=None)
+@given(
+    width=st.integers(1, 24),
+    height=st.integers(1, 24),
+    data=st.data(),
+)
+def test_jpeg_progressive_matches_baseline_any_geometry(width, height, data):
+    """Progressive and baseline encodings of the SAME grayscale plane
+    decode to IDENTICAL pixels for arbitrary geometry: the successive-
+    approximation passes must reconstruct exact coefficients at every
+    MCU-padding residue, and the spectral-split scans must cover every
+    block grid shape."""
+    import numpy as np
+
+    from tests.test_engine_basics import (
+        _hand_jpeg,
+        _hand_jpeg_progressive,
+        _pad8,
+    )
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    n = width * height
+    vals = data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    plane = _pad8(np.array(vals, float).reshape(height, width))
+    base = decode_image(_hand_jpeg([(plane, (1, 1))], width, height))
+    prog = decode_image(
+        _hand_jpeg_progressive([(plane, (1, 1))], width, height)
+    )
+    assert prog["pixels"] == base["pixels"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    width=st.integers(1, 20),
+    height=st.integers(1, 20),
+    interlaced=st.booleans(),
+    deep=st.booleans(),
+    channels=st.sampled_from([3, 4]),
+    data=st.data(),
+)
+def test_png_adam7_and_16bit_any_geometry(
+    width, height, interlaced, deep, channels, data
+):
+    """Round-13 PNG forms over ARBITRARY geometry: Adam7's seven passes
+    must tile every raster exactly once (geometries spanning all
+    empty/partial-pass residues mod 8), and 16-bit samples downconvert
+    by high byte — composing both with the alpha channel."""
+    import numpy as np
+
+    from tests.test_engine_basics import _np_png
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    n = width * height * channels
+    hi = 65535 if deep else 255
+    vals = data.draw(
+        st.lists(st.integers(0, hi), min_size=n, max_size=n)
+    )
+    arr = np.array(vals, np.uint16 if deep else np.uint8).reshape(
+        height, width, channels
+    )
+    payload = _np_png(
+        arr,
+        interlace=1 if interlaced else 0,
+        color_type=2 if channels == 3 else 6,
+    )
+    out = decode_image(payload)
+    assert (out["width"], out["height"], out["n_channels"]) == (
+        width, height, channels,
+    )
+    expect = (arr >> 8).astype(np.uint8) if deep else arr
+    assert out["pixels"] == expect.tobytes()
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     width=st.integers(1, 9),
