@@ -81,6 +81,26 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+#: decoder pixel budget (round 13): geometry is ATTACKER-CONTROLLED in
+#: untrusted training data, and every decoder sizes buffers from the
+#: header before any data-length check — a 200-byte payload claiming
+#: 65535x65535 would otherwise allocate gigabytes (GIF dims are u16, so
+#: 4.3G pixels; JPEG coefficient buffers scale the same way). 2^27
+#: (134 M pixels, ~512 MB of RGBA) is far above any real crawl image;
+#: larger claims raise the codec-guard NotImplementedError in BOTH
+#: decode modes, so header-only and full decode keep agreeing on what
+#: is decodable.
+_MAX_PIXELS = 1 << 27
+
+
+def _check_pixels(width: int, height: int) -> None:
+    if width * height > _MAX_PIXELS:
+        raise ValueError(
+            f"{width}x{height} exceeds the decoder pixel budget "
+            f"({_MAX_PIXELS} px)"
+        )
+
+
 #: tri-state PIL probe: False = not probed yet, None = absent/disabled
 _PIL_IMAGE: object = False
 
@@ -409,6 +429,7 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
                 break
         if width is None or width <= 0 or height <= 0:
             raise ValueError("missing/invalid IHDR")
+        _check_pixels(width, height)
         if not idat:
             raise ValueError("no IDAT data")
         if color_type in (4, 6):
@@ -438,6 +459,13 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
         else:
             sections = [(0, 0, 1, 1, width, height)]
         expected = sum(ph * (1 + pw * bpp) for *_, pw, ph in sections)
+        # the dual of the bounded inflate below: a BIG claimed geometry
+        # with a small IDAT would allocate the full-size sample plane
+        # before any data materializes — zlib's hard maximum expansion
+        # is 1032:1, so an IDAT that can't possibly fill the claim is
+        # structurally invalid and fails before the allocation
+        if expected > 1032 * sum(len(d) for d in idat):
+            raise ValueError("IDAT too short for claimed geometry")
         # bounded inflate: a crafted IDAT must not expand past what the
         # declared geometry can hold (decompression-bomb guard)
         dec = zlib.decompressobj()
@@ -633,6 +661,7 @@ def _decode_gif(payload: bytes, with_pixels: bool = True) -> dict:
             pos += 3 * n
         if width <= 0 or height <= 0:
             raise ValueError("empty frame")
+        _check_pixels(width, height)
         if palette is None:
             raise ValueError("no color table")
         out = {
@@ -938,6 +967,7 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
                 # file must not report geometry it cannot deliver)
                 if nc not in (1, 3):
                     raise ValueError(f"{nc}-component JPEG unsupported")
+                _check_pixels(w, h)
                 comps = []
                 for c in range(nc):
                     cid, samp, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
@@ -967,6 +997,18 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
                         raise ValueError("non-integer sampling ratio")
                     mcus_x = -(-width // (8 * max_h))
                     mcus_y = -(-height // (8 * max_v))
+                    # data-sufficiency twin of the PNG 1032:1 pre-check:
+                    # every coded block costs >= 1 entropy bit, so a
+                    # claimed geometry the payload cannot possibly fill
+                    # fails BEFORE the coefficient buffers are sized
+                    # from it (the allocation-bomb path)
+                    total_blocks = sum(
+                        mcus_y * cv * mcus_x * ch for _, ch, cv, _ in comps
+                    )
+                    if total_blocks > 8 * len(payload):
+                        raise ValueError(
+                            "entropy data too short for claimed geometry"
+                        )
                     for cid, ch, cv, _ in comps:
                         # buffers are MCU-padded; non-interleaved scans
                         # code only the component's own ceil(dim/8) grid
@@ -1002,13 +1044,23 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
         for cid, ch, cv, tq in comps:
             buf = coeffs[cid]
             by, bx = buf.shape[:2]
-            deq = buf.reshape(-1, 64).astype(np.float64) * qt[tq]
-            blocks = np.zeros((deq.shape[0], 8, 8))
-            blocks[:, zz_rows, zz_cols] = deq
-            # spatial[x,y] = sum_uv a[u,x] * block[u,v] * a[v,y]
-            spatial = np.einsum("ux,nuv,vy->nxy", a, blocks, a) + 128.0
+            flat = buf.reshape(-1, 64)
+            # batched IDCT in bounded slabs: the float64 intermediates
+            # are 16x the int32 coefficients, so one all-blocks einsum
+            # would spike ~0.5 GB on a budget-sized image — 64k blocks
+            # per slab keeps the transient under ~35 MB at full speed
+            spatial = np.empty((flat.shape[0], 8, 8))
+            for s in range(0, flat.shape[0], 65536):
+                deq = flat[s : s + 65536].astype(np.float64) * qt[tq]
+                blocks = np.zeros((deq.shape[0], 8, 8))
+                blocks[:, zz_rows, zz_cols] = deq
+                # spatial[x,y] = sum_uv a[u,x] * block[u,v] * a[v,y]
+                spatial[s : s + 65536] = np.einsum(
+                    "ux,nuv,vy->nxy", a, blocks, a
+                )
             plane = (
-                spatial.reshape(by, bx, 8, 8)
+                (spatial + 128.0)
+                .reshape(by, bx, 8, 8)
                 .transpose(0, 2, 1, 3)
                 .reshape(by * 8, bx * 8)
             )
@@ -1438,14 +1490,22 @@ def parse_mp4(payload: bytes) -> dict:
 
         def parse_stbl(s, e, trak):
             for btype, bs, be in _mp4_boxes(payload, s, e):
+                # entry counts are attacker-controlled headers: a count
+                # the box's own byte span cannot hold would build a
+                # multi-GB Python list from a tiny payload (the same
+                # allocation-bomb class as the PNG/JPEG geometry claims)
                 if btype == b"stts":
                     (n,) = struct.unpack_from(">I", payload, bs + 4)
+                    if n > (be - bs - 8) // 8:
+                        raise ValueError("stts count exceeds box size")
                     trak["stts"] = [
                         struct.unpack_from(">II", payload, bs + 8 + 8 * i)
                         for i in range(n)
                     ]
                 elif btype == b"stsz":
                     fixed, n = struct.unpack_from(">II", payload, bs + 4)
+                    if not fixed and n > (be - bs - 12) // 4:
+                        raise ValueError("stsz count exceeds box size")
                     trak["sample_count"] = n
                     trak["sample_sizes"] = (
                         None

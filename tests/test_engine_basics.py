@@ -1046,6 +1046,107 @@ def test_decode_png_bounded_inflate_rejects_bombs():
     assert peak < 10 * 1024 * 1024, f"inflate not bounded: peak {peak}"
 
 
+def test_decoders_reject_allocation_bomb_geometry():
+    """Header-claimed geometry is attacker-controlled: a tiny payload
+    claiming a huge raster must fail BEFORE the decoder sizes buffers
+    from the claim — via the uniform pixel budget (_MAX_PIXELS), the
+    PNG 1032:1 inflate-ratio pre-check, and the JPEG blocks-per-
+    entropy-byte bound — in BOTH decode modes, so header-only and full
+    decode keep agreeing on decodability."""
+    import struct
+    import tracemalloc
+    import zlib
+
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    def png_chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    def png_claim(w, h):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + png_chunk(b"IDAT", zlib.compress(bytes(64)))
+            + png_chunk(b"IEND", b"")
+        )
+
+    def gif_claim(w, h):
+        return (
+            b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80, 0, 0)
+            + bytes(12)  # 4-entry global table
+            + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+            + bytes([2, 1, 0x4C, 0]) + b"\x3b"
+        )
+
+    def jpeg_claim(w, h):
+        out = b"\xff\xd8"
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([1] * 64)
+        out += b"\xff\xc0" + struct.pack(">H", 11) + struct.pack(
+            ">BHHB", 8, h, w, 1
+        ) + bytes([1, 0x11, 0])
+        out += b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0, 0, 63, 0])
+        return out + bytes(32) + b"\xff\xd9"
+
+    tracemalloc.start()
+    # pixel-budget violations fail the GEOMETRY parse — both modes agree
+    for payload in (
+        png_claim(20000, 20000),
+        gif_claim(60000, 60000),   # u16 dims
+        jpeg_claim(20000, 20000),
+    ):
+        with _pytest.raises(NotImplementedError):
+            decode_image(payload)
+        with _pytest.raises(NotImplementedError):
+            decode_image(payload, with_pixels=False)
+    # data-sufficiency violations (a claim the payload cannot possibly
+    # fill) fail the FULL decode; header-only stops at the entropy
+    # boundary by contract, like truncated-IDAT streams
+    for payload in (
+        png_claim(5000, 5000),     # IDAT can't inflate 1032x to the claim
+        jpeg_claim(2000, 2000),    # 62500 blocks vs ~100 entropy bytes
+    ):
+        with _pytest.raises(NotImplementedError):
+            decode_image(payload)
+        hdr = decode_image(payload, with_pixels=False)
+        assert "pixels" not in hdr
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 10 * 1024 * 1024, f"bomb guard allocated: peak {peak}"
+
+
+def test_mp4_sample_table_counts_bounded_by_box_size(spark):
+    """stts/stsz entry counts the box's byte span cannot hold must fail
+    the demux (allocation bomb via a 4-byte count field), and
+    frame_sample falls back to the fake branch for such payloads."""
+    import struct
+
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import frame_sample, parse_mp4
+
+    good = _hand_mp4()
+    # stts claims 2^28 entries; the box holds 10
+    bomb = good.replace(
+        struct.pack(">II", 0, 1) + struct.pack(">II", 10, 100),
+        struct.pack(">II", 0, 1 << 28) + struct.pack(">II", 10, 100),
+        1,
+    )
+    assert bomb != good, "fixture no longer matches the stts layout"
+    with _pytest.raises(NotImplementedError):
+        parse_mp4(bomb)
+    df = spark.createDataFrame(
+        [(1, bytearray(bomb))], "doc_id LONG, payload BINARY"
+    )
+    rows = frame_sample(df, every_ms=100).collect()
+    assert len(rows) > 0  # fake branch, schema intact
+    assert all(r.payload_bytes == len(bomb) for r in rows)
+
+
 def test_gif_lzw_output_cap():
     """_gif_lzw must stop emitting once max_out is reached — a crafted
     stream can otherwise expand ~4000x before the caller's size slice."""
