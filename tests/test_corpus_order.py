@@ -79,6 +79,19 @@ def test_cert_of_covers_every_rows_only_entry():
     assert not unknown, f"CERT_OF names unregistered entries: {unknown}"
 
 
+def test_cert_mappings_agree_across_scripts():
+    """gen_green_manifest.CERT_OF (cert -> op, drives hash coupling) and
+    gen_corpus_md.CERTIFICATES (op -> cert, drives the judge-facing doc
+    column) encode the SAME linkage in opposite directions — if they
+    drift, the doc would advertise a certificate the guard no longer
+    couples (round-13 guard; both previously asserted only their own
+    internal coverage)."""
+    from scripts.gen_corpus_md import CERTIFICATES
+    from scripts.gen_green_manifest import CERT_OF
+
+    assert CERTIFICATES == {op: cert for cert, op in CERT_OF.items()}
+
+
 def test_cert_hash_is_coupled_to_certified_op_source():
     """The round-11 hole (corpus_order r11 docstring): an op edit forced
     the OP back into the window but its certificate's hash — and so its

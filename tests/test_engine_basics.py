@@ -1778,7 +1778,7 @@ def _prog_refine_block(vals, ss, se, al, ops):
         k = nxt + 1
 
 
-def _hand_jpeg_progressive(planes, width, height):
+def _hand_jpeg_progressive(planes, width, height, restart_interval=0):
     """Progressive (SOF2) JPEG encoder for decoder tests — all-ones
     quantization, per-scan Huffman tables at canonical 8-bit codes (the
     _hand_jpeg conventions), scan script:
@@ -1850,7 +1850,7 @@ def _hand_jpeg_progressive(planes, width, height):
                             ops.append(("bits", (v0 >> al) & 1, 1))
         return ops
 
-    def ac_first_ops(ci, ss, se, al):
+    def ac_first_ops(ci, ss, se, al, restart_interval=0):
         _, (ch, cv) = planes[ci]
         comp_w = -(-width * ch // max_h)
         comp_h = -(-height * cv // max_v)
@@ -1867,31 +1867,34 @@ def _hand_jpeg_progressive(planes, width, height):
                     ops.append(("bits", eob_pending - (1 << r), r))
                 eob_pending = 0
 
-        for row in range(bh):
-            for col in range(bw):
-                vals = coefs[ci][row, col]
-                nz = [
-                    (k, int(vals[k]))
-                    for k in range(ss, se + 1)
-                    if abs(int(vals[k])) >> al
-                ]
-                if not nz:
-                    eob_pending += 1
-                    continue
-                flush()
-                k = ss
-                for pos, v in nz:
-                    run = pos - k
-                    while run > 15:
-                        ops.append(("sym", 0xF0))
-                        run -= 16
-                    m = abs(v) >> al
-                    s = m.bit_length()
-                    ops.append(("sym", (run << 4) | s))
-                    ops.append(("bits", bits_of(m if v > 0 else -m, s), s))
-                    k = pos + 1
-                if k <= se:
-                    eob_pending = 1
+        for idx in range(bh * bw):
+            row, col = divmod(idx, bw)
+            if restart_interval and idx and idx % restart_interval == 0:
+                flush()  # an EOB run must not cross a restart
+                ops.append(("rst", (idx // restart_interval - 1) % 8))
+            vals = coefs[ci][row, col]
+            nz = [
+                (k, int(vals[k]))
+                for k in range(ss, se + 1)
+                if abs(int(vals[k])) >> al
+            ]
+            if not nz:
+                eob_pending += 1
+                continue
+            flush()
+            k = ss
+            for pos, v in nz:
+                run = pos - k
+                while run > 15:
+                    ops.append(("sym", 0xF0))
+                    run -= 16
+                m = abs(v) >> al
+                s = m.bit_length()
+                ops.append(("sym", (run << 4) | s))
+                ops.append(("bits", bits_of(m if v > 0 else -m, s), s))
+                k = pos + 1
+            if k <= se:
+                eob_pending = 1
         flush()
         return ops
 
@@ -1931,6 +1934,8 @@ def _hand_jpeg_progressive(planes, width, height):
         for op in ops:
             if op[0] == "sym":
                 w.put(code[op[1]], 8)
+            elif op[0] == "rst":
+                w.raw_marker(0xD0 + op[1])
             else:
                 w.put(op[1], op[2])
         w.pad_align()
@@ -1950,8 +1955,18 @@ def _hand_jpeg_progressive(planes, width, height):
     out += emit_scan(dc_first_ops(1), all_ids, 0, 0, 0, 1, tc=0)
     for ci in range(len(planes)):
         out += emit_scan(ac_first_ops(ci, 1, 5, 1), [ci + 1], 1, 5, 0, 1, 1)
+    if restart_interval:
+        # DRI is scoped: restarts apply only to the high-band scans
+        # (where cross-block EOB runs live), then a zero DRI disables
+        # them again — both re-specifications are legal mid-stream
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     for ci in range(len(planes)):
-        out += emit_scan(ac_first_ops(ci, 6, 63, 1), [ci + 1], 6, 63, 0, 1, 1)
+        out += emit_scan(
+            ac_first_ops(ci, 6, 63, 1, restart_interval),
+            [ci + 1], 6, 63, 0, 1, 1,
+        )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", 0))
     for ci in range(len(planes)):
         out += emit_scan(ac_refine_ops(ci, 1, 63, 0), [ci + 1], 1, 63, 1, 0, 1)
     out += emit_scan(dc_refine_ops(0), all_ids, 0, 0, 1, 0, tc=0)
@@ -2013,6 +2028,31 @@ def test_decode_jpeg_progressive_420_subsampled():
     prog = decode_image(_hand_jpeg_progressive(planes, w, h))
     assert (prog["width"], prog["height"]) == (w, h)
     assert prog["pixels"] == base["pixels"]
+
+
+def test_decode_jpeg_progressive_restart_resets_eobrun():
+    """Restart markers inside a progressive AC scan: the decoder must
+    byte-align, consume the RSTn, and RESET the EOB run at each
+    boundary (an EOB run never crosses a restart) — the mostly-flat
+    raster makes every interval carry its own run. A scoped DRI (set
+    before the high-band scans, zeroed after) also exercises mid-stream
+    re-specification."""
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    w = h = 32  # 16 blocks, two textured
+    plane = np.full((h, w), 77)
+    plane[0:8, 8:16] = (np.arange(64).reshape(8, 8) * 5) % 256
+    plane[16:24, 24:32] = (np.arange(64).reshape(8, 8) * 11) % 256
+    base = decode_image(_hand_jpeg([(plane, (1, 1))], w, h))
+    for interval in (1, 3, 5):
+        prog = decode_image(
+            _hand_jpeg_progressive(
+                [(plane, (1, 1))], w, h, restart_interval=interval
+            )
+        )
+        assert prog["pixels"] == base["pixels"], f"interval {interval}"
 
 
 def test_decode_jpeg_progressive_eobrun_spans_blocks():
