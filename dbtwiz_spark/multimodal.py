@@ -5,6 +5,11 @@ struct of typed metadata; decode / feature-extract / resize / frame-sample
 run as Arrow-batched pandas functions over `mapInPandas` so the heavy
 per-item work stays vectorized and off the driver.
 
+Deployments feeding REAL media through these operators should call
+`configure_for_media(spark)` first: Spark's default Arrow batch size
+is 10,000 rows — sized for scalar columns — and one mapInPandas batch
+of multi-MB payloads would otherwise materialize tens of GB per task.
+
 The container ships no codec LIBRARIES, so the decode line is drawn at
 what the stdlib plus byte math can reach — and everything on the
 reachable side is REAL: audio for PCM WAV (stdlib `wave`:
@@ -49,6 +54,27 @@ from pyspark.sql.types import (
 
 if TYPE_CHECKING:
     import pandas as pd
+
+def configure_for_media(spark, max_records_per_batch: int = 64) -> dict:
+    """Bound Arrow batch sizes for media workloads and return the confs
+    this REPLACED (so a caller can restore them).
+
+    The mapInPandas operators here materialize one whole Arrow batch of
+    payloads per task, and Spark's default
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` is 10,000 ROWS —
+    sized for scalar columns, not for multi-MB binary payloads (10k x
+    5 MB images = 50 GB in one pandas batch; the 100 TB deployment
+    hazard). Capping records-per-batch bounds the per-task resident set
+    at ``max_records_per_batch x max payload size`` regardless of row
+    width. This is an EXPLICIT helper rather than something the
+    operators mutate mid-query: session conf is global, and silently
+    re-configuring it inside an operator would shift batch sizes under
+    every other running query on the session."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = {key: spark.conf.get(key, None)}
+    spark.conf.set(key, str(max_records_per_batch))
+    return old
+
 
 #: metadata struct carried alongside every binary payload column
 MEDIA_META_SCHEMA = StructType(

@@ -89,6 +89,33 @@ def test_extract_features_real_geometry_for_decodable_images(spark):
     assert [r.doc_id for r in gated.collect()] == [2]
 
 
+def test_configure_for_media_bounds_arrow_batches(spark):
+    """configure_for_media caps Arrow records-per-batch (the per-task
+    resident set for multi-MB payload batches), returns the replaced
+    conf for restoration, and the operators run correctly under the
+    capped batching (more, smaller batches — same rows out)."""
+    from dbtwiz_spark.multimodal import configure_for_media, extract_features
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    old = configure_for_media(spark, max_records_per_batch=3)
+    try:
+        assert spark.conf.get(key) == "3"
+        assert old == {key: before}
+        df = spark.createDataFrame(
+            [(i, bytearray(b"x" * (10 + i))) for i in range(10)],
+            "doc_id LONG, payload BINARY",
+        ).coalesce(1)  # one partition -> the cap forces multiple batches
+        out = extract_features(df).collect()
+        assert len(out) == 10
+        assert {r.payload_bytes for r in out} == set(range(10, 20))
+    finally:
+        if old[key] is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old[key])
+
+
 def test_extract_features_duration_for_media_payloads(spark):
     """duration_ms (round 13): header-derived media duration for WAV
     (byte math) and MP4 (mvhd), NULL for images/text — so a max-length
