@@ -488,9 +488,13 @@ def _decode_png(payload: bytes, with_pixels: bool = True) -> dict:
         # the dual of the bounded inflate below: a BIG claimed geometry
         # with a small IDAT would allocate the full-size sample plane
         # before any data materializes — zlib's hard maximum expansion
-        # is 1032:1, so an IDAT that can't possibly fill the claim is
-        # structurally invalid and fails before the allocation
-        if expected > 1032 * sum(len(d) for d in idat):
+        # is 1032:1 (258-byte matches per ~2 bits), so an IDAT that
+        # can't possibly fill the claim is structurally invalid and
+        # fails before the allocation. The 64 KiB constant term keeps a
+        # maximally-compressible LEGAL image (a flat-color raster sits
+        # within a fraction of a percent of the asymptotic ratio) from
+        # tripping the guard on stream-header overhead.
+        if expected > 1032 * sum(len(d) for d in idat) + 65536:
             raise ValueError("IDAT too short for claimed geometry")
         # bounded inflate: a crafted IDAT must not expand past what the
         # declared geometry can hold (decompression-bomb guard)

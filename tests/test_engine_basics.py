@@ -1146,6 +1146,40 @@ def test_decoders_reject_allocation_bomb_geometry():
     assert peak < 10 * 1024 * 1024, f"bomb guard allocated: peak {peak}"
 
 
+def test_png_flat_image_near_compression_limit_still_decodes():
+    """The 1032:1 pre-check's positive twin: a LEGAL flat-color raster
+    compresses within a fraction of a percent of zlib's asymptotic
+    ratio — it must decode, not trip the allocation-bomb guard (the
+    constant-term margin exists for exactly this case)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dbtwiz_spark.multimodal import decode_image
+
+    w = h = 2048  # 12.6 MB raw vs ~13 KB IDAT: ratio ~1000:1
+    raw = b"".join(b"\x00" + b"\x00" * (w * 3) for _ in range(h))
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+    assert len(payload) < 64 * 1024
+    img = decode_image(payload)
+    assert (img["width"], img["height"]) == (w, h)
+    px = np.frombuffer(img["pixels"], np.uint8)
+    assert px.size == w * h * 3 and not px.any()
+
+
 def test_mp4_sample_table_counts_bounded_by_box_size(spark):
     """stts/stsz entry counts the box's byte span cannot hold must fail
     the demux (allocation bomb via a 4-byte count field), and
