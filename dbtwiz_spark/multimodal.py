@@ -98,10 +98,11 @@ FEATURE_SCHEMA = StructType(
         # Catalyst filters, not a second decode pass
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
-        # header-derived media duration (round 13): WAV byte math and
-        # MP4 mvhd, NULL for images/text — mixture/budget operators can
-        # gate on media length at plan level the same way the geometry
-        # rider enabled resolution gates
+        # header-derived media duration (round 13): WAV byte math, MP4
+        # mvhd, animated-GIF delay sums, and MP3/ADTS frame-header
+        # walks; NULL for still images/text — mixture/budget operators
+        # can gate on media length at plan level the same way the
+        # geometry rider enabled resolution gates
         StructField("duration_ms", LongType()),
     ]
 )
@@ -1294,7 +1295,9 @@ def extract_features(df: DataFrame) -> DataFrame:
     so no pixel buffer is copied just to read two header ints) and for
     MP4 containers (``parse_mp4`` demux, tkhd), NULL for everything
     else; duration_ms is the header-derived media duration for WAV
-    (byte math) and MP4 (mvhd), NULL elsewhere. The Spark-side shape
+    (byte math), MP4 (mvhd), animated GIFs (delay sum — static GIFs
+    are images and stay NULL), and MP3/ADTS AAC (frame-header walks),
+    NULL elsewhere. The Spark-side shape
     (Arrow transfer, per-batch pandas work, stable schema) is the
     production one either way.
     """
@@ -1342,6 +1345,16 @@ def extract_features(df: DataFrame) -> DataFrame:
                 elif _is_wav(b):
                     try:
                         dur = decode_audio(b, with_pcm=False)["duration_ms"]
+                    except NotImplementedError:
+                        pass
+                elif _is_mp3(b):
+                    try:
+                        dur = sum(d for d, _ in _mp3_frames(b)) // 1000
+                    except NotImplementedError:
+                        pass
+                elif _is_adts(b):
+                    try:
+                        dur = sum(d for d, _ in _adts_frames(b)) // 1000
                     except NotImplementedError:
                         pass
                 widths.append(w)
@@ -1642,12 +1655,169 @@ def _gif_frames(payload: bytes) -> list:
         raise NotImplementedError(f"GIF payload not demuxable: {e}") from e
 
 
+#: MPEG Layer III bitrate tables (kbps, header index 1..14)
+_MP3_BITRATES = {
+    3: (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    2: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    0: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+#: sample rates by version bits (3=MPEG1, 2=MPEG2, 0=MPEG2.5)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _is_mp3(payload: bytes) -> bool:
+    """ID3v2 tag, or a raw MPEG frame sync with Layer III bits."""
+    if payload[:3] == b"ID3":
+        return True
+    return (
+        len(payload) >= 4
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+        and (payload[1] >> 1) & 3 == 1  # layer bits 01 = Layer III
+    )
+
+
+def _mp3_frames(payload: bytes) -> list:
+    """MP3 DEMUX (round 13): walk MPEG-1/2/2.5 Layer III frame headers
+    WITHOUT decoding audio — each header carries bitrate + sample-rate
+    indices from which the frame's byte size (144 or 72 x bitrate /
+    samplerate + padding) and duration (1152 or 576 samples) follow.
+    Returns one (duration_us, frame_bytes) per frame, microseconds so a
+    26.12 ms MPEG-1 frame doesn't accumulate rounding across thousands
+    of frames. A leading ID3v2 tag is skipped via its syncsafe size;
+    the walk stops cleanly at trailing garbage / a truncated final
+    frame (the standard demuxer tolerance). The compressed audio
+    itself stays opaque — the same decode-vs-demux line as parse_mp4.
+    Malformed streams raise NotImplementedError like the codec guards."""
+    try:
+        pos = 0
+        if payload[:3] == b"ID3":
+            if len(payload) < 10:
+                raise ValueError("truncated ID3v2 header")
+            size = 0
+            for b in payload[6:10]:
+                if b & 0x80:
+                    raise ValueError("bad ID3v2 syncsafe size")
+                size = (size << 7) | b
+            pos = 10 + size
+        frames: list = []
+        while pos + 4 <= len(payload):
+            b1, b2 = payload[pos + 1], payload[pos + 2]
+            if payload[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
+                break  # desync: trailing tag/garbage ends the stream
+            version = (b1 >> 3) & 3
+            layer = (b1 >> 1) & 3
+            if version == 1 or layer != 1:
+                raise ValueError("only MPEG Layer III demuxable here")
+            bidx = (b2 >> 4) & 15
+            ridx = (b2 >> 2) & 3
+            padding = (b2 >> 1) & 1
+            if bidx in (0, 15) or ridx == 3:
+                raise ValueError("free-format/invalid bitrate or rate index")
+            bitrate = _MP3_BITRATES[version][bidx - 1] * 1000
+            samplerate = _MP3_RATES[version][ridx]
+            per = 144 if version == 3 else 72
+            size = per * bitrate // samplerate + padding
+            if size < 4 or pos + size > len(payload):
+                break  # truncated final frame
+            samples = 1152 if version == 3 else 576
+            frames.append((samples * 1_000_000 // samplerate, size))
+            pos += size
+        if not frames:
+            raise ValueError("no MP3 frames")
+        return frames
+    except (ValueError, IndexError) as e:
+        raise NotImplementedError(f"MP3 payload not demuxable: {e}") from e
+
+
+#: ADTS sample-rate table (header index 0..12)
+_ADTS_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000,
+    22050, 16000, 12000, 11025, 8000, 7350,
+)
+
+
+def _is_adts(payload: bytes) -> bool:
+    """ADTS AAC sync: 12 sync bits + layer bits 00 (disjoint from MP3,
+    whose Layer III bits are 01)."""
+    return (
+        len(payload) >= 7
+        and payload[0] == 0xFF
+        and (payload[1] & 0xF6) == 0xF0
+    )
+
+
+def _adts_frames(payload: bytes) -> list:
+    """ADTS AAC DEMUX (round 13): even simpler than MP3 — each header
+    carries an EXPLICIT 13-bit frame length, plus a sample-rate index
+    and a raw-block count (1024 samples per block). Returns one
+    (duration_us, frame_bytes) per frame; the AAC payload itself stays
+    opaque. Same tolerance and failure contract as _mp3_frames."""
+    try:
+        pos = 0
+        frames: list = []
+        while pos + 7 <= len(payload):
+            if payload[pos] != 0xFF or (payload[pos + 1] & 0xF6) != 0xF0:
+                break
+            ridx = (payload[pos + 2] >> 2) & 15
+            if ridx >= len(_ADTS_RATES):
+                raise ValueError(f"bad ADTS sample-rate index {ridx}")
+            length = (
+                ((payload[pos + 3] & 3) << 11)
+                | (payload[pos + 4] << 3)
+                | (payload[pos + 5] >> 5)
+            )
+            if length < 7 or pos + length > len(payload):
+                break  # truncated final frame
+            nblocks = (payload[pos + 6] & 3) + 1
+            frames.append(
+                (nblocks * 1024 * 1_000_000 // _ADTS_RATES[ridx], length)
+            )
+            pos += length
+        if not frames:
+            raise ValueError("no ADTS frames")
+        return frames
+    except (ValueError, IndexError) as e:
+        raise NotImplementedError(f"ADTS payload not demuxable: {e}") from e
+
+
 def _is_wav(payload: bytes) -> bool:
     return (
         len(payload) >= 12
         and payload[:4] == b"RIFF"
         and payload[8:12] == b"WAVE"
     )
+
+
+def _sample_timeline(frames_us: list, every_ms: int) -> list | None:
+    """Step an ``every_ms`` grid over a per-frame (duration_us, bytes)
+    timeline and return up to 8 (offset_ms, frame_bytes) rows — the
+    byte size reported at each step is the frame COVERING that instant.
+    Shared by frame_sample's GIF/MP3/ADTS demux branches (microsecond
+    arithmetic so sub-ms frame durations — a 26.12 ms MP3 frame —
+    don't drift across a long stream). Returns None for an empty/
+    zero-duration timeline (nothing to sample; the caller falls through
+    to the deterministic fake branch)."""
+    total = sum(d for d, _ in frames_us)
+    if total <= 0:
+        return None
+    every_us = max(every_ms, 1) * 1000
+    n = max(1, -(-total // every_us))
+    out = []
+    for k in range(min(n, 8)):
+        t = k * every_us
+        acc, size = 0, frames_us[-1][1]
+        for d, s in frames_us:
+            if acc + d > t:
+                size = s
+                break
+            acc += d
+        out.append((k * every_ms, size))
+    return out
 
 
 def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -1662,11 +1832,12 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     data chunk). REAL for MP4 containers too (round 12): parse_mp4
     demuxes the box tree — no codec needed — and each every_ms step
     reports the true byte size of the sample covering that instant per
-    the track's stts/stsz tables. REAL for ANIMATED GIFs as well
-    (round 13): _gif_frames walks the block stream without decoding and
-    each step reports the encoded byte size of the frame covering that
-    instant on the Graphic-Control delay timeline (static or zero-delay
-    GIFs fall through to the fake branch — no timeline to sample).
+    the track's stts/stsz tables. REAL for ANIMATED GIFs, MP3 and ADTS
+    AAC as well (round 13): _gif_frames/_mp3_frames/_adts_frames walk
+    the frame structure without decoding — per-frame durations and
+    byte sizes are header arithmetic — and each every_ms step reports
+    the frame covering that instant (_sample_timeline; static or
+    zero-duration timelines fall through to the fake branch).
     Other payloads keep the deterministic
     size-based fake with the identical output schema; every branch caps
     at 8 samples per item so skewed media can't blow up a batch."""
@@ -1708,32 +1879,33 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                             (int(doc_id), int(k * every_ms), end - start)
                         )
                     continue
+                demux = None
                 if payload[:6] in (b"GIF87a", b"GIF89a"):
+                    # REAL animation sampling: the Graphic-Control delay
+                    # timeline (static/zero-delay GIFs -> fake branch)
+                    demux = _gif_frames, 1000  # delays are in ms
+                elif _is_mp3(payload):
+                    demux = _mp3_frames, 1  # durations already in us
+                elif _is_adts(payload):
+                    demux = _adts_frames, 1
+                if demux is not None:
+                    fn, scale = demux
                     try:
-                        frames = _gif_frames(bytes(payload))
+                        frames = fn(bytes(payload))
                     except NotImplementedError:
                         frames = None
-                    total = (
-                        sum(d for d, _ in frames) if frames else 0
+                    sampled = (
+                        _sample_timeline(
+                            [(d * scale, s) for d, s in frames], every_ms
+                        )
+                        if frames
+                        else None
                     )
-                    if frames is not None and total > 0:
-                        # REAL animation sampling: each every_ms step
-                        # reports the encoded byte size of the frame
-                        # covering that instant on the delay timeline
-                        n = max(1, -(-total // max(every_ms, 1)))
-                        for k in range(min(n, 8)):
-                            t = k * max(every_ms, 1)
-                            acc, size = 0, frames[-1][1]
-                            for d, s in frames:
-                                if acc + d > t:
-                                    size = s
-                                    break
-                                acc += d
-                            rows.append(
-                                (int(doc_id), int(k * every_ms), int(size))
-                            )
+                    if sampled is not None:
+                        for off, size in sampled:
+                            rows.append((int(doc_id), int(off), int(size)))
                         continue
-                    # static / zero-delay GIF: fake branch below
+                    # undemuxable / zero-duration: fake branch below
                 if _is_mp4(payload):
                     try:
                         m = parse_mp4(bytes(payload))

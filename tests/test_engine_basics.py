@@ -1399,6 +1399,104 @@ def test_frame_sample_animated_gif_timeline(spark):
     assert rows[(2, 0)] == len(static)
 
 
+def _hand_mp3(n_frames=8, pad_frame=None, id3_bytes=0):
+    """MPEG-1 Layer III stream, 128 kbps @ 44100 Hz: frame size
+    144*128000//44100 = 417 (+1 when the padding bit is set), 26122 us
+    per frame. Optionally prefixed with an ID3v2 tag of ``id3_bytes``."""
+    out = bytearray()
+    if id3_bytes:
+        assert id3_bytes < 128
+        out += b"ID3" + bytes([4, 0, 0, 0, 0, 0, id3_bytes])
+        out += bytes(id3_bytes)
+    for i in range(n_frames):
+        pad = 1 if i == pad_frame else 0
+        size = 144 * 128000 // 44100 + pad
+        # sync=FFE, version=3 (MPEG1), layer=1 (III), no protection
+        out += bytes([0xFF, 0xFB, 0x90 | (pad << 1), 0x00])
+        out += bytes(size - 4)
+    return bytes(out)
+
+
+def _hand_adts(n_frames=5, payload_len=93):
+    """ADTS AAC-LC @ 44100 Hz (rate index 4), one raw block per frame
+    (1024 samples = 23219 us), explicit 13-bit frame length."""
+    out = bytearray()
+    for _ in range(n_frames):
+        length = 7 + payload_len
+        out += bytes(
+            [
+                0xFF, 0xF1,                      # sync, MPEG-4, layer 00
+                (1 << 6) | (4 << 2),             # AAC-LC, rate index 4
+                length >> 11,
+                (length >> 3) & 0xFF,
+                (length & 7) << 5 | 0x1F,
+                0xFC,                            # fullness low, 1 block
+            ]
+        )
+        out += bytes(payload_len)
+    return bytes(out)
+
+
+def test_mp3_and_adts_frame_demux():
+    """_mp3_frames/_adts_frames: per-frame (duration_us, bytes) from
+    header arithmetic alone — bitrate/samplerate indices for MP3, the
+    explicit length field for ADTS. ID3v2 tags skipped; trailing
+    garbage tolerated; non-Layer-III MPEG raises."""
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import _adts_frames, _mp3_frames
+
+    frames = _mp3_frames(_hand_mp3(n_frames=8, pad_frame=3))
+    assert len(frames) == 8
+    assert all(d == 26122 for d, _ in frames)
+    assert [s for _, s in frames] == [417, 417, 417, 418, 417, 417, 417, 417]
+    # ID3v2 tag skipped via its syncsafe size
+    assert _mp3_frames(_hand_mp3(n_frames=2, id3_bytes=30)) == _mp3_frames(
+        _hand_mp3(n_frames=2)
+    )
+    # trailing garbage ends the walk cleanly
+    assert len(_mp3_frames(_hand_mp3(n_frames=3) + b"TAGjunk")) == 3
+    with _pytest.raises(NotImplementedError):
+        _mp3_frames(b"\xff\xfd\x90\x00" + bytes(400))  # Layer II bits
+    with _pytest.raises(NotImplementedError):
+        _mp3_frames(b"ID3" + bytes(4))  # truncated ID3 header
+
+    frames = _adts_frames(_hand_adts(n_frames=5, payload_len=93))
+    assert frames == [(23219, 100)] * 5
+    with _pytest.raises(NotImplementedError):
+        _adts_frames(bytes(16))  # no sync
+
+
+def test_frame_sample_and_features_mp3_adts(spark):
+    """frame_sample steps real MP3/ADTS frame timelines (the frame
+    covering each every_ms instant) and extract_features reports their
+    summed duration — both from pure header walks, no audio decode."""
+    from dbtwiz_spark.multimodal import extract_features, frame_sample
+
+    mp3 = _hand_mp3(n_frames=8, pad_frame=3)   # 8 x 26122 us = 208 ms
+    aac = _hand_adts(n_frames=5)               # 5 x 23219 us = 116 ms
+    df = spark.createDataFrame(
+        [(1, bytearray(mp3)), (2, bytearray(aac))],
+        "doc_id LONG, payload BINARY",
+    )
+    rows = {
+        (r.doc_id, r.offset_ms): r.payload_bytes
+        for r in frame_sample(df, every_ms=100).collect()
+    }
+    # t=0 -> frame 1 (417); t=100ms falls in frame 4 (the padded 418:
+    # 3 x 26122 = 78366 <= 100000 < 104488); t=200ms -> frame 8
+    assert rows[(1, 0)] == 417
+    assert rows[(1, 100)] == 418
+    assert rows[(1, 200)] == 417
+    assert (1, 300) not in rows
+    assert rows[(2, 0)] == 100 and rows[(2, 100)] == 100
+    assert (2, 200) not in rows  # 116 ms timeline: offsets 0 and 100
+    feats = {r.doc_id: r for r in extract_features(df).collect()}
+    assert feats[1].duration_ms == 208  # 208976 us
+    assert feats[2].duration_ms == 116  # 116095 us
+    assert feats[1].width is None and feats[2].width is None
+
+
 def test_extract_features_animated_gif_duration(spark):
     from dbtwiz_spark.multimodal import extract_features
 
