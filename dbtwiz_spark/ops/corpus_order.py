@@ -23,10 +23,11 @@ forced re-entries, then the riskiest of the next-oldest cohort:
   A/B the verdict ordered for this same code path adjudicated HOST
   (BENCHLOG.md round-13 entry), so this is the only memo-path edit.
 * 44-45 — ext-multimodal-column / ext-multimodal-framesample, forced
-  by the multimodal PLANE edit (progressive JPEG decode, PNG
-  tRNS→RGBA, bounded inflate/LZW, PIL fast path, duration_ms feature
-  rider; ext-multimodal-column's own oracle also changed for the new
-  column).
+  by the multimodal PLANE edit (progressive JPEG, Adam7/16-bit PNG,
+  tRNS→RGBA, animated-GIF + MP3/ADTS frame demux, bounded inflate/LZW
+  and allocation-bomb geometry guards, PIL fast path, duration_ms
+  feature rider; ext-multimodal-column's own oracle also changed for
+  the new column).
 * 46-49 — the 4 riskiest r7-era greens (verdict ranking: write-plane
   and multi-stage streaming before stat aggregates): sink-merge,
   sink-insert-overwrite, scan-time-travel, stream-cusum-online.

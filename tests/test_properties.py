@@ -1535,6 +1535,45 @@ def test_png_decode_any_geometry_any_filters(width, height, color_type, data):
     assert out["pixels"] == expect
 
 
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.lists(
+        st.tuples(st.integers(0, 500_000), st.integers(1, 9999)),
+        min_size=1,
+        max_size=30,
+    ),
+    every_ms=st.integers(0, 2000),
+)
+def test_sample_timeline_invariants(frames, every_ms):
+    """_sample_timeline (the shared GIF/MP3/ADTS stepping device) over
+    arbitrary (duration_us, bytes) timelines: row count is
+    min(8, ceil(total/every)), offsets are the exact every_ms grid,
+    every reported size belongs to the frame COVERING that instant
+    (verified against an independent expanded-timeline scan), and a
+    zero-total timeline yields None (the fake-branch signal)."""
+    from dbtwiz_spark.multimodal import _sample_timeline
+
+    out = _sample_timeline(frames, every_ms)
+    total = sum(d for d, _ in frames)
+    if total == 0:
+        assert out is None
+        return
+    every_us = max(every_ms, 1) * 1000
+    assert len(out) == min(8, max(1, -(-total // every_us)))
+    assert [off for off, _ in out] == [k * every_ms for k in range(len(out))]
+    # independent check: walk the expanded timeline per sampled instant
+    starts = []
+    acc = 0
+    for d, s in frames:
+        starts.append((acc, acc + d, s))
+        acc += d
+    for k, (_, size) in enumerate(out):
+        t = k * every_us
+        covering = [s for lo, hi, s in starts if lo <= t < hi]
+        expect = covering[0] if covering else frames[-1][1]
+        assert size == expect
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     width=st.integers(1, 24),
