@@ -148,6 +148,93 @@ def test_extract_features_duration_for_media_payloads(spark):
     assert [r.doc_id for r in gated.collect()] == [1]
 
 
+def test_decode_pil_normalization_with_fake_module():
+    """_decode_pil's normalization logic exercised WITHOUT Pillow (this
+    container has none, so the parity test skips): a minimal fake
+    module drives the three branches — the L/RGB transparency-KEY path
+    (PIL's convert() does not apply color keys for those modes, so
+    _decode_pil builds the alpha itself), the alpha-band path, and the
+    palette-transparency path."""
+    import numpy as np
+
+    import dbtwiz_spark.multimodal as mm
+
+    class _Img:
+        def __init__(self, mode, arr, info):
+            self.mode, self._arr, self.info = mode, arr, info
+            self.height, self.width = arr.shape[0], arr.shape[1]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def load(self):
+            pass
+
+        def getbands(self):
+            return tuple(self.mode)
+
+        def __array__(self, dtype=None, copy=None):
+            return self._arr
+
+        def tobytes(self):
+            return self._arr.tobytes()
+
+        def convert(self, target):
+            a = self._arr
+            if a.ndim == 2:  # L -> replicate channels
+                a = np.repeat(a[:, :, None], 3, axis=2)
+            if target == "RGBA" and a.shape[2] == 3:
+                a = np.concatenate(
+                    [a, np.full(a.shape[:2] + (1,), 255, np.uint8)], axis=2
+                )
+            if target == "RGB":
+                a = a[:, :, :3]
+            return _Img(target, np.ascontiguousarray(a), {})
+
+    class _Mod:
+        _next = None
+
+        @staticmethod
+        def open(fp):
+            return _Mod._next
+
+    # L + transparency key: matching gray pixels become alpha 0
+    _Mod._next = _Img(
+        "L", np.array([[10, 20], [10, 30]], np.uint8), {"transparency": 10}
+    )
+    out = mm._decode_pil(_Mod, b"ignored")
+    assert (out["width"], out["height"], out["n_channels"]) == (2, 2, 4)
+    px = np.frombuffer(out["pixels"], np.uint8).reshape(2, 2, 4)
+    assert list(px[0, 0]) == [10, 10, 10, 0]
+    assert list(px[0, 1]) == [20, 20, 20, 255]
+    assert list(px[1, 0]) == [10, 10, 10, 0]
+    # RGB + color-key tuple: only the exact triple is transparent
+    _Mod._next = _Img(
+        "RGB",
+        np.array([[[9, 9, 9], [9, 9, 8]]], np.uint8),
+        {"transparency": (9, 9, 9)},
+    )
+    out = mm._decode_pil(_Mod, b"ignored")
+    px = np.frombuffer(out["pixels"], np.uint8).reshape(1, 2, 4)
+    assert list(px[0, 0]) == [9, 9, 9, 0] and list(px[0, 1]) == [9, 9, 8, 255]
+    # alpha band: passes through as RGBA
+    _Mod._next = _Img(
+        "RGBA", np.arange(8, dtype=np.uint8).reshape(1, 2, 4), {}
+    )
+    out = mm._decode_pil(_Mod, b"ignored")
+    assert out["n_channels"] == 4
+    assert out["pixels"] == bytes(range(8))
+    # palette transparency flag (no key logic): upgraded via convert
+    _Mod._next = _Img(
+        "P", np.zeros((1, 2, 3), np.uint8), {"transparency": 1}
+    )
+    out = mm._decode_pil(_Mod, b"ignored")
+    assert out["n_channels"] == 4
+
+
 def test_pil_parity_with_pure_decoders():
     """Where Pillow IS installed (cluster deployments), the PIL fast
     path must agree with the pure decoders: exactly for the lossless
