@@ -116,7 +116,13 @@ FEATURE_SCHEMA = StructType(
 #: (134 M pixels, ~512 MB of RGBA) is far above any real crawl image;
 #: larger claims raise the codec-guard NotImplementedError in BOTH
 #: decode modes, so header-only and full decode keep agreeing on what
-#: is decodable.
+#: is decodable. The PIL fast path enforces the SAME budget from PIL's
+#: lazy header parse (round 14), so no path ever materializes an
+#: over-budget raster; within budget, PIL-present clusters decode a
+#: WIDER format set than the pure decoders (e.g. CMYK/arithmetic JPEG,
+#: sub-8-bit PNG) — for those variants header-only geometry (which
+#: always stays pure) reports not-decodable while the full decode
+#: succeeds, a documented PIL-only coverage extension.
 _MAX_PIXELS = 1 << 27
 
 
@@ -160,22 +166,64 @@ def _decode_pil(image_mod, payload: bytes) -> dict:
     top-down row-major RGB bytes, RGBA when the source carries
     transparency (an alpha band, a palette transparency index, or a
     PNG tRNS color key — PIL's convert() does not apply the key form
-    for L/RGB modes, so that case is normalized here the same way the
-    pure decoder does it). Pinned against the pure decoders by
-    test_pil_parity_with_pure_decoders wherever PIL is installed."""
+    for gray/RGB modes, so that case is normalized here the same way
+    the pure decoder does it). 16-bit grayscale PNGs open as mode
+    I/I;16 (round 14): the raster is stripped to its high byte — the
+    libpng strip_16 convention the pure decoder uses; im.convert('RGB')
+    would clip >255 to white — and a tRNS key compares at SOURCE
+    precision against the full-depth samples, exactly like _decode_png.
+    The pixel budget is enforced on this path too, from PIL's lazy
+    header parse BEFORE im.load() touches pixel data. Pinned against
+    the pure decoders by test_pil_parity_with_pure_decoders wherever
+    PIL is installed, and by the fake-module harness here."""
     import io
 
     import numpy as np
 
+    # tRNS keys on 16-bit PNGs are reported at source precision while
+    # PIL's RGB raster is high-byte-downconverted — the bit depth lives
+    # at a fixed IHDR offset, so read it from the payload, not the mode
+    deep_png = (
+        payload[:8] == b"\x89PNG\r\n\x1a\n"
+        and len(payload) > 24
+        and payload[24] == 16
+    )
     with image_mod.open(io.BytesIO(payload)) as im:
+        _check_pixels(im.width, im.height)
         im.load()
         transparency = im.info.get("transparency")
+        if im.mode in ("I", "I;16"):
+            # 16-bit grayscale: full-precision samples are available, so
+            # the key comparison matches _decode_png exactly
+            arr = np.asarray(im)
+            gray = (arr >> 8).astype(np.uint8)
+            px = np.repeat(gray[:, :, None], 3, axis=2)
+            n_channels = 3
+            if transparency is not None:
+                alpha = np.where(
+                    arr == int(transparency), 0, 255
+                ).astype(np.uint8)
+                px = np.concatenate([px, alpha[:, :, None]], axis=2)
+                n_channels = 4
+            return {
+                "width": im.width,
+                "height": im.height,
+                "n_channels": n_channels,
+                "pixels": np.ascontiguousarray(px).tobytes(),
+            }
         if im.mode in ("L", "RGB") and transparency is not None:
             rgb = np.asarray(im.convert("RGB"))
-            if im.mode == "L":
-                key = np.array([transparency & 0xFF] * 3, np.uint8)
-            else:
-                key = np.array([v & 0xFF for v in transparency], np.uint8)
+            keys = (
+                [transparency] * 3 if im.mode == "L" else list(transparency)
+            )
+            # 16-bit RGB: samples hold high bytes, so compare the key's
+            # high bytes too (v & 0xFF took the LOW byte — wrong color);
+            # the over-match when a non-key pixel shares the key's high
+            # bytes is this path's documented precision loss
+            key = np.array(
+                [(v >> 8) & 0xFF if deep_png else v & 0xFF for v in keys],
+                np.uint8,
+            )
             alpha = np.where(
                 (rgb == key).all(axis=2), 0, 255
             ).astype(np.uint8)
@@ -1073,24 +1121,42 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
         a = _jpeg_idct_matrix()
         planes = []
         for cid, ch, cv, tq in comps:
-            buf = coeffs[cid]
+            # pop: each coefficient buffer (512 MB int32 for a
+            # budget-sized Y plane) frees as soon as its spatial plane
+            # exists, instead of all three riding to the color transform
+            buf = coeffs.pop(cid)
             by, bx = buf.shape[:2]
             flat = buf.reshape(-1, 64)
-            # batched IDCT in bounded slabs: the float64 intermediates
-            # are 16x the int32 coefficients, so one all-blocks einsum
-            # would spike ~0.5 GB on a budget-sized image — 64k blocks
-            # per slab keeps the transient under ~35 MB at full speed
-            spatial = np.empty((flat.shape[0], 8, 8))
+            # batched IDCT in bounded slabs, float32 end-to-end (round
+            # 14): at the 2^27-px budget the per-component spatial array
+            # alone is blocks x 64 floats — float64 put the PEAK working
+            # set (int32 coeffs + spatial + planes across 3 components +
+            # the stacked RGB float plane) at ~7 GB for a 4:4:4 image,
+            # far beyond the budget comment's ~512 MB story. float32
+            # halves every float buffer, popped coeffs and the
+            # channel-at-a-time color transform below cut the rest:
+            # worst-case peak is now ~2.5 GB at full-budget 4:4:4
+            # (~1.2 GB for typical 4:2:0), and float32's ~1e-3 absolute
+            # IDCT error is noise against the >=0.5 coefficient
+            # quantization the format itself imposes. 64k blocks per
+            # slab keeps the einsum transient under ~20 MB at full
+            # speed.
+            spatial = np.empty((flat.shape[0], 8, 8), np.float32)
             for s in range(0, flat.shape[0], 65536):
-                deq = flat[s : s + 65536].astype(np.float64) * qt[tq]
-                blocks = np.zeros((deq.shape[0], 8, 8))
+                deq = flat[s : s + 65536].astype(np.float32) * np.asarray(
+                    qt[tq], np.float32
+                )
+                blocks = np.zeros((deq.shape[0], 8, 8), np.float32)
                 blocks[:, zz_rows, zz_cols] = deq
                 # spatial[x,y] = sum_uv a[u,x] * block[u,v] * a[v,y]
                 spatial[s : s + 65536] = np.einsum(
-                    "ux,nuv,vy->nxy", a, blocks, a
+                    "ux,nuv,vy->nxy",
+                    a.astype(np.float32),
+                    blocks,
+                    a.astype(np.float32),
                 )
             plane = (
-                (spatial + 128.0)
+                (spatial + np.float32(128.0))
                 .reshape(by, bx, 8, 8)
                 .transpose(0, 2, 1, 3)
                 .reshape(by * 8, bx * 8)
@@ -1099,23 +1165,37 @@ def _decode_jpeg(payload: bytes, with_pixels: bool = True) -> dict:
                 np.repeat(plane, max_v // cv, 0), max_h // ch, 1
             )
             planes.append(np.clip(plane[:height, :width], 0, 255))
+        half = np.float32(0.5)
         if len(comps) == 1:
-            rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
+            gray = np.clip(planes[0] + half, 0, 255).astype(np.uint8)
+            px = np.repeat(gray[:, :, None], 3, axis=2)
         else:
             y, cb, cr = planes
-            rgb = np.stack(
-                [
-                    y + 1.402 * (cr - 128),
-                    y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
-                    y + 1.772 * (cb - 128),
-                ],
-                axis=2,
-            )
+            cb -= np.float32(128.0)
+            cr -= np.float32(128.0)
+            # channel at a time into the uint8 output: one float32 temp
+            # per channel instead of a stacked 3-channel float plane
+            # plus its clip copy (the old peak-memory hot spot)
+            px = np.empty((height, width, 3), np.uint8)
+            px[:, :, 0] = np.clip(
+                y + np.float32(1.402) * cr + half, 0, 255
+            ).astype(np.uint8)
+            px[:, :, 1] = np.clip(
+                y
+                - np.float32(0.344136) * cb
+                - np.float32(0.714136) * cr
+                + half,
+                0,
+                255,
+            ).astype(np.uint8)
+            px[:, :, 2] = np.clip(
+                y + np.float32(1.772) * cb + half, 0, 255
+            ).astype(np.uint8)
         return {
             "width": width,
             "height": height,
             "n_channels": 3,
-            "pixels": np.clip(rgb + 0.5, 0, 255).astype(np.uint8).tobytes(),
+            "pixels": px.tobytes(),
         }
     except (struct.error, ValueError, IndexError, KeyError) as e:
         raise NotImplementedError(f"JPEG payload not decodable: {e}") from e
@@ -1669,16 +1749,48 @@ _MP3_RATES = {
 }
 
 
+def _skip_id3(payload: bytes) -> int:
+    """Offset past a leading ID3v2 tag (0 when none). The tag size is
+    syncsafe (4 x 7 bits); a truncated or malformed header raises
+    ValueError like the other structural checks."""
+    if payload[:3] != b"ID3":
+        return 0
+    if len(payload) < 10:
+        raise ValueError("truncated ID3v2 header")
+    size = 0
+    for b in payload[6:10]:
+        if b & 0x80:
+            raise ValueError("bad ID3v2 syncsafe size")
+        size = (size << 7) | b
+    return 10 + size
+
+
+def _audio_sniff(payload: bytes) -> str | None:
+    """'mp3' | 'adts' | None, decided on the first frame header AFTER
+    any leading ID3v2 tag (round 14 — previously any ID3 prefix sniffed
+    as MP3, so an ID3-tagged ADTS stream dead-ended in the MP3 walker
+    instead of reaching _adts_frames). The layer bits disambiguate:
+    01 = MPEG Layer III, 00 = ADTS AAC."""
+    try:
+        pos = _skip_id3(payload)
+    except ValueError:
+        return None
+    if pos + 4 > len(payload) or payload[pos] != 0xFF:
+        return None
+    b1 = payload[pos + 1]
+    if (b1 & 0xE0) != 0xE0:
+        return None
+    layer = (b1 >> 1) & 3
+    if layer == 1:
+        return "mp3"
+    if (b1 & 0xF6) == 0xF0 and pos + 7 <= len(payload):
+        return "adts"
+    return None
+
+
 def _is_mp3(payload: bytes) -> bool:
-    """ID3v2 tag, or a raw MPEG frame sync with Layer III bits."""
-    if payload[:3] == b"ID3":
-        return True
-    return (
-        len(payload) >= 4
-        and payload[0] == 0xFF
-        and (payload[1] & 0xE0) == 0xE0
-        and (payload[1] >> 1) & 3 == 1  # layer bits 01 = Layer III
-    )
+    """MPEG Layer III frame sync, after any leading ID3v2 tag."""
+    return _audio_sniff(payload) == "mp3"
 
 
 def _mp3_frames(payload: bytes) -> list:
@@ -1690,21 +1802,18 @@ def _mp3_frames(payload: bytes) -> list:
     26.12 ms MPEG-1 frame doesn't accumulate rounding across thousands
     of frames. A leading ID3v2 tag is skipped via its syncsafe size;
     the walk stops cleanly at trailing garbage / a truncated final
-    frame (the standard demuxer tolerance). The compressed audio
+    frame (the standard demuxer tolerance). A leading Xing/Info/VBRI
+    metadata frame (round 14 — LAME writes one silent header frame at
+    the front of every VBR and most CBR encodes) is excluded from the
+    timeline: it carries no audio, so counting it inflated duration_ms
+    by one frame and made frame_sample's offset-0 row report the
+    metadata frame's size. The compressed audio
     itself stays opaque — the same decode-vs-demux line as parse_mp4.
     Malformed streams raise NotImplementedError like the codec guards."""
     try:
-        pos = 0
-        if payload[:3] == b"ID3":
-            if len(payload) < 10:
-                raise ValueError("truncated ID3v2 header")
-            size = 0
-            for b in payload[6:10]:
-                if b & 0x80:
-                    raise ValueError("bad ID3v2 syncsafe size")
-                size = (size << 7) | b
-            pos = 10 + size
+        pos = _skip_id3(payload)
         frames: list = []
+        first_audio_seen = False
         while pos + 4 <= len(payload):
             b1, b2 = payload[pos + 1], payload[pos + 2]
             if payload[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -1724,6 +1833,23 @@ def _mp3_frames(payload: bytes) -> list:
             size = per * bitrate // samplerate + padding
             if size < 4 or pos + size > len(payload):
                 break  # truncated final frame
+            if not first_audio_seen:
+                first_audio_seen = True
+                # Xing/Info sits after the side info, whose length
+                # depends on version and channel mode (byte 3 bits 6-7,
+                # 11 = mono); VBRI is at a fixed 32-byte offset
+                mode = (payload[pos + 3] >> 6) & 3
+                if version == 3:
+                    side = 17 if mode == 3 else 32
+                else:
+                    side = 9 if mode == 3 else 17
+                if (
+                    payload[pos + 4 + side : pos + 8 + side]
+                    in (b"Xing", b"Info")
+                    or payload[pos + 36 : pos + 40] == b"VBRI"
+                ):
+                    pos += size  # metadata frame: structure, not audio
+                    continue
             samples = 1152 if version == 3 else 576
             frames.append((samples * 1_000_000 // samplerate, size))
             pos += size
@@ -1742,13 +1868,9 @@ _ADTS_RATES = (
 
 
 def _is_adts(payload: bytes) -> bool:
-    """ADTS AAC sync: 12 sync bits + layer bits 00 (disjoint from MP3,
-    whose Layer III bits are 01)."""
-    return (
-        len(payload) >= 7
-        and payload[0] == 0xFF
-        and (payload[1] & 0xF6) == 0xF0
-    )
+    """ADTS AAC sync after any leading ID3v2 tag: 12 sync bits + layer
+    bits 00 (disjoint from MP3, whose Layer III bits are 01)."""
+    return _audio_sniff(payload) == "adts"
 
 
 def _adts_frames(payload: bytes) -> list:
@@ -1756,9 +1878,11 @@ def _adts_frames(payload: bytes) -> list:
     carries an EXPLICIT 13-bit frame length, plus a sample-rate index
     and a raw-block count (1024 samples per block). Returns one
     (duration_us, frame_bytes) per frame; the AAC payload itself stays
-    opaque. Same tolerance and failure contract as _mp3_frames."""
+    opaque. A leading ID3v2 tag is skipped (round 14 — taggers wrap raw
+    .aac streams too, and the sniffer now routes those here). Same
+    tolerance and failure contract as _mp3_frames."""
     try:
-        pos = 0
+        pos = _skip_id3(payload)
         frames: list = []
         while pos + 7 <= len(payload):
             if payload[pos] != 0xFF or (payload[pos + 1] & 0xF6) != 0xF0:
@@ -1882,7 +2006,9 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 demux = None
                 if payload[:6] in (b"GIF87a", b"GIF89a"):
                     # REAL animation sampling: the Graphic-Control delay
-                    # timeline (static/zero-delay GIFs -> fake branch)
+                    # timeline (single-frame and zero-duration GIFs ->
+                    # fake branch, matching extract_features' >=2-frame
+                    # animation criterion)
                     demux = _gif_frames, 1000  # delays are in ms
                 elif _is_mp3(payload):
                     demux = _mp3_frames, 1  # durations already in us
@@ -1893,6 +2019,11 @@ def frame_sample(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                     try:
                         frames = fn(bytes(payload))
                     except NotImplementedError:
+                        frames = None
+                    if fn is _gif_frames and frames and len(frames) < 2:
+                        # extract_features' animation criterion: a
+                        # single-frame GIF is an image, not a timeline,
+                        # even when its GCE carries a nonzero delay
                         frames = None
                     sampled = (
                         _sample_timeline(

@@ -233,6 +233,101 @@ def test_decode_pil_normalization_with_fake_module():
     )
     out = mm._decode_pil(_Mod, b"ignored")
     assert out["n_channels"] == 4
+    # the pixel budget applies to the PIL path too, from the lazy
+    # header parse — before load() touches pixel data (round 14)
+    big = _Img("RGB", np.zeros((1, 1, 3), np.uint8), {})
+    big.width = big.height = 1 << 14  # 2^28 px > the 2^27 budget
+    _Mod._next = big
+    with pytest.raises(ValueError):
+        mm._decode_pil(_Mod, b"ignored")
+
+
+def test_decode_pil_16bit_modes_with_fake_module():
+    """Round-14 _decode_pil branches for 16-bit PNGs, driven by a fake
+    module: mode I/I;16 grayscale strips to the HIGH byte (convert('RGB')
+    would clip >255 to white) with the tRNS key compared at SOURCE
+    precision like _decode_png, and a 16-bit RGB tRNS key — reported by
+    PIL at source precision over a high-byte-downconverted raster —
+    compares by its high bytes, not ``v & 0xFF`` (the low byte matched
+    the wrong color)."""
+    import numpy as np
+
+    import dbtwiz_spark.multimodal as mm
+
+    class _Img:
+        def __init__(self, mode, arr, info):
+            self.mode, self._arr, self.info = mode, arr, info
+            self.height, self.width = arr.shape[0], arr.shape[1]
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def load(self):
+            pass
+
+        def getbands(self):
+            return tuple(self.mode)
+
+        def __array__(self, dtype=None, copy=None):
+            return self._arr
+
+        def convert(self, target):
+            a = self._arr
+            if target == "RGB":
+                a = a[:, :, :3]
+            return _Img(target, np.ascontiguousarray(a), {})
+
+    class _Mod:
+        _next = None
+
+        @staticmethod
+        def open(fp):
+            return _Mod._next
+
+    # I;16 grayscale + tRNS: high-byte strip, source-precision key.
+    # 0x0102 and 0x0103 share high byte 1 — only the EXACT key sample
+    # becomes transparent
+    arr = np.array([[0x0102, 0x0103], [0x0203, 0x7FFF]], np.uint16)
+    _Mod._next = _Img("I;16", arr, {"transparency": 0x0102})
+    out = mm._decode_pil(_Mod, b"ignored")
+    assert (out["width"], out["height"], out["n_channels"]) == (2, 2, 4)
+    px = np.frombuffer(out["pixels"], np.uint8).reshape(2, 2, 4)
+    assert list(px[0, 0]) == [1, 1, 1, 0]
+    assert list(px[0, 1]) == [1, 1, 1, 255]  # same high byte, not key
+    assert list(px[1, 0]) == [2, 2, 2, 255]
+    assert list(px[1, 1]) == [127, 127, 127, 255]
+    # mode I (int32), no transparency: 3 channels, high byte
+    _Mod._next = _Img("I", np.array([[256, 511]], np.int32), {})
+    out = mm._decode_pil(_Mod, b"ignored")
+    assert out["n_channels"] == 3
+    assert out["pixels"] == bytes([1, 1, 1, 1, 1, 1])
+    # 16-bit RGB tRNS key: the payload's IHDR bit depth (offset 24)
+    # flags the deep form; key high bytes (1, 3, 5) match the raster
+    deep_payload = b"\x89PNG\r\n\x1a\n" + bytes(16) + b"\x10"
+    assert deep_payload[24] == 16
+    _Mod._next = _Img(
+        "RGB",
+        np.array([[[1, 3, 5], [1, 3, 6]]], np.uint8),
+        {"transparency": (0x0102, 0x0304, 0x0506)},
+    )
+    out = mm._decode_pil(_Mod, deep_payload)
+    px = np.frombuffer(out["pixels"], np.uint8).reshape(1, 2, 4)
+    assert list(px[0, 0]) == [1, 3, 5, 0]
+    assert list(px[0, 1]) == [1, 3, 6, 255]
+    # same image under an 8-bit payload: the key's LOW bytes apply
+    # (8-bit keys are 0..255; v & 0xFF is the identity there)
+    _Mod._next = _Img(
+        "RGB",
+        np.array([[[2, 4, 6], [1, 3, 5]]], np.uint8),
+        {"transparency": (2, 4, 6)},
+    )
+    out = mm._decode_pil(_Mod, b"ignored")
+    px = np.frombuffer(out["pixels"], np.uint8).reshape(1, 2, 4)
+    assert list(px[0, 0]) == [2, 4, 6, 0]
+    assert list(px[0, 1]) == [1, 3, 5, 255]
 
 
 def test_pil_parity_with_pure_decoders():
@@ -281,6 +376,30 @@ def test_pil_parity_with_pure_decoders():
         _np_png(
             np.arange(9 * 5 * 3, dtype=np.uint8).reshape(5, 9, 3) * 3 % 256,
             interlace=1,
+        ),
+    ]
+    # round-14 forms: 16-bit gray (PIL mode I/I;16 — high-byte strip +
+    # source-precision tRNS key) and 16-bit RGB with a tRNS key whose
+    # high-byte triple is unique in the raster (the PIL path compares
+    # high bytes; a collision is that path's documented precision loss)
+    import struct as _struct
+
+    g16 = ((np.arange(12, dtype=np.uint32) * 4097) % 65536).astype(
+        np.uint16
+    ).reshape(4, 3, 1)
+    rgb16 = ((np.arange(12, dtype=np.uint32) * 0x1111) % 65536).astype(
+        np.uint16
+    ).reshape(2, 2, 3)
+    lossless += [
+        _np_png(g16, color_type=0),
+        _np_png(
+            g16, color_type=0, trns=_struct.pack(">H", int(g16[1, 1, 0]))
+        ),
+        _np_png(rgb16, color_type=2),
+        _np_png(
+            rgb16,
+            color_type=2,
+            trns=_struct.pack(">HHH", *(int(v) for v in rgb16[0, 1])),
         ),
     ]
     for payload in lossless:
@@ -1486,6 +1605,27 @@ def test_frame_sample_animated_gif_timeline(spark):
     assert rows[(2, 0)] == len(static)
 
 
+def test_frame_sample_single_frame_gif_with_delay_fake_branch(spark):
+    """A single-frame GIF whose GCE carries a nonzero delay is an image,
+    not an animation (round 14): frame_sample must take the fake branch,
+    matching extract_features' >=2-frame animation criterion — the two
+    previously disagreed (duration_ms NULL but a real sampled timeline)."""
+    from dbtwiz_spark.multimodal import extract_features, frame_sample
+
+    pal = [255, 0, 0, 0, 255, 0]
+    gif = _animate_gif(2, 2, pal, [(50, [0, 1, 1, 0])])  # 1 frame, 500 ms
+    df = spark.createDataFrame(
+        [(1, bytearray(gif))], "doc_id LONG, payload BINARY"
+    )
+    rows = {
+        (r.doc_id, r.offset_ms): r.payload_bytes
+        for r in frame_sample(df, every_ms=400).collect()
+    }
+    assert rows == {(1, 0): len(gif)}  # fake branch: whole-payload size
+    feats = extract_features(df).collect()[0]
+    assert feats.duration_ms is None  # an image, consistently
+
+
 def _hand_mp3(n_frames=8, pad_frame=None, id3_bytes=0):
     """MPEG-1 Layer III stream, 128 kbps @ 44100 Hz: frame size
     144*128000//44100 = 417 (+1 when the padding bit is set), 26122 us
@@ -1552,6 +1692,103 @@ def test_mp3_and_adts_frame_demux():
     assert frames == [(23219, 100)] * 5
     with _pytest.raises(NotImplementedError):
         _adts_frames(bytes(16))  # no sync
+
+
+def _xing_frame(tag=b"Xing", mono=False, at=None):
+    """One MPEG-1 Layer III frame (128 kbps @ 44100) whose body carries
+    ``tag`` at the Xing side-info offset (32 bytes stereo / 17 mono
+    after the 4-byte header) — the LAME/VBRI metadata frame shape."""
+    size = 144 * 128000 // 44100
+    f = bytearray([0xFF, 0xFB, 0x90, 0xC0 if mono else 0x00])
+    f += bytes(size - 4)
+    off = at if at is not None else (4 + (17 if mono else 32))
+    f[off : off + 4] = tag
+    return bytes(f)
+
+
+def test_mp3_xing_metadata_frame_skipped():
+    """A leading Xing/Info/VBRI metadata frame (LAME writes one silent
+    header frame at the front of VBR and most CBR encodes) is structure,
+    not audio: it must not count toward the timeline (round 14 — it
+    inflated duration_ms by one frame and made offset-0 report the
+    metadata frame's size)."""
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import _mp3_frames
+
+    audio = _hand_mp3(n_frames=3)
+    size = 144 * 128000 // 44100
+    for tag in (b"Xing", b"Info", b"VBRI"):
+        frames = _mp3_frames(_xing_frame(tag) + audio)
+        assert len(frames) == 3, tag
+        assert sum(d for d, _ in frames) == 3 * 26122
+    # mono streams put the tag after a 17-byte side info
+    assert len(_mp3_frames(_xing_frame(mono=True) + audio)) == 3
+    # 'Xing' bytes elsewhere in the first frame's body are audio data,
+    # not a metadata header — only the side-info offset counts
+    assert len(_mp3_frames(_xing_frame(at=100) + audio)) == 4
+    # only the FIRST walked frame can be the metadata frame
+    assert len(_mp3_frames(audio[:size] + _xing_frame() + audio[size:])) == 4
+    # a payload that is ONLY a metadata frame has no audio timeline
+    with _pytest.raises(NotImplementedError):
+        _mp3_frames(_xing_frame())
+
+
+def test_mp3_xing_frame_sample_offset_zero(spark):
+    """frame_sample's offset-0 row must report the first AUDIO frame's
+    byte size, not the metadata frame's, and extract_features must not
+    count the metadata frame in duration_ms."""
+    from dbtwiz_spark.multimodal import extract_features, frame_sample
+
+    # first AUDIO frame is the padded 418-byte one; Xing frame is 417
+    stream = _xing_frame() + _hand_mp3(n_frames=3, pad_frame=0)
+    df = spark.createDataFrame(
+        [(1, bytearray(stream))], "doc_id LONG, payload BINARY"
+    )
+    rows = {
+        (r.doc_id, r.offset_ms): r.payload_bytes
+        for r in frame_sample(df, every_ms=50).collect()
+    }
+    assert rows[(1, 0)] == 418
+    feats = extract_features(df).collect()[0]
+    assert feats.duration_ms == 78  # 3 x 26122 us, Xing frame excluded
+
+
+def test_id3_tagged_adts_reaches_real_demux(spark):
+    """An ID3v2-tagged ADTS stream (taggers wrap raw .aac files) must
+    dispatch to _adts_frames, not dead-end in the MP3 walker and fall
+    to the fake branch (round 14: the sniffer re-sniffs the first frame
+    header AFTER the tag and dispatches on the layer bits)."""
+    from dbtwiz_spark.multimodal import (
+        _adts_frames,
+        _is_adts,
+        _is_mp3,
+        extract_features,
+        frame_sample,
+    )
+
+    id3 = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 20]) + bytes(20)
+    aac = id3 + _hand_adts(n_frames=5)
+    assert _is_adts(aac) and not _is_mp3(aac)
+    assert _adts_frames(aac) == [(23219, 100)] * 5
+    # ID3-tagged MP3 still sniffs as MP3
+    assert _is_mp3(_hand_mp3(n_frames=2, id3_bytes=30))
+    assert not _is_adts(_hand_mp3(n_frames=2, id3_bytes=30))
+    # ID3 followed by non-audio bytes sniffs as neither (fake branch)
+    junk = b"ID3" + bytes([4, 0, 0, 0, 0, 0, 5]) + bytes(5) + b"garbage"
+    assert not _is_mp3(junk) and not _is_adts(junk)
+    df = spark.createDataFrame(
+        [(1, bytearray(aac))], "doc_id LONG, payload BINARY"
+    )
+    rows = {
+        (r.doc_id, r.offset_ms): r.payload_bytes
+        for r in frame_sample(df, every_ms=100).collect()
+    }
+    # real branch: per-frame sizes (100), not len(payload); 116 ms
+    # timeline -> offsets 0 and 100 only
+    assert rows == {(1, 0): 100, (1, 100): 100}
+    feats = extract_features(df).collect()[0]
+    assert feats.duration_ms == 116
 
 
 def test_frame_sample_and_features_mp3_adts(spark):
