@@ -7,30 +7,29 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-13 window (positions 0-49) — the freshness round (VERDICT r12
-item 1: clear the r6 cohort). Oldest cohort first, then this round's
-forced re-entries, then the riskiest of the next-oldest cohort:
+Round-14 window (positions 0-49) — the freshness round again (VERDICT
+r13 item 1: clear the r7 cohort). Oldest cohort first, then this
+round's forced re-entries, then the riskiest of the next-oldest cohort:
 
-* 0-30 — the ENTIRE r6 cohort (the 31 ``OLDEST_DEFERRED`` entries
-  queued by the r12 rotation, verbatim). With these green, the minimum
-  hash-green age rises r6 → r7 for the first time.
-* 31-43 — the 13 ``_plan_sig`` referencers, forced by the round-13
-  ``_stat`` URL-decode fix (r12 ADVICE: percent-encoded file URIs
-  always stat-failed to (None, None), so two generations of a
-  space-in-the-name file compared equal — the in-place-overwrite hole
-  reopened for exactly those paths; pinned by
-  test_plan_sig_stats_survive_percent_encoded_paths). The extras-bench
-  A/B the verdict ordered for this same code path adjudicated HOST
-  (BENCHLOG.md round-13 entry), so this is the only memo-path edit.
-* 44-45 — ext-multimodal-column / ext-multimodal-framesample, forced
-  by the multimodal PLANE edit (progressive JPEG, Adam7/16-bit PNG,
-  tRNS→RGBA, animated-GIF + MP3/ADTS frame demux, bounded inflate/LZW
-  and allocation-bomb geometry guards, PIL fast path, duration_ms
-  feature rider; ext-multimodal-column's own oracle also changed for
-  the new column).
-* 46-49 — the 4 riskiest r7-era greens (verdict ranking: write-plane
-  and multi-stage streaming before stat aggregates): sink-merge,
-  sink-insert-overwrite, scan-time-travel, stream-cusum-online.
+* 0-35 — the ENTIRE 36-entry r7 remainder (the r7 cohort minus the
+  four write/stream entries the r13 window already recycled),
+  exactly the set scripts/freshness_report.py names. With these
+  green, the minimum hash-green certification age rises r7 → r8.
+* 36-37 — ext-multimodal-column / ext-multimodal-framesample, forced
+  by the round-14 multimodal PLANE edits (the two r13-verdict demux
+  findings: Xing/Info/VBRI metadata-frame skip in _mp3_frames and
+  post-ID3 re-sniff so tagged ADTS reaches _adts_frames; plus the
+  five r13 ADVICE items: 16-bit I/I;16 handling and high-byte tRNS
+  keys in _decode_pil, the pixel budget enforced on the PIL path,
+  frame_sample's >=2-frame GIF animation gate, float32 JPEG
+  IDCT/planes). Verified empirically: zero entry-hash drift against
+  scripts/green_manifest.json — the plane pin is the only trigger.
+* 38-49 — the 12 riskiest r8-era greens (verdict ranking: write-plane
+  and multi-stage streaming before stat aggregates):
+  sink-scd2-hard-delete, scan-snapshot-diff, join-scd2-point-in-time,
+  stream-gap-detect, stream-rate-limit, stream-top-k-windowed,
+  udf-cogroup, ext-curation-pipeline-e2e, scan-profile-table,
+  join-star-schema, join-interval-coalesce, ext-embed-pca-power.
 
 ``WINDOW_ROUND`` pins the round this window was planned FOR: the
 freshness test computes cohorts from ``CORRECTNESS_r{N}`` files with
@@ -40,17 +39,17 @@ is part of each rotation; a stale pin cannot coast, because a window
 planned against a newer history will not cover the stale pin's oldest
 cohort.
 
-Projected cohorts after a green r13 (from the r01-r12 history + this
-window): r7 x 36, r8 x 36, r9 x 47, r10 x 38, r11 x 44, r12 x 35,
-r13 x 50. The r14 window therefore fronts the 36-entry r7 remainder
-(the r7 cohort minus the four windowed here) with ~14 free slots for
-the riskiest r8 greens, barring forced re-entries — named now so the
-rotation stays reviewable (the practice VERDICT r12 item 7 asked to
-keep).
+Projected cohorts after a green r14 (from the r01-r13 history + this
+window): r8 x 24, r9 x 47, r10 x 38, r11 x 44, r12 x 35, r13 x 48,
+r14 x 50 (sums to 286). The r15 window therefore fronts the 24-entry
+r8 remainder (the r8 cohort minus the twelve windowed here) with ~26
+free slots for the riskiest r9 greens, barring forced re-entries —
+named now so the rotation stays reviewable (the practice VERDICT r12
+item 7 asked to keep and r13 item 6 re-ordered).
 
-Round-13 additions policy: corpus growth stays FROZEN at 286 (VERDICT
-r12 item 8). Any entry added mid-round must be listed here under
-"added AFTER the round-13 window filled" for round-14 front-loading.
+Round-14 additions policy: corpus growth stays FROZEN at 286 (VERDICT
+r13 item 7). Any entry added mid-round must be listed here under
+"added AFTER the round-14 window filled" for round-15 front-loading.
 """
 
 
@@ -60,70 +59,70 @@ from __future__ import annotations
 # CORRECTNESS_r* history of rounds STRICTLY BELOW this. The freshness
 # test scopes its cohort computation the same way, so the driver dropping
 # CORRECTNESS_r{WINDOW_ROUND}.json never flips the tree red mid-round.
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # the complete r6 cohort (r12's OLDEST_DEFERRED, queued then, due now)
-    "agg-approx-quantile",
-    "agg-array-agg",
-    "agg-avg",
-    "agg-count",
-    "agg-count-distinct",
-    "agg-cube",
-    "agg-entropy",
-    "agg-filtered",
-    "agg-group-by",
-    "agg-grouping-sets",
-    "agg-having",
-    "agg-max",
-    "agg-min",
-    "agg-pivot",
-    "agg-rollup",
-    "agg-skewness-kurtosis",
-    "agg-string-agg",
-    "agg-sum",
-    "agg-unpivot",
-    "distinct",
-    "join-anti",
-    "join-cross",
-    "join-semi",
-    "join-theta",
-    "project-computed",
-    "project-except-replace",
-    "project-rename",
-    "scan-info-schema",
-    "win-rank",
-    "win-row-number",
-    "win-zscore-anomaly",
-    # _plan_sig URL-decode fix: the 13 memo-backed referencers re-enter
-    "agg-calibration-ece",
-    "agg-gini-concentration",
-    "agg-ks-test",
-    "agg-pareto-share",
-    "agg-rfm-segmentation",
-    "agg-spearman-corr",
-    "agg-survival-km",
-    "ext-contrastive-pairs",
-    "ext-length-decile-mix",
-    "ext-perplexity-filter",
-    "ext-source-similarity-matrix",
-    "ext-vocab-growth",
-    "win-percent",
-    # multimodal plane edit (progressive JPEG, tRNS, bomb guards, PIL
-    # fast path, duration_ms rider + its oracle change)
+    # the complete 36-entry r7 remainder (r13's pre-named plan, due now)
+    "agg-attribution-linear",
+    "agg-benford-test",
+    "agg-bool-logic",
+    "agg-cohort-ltv",
+    "agg-cramers-v",
+    "agg-log-histogram",
+    "agg-mann-whitney",
+    "agg-market-basket",
+    "agg-markov-transition",
+    "agg-reservoir-sample",
+    "agg-sliding-distinct",
+    "ext-bpe-train",
+    "ext-dedup-softdedup",
+    "ext-embed-normalize",
+    "ext-hard-negatives",
+    "ext-quality-bigram-logprob",
+    "ext-quality-unigram-logprob",
+    "ext-span-corruption",
+    "ext-tokenize-apply",
+    "join-fuzzy-string",
+    "join-spatial-radius",
+    "sink-copy-table",
+    "sink-delete-table",
+    "sink-table-create",
+    "sink-view-create",
+    "source-declare",
+    "win-autocorr",
+    "win-cusum-changepoint",
+    "win-holt-winters",
+    "win-max-drawdown",
+    "win-rolling-corr",
+    "win-rolling-mad",
+    "win-rolling-median",
+    "win-rolling-trend",
+    "win-seasonal-baseline",
+    "win-theil-sen",
+    # multimodal plane edit (r13-verdict demux findings + the five
+    # ADVICE items; zero entry-hash drift — plane pin only)
     "ext-multimodal-column",
     "ext-multimodal-framesample",
-    # r7-era recycle, riskiest-first: write-plane / streaming
-    "sink-merge",
-    "sink-insert-overwrite",
-    "scan-time-travel",
-    "stream-cusum-online",
+    # r8-era recycle, riskiest-first: write-plane / streaming /
+    # multi-stage before stat aggregates
+    "sink-scd2-hard-delete",
+    "scan-snapshot-diff",
+    "join-scd2-point-in-time",
+    "stream-gap-detect",
+    "stream-rate-limit",
+    "stream-top-k-windowed",
+    "udf-cogroup",
+    "ext-curation-pipeline-e2e",
+    "scan-profile-table",
+    "join-star-schema",
+    "join-interval-coalesce",
+    "ext-embed-pca-power",
 )
 
-# No oldest-cohort entry is deferred this round: all 31 r6 entries sit
-# in the window above (the r12 plan, executed). The freshness test
-# requires this list to name exactly the oldest-cohort entries NOT in
-# the window — which is none.
+# No oldest-cohort entry is deferred this round: all 36 r7-remainder
+# entries sit in the window above (the r13 plan, executed). The
+# freshness test requires this list to name exactly the oldest-cohort
+# entries NOT in the window — which is none.
 OLDEST_DEFERRED: tuple[str, ...] = ()
 
 
