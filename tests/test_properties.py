@@ -1574,6 +1574,127 @@ def test_sample_timeline_invariants(frames, every_ms):
         assert size == expect
 
 
+@settings(max_examples=80, deadline=None)
+@given(
+    version=st.sampled_from([3, 2, 0]),
+    bidx=st.integers(1, 14),
+    ridx=st.integers(0, 2),
+    mono=st.booleans(),
+    pads=st.lists(st.integers(0, 1), min_size=1, max_size=10),
+    id3_len=st.integers(-1, 200),  # -1: no tag
+    meta=st.sampled_from([None, b"Xing", b"Info", b"VBRI"]),
+)
+def test_mp3_demux_header_arithmetic_any_profile(
+    version, bidx, ridx, mono, pads, id3_len, meta
+):
+    """_mp3_frames over streams the test builds independently from the
+    SPEC tables, across all MPEG versions x bitrate x rate indices x
+    channel modes: every audio frame's (duration_us, size) must match
+    the 144/72 x bitrate / samplerate + padding arithmetic, an ID3v2
+    prefix of any size must not shift the timeline, and a leading
+    Xing/Info/VBRI metadata frame (spliced at the version/mode-correct
+    side-info offset) must be excluded — same frame count and duration
+    as the stream without it (round 14)."""
+    from dbtwiz_spark.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+        _is_adts,
+        _is_mp3,
+        _mp3_frames,
+    )
+
+    bitrate = _MP3_BITRATES[version][bidx - 1] * 1000
+    rate = _MP3_RATES[version][ridx]
+    per = 144 if version == 3 else 72
+    samples = 1152 if version == 3 else 576
+    b1 = 0xE0 | (version << 3) | (1 << 1) | 1  # sync tail, Layer III
+    b3 = 0xC0 if mono else 0x00
+    side = (17 if mono else 32) if version == 3 else (9 if mono else 17)
+    meta_off = 36 if meta == b"VBRI" else 4 + side
+    # the metadata tag only exists when the frame can hold it — the
+    # smallest low-bitrate MPEG2/2.5 frames (24 bytes) cannot; skip
+    # BEFORE building (a slice-assign past a bytearray's end would
+    # silently extend the frame and corrupt the size arithmetic)
+    if meta is not None and meta_off + 4 > per * bitrate // rate:
+        return
+
+    def frame(pad: int, tag: bytes | None = None) -> bytes:
+        size = per * bitrate // rate + pad
+        f = bytearray([0xFF, b1, (bidx << 4) | (ridx << 2) | (pad << 1), b3])
+        f += bytes(size - 4)
+        if tag is not None:
+            f[meta_off : meta_off + 4] = tag
+        return bytes(f)
+
+    stream = bytearray()
+    if id3_len >= 0:
+        stream += b"ID3" + bytes(
+            [4, 0, 0, (id3_len >> 21) & 0x7F, (id3_len >> 14) & 0x7F,
+             (id3_len >> 7) & 0x7F, id3_len & 0x7F]
+        )
+        stream += bytes(id3_len)
+    if meta is not None:
+        stream += frame(0, meta)
+    for pad in pads:
+        stream += frame(pad)
+    payload = bytes(stream)
+    assert _is_mp3(payload) and not _is_adts(payload)
+    frames = _mp3_frames(payload)
+    assert len(frames) == len(pads)  # metadata frame never counted
+    assert all(d == samples * 1_000_000 // rate for d, _ in frames)
+    assert [s for _, s in frames] == [
+        per * bitrate // rate + pad for pad in pads
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    ridx=st.integers(0, 12),
+    shape=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 120)),  # (nblocks-1, payload)
+        min_size=1,
+        max_size=8,
+    ),
+    id3_len=st.integers(-1, 100),
+)
+def test_adts_demux_header_arithmetic_any_profile(ridx, shape, id3_len):
+    """_adts_frames across every sample-rate index and varying raw-block
+    counts / frame lengths: duration is nblocks x 1024 samples at the
+    indexed rate, size is the explicit 13-bit length field, and an
+    ID3v2 prefix (round 14: taggers wrap raw .aac too) is skipped."""
+    from dbtwiz_spark.multimodal import (
+        _ADTS_RATES,
+        _adts_frames,
+        _is_adts,
+        _is_mp3,
+    )
+
+    stream = bytearray()
+    if id3_len >= 0:
+        stream += b"ID3" + bytes([4, 0, 0, 0, 0, 0, id3_len]) + bytes(id3_len)
+    for nb1, payload_len in shape:
+        length = 7 + payload_len
+        stream += bytes(
+            [
+                0xFF,
+                0xF1,
+                (1 << 6) | (ridx << 2),
+                length >> 11,
+                (length >> 3) & 0xFF,
+                (length & 7) << 5 | 0x1F,
+                0xFC | nb1,
+            ]
+        )
+        stream += bytes(payload_len)
+    payload = bytes(stream)
+    assert _is_adts(payload) and not _is_mp3(payload)
+    frames = _adts_frames(payload)
+    assert frames == [
+        ((nb1 + 1) * 1024 * 1_000_000 // _ADTS_RATES[ridx], 7 + pl)
+        for nb1, pl in shape
+    ]
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     width=st.integers(1, 24),
