@@ -790,6 +790,27 @@ def _governance_wizard(
 
     args.group = ask("group", gov.groups, args.group)
     args.access = ask("access", ACCESS_CHOICES, args.access)
+    # service consumers: the reference multiselects with an exclusive
+    # 'n/a' row (create.py:355-372 + ui/interact.py:110-127); prompted
+    # only when the vocabulary is declared and no flag value was given.
+    # hasattr-gated: wizard callers that predate the field skip it.
+    if (
+        gov.service_consumers
+        and hasattr(args, "service_consumer")
+        and not args.service_consumer
+    ):
+        from dbtwiz_spark.picker import multiselect_from_choices
+
+        picks = multiselect_from_choices(
+            "Which service consumers need access to the model",
+            gov.service_consumers, allow_none=True,
+            input_fn=input_fn, print_fn=print_fn,
+        )
+        args.service_consumer = picks or []
+    if gov.access_policies and hasattr(args, "access_policy"):
+        args.access_policy = ask(
+            "access-policy", gov.access_policies, args.access_policy
+        )
     # --team is repeatable: valid flag values are ALWAYS kept; each
     # invalid one is re-prompted individually (replacement or dropped on
     # empty input); an entirely missing list gets one prompt
@@ -903,6 +924,22 @@ def cmd_model_create(args) -> int:
                 print(f"inheriting {key} {inherited[key]!r} from "
                       "project.yml (models hierarchy)")
     _governance_wizard(args, gov, inherited=inherited)
+    if not args.description and not getattr(args, "quick", False):
+        # reference select_description (create.py:126-130): prompt for a
+        # missing description on a TTY, first letter upper-cased; the
+        # same non-TTY gating as the governance wizard (flag-driven runs
+        # keep the empty default)
+        import sys as _sys
+
+        if _sys.stdin.isatty():
+            from dbtwiz_spark.picker import description_validator, input_text
+
+            typed = input_text(
+                "Give a short description of your model and its purpose",
+                validate=description_validator(),
+            )
+            if typed:
+                args.description = typed.capitalize()
     cfg: dict = {"materialized": args.materialized, "description": args.description or ""}
     if args.materialized == "incremental":
         cfg.update(
@@ -1164,12 +1201,28 @@ def cmd_model_fix(args) -> int:
 
 def cmd_source_create(args) -> int:
     """Register an external parquet as a source with introspected columns
-    (dbtwiz/source/create.py:326-404: fetch schema, write source YAML)."""
+    (dbtwiz/source/create.py:326-404: fetch schema, write source YAML).
+    The name must satisfy the reference's identifier convention
+    (ui/interact.py:8-14 name_validator — the interactive flow there
+    validates at prompt time; this flag-driven flow validates the flag);
+    on a TTY a missing description is prompted for and the write is
+    confirmed (create.py:149/:396), non-TTY runs stay flag-driven."""
+    import sys as _sys
     import yaml as _yaml
     from pathlib import Path
 
+    from dbtwiz_spark.picker import (
+        confirm,
+        description_validator,
+        input_text,
+        name_validator,
+    )
     from dbtwiz_spark.types import spark_type_to_sql
 
+    verdict = name_validator()(args.name)
+    if verdict is not True:
+        print(f"invalid source name {args.name!r}: {verdict}")
+        return 1
     schema = _spark().read.parquet(args.path).schema
     src_file = Path(args.project) / "sources.yml"
     spec = _yaml.safe_load(src_file.read_text()) if src_file.exists() else None
@@ -1177,6 +1230,19 @@ def cmd_source_create(args) -> int:
     if any(s["name"] == args.name for s in spec["sources"]):
         print(f"source {args.name} already declared")
         return 1
+    if _sys.stdin.isatty():
+        if not args.description:
+            args.description = input_text(
+                "Give a short description of the source",
+                validate=description_validator(),
+                allow_blank=True,
+            )
+        if not confirm(
+            f"Declare source {args.name} "
+            f"({len(schema.fields)} columns from {args.path})?"
+        ):
+            print("cancelled")
+            return 1
     spec["sources"].append(
         {
             "name": args.name,

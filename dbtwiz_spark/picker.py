@@ -107,6 +107,146 @@ def pick_interactively(
     return choose_models(model_names, query=select, multi=multi)
 
 
+def name_validator() -> Callable[[str], bool | str]:
+    """Identifier validator (reference ui: dbtwiz/ui/interact.py:8-14):
+    lowercase/digits/underscores, starting with a letter and not ending
+    with an underscore. Returns True or the error message — the
+    questionary validator calling convention, kept so wizard code reads
+    the same either side."""
+    return lambda s: (
+        re.match(r"^[a-z][a-z0-9_]*[a-z0-9]$", s) is not None
+        or "use lowercase letters, digits and underscores; start with a "
+        "letter and do not end with an underscore"
+    )
+
+
+def dataset_name_validator() -> Callable[[str], bool | str]:
+    """Dataset-name validator (reference ui/interact.py:17-25): the
+    identifier rule, with INFORMATION_SCHEMA explicitly allowed."""
+    base = name_validator()
+    return lambda s: True if s == "INFORMATION_SCHEMA" else base(s)
+
+
+def table_name_validator(dataset_name: str) -> Callable[[str], bool | str]:
+    """Table-name validator (reference ui/interact.py:28-41): tables
+    inside INFORMATION_SCHEMA are UPPERCASE identifiers; everywhere else
+    the lowercase identifier rule applies."""
+    if dataset_name == "INFORMATION_SCHEMA":
+        return lambda s: (
+            re.match(r"^[A-Z][A-Z0-9_]*[A-Z0-9]$", s) is not None
+            or "use uppercase letters, digits and underscores; start with "
+            "a letter and do not end with an underscore"
+        )
+    return name_validator()
+
+
+def description_validator() -> Callable[[str], bool | str]:
+    """Description validator (reference ui/interact.py:44-49): must not
+    start with whitespace (i.e. begins with a non-space character)."""
+    return lambda s: (
+        re.match(r"^\S+", s) is not None
+        or "the description must not start with a space"
+    )
+
+
+def input_text(
+    question: str,
+    allow_blank: bool = False,
+    validate: Callable[[str], bool | str] | None = None,
+    input_fn: Callable[[str], str] = input,
+    print_fn: Callable[[str], None] = print,
+) -> str | None:
+    """Validated free-text prompt — the questionary ``input_text`` analog
+    (reference ui/interact.py:52-61) on the same injectable IO as the
+    pickers. Loops until the validator returns True (its message is
+    printed otherwise); blank input re-prompts unless ``allow_blank``.
+    EOF/interrupt aborts with None instead of the reference's fatal()."""
+    while True:
+        try:
+            value = input_fn(f"{question}: ").strip()
+        except (EOFError, KeyboardInterrupt):
+            return None
+        if not value:
+            if allow_blank:
+                return value
+            continue
+        if validate is not None:
+            verdict = validate(value)
+            if verdict is not True:
+                print_fn(str(verdict))
+                continue
+        return value
+
+
+def confirm(
+    question: str,
+    default: bool = True,
+    input_fn: Callable[[str], str] = input,
+    print_fn: Callable[[str], None] = print,
+) -> bool:
+    """y/n confirmation (reference ui/interact.py:152-163). Empty input
+    takes the default; EOF/interrupt answers False (abort-safe — the
+    reference fatal()s, but a non-TTY caller here must never hang or
+    die, it just declines)."""
+    suffix = "[Y/n]" if default else "[y/N]"
+    while True:
+        try:
+            raw = input_fn(f"{question} {suffix} ").strip().lower()
+        except (EOFError, KeyboardInterrupt):
+            return False
+        if not raw:
+            return default
+        if raw in ("y", "yes"):
+            return True
+        if raw in ("n", "no"):
+            return False
+        print_fn("answer y or n")
+
+
+def multiselect_from_choices(
+    prompt: str,
+    choices: dict[str, str],
+    allow_none: bool = False,
+    input_fn: Callable[[str], str] = input,
+    print_fn: Callable[[str], None] = print,
+) -> list[str] | None:
+    """Numbered multi-select over a name→description vocabulary — the
+    questionary ``multiselect_from_list`` analog (reference
+    ui/interact.py:110-127 with the :89-106 validators): at least one
+    item must be chosen, and when ``allow_none`` an exclusive 'n/a' row
+    is offered whose selection returns None (the reference's signal for
+    'not relevant'). Picks are space/comma-separated numbers or names."""
+    names = list(choices)
+    rows = (["n/a"] if allow_none else []) + names
+    descs = {**choices, "n/a": "Not relevant"}
+    while True:
+        print_fn(prompt)
+        for i, name in enumerate(rows, 1):
+            desc = descs.get(name, "")
+            print_fn(f"{i:3d}  {name}" + (f" — {desc}" if desc else ""))
+        try:
+            raw = input_fn("> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            return None
+        tokens = raw.replace(",", " ").split()
+        picks: list[str] = []
+        for t in tokens:
+            if t.isdigit() and 0 < int(t) <= len(rows):
+                picks.append(rows[int(t) - 1])
+            elif t in rows:
+                picks.append(t)
+        picks = list(dict.fromkeys(picks))  # dedupe, keep order
+        if not picks:
+            print_fn("you must select at least one item")
+            continue
+        if "n/a" in picks:
+            if len(picks) > 1:
+                print_fn("'n/a' cannot be selected along with other options")
+                continue
+            return None
+        return picks
+
+
 def select_from_choices(
     prompt: str,
     choices: dict[str, str],

@@ -896,6 +896,151 @@ def test_select_from_choices_io():
                                print_fn=lambda _: None) is None
 
 
+def test_ui_validators_mirror_reference_rules():
+    """The identifier/dataset/table/description validators replicate the
+    reference's questionary validators (dbtwiz/ui/interact.py:8-49):
+    True on a valid value, an error STRING otherwise — including the
+    INFORMATION_SCHEMA dataset exception and its uppercase table rule."""
+    from dbtwiz_spark.picker import (
+        dataset_name_validator,
+        description_validator,
+        name_validator,
+        table_name_validator,
+    )
+
+    v = name_validator()
+    for good in ("a1", "raw_events", "stg_sales__rev", "x9"):
+        assert v(good) is True, good
+    for bad in ("Raw", "1x", "x", "ends_", "has space", "", "a-b"):
+        assert isinstance(v(bad), str), bad
+    dv = dataset_name_validator()
+    assert dv("INFORMATION_SCHEMA") is True
+    assert dv("analytics") is True
+    assert isinstance(dv("Analytics"), str)
+    tv = table_name_validator("INFORMATION_SCHEMA")
+    assert tv("TABLES") is True and tv("COLUMN_FIELD_PATHS") is True
+    assert isinstance(tv("tables"), str)
+    tv = table_name_validator("analytics")
+    assert tv("orders") is True and isinstance(tv("ORDERS"), str)
+    desc = description_validator()
+    assert desc("Revenue per nation") is True
+    assert isinstance(desc(" leading space"), str)
+
+
+def test_input_text_validates_and_loops():
+    from dbtwiz_spark.picker import input_text, name_validator
+
+    shown = []
+    feed = iter(["Bad Name", "", "good_name"])
+    got = input_text("name it", validate=name_validator(),
+                     input_fn=lambda _: next(feed), print_fn=shown.append)
+    assert got == "good_name"
+    assert any("lowercase" in s for s in shown)  # validator message shown
+    # blank accepted only with allow_blank
+    feed = iter([""])
+    assert input_text("d", allow_blank=True,
+                      input_fn=lambda _: next(feed),
+                      print_fn=shown.append) == ""
+    # EOF aborts with None instead of hanging or dying
+    def _eof(_):
+        raise EOFError
+
+    assert input_text("q", input_fn=_eof, print_fn=shown.append) is None
+
+
+def test_confirm_defaults_and_aborts():
+    from dbtwiz_spark.picker import confirm
+
+    shown = []
+    assert confirm("go", input_fn=lambda _: "", print_fn=shown.append)
+    assert not confirm("go", default=False,
+                       input_fn=lambda _: "", print_fn=shown.append)
+    feed = iter(["maybe", "n"])
+    assert not confirm("go", input_fn=lambda _: next(feed),
+                       print_fn=shown.append)
+    assert any("y or n" in s for s in shown)
+
+    def _eof(_):
+        raise EOFError
+
+    assert confirm("go", input_fn=_eof, print_fn=shown.append) is False
+
+
+def test_multiselect_na_semantics():
+    """Reference parity (ui/interact.py:89-127): at least one pick is
+    required, 'n/a' is exclusive, and choosing it returns None."""
+    from dbtwiz_spark.picker import multiselect_from_choices
+
+    choices = {"svc-a": "A", "svc-b": "B", "svc-c": ""}
+    shown = []
+    feed = iter(["", "2 4, svc-a"])  # empty -> re-prompt; then picks
+    got = multiselect_from_choices("pick", choices, allow_none=True,
+                                   input_fn=lambda _: next(feed),
+                                   print_fn=shown.append)
+    # rows are [n/a, svc-a, svc-b, svc-c]: 2 -> svc-a, 4 -> svc-c; the
+    # duplicate name token dedupes
+    assert got == ["svc-a", "svc-c"]
+    assert any("at least one" in s for s in shown)
+    feed = iter(["1 2", "1"])  # n/a with another -> rejected; n/a alone
+    got = multiselect_from_choices("pick", choices, allow_none=True,
+                                   input_fn=lambda _: next(feed),
+                                   print_fn=shown.append)
+    assert got is None
+    assert any("cannot be selected along" in s for s in shown)
+    feed = iter(["2"])  # without allow_none rows are just the names
+    got = multiselect_from_choices("pick", choices,
+                                   input_fn=lambda _: next(feed),
+                                   print_fn=shown.append)
+    assert got == ["svc-b"]
+
+
+def test_governance_wizard_service_consumers_and_policy(tmp_path):
+    """The wizard multiselects service consumers (n/a-aware) and selects
+    an access policy when the project declares those vocabularies and no
+    flag value was given; Namespaces without the fields skip both."""
+    import argparse
+
+    from dbtwiz_spark.cli import _governance_wizard
+    from dbtwiz_spark.project import load_governance
+
+    proj = _governance_project(tmp_path)
+    gov = load_governance(proj)
+    assert gov.service_consumers and gov.access_policies
+    feed = iter(["2", "1"])  # svc rows are [n/a, svc-api]; policy 1
+    args = argparse.Namespace(
+        group="finance", access="public", team=["team-data"], quick=False,
+        service_consumer=[], access_policy=None,
+    )
+    _governance_wizard(args, gov, input_fn=lambda _: next(feed),
+                       print_fn=lambda _: None)
+    assert args.service_consumer == ["svc-api"]
+    assert args.access_policy == "restricted"
+    # n/a on the consumers prompt leaves the list empty
+    feed = iter(["1", ""])  # n/a; then empty policy (allow_none)
+    args = argparse.Namespace(
+        group="finance", access="public", team=["team-data"], quick=False,
+        service_consumer=[], access_policy=None,
+    )
+    _governance_wizard(args, gov, input_fn=lambda _: next(feed),
+                       print_fn=lambda _: None)
+    assert args.service_consumer == []
+    assert args.access_policy is None
+
+
+def test_source_create_rejects_invalid_name(spark, tmp_path, capsys):
+    from dbtwiz_spark.cli import main
+
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    path = str(tmp_path / "t.parquet")
+    spark.range(3).write.parquet(path)
+    rc = main(["source", "create", "--project", str(proj),
+               "--name", "Bad-Name", "--path", path])
+    assert rc == 1
+    assert "invalid source name" in capsys.readouterr().out
+    assert not (proj / "sources.yml").exists()
+
+
 def test_config_rejects_bool_for_int_and_nonstring_fields(tmp_path, monkeypatch):
     """bool is an int subclass: `shuffle_partitions = true` parsed as True
     must fail validation instead of silently meaning ONE shuffle
