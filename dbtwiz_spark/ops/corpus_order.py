@@ -45,7 +45,16 @@ r14 x 50 (sums to 286). The r15 window therefore fronts the 24-entry
 r8 remainder (the r8 cohort minus the twelve windowed here) with ~26
 free slots for the riskiest r9 greens, barring forced re-entries —
 named now so the rotation stays reviewable (the practice VERDICT r12
-item 7 asked to keep and r13 item 6 re-ordered).
+item 7 asked to keep and r13 item 6 re-ordered). Riskiest-26 r9
+pre-ranking (streaming / stateful / UDF / multi-stage / sketch before
+single-stage expressions — recompute against scripts/
+freshness_report.py when planning): the six stream-* entries, udaf,
+udtf, udf-scalar, macro-template, ext-decontaminate, ext-dedup-exact,
+ext-sample-stratified, ext-sim-cosine-topk, agg-salted-skew,
+agg-heavy-hitters, agg-hll-sketch-merge, agg-approx-count-distinct,
+agg-quantile-digest, agg-bootstrap-ci, join-range, file-format-orc,
+win-ohlc-bars, win-qualify, sort-custom-key, top-k — leaving the r9
+func-*/set-*/limit scalar rows (lowest risk) for r16.
 
 Round-14 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r13 item 7). Any entry added mid-round must be listed here under
