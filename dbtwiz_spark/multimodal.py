@@ -1813,7 +1813,7 @@ def _mp3_frames(payload: bytes) -> list:
     try:
         pos = _skip_id3(payload)
         frames: list = []
-        first_audio_seen = False
+        first_frame_checked = False
         while pos + 4 <= len(payload):
             b1, b2 = payload[pos + 1], payload[pos + 2]
             if payload[pos] != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -1833,20 +1833,27 @@ def _mp3_frames(payload: bytes) -> list:
             size = per * bitrate // samplerate + padding
             if size < 4 or pos + size > len(payload):
                 break  # truncated final frame
-            if not first_audio_seen:
-                first_audio_seen = True
+            if not first_frame_checked:
+                first_frame_checked = True
                 # Xing/Info sits after the side info, whose length
                 # depends on version and channel mode (byte 3 bits 6-7,
-                # 11 = mono); VBRI is at a fixed 32-byte offset
+                # 11 = mono); VBRI is at a fixed 32-byte offset. Both
+                # lookups are bounded to THIS frame's extent — a
+                # tiny low-bitrate first frame must not read tag bytes
+                # out of the next frame's payload
                 mode = (payload[pos + 3] >> 6) & 3
                 if version == 3:
                     side = 17 if mode == 3 else 32
                 else:
                     side = 9 if mode == 3 else 17
+                tag_at = 4 + side
                 if (
-                    payload[pos + 4 + side : pos + 8 + side]
+                    tag_at + 4 <= size
+                    and payload[pos + tag_at : pos + tag_at + 4]
                     in (b"Xing", b"Info")
-                    or payload[pos + 36 : pos + 40] == b"VBRI"
+                ) or (
+                    40 <= size
+                    and payload[pos + 36 : pos + 40] == b"VBRI"
                 ):
                     pos += size  # metadata frame: structure, not audio
                     continue

@@ -1732,6 +1732,14 @@ def test_mp3_xing_metadata_frame_skipped():
     # a payload that is ONLY a metadata frame has no audio timeline
     with _pytest.raises(NotImplementedError):
         _mp3_frames(_xing_frame())
+    # the tag lookup is bounded to the FIRST frame's extent: a tiny
+    # low-bitrate first frame (MPEG2 8kbps @ 24000 Hz -> 24 bytes)
+    # followed by 'VBRI' bytes in the NEXT frame's payload stays audio
+    tiny = bytearray([0xFF, 0xF3, 0x14, 0x00]) + bytes(20)  # v2 8k/24k
+    second = bytearray([0xFF, 0xF3, 0x14, 0x00]) + bytes(20)
+    second[12:16] = b"VBRI"  # absolute offset 36 from the FIRST header
+    both = bytes(tiny) + bytes(second)
+    assert len(_mp3_frames(both)) == 2
 
 
 def test_mp3_xing_frame_sample_offset_zero(spark):
