@@ -926,12 +926,12 @@ def cmd_model_create(args) -> int:
     _governance_wizard(args, gov, inherited=inherited)
     if not args.description and not getattr(args, "quick", False):
         # reference select_description (create.py:126-130): prompt for a
-        # missing description on a TTY, first letter upper-cased; the
-        # same non-TTY gating as the governance wizard (flag-driven runs
-        # keep the empty default)
-        import sys as _sys
-
-        if _sys.stdin.isatty():
+        # missing description on a TTY; the same non-TTY gating as the
+        # governance wizard (flag-driven runs keep the empty default).
+        # First letter upper-cased — deliberately NOT str.capitalize()
+        # like the reference, which lowercases the rest and mangles
+        # acronyms/proper nouns ('Keeps GDP...' -> 'Keeps gdp...')
+        if sys.stdin.isatty():
             from dbtwiz_spark.picker import description_validator, input_text
 
             typed = input_text(
@@ -939,7 +939,7 @@ def cmd_model_create(args) -> int:
                 validate=description_validator(),
             )
             if typed:
-                args.description = typed.capitalize()
+                args.description = typed[0].upper() + typed[1:]
     cfg: dict = {"materialized": args.materialized, "description": args.description or ""}
     if args.materialized == "incremental":
         cfg.update(
@@ -1207,7 +1207,6 @@ def cmd_source_create(args) -> int:
     validates at prompt time; this flag-driven flow validates the flag);
     on a TTY a missing description is prompted for and the write is
     confirmed (create.py:149/:396), non-TTY runs stay flag-driven."""
-    import sys as _sys
     import yaml as _yaml
     from pathlib import Path
 
@@ -1230,7 +1229,7 @@ def cmd_source_create(args) -> int:
     if any(s["name"] == args.name for s in spec["sources"]):
         print(f"source {args.name} already declared")
         return 1
-    if _sys.stdin.isatty():
+    if sys.stdin.isatty():
         if not args.description:
             args.description = input_text(
                 "Give a short description of the source",

@@ -1837,7 +1837,10 @@ def _mp3_frames(payload: bytes) -> list:
                 first_frame_checked = True
                 # Xing/Info sits after the side info, whose length
                 # depends on version and channel mode (byte 3 bits 6-7,
-                # 11 = mono); VBRI is at a fixed 32-byte offset. Both
+                # 11 = mono) — and a CRC-protected frame (protection
+                # bit 0) carries a 2-byte CRC between header and side
+                # info, shifting the tag by 2. VBRI is at a fixed
+                # 32-byte offset from the header end regardless. Both
                 # lookups are bounded to THIS frame's extent — a
                 # tiny low-bitrate first frame must not read tag bytes
                 # out of the next frame's payload
@@ -1846,7 +1849,8 @@ def _mp3_frames(payload: bytes) -> list:
                     side = 17 if mode == 3 else 32
                 else:
                     side = 9 if mode == 3 else 17
-                tag_at = 4 + side
+                crc = 0 if (b1 & 1) else 2
+                tag_at = 4 + crc + side
                 if (
                     tag_at + 4 <= size
                     and payload[pos + tag_at : pos + tag_at + 4]

@@ -160,15 +160,18 @@ def input_text(
     (reference ui/interact.py:52-61) on the same injectable IO as the
     pickers. Loops until the validator returns True (its message is
     printed otherwise); blank input re-prompts unless ``allow_blank``.
-    EOF/interrupt aborts with None instead of the reference's fatal()."""
+    The value is validated and returned AS TYPED (questionary semantics
+    — stripping first would make description_validator's
+    no-leading-whitespace rule unfalsifiable). EOF/interrupt aborts
+    with None instead of the reference's fatal()."""
     while True:
         try:
-            value = input_fn(f"{question}: ").strip()
+            value = input_fn(f"{question}: ")
         except (EOFError, KeyboardInterrupt):
             return None
-        if not value:
+        if not value.strip():
             if allow_blank:
-                return value
+                return ""
             continue
         if validate is not None:
             verdict = validate(value)

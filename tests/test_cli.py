@@ -936,6 +936,15 @@ def test_input_text_validates_and_loops():
                      input_fn=lambda _: next(feed), print_fn=shown.append)
     assert got == "good_name"
     assert any("lowercase" in s for s in shown)  # validator message shown
+    # the validator sees the RAW input (stripping first would make the
+    # description rule's no-leading-whitespace check unfalsifiable)
+    from dbtwiz_spark.picker import description_validator
+
+    feed = iter([" leading space", "Fine description"])
+    got = input_text("describe", validate=description_validator(),
+                     input_fn=lambda _: next(feed), print_fn=shown.append)
+    assert got == "Fine description"
+    assert any("must not start with a space" in s for s in shown)
     # blank accepted only with allow_blank
     feed = iter([""])
     assert input_text("d", allow_blank=True,

@@ -1694,14 +1694,19 @@ def test_mp3_and_adts_frame_demux():
         _adts_frames(bytes(16))  # no sync
 
 
-def _xing_frame(tag=b"Xing", mono=False, at=None):
+def _xing_frame(tag=b"Xing", mono=False, at=None, crc=False):
     """One MPEG-1 Layer III frame (128 kbps @ 44100) whose body carries
     ``tag`` at the Xing side-info offset (32 bytes stereo / 17 mono
-    after the 4-byte header) — the LAME/VBRI metadata frame shape."""
+    after the 4-byte header, +2 when the frame is CRC-protected) — the
+    LAME/VBRI metadata frame shape."""
     size = 144 * 128000 // 44100
-    f = bytearray([0xFF, 0xFB, 0x90, 0xC0 if mono else 0x00])
+    f = bytearray([0xFF, 0xFA if crc else 0xFB, 0x90, 0xC0 if mono else 0x00])
     f += bytes(size - 4)
-    off = at if at is not None else (4 + (17 if mono else 32))
+    off = (
+        at
+        if at is not None
+        else (4 + (2 if crc else 0) + (17 if mono else 32))
+    )
     f[off : off + 4] = tag
     return bytes(f)
 
@@ -1724,6 +1729,15 @@ def test_mp3_xing_metadata_frame_skipped():
         assert sum(d for d, _ in frames) == 3 * 26122
     # mono streams put the tag after a 17-byte side info
     assert len(_mp3_frames(_xing_frame(mono=True) + audio)) == 3
+    # CRC-protected frames (protection bit 0) carry a 2-byte CRC before
+    # the side info — the tag shifts by 2 and must still be detected
+    assert len(_mp3_frames(_xing_frame(crc=True) + audio)) == 3
+    assert len(_mp3_frames(_xing_frame(mono=True, crc=True) + audio)) == 3
+    # and an UNshifted tag in a protected frame is not at the metadata
+    # offset: those are audio bytes
+    assert len(
+        _mp3_frames(_xing_frame(at=4 + 32, crc=True) + audio)
+    ) == 4
     # 'Xing' bytes elsewhere in the first frame's body are audio data,
     # not a metadata header — only the side-info offset counts
     assert len(_mp3_frames(_xing_frame(at=100) + audio)) == 4

@@ -1580,19 +1580,20 @@ def test_sample_timeline_invariants(frames, every_ms):
     bidx=st.integers(1, 14),
     ridx=st.integers(0, 2),
     mono=st.booleans(),
+    crc=st.booleans(),
     pads=st.lists(st.integers(0, 1), min_size=1, max_size=10),
     id3_len=st.integers(-1, 200),  # -1: no tag
     meta=st.sampled_from([None, b"Xing", b"Info", b"VBRI"]),
 )
 def test_mp3_demux_header_arithmetic_any_profile(
-    version, bidx, ridx, mono, pads, id3_len, meta
+    version, bidx, ridx, mono, crc, pads, id3_len, meta
 ):
     """_mp3_frames over streams the test builds independently from the
     SPEC tables, across all MPEG versions x bitrate x rate indices x
     channel modes: every audio frame's (duration_us, size) must match
     the 144/72 x bitrate / samplerate + padding arithmetic, an ID3v2
     prefix of any size must not shift the timeline, and a leading
-    Xing/Info/VBRI metadata frame (spliced at the version/mode-correct
+    Xing/Info/VBRI metadata frame (spliced at the version/mode/CRC-correct
     side-info offset) must be excluded — same frame count and duration
     as the stream without it (round 14)."""
     from dbtwiz_spark.multimodal import (
@@ -1607,10 +1608,12 @@ def test_mp3_demux_header_arithmetic_any_profile(
     rate = _MP3_RATES[version][ridx]
     per = 144 if version == 3 else 72
     samples = 1152 if version == 3 else 576
-    b1 = 0xE0 | (version << 3) | (1 << 1) | 1  # sync tail, Layer III
+    # protection bit 0 = CRC-protected: a 2-byte CRC precedes the side
+    # info, shifting the Xing/Info tag (VBRI's offset is fixed)
+    b1 = 0xE0 | (version << 3) | (1 << 1) | (0 if crc else 1)
     b3 = 0xC0 if mono else 0x00
     side = (17 if mono else 32) if version == 3 else (9 if mono else 17)
-    meta_off = 36 if meta == b"VBRI" else 4 + side
+    meta_off = 36 if meta == b"VBRI" else 4 + (2 if crc else 0) + side
     # the metadata tag only exists when the frame can hold it — the
     # smallest low-bitrate MPEG2/2.5 frames (24 bytes) cannot; skip
     # BEFORE building (a slice-assign past a bytearray's end would
