@@ -767,6 +767,7 @@ def _governance_wizard(
 
     if getattr(args, "quick", False):
         return
+    injected = input_fn is not None
     if input_fn is None:
         if not _sys.stdin.isatty():
             return
@@ -794,10 +795,16 @@ def _governance_wizard(
     # 'n/a' row (create.py:355-372 + ui/interact.py:110-127); prompted
     # only when the vocabulary is declared and no flag value was given.
     # hasattr-gated: wizard callers that predate the field skip it.
+    # isatty-gated like the description prompt (r14 verdict nit): even
+    # though the wizard's top-of-function gate already returns on a
+    # non-TTY un-injected run, the multiselect consumes a full stdin
+    # line, so it carries its own guard — a scripted pipeline must
+    # never lose a line to it.
     if (
         gov.service_consumers
         and hasattr(args, "service_consumer")
         and not args.service_consumer
+        and (injected or _sys.stdin.isatty())
     ):
         from dbtwiz_spark.picker import multiselect_from_choices
 

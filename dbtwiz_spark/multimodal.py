@@ -1751,7 +1751,11 @@ _MP3_RATES = {
 
 def _skip_id3(payload: bytes) -> int:
     """Offset past a leading ID3v2 tag (0 when none). The tag size is
-    syncsafe (4 x 7 bits); a truncated or malformed header raises
+    syncsafe (4 x 7 bits) and counts neither the 10-byte header nor the
+    optional ID3v2.4 footer (flags bit 0x10: a 10-byte '3DI' trailer
+    AFTER the tag body, informal spec §3.1/§3.4) — so a footer-bearing
+    tag needs 10 more bytes skipped or the sniffer lands on '3DI' and
+    misses the first audio frame. A truncated or malformed header raises
     ValueError like the other structural checks."""
     if payload[:3] != b"ID3":
         return 0
@@ -1762,7 +1766,8 @@ def _skip_id3(payload: bytes) -> int:
         if b & 0x80:
             raise ValueError("bad ID3v2 syncsafe size")
         size = (size << 7) | b
-    return 10 + size
+    footer = 10 if payload[5] & 0x10 else 0
+    return 10 + size + footer
 
 
 def _audio_sniff(payload: bytes) -> str | None:

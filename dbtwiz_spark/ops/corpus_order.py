@@ -7,29 +7,43 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-14 window (positions 0-49) — the freshness round again (VERDICT
-r13 item 1: clear the r7 cohort). Oldest cohort first, then this
-round's forced re-entries, then the riskiest of the next-oldest cohort:
+Round-15 window (positions 0-49) — the freshness round again (VERDICT
+r14 item 1: clear the r8 cohort) plus the r14-item-4 certificate
+refresh. Oldest cohort first, then this round's forced re-entries, then
+the riskiest of the next-oldest cohort, then the rows-only certificate
+family:
 
-* 0-35 — the ENTIRE 36-entry r7 remainder (the r7 cohort minus the
-  four write/stream entries the r13 window already recycled),
-  exactly the set scripts/freshness_report.py names. With these
-  green, the minimum hash-green certification age rises r7 → r8.
-* 36-37 — ext-multimodal-column / ext-multimodal-framesample, forced
-  by the round-14 multimodal PLANE edits (the two r13-verdict demux
-  findings: Xing/Info/VBRI metadata-frame skip in _mp3_frames and
-  post-ID3 re-sniff so tagged ADTS reaches _adts_frames; plus the
-  five r13 ADVICE items: 16-bit I/I;16 handling and high-byte tRNS
-  keys in _decode_pil, the pixel budget enforced on the PIL path,
-  frame_sample's >=2-frame GIF animation gate, float32 JPEG
-  IDCT/planes). Verified empirically: zero entry-hash drift against
-  scripts/green_manifest.json — the plane pin is the only trigger.
-* 38-49 — the 12 riskiest r8-era greens (verdict ranking: write-plane
-  and multi-stage streaming before stat aggregates):
-  sink-scd2-hard-delete, scan-snapshot-diff, join-scd2-point-in-time,
-  stream-gap-detect, stream-rate-limit, stream-top-k-windowed,
-  udf-cogroup, ext-curation-pipeline-e2e, scan-profile-table,
-  join-star-schema, join-interval-coalesce, ext-embed-pca-power.
+* 0-23 — the ENTIRE 24-entry r8 remainder (the r8 cohort minus the
+  twelve the r14 window already recycled), exactly the set
+  scripts/freshness_report.py names. With these green, the minimum
+  hash-green certification age rises r8 → r9.
+* 24-25 — ext-multimodal-column / ext-multimodal-framesample, forced
+  by the round-15 multimodal PLANE edit (the r14 ADVICE _skip_id3
+  fix: ID3v2.4 footer flag — flags bit 0x10 adds a 10-byte '3DI'
+  trailer the syncsafe size does not count, so footer-bearing tags
+  desynced the sniffer). Verified empirically: zero entry-hash drift
+  against scripts/green_manifest.json — the plane pin is the only
+  trigger (the round's picker.py/cli.py edits touch no plane and no
+  entry closure).
+* 26-43 — the 18 riskiest r9-era greens, the head of the riskiest-26
+  pre-ranking the r14 docstring recorded (streaming / stateful / UDF /
+  multi-stage / sketch before single-stage expressions):
+  the six stream-* entries, udaf, udtf, udf-scalar, macro-template,
+  ext-decontaminate, ext-dedup-exact, ext-sample-stratified,
+  ext-sim-cosine-topk, agg-salted-skew, agg-heavy-hitters,
+  agg-hll-sketch-merge, agg-approx-count-distinct.
+* 44-49 — the six rows-only-family certificate entries (VERDICT r14
+  item 4: their latest driver rows-runs dated to r11 and the
+  certificates to r12 — refresh so every approximate path's
+  certificate is ≤3 rounds old): ext-dedup-near-recall,
+  ext-dedup-simhash-recall, ext-ann-lsh-recall, ext-ann-ivf-recall,
+  sort-within-partitions-cert, stream-dedup-near-cert.
+
+Fronting the certificate family costs eight slots of the riskiest-26
+r9 plan; the tail eight (agg-quantile-digest, agg-bootstrap-ci,
+join-range, file-format-orc, win-ohlc-bars, win-qualify,
+sort-custom-key, top-k) move to the round-16 front — they are part of
+the r9 remainder arithmetic below, not dropped.
 
 ``WINDOW_ROUND`` pins the round this window was planned FOR: the
 freshness test computes cohorts from ``CORRECTNESS_r{N}`` files with
@@ -39,26 +53,35 @@ is part of each rotation; a stale pin cannot coast, because a window
 planned against a newer history will not cover the stale pin's oldest
 cohort.
 
-Projected cohorts after a green r14 (from the r01-r13 history + this
-window): r8 x 24, r9 x 47, r10 x 38, r11 x 44, r12 x 35, r13 x 48,
-r14 x 50 (sums to 286). The r15 window therefore fronts the 24-entry
-r8 remainder (the r8 cohort minus the twelve windowed here) with ~26
-free slots for the riskiest r9 greens, barring forced re-entries —
-named now so the rotation stays reviewable (the practice VERDICT r12
-item 7 asked to keep and r13 item 6 re-ordered). Riskiest-26 r9
-pre-ranking (streaming / stateful / UDF / multi-stage / sketch before
-single-stage expressions — recompute against scripts/
-freshness_report.py when planning): the six stream-* entries, udaf,
-udtf, udf-scalar, macro-template, ext-decontaminate, ext-dedup-exact,
-ext-sample-stratified, ext-sim-cosine-topk, agg-salted-skew,
-agg-heavy-hitters, agg-hll-sketch-merge, agg-approx-count-distinct,
-agg-quantile-digest, agg-bootstrap-ci, join-range, file-format-orc,
-win-ohlc-bars, win-qualify, sort-custom-key, top-k — leaving the r9
-func-*/set-*/limit scalar rows (lowest risk) for r16.
+Projected cohorts after a green r15 (from the r01-r14 history + this
+window): r9 x 29, r10 x 38, r11 x 44, r12 x 29, r13 x 48, r14 x 48,
+r15 x 50 (sums to 286). The r16 window therefore fronts the 29-entry
+r9 remainder — the eight riskiest-26 tail entries named above plus the
+21 low-risk scalar rows (func-array, func-bitwise, func-cast,
+func-column-masking, func-conditional, func-datetime,
+func-generate-date-array, func-generate-series, func-hash, func-json,
+func-map, func-math, func-string, func-struct, func-surrogate-key,
+limit, set-except, set-intersect, set-union-all, set-union-distinct,
+agg-pythagorean-means) — with exactly 21 free slots for the riskiest
+r10 greens, barring forced re-entries. Riskiest-21 r10 pre-ranking
+(streaming / write-plane / multi-stage / index-build before
+single-stage text scalars — recompute against
+scripts/freshness_report.py when planning): stream-resample-interpolate,
+sink-scd2, sink-sharded-export, sort-global, ext-pack-sequences,
+ext-text-tfidf, ext-vocab-build, ext-bm25-search, ext-dedup-embedding,
+ext-sim-threshold-join, ext-knn-label, ext-pii-scrub,
+ext-quality-gopher, ext-curriculum-order, ext-mix-domains,
+ext-mix-temperature, ext-host-token-budget, ext-sample-importance,
+ext-split-train-eval, ext-dup-span, ext-fingerprint — leaving the 17
+single-stage r10 text/window scalars (ext-dedup-url, ext-embed-stats,
+ext-filter-*, ext-lang-id, ext-ngram-jaccard, ext-quality-repetition,
+ext-quality-score, ext-text-normalize, ext-text-stats, ext-token-*,
+func-url, win-first-last, win-lag-lead, win-running-agg,
+win-sliding-frame) for round 17.
 
-Round-14 additions policy: corpus growth stays FROZEN at 286 (VERDICT
-r13 item 7). Any entry added mid-round must be listed here under
-"added AFTER the round-14 window filled" for round-15 front-loading.
+Round-15 additions policy: corpus growth stays FROZEN at 286 (VERDICT
+r14 item 7). Any entry added mid-round must be listed here under
+"added AFTER the round-15 window filled" for round-16 front-loading.
 """
 
 
@@ -68,68 +91,71 @@ from __future__ import annotations
 # CORRECTNESS_r* history of rounds STRICTLY BELOW this. The freshness
 # test scopes its cohort computation the same way, so the driver dropping
 # CORRECTNESS_r{WINDOW_ROUND}.json never flips the tree red mid-round.
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # the complete 36-entry r7 remainder (r13's pre-named plan, due now)
-    "agg-attribution-linear",
-    "agg-benford-test",
-    "agg-bool-logic",
-    "agg-cohort-ltv",
-    "agg-cramers-v",
-    "agg-log-histogram",
-    "agg-mann-whitney",
-    "agg-market-basket",
-    "agg-markov-transition",
-    "agg-reservoir-sample",
-    "agg-sliding-distinct",
-    "ext-bpe-train",
-    "ext-dedup-softdedup",
-    "ext-embed-normalize",
-    "ext-hard-negatives",
-    "ext-quality-bigram-logprob",
-    "ext-quality-unigram-logprob",
-    "ext-span-corruption",
-    "ext-tokenize-apply",
-    "join-fuzzy-string",
-    "join-spatial-radius",
-    "sink-copy-table",
-    "sink-delete-table",
-    "sink-table-create",
-    "sink-view-create",
-    "source-declare",
-    "win-autocorr",
-    "win-cusum-changepoint",
-    "win-holt-winters",
-    "win-max-drawdown",
-    "win-rolling-corr",
-    "win-rolling-mad",
-    "win-rolling-median",
-    "win-rolling-trend",
-    "win-seasonal-baseline",
-    "win-theil-sen",
-    # multimodal plane edit (r13-verdict demux findings + the five
-    # ADVICE items; zero entry-hash drift — plane pin only)
+    # the complete 24-entry r8 remainder (r14's pre-named plan, due now)
+    "agg-anova-oneway",
+    "agg-auc-roc",
+    "agg-bounce-rate",
+    "agg-cohen-d",
+    "agg-forecast-backtest-mape",
+    "agg-growth-accounting",
+    "agg-hhi-concentration",
+    "agg-kendall-tau",
+    "agg-mutual-information",
+    "agg-new-vs-repeat-revenue",
+    "agg-order-gap-distribution",
+    "agg-pk-uniqueness-audit",
+    "agg-price-elasticity",
+    "agg-retention-triangle",
+    "agg-runs-test",
+    "agg-seasonality-strength",
+    "agg-tukey-fences",
+    "ext-classify-naive-bayes",
+    "ext-embed-centroid-inertia",
+    "ext-ngram-novelty",
+    "ext-split-leak-audit",
+    "win-bollinger-bands",
+    "win-rolling-beta",
+    "win-rsi-wilder",
+    # multimodal plane edit (r14 ADVICE: ID3v2.4 footer-flag skip in
+    # _skip_id3; zero entry-hash drift — plane pin only)
     "ext-multimodal-column",
     "ext-multimodal-framesample",
-    # r8-era recycle, riskiest-first: write-plane / streaming /
-    # multi-stage before stat aggregates
-    "sink-scd2-hard-delete",
-    "scan-snapshot-diff",
-    "join-scd2-point-in-time",
-    "stream-gap-detect",
-    "stream-rate-limit",
-    "stream-top-k-windowed",
-    "udf-cogroup",
-    "ext-curation-pipeline-e2e",
-    "scan-profile-table",
-    "join-star-schema",
-    "join-interval-coalesce",
-    "ext-embed-pca-power",
+    # r9-era recycle, riskiest-first (head of the r14-docstring
+    # pre-ranking: streaming / stateful / UDF / multi-stage / sketch)
+    "stream-foreachbatch-sink",
+    "stream-session-window",
+    "stream-sliding-window",
+    "stream-stateful-dedup",
+    "stream-tumbling-window",
+    "stream-watermark-late",
+    "udaf",
+    "udtf",
+    "udf-scalar",
+    "macro-template",
+    "ext-decontaminate",
+    "ext-dedup-exact",
+    "ext-sample-stratified",
+    "ext-sim-cosine-topk",
+    "agg-salted-skew",
+    "agg-heavy-hitters",
+    "agg-hll-sketch-merge",
+    "agg-approx-count-distinct",
+    # rows-only certificate family refresh (VERDICT r14 item 4): the
+    # recall/cert companions whose hash-green rows certify the six
+    # oracle-less approximate paths
+    "ext-dedup-near-recall",
+    "ext-dedup-simhash-recall",
+    "ext-ann-lsh-recall",
+    "ext-ann-ivf-recall",
+    "sort-within-partitions-cert",
+    "stream-dedup-near-cert",
 )
 
-# No oldest-cohort entry is deferred this round: all 36 r7-remainder
-# entries sit in the window above (the r13 plan, executed). The
+# No oldest-cohort entry is deferred this round: all 24 r8-remainder
+# entries sit in the window above (the r14 plan, executed). The
 # freshness test requires this list to name exactly the oldest-cohort
 # entries NOT in the window — which is none.
 OLDEST_DEFERRED: tuple[str, ...] = ()

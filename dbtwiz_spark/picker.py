@@ -233,11 +233,23 @@ def multiselect_from_choices(
             return None
         tokens = raw.replace(",", " ").split()
         picks: list[str] = []
+        invalid: list[str] = []
         for t in tokens:
             if t.isdigit() and 0 < int(t) <= len(rows):
                 picks.append(rows[int(t) - 1])
             elif t in rows:
                 picks.append(t)
+            else:
+                invalid.append(t)
+        if invalid:
+            # A typo must not silently drop an item from the selection
+            # (e.g. a misspelled service consumer vanishing from the
+            # model's governance): name the bad tokens and re-prompt.
+            print_fn(
+                "unrecognized selection(s): " + ", ".join(invalid)
+                + " — enter row numbers or exact names"
+            )
+            continue
         picks = list(dict.fromkeys(picks))  # dedupe, keep order
         if not picks:
             print_fn("you must select at least one item")

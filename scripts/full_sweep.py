@@ -54,7 +54,16 @@ def main() -> None:
         "result_hash": h.hexdigest(),
         "failures": failures,
     }
-    assert len(results) == len(CORPUS)
+    # Survives `python -O` (a bare assert would strip) and names the
+    # mismatch instead of dying with a raw AssertionError after the
+    # 12-minute sweep — the artifact is not written on a partial run.
+    if len(results) != len(CORPUS):
+        print(
+            f"corpus-size mismatch: swept {len(results)} entries but the "
+            f"registry holds {len(CORPUS)} — artifact NOT written",
+            file=sys.stderr,
+        )
+        sys.exit(1)
     out = REPO / "scripts" / f"sweep_{sftag}_r{WINDOW_ROUND}.json"
     out.write_text(json.dumps(summary) + "\n")
     print(json.dumps(summary))

@@ -1813,6 +1813,40 @@ def test_id3_tagged_adts_reaches_real_demux(spark):
     assert feats.duration_ms == 116
 
 
+def test_id3v24_footer_flag_skipped():
+    """An ID3v2.4 tag with the footer flag (flags bit 0x10) carries a
+    10-byte '3DI' trailer AFTER the body that the syncsafe size does NOT
+    count (r14 ADVICE): the skip must add 10 more bytes or the sniffer
+    lands on '3DI', returns None, and a footer-tagged stream falls to
+    the fake branch."""
+    from dbtwiz_spark.multimodal import (
+        _adts_frames,
+        _is_adts,
+        _is_mp3,
+        _mp3_frames,
+        _skip_id3,
+    )
+
+    def tag(body=24, footer=False):
+        flags = 0x10 if footer else 0
+        out = b"ID3" + bytes([4, 0, flags, 0, 0, 0, body]) + bytes(body)
+        if footer:
+            out += b"3DI" + bytes([4, 0, 0x10, 0, 0, 0, body])
+        return out
+
+    assert _skip_id3(tag(footer=False)) == 10 + 24
+    assert _skip_id3(tag(footer=True)) == 10 + 24 + 10
+    mp3 = tag(footer=True) + _hand_mp3(n_frames=3)
+    assert _is_mp3(mp3) and not _is_adts(mp3)
+    assert _mp3_frames(mp3) == _mp3_frames(_hand_mp3(n_frames=3))
+    aac = tag(footer=True) + _hand_adts(n_frames=4)
+    assert _is_adts(aac) and not _is_mp3(aac)
+    assert _adts_frames(aac) == [(23219, 100)] * 4
+    # footerless flags byte unaffected; other flag bits add nothing
+    no_footer = b"ID3" + bytes([4, 0, 0x40, 0, 0, 0, 8]) + bytes(8)
+    assert _skip_id3(no_footer + b"\xff\xfb") == 18
+
+
 def test_frame_sample_and_features_mp3_adts(spark):
     """frame_sample steps real MP3/ADTS frame timelines (the frame
     covering each every_ms instant) and extract_features reports their
