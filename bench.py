@@ -407,6 +407,44 @@ def _calibrate_spark(spark, runs: int = 3) -> float:
     return _probe_best_of(spark, runs, once)
 
 
+def _calibrate_io(runs: int = 3) -> float:
+    """Disk-throughput companion probe (round 15). The two existing
+    probes are CPU-bound and scheduler-bound; neither touches the block
+    device, so a VM I/O-slow period inflates BOTH normalizations at once
+    and reads — falsely — as an engine regression (measured r15:
+    back-to-back runs of one unchanged tree drew 18.797 s then 5.705 s
+    headline while calibration/calibration_spark moved <15%; the 3×
+    swing was concentrated in the write/scan-heavy queries —
+    q_insert_overwrite 3.459 → 0.618). This probe times a driver-side
+    64 MiB write + fsync + fadvise(DONTNEED) + read-back on the bench's
+    filesystem — no Spark, no repo code — so an I/O-slow draw is a
+    RECORDED number: a headline rise that calibration_io tracks is the
+    disk, whatever the other two probes say."""
+    import tempfile
+
+    blob = os.urandom(1 << 20) * 64  # 64 MiB, incompressible
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile(dir=".", suffix=".ioprobe") as f:
+            f.write(blob)
+            f.flush()
+            os.fsync(f.fileno())
+            try:  # drop the page cache so the read-back hits the device
+                os.posix_fadvise(
+                    f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED
+                )
+            except (AttributeError, OSError):
+                pass  # non-POSIX: read-back measures cache, still stable
+            f.seek(0)
+            while f.read(1 << 22):
+                pass
+        return time.perf_counter() - t0
+
+    once()  # warm-up: allocator, first-touch of the temp dir
+    return round(min(once() for _ in range(runs)), 3)
+
+
 def main() -> None:
     spark = get_spark("dbtwiz_spark-bench")
     from dbtwiz_spark.ops.common import views
@@ -478,6 +516,7 @@ def main() -> None:
 
     calibration = _calibrate(spark, runs)
     calibration_spark = _calibrate_spark(spark, runs)
+    calibration_io = _calibrate_io(runs)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     value = round(sum(timings.values()), 3)
@@ -521,6 +560,16 @@ def main() -> None:
                 "extras_per_calibration_spark": (
                     round(sum(extras.values()) / calibration_spark, 2)
                     if calibration_spark
+                    else None
+                ),
+                # third regime: block-device throughput (see
+                # _calibrate_io) — an I/O-slow VM draw inflates the
+                # write/scan-heavy queries AND this number together,
+                # which the CPU/scheduler probes cannot see
+                "calibration_io": calibration_io,
+                "headline_per_calibration_io": (
+                    round(value / calibration_io, 2)
+                    if calibration_io
                     else None
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
