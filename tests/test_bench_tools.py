@@ -1,0 +1,94 @@
+"""Tests for the bench instrumentation: the I/O calibration probe and
+the A/B harness's probe back-fill + table rendering (pure logic — the
+worktree/bench plumbing is exercised by actually running experiments,
+whose results live in BENCHLOG.md)."""
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def test_calibrate_io_probe_runs_and_is_bounded(tmp_path, monkeypatch):
+    """The disk probe must return a positive sub-minute reading and
+    leave no temp files behind (it runs inside every bench; a leak
+    would accumulate 64 MiB per round)."""
+    from bench import _calibrate_io
+
+    monkeypatch.chdir(tmp_path)
+    t = _calibrate_io(runs=1)
+    assert 0 < t < 60
+    assert not list(tmp_path.glob("*.ioprobe"))
+
+
+def test_ab_fill_missing_probes_backfills_and_marks(monkeypatch):
+    """An old tree's result lacking the newer probes gains them from the
+    companion, marked, with the derived normalizations computed; a
+    result that already has all three is returned untouched (no
+    companion process spawned)."""
+    from scripts import ab_bench
+
+    monkeypatch.setattr(
+        ab_bench,
+        "_companion_probes",
+        lambda: {
+            "calibration": 0.3,
+            "calibration_spark": 0.5,
+            "calibration_io": 0.2,
+        },
+    )
+    old = {"value": 8.0, "calibration": 0.25, "queries": {}}
+    filled = ab_bench._fill_missing_probes(dict(old))
+    assert filled["calibration"] == 0.25  # own reading kept
+    assert filled["calibration_spark"] == 0.5
+    assert filled["calibration_spark_from_companion"] is True
+    assert filled["headline_per_calibration_spark"] == 16.0
+    assert filled["headline_per_calibration_io"] == 40.0
+
+    def boom():  # pragma: no cover - the failure mode
+        raise AssertionError("companion spawned for a complete result")
+
+    monkeypatch.setattr(ab_bench, "_companion_probes", boom)
+    complete = {
+        "value": 6.0,
+        "calibration": 0.3,
+        "calibration_spark": 0.4,
+        "calibration_io": 0.2,
+        "queries": {},
+    }
+    assert ab_bench._fill_missing_probes(dict(complete)) == complete
+
+
+def test_ab_table_renders_pairs_queries_and_companion_note():
+    from scripts.ab_bench import table
+
+    a = {
+        "value": 8.022,
+        "extras_total": 7.44,
+        "calibration": 0.221,
+        "calibration_spark": 0.555,
+        "calibration_spark_from_companion": True,
+        "headline_per_calibration": 36.3,
+        "headline_per_calibration_spark": 14.45,
+        "queries": {"q_set_except": 0.151},
+    }
+    b = {
+        "value": 6.165,
+        "extras_total": 7.969,
+        "calibration": 0.418,
+        "calibration_spark": 0.484,
+        "calibration_io": 0.175,
+        "headline_per_calibration": 14.75,
+        "headline_per_calibration_spark": 12.74,
+        "headline_per_calibration_io": 35.23,
+        "queries": {"q_set_except": 0.117},
+    }
+    md = table([a], [b], "r10", "HEAD", ["q_set_except", "q_missing"])
+    assert "| metric | r10 p1 | HEAD p1 |" in md
+    assert "| q_set_except (s) | 0.151 | 0.117 |" in md
+    assert "| q_missing (s) | — | — |" in md  # absent query renders as —
+    assert "0.555†" in md  # companion-sourced probe is marked
+    assert "14.45†" in md  # ...and so is its derived normalization
+    assert "† probe back-filled" in md
+    assert "| calibration_io | — | 0.175 |" in md  # old tree lacks it
