@@ -1583,16 +1583,18 @@ def test_sample_timeline_invariants(frames, every_ms):
     crc=st.booleans(),
     pads=st.lists(st.integers(0, 1), min_size=1, max_size=10),
     id3_len=st.integers(-1, 200),  # -1: no tag
+    id3_footer=st.booleans(),  # ID3v2.4 footer flag (r15: +10-byte '3DI')
     meta=st.sampled_from([None, b"Xing", b"Info", b"VBRI"]),
 )
 def test_mp3_demux_header_arithmetic_any_profile(
-    version, bidx, ridx, mono, crc, pads, id3_len, meta
+    version, bidx, ridx, mono, crc, pads, id3_len, id3_footer, meta
 ):
     """_mp3_frames over streams the test builds independently from the
     SPEC tables, across all MPEG versions x bitrate x rate indices x
     channel modes: every audio frame's (duration_us, size) must match
     the 144/72 x bitrate / samplerate + padding arithmetic, an ID3v2
-    prefix of any size must not shift the timeline, and a leading
+    prefix of any size — with or without the v2.4 footer trailer
+    (r15) — must not shift the timeline, and a leading
     Xing/Info/VBRI metadata frame (spliced at the version/mode/CRC-correct
     side-info offset) must be excluded — same frame count and duration
     as the stream without it (round 14)."""
@@ -1631,11 +1633,13 @@ def test_mp3_demux_header_arithmetic_any_profile(
 
     stream = bytearray()
     if id3_len >= 0:
-        stream += b"ID3" + bytes(
-            [4, 0, 0, (id3_len >> 21) & 0x7F, (id3_len >> 14) & 0x7F,
-             (id3_len >> 7) & 0x7F, id3_len & 0x7F]
-        )
+        flags = 0x10 if id3_footer else 0
+        size4 = [(id3_len >> 21) & 0x7F, (id3_len >> 14) & 0x7F,
+                 (id3_len >> 7) & 0x7F, id3_len & 0x7F]
+        stream += b"ID3" + bytes([4, 0, flags] + size4)
         stream += bytes(id3_len)
+        if id3_footer:  # 10-byte trailer the syncsafe size does NOT count
+            stream += b"3DI" + bytes([4, 0, flags] + size4)
     if meta is not None:
         stream += frame(0, meta)
     for pad in pads:
@@ -1659,8 +1663,11 @@ def test_mp3_demux_header_arithmetic_any_profile(
         max_size=8,
     ),
     id3_len=st.integers(-1, 100),
+    id3_footer=st.booleans(),
 )
-def test_adts_demux_header_arithmetic_any_profile(ridx, shape, id3_len):
+def test_adts_demux_header_arithmetic_any_profile(
+    ridx, shape, id3_len, id3_footer
+):
     """_adts_frames across every sample-rate index and varying raw-block
     counts / frame lengths: duration is nblocks x 1024 samples at the
     indexed rate, size is the explicit 13-bit length field, and an
@@ -1674,7 +1681,11 @@ def test_adts_demux_header_arithmetic_any_profile(ridx, shape, id3_len):
 
     stream = bytearray()
     if id3_len >= 0:
-        stream += b"ID3" + bytes([4, 0, 0, 0, 0, 0, id3_len]) + bytes(id3_len)
+        flags = 0x10 if id3_footer else 0
+        stream += b"ID3" + bytes([4, 0, flags, 0, 0, 0, id3_len])
+        stream += bytes(id3_len)
+        if id3_footer:  # r15: footer trailer, uncounted by the size field
+            stream += b"3DI" + bytes([4, 0, flags, 0, 0, 0, id3_len])
     for nb1, payload_len in shape:
         length = 7 + payload_len
         stream += bytes(
