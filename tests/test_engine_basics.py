@@ -337,7 +337,11 @@ def test_pil_parity_with_pure_decoders():
     on geometry/channel-count with a small pixel tolerance for JPEG
     (libjpeg's fixed-point IDCT vs our float matrix IDCT). Skips
     cleanly when PIL is absent — this container exercises the pure
-    fallback everywhere else."""
+    fallback everywhere else. STANDING ITEM (r14 ADVICE): the 16-bit
+    branches (I/I;16 high-byte strip, deep-PNG tRNS keys) are pinned
+    only by the fake-module harness here; run this test once in a
+    Pillow-equipped environment before relying on the PIL fast path
+    for 16-bit inputs in a real deployment."""
     import pytest as _pytest
 
     image_mod = _pytest.importorskip("PIL.Image")
