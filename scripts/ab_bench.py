@@ -219,7 +219,10 @@ def main() -> None:
         for ref in (args.old, args.new):
             if ref in trees:
                 continue
-            path = Path(tempfile.mkdtemp(prefix=f"ab_{ref[:12]}_"))
+            safe = "".join(
+                c if c.isalnum() or c in "._-" else "-" for c in ref[:12]
+            )
+            path = Path(tempfile.mkdtemp(prefix=f"ab_{safe}_"))
             path.rmdir()  # git worktree add wants to create it
             _run(["git", "worktree", "add", str(path), ref], REPO)
             trees[ref] = path
