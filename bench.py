@@ -407,7 +407,7 @@ def _calibrate_spark(spark, runs: int = 3) -> float:
     return _probe_best_of(spark, runs, once)
 
 
-def _calibrate_io(runs: int = 3) -> float:
+def _calibrate_io(runs: int = 3) -> float | None:
     """Disk-throughput companion probe (round 15). The two existing
     probes are CPU-bound and scheduler-bound; neither touches the block
     device, so a VM I/O-slow period inflates BOTH normalizations at once
@@ -419,7 +419,13 @@ def _calibrate_io(runs: int = 3) -> float:
     64 MiB write + fsync + fadvise(DONTNEED) + read-back on the bench's
     filesystem — no Spark, no repo code — so an I/O-slow draw is a
     RECORDED number: a headline rise that calibration_io tracks is the
-    disk, whatever the other two probes say."""
+    disk, whatever the other two probes say.
+
+    Returns ``None`` (→ JSON null, ratios suppressed) instead of raising
+    when the bench cwd rejects the temp file (read-only dir, ENOSPC):
+    by the time this probe runs every query timing is already measured,
+    and an uncaught OSError here would discard the whole result line
+    (r15 ADVICE)."""
     import tempfile
 
     blob = os.urandom(1 << 20) * 64  # 64 MiB, incompressible
@@ -441,8 +447,11 @@ def _calibrate_io(runs: int = 3) -> float:
                 pass
         return time.perf_counter() - t0
 
-    once()  # warm-up: allocator, first-touch of the temp dir
-    return round(min(once() for _ in range(runs)), 3)
+    try:
+        once()  # warm-up: allocator, first-touch of the temp dir
+        return round(min(once() for _ in range(runs)), 3)
+    except OSError:
+        return None  # unwritable cwd / full disk: probe null, keep line
 
 
 def main() -> None:
@@ -569,6 +578,16 @@ def main() -> None:
                 "calibration_io": calibration_io,
                 "headline_per_calibration_io": (
                     round(value / calibration_io, 2)
+                    if calibration_io
+                    else None
+                ),
+                # the r15 I/O incident concentrated in write/scan-heavy
+                # queries, several of which live in extras
+                # (q_survival_km, q_bpe_train) — normalize extras by the
+                # I/O probe too so extras drift is adjudicable without
+                # hand math (r15 VERDICT nit)
+                "extras_per_calibration_io": (
+                    round(sum(extras.values()) / calibration_io, 2)
                     if calibration_io
                     else None
                 ),

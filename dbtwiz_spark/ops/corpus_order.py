@@ -7,43 +7,42 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-15 window (positions 0-49) — the freshness round again (VERDICT
-r14 item 1: clear the r8 cohort) plus the r14-item-4 certificate
-refresh. Oldest cohort first, then this round's forced re-entries, then
-the riskiest of the next-oldest cohort, then the rows-only certificate
-family:
+Round-16 window (positions 0-49) — the plan the r15 docstring
+projected, executed: clear the ENTIRE 29-entry r9 cohort (raising the
+minimum hash-green certification age r9 → r10), then this round's
+forced re-entries, then the riskiest of the r10 cohort:
 
-* 0-23 — the ENTIRE 24-entry r8 remainder (the r8 cohort minus the
-  twelve the r14 window already recycled), exactly the set
-  scripts/freshness_report.py names. With these green, the minimum
-  hash-green certification age rises r8 → r9.
-* 24-25 — ext-multimodal-column / ext-multimodal-framesample, forced
-  by the round-15 multimodal PLANE edit (the r14 ADVICE _skip_id3
-  fix: ID3v2.4 footer flag — flags bit 0x10 adds a 10-byte '3DI'
-  trailer the syncsafe size does not count, so footer-bearing tags
-  desynced the sniffer). Verified empirically: zero entry-hash drift
-  against scripts/green_manifest.json — the plane pin is the only
-  trigger (the round's picker.py/cli.py edits touch no plane and no
+* 0-7 — the eight riskiest-26 tail entries the r14 pre-ranking carried
+  into the r9 remainder (multi-stage / sketch / write-adjacent before
+  scalar expressions): agg-quantile-digest, agg-bootstrap-ci,
+  join-range, file-format-orc, win-ohlc-bars, win-qualify,
+  sort-custom-key, top-k.
+* 8-28 — the 21 low-risk single-stage r9 scalars (func-*, set-*,
+  limit, agg-pythagorean-means), completing the r9 cohort. With all 29
+  green, the minimum hash-green certification age rises r9 → r10.
+* 29-30 — ext-multimodal-column / ext-multimodal-framesample, forced
+  by the round-16 multimodal PLANE edits (the r15 ADVICE _skip_id3
+  version gate: ID3v2 footers exist only in v2.4, so the 0x10 flag bit
+  on a malformed v2.3 tag must not over-skip 10 bytes — plus the
+  16-bit PIL fast-path parity self-gate, _pil_deep_verified: deep PNGs
+  reach _decode_pil only after the installed Pillow reproduces the
+  pure decoder bit-for-bit on synthetic 16-bit probes). Verified
+  empirically: zero entry-hash drift against
+  scripts/green_manifest.json, multimodal plane hash drift only (the
+  round's bench.py / scripts/ab_bench.py edits touch no plane and no
   entry closure).
-* 26-43 — the 18 riskiest r9-era greens, the head of the riskiest-26
-  pre-ranking the r14 docstring recorded (streaming / stateful / UDF /
-  multi-stage / sketch before single-stage expressions):
-  the six stream-* entries, udaf, udtf, udf-scalar, macro-template,
-  ext-decontaminate, ext-dedup-exact, ext-sample-stratified,
-  ext-sim-cosine-topk, agg-salted-skew, agg-heavy-hitters,
-  agg-hll-sketch-merge, agg-approx-count-distinct.
-* 44-49 — the six rows-only-family certificate entries (VERDICT r14
-  item 4: their latest driver rows-runs dated to r11 and the
-  certificates to r12 — refresh so every approximate path's
-  certificate is ≤3 rounds old): ext-dedup-near-recall,
-  ext-dedup-simhash-recall, ext-ann-lsh-recall, ext-ann-ivf-recall,
-  sort-within-partitions-cert, stream-dedup-near-cert.
-
-Fronting the certificate family costs eight slots of the riskiest-26
-r9 plan; the tail eight (agg-quantile-digest, agg-bootstrap-ci,
-join-range, file-format-orc, win-ohlc-bars, win-qualify,
-sort-custom-key, top-k) move to the round-16 front — they are part of
-the r9 remainder arithmetic below, not dropped.
+* 31-49 — the head 19 of the riskiest-21 r10 pre-ranking the r15
+  docstring recorded (streaming / write-plane / multi-stage /
+  index-build before single-stage text scalars):
+  stream-resample-interpolate, sink-scd2, sink-sharded-export,
+  sort-global, ext-pack-sequences, ext-text-tfidf, ext-vocab-build,
+  ext-bm25-search, ext-dedup-embedding, ext-sim-threshold-join,
+  ext-knn-label, ext-pii-scrub, ext-quality-gopher,
+  ext-curriculum-order, ext-mix-domains, ext-mix-temperature,
+  ext-host-token-budget, ext-sample-importance, ext-split-train-eval.
+  The two forced multimodal slots defer the pre-ranking's tail two
+  (ext-dup-span, ext-fingerprint) to the round-17 front — they are
+  part of the r10 remainder arithmetic below, not dropped.
 
 ``WINDOW_ROUND`` pins the round this window was planned FOR: the
 freshness test computes cohorts from ``CORRECTNESS_r{N}`` files with
@@ -53,35 +52,37 @@ is part of each rotation; a stale pin cannot coast, because a window
 planned against a newer history will not cover the stale pin's oldest
 cohort.
 
-Projected cohorts after a green r15 (from the r01-r14 history + this
-window): r9 x 29, r10 x 38, r11 x 44, r12 x 29, r13 x 48, r14 x 48,
-r15 x 50 (sums to 286). The r16 window therefore fronts the 29-entry
-r9 remainder — the eight riskiest-26 tail entries named above plus the
-21 low-risk scalar rows (func-array, func-bitwise, func-cast,
-func-column-masking, func-conditional, func-datetime,
-func-generate-date-array, func-generate-series, func-hash, func-json,
-func-map, func-math, func-string, func-struct, func-surrogate-key,
-limit, set-except, set-intersect, set-union-all, set-union-distinct,
-agg-pythagorean-means) — with exactly 21 free slots for the riskiest
-r10 greens, barring forced re-entries. Riskiest-21 r10 pre-ranking
-(streaming / write-plane / multi-stage / index-build before
-single-stage text scalars — recompute against
-scripts/freshness_report.py when planning): stream-resample-interpolate,
-sink-scd2, sink-sharded-export, sort-global, ext-pack-sequences,
-ext-text-tfidf, ext-vocab-build, ext-bm25-search, ext-dedup-embedding,
-ext-sim-threshold-join, ext-knn-label, ext-pii-scrub,
-ext-quality-gopher, ext-curriculum-order, ext-mix-domains,
-ext-mix-temperature, ext-host-token-budget, ext-sample-importance,
-ext-split-train-eval, ext-dup-span, ext-fingerprint — leaving the 17
-single-stage r10 text/window scalars (ext-dedup-url, ext-embed-stats,
-ext-filter-*, ext-lang-id, ext-ngram-jaccard, ext-quality-repetition,
-ext-quality-score, ext-text-normalize, ext-text-stats, ext-token-*,
-func-url, win-first-last, win-lag-lead, win-running-agg,
-win-sliding-frame) for round 17.
+Projected cohorts after a green r16 (from the r01-r15 history + this
+window): r10 x 19, r11 x 44, r12 x 29, r13 x 48, r14 x 48, r15 x 48,
+r16 x 50 (sums to 286). The r17 window therefore fronts the 19-entry
+r10 remainder — ext-dup-span and ext-fingerprint (the deferred
+pre-ranking tail) plus the 17 single-stage r10 scalars (ext-dedup-url,
+ext-embed-stats, ext-filter-composite, ext-filter-length-outliers,
+ext-lang-id, ext-ngram-jaccard, ext-quality-repetition,
+ext-quality-score, ext-text-normalize, ext-text-stats, ext-token-count,
+ext-token-histogram, func-url, win-first-last, win-lag-lead,
+win-running-agg, win-sliding-frame) — with exactly 31 free slots for
+the riskiest r11 greens, barring forced re-entries. Riskiest-31 r11
+pre-ranking (rows-only/stateful/sketch/iterative/multi-stage before
+single-stage filters and scans — recompute against
+scripts/freshness_report.py when planning): ext-dedup-near,
+ext-dedup-simhash, ext-ann-lsh-bucket, ext-ann-ivf, stream-dedup-near,
+sort-within-partitions, agg-bloom-filter, agg-countmin-sketch,
+agg-histogram, agg-percentile-exact, agg-mode-deterministic,
+agg-corr-covar, win-funnel, win-retention-cohort, win-gaps-islands,
+ext-chunk-documents, ext-dataset-card, ext-dedup-containment,
+func-zorder, func-higher-order, func-from-json, join-bucketed,
+filter-exists-correlated, join-null-safe, join-full-outer,
+join-broadcast, join-inner-equi, join-left-outer, join-right-outer,
+set-except-all, set-intersect-all — leaving the 13 single-stage r11
+scans/filters (scan-table, scan-view, project-star, filter-between,
+filter-in, filter-like, filter-null, filter-partition-required,
+filter-predicate, file-format-csv, file-format-json,
+file-format-parquet, set-union-by-name) for round 18.
 
-Round-15 additions policy: corpus growth stays FROZEN at 286 (VERDICT
+Round-16 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r14 item 7). Any entry added mid-round must be listed here under
-"added AFTER the round-15 window filled" for round-16 front-loading.
+"added AFTER the round-16 window filled" for round-17 front-loading.
 """
 
 
@@ -91,71 +92,72 @@ from __future__ import annotations
 # CORRECTNESS_r* history of rounds STRICTLY BELOW this. The freshness
 # test scopes its cohort computation the same way, so the driver dropping
 # CORRECTNESS_r{WINDOW_ROUND}.json never flips the tree red mid-round.
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # the complete 24-entry r8 remainder (r14's pre-named plan, due now)
-    "agg-anova-oneway",
-    "agg-auc-roc",
-    "agg-bounce-rate",
-    "agg-cohen-d",
-    "agg-forecast-backtest-mape",
-    "agg-growth-accounting",
-    "agg-hhi-concentration",
-    "agg-kendall-tau",
-    "agg-mutual-information",
-    "agg-new-vs-repeat-revenue",
-    "agg-order-gap-distribution",
-    "agg-pk-uniqueness-audit",
-    "agg-price-elasticity",
-    "agg-retention-triangle",
-    "agg-runs-test",
-    "agg-seasonality-strength",
-    "agg-tukey-fences",
-    "ext-classify-naive-bayes",
-    "ext-embed-centroid-inertia",
-    "ext-ngram-novelty",
-    "ext-split-leak-audit",
-    "win-bollinger-bands",
-    "win-rolling-beta",
-    "win-rsi-wilder",
-    # multimodal plane edit (r14 ADVICE: ID3v2.4 footer-flag skip in
-    # _skip_id3; zero entry-hash drift — plane pin only)
+    # r9-cohort clear, riskiest first: the riskiest-26 tail eight
+    # (multi-stage / sketch / write-adjacent) the r14 pre-ranking
+    # carried into this round
+    "agg-quantile-digest",
+    "agg-bootstrap-ci",
+    "join-range",
+    "file-format-orc",
+    "win-ohlc-bars",
+    "win-qualify",
+    "sort-custom-key",
+    "top-k",
+    # the 21 low-risk single-stage r9 scalars, completing the cohort
+    "func-array",
+    "func-bitwise",
+    "func-cast",
+    "func-column-masking",
+    "func-conditional",
+    "func-datetime",
+    "func-generate-date-array",
+    "func-generate-series",
+    "func-hash",
+    "func-json",
+    "func-map",
+    "func-math",
+    "func-string",
+    "func-struct",
+    "func-surrogate-key",
+    "limit",
+    "set-except",
+    "set-intersect",
+    "set-union-all",
+    "set-union-distinct",
+    "agg-pythagorean-means",
+    # multimodal plane edits (r15 ADVICE: ID3v2.4-only footer gate in
+    # _skip_id3; r15 standing item: 16-bit PIL fast-path parity
+    # self-gate) — zero entry-hash drift, plane pin only
     "ext-multimodal-column",
     "ext-multimodal-framesample",
-    # r9-era recycle, riskiest-first (head of the r14-docstring
-    # pre-ranking: streaming / stateful / UDF / multi-stage / sketch)
-    "stream-foreachbatch-sink",
-    "stream-session-window",
-    "stream-sliding-window",
-    "stream-stateful-dedup",
-    "stream-tumbling-window",
-    "stream-watermark-late",
-    "udaf",
-    "udtf",
-    "udf-scalar",
-    "macro-template",
-    "ext-decontaminate",
-    "ext-dedup-exact",
-    "ext-sample-stratified",
-    "ext-sim-cosine-topk",
-    "agg-salted-skew",
-    "agg-heavy-hitters",
-    "agg-hll-sketch-merge",
-    "agg-approx-count-distinct",
-    # rows-only certificate family refresh (VERDICT r14 item 4): the
-    # recall/cert companions whose hash-green rows certify the six
-    # oracle-less approximate paths
-    "ext-dedup-near-recall",
-    "ext-dedup-simhash-recall",
-    "ext-ann-lsh-recall",
-    "ext-ann-ivf-recall",
-    "sort-within-partitions-cert",
-    "stream-dedup-near-cert",
+    # r10-era recycle, riskiest-first (head 19 of the r15-docstring
+    # pre-ranking: streaming / write-plane / multi-stage / index-build)
+    "stream-resample-interpolate",
+    "sink-scd2",
+    "sink-sharded-export",
+    "sort-global",
+    "ext-pack-sequences",
+    "ext-text-tfidf",
+    "ext-vocab-build",
+    "ext-bm25-search",
+    "ext-dedup-embedding",
+    "ext-sim-threshold-join",
+    "ext-knn-label",
+    "ext-pii-scrub",
+    "ext-quality-gopher",
+    "ext-curriculum-order",
+    "ext-mix-domains",
+    "ext-mix-temperature",
+    "ext-host-token-budget",
+    "ext-sample-importance",
+    "ext-split-train-eval",
 )
 
-# No oldest-cohort entry is deferred this round: all 24 r8-remainder
-# entries sit in the window above (the r14 plan, executed). The
+# No oldest-cohort entry is deferred this round: all 29 r9-cohort
+# entries sit in the window above (the r15 plan, executed). The
 # freshness test requires this list to name exactly the oldest-cohort
 # entries NOT in the window — which is none.
 OLDEST_DEFERRED: tuple[str, ...] = ()

