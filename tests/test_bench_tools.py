@@ -22,6 +22,23 @@ def test_calibrate_io_probe_runs_and_is_bounded(tmp_path, monkeypatch):
     assert not list(tmp_path.glob("*.ioprobe"))
 
 
+def test_calibrate_io_probe_null_on_unwritable_cwd(monkeypatch):
+    """An unwritable/full bench cwd must yield a null probe, not an
+    uncaught OSError — by the time the probe runs, every query timing
+    is already measured, and raising would discard the whole result
+    line (r15 ADVICE). Root ignores directory modes, so the failure is
+    injected at the tempfile seam instead of via chmod."""
+    import tempfile
+
+    import bench
+
+    def boom(*a, **k):
+        raise OSError(28, "No space left on device")
+
+    monkeypatch.setattr(tempfile, "NamedTemporaryFile", boom)
+    assert bench._calibrate_io(runs=1) is None
+
+
 def test_ab_fill_missing_probes_backfills_and_marks(monkeypatch):
     """An old tree's result lacking the newer probes gains them from the
     companion, marked, with the derived normalizations computed; a
