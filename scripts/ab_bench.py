@@ -56,6 +56,7 @@ _METRICS = (
     "headline_per_calibration",
     "headline_per_calibration_spark",
     "headline_per_calibration_io",
+    "extras_per_calibration_io",
 )
 
 
@@ -116,19 +117,21 @@ def _fill_missing_probes(result: dict) -> dict:
         for k in ("calibration", "calibration_spark", "calibration_io")
         if k not in result
     ]
-    if not missing:
-        return result
-    companion = _companion_probes()
-    for k in missing:
-        result[k] = companion[k]
-        result[f"{k}_from_companion"] = True
-    for probe, key in (
-        ("calibration", "headline_per_calibration"),
-        ("calibration_spark", "headline_per_calibration_spark"),
-        ("calibration_io", "headline_per_calibration_io"),
-    ):
-        if key not in result and result.get(probe):
-            result[key] = round(result["value"] / result[probe], 2)
+    if missing:
+        companion = _companion_probes()
+        for k in missing:
+            result[k] = companion[k]
+            result[f"{k}_from_companion"] = True
+    # derive any ratio the tree's own bench didn't emit, even when no
+    # probe was missing: an r15 tree has all three probes but predates
+    # extras_per_calibration_io
+    for total_key, prefix in (("value", "headline"), ("extras_total", "extras")):
+        if total_key not in result:
+            continue
+        for probe in ("calibration", "calibration_spark", "calibration_io"):
+            key = f"{prefix}_per_{probe}"
+            if key not in result and result.get(probe):
+                result[key] = round(result[total_key] / result[probe], 2)
     return result
 
 
@@ -137,19 +140,15 @@ def _cell(result: dict, key: str) -> str:
     if v is None:
         return "—"
     mark = "†" if result.get(f"{key}_from_companion") else ""
-    if key.startswith("headline_per"):
-        mark = (
-            "†"
-            if result.get(
-                f"{key.replace('headline_per_', '')}_from_companion"
-            )
-            else ""
-        )
+    if "_per_" in key:
+        # a ratio derived from a companion-sourced probe inherits its mark
+        probe = key.split("_per_", 1)[1]
+        mark = "†" if result.get(f"{probe}_from_companion") else ""
     if not isinstance(v, float):
         return f"{v}{mark}"
     # seconds rows get 3 decimals, normalization ratios 2 (the BENCHLOG
     # table convention)
-    digits = 2 if key.startswith("headline_per") else 3
+    digits = 2 if "_per_" in key else 3
     return f"{v:.{digits}f}{mark}"
 
 
@@ -170,17 +169,15 @@ def table(
             f"| {m} | " + " | ".join(_cell(r, m) for r in cols) + " |"
         )
     for q in queries:
+        # watch queries live in either timing dict — the r13 precedent
+        # experiment quoted extras queries (q_survival_km, q_ks_test),
+        # which a headline-only lookup would render as —
+        def _q(r: dict) -> str:
+            v = r.get("queries", {}).get(q, r.get("extras", {}).get(q))
+            return f"{v:.3f}" if v is not None else "—"
+
         lines.append(
-            f"| {q} (s) | "
-            + " | ".join(
-                (
-                    f"{r['queries'][q]:.3f}"
-                    if q in r.get("queries", {})
-                    else "—"
-                )
-                for r in cols
-            )
-            + " |"
+            f"| {q} (s) | " + " | ".join(_q(r) for r in cols) + " |"
         )
     if any(
         r.get(f"{k}_from_companion")

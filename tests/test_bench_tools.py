@@ -42,8 +42,10 @@ def test_calibrate_io_probe_null_on_unwritable_cwd(monkeypatch):
 def test_ab_fill_missing_probes_backfills_and_marks(monkeypatch):
     """An old tree's result lacking the newer probes gains them from the
     companion, marked, with the derived normalizations computed; a
-    result that already has all three is returned untouched (no
-    companion process spawned)."""
+    result that already has all three spawns no companion process (its
+    own probe readings are kept, though missing RATIO keys still
+    derive — an r15 tree has every probe but no
+    extras_per_calibration_io)."""
     from scripts import ab_bench
 
     monkeypatch.setattr(
@@ -74,7 +76,10 @@ def test_ab_fill_missing_probes_backfills_and_marks(monkeypatch):
         "calibration_io": 0.2,
         "queries": {},
     }
-    assert ab_bench._fill_missing_probes(dict(complete)) == complete
+    filled = ab_bench._fill_missing_probes(dict(complete))
+    assert all(filled[k] == v for k, v in complete.items())
+    assert not any(k.endswith("_from_companion") for k in filled)
+    assert filled["headline_per_calibration_io"] == 30.0  # derived, unmarked
 
 
 def test_ab_table_renders_pairs_queries_and_companion_note():
@@ -109,3 +114,48 @@ def test_ab_table_renders_pairs_queries_and_companion_note():
     assert "14.45†" in md  # ...and so is its derived normalization
     assert "† probe back-filled" in md
     assert "| calibration_io | — | 0.175 |" in md  # old tree lacks it
+
+
+def test_ab_backfill_derives_extras_ratios():
+    """The back-fill derives the extras normalizations alongside the
+    headline ones (the r13/r14 precedent experiments adjudicated on
+    extras ratios; a back-fill that only derived headline ratios left
+    the extras side to hand math on old trees)."""
+    from scripts import ab_bench
+
+    old = {
+        "value": 8.0,
+        "extras_total": 6.0,
+        "calibration": 0.25,
+        "calibration_spark": 0.5,
+        "calibration_io": 0.2,
+        "queries": {},
+    }
+    filled = ab_bench._fill_missing_probes(dict(old))
+    assert filled["extras_per_calibration"] == 24.0
+    assert filled["extras_per_calibration_spark"] == 12.0
+    assert filled["extras_per_calibration_io"] == 30.0
+
+
+def test_ab_table_quotes_extras_queries():
+    """--queries must find a watch query in EITHER timing dict: the r13
+    experiment's watch queries (q_survival_km, q_ks_test) live in
+    extras, not headline."""
+    from scripts.ab_bench import table
+
+    a = {
+        "value": 8.0,
+        "queries": {"q_set_except": 0.151},
+        "extras": {"q_survival_km": 1.127},
+        "extras_per_calibration_io": 50.3,
+    }
+    b = {
+        "value": 6.0,
+        "queries": {"q_set_except": 0.117},
+        "extras": {"q_survival_km": 1.38},
+    }
+    md = table([a], [b], "old", "new", ["q_set_except", "q_survival_km"])
+    assert "| q_set_except (s) | 0.151 | 0.117 |" in md
+    assert "| q_survival_km (s) | 1.127 | 1.380 |" in md
+    # the new extras ratio row renders (and dashes where absent)
+    assert "| extras_per_calibration_io | 50.30 | — |" in md
