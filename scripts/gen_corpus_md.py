@@ -37,15 +37,21 @@ def render() -> str:
         for n in pair
         if n not in CORPUS
     ]
-    assert not missing, f"CERTIFICATES names unregistered entries: {missing}"
+    # explicit raises, not asserts: `python -O` strips asserts, and a
+    # regeneration that silently skips the linkage guards could ship a
+    # CORPUS.md claiming certification that doesn't exist (same
+    # rationale as full_sweep's corpus-size check)
+    if missing:
+        raise ValueError(f"CERTIFICATES names unregistered entries: {missing}")
     uncertified = [
         n
         for n, s in CORPUS.items()
         if s.oracle is None and n not in CERTIFICATES
     ]
-    assert not uncertified, (
-        f"rows-only entries with no certificate linkage: {uncertified}"
-    )
+    if uncertified:
+        raise ValueError(
+            f"rows-only entries with no certificate linkage: {uncertified}"
+        )
     lines = [
         "# CORPUS — the oracle-checked operator inventory",
         "",

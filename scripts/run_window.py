@@ -23,7 +23,12 @@ from dbtwiz_spark.testing import compare_entry, duckdb_con  # noqa: E402
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     window = list(CORPUS)[:50]
-    assert tuple(window) == DRIVER_WINDOW, "corpus order != DRIVER_WINDOW"
+    # explicit check, not assert: `python -O` strips asserts, and a
+    # preflight that silently rehearses the WRONG window is worse than
+    # no preflight (same rationale as full_sweep's corpus-size check)
+    if tuple(window) != DRIVER_WINDOW:
+        print("corpus order != DRIVER_WINDOW — fix corpus_order.py first", file=sys.stderr)
+        sys.exit(1)
     spark = get_spark(shuffle_partitions=8)
     con = duckdb_con(sf_dir)
     t_all = time.time()
