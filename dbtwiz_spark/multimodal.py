@@ -134,6 +134,21 @@ def _check_pixels(width: int, height: int) -> None:
         )
 
 
+def _require_binary_payload(df: DataFrame, op: str) -> None:
+    """Explicit raise, not assert (`python -O` strips asserts): a
+    mistyped payload column would otherwise surface as an opaque Arrow
+    serialization error deep inside the executor-side pandas batches —
+    fail at plan-build time with the column and type named instead."""
+    dt = (
+        df.schema["payload"].dataType if "payload" in df.columns else None
+    )
+    if not isinstance(dt, BinaryType):
+        raise TypeError(
+            f"{op} requires a binary 'payload' column, got "
+            + (dt.simpleString() if dt is not None else "no such column")
+        )
+
+
 #: tri-state PIL probe: False = not probed yet, None = absent/disabled
 _PIL_IMAGE: object = False
 
@@ -1478,7 +1493,7 @@ def extract_features(df: DataFrame) -> DataFrame:
     (Arrow transfer, per-batch pandas work, stable schema) is the
     production one either way.
     """
-    assert isinstance(df.schema["payload"].dataType, BinaryType)
+    _require_binary_payload(df, "extract_features")
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -1590,6 +1605,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     batch loop. The Spark-side plumbing — struct column through Arrow,
     schema-stable output, partition-preserving map — is identical on
     both branches."""
+    _require_binary_payload(df, "resize_images")
 
     out_schema = StructType(
         [

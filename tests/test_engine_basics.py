@@ -62,6 +62,27 @@ def test_multimodal_feature_extraction(spark, catalog):
     assert frames.count() >= 5
 
 
+def test_media_ops_reject_nonbinary_payload_at_plan_time(spark):
+    """extract_features/resize_images fail at PLAN-BUILD time, with the
+    column and offending type named, when the payload column is missing
+    or mistyped — an explicit TypeError, not an `-O`-strippable assert,
+    and never an opaque executor-side Arrow serialization error."""
+    import pytest as _pytest
+
+    from dbtwiz_spark.multimodal import extract_features, resize_images
+
+    mistyped = spark.createDataFrame(
+        [(1, "not-bytes")], "doc_id LONG, payload STRING"
+    )
+    with _pytest.raises(TypeError, match="extract_features.*got string"):
+        extract_features(mistyped)
+    with _pytest.raises(TypeError, match="resize_images.*got string"):
+        resize_images(mistyped, 2, 2)
+    missing = spark.createDataFrame([(1,)], "doc_id LONG")
+    with _pytest.raises(TypeError, match="no such column"):
+        extract_features(missing)
+
+
 def test_extract_features_real_geometry_for_decodable_images(spark):
     """extract_features surfaces REAL decoded width/height for BMP/PPM
     payloads (header-only parse) as plan-level columns, NULL for
