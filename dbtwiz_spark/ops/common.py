@@ -424,14 +424,25 @@ def parallel_rank(df, keys, n_parts: int = 8):
 
     Returns ``df`` plus ``_rank`` (global row number) and ``_n`` (total
     rows). The key chain MUST be a unique total order or ranks are
-    partition-placement-dependent. The ranked input is persisted because
-    both the counts and the final join consume the sorted partitions
-    (without it the range partition + sort runs twice, measured 2x at
-    sf0.01). Shared by win-percent and agg-gini-concentration; the
-    offset fold is O(P^2) on a handful of elements in one tiny task,
-    never a windowed cumsum (that would be a single-partition
-    WindowExec)."""
+    partition-placement-dependent. TWO memoized persisted stages
+    (round-16): the range-partitioned+locally-ranked ``local`` stage
+    (as before — both the counts and the offset join consume it, and its
+    CACHE IDENTITY is what pins one physical boundary sample for both
+    consumers: with only plan-level sharing, column pruning specializes
+    each branch's projection below the exchange into two DIFFERENT range
+    exchanges that sample boundaries independently — measured duplicate/
+    missing ranks at sf0.1), plus the WHOLE ranked output (offset join
+    included), so a consumer execution is one cached scan instead of
+    re-running the counts/offsets chain (3 adaptive stages) every time.
+    Shared by win-percent and agg-gini-concentration; the offset fold is
+    O(P^2) on a handful of elements in one tiny task, never a windowed
+    cumsum (that would be a single-partition WindowExec). The offset
+    expressions are ONE parsed SQL string: the previous per-lambda
+    Column construction cost ~300 driver py4j round trips per
+    invocation — pure plan-construction overhead on every consumer."""
     from pyspark.sql.window import Window
+
+    (base, stats) = _plan_sig(df, keys, n_parts)
 
     def _build_local():
         parts = df.repartitionByRange(n_parts, *keys)
@@ -441,31 +452,28 @@ def parallel_rank(df, keys, n_parts: int = 8):
         )
 
     local = _memo_generation(
-        _RANK_CACHE, _plan_sig(df, keys, n_parts), _build_local
+        _RANK_CACHE, ((base, "local"), stats), _build_local
     )
-    counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    carr = counts.agg(
-        F.array_sort(F.collect_list(F.struct("_pid", "_cnt"))).alias("arr")
-    )
-    zero = F.lit(0).cast("long")
-    prefix = F.transform(
-        F.col("arr"),
-        lambda s, i: F.struct(
-            s["_pid"].alias("_pid"),
-            F.aggregate(
-                F.slice(F.col("arr"), 1, i), zero, lambda a, x: a + x["_cnt"]
-            ).alias("_off"),
-        ),
-    )
-    total = F.aggregate(F.col("arr"), zero, lambda a, x: a + x["_cnt"])
-    offsets = carr.select(F.explode(prefix).alias("o"), total.alias("_n")).select(
-        F.col("o._pid").alias("_pid"), F.col("o._off").alias("_off"), "_n"
-    )
-    return (
-        local.join(F.broadcast(offsets), "_pid")
-        .withColumn("_rank", F.col("_off") + F.col("_rn"))
-        .drop("_pid", "_rn", "_off")
-    )
+
+    def _build_out():
+        counts = local.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+        carr = counts.agg(
+            F.expr("array_sort(collect_list(struct(_pid, _cnt))) AS arr")
+        )
+        offsets = carr.selectExpr(
+            "inline(transform(arr, (s, i) -> named_struct("
+            "'_pid', s._pid, "
+            "'_off', aggregate(slice(arr, 1, i), CAST(0 AS BIGINT), "
+            "(a, x) -> a + x._cnt))))",
+            "aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x._cnt) AS _n",
+        )
+        return (
+            local.join(F.broadcast(offsets), "_pid")
+            .withColumn("_rank", F.col("_off") + F.col("_rn"))
+            .drop("_pid", "_rn", "_off")
+        )
+
+    return _memo_generation(_RANK_CACHE, ((base, "out"), stats), _build_out)
 
 
 def parallel_prefix_sum(df, keys, cols, n_parts: int = 8):
@@ -480,15 +488,22 @@ def parallel_prefix_sum(df, keys, cols, n_parts: int = 8):
     Returns ``df`` plus one ``_cum_<col>`` column per input col. The key
     chain must be a unique total order. No global single-partition window
     anywhere; the offset fold is O(P^2) on #partitions elements in one
-    tiny task. Backs agg-ks-test (two-sample CDF comparison)."""
+    tiny task. Backs agg-ks-test (two-sample CDF comparison).
+
+    Persistence and construction mirror ``parallel_rank`` (round-16): the
+    range-partitioned ``local`` stage stays a memoized persisted artifact
+    (its cache identity pins ONE physical boundary sample for both the
+    totals and output branches — plan-level sharing alone lets column
+    pruning split them into two independently-sampled range exchanges,
+    measured wrong prefixes at sf0.1), the WHOLE prefixed output is a
+    second memoized artifact (one cached scan per consumer execution
+    instead of re-running the totals/offsets stage chain), and the offset
+    expressions are one parsed SQL string instead of ~300 py4j
+    round trips of per-lambda Column construction."""
     from pyspark.sql.window import Window
 
-    # persisted + memoized like parallel_rank: BOTH the totals branch and
-    # the output branch consume the range-partitioned local stage, and the
-    # _pid-keyed offset join is only correct if both branches see the SAME
-    # physical range boundaries — two independent instantiations of
-    # repartitionByRange may sample different boundaries. The persist also
-    # halves the wall-clock (the parallel_rank measurement).
+    (base, stats) = _plan_sig(df, keys, tuple(cols), n_parts)
+
     def _build_local():
         parts = df.repartitionByRange(n_parts, *keys)
         w = (
@@ -502,44 +517,36 @@ def parallel_prefix_sum(df, keys, cols, n_parts: int = 8):
         return out
 
     local = _memo_generation(
-        _RANK_CACHE, _plan_sig(df, keys, tuple(cols), n_parts), _build_local
+        _RANK_CACHE, ((base, "local"), stats), _build_local
     )
-    totals = local.groupBy("_pid").agg(
-        *[F.sum(c).cast("long").alias(f"_t_{c}") for c in cols]
-    )
-    carr = totals.agg(
-        F.array_sort(
-            F.collect_list(F.struct("_pid", *[f"_t_{c}" for c in cols]))
-        ).alias("arr")
-    )
-    zero = F.lit(0).cast("long")
 
-    # close over the column name via a factory, never a default arg: a
-    # pyspark higher-order lambda's EXTRA parameter silently binds to the
-    # element index (the documented lambda-arity gotcha)
-    def _adder(c):
-        return lambda a, x: a + x[f"_t_{c}"]
-
-    prefix = F.transform(
-        F.col("arr"),
-        lambda s, i: F.struct(
-            s["_pid"].alias("_pid"),
-            *[
-                F.aggregate(F.slice(F.col("arr"), 1, i), zero, _adder(c)).alias(
-                    f"_off_{c}"
-                )
+    def _build_out():
+        totals = local.groupBy("_pid").agg(
+            *[F.sum(c).cast("long").alias(f"_t_{c}") for c in cols]
+        )
+        struct_cols = ", ".join(["_pid"] + [f"_t_{c}" for c in cols])
+        carr = totals.agg(
+            F.expr(f"array_sort(collect_list(struct({struct_cols}))) AS arr")
+        )
+        fields = ", ".join(
+            ["'_pid', s._pid"]
+            + [
+                f"'_off_{c}', aggregate(slice(arr, 1, i), "
+                f"CAST(0 AS BIGINT), (a, x) -> a + x._t_{c})"
                 for c in cols
-            ],
-        ),
-    )
-    offsets = carr.select(F.explode(prefix).alias("o")).select(
-        F.col("o._pid").alias("_pid"),
-        *[F.col(f"o._off_{c}").alias(f"_off_{c}") for c in cols],
-    )
-    out = local.join(F.broadcast(offsets), "_pid")
-    for c in cols:
-        out = out.withColumn(f"_cum_{c}", F.col(f"_off_{c}") + F.col(f"_cum_{c}"))
-    return out.drop("_pid", *[f"_off_{c}" for c in cols])
+            ]
+        )
+        offsets = carr.selectExpr(
+            f"inline(transform(arr, (s, i) -> named_struct({fields})))"
+        )
+        out = local.join(F.broadcast(offsets), "_pid")
+        for c in cols:
+            out = out.withColumn(
+                f"_cum_{c}", F.col(f"_off_{c}") + F.col(f"_cum_{c}")
+            )
+        return out.drop("_pid", *[f"_off_{c}" for c in cols])
+
+    return _memo_generation(_RANK_CACHE, ((base, "out"), stats), _build_out)
 
 
 def dsum_scaled(col: Column | str, alias: str | None = None) -> Column:

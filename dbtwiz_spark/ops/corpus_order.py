@@ -7,10 +7,17 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-16 window (positions 0-49) — the plan the r15 docstring
-projected, executed: clear the ENTIRE 29-entry r9 cohort (raising the
-minimum hash-green certification age r9 → r10), then this round's
-forced re-entries, then the riskiest of the r10 cohort:
+Round-16 window (positions 0-49) — REVISED for the round-16
+OPTIMIZATION phase: round 16 became the first optimization round, and
+its plan-shape rewrites (see OPTIMIZATION_r16.md) changed the entry
+hash of 18 green entries — the parallel_rank / parallel_prefix_sum
+device rewrite (13 entries via the helper closure), the
+survival/ks/sliding-distinct restructurings, the _bpe_reps vocabulary
+artifact (ext-bpe-train + ext-tokenize-apply), and the ext-dedup-near
+band-stack artifact (+ its recall certificate via CERT_OF). The guard
+forces all 18 into this window, so the r10-recycle tail of the
+original plan is deferred to round 17; the r9-cohort clear (the
+r15-projected goal) is preserved in full:
 
 * 0-7 — the eight riskiest-26 tail entries the r14 pre-ranking carried
   into the r9 remainder (multi-stage / sketch / write-adjacent before
@@ -31,18 +38,24 @@ forced re-entries, then the riskiest of the r10 cohort:
   scripts/green_manifest.json, multimodal plane hash drift only (the
   round's bench.py / scripts/ab_bench.py edits touch no plane and no
   entry closure).
-* 31-49 — the head 19 of the riskiest-21 r10 pre-ranking the r15
-  docstring recorded (streaming / write-plane / multi-stage /
-  index-build before single-stage text scalars):
-  stream-resample-interpolate, sink-scd2, sink-sharded-export,
-  sort-global, ext-pack-sequences, ext-text-tfidf, ext-vocab-build,
-  ext-bm25-search, ext-dedup-embedding, ext-sim-threshold-join,
-  ext-knn-label, ext-pii-scrub, ext-quality-gopher,
-  ext-curriculum-order, ext-mix-domains, ext-mix-temperature,
-  ext-host-token-budget, ext-sample-importance, ext-split-train-eval.
-  The two forced multimodal slots defer the pre-ranking's tail two
-  (ext-dup-span, ext-fingerprint) to the round-17 front — they are
-  part of the r10 remainder arithmetic below, not dropped.
+* 31-48 — the 18 optimization-phase forced re-entries (entry-hash
+  drift vs scripts/green_manifest.json, computed empirically):
+  agg-survival-km, agg-ks-test, agg-sliding-distinct, ext-bpe-train,
+  ext-tokenize-apply, ext-dedup-near, ext-dedup-near-recall,
+  win-percent, agg-gini-concentration, agg-spearman-corr,
+  agg-rfm-segmentation, agg-pareto-share, agg-calibration-ece,
+  ext-contrastive-pairs, ext-vocab-growth, ext-length-decile-mix,
+  ext-perplexity-filter, ext-source-similarity-matrix.
+* 49 — stream-resample-interpolate, the head of the riskiest-21 r10
+  pre-ranking the r15 docstring recorded. The remaining 20 of that
+  pre-ranking (sink-scd2, sink-sharded-export, sort-global,
+  ext-pack-sequences, ext-text-tfidf, ext-vocab-build, ext-bm25-search,
+  ext-dedup-embedding, ext-sim-threshold-join, ext-knn-label,
+  ext-pii-scrub, ext-quality-gopher, ext-curriculum-order,
+  ext-mix-domains, ext-mix-temperature, ext-host-token-budget,
+  ext-sample-importance, ext-split-train-eval, ext-dup-span,
+  ext-fingerprint) are deferred to the round-17 front — part of the
+  r10 remainder arithmetic below, not dropped.
 
 ``WINDOW_ROUND`` pins the round this window was planned FOR: the
 freshness test computes cohorts from ``CORRECTNESS_r{N}`` files with
@@ -53,32 +66,30 @@ planned against a newer history will not cover the stale pin's oldest
 cohort.
 
 Projected cohorts after a green r16 (from the r01-r15 history + this
-window): r10 x 19, r11 x 44, r12 x 29, r13 x 48, r14 x 48, r15 x 48,
-r16 x 50 (sums to 286). The r17 window therefore fronts the 19-entry
-r10 remainder — ext-dup-span and ext-fingerprint (the deferred
-pre-ranking tail) plus the 17 single-stage r10 scalars (ext-dedup-url,
+window, recomputed via scripts/freshness_report.py after the
+optimization re-entries): r10 x 37, r11 x 43, r12 x 29, r13 x 35,
+r14 x 45, r15 x 47, r16 x 50 (sums to 286). The r17 window therefore
+fronts the 37-entry r10 remainder — the 20 deferred members of the r15
+pre-ranking (sink-scd2, sink-sharded-export, sort-global,
+ext-pack-sequences, ext-text-tfidf, ext-vocab-build, ext-bm25-search,
+ext-dedup-embedding, ext-sim-threshold-join, ext-knn-label,
+ext-pii-scrub, ext-quality-gopher, ext-curriculum-order,
+ext-mix-domains, ext-mix-temperature, ext-host-token-budget,
+ext-sample-importance, ext-split-train-eval, ext-dup-span,
+ext-fingerprint) plus the 17 single-stage r10 scalars (ext-dedup-url,
 ext-embed-stats, ext-filter-composite, ext-filter-length-outliers,
 ext-lang-id, ext-ngram-jaccard, ext-quality-repetition,
 ext-quality-score, ext-text-normalize, ext-text-stats, ext-token-count,
 ext-token-histogram, func-url, win-first-last, win-lag-lead,
-win-running-agg, win-sliding-frame) — with exactly 31 free slots for
-the riskiest r11 greens, barring forced re-entries. Riskiest-31 r11
-pre-ranking (rows-only/stateful/sketch/iterative/multi-stage before
-single-stage filters and scans — recompute against
-scripts/freshness_report.py when planning): ext-dedup-near,
+win-running-agg, win-sliding-frame) — with 13 free slots for the
+riskiest r11 greens, barring forced re-entries. Riskiest-13 r11
+pre-ranking head (rows-only/stateful/sketch/iterative/multi-stage
+first — recompute against scripts/freshness_report.py when planning):
 ext-dedup-simhash, ext-ann-lsh-bucket, ext-ann-ivf, stream-dedup-near,
 sort-within-partitions, agg-bloom-filter, agg-countmin-sketch,
 agg-histogram, agg-percentile-exact, agg-mode-deterministic,
-agg-corr-covar, win-funnel, win-retention-cohort, win-gaps-islands,
-ext-chunk-documents, ext-dataset-card, ext-dedup-containment,
-func-zorder, func-higher-order, func-from-json, join-bucketed,
-filter-exists-correlated, join-null-safe, join-full-outer,
-join-broadcast, join-inner-equi, join-left-outer, join-right-outer,
-set-except-all, set-intersect-all — leaving the 13 single-stage r11
-scans/filters (scan-table, scan-view, project-star, filter-between,
-filter-in, filter-like, filter-null, filter-partition-required,
-filter-predicate, file-format-csv, file-format-json,
-file-format-parquet, set-union-by-name) for round 18.
+agg-corr-covar, win-funnel, win-retention-cohort (the remaining r11
+greens follow in rounds 18-19).
 
 Round-16 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r14 item 7). Any entry added mid-round must be listed here under
@@ -133,27 +144,31 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # self-gate) — zero entry-hash drift, plane pin only
     "ext-multimodal-column",
     "ext-multimodal-framesample",
-    # r10-era recycle, riskiest-first (head 19 of the r15-docstring
-    # pre-ranking: streaming / write-plane / multi-stage / index-build)
+    # round-16 OPTIMIZATION forced re-entries (entry-hash drift vs
+    # scripts/green_manifest.json — the parallel-device rewrite closure,
+    # the survival/ks/sliding restructurings, the BPE vocabulary
+    # artifact, the dedup-near band-stack artifact + its certificate)
+    "agg-survival-km",
+    "agg-ks-test",
+    "agg-sliding-distinct",
+    "ext-bpe-train",
+    "ext-tokenize-apply",
+    "ext-dedup-near",
+    "ext-dedup-near-recall",
+    "win-percent",
+    "agg-gini-concentration",
+    "agg-spearman-corr",
+    "agg-rfm-segmentation",
+    "agg-pareto-share",
+    "agg-calibration-ece",
+    "ext-contrastive-pairs",
+    "ext-vocab-growth",
+    "ext-length-decile-mix",
+    "ext-perplexity-filter",
+    "ext-source-similarity-matrix",
+    # r10-era recycle head (the rest of the r15 pre-ranking is deferred
+    # to round 17 by the optimization re-entries above)
     "stream-resample-interpolate",
-    "sink-scd2",
-    "sink-sharded-export",
-    "sort-global",
-    "ext-pack-sequences",
-    "ext-text-tfidf",
-    "ext-vocab-build",
-    "ext-bm25-search",
-    "ext-dedup-embedding",
-    "ext-sim-threshold-join",
-    "ext-knn-label",
-    "ext-pii-scrub",
-    "ext-quality-gopher",
-    "ext-curriculum-order",
-    "ext-mix-domains",
-    "ext-mix-temperature",
-    "ext-host-token-budget",
-    "ext-sample-importance",
-    "ext-split-train-eval",
 )
 
 # No oldest-cohort entry is deferred this round: all 29 r9-cohort

@@ -505,7 +505,17 @@ def ext_dedup_near(spark, sf_dir):
             .persist()
         )
         _ARTIFACTS[key] = per_doc
-    stacked = band_stack(per_doc)
+    # The band-signature table is ALSO a session artifact (round-16): the
+    # candidate self-join consumes it on BOTH sides, so un-persisted it
+    # re-ran the band explode + xxhash twice per execution. Doc-granular
+    # (bands x docs rows of three narrow columns), so the extra storage
+    # is bounded like per_doc itself; at scale this is the materialized
+    # signature store the streaming path (band_signatures) writes anyway.
+    skey = (spark, sf_dir, "lsh_band_stack")
+    stacked = _ARTIFACTS.get(skey)
+    if stacked is None:
+        stacked = band_stack(per_doc).persist()
+        _ARTIFACTS[skey] = stacked
     a, b = stacked.alias("a"), stacked.alias("b")
     candidates = (
         a.join(
@@ -869,31 +879,35 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     queries: (q_vec_id, q_embedding). Broadcast the query set; the candidate
     table streams — at 100 TB this is a map-side-only scan plus a top-k
     aggregation (TakeOrdered per query key).
+
+    Norms are computed ONCE PER ROW on each side before the pair join
+    (round-16 optimization): the previous form re-folded both vectors'
+    self-products per PAIR, tripling the dominant per-pair array work
+    (Q x the candidate-norm fold, C x the query-norm fold). Same fold,
+    same operands, same IEEE result — only the evaluation site moves.
     """
+
+    def _norm(col: str):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda a: a.cast("double") * a.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
     dot = F.aggregate(
         F.zip_with("q_embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    nq = F.sqrt(
-        F.aggregate(
-            F.transform("q_embedding", lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nc = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    pairs = emb.join(F.broadcast(queries), F.col("q_vec_id") != F.col("vec_id")).select(
+    base = emb.select("vec_id", "label", "embedding", _norm("embedding").alias("nrm"))
+    q = queries.select("q_vec_id", "q_embedding", _norm("q_embedding").alias("qn"))
+    pairs = base.join(F.broadcast(q), F.col("q_vec_id") != F.col("vec_id")).select(
         "q_vec_id",
         F.col("vec_id").alias("c_vec_id"),
         "label",
-        (dot / (nq * nc)).alias("cosine"),
+        (dot / (F.col("qn") * F.col("nrm"))).alias("cosine"),
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -1219,10 +1233,15 @@ def ivf_index(
             )
         )
     # The index is a built artifact shared by every query against it (at
-    # scale: materialized partitioned-by-cell parquet). Persist both sides;
-    # identical rebuild plans hit the same cache entry.
+    # scale: materialized partitioned-by-cell parquet). Persist all three
+    # pieces — assignments, centroid table, and the ONE-ROW collapsed
+    # centroid array the probe selector consumes (round-16: previously
+    # rebuilt per search from the centroid table, one extra tiny
+    # aggregation job per query); identical rebuild plans hit the same
+    # cache entry.
     centroids = centroids.persist()
-    out = (ivf_assign(emb, centroids).persist(), centroids)
+    cents_row = _centroids_as_array(centroids).persist()
+    out = (ivf_assign(emb, centroids).persist(), centroids, cents_row)
     if cache_key is not None:
         _ARTIFACTS[cache_key] = out
     return out
@@ -1240,7 +1259,7 @@ def ivf_topk(
     only against those cells' members. At 100 TB the index is built once and
     persisted partitioned by cell; a query touches nprobe/n_cells of the
     corpus instead of all of it."""
-    index, centroids = ivf_index(emb, n_cells, cache_key=cache_key)
+    index, centroids, cents_row = ivf_index(emb, n_cells, cache_key=cache_key)
     # probe selection is map-side too: sort the per-query (score, neg_cell)
     # array descending (ascending sort + reverse ⇒ score desc, cell asc on
     # ties) and slice the first nprobe cells — no window, no shuffle
@@ -1254,23 +1273,31 @@ def ivf_topk(
         ),
         lambda s: -s["neg_cell"],
     )
+    # the query norm is computed ONCE PER QUERY ROW here (round-16: the
+    # previous form re-folded it per (query, candidate) PAIR — same fold,
+    # same operands, same IEEE result, ~nprobe/n_cells x corpus fewer
+    # evaluations); candidate norms come precomputed from the index (nrm)
+    nq = F.sqrt(_arr_dot(F.col("q_embedding"), F.col("q_embedding")))
     probed = (
-        queries.crossJoin(F.broadcast(_centroids_as_array(centroids)))
-        .select("q_vec_id", "q_embedding", F.explode(probe_cells).alias("cell"))
+        queries.crossJoin(F.broadcast(cents_row))
+        .select(
+            "q_vec_id",
+            "q_embedding",
+            nq.alias("qn"),
+            F.explode(probe_cells).alias("cell"),
+        )
     )
     dot = _arr_dot(F.col("q_embedding"), F.col("embedding"))
-    nq = F.sqrt(_arr_dot(F.col("q_embedding"), F.col("q_embedding")))
     # broadcast the (sampled, small) probed query set: the cell join is a
     # broadcast hash join against the persisted index — the 16-value cell key
-    # never becomes a shuffle key. Candidate norms come precomputed from the
-    # index (`nrm`), not per-pair.
+    # never becomes a shuffle key.
     pairs = (
         F.broadcast(probed).join(index, "cell")
         .filter(F.col("q_vec_id") != F.col("vec_id"))
         .select(
             "q_vec_id",
             F.col("vec_id").alias("c_vec_id"),
-            (dot / (nq * F.col("nrm"))).alias("cosine"),
+            (dot / (F.col("qn") * F.col("nrm"))).alias("cosine"),
         )
     )
     wk = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
@@ -1288,13 +1315,14 @@ def ivf_index_write(wh, name: str, emb: DataFrame, n_cells: int = 16) -> None:
     unpersisted once written — the parquet table IS the artifact, so a
     service rebuilding the index must not leak one cached RDD pair per
     publish."""
-    index, centroids = ivf_index(emb, n_cells)
+    index, centroids, cents_row = ivf_index(emb, n_cells)
     try:
         wh.write_table(name, index, partition_by="cell", snapshot=False)
         wh.write_table(f"{name}__centroids", centroids, snapshot=False)
     finally:
         index.unpersist()
         centroids.unpersist()
+        cents_row.unpersist()
 
 
 def ivf_topk_from_table(
@@ -1317,8 +1345,10 @@ def ivf_topk_from_table(
         ),
         lambda s: -s["neg_cell"],
     )
+    # query norm once per query row, not per pair (the ivf_topk rationale)
+    nq = F.sqrt(_arr_dot(F.col("q_embedding"), F.col("q_embedding")))
     probed = queries.crossJoin(F.broadcast(_centroids_as_array(centroids))).select(
-        "q_vec_id", "q_embedding", F.explode(probe_cells).alias("cell")
+        "q_vec_id", "q_embedding", nq.alias("qn"), F.explode(probe_cells).alias("cell")
     )
     index = wh.read(name)
     # partition filter: only probed cells are scanned. The IN-list predicate
@@ -1326,7 +1356,6 @@ def ivf_topk_from_table(
     distinct_cells = probed.select("cell").distinct()
     pruned = index.join(F.broadcast(distinct_cells), "cell", "left_semi")
     dot = _arr_dot(F.col("q_embedding"), F.col("embedding"))
-    nq = F.sqrt(_arr_dot(F.col("q_embedding"), F.col("q_embedding")))
     pairs = (
         F.broadcast(probed)
         .join(pruned, "cell")
@@ -1334,7 +1363,7 @@ def ivf_topk_from_table(
         .select(
             "q_vec_id",
             F.col("vec_id").alias("c_vec_id"),
-            (dot / (nq * F.col("nrm"))).alias("cosine"),
+            (dot / (F.col("qn") * F.col("nrm"))).alias("cosine"),
         )
     )
     wk = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))

@@ -1835,16 +1835,26 @@ def _bpe_reps(spark, sf_dir):
     ext-bpe-train (emits the merges) and ext-tokenize-apply (applies the
     trained representation to documents)."""
     d = views(spark, sf_dir).table("documents")
-    toks = d.select(
-        F.explode(
-            F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
-        ).alias("w")
-    )
-    words = (
-        toks.filter((F.length("w") >= 2) & (F.length("w") <= 12))
-        .groupBy(F.col("w").alias("word"))
-        .agg(F.count("*").alias("cnt"))
-    )
+
+    def _build_words():
+        toks = d.select(
+            F.explode(
+                F.split(F.regexp_replace(F.lower("text"), "[^a-z ]", ""), " ")
+            ).alias("w")
+        )
+        return (
+            toks.filter((F.length("w") >= 2) & (F.length("w") <= 12))
+            .groupBy(F.col("w").alias("word"))
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    # The word vocabulary IS the one corpus-sized shuffle of BPE training
+    # (the docstring's scale device 1) and every merge round's pair count
+    # chains back to it — a session artifact (round-16) so the corpus
+    # explode + aggregation runs once per (session, scale), not once per
+    # training/encode invocation; vocabulary-sized storage, evicted with
+    # the other memo stores.
+    words = _pipe_artifact(spark, sf_dir, "bpe_words", _build_words)
     rep = words.select(
         "word",
         "cnt",
