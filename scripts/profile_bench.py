@@ -28,7 +28,6 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 import bench  # noqa: E402
-from dbtwiz_spark.session import get_spark  # noqa: E402
 
 
 def _formatted_plan(df) -> str:
