@@ -455,49 +455,17 @@ def _calibrate_io(runs: int = 3) -> float | None:
 
 
 def _bench_session():
-    """Create the bench session with PySpark's per-call DataFrame-API
-    call-site capture DISABLED (round-16 optimization).
+    """The bench runs the SHIPPED session factory, nothing else.
 
-    Spark 4's ``dataFrameDebugging`` wraps EVERY Column/DataFrame method
-    in ~5 py4j round trips plus a Python stack walk, purely to enrich
-    error messages with Python call sites — measured 8x the
-    plan-construction round trips (2407 vs 305 for 50 expression chains)
-    and a third to half of several bench queries' wall time at test
-    scale; on a real cluster it is the same pure driver-side overhead on
-    every query (guide §7.3: driver work is single-process and hides
-    from executor metrics). Plans, results and value hashes are
-    IDENTICAL either way (the conf only feeds error QueryContext), and
-    the setting is scale-independent — it costs per API call, not per
-    row. It is a STATIC conf, so it must be set on the session builder;
-    the shared factory (dbtwiz_spark/session.py) is a pinned
-    certification plane this round cannot edit, so the bench builds its
-    session here with session.py's static confs mirrored, then hands it
-    to get_spark, which applies the same runtime confs + committer it
-    applies to any externally-created session."""
-    import os as _os
-
-    from pyspark.sql import SparkSession
-
-    cpus = _os.environ.get("SPARK_GRAFT_CPUS", "").strip()
-    master = f"local[{cpus if cpus and cpus != '0' else '*'}]"
-    (
-        SparkSession.builder.appName("dbtwiz_spark-bench")
-        .master(master)
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config(
-            "spark.driver.memory",
-            _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-        )
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
+    Round 16 pre-built the session here with
+    ``spark.python.sql.dataFrameDebugging.enabled=false`` mirrored from
+    session.py's static confs (the factory was a pinned certification
+    plane that round); round 17 moved the conf into ``get_spark`` itself
+    — the r16 verdict's top item: the 8x plan-construction py4j win must
+    belong to the engine users get, not to the measurement — so the
+    mirror is deleted and the bench measures exactly the configuration
+    the factory ships. Master/core-count still comes from
+    $SPARK_GRAFT_CPUS inside get_spark (the driver contract)."""
     return get_spark("dbtwiz_spark-bench")
 
 
@@ -531,18 +499,29 @@ def main() -> None:
         elif action != "done":  # "done": build ran its own action
             df.write.format("noop").mode("overwrite").save()
 
-    def warm_up(build) -> None:
-        """One untimed execution before the timed runs: pays the one-time
-        costs a long-lived session amortizes away — plan analysis,
-        whole-stage codegen compile, and ABOVE ALL the session-keyed
-        artifact memos (LSH signature tables, graph edge lists, rank
-        tables: ext_dedup_near's build is ~8x its warm cost at sf0.1).
-        Without this the MEDIAN of 3 carries one build run and reads as
-        a regression whenever scheduling noise reorders it (the r7
-        q_dedup_near_lsh 0.645 median); with it, best AND median both
-        measure the steady state, so a median that moves is a real
-        plan change, not first-touch pollution."""
+    def warm_up(build) -> float:
+        """One untimed-for-the-headline execution before the timed runs:
+        pays the one-time costs a long-lived session amortizes away —
+        plan analysis, whole-stage codegen compile, and ABOVE ALL the
+        session-keyed artifact memos (LSH signature tables, graph edge
+        lists, rank tables: ext_dedup_near's build is ~8x its warm cost
+        at sf0.1). Without this the MEDIAN of 3 carries one build run
+        and reads as a regression whenever scheduling noise reorders it
+        (the r7 q_dedup_near_lsh 0.645 median); with it, best AND median
+        both measure the steady state, so a median that moves is a real
+        plan change, not first-touch pollution.
+
+        Round 17 (r16 verdict item 2): the warm-up IS the cold path — it
+        executes the full artifact builds the steady-state samples never
+        pay — so its duration is now RECORDED and reported per query as
+        ``first_run_s`` (additions-only key). A change that merely moves
+        work from the timed region into the memo warm-up shows up as
+        first_run_s rising while best/median fall, making artifact-memo
+        extensions visible instead of creditable; a real optimization
+        improves both."""
+        t0 = time.perf_counter()
         run_once(build)
+        return round(time.perf_counter() - t0, 3)
 
     def time_query(build) -> tuple[float, float]:
         """(best, median) of N full end-to-end executions, all warm
@@ -560,14 +539,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name, build in QUERIES.items():
-        warm_up(build)
+        first_run[name] = warm_up(build)
         timings[name], medians[name] = time_query(build)
 
     extras: dict[str, float] = {}
     extras_median: dict[str, float] = {}
+    extras_first_run: dict[str, float] = {}
     for name, build in EXTRA_QUERIES.items():
-        warm_up(build)
+        extras_first_run[name] = warm_up(build)
         extras[name], extras_median[name] = time_query(build)
 
     calibration = _calibrate(spark, runs)
@@ -584,9 +565,23 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_median": medians,
+                # the COLD path: the untimed warm-up execution's duration
+                # (plan analysis + codegen + session-artifact memo builds
+                # + first cache fills). best/median measure the warm
+                # steady state; a round whose steady-state numbers fall
+                # while first_run rises has moved work into the warm-up,
+                # not removed it (r16 verdict item 2) — only changes that
+                # improve the cold path too (or are genuinely algorithmic)
+                # may be booked as optimizations. Additions-only keys.
+                "queries_first_run": first_run,
+                "first_run_total": round(sum(first_run.values()), 3),
                 "value_median": round(sum(medians.values()), 3),
                 "extras": extras,
                 "extras_median": extras_median,
+                "extras_first_run": extras_first_run,
+                "extras_first_run_total": round(
+                    sum(extras_first_run.values()), 3
+                ),
                 "extras_total": round(sum(extras.values()), 3),
                 # fixed synthetic job (see _calibrate): compare rounds via
                 # headline_per_calibration to separate VM drift from plans

