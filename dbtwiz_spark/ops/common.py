@@ -218,15 +218,24 @@ def clear_session_memos() -> int:
     dropped = 0
     for store in _MEMO_STORES:
         for val in store.values():
-            # _RANK_CACHE values are (stats, df) generation pairs
-            # (_memo_generation); artifact stores hold bare DataFrames
-            df = val[-1] if isinstance(val, tuple) else val
-            unpersist = getattr(df, "unpersist", None)
-            if unpersist is not None:
-                try:
-                    unpersist(False)
-                except Exception:
-                    pass  # stopped session — nothing to free
+            # Store values come in three shapes: bare DataFrames
+            # (artifact stores), (stats, df) generation pairs
+            # (_memo_generation), and multi-DataFrame tuples (ivf_index's
+            # (assignments, centroids, cents_row)). Unpersist EVERY
+            # element that can be — unpersisting only the last leaked the
+            # corpus-sized IVF assignments and the centroid table per
+            # sweep, exactly the cross-sweep storage accumulation this
+            # hook exists to prevent (round-16 ADVICE). Non-DataFrame
+            # elements (generation stats) have no unpersist and are
+            # skipped.
+            items = val if isinstance(val, tuple) else (val,)
+            for item in items:
+                unpersist = getattr(item, "unpersist", None)
+                if unpersist is not None:
+                    try:
+                        unpersist(False)
+                    except Exception:
+                        pass  # stopped session — nothing to free
             dropped += 1
         store.clear()
     return dropped

@@ -881,6 +881,27 @@ def test_clear_session_memos_evicts_every_registered_store(spark):
     assert not graphs._ARTIFACTS
 
 
+def test_clear_session_memos_unpersists_every_tuple_element(spark):
+    """Round-16 ADVICE: ivf_index stores a (assignments, centroids,
+    cents_row) 3-tuple; eviction that unpersists only the LAST element
+    leaks the corpus-sized assignments and the centroid table per sweep
+    — the exact cross-sweep accumulation the hook exists to prevent.
+    Every tuple element with an unpersist method must be freed."""
+    from dbtwiz_spark.ops import ext_llm
+    from dbtwiz_spark.ops.common import clear_session_memos
+
+    a = spark.range(11).persist()
+    b = spark.range(12).persist()
+    c = spark.range(13).persist()
+    for df in (a, b, c):
+        df.count()  # materialize so storageLevel reflects a real cache
+    ext_llm._ARTIFACTS[(spark, "memo-tuple-test", "ivf")] = (a, b, c)
+    clear_session_memos()
+    for df in (a, b, c):
+        assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    assert not ext_llm._ARTIFACTS
+
+
 def test_register_memo_store_enrolls_by_identity(spark):
     """Two EMPTY dicts compare ==; enrollment must be identity-based or
     the second module's store is silently skipped and never evicted."""
