@@ -384,6 +384,7 @@ def _plan_sig(df, keys, *extra) -> tuple:
         # plan root is already an InMemoryRelation (e.g. a DataFrame
         # built directly on a cached LocalRelation).
         found: list[str] = []
+        unrecovered = False
         try:
             leaves = df._jdf.queryExecution().analyzed().collectLeaves()
             for i in range(leaves.size()):
@@ -392,10 +393,28 @@ def _plan_sig(df, keys, *extra) -> tuple:
                     for u in leaf.relation().location().inputFiles():
                         found.append(u)
                 except Exception:
-                    continue  # non-file leaf (Range, LocalRelation, ...)
+                    # A leaf with no file provenance is fine when it is
+                    # SELF-DESCRIBING (its parameters survive
+                    # canonicalization: Range, LocalRelation/OneRowRelation
+                    # literals). Anything else — InMemoryRelation,
+                    # LogicalRDD, a DSv2 relation whose location() is not
+                    # reachable this way — has provenance this fast path
+                    # CANNOT see, and returning early would produce a
+                    # signature missing that leaf entirely: two plans
+                    # differing only in the cached leaf would collide and
+                    # serve each other's ranks (the round-9 failure mode;
+                    # round-16 ADVICE). Mark it and fall through to the
+                    # optimized-plan string recovery below, which prints
+                    # the cached build subtree.
+                    try:
+                        name = str(leaf.nodeName())
+                    except Exception:
+                        name = ""
+                    if name not in ("Range", "LocalRelation", "OneRowRelation"):
+                        unrecovered = True
         except Exception:
             found = []
-        if found:
+        if found and not unrecovered:
             uris = tuple(sorted(set(found)))
             return (
                 (
@@ -455,6 +474,29 @@ def _memo_generation(store: dict, sig: tuple, build):
     return df
 
 
+def _materialize_and_release_local(out, local) -> None:
+    """Fill the ranked/prefixed OUTPUT artifact's cache eagerly and
+    release the range-partitioned ``local`` stage's storage (round 17,
+    r16 verdict §5 watch): keeping BOTH artifacts persisted doubled the
+    steady-state executor-storage footprint of every rank/prefix consumer
+    — the local stage is only needed to pin one physical boundary sample
+    while the output is CONSTRUCTED. Ordering is load-bearing: the
+    count() materializes the output's InMemoryRelation (all columns)
+    while local is still cached, so the output's cached child plan bakes
+    local's single boundary sample; only then is local's storage freed.
+    Recomputation of lost output partitions replays the output's OWN
+    executed physical plan (boundaries live in its shuffle dependencies,
+    they are never re-sampled), so releasing local does not reopen the
+    independently-sampled-exchange hazard. local's memo entry stays: an
+    unpersisted hit is never re-executed while the output artifact
+    serves, and a generation change rebuilds both."""
+    out.count()
+    try:
+        local.unpersist(False)
+    except Exception:
+        pass  # stopped session — nothing to free
+
+
 def parallel_rank(df, keys, n_parts: int = 8):
     """Global 1-based row number over a UNIQUE total order, scale-safe.
 
@@ -483,7 +525,10 @@ def parallel_rank(df, keys, n_parts: int = 8):
     cumsum (that would be a single-partition WindowExec). The offset
     expressions are ONE parsed SQL string: the previous per-lambda
     Column construction cost ~300 driver py4j round trips per
-    invocation — pure plan-construction overhead on every consumer."""
+    invocation — pure plan-construction overhead on every consumer.
+    Round 17: the output artifact is materialized at build time and the
+    local stage's storage is then RELEASED (_materialize_and_release_local)
+    — steady state holds ONE corpus-sized artifact per input, not two."""
     from pyspark.sql.window import Window
 
     (base, stats) = _plan_sig(df, keys, n_parts)
@@ -517,7 +562,11 @@ def parallel_rank(df, keys, n_parts: int = 8):
             .drop("_pid", "_rn", "_off")
         )
 
-    return _memo_generation(_RANK_CACHE, ((base, "out"), stats), _build_out)
+    prior = _RANK_CACHE.get((base, "out"))
+    out = _memo_generation(_RANK_CACHE, ((base, "out"), stats), _build_out)
+    if prior is None or prior[0] != stats:
+        _materialize_and_release_local(out, local)
+    return out
 
 
 def parallel_prefix_sum(df, keys, cols, n_parts: int = 8):
@@ -543,8 +592,28 @@ def parallel_prefix_sum(df, keys, cols, n_parts: int = 8):
     second memoized artifact (one cached scan per consumer execution
     instead of re-running the totals/offsets stage chain), and the offset
     expressions are one parsed SQL string instead of ~300 py4j
-    round trips of per-lambda Column construction."""
+    round trips of per-lambda Column construction. Round 17: the output
+    artifact is materialized at build time and the local stage's storage
+    is then RELEASED (_materialize_and_release_local) — steady state
+    holds ONE corpus-sized artifact per input, not two."""
     from pyspark.sql.window import Window
+
+    # The offset expressions interpolate each col name into parsed SQL
+    # (struct field names and x._t_<c> references) — a name with spaces,
+    # dots or backticks would parse wrong or not at all, silently or
+    # loudly (round-16 ADVICE). Fail loudly up front instead: every
+    # internal consumer uses plain identifiers; callers with exotic
+    # names alias them first.
+    import re as _re
+
+    for c in cols:
+        if not _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(c)):
+            raise ValueError(
+                f"parallel_prefix_sum: column name {c!r} is not a plain "
+                "identifier ([A-Za-z_][A-Za-z0-9_]*) — alias it before "
+                "calling (names are interpolated into SQL offset "
+                "expressions)"
+            )
 
     (base, stats) = _plan_sig(df, keys, tuple(cols), n_parts)
 
@@ -590,7 +659,11 @@ def parallel_prefix_sum(df, keys, cols, n_parts: int = 8):
             )
         return out.drop("_pid", *[f"_off_{c}" for c in cols])
 
-    return _memo_generation(_RANK_CACHE, ((base, "out"), stats), _build_out)
+    prior = _RANK_CACHE.get((base, "out"))
+    out = _memo_generation(_RANK_CACHE, ((base, "out"), stats), _build_out)
+    if prior is None or prior[0] != stats:
+        _materialize_and_release_local(out, local)
+    return out
 
 
 def dsum_scaled(col: Column | str, alias: str | None = None) -> Column:

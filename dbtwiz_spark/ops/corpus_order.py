@@ -7,55 +7,42 @@ that order an explicit, reviewable artifact instead of an accident of
 import order, so driver coverage can be *rotated* round by round until
 every entry has a green row.
 
-Round-16 window (positions 0-49) — REVISED for the round-16
-OPTIMIZATION phase: round 16 became the first optimization round, and
-its plan-shape rewrites (see OPTIMIZATION_r16.md) changed the entry
-hash of 18 green entries — the parallel_rank / parallel_prefix_sum
-device rewrite (13 entries via the helper closure), the
-survival/ks/sliding-distinct restructurings, the _bpe_reps vocabulary
-artifact (ext-bpe-train + ext-tokenize-apply), and the ext-dedup-near
-band-stack artifact (+ its recall certificate via CERT_OF). The guard
-forces all 18 into this window, so the r10-recycle tail of the
-original plan is deferred to round 17; the r9-cohort clear (the
-r15-projected goal) is preserved in full:
+Round-17 window (positions 0-49) — the second OPTIMIZATION round. The
+r16-projected plan was the 37-entry r10 remainder + free slots for the
+riskiest r11 greens; this round's guard work and optimizations force 32
+re-certifications, so the r10 remainder is split: 24 windowed (all 20
+of the r15 riskiest pre-ranking + the 4 win-* scalars, three of which
+are forced anyway by the _by_cust closure addition) and 13 low-risk
+single-stage scalars explicitly deferred to round 18 via
+OLDEST_DEFERRED (named, never dropped — the r12 precedent).
 
-* 0-7 — the eight riskiest-26 tail entries the r14 pre-ranking carried
-  into the r9 remainder (multi-stage / sketch / write-adjacent before
-  scalar expressions): agg-quantile-digest, agg-bootstrap-ci,
-  join-range, file-format-orc, win-ohlc-bars, win-qualify,
-  sort-custom-key, top-k.
-* 8-28 — the 21 low-risk single-stage r9 scalars (func-*, set-*,
-  limit, agg-pythagorean-means), completing the r9 cohort. With all 29
-  green, the minimum hash-green certification age rises r9 → r10.
-* 29-30 — ext-multimodal-column / ext-multimodal-framesample, forced
-  by the round-16 multimodal PLANE edits (the r15 ADVICE _skip_id3
-  version gate: ID3v2 footers exist only in v2.4, so the 0x10 flag bit
-  on a malformed v2.3 tag must not over-skip 10 bytes — plus the
-  16-bit PIL fast-path parity self-gate, _pil_deep_verified: deep PNGs
-  reach _decode_pil only after the installed Pillow reproduces the
-  pure decoder bit-for-bit on synthetic 16-bit probes). Verified
-  empirically: zero entry-hash drift against
-  scripts/green_manifest.json, multimodal plane hash drift only (the
-  round's bench.py / scripts/ab_bench.py edits touch no plane and no
-  entry closure).
-* 31-48 — the 18 optimization-phase forced re-entries (entry-hash
-  drift vs scripts/green_manifest.json, computed empirically):
-  agg-survival-km, agg-ks-test, agg-sliding-distinct, ext-bpe-train,
-  ext-tokenize-apply, ext-dedup-near, ext-dedup-near-recall,
-  win-percent, agg-gini-concentration, agg-spearman-corr,
-  agg-rfm-segmentation, agg-pareto-share, agg-calibration-ece,
-  ext-contrastive-pairs, ext-vocab-growth, ext-length-decile-mix,
-  ext-perplexity-filter, ext-source-similarity-matrix.
-* 49 — stream-resample-interpolate, the head of the riskiest-21 r10
-  pre-ranking the r15 docstring recorded. The remaining 20 of that
-  pre-ranking (sink-scd2, sink-sharded-export, sort-global,
-  ext-pack-sequences, ext-text-tfidf, ext-vocab-build, ext-bm25-search,
-  ext-dedup-embedding, ext-sim-threshold-join, ext-knn-label,
-  ext-pii-scrub, ext-quality-gopher, ext-curriculum-order,
-  ext-mix-domains, ext-mix-temperature, ext-host-token-budget,
-  ext-sample-importance, ext-split-train-eval, ext-dup-span,
-  ext-fingerprint) are deferred to the round-17 front — part of the
-  r10 remainder arithmetic below, not dropped.
+* 0-12 — the 13 parallel-rank/prefix-sum device referencers, forced by
+  the round-17 device edits (_plan_sig mixed-leaf fall-through,
+  prefix-sum identifier validation, build-time output materialization +
+  local-stage storage release — see OPTIMIZATION_r17.md).
+* 13-23 — the 11 non-r10 entries forced by closing the _SHARED_HELPERS
+  vector-family blind spot (r16 verdict item 3: cosine_topk/ivf_*/
+  lsh_topk/band_stack/minhash_signatures/_cosine_pairs/_recall_entry/
+  scratch_dir now hash into their referencers) and by the round-17
+  lsh_topk per-row norm hoist + SQL-string expression builds:
+  ext-sim-cosine-topk, ext-ann-ivf(+recall), ext-ann-lsh-bucket(+recall),
+  ext-dedup-near(+recall), stream-dedup-near(+cert), ext-hard-negatives,
+  ext-rank-fusion.
+* 24-25 — graph-hits, graph-k-core: round-17 builder plan-construction
+  work (SQL-string expressions, the parallel_rank precedent) forces
+  re-certification; both are also the r11 cohort's iterative heads.
+* 26-49 — the r10 remainder head, riskiest first per the r15
+  pre-ranking (multi-stage / sink / stateful before scalars):
+  sink-scd2, sink-sharded-export, sort-global, ext-pack-sequences,
+  ext-text-tfidf, ext-vocab-build, ext-bm25-search, ext-dedup-embedding,
+  ext-sim-threshold-join, ext-knn-label, ext-pii-scrub,
+  ext-quality-gopher, ext-curriculum-order, ext-mix-domains,
+  ext-mix-temperature, ext-host-token-budget, ext-sample-importance,
+  ext-split-train-eval, ext-dup-span, ext-fingerprint (the riskiest 20;
+  ext-dedup-embedding / ext-sim-threshold-join / ext-knn-label are ALSO
+  forced by the _cosine_pairs closure addition), then win-first-last,
+  win-lag-lead, win-running-agg (forced by _by_cust) and
+  win-sliding-frame (same family, free slot).
 
 ``WINDOW_ROUND`` pins the round this window was planned FOR: the
 freshness test computes cohorts from ``CORRECTNESS_r{N}`` files with
@@ -65,35 +52,21 @@ is part of each rotation; a stale pin cannot coast, because a window
 planned against a newer history will not cover the stale pin's oldest
 cohort.
 
-Projected cohorts after a green r16 (from the r01-r15 history + this
-window, recomputed via scripts/freshness_report.py after the
-optimization re-entries): r10 x 37, r11 x 43, r12 x 29, r13 x 35,
-r14 x 45, r15 x 47, r16 x 50 (sums to 286). The r17 window therefore
-fronts the 37-entry r10 remainder — the 20 deferred members of the r15
-pre-ranking (sink-scd2, sink-sharded-export, sort-global,
-ext-pack-sequences, ext-text-tfidf, ext-vocab-build, ext-bm25-search,
-ext-dedup-embedding, ext-sim-threshold-join, ext-knn-label,
-ext-pii-scrub, ext-quality-gopher, ext-curriculum-order,
-ext-mix-domains, ext-mix-temperature, ext-host-token-budget,
-ext-sample-importance, ext-split-train-eval, ext-dup-span,
-ext-fingerprint) plus the 17 single-stage r10 scalars (ext-dedup-url,
-ext-embed-stats, ext-filter-composite, ext-filter-length-outliers,
-ext-lang-id, ext-ngram-jaccard, ext-quality-repetition,
-ext-quality-score, ext-text-normalize, ext-text-stats, ext-token-count,
-ext-token-histogram, func-url, win-first-last, win-lag-lead,
-win-running-agg, win-sliding-frame) — with 13 free slots for the
-riskiest r11 greens, barring forced re-entries. Riskiest-13 r11
-pre-ranking head (rows-only/stateful/sketch/iterative/multi-stage
-first — recompute against scripts/freshness_report.py when planning):
-ext-dedup-simhash, ext-ann-lsh-bucket, ext-ann-ivf, stream-dedup-near,
+Projected cohorts after a green r17 (r01-r16 history + this window,
+recomputed via scripts/freshness_report.py): r10 x 13 (the deferred
+scalars below — front them in round 18), r11 x 38, r12 x 27, r13 x 35,
+r14 x 44, r15 x 45, r16 x 34, r17 x 50 (sums to 286). The round-18
+front is therefore OLDEST_DEFERRED in full plus the riskiest r11
+remainder (recompute against scripts/freshness_report.py when
+planning; the r16 riskiest-r11 pre-ranking head minus the four already
+re-certified here: ext-dedup-simhash, stream-dedup-near is covered,
 sort-within-partitions, agg-bloom-filter, agg-countmin-sketch,
 agg-histogram, agg-percentile-exact, agg-mode-deterministic,
-agg-corr-covar, win-funnel, win-retention-cohort (the remaining r11
-greens follow in rounds 18-19).
+agg-corr-covar, win-funnel, win-retention-cohort).
 
-Round-16 additions policy: corpus growth stays FROZEN at 286 (VERDICT
+Round-17 additions policy: corpus growth stays FROZEN at 286 (VERDICT
 r14 item 7). Any entry added mid-round must be listed here under
-"added AFTER the round-16 window filled" for round-17 front-loading.
+"added AFTER the round-17 window filled" for round-18 front-loading.
 """
 
 
@@ -103,60 +76,14 @@ from __future__ import annotations
 # CORRECTNESS_r* history of rounds STRICTLY BELOW this. The freshness
 # test scopes its cohort computation the same way, so the driver dropping
 # CORRECTNESS_r{WINDOW_ROUND}.json never flips the tree red mid-round.
-WINDOW_ROUND = 16
+WINDOW_ROUND = 17
 
 DRIVER_WINDOW: tuple[str, ...] = (
-    # r9-cohort clear, riskiest first: the riskiest-26 tail eight
-    # (multi-stage / sketch / write-adjacent) the r14 pre-ranking
-    # carried into this round
-    "agg-quantile-digest",
-    "agg-bootstrap-ci",
-    "join-range",
-    "file-format-orc",
-    "win-ohlc-bars",
-    "win-qualify",
-    "sort-custom-key",
-    "top-k",
-    # the 21 low-risk single-stage r9 scalars, completing the cohort
-    "func-array",
-    "func-bitwise",
-    "func-cast",
-    "func-column-masking",
-    "func-conditional",
-    "func-datetime",
-    "func-generate-date-array",
-    "func-generate-series",
-    "func-hash",
-    "func-json",
-    "func-map",
-    "func-math",
-    "func-string",
-    "func-struct",
-    "func-surrogate-key",
-    "limit",
-    "set-except",
-    "set-intersect",
-    "set-union-all",
-    "set-union-distinct",
-    "agg-pythagorean-means",
-    # multimodal plane edits (r15 ADVICE: ID3v2.4-only footer gate in
-    # _skip_id3; r15 standing item: 16-bit PIL fast-path parity
-    # self-gate) — zero entry-hash drift, plane pin only
-    "ext-multimodal-column",
-    "ext-multimodal-framesample",
-    # round-16 OPTIMIZATION forced re-entries (entry-hash drift vs
-    # scripts/green_manifest.json — the parallel-device rewrite closure,
-    # the survival/ks/sliding restructurings, the BPE vocabulary
-    # artifact, the dedup-near band-stack artifact + its certificate)
-    "agg-survival-km",
-    "agg-ks-test",
-    "agg-sliding-distinct",
-    "ext-bpe-train",
-    "ext-tokenize-apply",
-    "ext-dedup-near",
-    "ext-dedup-near-recall",
+    # the 13 rank/prefix device referencers (round-17 device edits)
     "win-percent",
     "agg-gini-concentration",
+    "agg-ks-test",
+    "agg-survival-km",
     "agg-spearman-corr",
     "agg-rfm-segmentation",
     "agg-pareto-share",
@@ -166,16 +93,70 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ext-length-decile-mix",
     "ext-perplexity-filter",
     "ext-source-similarity-matrix",
-    # r10-era recycle head (the rest of the r15 pre-ranking is deferred
-    # to round 17 by the optimization re-entries above)
-    "stream-resample-interpolate",
+    # the 11 non-r10 entries forced by the vector-helper closure +
+    # lsh_topk/scorer optimizations
+    "ext-sim-cosine-topk",
+    "ext-ann-ivf",
+    "ext-ann-ivf-recall",
+    "ext-ann-lsh-bucket",
+    "ext-ann-lsh-recall",
+    "ext-dedup-near",
+    "ext-dedup-near-recall",
+    "stream-dedup-near",
+    "stream-dedup-near-cert",
+    "ext-hard-negatives",
+    "ext-rank-fusion",
+    # graph builder plan-construction work (round 17)
+    "graph-hits",
+    "graph-k-core",
+    # r10 remainder head, riskiest first (r15 pre-ranking)
+    "sink-scd2",
+    "sink-sharded-export",
+    "sort-global",
+    "ext-pack-sequences",
+    "ext-text-tfidf",
+    "ext-vocab-build",
+    "ext-bm25-search",
+    "ext-dedup-embedding",
+    "ext-sim-threshold-join",
+    "ext-knn-label",
+    "ext-pii-scrub",
+    "ext-quality-gopher",
+    "ext-curriculum-order",
+    "ext-mix-domains",
+    "ext-mix-temperature",
+    "ext-host-token-budget",
+    "ext-sample-importance",
+    "ext-split-train-eval",
+    "ext-dup-span",
+    "ext-fingerprint",
+    # the r10 win-* scalars (three forced by the _by_cust closure
+    # addition, the fourth rides the free slot)
+    "win-first-last",
+    "win-lag-lead",
+    "win-running-agg",
+    "win-sliding-frame",
 )
 
-# No oldest-cohort entry is deferred this round: all 29 r9-cohort
-# entries sit in the window above (the r15 plan, executed). The
-# freshness test requires this list to name exactly the oldest-cohort
-# entries NOT in the window — which is none.
-OLDEST_DEFERRED: tuple[str, ...] = ()
+# The 13 lowest-risk r10-cohort members (single-stage scalar entries)
+# that the 32 forced re-certifications displaced from this round's
+# window — NAMED deferrals, front-loaded in round 18. Legal only while
+# every window slot is spoken for (the freshness test enforces both).
+OLDEST_DEFERRED: tuple[str, ...] = (
+    "ext-dedup-url",
+    "ext-embed-stats",
+    "ext-filter-composite",
+    "ext-filter-length-outliers",
+    "ext-lang-id",
+    "ext-ngram-jaccard",
+    "ext-quality-repetition",
+    "ext-quality-score",
+    "ext-text-normalize",
+    "ext-text-stats",
+    "ext-token-count",
+    "ext-token-histogram",
+    "func-url",
+)
 
 
 def reorder(corpus: dict) -> None:

@@ -873,6 +873,29 @@ def _cosine_pairs(spark, emb: DataFrame, query_pred) -> DataFrame:
     )
 
 
+def _dot_expr(a: str, b: str):
+    """Map-side double dot product of two array columns by NAME —
+    zip_with + aggregate as ONE parsed SQL string (round 17): the Column-
+    lambda form costs ~5 py4j round trips per lambda per plan build, pure
+    driver overhead on the hot scorer paths (cosine/LSH/IVF). Same
+    operators, same double-zero seed, same IEEE result as the Column
+    form (outputs verified bit-identical at two scales)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_expr(col: str):
+    """Euclidean norm of an array column by NAME, one parsed SQL string
+    (see _dot_expr): sqrt of the self-product fold — the exact transform
+    shape the previous Column-lambda forms used."""
+    return F.expr(
+        f"sqrt(aggregate(transform({col}, a -> CAST(a AS DOUBLE) * "
+        f"CAST(a AS DOUBLE)), 0.0D, (acc, x) -> acc + x))"
+    )
+
+
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     """Fast engine path: zip_with dot product in one JVM pass (no explode).
 
@@ -885,24 +908,17 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
     self-products per PAIR, tripling the dominant per-pair array work
     (Q x the candidate-norm fold, C x the query-norm fold). Same fold,
     same operands, same IEEE result — only the evaluation site moves.
+    Round 17: the fold expressions are parsed SQL strings (_dot_expr /
+    _norm_expr) instead of Column lambdas — plan identical, ~10 py4j
+    round trips less per build.
     """
-
-    def _norm(col: str):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(col, lambda a: a.cast("double") * a.cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        )
-
-    dot = F.aggregate(
-        F.zip_with("q_embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    dot = _dot_expr("q_embedding", "embedding")
+    base = emb.select(
+        "vec_id", "label", "embedding", _norm_expr("embedding").alias("nrm")
     )
-    base = emb.select("vec_id", "label", "embedding", _norm("embedding").alias("nrm"))
-    q = queries.select("q_vec_id", "q_embedding", _norm("q_embedding").alias("qn"))
+    q = queries.select(
+        "q_vec_id", "q_embedding", _norm_expr("q_embedding").alias("qn")
+    )
     pairs = base.join(F.broadcast(q), F.col("q_vec_id") != F.col("vec_id")).select(
         "q_vec_id",
         F.col("vec_id").alias("c_vec_id"),
@@ -1009,24 +1025,26 @@ def _lsh_bucket_expr(vec_col, table: int, n_planes: int):
     Entirely map-side: transform-with-index + aggregate fold per plane, so
     the signature never explodes the vector — the posexplode + groupBy
     formulation pushes dim× the corpus through a shuffle, which at 100 TB
-    turns a billion 64-dim vectors into a 64-billion-row exchange."""
-    def plane_term(seed):
-        # closure factory, not a default arg: PySpark counts lambda params
-        # to pick the higher-order-function arity, so `lambda x, i, s=seed`
-        # would be (mis)read as a 3-arg lambda
-        return lambda x, i: x.cast("double") * (
-            (F.pmod(F.xxhash64(F.lit(seed), i), F.lit(2000001)) - 1000000) / 1000000.0
-        )
+    turns a billion 64-dim vectors into a 64-billion-row exchange.
 
-    bucket = F.lit(0)
+    Built as ONE parsed SQL string (round 17, the parallel_rank
+    precedent): the previous per-plane Column-lambda construction cost
+    ~5 py4j round trips per lambda × n_planes × n_tables per plan build
+    — pure driver-side construction overhead. Identical expressions:
+    int literals, the long→double cast before the divide, the
+    double-zero seed and the int IF arms all match the Column forms
+    operator for operator (outputs verified bit-identical at two
+    scales)."""
+    terms = []
     for p in range(n_planes):
-        proj = F.aggregate(
-            F.transform(F.col(vec_col), plane_term(table * 101 + p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        seed = table * 101 + p
+        proj = (
+            f"aggregate(transform({vec_col}, (x, i) -> CAST(x AS DOUBLE) * "
+            f"(CAST(pmod(xxhash64({seed}, i), 2000001) - 1000000 AS DOUBLE)"
+            f" / 1000000.0D)), 0.0D, (acc, x) -> acc + x)"
         )
-        bucket = bucket + F.when(proj > 0, 2**p).otherwise(0)
-    return bucket
+        terms.append(f"IF({proj} > 0.0D, {2 ** p}, 0)")
+    return F.expr(" + ".join(terms) if terms else "0")
 
 
 def lsh_signatures(
@@ -1068,35 +1086,37 @@ def lsh_topk(
     top-10 cosine ≈ 0.3) need few planes / many tables for high recall at
     the cost of candidate-set selectivity, while true near-duplicate
     corpora (cosine ≥ 0.9) support 8-16 planes with tiny candidate sets.
+
+    Norms are computed ONCE PER ROW on each side BEFORE the signature
+    explode and bucket join (round 17 — the cosine_topk/ivf_topk fix
+    applied to the last remaining per-pair scorer): the previous form
+    re-folded both vectors' self-products per CANDIDATE PAIR, tripling
+    the per-pair array work. Same fold, same operands, same IEEE doubles
+    — only the evaluation site moves, so recall is unchanged by
+    construction (certificate re-verified).
     """
-    cs = lsh_signatures(emb, "embedding", n_planes, n_tables)
-    qs = lsh_signatures(queries, "q_embedding", n_planes, n_tables)
+    cs = lsh_signatures(
+        emb.withColumn("nrm", _norm_expr("embedding")),
+        "embedding",
+        n_planes,
+        n_tables,
+    )
+    qs = lsh_signatures(
+        queries.withColumn("qn", _norm_expr("q_embedding")),
+        "q_embedding",
+        n_planes,
+        n_tables,
+    )
     cand = (
         cs.join(F.broadcast(qs), on=["t", "bucket"])
         .filter(F.col("q_vec_id") != F.col("vec_id"))
         .dropDuplicates(["q_vec_id", "vec_id"])
     )
-    dot = F.aggregate(
-        F.zip_with("q_embedding", "embedding", lambda a, b: a.cast("double") * b.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    nq = F.sqrt(
-        F.aggregate(
-            F.transform("q_embedding", lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nc = F.sqrt(
-        F.aggregate(
-            F.transform("embedding", lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
     pairs = cand.select(
-        "q_vec_id", F.col("vec_id").alias("c_vec_id"), (dot / (nq * nc)).alias("cosine")
+        "q_vec_id",
+        F.col("vec_id").alias("c_vec_id"),
+        (_dot_expr("q_embedding", "embedding") / (F.col("qn") * F.col("nrm")))
+        .alias("cosine"),
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.col("cosine").desc(), F.col("c_vec_id"))
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
@@ -1135,20 +1155,31 @@ def _arr_dot(a, b):
     )
 
 
-def _centroid_scores(vec_col, cents_col):
+def _centroid_scores_sql(vec_col: str, cents_col: str) -> str:
+    """SQL text of the per-row (score, neg_cell) struct array vs every
+    centroid — see _centroid_scores. Exposed as a string so the probe
+    selectors can compose it into ONE parsed expression."""
+    return (
+        f"transform({cents_col}, c -> named_struct("
+        f"'score', aggregate(zip_with({vec_col}, c.centroid, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, x) -> acc + x), "
+        f"'neg_cell', -c.cell))"
+    )
+
+
+def _centroid_scores(vec_col: str, cents_col: str):
     """Per-row array of (score, neg_cell) structs vs every centroid —
     entirely map-side (nested higher-order functions, no explode). Centroids
     arrive unit-normalized (`_centroids_as_array`), so score is a plain dot.
 
     neg_cell makes struct ordering encode the tie-break: max/descending on
-    the struct means highest score first, then smallest cell."""
-    return F.transform(
-        cents_col,
-        lambda c: F.struct(
-            _arr_dot(vec_col, c["centroid"]).alias("score"),
-            (-c["cell"]).alias("neg_cell"),
-        ),
-    )
+    the struct means highest score first, then smallest cell.
+
+    One parsed SQL string since round 17 (the nested two-level Column
+    lambdas were the most py4j-expensive expression in the ANN family);
+    identical operators and field names, outputs verified bit-identical."""
+    return F.expr(_centroid_scores_sql(vec_col, cents_col))
 
 
 def _centroids_as_array(centroids: DataFrame) -> DataFrame:
@@ -1180,7 +1211,7 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     centroids ride along as one broadcast array row: the assignment is a
     map-side argmax (array_max over (score, neg_cell) structs) — no window,
     no shuffle, no K× row blowup."""
-    best = F.array_max(_centroid_scores(F.col("embedding"), F.col("cents")))
+    best = F.array_max(_centroid_scores("embedding", "cents"))
     return (
         emb.crossJoin(F.broadcast(_centroids_as_array(centroids)))
         .withColumn("best", best)
@@ -1202,10 +1233,12 @@ def ivf_index(
     """IVF coarse quantizer: deterministic seeds (the K smallest vec_ids)
     refined by Lloyd iterations, all as DataFrame ops.
 
-    Returns (assignments, centroids). The Lloyd recompute is a
-    groupBy(cell, dim) mean — one shuffle per iteration bounded by
-    K × dims rows out. With ``cache_key`` the built index is memoized
-    (build once per session, like a materialized index table)."""
+    Returns (assignments, centroids, cents_row) — the assignments carry a
+    precomputed candidate norm, and cents_row is the ONE-ROW collapsed
+    centroid array the probe selectors consume (round 16). The Lloyd
+    recompute is a groupBy(cell, dim) mean — one shuffle per iteration
+    bounded by K × dims rows out. With ``cache_key`` the built 3-tuple is
+    memoized (build once per session, like a materialized index table)."""
     if cache_key is not None and cache_key in _ARTIFACTS:
         return _ARTIFACTS[cache_key]
     # seed numbering is window-free: collect the K seed ids into one sorted
@@ -1262,22 +1295,22 @@ def ivf_topk(
     index, centroids, cents_row = ivf_index(emb, n_cells, cache_key=cache_key)
     # probe selection is map-side too: sort the per-query (score, neg_cell)
     # array descending (ascending sort + reverse ⇒ score desc, cell asc on
-    # ties) and slice the first nprobe cells — no window, no shuffle
-    probe_cells = F.transform(
-        F.slice(
-            F.reverse(
-                F.array_sort(_centroid_scores(F.col("q_embedding"), F.col("cents")))
-            ),
-            1,
-            nprobe,
-        ),
-        lambda s: -s["neg_cell"],
+    # ties) and slice the first nprobe cells — no window, no shuffle; ONE
+    # parsed SQL expression (round 17, plan identical)
+    probe_cells = F.expr(
+        f"transform(slice(reverse(array_sort("
+        f"{_centroid_scores_sql('q_embedding', 'cents')})), 1, {nprobe}), "
+        f"s -> -s.neg_cell)"
     )
     # the query norm is computed ONCE PER QUERY ROW here (round-16: the
     # previous form re-folded it per (query, candidate) PAIR — same fold,
     # same operands, same IEEE result, ~nprobe/n_cells x corpus fewer
     # evaluations); candidate norms come precomputed from the index (nrm)
-    nq = F.sqrt(_arr_dot(F.col("q_embedding"), F.col("q_embedding")))
+    nq = F.expr(
+        "sqrt(aggregate(zip_with(q_embedding, q_embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
     probed = (
         queries.crossJoin(F.broadcast(cents_row))
         .select(
@@ -1287,7 +1320,7 @@ def ivf_topk(
             F.explode(probe_cells).alias("cell"),
         )
     )
-    dot = _arr_dot(F.col("q_embedding"), F.col("embedding"))
+    dot = _dot_expr("q_embedding", "embedding")
     # broadcast the (sampled, small) probed query set: the cell join is a
     # broadcast hash join against the persisted index — the 16-value cell key
     # never becomes a shuffle key.
@@ -1335,18 +1368,17 @@ def ivf_topk_from_table(
     probed cells' files are scanned, no driver-side collect needed
     (asserted in tests/test_plans.py)."""
     centroids = wh.read(f"{name}__centroids")
-    probe_cells = F.transform(
-        F.slice(
-            F.reverse(
-                F.array_sort(_centroid_scores(F.col("q_embedding"), F.col("cents")))
-            ),
-            1,
-            nprobe,
-        ),
-        lambda s: -s["neg_cell"],
+    probe_cells = F.expr(
+        f"transform(slice(reverse(array_sort("
+        f"{_centroid_scores_sql('q_embedding', 'cents')})), 1, {nprobe}), "
+        f"s -> -s.neg_cell)"
     )
     # query norm once per query row, not per pair (the ivf_topk rationale)
-    nq = F.sqrt(_arr_dot(F.col("q_embedding"), F.col("q_embedding")))
+    nq = F.expr(
+        "sqrt(aggregate(zip_with(q_embedding, q_embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, x) -> acc + x))"
+    )
     probed = queries.crossJoin(F.broadcast(_centroids_as_array(centroids))).select(
         "q_vec_id", "q_embedding", nq.alias("qn"), F.explode(probe_cells).alias("cell")
     )
@@ -1355,7 +1387,7 @@ def ivf_topk_from_table(
     # is pushed to the partitioned scan (asserted in tests/test_plans.py).
     distinct_cells = probed.select("cell").distinct()
     pruned = index.join(F.broadcast(distinct_cells), "cell", "left_semi")
-    dot = _arr_dot(F.col("q_embedding"), F.col("embedding"))
+    dot = _dot_expr("q_embedding", "embedding")
     pairs = (
         F.broadcast(probed)
         .join(pruned, "cell")

@@ -891,11 +891,14 @@ def graph_k_core(spark, sf_dir):
 
     edges = _artifact_raw(spark, sf_dir, "kcore_edges", _build_edges)
     per_round = []
+    # Per-round frames are (re)constructed on EVERY invocation (the
+    # edge artifacts are memoized, the count frames are not) — round 17
+    # builds them from parsed SQL strings instead of Column chains
+    # (the parallel_rank precedent, ~half the py4j round trips per
+    # build); expressions and plans are identical.
     for i in range(1, _KCORE_ROUNDS + 1):
-        deg = edges.groupBy("src").agg(F.count("*").alias("dg"))
-        keep = deg.filter(F.col("dg") >= _KCORE_K).select(
-            F.col("src").alias("node")
-        )
+        deg = edges.groupBy("src").agg(F.expr("count(*) AS dg"))
+        keep = deg.where(f"dg >= {_KCORE_K}").selectExpr("src AS node")
 
         def _peel(e=edges, k=keep):
             return (
@@ -918,20 +921,16 @@ def graph_k_core(spark, sf_dir):
         edges = _artifact_raw(
             spark, sf_dir, f"kcore_e{i}", lambda p=_peel: _truncate(p())
         )
-        nodes_row = keep.agg(
-            F.sum(F.col("node").startswith("c").cast("long")).alias(
-                "n_customers"
-            ),
-            F.sum(F.col("node").startswith("s").cast("long")).alias(
-                "n_suppliers"
-            ),
+        nodes_row = keep.selectExpr(
+            "sum(CAST(startswith(node, 'c') AS BIGINT)) AS n_customers",
+            "sum(CAST(startswith(node, 's') AS BIGINT)) AS n_suppliers",
         )
-        edges_row = edges.agg(F.count("*").alias("n_edges"))
+        edges_row = edges.selectExpr("count(*) AS n_edges")
         per_round.append(
-            nodes_row.crossJoin(edges_row).select(
-                F.lit(i).cast("long").alias("round"),
-                F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
-                F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+            nodes_row.crossJoin(edges_row).selectExpr(
+                f"CAST({i} AS BIGINT) AS round",
+                "coalesce(n_customers, CAST(0 AS BIGINT)) AS n_customers",
+                "coalesce(n_suppliers, CAST(0 AS BIGINT)) AS n_suppliers",
                 "n_edges",
             )
         )
@@ -1131,8 +1130,13 @@ def graph_hits(spark, sf_dir):
         )
 
     pairs = _artifact(spark, sf_dir, "hits_pairs", _build_pairs)
-    h = pairs.select(F.col("c").alias("node")).distinct().select(
-        "node", F.lit(_HSCALE).cast("long").alias("h")
+    # Plan construction from parsed SQL strings (round 17, the
+    # parallel_rank precedent): these frames are rebuilt on every
+    # invocation while the half-step artifacts are memoized, so the
+    # Column-chain py4j round trips were pure per-call driver overhead.
+    # Expressions and plans are identical.
+    h = pairs.selectExpr("c AS node").distinct().selectExpr(
+        "node", f"CAST({_HSCALE} AS BIGINT) AS h"
     )
     a_norm = None
     for i in range(1, _ITER + 1):
@@ -1157,10 +1161,9 @@ def graph_hits(spark, sf_dir):
                 .agg(F.sum("h").alias("a"))
             ),
         )
-        asum = ar.agg(F.sum("a").alias("t"))
-        a_norm = ar.crossJoin(F.broadcast(asum)).select(
-            F.col("anode").alias("node"),
-            F.expr(f"a div (t div {_HSCALE})").alias("a"),
+        asum = ar.selectExpr("sum(a) AS t")
+        a_norm = ar.crossJoin(F.broadcast(asum)).selectExpr(
+            "anode AS node", f"a div (t div {_HSCALE}) AS a"
         )
         hr = _artifact_raw(
             spark,
@@ -1172,23 +1175,18 @@ def graph_hits(spark, sf_dir):
                 .agg(F.sum("a").alias("hh"))
             ),
         )
-        hsum = hr.agg(F.sum("hh").alias("t"))
-        h = hr.crossJoin(F.broadcast(hsum)).select(
-            F.col("hnode").alias("node"),
-            F.expr(f"hh div (t div {_HSCALE})").alias("h"),
+        hsum = hr.selectExpr("sum(hh) AS t")
+        h = hr.crossJoin(F.broadcast(hsum)).selectExpr(
+            "hnode AS node", f"hh div (t div {_HSCALE}) AS h"
         )
     hubs = (
         h.orderBy(F.desc("h"), "node")
         .limit(10)
-        .select(F.lit("hub").alias("side"), "node", F.col("h").alias("score_fp"))
+        .selectExpr("'hub' AS side", "node", "h AS score_fp")
     )
     auths = (
         a_norm.orderBy(F.desc("a"), "node")
         .limit(10)
-        .select(
-            F.lit("authority").alias("side"),
-            "node",
-            F.col("a").alias("score_fp"),
-        )
+        .selectExpr("'authority' AS side", "node", "a AS score_fp")
     )
     return hubs.unionAll(auths)

@@ -94,6 +94,41 @@ _SHARED_HELPERS = (
     # round-12: the generation-evicting memo lookup behind parallel_rank /
     # parallel_prefix_sum (the _plan_sig size+mtime hardening's consumer)
     "_memo_generation",
+    # round-17 (r16 verdict item 3 — the cosine/IVF helper blind spot):
+    # the round-16 edits to cosine_topk / ivf_* changed the runtime plans
+    # of three certified entries with ZERO hash drift because none of the
+    # vector-family helpers was in this closure. Close the whole family —
+    # every module-level helper a corpus entry invokes at runtime —
+    # appended last per the hash-stability rule. Over-inclusion is safe
+    # by design (worst case an extra re-window). Inner helpers
+    # (lsh_signatures -> _lsh_bucket_expr, _centroid_scores -> the SQL
+    # text builder) are listed so the transitive closure reaches them
+    # from entries that only name the outer ones.
+    "cosine_topk",
+    "ivf_index",
+    "ivf_topk_from_table",
+    "ivf_topk",
+    "ivf_assign",
+    "_centroid_scores_sql",
+    "_centroid_scores",
+    "_centroids_as_array",
+    "_arr_dot",
+    "_dot_expr",
+    "_norm_expr",
+    "lsh_topk",
+    "lsh_signatures",
+    "_lsh_bucket_expr",
+    "band_stack",
+    "minhash_signatures",
+    "_cosine_pairs",
+    "_pair_cosine_sql",
+    "_recall_entry",
+    "_by_cust",
+    "scratch_dir",
+    # round-17: the rank/prefix device's build-time storage-release step —
+    # _materialize_and_release_local is parallel_rank/prefix_sum's callee
+    # (the _checkpoint_dir-under-_truncate reasoning)
+    "_materialize_and_release_local",
 )
 
 # Certificate coupling (round 12, closing the corpus_order.py:72-86
@@ -130,7 +165,24 @@ def entry_hash(name: str, _cert_op_hash: str | None = None) -> str:
     import dbtwiz_spark.ops.ext_pipeline as _ext_pipeline
     import dbtwiz_spark.ops.graphs as _graphs
 
-    owners = (_common, _ext_llm, _ext_pipeline, _graphs)
+    # round-17: windows/aggregates/streaming_batch appended (the _by_cust
+    # window-spec helper lives in windows.py and was invisible to the
+    # closure — same blind-spot shape as the vector helpers). Appended
+    # AFTER the original four so every existing helper keeps resolving to
+    # its original owner (first match wins) and pinned hashes stay stable.
+    import dbtwiz_spark.ops.aggregates as _aggregates
+    import dbtwiz_spark.ops.streaming_batch as _streaming_batch
+    import dbtwiz_spark.ops.windows as _windows
+
+    owners = (
+        _common,
+        _ext_llm,
+        _ext_pipeline,
+        _graphs,
+        _windows,
+        _aggregates,
+        _streaming_batch,
+    )
 
     spec = CORPUS[name]
     src = inspect.getsource(spec.fn)

@@ -62,6 +62,57 @@ def test_green_entries_unchanged_or_in_window():
     )
 
 
+def test_shared_helper_closure_covers_multi_entry_helpers():
+    """The r16 blind spot, pinned shut (r16 verdict item 3): edits to
+    cosine_topk / ivf_* changed three certified entries' runtime plans
+    with zero hash drift because the helpers were module-level and not
+    in _SHARED_HELPERS. Every module-level ops helper referenced by the
+    source of >= 2 corpus entries must be an EXACT member of the closure
+    (exact, because entry_hash folds in the source of exact members
+    only), or carry a documented exemption. Single-entry helpers are the
+    accepted remainder (their edit risk is scoped to one entry; sweep
+    them into the closure as their entries rotate)."""
+    import inspect
+
+    import dbtwiz_spark.ops.aggregates as m_agg
+    import dbtwiz_spark.ops.common as m_common
+    import dbtwiz_spark.ops.ext_llm as m_ext_llm
+    import dbtwiz_spark.ops.ext_pipeline as m_ext_pipeline
+    import dbtwiz_spark.ops.graphs as m_graphs
+    import dbtwiz_spark.ops.streaming_batch as m_stream
+    import dbtwiz_spark.ops.windows as m_win
+    from scripts.gen_green_manifest import _SHARED_HELPERS
+
+    # views is pinned at FILE level through the core plane (catalog.py +
+    # session.py hashes in plane_manifest.json): folding it into the
+    # helper closure would hash all 286 entries together, which is the
+    # plane mechanism's job, not the closure's.
+    exempt = {"views"}
+
+    mods = (m_common, m_ext_llm, m_ext_pipeline, m_graphs, m_agg, m_win, m_stream)
+    entry_fns = {spec.fn for spec in CORPUS.values()}
+    helpers = set()
+    for m in mods:
+        for nm, obj in vars(m).items():
+            if (
+                inspect.isfunction(obj)
+                and obj.__module__ == m.__name__
+                and obj not in entry_fns
+            ):
+                helpers.add(nm)
+    srcs = {n: inspect.getsource(s.fn) for n, s in CORPUS.items()}
+    violations = {}
+    for h in sorted(helpers - exempt - set(_SHARED_HELPERS)):
+        users = [n for n, s in srcs.items() if h in s]
+        if len(users) >= 2:
+            violations[h] = users
+    assert not violations, (
+        "module-level helpers referenced by >= 2 corpus entries but "
+        f"missing from _SHARED_HELPERS (edits would escape the guard): "
+        f"{violations}"
+    )
+
+
 def test_cert_of_covers_every_rows_only_entry():
     """Every rows-only entry (no DuckDB oracle by design) must be
     certified by a named certificate entry via CERT_OF, and the mapping

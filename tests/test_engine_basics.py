@@ -835,6 +835,67 @@ def test_plan_sig_refuses_memo_without_file_provenance(spark):
         a.unpersist()
 
 
+def test_rank_local_stage_released_after_output_artifact(spark):
+    """Round-17 storage fix (r16 verdict §5 watch): the rank/prefix
+    device used to hold TWO corpus-sized persisted artifacts per input —
+    the range-partitioned local stage and the full output — doubling
+    every consumer's steady-state executor storage. The local stage is
+    only needed to pin one boundary sample while the output is built;
+    after the output artifact is materialized, local's storage must be
+    released while the output stays cached (and ranks stay correct)."""
+    from dbtwiz_spark.ops.common import (
+        _RANK_CACHE,
+        clear_session_memos,
+        parallel_rank,
+    )
+
+    clear_session_memos()
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    ranked = parallel_rank(df, [F.col("k"), F.col("id")])
+    rows = ranked.select("_rank").collect()
+    assert sorted(r["_rank"] for r in rows) == list(range(1, 101))
+    local_dfs = [v[1] for k, v in _RANK_CACHE.items() if k[1] == "local"]
+    out_dfs = [v[1] for k, v in _RANK_CACHE.items() if k[1] == "out"]
+    assert local_dfs and out_dfs
+    for d in local_dfs:
+        assert not (d.storageLevel.useMemory or d.storageLevel.useDisk)
+    for d in out_dfs:
+        assert d.storageLevel.useMemory or d.storageLevel.useDisk
+    clear_session_memos()
+
+
+def test_plan_sig_mixed_file_and_opaque_leaf_falls_through(spark, tmp_path):
+    """Round-16 ADVICE: the analyzed-leaves fast path returned early when
+    ANY leaf yielded file URIs, silently dropping leaves whose provenance
+    recovery failed for a reason other than being self-describing
+    (LogicalRDD from localCheckpoint, InMemoryRelation-rooted inputs) —
+    a signature missing that leaf loses the node-name-sequence
+    disambiguation and two such plans can collide (the round-9 failure
+    mode). A plan mixing a primed file leaf with a LogicalRDD leaf must
+    fall through to the optimized-plan string recovery, whose files
+    component carries the node-name sequence."""
+    from dbtwiz_spark.ops.common import _plan_sig
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(10).selectExpr("id", "id % 3 AS k").write.parquet(p)
+    base = spark.read.parquet(p).persist()
+    try:
+        base.count()  # primed: cache substitution empties inputFiles()
+        ck = spark.range(5).selectExpr("id AS k2").localCheckpoint()
+        df = base.join(ck, base.id == ck.k2)
+        if df.inputFiles():  # pragma: no cover - priming shape drifted
+            return
+        (sig_base, _stats) = _plan_sig(df, ["id"])
+        files = sig_base[2]
+        # fallback shape: (uris, node-name sequence), not a bare uri tuple
+        assert isinstance(files, tuple) and len(files) == 2
+        uris, nodes = files
+        assert any(u.startswith("file:") for u in uris)
+        assert any("LogicalRDD" in n for n in nodes)
+    finally:
+        base.unpersist()
+
+
 def test_clear_session_memos_evicts_every_registered_store(spark):
     """The eviction hook (round-8 ADVICE / VERDICT r7 item 5): one call
     unpersists and drops everything in every enrolled memo store — rank
