@@ -53,9 +53,10 @@ planned against a newer history will not cover the stale pin's oldest
 cohort.
 
 Projected cohorts after a green r17 (r01-r16 history + this window,
-recomputed via scripts/freshness_report.py): r10 x 13 (the deferred
-scalars below — front them in round 18), r11 x 38, r12 x 27, r13 x 35,
-r14 x 44, r15 x 45, r16 x 34, r17 x 50 (sums to 286). The round-18
+recomputed empirically via scripts/freshness_report.latest_green_rounds):
+r10 x 13 (the deferred scalars below — front them in round 18),
+r11 x 40, r12 x 26, r13 x 35, r14 x 44, r15 x 43, r16 x 35, r17 x 50
+(sums to 286). The round-18
 front is therefore OLDEST_DEFERRED in full plus the riskiest r11
 remainder (recompute against scripts/freshness_report.py when
 planning; the r16 riskiest-r11 pre-ranking head minus the four already
